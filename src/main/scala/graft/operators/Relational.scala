@@ -1,0 +1,392 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator library (q1..q20).
+  *
+  * Conventions (see SURVEY.md §4):
+  *  - money sums go through DECIMAL(18,2)/(18,4) casts so results are
+  *    exact and order-independent (safe to hash-compare across engines
+  *    and across partitionings);
+  *  - every top-k / limit carries a deterministic tiebreak on a unique
+  *    key;
+  *  - every computed column is aliased identically here and in the
+  *    oracle SQL.
+  *
+  * Scale notes: filters/projections sit directly on the schema'd scans
+  * (parquet pushdown + pruning); dims join via broadcast; fact-fact
+  * joins shuffle on the join key only; aggregations get map-side
+  * partial aggregation from Catalyst automatically.
+  */
+object Relational {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  private def d2(c: Column): Column = c.cast(dec2)
+  private def d4(c: Column): Column = c.cast(dec4)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    "q1_agg" -> QueryDef.withOracle(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d2(col("l_quantity"))).as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).as("sum_base_price"),
+          sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          // 2-dec × 2-dec × 2-dec factors → up to 6 exact decimals; scale 6
+          // avoids double→decimal rounding ties across engines.
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(18, 6))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ------------------------------------------------------------------
+    "q2_filter_project" -> QueryDef.withOracle(
+      """SELECT p_partkey, p_name, p_type, p_size
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 25 AND p_type IN ('PROMO', 'ECONOMY')""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_size").between(10, 25) && col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+    },
+
+    // ------------------------------------------------------------------
+    "q3_join_agg" -> QueryDef.withOracle(
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    "q4_semijoin" -> QueryDef.withOracle(
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_custkey")
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    },
+
+    // ------------------------------------------------------------------
+    "q5_antijoin" -> QueryDef.withOracle(
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P").select("o_custkey")
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    // ------------------------------------------------------------------
+    // Star join: dims (supplier, nation, customer-side keys) broadcast;
+    // the only big shuffle is orders⋈lineitem on the orderkey.
+    "q6_multijoin" -> QueryDef.withOracle(
+      """SELECT n.n_name,
+        |  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    },
+
+    // ------------------------------------------------------------------
+    "q7_window_topk" -> QueryDef.withOracle(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    },
+
+    // ------------------------------------------------------------------
+    "q8_window_running" -> QueryDef.withOracle(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |  lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("running_total",
+          sum(d2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "prev_price")
+    },
+
+    // ------------------------------------------------------------------
+    "q9_pivot" -> QueryDef.withOracle(
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "n_urgent")
+        .withColumnRenamed("2-HIGH", "n_high")
+        .withColumnRenamed("3-MEDIUM", "n_medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "n_notspec")
+        .withColumnRenamed("5-LOW", "n_low")
+    },
+
+    // ------------------------------------------------------------------
+    "q10_rollup" -> QueryDef.withOracle(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+          sum(d2(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
+    "q11_distinct" -> QueryDef.withOracle(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H Q14 shape: promo revenue share by ship month. The ratio is
+    // computed in double from exact decimal sums, rounded to 4 places on
+    // both sides.
+    "q12_conditional_agg" -> QueryDef.withOracle(
+      """SELECT year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100 /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY year(l_shipdate), month(l_shipdate)""".stripMargin) { (s, dir) =>
+      val disc = d4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val promo = sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(dec4)))
+      val total = sum(disc)
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"))
+        .agg(
+          promo.as("promo_rev"),
+          total.as("total_rev"),
+          round(promo.cast(DoubleType) * 100 / total.cast(DoubleType), 4).as("promo_pct"))
+    },
+
+    // ------------------------------------------------------------------
+    // StatCan-style melt: wide measure columns → (metric, value) rows.
+    "q13_unpivot" -> QueryDef.withOracle(
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          col("p_size").cast(DoubleType).as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+          "metric", "value")
+    },
+
+    // ------------------------------------------------------------------
+    "q14_sort_limit" -> QueryDef.withOracle(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // ------------------------------------------------------------------
+    "q15_union_dedup" -> QueryDef.withOracle(
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+        .distinct()
+    },
+
+    // ------------------------------------------------------------------
+    // Join fact rows against their own group aggregate: lines with
+    // quantity > 1.5 × the part's average, phrased multiplicatively so
+    // the comparison stays in exact integer/decimal arithmetic
+    // (2·qty·n > 3·sum_qty  ⟺  qty > 1.5·avg).
+    "q16_agg_join" -> QueryDef.withOracle(
+      """SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS agg_partkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |        count(*) AS n
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l.l_partkey = a.agg_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 * a.n > a.sum_qty * 3""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val agg = l.groupBy(col("l_partkey").as("agg_partkey"))
+        .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      l.join(agg, col("l_partkey") === col("agg_partkey"))
+        .filter(d2(col("l_quantity")) * 2 * col("n") > col("sum_qty") * 3)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    },
+
+    // ------------------------------------------------------------------
+    "q17_string_ops" -> QueryDef.withOracle(
+      """SELECT c_custkey,
+        |  upper(trim(c_name)) AS name_up,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+        |  substring(c_mktsegment, 1, 3) AS seg_prefix,
+        |  length(c_name) AS name_len
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_up"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"),
+        substring(col("c_mktsegment"), 1, 3).as("seg_prefix"),
+        length(col("c_name")).as("name_len"))
+    },
+
+    // ------------------------------------------------------------------
+    "q18_date_ops" -> QueryDef.withOracle(
+      """SELECT year(o_orderdate) AS order_year,
+        |  month(o_orderdate) AS order_month,
+        |  count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales
+        |FROM orders
+        |GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d2(col("o_totalprice"))).as("total_sales"))
+    },
+
+    // ------------------------------------------------------------------
+    "q19_null_handling" -> QueryDef.withOracle(
+      """SELECT coalesce(nullif(o_orderstatus, 'P'), 'UNKNOWN') AS status_norm,
+        |  count(*) AS n,
+        |  count(nullif(o_orderstatus, 'P')) AS n_known,
+        |  CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM orders
+        |GROUP BY coalesce(nullif(o_orderstatus, 'P'), 'UNKNOWN')""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(coalesce(nullif(col("o_orderstatus"), lit("P")), lit("UNKNOWN")).as("status_norm"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(nullif(col("o_orderstatus"), lit("P"))).as("n_known"),
+          sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("n_big"))
+    },
+
+    // ------------------------------------------------------------------
+    "q20_json_extract" -> QueryDef.withOracle(
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          min(k).as("min_k"),
+          max(k).as("max_k"))
+    }
+  )
+}

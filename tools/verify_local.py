@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: verify_local.py <sfDir> <outDir>
+  where <outDir> is what `sbt "runMain graft.Verify <sfDir> <outDir>"`
+  produced (one parquet dir per query + oracle_sql.json).
+
+For each query: run the oracle SQL in DuckDB with views over the same
+parquet tables, load both results, sort columns by name, sort rows,
+normalize values, and compare cell-by-cell.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+from decimal import Decimal
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if np.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, (np.floating,)):
+        return repr(round(float(v), 9))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    cells = df.map(norm_cell)
+    rows = sorted(["\x1f".join(r) for r in cells.itertuples(index=False)])
+    return list(df.columns), rows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pq_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {pq_dir}")
+            n_fail += 1
+            continue
+        try:
+            got = pd.read_parquet(pq_dir)
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = normalize(got)
+        wc, wr = normalize(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns differ spark={gc} duckdb={wc}")
+            n_fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(wr)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(gr, wr) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first:")
+            print("  spark :", bad[0][0][:300].replace("\x1f", " | "))
+            print("  duckdb:", bad[0][1][:300].replace("\x1f", " | "))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
