@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.{Connectors, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** StatCan-style ETL surface: cleaning/normalization, slowly-changing
+  * dimensions, calendar dimension generation, data-quality reporting,
+  * incremental latest-wins upsert, and connector roundtrips.
+  *
+  * Timestamp protocol: anything ordered by event time uses
+  * floor-to-second epoch values (`unix_timestamp`) for ordering and
+  * output, so microsecond-vs-nanosecond parquet readers (Spark trims to
+  * µs, DuckDB keeps ns) can never disagree on order or value.
+  */
+object Etl {
+
+  private val dec2 = DecimalType(18, 2)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    "etl_clean_normalize" -> QueryDef.withOracle(
+      """SELECT c_custkey,
+        |  lower(trim(regexp_replace(c_name, '\s+', ' ', 'g'))) AS name_clean,
+        |  nullif(upper(trim(c_mktsegment)), '') AS seg_norm,
+        |  CAST(greatest(c_acctbal, 0) AS DECIMAL(18,2)) AS acctbal_clamped,
+        |  c_acctbal < 0 AS was_negative
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        lower(trim(regexp_replace(col("c_name"), "\\s+", " "))).as("name_clean"),
+        nullif(upper(trim(col("c_mktsegment"))), lit("")).as("seg_norm"),
+        greatest(col("c_acctbal"), lit(0)).cast(dec2).as("acctbal_clamped"),
+        (col("c_acctbal") < 0).as("was_negative"))
+    },
+
+    // ------------------------------------------------------------------
+    // Type-2 SCD from an ordered snapshot stream: collapse runs of equal
+    // status per customer into validity intervals. One shuffle on the
+    // dimension key; scales linearly.
+    "etl_scd2" -> QueryDef.withOracle(
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_status
+        |  FROM orders),
+        |c AS (SELECT * FROM s WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
+        |FROM c""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val changes = Tables.orders(s, dir)
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+      val w2 = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      changes
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w2))
+        .select(
+          col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+
+    // ------------------------------------------------------------------
+    // Calendar dimension spanning the fact table's date range. The
+    // calendar is inherently tiny (decades = ~10^4 rows) so generating
+    // it from a 1-row bounds aggregate is scale-safe.
+    "etl_date_dim" -> QueryDef.withOracle(
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |                  CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |d AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS cal FROM b)
+        |SELECT strftime(cal, '%Y-%m-%d') AS cal_date,
+        |  year(cal) AS y, month(cal) AS m, day(cal) AS dom,
+        |  isodow(cal) AS dow_iso, isodow(cal) >= 6 AS is_weekend
+        |FROM d""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("cal"))
+        .select(
+          date_format(col("cal"), "yyyy-MM-dd").as("cal_date"),
+          year(col("cal")).as("y"),
+          month(col("cal")).as("m"),
+          dayofmonth(col("cal")).as("dom"),
+          (weekday(col("cal")) + 1).as("dow_iso"),
+          (weekday(col("cal")) + 1 >= 6).as("is_weekend"))
+    },
+
+    // ------------------------------------------------------------------
+    // Per-column data-quality report in one pass over the table
+    // (single aggregate, then explode to long form — no per-column jobs).
+    "etl_quality_report" -> QueryDef.withOracle(
+      """SELECT 'c_name' AS col_name, count(*) AS n_total,
+        |  CAST(count(*) - count(c_name) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN trim(c_name) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |  CAST(sum(CASE WHEN length(c_name) > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_violation
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal' AS col_name, count(*) AS n_total,
+        |  CAST(count(*) - count(c_acctbal) AS BIGINT) AS n_null,
+        |  CAST(0 AS BIGINT) AS n_blank,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violation
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment' AS col_name, count(*) AS n_total,
+        |  CAST(count(*) - count(c_mktsegment) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN trim(c_mktsegment) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+        |  CAST(0 AS BIGINT) AS n_violation
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val agg = c.agg(
+        count(lit(1)).as("n_total"),
+        (count(lit(1)) - count(col("c_name"))).as("null_name"),
+        sum(when(trim(col("c_name")) === "", 1).otherwise(0)).as("blank_name"),
+        sum(when(length(col("c_name")) > 25, 1).otherwise(0)).as("viol_name"),
+        (count(lit(1)) - count(col("c_acctbal"))).as("null_bal"),
+        sum(when(col("c_acctbal") < 0, 1).otherwise(0)).as("viol_bal"),
+        (count(lit(1)) - count(col("c_mktsegment"))).as("null_seg"),
+        sum(when(trim(col("c_mktsegment")) === "", 1).otherwise(0)).as("blank_seg"))
+      agg.select(explode(array(
+        struct(lit("c_name").as("col_name"), col("n_total"),
+          col("null_name").as("n_null"), col("blank_name").as("n_blank"),
+          col("viol_name").as("n_violation")),
+        struct(lit("c_acctbal").as("col_name"), col("n_total"),
+          col("null_bal").as("n_null"), lit(0L).as("n_blank"),
+          col("viol_bal").as("n_violation")),
+        struct(lit("c_mktsegment").as("col_name"), col("n_total"),
+          col("null_seg").as("n_null"), col("blank_seg").as("n_blank"),
+          lit(0L).as("n_violation")))).as("r"))
+        .select("r.col_name", "r.n_total", "r.n_null", "r.n_blank", "r.n_violation")
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental latest-wins upsert: current state per (user, type) key
+    // from an append-only event log. Single shuffle on the upsert key.
+    "etl_upsert_latest" -> QueryDef.withOracle(
+      """SELECT user_id, event_type, value AS last_value, ts_s AS last_ts_s, n_versions FROM (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_s").desc, col("event_id").desc)
+      val wAll = Window.partitionBy(col("user_id"), col("event_type"))
+      Tables.eventsTimed(s, dir)
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_versions", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("value").as("last_value"), col("ts_s").as("last_ts_s"), col("n_versions"))
+    },
+
+    // ------------------------------------------------------------------
+    "src_csv_roundtrip" -> QueryDef.withOracle(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_csv").toString
+      Connectors.writeCsv(Tables.nation(s, dir), tmp)
+      Connectors.readCsv(s, tmp, Tables.nationSchema)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    },
+
+    // ------------------------------------------------------------------
+    "src_json_roundtrip" -> QueryDef.withOracle(
+      "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_json").toString
+      Connectors.writeJson(Tables.region(s, dir), tmp)
+      Connectors.readJson(s, tmp, Tables.regionSchema)
+        .select("r_regionkey", "r_name")
+    }
+  )
+}

@@ -63,9 +63,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  // `ts` is nanosecond-precision in the parquet file; Spark's
+  // TimestampType is µs so we read the raw INT64 nanos and derive
+  // µs-timestamps / floored seconds with exact integer arithmetic
+  // (double division would lose precision above 2^53 ns).
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -103,6 +107,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** Events with derived time columns: `ts_s` (floor-to-second epoch,
+    * exact) and `ts_us` (µs TimestampType). Floored seconds are the
+    * cross-engine-safe ordering/output representation. */
+  def eventsTimed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(s, d)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
