@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.plans.{CosineSimilarity, HyperplaneDot}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Column API over the native vector expressions.
+  *
+  * The expressions are registered in the session's FunctionRegistry (so
+  * they're also usable from `spark.sql`) and surfaced via
+  * `call_function`, which avoids any private Column↔Expression bridging.
+  */
+object Vectors {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => HyperplaneDot(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Cosine similarity of two `array<float>` columns, in double. */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Dot product of an `array<float>` column with an `array<double>`
+    * plane, in double. */
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_dot", a, b)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for LSH: plane(j)(i) in
+    * [-0.5, 0.5), derived from a fixed LCG-style mix so the identical
+    * literals can be embedded in oracle SQL. */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        (((j * 1315423911L + i * 2654435761L) % 1000 + 1000) % 1000 / 1000.0) - 0.5
+      }
+    }
+
+  /** SQL literal for a plane, for oracle parity. */
+  def planeSql(p: Seq[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+}

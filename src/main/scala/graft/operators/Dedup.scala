@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Vectors
+import graft.operators.TextOps.{normText, tokens}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family over `documents` / `embeddings`.
+  *
+  * Scale design: no variant ever materializes the full cross product.
+  *  - exact: one shuffle on the content fingerprint;
+  *  - ngram-jaccard: pairs only within (token-count) blocks — the
+  *    exact-verification path; at 100 TB you run minhash first and this
+  *    only on its candidates;
+  *  - minhash-LSH: explode→min per (doc, seed) is linear; banding means
+  *    candidate pairs ∝ true-duplicate density, not corpus²;
+  *  - simhash: 64-bit sketch, 4×16-bit band blocking for hamming≤k;
+  *  - embedding: label acts as the IVF cell — pairwise only inside a
+  *    cell, via the codegen'd cosine expression.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per doc. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).as("nt"),
+      array_distinct(
+        when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => array_join(slice(toks, i + 1, lit(3)), " ")))
+          .otherwise(typedLit(Seq.empty[String]))).as("sh"))
+  }
+
+  private val shingleSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS nt,
+      |  list_distinct(list_transform(
+      |    range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+      |    i -> concat_ws(' ',
+      |      regexp_extract_all(lower(text), '[a-z0-9]+')[i],
+      |      regexp_extract_all(lower(text), '[a-z0-9]+')[i+1],
+      |      regexp_extract_all(lower(text), '[a-z0-9]+')[i+2]))) AS sh
+      |FROM documents""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    "dedup_exact" -> QueryDef.withOracle(
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id,
+        |  count(*) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_copies,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS is_dup
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val fp = md5(normText(col("text")).cast(BinaryType))
+      val w = Window.partitionBy(fp)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        min(col("doc_id")).over(w).as("keep_id"),
+        count(lit(1)).over(w).as("n_copies"),
+        (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact word-3-gram Jaccard within token-count blocks. The jaccard
+    // itself is int/int division — identical doubles on both engines.
+    "dedup_ngram_jaccard" -> QueryDef.withOracle(
+      s"""WITH s AS ($shingleSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |        / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac,
+         |  len(list_intersect(a.sh, b.sh)) * 1.0
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5 AS is_dup
+         |FROM s a JOIN s b ON a.nt = b.nt AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("nt"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"), col("sh").as("sh_b"))
+      val jac = size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
+        size(array_union(col("sh_a"), col("sh_b")))
+      a.join(b, col("nt") === col("nt_b") && col("doc_a") < col("doc_b"))
+        .filter(jac >= 0.02)
+        .select(col("doc_a"), col("doc_b"),
+          round(jac, 9).as("jac"), (jac >= 0.5).as("is_dup"))
+    },
+
+    // ------------------------------------------------------------------
+    // MinHash + banded LSH: 16 hashes, 4 bands × 4 rows, candidates from
+    // band-bucket equality, verified with exact jaccard ≥ 0.5.
+    // Cross-engine hash functions differ → rows-only check.
+    "dedup_minhash_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+      val sh = shingled(s, dir).filter(size(col("sh")) > 0)
+      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("shingle"),
+          explode(sequence(lit(0), lit(15))).as("seed"))
+      val sigs = exploded
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(xxhash64(col("shingle"), col("seed"))).as("minh"))
+      val bands = sigs
+        .withColumn("band", expr("seed div 4"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(xxhash64(array_join(transform(
+          array_sort(collect_list(struct(col("seed"), col("minh")))),
+          x => x.getField("minh").cast(StringType)), ",")).as("bsig"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      val jac = size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
+        size(array_union(col("sh_a"), col("sh_b")))
+      withSets.filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(jac, 9).as("jac"))
+    },
+
+    // ------------------------------------------------------------------
+    // 64-bit SimHash over distinct tokens; 4×16-bit band blocking
+    // guarantees recall for hamming ≤ 3 (pigeonhole). Rows-only (hash).
+    "dedup_simhash" -> QueryDef.rowsOnly { (s, dir) =>
+      val toksDf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$b")
+      }
+      val withSim = toksDf.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce((a, c) => a + c))
+        .select(col("doc_id"), col("simhash"))
+      val banded = withSim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bv")))
+      val pairs = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        .distinct()
+      pairs
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding near-dup pairs inside label cells (label = IVF cell):
+    // the quadratic term is bounded by cell size, never corpus size.
+    "dedup_embedding" -> QueryDef.withOracle(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+      val cos = Vectors.cosine(s, col("emb_a"), col("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+        .filter(cos >= 0.3)
+        .select(col("vec_a"), col("vec_b"), col("label"), round(cos, 6).as("cos_sim"))
+    }
+  )
+}

@@ -245,7 +245,7 @@ object Relational {
         |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
         |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
         |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100 /
-        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 9)
         |    AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY year(l_shipdate), month(l_shipdate)""".stripMargin) { (s, dir) =>
@@ -260,7 +260,7 @@ object Relational {
         .agg(
           promo.as("promo_rev"),
           total.as("total_rev"),
-          round(promo.cast(DoubleType) * 100 / total.cast(DoubleType), 4).as("promo_pct"))
+          round(promo.cast(DoubleType) * 100 / total.cast(DoubleType), 9).as("promo_pct"))
     },
 
     // ------------------------------------------------------------------

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis over the `documents` table: tokenization, quality
+  * scoring, language ID, fingerprinting. All row-local (narrow) work —
+  * embarrassingly parallel, no shuffle except final aggregations, so it
+  * scales linearly with corpus bytes.
+  *
+  * Everything is built from codegen'd `functions._` (incl. higher-order
+  * array functions) — no Scala UDFs — so whole-stage codegen spans the
+  * full pipeline.
+  */
+object TextOps {
+
+  /** Lowercased `[a-z0-9]+` tokens. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  private def toksSql(c: String) = s"regexp_extract_all(lower($c), '[a-z0-9]+')"
+
+  /** Whitespace normalization shared by fingerprint/dedup ops. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private def normSql(c: String) = s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    "text_tokens" -> QueryDef.withOracle(
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+         |  CAST(len(${toksSql("text")}) AS INT) AS n_re_tokens,
+         |  CAST(len(list_distinct(${toksSql("text")})) AS INT) AS n_uniq_tokens
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("n_ws_tokens"),
+        size(toks).as("n_re_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    "text_quality" -> QueryDef.withOracle(
+      s"""SELECT doc_id, len_chars, n_words, avg_word_len, alpha_ratio, stop_ratio,
+         |  round(0.4 * alpha_ratio + 0.4 * (1 - stop_ratio) +
+         |        0.2 * least(n_words / 20.0, 1.0), 9) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    length(text) AS len_chars,
+         |    CAST(len(${toksSql("text")}) AS INT) AS n_words,
+         |    round(list_sum(list_transform(${toksSql("text")}, x -> length(x))) * 1.0
+         |          / len(${toksSql("text")}), 9) AS avg_word_len,
+         |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+         |          / length(text), 9) AS alpha_ratio,
+         |    round(len(list_filter(${toksSql("text")},
+         |            x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+         |          / len(${toksSql("text")}), 9) AS stop_ratio
+         |  FROM documents WHERE length(text) > 0)""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val nWords = size(toks)
+      val stops = Seq("the", "a", "and", "of", "to")
+      val base = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len_chars"),
+          nWords.as("n_words"),
+          round(aggregate(toks, lit(0), (acc, x) => acc + length(x)) * lit(1.0) / nWords, 9)
+            .as("avg_word_len"),
+          round(length(regexp_replace(col("text"), "[^A-Za-z]", "")) * lit(1.0) /
+            length(col("text")), 9).as("alpha_ratio"),
+          round(size(filter(toks, x => x.isin(stops: _*))) * lit(1.0) / nWords, 9)
+            .as("stop_ratio"))
+      base.withColumn("quality_score",
+        round(lit(0.4) * col("alpha_ratio") + lit(0.4) * (lit(1) - col("stop_ratio")) +
+          lit(0.2) * least(col("n_words") / lit(20.0), lit(1.0)), 9))
+    },
+
+    // ------------------------------------------------------------------
+    // Marker-token language scoring: deterministic n-gram-style heuristic
+    // with a fixed priority order (en > de > es > fr > zh) on ties.
+    "text_langid" -> QueryDef.withOracle(
+      s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS pred_lang,
+         |  (CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END) = lang AS is_match
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('the', 'and', 'is'))) AS INT) AS s_en,
+         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('der', 'die', 'und'))) AS INT) AS s_de,
+         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('el', 'la', 'los'))) AS INT) AS s_es,
+         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('le', 'les', 'et'))) AS INT) AS s_fr,
+         |    CAST(length(text) - length(replace(text, '的', '')) AS INT) AS s_zh
+         |  FROM documents)""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      def score(words: String*): Column = size(filter(toks, x => x.isin(words: _*)))
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        score("the", "and", "is").as("s_en"),
+        score("der", "die", "und").as("s_de"),
+        score("el", "la", "los").as("s_es"),
+        score("le", "les", "et").as("s_fr"),
+        (length(col("text")) - length(regexp_replace(col("text"), "的", "")))
+          .cast(IntegerType).as("s_zh"))
+      val pred = when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+          col("s_de") >= col("s_zh"), "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+      base.withColumn("pred_lang", pred)
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+    },
+
+    // ------------------------------------------------------------------
+    "text_fingerprint" -> QueryDef.withOracle(
+      s"""SELECT doc_id,
+         |  md5(${normSql("text")}) AS fp_md5,
+         |  substring(md5(${normSql("text")}), 1, 8) AS fp_prefix,
+         |  CAST(floor(length(${normSql("text")}) / 64) AS INT) AS len_bucket
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val norm = normText(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(norm.cast(BinaryType)).as("fp_md5"),
+        substring(md5(norm.cast(BinaryType)), 1, 8).as("fp_prefix"),
+        floor(length(norm) / lit(64)).cast(IntegerType).as("len_bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // Winnowed fingerprints: 4-token shingles, xxhash64, min-hash per
+    // position window of 8 — the standard near-dup sketch for plagiarism
+    // style matching. Not SQL-expressible cross-engine (hash differs):
+    // rows-only check.
+    "text_winnow" -> QueryDef.rowsOnly { (s, dir) =>
+      val toks = tokens(col("text"))
+      val shingles = when(size(toks) >= 4,
+        transform(sequence(lit(0), size(toks) - 4),
+          i => array_join(slice(toks, i + 1, lit(4)), " ")))
+        .otherwise(array())
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "shingle")))
+        .select(col("doc_id"), (col("pos") / 8).cast(IntegerType).as("win_id"),
+          xxhash64(col("shingle")).as("h"))
+        .groupBy(col("doc_id"), col("win_id"))
+        .agg(min(col("h")).as("fp_hash"))
+    }
+  )
+}
