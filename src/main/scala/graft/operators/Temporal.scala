@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal operators over the event log: tumbling windows, gap-based
+  * sessionization, funnels, as-of join, range join.
+  *
+  * The as-of join is the single-shuffle union+window formulation: tag
+  * both sides, sort within the key partition by (ts, side), and carry
+  * the last left-side row forward with `last(_, ignoreNulls)`. This is
+  * the shape that scales — one shuffle on the join key, no per-key
+  * loops, no range cross-product. The range join broadcasts the tiny
+  * band table (non-equi broadcast join, never a cartesian of facts).
+  */
+object Temporal {
+
+  private val dec2 = DecimalType(18, 2)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    "ev_window_agg" -> QueryDef.withOracle(
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start_s,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.eventsTimed(s, dir)
+        .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Gap-based sessionization: a >30 min silence starts a new session.
+    // Session ids are per-user ordinals → deterministic.
+    "ev_sessionize" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(ts_s) OVER (PARTITION BY user_id
+        |          ORDER BY ts_s ASC, event_id ASC) AS prev_s FROM e)),
+        |t AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |  FROM g)
+        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+        |  count(*) AS n_events,
+        |  min(ts_s) AS sess_start_s, max(ts_s) AS sess_end_s,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sess_value
+        |FROM t GROUP BY user_id, sess_seq""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      Tables.eventsTimed(s, dir)
+        .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1).otherwise(0))
+        .withColumn("sess_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("sess_start_s"),
+          max(col("ts_s")).as("sess_end_s"),
+          sum(col("value").cast(dec2)).as("sess_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Signup→purchase funnel: first purchase at-or-after first signup.
+    // Two keyed aggregations + one keyed join — all on user_id.
+    "ev_funnel" -> QueryDef.withOracle(
+      """WITH su AS (
+        |  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS signup_s
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, su.signup_s,
+        |    min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS first_purchase_s
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.signup_s
+        |  GROUP BY e.user_id, su.signup_s)
+        |SELECT user_id, signup_s, first_purchase_s,
+        |  first_purchase_s - signup_s AS conversion_delay_s
+        |FROM pu""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTimed(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("signup_s"))
+      ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts_s") >= col("signup_s"))
+        .groupBy(col("user_id"), col("signup_s"))
+        .agg(min(col("ts_s")).as("first_purchase_s"))
+        .withColumn("conversion_delay_s", col("first_purchase_s") - col("signup_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // As-of join: each purchase matched to the user's most recent click
+    // at-or-before it. Single shuffle on user_id via union+window.
+    "asof_join" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |u AS (
+        |  SELECT user_id, ts_s, event_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_s ASC, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+        |                     event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_s ASC, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+        |                     event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_s
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, ts_s AS purchase_ts_s,
+        |  click_id, click_ts_s, ts_s - click_ts_s AS gap_s
+        |FROM u WHERE is_click = 0""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("is_click").desc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_id",
+          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts_s",
+          last(when(col("is_click") === 1, col("ts_s")), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_s").as("purchase_ts_s"), col("click_id"), col("click_ts_s"),
+          (col("ts_s") - col("click_ts_s")).as("gap_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // Range join against a tiny band table: broadcast non-equi join.
+    "range_join" -> QueryDef.withOracle(
+      """SELECT b.band_label, count(*) AS n,
+        |  sum(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+        |FROM events e
+        |JOIN (VALUES ('b0_low', 0, 100), ('b1_mid', 100, 200), ('b2_high', 200, 300),
+        |             ('b3_vhigh', 300, 400), ('b4_top', 400, 1000000)) b(band_label, lo, hi)
+        |  ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY b.band_label""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        ("b0_low", 0, 100), ("b1_mid", 100, 200), ("b2_high", 200, 300),
+        ("b3_vhigh", 300, 400), ("b4_top", 400, 1000000))
+        .toDF("band_label", "lo", "hi")
+      Tables.events(s, dir)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band_label"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sum_value"))
+    }
+  )
+}

@@ -150,12 +150,16 @@ object TextOps {
     // style matching. Not SQL-expressible cross-engine (hash differs):
     // rows-only check.
     "text_winnow" -> QueryDef.rowsOnly { (s, dir) =>
-      val toks = tokens(col("text"))
-      val shingles = when(size(toks) >= 4,
-        transform(sequence(lit(0), size(toks) - 4),
-          i => array_join(slice(toks, i + 1, lit(4)), " ")))
-        .otherwise(array())
+      // toks materialized in its own projection — see Dedup.shingled for
+      // why (per-element regexp re-evaluation otherwise).
+      val shingles = when(size(col("toks")) >= 4,
+        transform(sequence(lit(0), size(col("toks")) - 4),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3), element_at(col("toks"), i + 4))))
+        .otherwise(typedLit(Seq.empty[String]))
       Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "shingle")))
         .select(col("doc_id"), (col("pos") / 8).cast(IntegerType).as("win_id"),
           xxhash64(col("shingle")).as("h"))

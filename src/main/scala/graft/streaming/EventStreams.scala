@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming jobs over the event log.
+  *
+  * The batch operators in [[graft.operators.Temporal]] and these
+  * streaming jobs share semantics: `windowedCounts` is the streaming
+  * twin of `ev_window_agg` (watermark + tumbling window), and
+  * `sessionize` is the stateful twin of `ev_sessionize`
+  * (flatMapGroupsWithState carrying last-seen-timestamp + session
+  * ordinal per user). On a cluster the same code runs against a Kafka
+  * or file source by swapping `readStream` options.
+  */
+object EventStreams {
+
+  final case class Ev(user_id: Long, event_id: Long, ts_s: Long)
+  final case class SessionAssign(user_id: Long, sess_seq: Int, event_id: Long, ts_s: Long)
+  final case class SessState(lastTs: Long, seq: Int)
+
+  // The file stream source wants a directory; the test tables are bare
+  // files, so stage (copy) each into a temp dir once per process. In
+  // production the source would already be a directory/Kafka topic.
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageDir(sfDir: String): String = staged.getOrElseUpdate(sfDir, {
+    import java.nio.file._
+    val src = Paths.get(s"${sfDir.stripSuffix("/")}/events.parquet")
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(src, dir.resolve("events.parquet"))
+    dir.toString
+  })
+
+  /** File-source stream of the events table (one-batch replay in tests). */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(stageDir(sfDir))
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_s", expr("ts div 1000000000"))
+
+  /** Tumbling 1 h windowed counts with a 1 h watermark (append mode). */
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    eventStream(spark, sfDir)
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful gap sessionization (>30 min silence = new session). State
+    * per user is O(1): last event time + session ordinal. */
+  def sessionize(spark: SparkSession, sfDir: String): Dataset[SessionAssign] = {
+    import spark.implicits._
+    val evs = eventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_s")).as[Ev]
+
+    def fn(userId: Long, events: Iterator[Ev],
+        state: GroupState[SessState]): Iterator[SessionAssign] = {
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0))
+      val out = events.toSeq.sortBy(e => (e.ts_s, e.event_id)).map { e =>
+        val newSess = st.lastTs == Long.MinValue || e.ts_s - st.lastTs > 1800
+        st = SessState(e.ts_s, if (newSess) st.seq + 1 else st.seq)
+        SessionAssign(userId, st.seq, e.event_id, e.ts_s)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+}
