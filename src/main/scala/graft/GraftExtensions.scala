@@ -1,0 +1,26 @@
+package graft
+
+import graft.plans.{CosineSimilarity, HyperplaneDot}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Formal extension entry point: registers the graft native expressions
+  * with any session built via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`. (For sessions the
+  * library doesn't own, [[graft.functions.Vectors.register]] installs
+  * the same functions imperatively.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[HyperplaneDot].getName, "graft_dot"),
+      exprs => HyperplaneDot(exprs(0), exprs(1))))
+  }
+}

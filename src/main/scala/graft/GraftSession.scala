@@ -31,6 +31,7 @@ object GraftSession {
     val spark = SparkSession
       .builder()
       .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")

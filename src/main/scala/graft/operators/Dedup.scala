@@ -170,6 +170,7 @@ object Dedup {
             when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce((a, c) => a + c))
         .select(col("doc_id"), col("simhash"))
+        .persist() // reused by both sides of the band self-join
       val banded = withSim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(j =>
           shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))

@@ -164,6 +164,24 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Surrogate-key assignment for a dimension load: dense ordinal keys
+    // over the distinct natural key, joined back to the fact rows.
+    "etl_surrogate_key" -> QueryDef.withOracle(
+      """WITH dim AS (
+        |  SELECT c_mktsegment,
+        |    row_number() OVER (ORDER BY c_mktsegment ASC) AS seg_sk
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c.c_custkey, c.c_mktsegment, dim.seg_sk
+        |FROM customer c JOIN dim ON c.c_mktsegment = dim.c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val dim = c.select(col("c_mktsegment")).distinct()
+        .withColumn("seg_sk",
+          row_number().over(Window.orderBy(col("c_mktsegment").asc)))
+      c.join(broadcast(dim), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("seg_sk"))
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString

@@ -387,6 +387,57 @@ object Relational {
           sum(k).as("sum_k"),
           min(k).as("min_k"),
           max(k).as("max_k"))
+    },
+
+    // ------------------------------------------------------------------
+    // Moments computed from exact decimal power sums, then combined in
+    // double with an expression shape shared verbatim with the oracle —
+    // engine-native stddev/variance implementations (Welford etc.) are
+    // NOT cross-engine reproducible; this is.
+    "q21_stats_manual" -> QueryDef.withOracle(
+      """SELECT l_returnflag, n, sum_qty, sum_qty_sq,
+        |  round(CAST(sum_qty AS DOUBLE) / n, 9) AS mean_qty,
+        |  round((CAST(sum_qty_sq AS DOUBLE) -
+        |         CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE) / n) / (n - 1), 9) AS var_qty
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS sum_qty_sq
+        |  FROM lineitem GROUP BY l_returnflag)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(d2(col("l_quantity"))).as("sum_qty"),
+          sum(d4(col("l_quantity") * col("l_quantity"))).as("sum_qty_sq"))
+        .select(col("l_returnflag"), col("n"), col("sum_qty"), col("sum_qty_sq"),
+          round(col("sum_qty").cast(DoubleType) / col("n"), 9).as("mean_qty"),
+          round((col("sum_qty_sq").cast(DoubleType) -
+            col("sum_qty").cast(DoubleType) * col("sum_qty").cast(DoubleType) / col("n")) /
+            (col("n") - 1), 9).as("var_qty"))
+    },
+
+    // ------------------------------------------------------------------
+    // HLL sketch cardinality next to the exact answer. Sketch internals
+    // are engine-specific → rows-only check.
+    "q22_approx_distinct" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic hash sampling: same 10% sample on any engine — the
+    // repeatable-experiment primitive for pipeline debugging.
+    "q23_sample_hash" -> QueryDef.withOracle(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 100 < 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter((col("o_orderkey") * lit(2654435761L)) % 100 < 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     }
   )
 }

@@ -145,6 +145,20 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Corpus heavy hitters: one explode + one keyed aggregation; the
+    // top-k is a tiny ordered tail after map-side partial counts.
+    "text_topk_tokens" -> QueryDef.withOracle(
+      s"""SELECT tok, count(*) AS n FROM (
+         |  SELECT unnest(${toksSql("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
+    },
+
+    // ------------------------------------------------------------------
     // Winnowed fingerprints: 4-token shingles, xxhash64, min-hash per
     // position window of 8 — the standard near-dup sketch for plagiarism
     // style matching. Not SQL-expressible cross-engine (hash differs):
