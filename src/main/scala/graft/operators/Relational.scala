@@ -438,6 +438,72 @@ object Relational {
       Tables.orders(s, dir)
         .filter((col("o_orderkey") * lit(2654435761L)) % 100 < 10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    // ------------------------------------------------------------------
+    // Outer join with null-side handling: every customer with their
+    // pending-order stats, zero-filled where no pending orders exist.
+    "q24_outer_join" -> QueryDef.withOracle(
+      """SELECT c.c_custkey, c.c_name,
+        |  coalesce(p.n_pending, 0) AS n_pending,
+        |  coalesce(p.pending_total, CAST(0 AS DECIMAL(18,2))) AS pending_total,
+        |  p.n_pending IS NULL AS no_pending
+        |FROM customer c
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_pending,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS pending_total
+        |  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+        |ON c.c_custkey = p.o_custkey""".stripMargin) { (s, dir) =>
+      val p = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_pending"),
+          sum(d2(col("o_totalprice"))).as("pending_total"))
+      Tables.customer(s, dir)
+        .join(p, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(
+          col("c_custkey"), col("c_name"),
+          coalesce(col("n_pending"), lit(0L)).as("n_pending"),
+          coalesce(col("pending_total"), lit(0).cast(dec2)).as("pending_total"),
+          col("n_pending").isNull.as("no_pending"))
+    },
+
+    // ------------------------------------------------------------------
+    "q25_cube" -> QueryDef.withOracle(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"),
+          count(lit(1)).as("n"),
+          sum(d2(col("o_totalprice"))).as("total"))
+    },
+
+    // ------------------------------------------------------------------
+    // Set operations: customers with open orders but no finished orders
+    // (EXCEPT) and with both (INTERSECT).
+    "q26_setops" -> QueryDef.withOracle(
+      """SELECT custkey, 'open_only' AS tag FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT custkey, 'open_and_finished' AS tag FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      open.except(fin).withColumn("tag", lit("open_only"))
+        .union(open.intersect(fin).withColumn("tag", lit("open_and_finished")))
     }
   )
 }
