@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, HyperplaneDot}
+import graft.plans.{CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[HyperplaneDot].getName, "graft_dot"),
       exprs => HyperplaneDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1))))
   }
 }

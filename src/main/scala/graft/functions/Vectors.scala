@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSimilarity, HyperplaneDot}
+import graft.plans.{CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -18,6 +18,9 @@ object Vectors {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => HyperplaneDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -31,6 +34,12 @@ object Vectors {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Intersection count of two sorted `array<bigint>` columns. */
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_sorted_intersect_count", a, b)
   }
 
   /** Deterministic pseudo-random hyperplanes for LSH: plane(j)(i) in

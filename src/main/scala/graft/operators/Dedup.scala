@@ -99,7 +99,8 @@ object Dedup {
       // derived arithmetically. Both computed once per pair.
       val sh = shingled(s, dir)
         .select(col("doc_id"), col("nt"),
-          transform(col("sh"), x => xxhash64(x)).as("shh"), size(col("sh")).as("nsh"))
+          array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
+          size(col("sh")).as("nsh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("nt"),
         col("shh").as("sh_a"), col("nsh").as("nsh_a"))
       val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
@@ -107,7 +108,7 @@ object Dedup {
       val jac = col("ni") * lit(1.0) / col("nu")
       a.join(b, col("nt") === col("nt_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+          Vectors.sortedIntersectCount(s, col("sh_a"), col("sh_b")).as("ni"),
           (col("nsh_a") + col("nsh_b")).as("ntot"))
         .withColumn("nu", col("ntot") - col("ni"))
         .filter(jac >= 0.02)

@@ -66,6 +66,59 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection cardinality of two pre-sorted long arrays via a tight
+  * merge loop — the hot inner op of shingle-set verification. Spark's
+  * `array_intersect` builds a boxed hash set per row; for 10^5–10^8
+  * candidate pairs the merge over sorted primitive arrays is both
+  * allocation-free and codegen-resident. Inputs MUST be sorted
+  * ascending (produce them with `array_sort`).
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_intersect_count expects (array<bigint>, array<bigint>), got $l / $r")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int i = 0, j = 0, n = 0;
+         |int nx = $a.numElements(), ny = $b.numElements();
+         |while (i < nx && j < ny) {
+         |  long xv = $a.getLong(i); long yv = $b.getLong(j);
+         |  if (xv == yv) { n++; i++; j++; }
+         |  else if (xv < yv) { i++; } else { j++; }
+         |}
+         |${ev.value} = n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product of a float embedding against a double-typed plane
   * (hyperplane LSH); accumulates in double. */
 case class HyperplaneDot(left: Expression, right: Expression)

@@ -71,6 +71,55 @@ class VectorExpressionsSpec extends AnyFunSuite {
   }
 }
 
+class SortedIntersectSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("sorted intersect count matches array_intersect semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // 2 shared
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // 0 shared
+      (Seq.empty[Long], Seq(1L)),                  // empty side
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L)))          // identical
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.Vectors.sortedIntersectCount(spark, col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 0, 3))
+  }
+}
+
+class AsofSemanticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // Hand-built log: user 1 clicks at t=10, t=20; purchases at t=20
+  // (same-second click included), t=25 (latest click t=20), t=5 (no
+  // prior click -> null). User 2 purchases with no clicks at all.
+  test("asof join picks latest click at-or-before each purchase") {
+    import spark.implicits._
+    val rows = Seq(
+      // event_id, ts_ns, user_id, event_type
+      (1L, 10L * 1000000000L, 1L, "click"),
+      (2L, 20L * 1000000000L, 1L, "click"),
+      (3L, 20L * 1000000000L, 1L, "purchase"),
+      (4L, 25L * 1000000000L, 1L, "purchase"),
+      (5L, 5L * 1000000000L, 1L, "purchase"),
+      (6L, 30L * 1000000000L, 2L, "purchase"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("asof_join")(spark, tmp)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(3L) == 2L) // same-second click matches
+    assert(out(4L) == 2L) // latest prior click
+    assert(out(5L) == -1L) // no prior click
+    assert(out(6L) == -1L) // user without clicks
+  }
+}
+
 class OperatorSmokeSpec extends AnyFunSuite {
   import SparkTestSession._
 
