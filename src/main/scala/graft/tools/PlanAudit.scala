@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: sweep every registered query's executed plan for scale
+  * red flags — cartesian products, unexpected nested-loop joins, and
+  * exchange counts. Usage: runMain graft.tools.PlanAudit [sfDir]
+  */
+object PlanAudit {
+
+  // ops where a nested-loop broadcast join is the intended shape:
+  // range_join (non-equi band table), ann_topk_exact (tiny broadcast
+  // probe set × corpus is the brute-force baseline by design)
+  private val nestedLoopAllowed = Set("range_join", "ann_topk_exact")
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.tune(spark)
+    var flagged = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val nestedLoop = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopAllowed(name)
+        val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+        val flags = Seq(
+          if (cartesian) Some("CARTESIAN") else None,
+          if (nestedLoop) Some("NESTED_LOOP") else None,
+          if (nExchange > 6) Some(s"EXCHANGES=$nExchange") else None).flatten
+        if (flags.nonEmpty) { flagged += 1; println(s"[audit] $name: ${flags.mkString(", ")}") }
+        else println(s"[audit] $name: ok (exchanges=$nExchange)")
+      } catch {
+        case e: Throwable => flagged += 1
+          println(s"[audit] $name: PLAN ERROR ${e.getMessage.take(100)}")
+      }
+    }
+    println(s"[audit] flagged: $flagged")
+    spark.stop()
+  }
+}

@@ -15,6 +15,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftSession.tune(s)
@@ -117,6 +119,42 @@ class AsofSemanticsSpec extends AnyFunSuite {
     assert(out(4L) == 2L) // latest prior click
     assert(out(5L) == -1L) // no prior click
     assert(out(6L) == -1L) // user without clicks
+  }
+}
+
+class LayoutSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("partitioned write enables partition pruning") {
+    import graft.sources.Connectors
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .withColumn("status", col("o_orderstatus"))
+    Connectors.writePartitioned(orders, tmp, Seq("status"))
+    val read = spark.read.parquet(tmp).filter(col("status") === "F")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(status"),
+      s"expected partition filter in plan:\n$scan")
+    // pruning is also semantically right
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(read.count() == expected)
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import graft.sources.Connectors
+    val o = graft.sources.Tables.orders(spark, sf)
+    Connectors.writeBucketed(o.select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8, Some("o_orderkey"))
+    Connectors.writeBucketed(
+      graft.sources.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity"),
+      "b_lineitem", "l_orderkey", 8, Some("l_orderkey"))
+    val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
   }
 }
 
