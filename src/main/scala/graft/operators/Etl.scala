@@ -197,6 +197,15 @@ object Etl {
       Connectors.writeJson(Tables.region(s, dir), tmp)
       Connectors.readJson(s, tmp, Tables.regionSchema)
         .select("r_regionkey", "r_name")
+    },
+
+    // ------------------------------------------------------------------
+    "src_orc_roundtrip" -> QueryDef.withOracle(
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_orc").toString
+      Connectors.writeOrc(Tables.supplier(s, dir), tmp)
+      Connectors.readOrc(s, tmp, Tables.supplierSchema)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     }
   )
 }

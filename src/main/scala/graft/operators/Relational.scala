@@ -504,6 +504,40 @@ object Relational {
       val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
       open.except(fin).withColumn("tag", lit("open_only"))
         .union(open.intersect(fin).withColumn("tag", lit("open_and_finished")))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact median without engine-native quantile (whose interpolation
+    // differs across engines): sort within group, average the two middle
+    // elements in double ((a+b)/2 is exact binary for 2-dec inputs).
+    "q28_median_exact" -> QueryDef.withOracle(
+      """SELECT l_returnflag, n,
+        |  (lo_mid + hi_mid) / 2 AS median_qty
+        |FROM (
+        |  SELECT l_returnflag, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS lo_mid,
+        |    max(CASE WHEN rn = (n + 2) // 2 THEN l_quantity END) AS hi_mid
+        |  FROM (
+        |    SELECT l_returnflag, l_quantity,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |      count(*) OVER (PARTITION BY l_returnflag) AS n
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("n")).as("n"),
+          max(when(col("rn") === floor((col("n") + 1) / 2), col("l_quantity"))).as("lo_mid"),
+          max(when(col("rn") === floor((col("n") + 2) / 2), col("l_quantity"))).as("hi_mid"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("lo_mid") + col("hi_mid")) / 2).as("median_qty"))
     }
   )
 }

@@ -39,6 +39,23 @@ object Connectors {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** JDBC passthrough (warehouse loads); untestable in this container
+    * (no database), provided for API completeness. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
   /** Hive-style partitioned layout: readers filtering on `cols` prune
     * whole directories before any IO. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String],

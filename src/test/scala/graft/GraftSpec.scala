@@ -122,6 +122,26 @@ class AsofSemanticsSpec extends AnyFunSuite {
   }
 }
 
+case class Line(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
+class TypedApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("typed Dataset aggregation agrees with untyped groupBy") {
+    import spark.implicits._
+    val ds = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag").as[Line]
+    val typed = ds.groupByKey(_.l_returnflag)
+      .mapGroups((k, it) => (k, it.map(_.l_quantity).sum))
+      .collect().toMap
+    val untyped = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed.keySet == untyped.keySet)
+    typed.foreach { case (k, v) => assert(math.abs(v - untyped(k)) < 1e-6) }
+  }
+}
+
 class LayoutSpec extends AnyFunSuite {
   import SparkTestSession._
 
