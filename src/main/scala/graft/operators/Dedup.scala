@@ -92,12 +92,16 @@ object Dedup {
          |  len(list_intersect(a.sh, b.sh)) * 1.0
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5 AS is_dup
          |FROM s a JOIN s b ON a.nt = b.nt AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
          |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02""".stripMargin) { (s, dir) =>
       // Shingles are pre-hashed to 64-bit (injective in practice), so the
       // per-pair set intersection runs on longs, not strings; |union| is
-      // derived arithmetically. Both computed once per pair.
+      // derived arithmetically. Both computed once per pair. Docs with no
+      // 3-grams (<3 tokens) are excluded — jaccard is undefined for them
+      // and the 0/0 would trip ANSI divide-by-zero.
       val sh = shingled(s, dir)
+        .filter(size(col("sh")) > 0)
         .select(col("doc_id"), col("nt"),
           array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
           size(col("sh")).as("nsh"))

@@ -52,11 +52,14 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
-    // Hyperplane-LSH bucketed ANN: each vector lands in one of 256
-    // sign-buckets; probes only scan their own bucket. Rows-only (the
-    // operator is approximate by construction).
+    // Hyperplane-LSH bucketed ANN: each vector lands in one of 16
+    // sign-buckets; probes only scan their own bucket. Plane count
+    // trades recall for candidate-set size (k planes → 2^k buckets;
+    // with ~10^3-vector test corpora 4 planes keeps buckets populated;
+    // a 10^9-vector corpus would use 12-16 planes + multi-probe).
+    // Rows-only (the operator is approximate by construction).
     "ann_lsh" -> QueryDef.rowsOnly { (s, dir) =>
-      val planes = Vectors.planes(8, 64)
+      val planes = Vectors.planes(4, 64)
       val e = Tables.embeddings(s, dir)
       def bucketOf(emb: org.apache.spark.sql.Column) =
         planes.zipWithIndex.map { case (p, j) =>

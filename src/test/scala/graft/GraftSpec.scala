@@ -206,6 +206,75 @@ class OperatorSmokeSpec extends AnyFunSuite {
   }
 }
 
+class EdgeCorpusSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // A pathological corpus: empty text, 1-2 token docs (below shingle
+  // width), unicode, duplicated rows — every documents-table operator
+  // must survive it.
+  lazy val edgeDir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    val docs = Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "one", "en", "src0", 3L),
+      (2L, "two words", "de", "src1", 9L),
+      (3L, "三个 中文 词 的 文本", "zh", "src1", 10L),
+      (4L, "the same exact text here", "en", "src2", 24L),
+      (5L, "the same exact text here", "en", "src3", 24L),
+      (6L, "  spaced    out   tokens  everywhere  ", "fr", "src2", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val emb = Seq(
+      (0L, Seq.fill(64)(0.1f), 0), (1L, Seq.fill(64)(0.1f), 0),
+      (2L, (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("label"))
+    emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("text and dedup operators survive a pathological corpus") {
+    val docQueries = Seq("text_tokens", "text_langid", "text_fingerprint",
+      "text_topk_tokens", "text_winnow", "dedup_exact",
+      "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "mm_meta")
+    docQueries.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, edgeDir)
+      df.count() // must not throw
+    }
+    // the duplicated pair is found by exact dedup
+    val dups = SparkEntry.queries("dedup_exact")(spark, edgeDir)
+      .filter(col("is_dup")).collect()
+    assert(dups.map(_.getLong(0)).toSet == Set(5L))
+    // identical embeddings are cosine-1 near-dups
+    val emb = SparkEntry.queries("dedup_embedding")(spark, edgeDir).collect()
+    assert(emb.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+
+  test("langid scores chinese characters") {
+    val row = SparkEntry.queries("text_langid")(spark, edgeDir)
+      .filter(col("doc_id") === 3L).head()
+    assert(row.getAs[Int]("s_zh") > 0)
+    assert(row.getAs[String]("pred_lang") == "zh")
+  }
+}
+
+class AnnRecallSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("LSH ANN finds a subset of exact neighbors with nonzero recall") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk_exact")
+    val lsh = pairs("ann_lsh")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"LSH recall vs exact top-5: $recall%.2f (${lsh.size} candidates)")
+    assert(recall > 0.0)
+    assert(lsh.nonEmpty)
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
