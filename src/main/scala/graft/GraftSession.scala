@@ -27,6 +27,26 @@ object GraftSession {
     spark
   }
 
+  /** Recommended configs for a real cluster run, sized from the
+    * topology. shuffle.partitions targets 2–3 waves of tasks per
+    * shuffle; maxPartitionBytes keeps scan tasks ~256 MB so a 100 TB
+    * input becomes ~400k tasks rather than 800k metadata-bound ones;
+    * AQE then coalesces/splits at runtime, so these are starting points
+    * rather than knife-edges.
+    */
+  def clusterConf(executors: Int, coresPerExecutor: Int): Map[String, String] = {
+    val slots = executors * coresPerExecutor
+    Map(
+      "spark.sql.shuffle.partitions" -> (slots * 2).toString,
+      "spark.sql.files.maxPartitionBytes" -> (256L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+      "spark.sql.extensions" -> classOf[GraftExtensions].getName,
+      "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
+  }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession
       .builder()

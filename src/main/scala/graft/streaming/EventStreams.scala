@@ -51,6 +51,15 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id: state is bounded by the
+    * watermark horizon (late duplicates beyond 1 h are dropped by the
+    * engine, so state doesn't grow with the stream). */
+  def dedupEvents(spark: SparkSession, sfDir: String): DataFrame =
+    eventStream(spark, sfDir)
+      .withWatermark("ts_us", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+
   /** Stateful gap sessionization (>30 min silence = new session). State
     * per user is O(1): last event time + session ordinal. */
   def sessionize(spark: SparkSession, sfDir: String): Dataset[SessionAssign] = {

@@ -304,6 +304,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each event_id once") {
+    val q = EventStreams.dedupEvents(spark, sf)
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_ev").head().getLong(0)
+      val distinct = spark.sql("SELECT count(DISTINCT event_id) FROM dedup_ev").head().getLong(0)
+      val batch = graft.sources.Tables.events(spark, sf).select("event_id").distinct().count()
+      assert(n == distinct)
+      assert(n == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization assigns every event exactly once") {
     val q = EventStreams.sessionize(spark, sf)
       .writeStream.format("memory").queryName("sessions")
