@@ -38,12 +38,13 @@ object TextOps {
          |  CAST(len(${toksSql("text")}) AS INT) AS n_re_tokens,
          |  CAST(len(list_distinct(${toksSql("text")})) AS INT) AS n_uniq_tokens
          |FROM documents""".stripMargin) { (s, dir) =>
-      val toks = tokens(col("text"))
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(filter(split(col("text"), " "), x => x =!= "")).as("n_ws_tokens"),
-        size(toks).as("n_re_tokens"),
-        size(array_distinct(toks)).as("n_uniq_tokens"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), " "), x => x =!= "")).as("n_ws_tokens"),
+          size(col("toks")).as("n_re_tokens"),
+          size(array_distinct(col("toks"))).as("n_uniq_tokens"))
     },
 
     // ------------------------------------------------------------------
@@ -63,20 +64,20 @@ object TextOps {
          |            x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
          |          / len(${toksSql("text")}), 9) AS stop_ratio
          |  FROM documents WHERE length(text) > 0)""".stripMargin) { (s, dir) =>
-      val toks = tokens(col("text"))
-      val nWords = size(toks)
+      val nWords = size(col("toks"))
       val stops = Seq("the", "a", "and", "of", "to")
       val base = Tables.documents(s, dir)
         .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
           length(col("text")).as("len_chars"),
           nWords.as("n_words"),
-          round(aggregate(toks, lit(0), (acc, x) => acc + length(x)) * lit(1.0) / nWords, 9)
+          round(aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)) * lit(1.0) / nWords, 9)
             .as("avg_word_len"),
           round(length(regexp_replace(col("text"), "[^A-Za-z]", "")) * lit(1.0) /
             length(col("text")), 9).as("alpha_ratio"),
-          round(size(filter(toks, x => x.isin(stops: _*))) * lit(1.0) / nWords, 9)
+          round(size(filter(col("toks"), x => x.isin(stops: _*))) * lit(1.0) / nWords, 9)
             .as("stop_ratio"))
       base.withColumn("quality_score",
         round(lit(0.4) * col("alpha_ratio") + lit(0.4) * (lit(1) - col("stop_ratio")) +
@@ -108,9 +109,11 @@ object TextOps {
          |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('le', 'les', 'et'))) AS INT) AS s_fr,
          |    CAST(length(text) - length(replace(text, '的', '')) AS INT) AS s_zh
          |  FROM documents)""".stripMargin) { (s, dir) =>
-      val toks = tokens(col("text"))
-      def score(words: String*): Column = size(filter(toks, x => x.isin(words: _*)))
-      val base = Tables.documents(s, dir).select(
+      def score(words: String*): Column =
+        size(filter(col("toks"), x => x.isin(words: _*)))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+        .select(
         col("doc_id"), col("lang"),
         score("the", "and", "is").as("s_en"),
         score("der", "die", "und").as("s_de"),
