@@ -63,12 +63,14 @@ object TextOps {
          |    round(len(list_filter(${toksSql("text")},
          |            x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
          |          / len(${toksSql("text")}), 9) AS stop_ratio
-         |  FROM documents WHERE length(text) > 0)""".stripMargin) { (s, dir) =>
+         |  FROM documents
+         |  WHERE length(text) > 0 AND len(${toksSql("text")}) > 0)""".stripMargin) { (s, dir) =>
       val nWords = size(col("toks"))
       val stops = Seq("the", "a", "and", "of", "to")
       val base = Tables.documents(s, dir)
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0) // all-punctuation docs: no tokens, x/0 would ANSI-error
         .select(
           col("doc_id"),
           length(col("text")).as("len_chars"),
@@ -159,6 +161,41 @@ object TextOps {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc)
         .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // TF-IDF keyword extraction: top-3 tokens per doc. Three keyed
+    // aggregations (tf, df, N) + one broadcast-sized join on token —
+    // the classic two-pass shape that scales linearly with corpus size.
+    // ln() is evaluated on identical doubles both engines; ranking ties
+    // break on the token itself.
+    "text_tfidf_topk" -> QueryDef.withOracle(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+         |SELECT doc_id, tok, tf, df, tfidf, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, tok ASC) AS rn
+         |  FROM scored) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 9))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rn")
     },
 
     // ------------------------------------------------------------------
