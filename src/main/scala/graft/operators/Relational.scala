@@ -507,6 +507,22 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Fuzzy string matching: edit distance between natural keys — the
+    // record-linkage primitive for dirty dimension loads.
+    "q29_levenshtein" -> QueryDef.withOracle(
+      """SELECT p_partkey, p_name, p_brand,
+        |  levenshtein(p_name, p_brand) AS name_brand_dist,
+        |  levenshtein(upper(p_type), 'PROMO') AS type_promo_dist,
+        |  levenshtein(upper(p_type), 'PROMO') <= 2 AS near_promo
+        |FROM part""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"), col("p_name"), col("p_brand"),
+        levenshtein(col("p_name"), col("p_brand")).as("name_brand_dist"),
+        levenshtein(upper(col("p_type")), lit("PROMO")).as("type_promo_dist"),
+        (levenshtein(upper(col("p_type")), lit("PROMO")) <= 2).as("near_promo"))
+    },
+
+    // ------------------------------------------------------------------
     // Exact median without engine-native quantile (whose interpolation
     // differs across engines): sort within group, average the two middle
     // elements in double ((a+b)/2 is exact binary for 2-dec inputs).

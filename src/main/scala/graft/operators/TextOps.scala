@@ -64,13 +64,16 @@ object TextOps {
          |            x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
          |          / len(${toksSql("text")}), 9) AS stop_ratio
          |  FROM documents
-         |  WHERE length(text) > 0 AND len(${toksSql("text")}) > 0)""".stripMargin) { (s, dir) =>
+         |  WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]'))""".stripMargin) { (s, dir) =>
       val nWords = size(col("toks"))
       val stops = Seq("the", "a", "and", "of", "to")
       val base = Tables.documents(s, dir)
-        .filter(length(col("text")) > 0)
+        .filter(length(col("text")) > 0 &&
+          // any alnum char ⇔ at least one token; cheap find-first regex
+          // instead of size(toks)>0, which would push the tokenizer into
+          // the filter and re-run it per row
+          col("text").rlike("[a-zA-Z0-9]"))
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0) // all-punctuation docs: no tokens, x/0 would ANSI-error
         .select(
           col("doc_id"),
           length(col("text")).as("len_chars"),

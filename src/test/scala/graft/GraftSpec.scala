@@ -206,6 +206,34 @@ class OperatorSmokeSpec extends AnyFunSuite {
   }
 }
 
+class PlanQualitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1 pushes the date filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q6 broadcasts the dimension tables") {
+    assert(plan("q6_multijoin").contains("BroadcastHashJoin"))
+  }
+
+  test("shingle pipelines evaluate the tokenizer exactly once") {
+    // regression guard: CollapseProject inlining the regexp into
+    // per-element lambdas is an O(n^2)-regexp trap (see Dedup.shingled)
+    for (q <- Seq("text_winnow", "text_quality", "text_langid")) {
+      val n = "regexp_extract_all".r.findAllIn(plan(q)).length
+      assert(n <= 1, s"$q evaluates the tokenizer $n times")
+    }
+    // the jaccard self-join must read shingles through the cache barrier
+    // (plan text repeats the cached subtree per join side; it executes once)
+    assert(plan("dedup_ngram_jaccard").contains("InMemoryTableScan"))
+  }
+}
+
 class EdgeCorpusSpec extends AnyFunSuite {
   import SparkTestSession._
 
