@@ -507,6 +507,19 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Sketch-based quantiles next to exact medians: approx_percentile's
+    // internals are engine-specific → rows-only; the spec asserts the
+    // sketch lands within its accuracy bound of the exact answer.
+    "q30_approx_percentile" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price_approx"),
+          count(lit(1)).as("n"))
+    },
+
+    // ------------------------------------------------------------------
     // Fuzzy string matching: edit distance between natural keys — the
     // record-linkage primitive for dirty dimension loads.
     "q29_levenshtein" -> QueryDef.withOracle(

@@ -221,6 +221,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q6_multijoin").contains("BroadcastHashJoin"))
   }
 
+  test("approx percentile lands within its bound of the exact median") {
+    val approx = SparkEntry.queries("q30_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("q28_median_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    exact.foreach { case (k, med) =>
+      assert(math.abs(approx(k) - med) <= 2.0,
+        s"flag $k: approx ${approx(k)} vs exact $med")
+    }
+  }
+
   test("shingle pipelines evaluate the tokenizer exactly once") {
     // regression guard: CollapseProject inlining the regexp into
     // per-element lambdas is an O(n^2)-regexp trap (see Dedup.shingled)
