@@ -507,6 +507,30 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // RANGE-framed moving aggregate (vs q8's ROWS frame): 30-day moving
+    // spend per customer, frame keyed on epoch seconds.
+    "q31_window_range" -> QueryDef.withOracle(
+      """SELECT o_custkey, o_orderkey, ts_s,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY ts_s ASC
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS moving_30d_total,
+        |  count(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY ts_s ASC
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS moving_30d_orders
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_s
+        |      FROM orders)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("ts_s").asc)
+        .rangeBetween(-2592000L, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          unix_timestamp(col("o_orderdate")).as("ts_s"))
+        .select(col("o_custkey"), col("o_orderkey"), col("ts_s"),
+          sum(d2(col("o_totalprice"))).over(w).as("moving_30d_total"),
+          count(lit(1)).over(w).as("moving_30d_orders"))
+    },
+
+    // ------------------------------------------------------------------
     // Sketch-based quantiles next to exact medians: approx_percentile's
     // internals are engine-specific → rows-only; the spec asserts the
     // sketch lands within its accuracy bound of the exact answer.

@@ -245,6 +245,30 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 }
 
+class SqlApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("the engine surface is reachable through spark.sql") {
+    graft.functions.Vectors.register(spark)
+    graft.sources.Tables.lineitem(spark, sf).createOrReplaceTempView("li")
+    graft.sources.Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |FROM li GROUP BY l_returnflag""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val viaDf = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(viaSql == viaDf)
+    // native expression callable from SQL
+    val cos = spark.sql(
+      "SELECT graft_cosine(a.embedding, b.embedding) FROM emb a JOIN emb b ON b.vec_id = a.vec_id LIMIT 1")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+}
+
 class EdgeCorpusSpec extends AnyFunSuite {
   import SparkTestSession._
 
