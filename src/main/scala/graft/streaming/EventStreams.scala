@@ -51,6 +51,19 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: the event stream joined to the customer
+    * dimension (static side re-read per micro-batch, broadcast by size).
+    * This is the standard streaming dim-enrichment shape; on a cluster
+    * the static side would be a slowly-refreshed warehouse table. */
+  def enrichedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    eventStream(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+  }
+
   /** Streaming exact dedup on event_id: state is bounded by the
     * watermark horizon (late duplicates beyond 1 h are dropped by the
     * engine, so state doesn't grow with the stream). */

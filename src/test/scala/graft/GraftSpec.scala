@@ -367,6 +367,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches every event exactly once") {
+    val q = EventStreams.enrichedEvents(spark, sf)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM enriched").head().getLong(0)
+      val batch = graft.sources.Tables.events(spark, sf).count()
+      assert(n == batch) // left join: no row loss, no duplication
+      val nullSegs = spark.sql(
+        "SELECT count(*) FROM enriched WHERE segment IS NULL").head().getLong(0)
+      assert(nullSegs == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each event_id once") {
     val q = EventStreams.dedupEvents(spark, sf)
       .writeStream.format("memory").queryName("dedup_ev")
