@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
+import graft.plans.{BottomKSample, CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -21,6 +21,11 @@ object Vectors {
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bottomk_sample",
+      exprs => BottomKSample(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -34,6 +39,13 @@ object Vectors {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Deterministic bottom-k-by-hash sample aggregate over a bigint id
+    * column: returns the k sampled ids as a sorted array. */
+  def bottomkSample(spark: SparkSession, id: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_bottomk_sample", id, org.apache.spark.sql.functions.lit(k))
   }
 
   /** Intersection count of two sorted `array<bigint>` columns. */

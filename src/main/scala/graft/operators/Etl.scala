@@ -182,6 +182,29 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Reproducible per-group sampling via the custom BottomKSample
+    // TypedImperativeAggregate: k docs per source, identical on any
+    // partitioning/engine (min-k over an arithmetic mix is a
+    // semilattice). The oracle replicates the sample with a plain
+    // window over the same mix.
+    "etl_sample_per_source" -> QueryDef.withOracle(
+      """SELECT source, doc_id,
+        |  (doc_id * 2654435761) % 1000000007 AS mix_key
+        |FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 8""".stripMargin) { (s, dir) =>
+      import graft.functions.Vectors
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(Vectors.bottomkSample(s, col("doc_id"), 8).as("ids"))
+        .select(col("source"), explode(col("ids")).as("doc_id"))
+        .withColumn("mix_key", (col("doc_id") * lit(2654435761L)) % 1000000007L)
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString

@@ -245,6 +245,32 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 }
 
+class BottomKSampleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("sample is invariant under repartitioning (merge correctness)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def sample(parts: Int): Map[String, Seq[Long]] =
+      docs.repartition(parts)
+        .groupBy(col("source"))
+        .agg(graft.functions.Vectors.bottomkSample(spark, col("doc_id"), 5).as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val a = sample(1)
+    val b = sample(13)
+    assert(a == b)
+    assert(a.values.forall(_.size == 5))
+  }
+
+  test("k larger than group yields the whole group") {
+    import spark.implicits._
+    val tiny = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("g", "id")
+    val got = tiny.groupBy(col("g"))
+      .agg(graft.functions.Vectors.bottomkSample(spark, col("id"), 10).as("ids"))
+      .head().getSeq[Long](1)
+    assert(got.toSet == Set(1L, 2L, 3L))
+  }
+}
+
 class SqlApiSpec extends AnyFunSuite {
   import SparkTestSession._
 
