@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
+import graft.plans.{BottomKSample, CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
         "graft_sorted_intersect_count"),
       exprs => SortedLongIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bottomk_sample"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottomk_sample"),
+      exprs => BottomKSample(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

@@ -10,8 +10,11 @@ object PlanAudit {
 
   // ops where a nested-loop broadcast join is the intended shape:
   // range_join (non-equi band table), ann_topk_exact (tiny broadcast
-  // probe set × corpus is the brute-force baseline by design)
-  private val nestedLoopAllowed = Set("range_join", "ann_topk_exact")
+  // probe set × corpus is the brute-force baseline by design),
+  // ann_ivf_assign (corpus × broadcast centroid table), text_tfidf_topk
+  // (1-row corpus-count broadcast)
+  private val nestedLoopAllowed =
+    Set("range_join", "ann_topk_exact", "ann_ivf_assign", "text_tfidf_topk")
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
