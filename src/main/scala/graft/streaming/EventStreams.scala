@@ -51,6 +51,27 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Incremental parquet pipeline: file source → enrichment-free
+    * projection → exactly-once parquet sink. The checkpoint makes the
+    * pipeline restartable: a resumed query picks up only unseen source
+    * files and never double-writes a batch — the production shape for
+    * continuous ingest into a lakehouse table. Returns the running
+    * query; caller drives/stops it. */
+  def toParquetSink(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(Tables.eventsSchema)
+      .parquet(srcDir)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_s"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Stream-static enrichment: the event stream joined to the customer
     * dimension (static side re-read per micro-batch, broadcast by size).
     * This is the standard streaming dim-enrichment shape; on a cluster

@@ -393,6 +393,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental parquet sink resumes from checkpoint without rereads") {
+    import java.nio.file._
+    val src = Files.createTempDirectory("graft_src").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val events = graft.sources.Tables.events(spark, sf)
+    val half = events.count() / 2
+    events.limit(half.toInt).write.mode("append").parquet(src)
+
+    val q1 = EventStreams.toParquetSink(spark, src, out, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == half)
+
+    // new files arrive; a RESTARTED query (same checkpoint) picks up
+    // only the delta
+    events.write.mode("append").parquet(src) // adds the full set again
+    val q2 = EventStreams.toParquetSink(spark, src, out, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val afterSecond = spark.read.parquet(out).count()
+    assert(afterSecond == half + events.count(),
+      s"expected ${half + events.count()}, got $afterSecond")
+  }
+
   test("stream-static join enriches every event exactly once") {
     val q = EventStreams.enrichedEvents(spark, sf)
       .writeStream.format("memory").queryName("enriched")
