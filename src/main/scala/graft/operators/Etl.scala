@@ -182,6 +182,40 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Referential-integrity report: orphan counts for each FK edge of
+    // the star schema — anti-join counts, one row per relationship.
+    "etl_fk_check" -> QueryDef.withOracle(
+      """SELECT 'lineitem.l_orderkey->orders' AS fk, CAST(
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer' AS fk, CAST(
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part' AS fk, CAST(
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  AS BIGINT) AS n_orphans""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def orphans(fact: org.apache.spark.sql.DataFrame, factKey: String,
+          dim: org.apache.spark.sql.DataFrame, dimKey: String): Long =
+        fact.join(dim, col(factKey) === col(dimKey), "left_anti").count()
+      // three tiny counts; assembled driver-side into a report relation
+      // (each count is a distributed anti-join, only the scalars collect)
+      val rows = Seq(
+        ("lineitem.l_orderkey->orders",
+          orphans(Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
+        ("orders.o_custkey->customer",
+          orphans(Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey")),
+        ("lineitem.l_partkey->part",
+          orphans(Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey")))
+      rows.toDF("fk", "n_orphans")
+    },
+
+    // ------------------------------------------------------------------
     // Reproducible per-group sampling via the custom BottomKSample
     // TypedImperativeAggregate: k docs per source, identical on any
     // partitioning/engine (min-k over an arithmetic mix is a

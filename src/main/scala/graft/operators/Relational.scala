@@ -507,6 +507,21 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Group-concat with deterministic ordering: concat of the sorted
+    // set, the portable formulation of string_agg/listagg.
+    "q32_string_agg" -> QueryDef.withOracle(
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderpriority")))).as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
+    },
+
+    // ------------------------------------------------------------------
     // RANGE-framed moving aggregate (vs q8's ROWS frame): 30-day moving
     // spend per customer, frame keyed on epoch seconds.
     "q31_window_range" -> QueryDef.withOracle(
