@@ -8,7 +8,8 @@ object SparkEntry {
 
   private def allDefs: Seq[(String, QueryDef)] =
     Relational.defs ++ Etl.defs ++ TextOps.defs ++ Dedup.defs ++
-      Similarity.defs ++ Temporal.defs ++ Multimodal.defs ++ Skew.defs
+      Similarity.defs ++ Temporal.defs ++ Multimodal.defs ++ Skew.defs ++
+      Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -121,7 +121,8 @@ object Similarity {
     // a 10^9-vector corpus would use 12-16 planes + multi-probe).
     // Rows-only (the operator is approximate by construction).
     "ann_lsh" -> QueryDef.rowsOnly { (s, dir) =>
-      val planes = Vectors.planes(4, 64)
+      val nPlanes = 4
+      val planes = Vectors.planes(nPlanes, 64)
       val e = Tables.embeddings(s, dir)
       def bucketOf(emb: org.apache.spark.sql.Column) =
         planes.zipWithIndex.map { case (p, j) =>
@@ -129,9 +130,15 @@ object Similarity {
         }.reduce(_ + _)
       val bucketed = e.select(col("vec_id"), col("embedding"),
         bucketOf(col("embedding")).as("bucket"))
+      // multi-probe: each probe also scans the nPlanes hamming-1
+      // neighbor buckets (a borderline sign flips exactly one bit), so
+      // recall doesn't fall off a cliff at cell boundaries while the
+      // candidate set stays (nPlanes+1)/2^nPlanes of the corpus.
       val probes = bucketed.filter(col("vec_id") < NPROBES)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-          col("bucket").as("probe_bucket"))
+          explode(array(
+            col("bucket") +: (0 until nPlanes).map(j =>
+              col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("probe_bucket"))
       val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

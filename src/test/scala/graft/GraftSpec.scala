@@ -348,6 +348,29 @@ class EdgeCorpusSpec extends AnyFunSuite {
   }
 }
 
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("corpus cleaning assigns every doc exactly one verdict") {
+    val out = SparkEntry.queries("pipe_clean_corpus")(spark, sf)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.count() == total)
+    val verdicts = out.groupBy(col("verdict")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts.values.sum == total)
+    assert(verdicts.getOrElse("kept", 0L) > 0, s"verdicts: $verdicts")
+    // an exact duplicate can never be 'kept'
+    val leaked = out.filter(col("exact_dup") && col("verdict") === "kept").count()
+    assert(leaked == 0)
+  }
+
+  test("corpus cleaning drops the known duplicates at sf0.1") {
+    val out = SparkEntry.queries("pipe_clean_corpus")(spark, "/root/testdata/sf0.1")
+    val exactDrops = out.filter(col("verdict") === "exact_dup").count()
+    assert(exactDrops == 8) // the 8 known duplicated docs
+  }
+}
+
 class AnnRecallSpec extends AnyFunSuite {
   import SparkTestSession._
 
