@@ -21,6 +21,43 @@ object Etl {
 
   private val dec2 = DecimalType(18, 2)
 
+  /** Incremental SCD2 maintenance: apply a new snapshot batch to an
+    * existing type-2 dimension.
+    *
+    * `current` has (key, attr, valid_from, valid_to, is_current);
+    * `snapshot` has (key, attr, as_of). Open rows whose attr changed are
+    * closed at `as_of`; changed/new keys gain a new open row. The whole
+    * merge is two keyed joins + a union — one shuffle class, no windows
+    * over history, so it scales with |current| + |snapshot|, not with
+    * history depth.
+    */
+  def scd2Merge(current: org.apache.spark.sql.DataFrame,
+      snapshot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val open = current.filter(col("is_current"))
+    val closed = current.filter(!col("is_current"))
+    val snap = snapshot.select(col("key").as("s_key"), col("attr").as("s_attr"),
+      col("as_of"))
+    val joined = open.join(snap, col("key") === col("s_key"), "full_outer")
+    // 1. open rows with no change (or no snapshot row): carried as-is
+    val unchanged = joined
+      .filter(col("key").isNotNull && (col("s_key").isNull || col("attr") === col("s_attr")))
+      .select(col("key"), col("attr"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+    // 2. open rows whose attr changed: closed at as_of
+    val toClose = joined
+      .filter(col("key").isNotNull && col("s_key").isNotNull && col("attr") =!= col("s_attr"))
+      .select(col("key"), col("attr"), col("valid_from"),
+        col("as_of").as("valid_to"), lit(false).as("is_current"))
+    // 3. changed + brand-new keys: new open row from as_of
+    val toOpen = joined
+      .filter(col("s_key").isNotNull && (col("key").isNull || col("attr") =!= col("s_attr")))
+      .select(col("s_key").as("key"), col("s_attr").as("attr"),
+        col("as_of").as("valid_from"),
+        lit(null).cast(TimestampType).as("valid_to"),
+        lit(true).as("is_current"))
+    closed.unionByName(unchanged).unionByName(toClose).unionByName(toOpen)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------

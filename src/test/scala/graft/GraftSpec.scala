@@ -348,6 +348,43 @@ class EdgeCorpusSpec extends AnyFunSuite {
   }
 }
 
+class Scd2MergeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("scd2Merge closes changed rows, opens new versions, keeps history") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val current = Seq(
+      // key 1: one closed + one open row (attr B since Feb)
+      (1L, "A", ts("2024-01-01"), Some(ts("2024-02-01")), false),
+      (1L, "B", ts("2024-02-01"), None, true),
+      // key 2: open, unchanged in the snapshot
+      (2L, "X", ts("2024-01-15"), None, true),
+      // key 3: open, missing from the snapshot (stays open)
+      (3L, "Z", ts("2024-01-20"), None, true))
+      .toDF("key", "attr", "valid_from", "valid_to", "is_current")
+      .select(col("key"), col("attr"), col("valid_from"),
+        col("valid_to").cast("timestamp").as("valid_to"), col("is_current"))
+    val snapshot = Seq(
+      (1L, "C", ts("2024-03-01")), // changed
+      (2L, "X", ts("2024-03-01")), // unchanged
+      (4L, "N", ts("2024-03-01"))) // brand new
+      .toDF("key", "attr", "as_of")
+
+    val merged = graft.operators.Etl.scd2Merge(current, snapshot)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4))).toSet
+
+    assert(merged == Set(
+      (1L, "A", Some("2024-02-01 00:00:00.0"), false), // history kept
+      (1L, "B", Some("2024-03-01 00:00:00.0"), false), // closed at as_of
+      (1L, "C", None, true),                            // new version
+      (2L, "X", None, true),                            // untouched
+      (3L, "Z", None, true),                            // absent => open
+      (4L, "N", None, true)))                           // new key
+  }
+}
+
 class PipelineSpec extends AnyFunSuite {
   import SparkTestSession._
 
