@@ -121,6 +121,73 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Transitive dedup clustering: near-dup PAIRS under-dedup (a~b and
+    // b~c don't imply the pair a~c was emitted) — production dedup
+    // assigns connected components. Spark side: iterative min-label
+    // propagation (each round one join + one min-agg, O(diameter)
+    // rounds, converges fast because labels jump to the component min);
+    // oracle side: recursive CTE over the same deterministic jaccard
+    // edge set. Every doc gets a cluster id (= min doc_id reachable);
+    // singletons are their own cluster.
+    "dedup_cluster_assign" -> QueryDef.withOracle(
+      s"""WITH s AS ($shingleSql),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.nt = b.nt AND a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_intersect(a.sh, b.sh)) * 1.0
+         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |cc AS (
+         |  WITH RECURSIVE walk(node, label) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.node = e.src)
+         |  SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  cluster_id = node AS is_canonical
+         |FROM cc""".stripMargin) { (s, dir) =>
+      val sh = shingled(s, dir).filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("nt"),
+          array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
+          size(col("sh")).as("nsh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("nt"),
+        col("shh").as("sh_a"), col("nsh").as("nsh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
+        col("shh").as("sh_b"), col("nsh").as("nsh_b"))
+      val pairs = a.join(b, col("nt") === col("nt_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          Vectors.sortedIntersectCount(s, col("sh_a"), col("sh_b")).as("ni"),
+          (col("nsh_a") + col("nsh_b")).as("ntot"))
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("label")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        val propagated = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = labels.unionByName(propagated)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .persist()
+        val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id"),
+        (col("label") === col("doc_id")).as("is_canonical"))
+    },
+
+    // ------------------------------------------------------------------
     // MinHash + banded LSH: 16 hashes, 4 bands × 4 rows, candidates from
     // band-bucket equality, verified with exact jaccard ≥ 0.5.
     // Cross-engine hash functions differ → rows-only check.
