@@ -19,8 +19,6 @@ import java.nio.file.Files
   */
 object Etl {
 
-  private val dec2 = DecimalType(18, 2)
-
   /** Incremental SCD2 maintenance: apply a new snapshot batch to an
     * existing type-2 dimension.
     *
@@ -65,14 +63,16 @@ object Etl {
       """SELECT c_custkey,
         |  lower(trim(regexp_replace(c_name, '\s+', ' ', 'g'))) AS name_clean,
         |  nullif(upper(trim(c_mktsegment)), '') AS seg_norm,
-        |  CAST(greatest(c_acctbal, 0) AS DECIMAL(18,2)) AS acctbal_clamped,
+        |  CAST(greatest(c_acctbal, 0) AS DOUBLE) AS acctbal_clamped,
         |  c_acctbal < 0 AS was_negative
         |FROM customer""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir).select(
         col("c_custkey"),
         lower(trim(regexp_replace(col("c_name"), "\\s+", " "))).as("name_clean"),
         nullif(upper(trim(col("c_mktsegment"))), lit("")).as("seg_norm"),
-        greatest(col("c_acctbal"), lit(0)).cast(dec2).as("acctbal_clamped"),
+        // no decimal roundtrip: the source doubles are identical on both
+        // engines and greatest() is value-preserving, so plain DOUBLE out
+        greatest(col("c_acctbal"), lit(0)).cast(DoubleType).as("acctbal_clamped"),
         (col("c_acctbal") < 0).as("was_negative"))
     },
 

@@ -32,8 +32,12 @@ object Multimodal {
     }.toArray
   }
 
+  /** Scalar feature columns (not array<double>): the driver's rows-only
+    * check sorts rows in pandas, which cannot order array cells. */
   final case class MmFeature(
-      doc_id: Long, n_bytes: Int, n_stripes: Int, features: Array[Double])
+      doc_id: Long, n_bytes: Int, n_stripes: Int,
+      f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double)
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -75,8 +79,9 @@ object Multimodal {
         it.grouped(64).flatMap { batch =>
           // codec batch call would happen here, once per `batch`
           batch.map { case (id, payload) =>
-            val feats = decodeStub(payload)
-            MmFeature(id, payload.length, feats.length, feats)
+            val f = decodeStub(payload)
+            MmFeature(id, payload.length, f.length,
+              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
           }
         }
       }.toDF()

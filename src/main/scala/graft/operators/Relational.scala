@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   *  - money sums go through DECIMAL(18,2)/(18,4) casts so results are
   *    exact and order-independent (safe to hash-compare across engines
   *    and across partitionings);
+  *  - DECIMAL stays INTERNAL: every final output column is cast to
+  *    DOUBLE identically in the Spark code and the oracle SQL. The
+  *    exact decimal (a multiple of 10^-s well below 2^53) converts to
+  *    the same correctly-rounded double on both engines, whereas raw
+  *    DECIMAL output diverges at the driver's value-hash layer
+  *    (python Decimal repr vs DuckDB's float64 conversion);
   *  - every top-k / limit carries a deterministic tiebreak on a unique
   *    key;
   *  - every computed column is aliased identically here and in the
@@ -36,10 +42,10 @@ object Relational {
     // ------------------------------------------------------------------
     "q1_agg" -> QueryDef.withOracle(
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -48,13 +54,13 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(d2(col("l_quantity"))).as("sum_qty"),
-          sum(d2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast(DoubleType).as("sum_disc_price"),
           // 2-dec × 2-dec × 2-dec factors → up to 6 exact decimals; scale 6
           // avoids double→decimal rounding ties across engines.
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast(DecimalType(18, 6))).as("sum_charge"),
+            .cast(DecimalType(18, 6))).cast(DoubleType).as("sum_charge"),
           count(lit(1)).as("count_order"))
     },
 
@@ -70,15 +76,16 @@ object Relational {
 
     // ------------------------------------------------------------------
     "q3_join_agg" -> QueryDef.withOracle(
-      """SELECT o.o_orderkey, o.o_orderdate,
-        |  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
-        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY o.o_orderkey, o.o_orderdate
-        |ORDER BY revenue DESC, o_orderkey ASC
-        |LIMIT 10""".stripMargin) { (s, dir) =>
+      """SELECT o_orderkey, o_orderdate, CAST(revenue AS DOUBLE) AS revenue FROM (
+        |  SELECT o.o_orderkey, o.o_orderdate,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY o.o_orderkey, o.o_orderdate
+        |  ORDER BY revenue DESC, o_orderkey ASC
+        |  LIMIT 10)""".stripMargin) { (s, dir) =>
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
       val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
@@ -86,8 +93,11 @@ object Relational {
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        // top-k is decided on the exact decimal; only the OUTPUT is double
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("revenue").cast(DoubleType).as("revenue"))
     },
 
     // ------------------------------------------------------------------
@@ -119,7 +129,7 @@ object Relational {
     // the only big shuffle is orders⋈lineitem on the orderkey.
     "q6_multijoin" -> QueryDef.withOracle(
       """SELECT n.n_name,
-        |  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -141,7 +151,7 @@ object Relational {
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast(DoubleType).as("revenue"))
     },
 
     // ------------------------------------------------------------------
@@ -162,9 +172,9 @@ object Relational {
     // ------------------------------------------------------------------
     "q8_window_running" -> QueryDef.withOracle(
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
         |  lag(o_totalprice) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
         |FROM orders""".stripMargin) { (s, dir) =>
@@ -172,7 +182,8 @@ object Relational {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       Tables.orders(s, dir)
         .withColumn("running_total",
-          sum(d2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          sum(d2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
         .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
         .select("o_custkey", "o_orderkey", "o_orderdate", "running_total", "prev_price")
     },
@@ -204,7 +215,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
         |  CAST(grouping(l_linestatus) AS INT) AS g_status,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
@@ -213,7 +224,7 @@ object Relational {
         .agg(
           grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
           grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
-          sum(d2(col("l_quantity"))).as("sum_qty"),
+          sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("n"))
     },
 
@@ -238,10 +249,10 @@ object Relational {
     // both sides.
     "q12_conditional_agg" -> QueryDef.withOracle(
       """SELECT year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
-        |  sum(CASE WHEN p_type = 'PROMO'
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_rev,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev,
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
         |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
         |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
         |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100 /
@@ -258,8 +269,8 @@ object Relational {
           year(col("l_shipdate")).as("ship_year"),
           month(col("l_shipdate")).as("ship_month"))
         .agg(
-          promo.as("promo_rev"),
-          total.as("total_rev"),
+          promo.cast(DoubleType).as("promo_rev"),
+          total.cast(DoubleType).as("total_rev"),
           round(promo.cast(DoubleType) * 100 / total.cast(DoubleType), 9).as("promo_pct"))
     },
 
@@ -344,7 +355,7 @@ object Relational {
       """SELECT year(o_orderdate) AS order_year,
         |  month(o_orderdate) AS order_month,
         |  count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_sales
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
         |FROM orders
         |GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
@@ -352,7 +363,7 @@ object Relational {
           year(col("o_orderdate")).as("order_year"),
           month(col("o_orderdate")).as("order_month"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(d2(col("o_totalprice"))).as("total_sales"))
+          sum(d2(col("o_totalprice"))).cast(DoubleType).as("total_sales"))
     },
 
     // ------------------------------------------------------------------
@@ -395,7 +406,9 @@ object Relational {
     // engine-native stddev/variance implementations (Welford etc.) are
     // NOT cross-engine reproducible; this is.
     "q21_stats_manual" -> QueryDef.withOracle(
-      """SELECT l_returnflag, n, sum_qty, sum_qty_sq,
+      """SELECT l_returnflag, n,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty,
+        |  CAST(sum_qty_sq AS DOUBLE) AS sum_qty_sq,
         |  round(CAST(sum_qty AS DOUBLE) / n, 9) AS mean_qty,
         |  round((CAST(sum_qty_sq AS DOUBLE) -
         |         CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE) / n) / (n - 1), 9) AS var_qty
@@ -410,7 +423,9 @@ object Relational {
           count(lit(1)).as("n"),
           sum(d2(col("l_quantity"))).as("sum_qty"),
           sum(d4(col("l_quantity") * col("l_quantity"))).as("sum_qty_sq"))
-        .select(col("l_returnflag"), col("n"), col("sum_qty"), col("sum_qty_sq"),
+        .select(col("l_returnflag"), col("n"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"),
+          col("sum_qty_sq").cast(DoubleType).as("sum_qty_sq"),
           round(col("sum_qty").cast(DoubleType) / col("n"), 9).as("mean_qty"),
           round((col("sum_qty_sq").cast(DoubleType) -
             col("sum_qty").cast(DoubleType) * col("sum_qty").cast(DoubleType) / col("n")) /
@@ -446,7 +461,7 @@ object Relational {
     "q24_outer_join" -> QueryDef.withOracle(
       """SELECT c.c_custkey, c.c_name,
         |  coalesce(p.n_pending, 0) AS n_pending,
-        |  coalesce(p.pending_total, CAST(0 AS DECIMAL(18,2))) AS pending_total,
+        |  CAST(coalesce(p.pending_total, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS pending_total,
         |  p.n_pending IS NULL AS no_pending
         |FROM customer c
         |LEFT JOIN (
@@ -464,7 +479,7 @@ object Relational {
         .select(
           col("c_custkey"), col("c_name"),
           coalesce(col("n_pending"), lit(0L)).as("n_pending"),
-          coalesce(col("pending_total"), lit(0).cast(dec2)).as("pending_total"),
+          coalesce(col("pending_total"), lit(0).cast(dec2)).cast(DoubleType).as("pending_total"),
           col("n_pending").isNull.as("no_pending"))
     },
 
@@ -474,7 +489,7 @@ object Relational {
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir)
@@ -483,7 +498,7 @@ object Relational {
           grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
           grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"),
           count(lit(1)).as("n"),
-          sum(d2(col("o_totalprice"))).as("total"))
+          sum(d2(col("o_totalprice"))).cast(DoubleType).as("total"))
     },
 
     // ------------------------------------------------------------------
@@ -526,9 +541,9 @@ object Relational {
     // spend per customer, frame keyed on epoch seconds.
     "q31_window_range" -> QueryDef.withOracle(
       """SELECT o_custkey, o_orderkey, ts_s,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY ts_s ASC
-        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS moving_30d_total,
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_30d_total,
         |  count(*) OVER (
         |    PARTITION BY o_custkey ORDER BY ts_s ASC
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS moving_30d_orders
@@ -541,7 +556,7 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           unix_timestamp(col("o_orderdate")).as("ts_s"))
         .select(col("o_custkey"), col("o_orderkey"), col("ts_s"),
-          sum(d2(col("o_totalprice"))).over(w).as("moving_30d_total"),
+          sum(d2(col("o_totalprice"))).over(w).cast(DoubleType).as("moving_30d_total"),
           count(lit(1)).over(w).as("moving_30d_orders"))
     },
 

@@ -39,7 +39,7 @@ object Skew {
     // the rewrite is result-identical.
     "q27_salted_join" -> QueryDef.withOracle(
       """SELECT s.s_name,
-        |  sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY s.s_name""".stripMargin) { (s, dir) =>
@@ -51,7 +51,9 @@ object Skew {
       Skew.saltedJoin(l, sup, "suppkey", col("l_orderkey"), 16)
         .groupBy(col("s_name"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4)).as("revenue"),
+          // decimal sum internally (exact, order-independent); DOUBLE out
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec4))
+            .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_lines"))
     }
   )

@@ -26,12 +26,13 @@ object Temporal {
     "ev_window_agg" -> QueryDef.withOracle(
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start_s,
         |  event_type, count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables.eventsTimed(s, dir)
         .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("win_start_s"),
           col("event_type"), col("n"), col("sum_value"))
     },
@@ -56,7 +57,7 @@ object Temporal {
         |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
         |  count(*) AS n_events,
         |  min(ts_s) AS sess_start_s, max(ts_s) AS sess_end_s,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sess_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sess_value
         |FROM t GROUP BY user_id, sess_seq""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_s").asc, col("event_id").asc)
@@ -70,7 +71,7 @@ object Temporal {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_s")).as("sess_start_s"),
           max(col("ts_s")).as("sess_end_s"),
-          sum(col("value").cast(dec2)).as("sess_value"))
+          sum(col("value").cast(dec2)).cast(DoubleType).as("sess_value"))
     },
 
     // ------------------------------------------------------------------
@@ -147,7 +148,7 @@ object Temporal {
     // Range join against a tiny band table: broadcast non-equi join.
     "range_join" -> QueryDef.withOracle(
       """SELECT b.band_label, count(*) AS n,
-        |  sum(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e
         |JOIN (VALUES ('b0_low', 0, 100), ('b1_mid', 100, 200), ('b2_high', 200, 300),
         |             ('b3_vhigh', 300, 400), ('b4_top', 400, 1000000)) b(band_label, lo, hi)
@@ -161,7 +162,8 @@ object Temporal {
       Tables.events(s, dir)
         .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("band_label"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec2)).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
     }
   )
 }

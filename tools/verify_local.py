@@ -13,6 +13,8 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
+import pyarrow as pa
 from decimal import Decimal
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -23,7 +25,11 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, Decimal):
-        v = float(v)
+        # Deliberately NOT converted to float: the driver's hash sees the
+        # raw Decimal repr, which never equals DuckDB's float64 output.
+        # Any Decimal reaching the output layer is a protocol violation
+        # (round-1 lesson: 16 queries failed the driver hash this way).
+        return "DECIMAL!" + str(v)
     if isinstance(v, float):
         if np.isnan(v):
             return "NULL"
@@ -54,6 +60,26 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # Rows-only queries have no oracle entry but still go through the
+    # driver's pandas row-sort — scan EVERY output dir for driver-hostile
+    # column types (decimal repr mismatch, unsortable nested cells).
+    for d in sorted(os.listdir(out_dir)):
+        pq_dir = os.path.join(out_dir, d)
+        if not os.path.isdir(pq_dir) or d in oracle:
+            continue
+        files = glob.glob(os.path.join(pq_dir, "*.parquet"))
+        if not files:
+            continue
+        schema = pq.read_schema(files[0])
+        bad_cols = [f.name for f in schema
+                    if pa.types.is_decimal(f.type) or pa.types.is_nested(f.type)]
+        if bad_cols:
+            print(f"FAIL {d} (rows-only): driver-hostile output columns "
+                  f"{bad_cols} (decimal/nested)")
+            n_fail += 1
+        else:
+            print(f"PASS {d} (rows-only, schema scan)")
+            n_pass += 1
     for name in sorted(oracle):
         sql = oracle[name]
         pq_dir = os.path.join(out_dir, name)
@@ -66,6 +92,17 @@ def main(sf_dir, out_dir):
             got = pd.read_parquet(pq_dir)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        # Driver-gate guard: DECIMAL / nested output columns fail the
+        # driver's hash (Decimal repr mismatch) or crash its row sort
+        # (unhashable ndarray). Reject them here so they can't ship.
+        schema = pq.read_schema(files[0])
+        bad_cols = [f.name for f in schema
+                    if pa.types.is_decimal(f.type) or pa.types.is_nested(f.type)]
+        if bad_cols:
+            print(f"FAIL {name}: driver-hostile output columns {bad_cols} "
+                  f"(decimal/nested) — cast to DOUBLE / scalars")
             n_fail += 1
             continue
         try:
