@@ -13,9 +13,9 @@ import org.apache.spark.sql.types._
   *
   * Scale design: no variant ever materializes the full cross product.
   *  - exact: one shuffle on the content fingerprint;
-  *  - ngram-jaccard: pairs only within (token-count) blocks — the
-  *    exact-verification path; at 100 TB you run minhash first and this
-  *    only on its candidates;
+  *  - ngram-jaccard + cluster: banded-minhash candidates (md5-string
+  *    hash, reproducible in the oracle) verified with exact jaccard —
+  *    candidate pairs ∝ duplicate density, never corpus²;
   *  - minhash-LSH: explode→min per (doc, seed) is linear; banding means
   *    candidate pairs ∝ true-duplicate density, not corpus²;
   *  - simhash: 64-bit sketch, 4×16-bit band blocking for hamming≤k;
@@ -63,6 +63,84 @@ object Dedup {
       |      regexp_extract_all(lower(text), '[a-z0-9]+')[i+2]))) AS sh
       |FROM documents""".stripMargin
 
+  // ---- shared minhash-LSH candidate machinery -----------------------
+  //
+  // Candidate pairs come from banded minhash, NOT from all-pairs or
+  // token-count blocks (a popular length bucket is millions of docs at
+  // 100 TB → quadratic join; band buckets stay ∝ duplicate density).
+  // The hash is min(md5(seed ':' shingle)) compared AS A HEX STRING:
+  // md5 is bit-identical everywhere and lexicographic min over
+  // lowercase-hex is a byte compare on both engines, so the candidate
+  // set — and therefore the final result — is exactly reproducible in
+  // the DuckDB oracle. (A production run would swap md5 for xxhash64 —
+  // see dedup_minhash_lsh — without changing the shape.)
+  // 16 hashes in 8 bands × 2 rows: P(candidate) = 1-(1-s²)^8, i.e.
+  // ≥0.90 at jaccard 0.5 and ≈1 above 0.8, while unrelated pairs
+  // (s≈0.05) collide with probability <2%.
+  private val NumHashes = 16
+  private val NumBands = 8 // 2 rows per band
+
+  /** Banded-minhash candidate pairs (doc_a < doc_b), deterministic. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).filter(size(col("sh")) > 0)
+    // all 16 min-hashes in ONE aggregation pass over the exploded
+    // shingles (map-side partial agg → 16 strings per doc through the
+    // exchange, no 16× row blowup)
+    val mins = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
+    val mh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+    // persist: both sides of the bucket self-join reuse one band scan
+    val bands = mh.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b =>
+        concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
+        .as(Seq("band", "sig")))
+      .persist()
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact jaccard: (doc_a, doc_b, ni,
+    * ntot) where ni = |A∩B| and ntot = |A|+|B|. Shingles are pre-hashed
+    * to longs so the per-pair intersection runs on sorted longs. */
+  private def verifiedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingled(s, dir).filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
+        size(col("sh")).as("nsh"))
+    lshCandidates(s, dir)
+      .join(hashed.select(col("doc_id").as("doc_a"),
+        col("shh").as("sh_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"),
+        col("shh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Vectors.sortedIntersectCount(s, col("sh_a"), col("sh_b")).as("ni"),
+        (col("nsh_a") + col("nsh_b")).as("ntot"))
+  }
+
+  /** Oracle mirror of lshCandidates: CTEs `sh2` (non-empty shingle
+    * sets), `cand` (banded-minhash pairs). Prepend `WITH s AS
+    * (shingleSql),` before use. */
+  private val candSql: String = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('$i:' || g)) AS m$i").mkString(", ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS sig FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
+       |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -82,39 +160,23 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
-    // Exact word-3-gram Jaccard within token-count blocks. The jaccard
-    // itself is int/int division — identical doubles on both engines.
+    // Near-dup pair report: banded-minhash candidates verified with
+    // exact word-3-gram jaccard (int/int division — identical doubles
+    // on both engines). The oracle replicates the banding bit-for-bit
+    // (md5-string minhash), so the result set matches exactly.
     "dedup_ngram_jaccard" -> QueryDef.withOracle(
-      s"""WITH s AS ($shingleSql)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
-         |        / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac,
-         |  len(list_intersect(a.sh, b.sh)) * 1.0
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5 AS is_dup
-         |FROM s a JOIN s b ON a.nt = b.nt AND a.doc_id < b.doc_id
-         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-         |  AND len(list_intersect(a.sh, b.sh)) * 1.0
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02""".stripMargin) { (s, dir) =>
-      // Shingles are pre-hashed to 64-bit (injective in practice), so the
-      // per-pair set intersection runs on longs, not strings; |union| is
-      // derived arithmetically. Both computed once per pair. Docs with no
-      // 3-grams (<3 tokens) are excluded — jaccard is undefined for them
-      // and the 0/0 would trip ANSI divide-by-zero.
-      val sh = shingled(s, dir)
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("nt"),
-          array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
-          size(col("sh")).as("nsh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("nt"),
-        col("shh").as("sh_a"), col("nsh").as("nsh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
-        col("shh").as("sh_b"), col("nsh").as("nsh_b"))
-      val jac = col("ni") * lit(1.0) / col("nu")
-      a.join(b, col("nt") === col("nt_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          Vectors.sortedIntersectCount(s, col("sh_a"), col("sh_b")).as("ni"),
-          (col("nsh_a") + col("nsh_b")).as("ntot"))
-        .withColumn("nu", col("ntot") - col("ni"))
+      s"""WITH s AS ($shingleSql),
+         |$candSql,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, round(jac, 9) AS jac, jac >= 0.5 AS is_dup
+         |FROM pairs WHERE jac >= 0.02""".stripMargin) { (s, dir) =>
+      val jac = col("ni") * lit(1.0) / (col("ntot") - col("ni"))
+      verifiedCandidates(s, dir)
         .filter(jac >= 0.02)
         .select(col("doc_a"), col("doc_b"),
           round(jac, 9).as("jac"), (jac >= 0.5).as("is_dup"))
@@ -123,20 +185,25 @@ object Dedup {
     // ------------------------------------------------------------------
     // Transitive dedup clustering: near-dup PAIRS under-dedup (a~b and
     // b~c don't imply the pair a~c was emitted) — production dedup
-    // assigns connected components. Spark side: iterative min-label
-    // propagation (each round one join + one min-agg, O(diameter)
-    // rounds, converges fast because labels jump to the component min);
-    // oracle side: recursive CTE over the same deterministic jaccard
-    // edge set. Every doc gets a cluster id (= min doc_id reachable);
-    // singletons are their own cluster.
+    // assigns connected components. Edges come from the SAME banded-
+    // minhash candidates as dedup_ngram_jaccard (verified jaccard ≥
+    // 0.5), never from a quadratic block join. Spark side: iterative
+    // min-label propagation; the convergence test rides the SAME job
+    // that materializes the round (old label carried through the agg,
+    // delta counted on the cached result — one job per round, not two),
+    // and localCheckpoint truncates lineage so late rounds don't replay
+    // the whole chain. Oracle side: recursive CTE over the same
+    // deterministic edge set. Every doc gets a cluster id (= min doc_id
+    // reachable); singletons are their own cluster.
     "dedup_cluster_assign" -> QueryDef.withOracle(
       s"""WITH s AS ($shingleSql),
+         |$candSql,
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.nt = b.nt AND a.doc_id < b.doc_id
-         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-         |    AND len(list_intersect(a.sh, b.sh)) * 1.0
-         |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -149,42 +216,46 @@ object Dedup {
          |SELECT node AS doc_id, cluster_id,
          |  cluster_id = node AS is_canonical
          |FROM cc""".stripMargin) { (s, dir) =>
-      val sh = shingled(s, dir).filter(size(col("sh")) > 0)
-        .select(col("doc_id"), col("nt"),
-          array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
-          size(col("sh")).as("nsh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("nt"),
-        col("shh").as("sh_a"), col("nsh").as("nsh_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("nt").as("nt_b"),
-        col("shh").as("sh_b"), col("nsh").as("nsh_b"))
-      val pairs = a.join(b, col("nt") === col("nt_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          Vectors.sortedIntersectCount(s, col("sh_a"), col("sh_b")).as("ni"),
-          (col("nsh_a") + col("nsh_b")).as("ntot"))
+      val pairs = verifiedCandidates(s, dir)
         .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
-      var labels = Tables.documents(s, dir)
+      // Propagate ONLY over docs that touch an edge: singletons can
+      // never change label, so they stay out of the loop entirely (at
+      // 100 TB the edge subgraph is a tiny fraction of the corpus —
+      // iterating all docs per round would be the real scale bug) and
+      // rejoin via a left join at the end.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("label")).persist()
       var converged = false
       var iter = 0
       while (!converged && iter < 15) {
         val propagated = labels.join(edges, col("doc_id") === col("src"))
-          .select(col("dst").as("doc_id"), col("label"))
-        val next = labels.unionByName(propagated)
-          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-          .persist()
-        val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-          .filter(col("n.label") =!= col("o.label")).limit(1).count()
+          .select(col("dst").as("doc_id"), col("label"),
+            lit(Long.MaxValue).as("old_label"))
+        val own = labels.select(col("doc_id"), col("label"),
+          col("label").as("old_label"))
+        // min(old_label) recovers the doc's previous label (the only
+        // non-MaxValue contribution), so the delta test needs no second
+        // join; localCheckpoint caches AND cuts lineage at this round.
+        val next = own.unionByName(propagated)
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label"))
+          .localCheckpoint(false)
+        val changed = next.filter(col("label") < col("old_label")).count()
         labels.unpersist()
-        labels = next
+        labels = next.select(col("doc_id"), col("label"))
         converged = changed == 0
         iter += 1
       }
-      labels.select(col("doc_id"), col("label").as("cluster_id"),
-        (col("label") === col("doc_id")).as("is_canonical"))
+      edges.unpersist()
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
     },
 
     // ------------------------------------------------------------------
