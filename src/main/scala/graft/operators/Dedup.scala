@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.Vectors
+import graft.operators.Similarity.{ivfAssignSql => ivfSql}
 import graft.operators.TextOps.{normText, tokens}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -350,6 +351,52 @@ object Dedup {
       a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
         .filter(cos >= 0.3)
         .select(col("vec_a"), col("vec_b"), col("label"), round(cos, 6).as("cos_sim"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cross-cell embedding dedup: blocks by LEARNED IVF cell (each
+    // vector probes its 2 nearest centroids) instead of trusting the
+    // `label` column, so near-dups whose labels differ — invisible to
+    // dedup_embedding by construction — are found whenever the pair
+    // shares any probed cell. The cell assignment is the deterministic
+    // fixed-point build from ann_ivf_assign, so the DuckDB oracle
+    // replicates the blocking exactly. Per-cell pair joins stay bounded
+    // by (cell size × probe count)², never corpus².
+    "dedup_embedding_xcell" -> QueryDef.withOracle(
+      s"""WITH $ivfSql,
+         |cells AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM cells a JOIN cells b
+         |    ON a.c_label = b.c_label AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.vec_a, c.vec_b, x.label AS label_a, y.label AS label_b,
+         |    round(list_cosine_similarity(
+         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_a
+         |  JOIN embeddings y ON y.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, label_a, label_b,
+         |  label_a <> label_b AS cross_label, cos_sim
+         |FROM pairs WHERE cos_sim >= 0.3""".stripMargin) { (s, dir) =>
+      val cells = Similarity.ivfAssignments(s, dir)
+        .filter(col("rn") <= 2)
+        .select(col("vec_id"), col("c_label"))
+        .persist() // both sides of the cell self-join share one build
+      val cand = cells.as("x").join(cells.as("y"),
+          col("x.c_label") === col("y.c_label") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val e = Tables.embeddings(s, dir)
+      val cos = round(Vectors.cosine(s, col("emb_a"), col("emb_b")), 6)
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+          col("embedding").as("emb_a")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+          col("embedding").as("emb_b")), "vec_b")
+        .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+          (col("label_a") =!= col("label_b")).as("cross_label"), cos.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
     }
   )
 }

@@ -236,20 +236,23 @@ object Etl {
         |  (SELECT count(*) FROM lineitem l
         |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
         |  AS BIGINT) AS n_orphans""".stripMargin) { (s, dir) =>
-      import s.implicits._
+      // ONE plan, ONE job: each FK edge is an anti-join reduced to a
+      // single-row count, unioned into the report relation. No
+      // driver-side .count() loop — at 30 FK edges that loop is a
+      // serial driver bottleneck; this shape runs all edges as sibling
+      // subtrees of one Spark job.
       def orphans(fact: org.apache.spark.sql.DataFrame, factKey: String,
-          dim: org.apache.spark.sql.DataFrame, dimKey: String): Long =
-        fact.join(dim, col(factKey) === col(dimKey), "left_anti").count()
-      // three tiny counts; assembled driver-side into a report relation
-      // (each count is a distributed anti-join, only the scalars collect)
-      val rows = Seq(
-        ("lineitem.l_orderkey->orders",
-          orphans(Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
-        ("orders.o_custkey->customer",
-          orphans(Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey")),
-        ("lineitem.l_partkey->part",
-          orphans(Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey")))
-      rows.toDF("fk", "n_orphans")
+          dim: org.apache.spark.sql.DataFrame, dimKey: String,
+          label: String): org.apache.spark.sql.DataFrame =
+        fact.join(dim, col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(label).as("fk"), col("n_orphans"))
+      orphans(Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir),
+          "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(orphans(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(orphans(Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey", "lineitem.l_partkey->part"))
     },
 
     // ------------------------------------------------------------------
