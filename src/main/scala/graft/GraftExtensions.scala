@@ -1,6 +1,7 @@
 package graft
 
-import graft.plans.{BottomKSample, CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
+import graft.plans.{BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,5 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BottomKSample].getName, "graft_bottomk_sample"),
       exprs => BottomKSample(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersSketch].getName, "graft_heavy_hitters"),
+      exprs => HeavyHittersSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantileSketch].getName, "graft_kll_quantiles"),
+      exprs => KllQuantileSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq)
+        .toAggregateExpression()))
   }
 }

@@ -1,8 +1,9 @@
 package graft.functions
 
-import graft.plans.{BottomKSample, CosineSimilarity, HyperplaneDot, SortedLongIntersectCount}
+import graft.plans.{BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Column API over the native vector expressions.
   *
@@ -26,6 +27,19 @@ object Vectors {
       exprs => BottomKSample(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      exprs => HeavyHittersSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kll_quantiles",
+      exprs => KllQuantileSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq)
+        .toAggregateExpression(),
+      "built-in")
   }
 
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -46,6 +60,21 @@ object Vectors {
   def bottomkSample(spark: SparkSession, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_bottomk_sample", id, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Mergeable Misra-Gries heavy-hitters aggregate over a string
+    * column: top-k items as array<struct<token, est_count>>, counts
+    * underestimating by at most N/capacity. */
+  def heavyHitters(spark: SparkSession, c: Column, capacity: Int, k: Int): Column = {
+    register(spark)
+    call_function("graft_heavy_hitters", c, lit(capacity), lit(k))
+  }
+
+  /** Mergeable KLL-style quantile sketch over a double column: the
+    * estimated quantiles for `qs` as array<double>. */
+  def kllQuantiles(spark: SparkSession, c: Column, levelCap: Int, qs: Seq[Double]): Column = {
+    register(spark)
+    call_function("graft_kll_quantiles", c, lit(levelCap), lit(qs.toArray))
   }
 
   /** Intersection count of two sorted `array<bigint>` columns. */

@@ -423,6 +423,47 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("Misra-Gries heavy hitters bound error and surface the exact top-5") {
+    import org.apache.spark.sql.functions.{explode, expr, count => fcount}
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(fcount(col("tok")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val sketch = SparkEntry.queries("sketch_heavy_hitters")(spark, sf)
+      .select("token", "est_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size == 20)
+    // MG underestimates by at most N/capacity
+    val maxErr = total / 512
+    sketch.foreach { case (t, est) =>
+      val ex = exact.getOrElse(t, 0L)
+      assert(est <= ex && ex - est <= maxErr,
+        s"token $t: est=$est exact=$ex bound=$maxErr")
+    }
+    val top5 = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(5).map(_._1)
+    top5.foreach(t => assert(sketch.contains(t), s"exact top-5 token $t missing"))
+  }
+
+  test("KLL sketch quantiles land inside the exact p±5% rank window") {
+    val est = SparkEntry.queries("sketch_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(est.size == 3 * 4) // 3 return flags × 4 quantiles
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getDouble(1)).sorted }
+    for (((flag, q), v) <- est) {
+      val sortedVals = vals(flag)
+      val n = sortedVals.length
+      def atRank(p: Double): Double =
+        sortedVals(math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1)))
+      val lo = atRank(math.max(0.0, q - 0.05))
+      val hi = atRank(math.min(1.0, q + 0.05))
+      assert(v >= lo && v <= hi, s"$flag q=$q est=$v outside [$lo, $hi]")
+    }
+  }
+
   test("cross-cell embedding dedup finds pairs invisible to label blocking") {
     val xcell = SparkEntry.queries("dedup_embedding_xcell")(spark, sf)
       .select("vec_a", "vec_b", "cross_label").collect()
