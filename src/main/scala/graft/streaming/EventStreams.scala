@@ -34,13 +34,25 @@ object EventStreams {
     dir.toString
   })
 
-  /** File-source stream of the events table (one-batch replay in tests). */
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.eventsSchema)
-      .parquet(stageDir(sfDir))
+  /** File-source stream over a directory of event parquet files.
+    * `maxFilesPerTrigger > 0` caps each micro-batch at that many source
+    * files — the knob the multi-batch specs use to force incremental
+    * state handling instead of a one-batch replay. */
+  def eventStreamFromDir(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(Tables.eventsSchema)
+    val capped =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    capped.parquet(dir)
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
       .withColumn("ts_s", expr("ts div 1000000000"))
+  }
+
+  /** File-source stream of the events table (one-batch replay in tests). */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventStreamFromDir(spark, stageDir(sfDir))
 
   /** Tumbling 1 h windowed counts with a 1 h watermark (append mode). */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -58,9 +70,14 @@ object EventStreams {
     * continuous ingest into a lakehouse table. Returns the running
     * query; caller drives/stops it. */
   def toParquetSink(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
-      .schema(Tables.eventsSchema)
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(Tables.eventsSchema)
+    val capped =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    capped
       .parquet(srcDir)
       .withColumn("ts_s", expr("ts div 1000000000"))
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -71,6 +88,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+  }
 
   /** Stream-static enrichment: the event stream joined to the customer
     * dimension (static side re-read per micro-batch, broadcast by size).
@@ -96,9 +114,15 @@ object EventStreams {
 
   /** Stateful gap sessionization (>30 min silence = new session). State
     * per user is O(1): last event time + session ordinal. */
-  def sessionize(spark: SparkSession, sfDir: String): Dataset[SessionAssign] = {
+  def sessionize(spark: SparkSession, sfDir: String): Dataset[SessionAssign] =
+    sessionizeStream(spark, eventStream(spark, sfDir))
+
+  /** Sessionize an arbitrary event stream (multi-batch sources welcome:
+    * per-user state carries last-seen ts + ordinal across batches, so a
+    * session spanning micro-batches is stitched, not restarted). */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): Dataset[SessionAssign] = {
     import spark.implicits._
-    val evs = eventStream(spark, sfDir)
+    val evs = events
       .select(col("user_id"), col("event_id"), col("ts_s")).as[Ev]
 
     def fn(userId: Long, events: Iterator[Ev],

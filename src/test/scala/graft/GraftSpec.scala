@@ -577,4 +577,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(bad == 0)
     } finally q.stop()
   }
+
+  /** Split events into 3 time-tercile parquet files written oldest
+    * first, so `maxFilesPerTrigger=1` drives ≥3 micro-batches whose
+    * later batches EXTEND sessions opened in earlier ones. */
+  private def stageTerciles(): String = {
+    import java.nio.file._
+    val dir = Files.createTempDirectory("graft_stream_multi").toString
+    // ns-timestamp parquet needs the explicit long-typed schema
+    val ev = spark.read.schema(graft.sources.Tables.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+    val ts = ev.select("ts").collect().map(_.getLong(0)).sorted
+    val (t1, t2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    Seq(col("ts") <= t1, col("ts") > t1 && col("ts") <= t2, col("ts") > t2)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val tmp = Files.createTempDirectory(s"graft_terc$i")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.copy(part, Paths.get(dir, f"batch_$i%02d.parquet"))
+        Thread.sleep(5) // distinct mod times keep source file order stable
+      }
+    dir
+  }
+
+  test("sessionization state carries across 3+ micro-batches and matches batch") {
+    val dir = stageTerciles()
+    val q = EventStreams.sessionizeStream(spark,
+        EventStreams.eventStreamFromDir(spark, dir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("multisess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2, s"only ${q.lastProgress.batchId + 1} batches ran")
+      // aggregate the per-event assignments into sessions and compare
+      // against the BATCH sessionization operator on the same data
+      val got = spark.sql(
+        """SELECT user_id, CAST(sess_seq AS BIGINT) sess_seq, count(*) n_events,
+          |  min(ts_s) sess_start_s, max(ts_s) sess_end_s
+          |FROM multisess GROUP BY user_id, sess_seq""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = SparkEntry.queries("ev_sessionize")(spark, sf)
+        .select("user_id", "sess_seq", "n_events", "sess_start_s", "sess_end_s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want,
+        s"streaming/batch session mismatch: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
+  test("parquet sink ingests 3+ micro-batches exactly once") {
+    import java.nio.file._
+    val dir = stageTerciles()
+    val out = Files.createTempDirectory("graft_multi_out").toString
+    val ckpt = Files.createTempDirectory("graft_multi_ckpt").toString
+    val q = EventStreams.toParquetSink(spark, dir, out, ckpt, maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2, s"only ${q.lastProgress.batchId + 1} batches ran")
+    } finally q.stop()
+    val n = spark.read.parquet(out).count()
+    val distinctIds = spark.read.parquet(out).select("event_id").distinct().count()
+    val batch = graft.sources.Tables.events(spark, sf).count()
+    assert(n == batch && distinctIds == batch)
+  }
 }
