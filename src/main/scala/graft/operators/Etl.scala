@@ -303,6 +303,15 @@ object Etl {
       Connectors.writeOrc(Tables.supplier(s, dir), tmp)
       Connectors.readOrc(s, tmp, Tables.supplierSchema)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    },
+
+    // ------------------------------------------------------------------
+    "src_avro_roundtrip" -> QueryDef.withOracle(
+      "SELECT p_partkey, p_name, p_type, p_size, p_retailprice FROM part") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_avro").toString
+      Connectors.writeAvro(Tables.part(s, dir), tmp)
+      Connectors.readAvro(s, tmp, Tables.partSchema)
+        .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
     }
   )
 }

@@ -46,6 +46,14 @@ object Connectors {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Avro container files — see [[AvroConnector]] for why this rides
+    * the Avro core API rather than a `format("avro")` datasource. */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    AvroConnector.readAvro(spark, path, schema)
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    AvroConnector.writeAvro(df, path)
+
   /** JDBC passthrough (warehouse loads); untestable in this container
     * (no database), provided for API completeness. */
   def readJdbc(spark: SparkSession, url: String, table: String,

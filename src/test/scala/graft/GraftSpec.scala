@@ -423,6 +423,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("avro roundtrip preserves all columns including timestamps") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_avro_spec").toString
+    val orders = graft.sources.Tables.orders(spark, sf)
+    graft.sources.Connectors.writeAvro(orders, tmp)
+    val back = graft.sources.Connectors.readAvro(spark, tmp,
+      graft.sources.Tables.ordersSchema)
+    assert(back.schema == orders.schema)
+    val a = orders.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"avro roundtrip diverged: ${(a -- b).take(2)} vs ${(b -- a).take(2)}")
+  }
+
   test("Misra-Gries heavy hitters bound error and surface the exact top-5") {
     import org.apache.spark.sql.functions.{explode, expr, count => fcount}
     val toks = spark.read.parquet(s"$sf/documents.parquet")
