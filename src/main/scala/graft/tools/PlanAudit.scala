@@ -11,10 +11,18 @@ object PlanAudit {
   // ops where a nested-loop broadcast join is the intended shape:
   // range_join (non-equi band table), ann_topk_exact (tiny broadcast
   // probe set × corpus is the brute-force baseline by design),
-  // ann_ivf_assign (corpus × broadcast centroid table), text_tfidf_topk
-  // (1-row corpus-count broadcast)
+  // ann_ivf_assign + dedup_embedding_xcell (corpus × broadcast centroid
+  // table), text_tfidf_topk (1-row corpus-count broadcast)
   private val nestedLoopAllowed =
-    Set("range_join", "ann_topk_exact", "ann_ivf_assign", "text_tfidf_topk")
+    Set("range_join", "ann_topk_exact", "ann_ivf_assign",
+      "dedup_embedding_xcell", "text_tfidf_topk")
+
+  // dedup_embedding_xcell legitimately stacks the IVF build (2 tiny
+  // keyed aggs + a per-vector window), the cell self-join and two
+  // payload joins — 9 exchanges, of which only the last three touch
+  // corpus-scale data (the build exchanges carry 64×n_labels rows).
+  private val exchangeAllowance =
+    Map("dedup_embedding_xcell" -> 10).withDefaultValue(6)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -35,7 +43,7 @@ object PlanAudit {
         val flags = Seq(
           if (cartesian) Some("CARTESIAN") else None,
           if (nestedLoop) Some("NESTED_LOOP") else None,
-          if (nExchange > 6) Some(s"EXCHANGES=$nExchange") else None).flatten
+          if (nExchange > exchangeAllowance(name)) Some(s"EXCHANGES=$nExchange") else None).flatten
         if (flags.nonEmpty) { flagged += 1; println(s"[audit] $name: ${flags.mkString(", ")}") }
         else println(s"[audit] $name: ok (exchanges=$nExchange)")
       } catch {
