@@ -123,6 +123,33 @@ object Dedup {
         (col("nsh_a") + col("nsh_b")).as("ntot"))
   }
 
+  /** Oracle mirror of the 60-bit md5 simhash: same hash, same ±1 bit
+    * counts, same 4×15-bit banding — machine-generated 60-term SQL. */
+  private val simhashOracleSql: String = {
+    val sums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val bits = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val bands = (0 until 4).map(j =>
+      s"SELECT doc_id, simhash, $j AS band, (simhash >> ${15 * j}) & 32767 AS bv FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       |bs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $bits AS simhash FROM bs),
+       |bands AS (
+       |  $bands),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sim_a, y.simhash AS sim_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+  }
+
   /** Oracle mirror of lshCandidates: CTEs `sh2` (non-empty shingle
     * sets), `cand` (banded-minhash pairs). Prepend `WITH s AS
     * (shingleSql),` before use. */
@@ -297,27 +324,33 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
-    // 64-bit SimHash over distinct tokens; 4×16-bit band blocking
-    // guarantees recall for hamming ≤ 3 (pigeonhole). Rows-only (hash).
-    "dedup_simhash" -> QueryDef.rowsOnly { (s, dir) =>
+    // 60-bit SimHash over distinct tokens; 4×15-bit band blocking
+    // guarantees recall for hamming ≤ 3 (pigeonhole). The token hash is
+    // the top 15 hex digits of md5 parsed as a long — bit-identical in
+    // DuckDB (('0x'||substr(md5,1,15))::BIGINT vs conv(...,16,10)) —
+    // and the ±1 bit sums are order-independent counts, so the WHOLE
+    // sketch is deterministic and fully oracled. Production swaps
+    // xxhash64 in for md5 without changing the shape (see
+    // dedup_minhash_lsh for that fast path).
+    "dedup_simhash" -> QueryDef.withOracle(simhashOracleSql) { (s, dir) =>
       val toksDf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map { b =>
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+      val bitSums = (0 until 60).map { b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1)).as(s"b$b")
       }
       val withSim = toksDf.groupBy(col("doc_id"))
         .agg(bitSums.head, bitSums.tail: _*)
         .withColumn("simhash",
-          (0 until 64).map(b =>
+          (0 until 60).map(b =>
             when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce((a, c) => a + c))
         .select(col("doc_id"), col("simhash"))
         .persist() // reused by both sides of the band self-join
       val banded = withSim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(j =>
-          shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+          shiftright(col("simhash"), 15 * j).bitwiseAND(lit(0x7FFFL))): _*))
           .as(Seq("band", "bv")))
       val pairs = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
