@@ -202,11 +202,21 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
-    // Winnowed fingerprints: 4-token shingles, xxhash64, min-hash per
+    // Winnowed fingerprints: 4-token shingles, 60-bit md5 hash, min per
     // position window of 8 — the standard near-dup sketch for plagiarism
-    // style matching. Not SQL-expressible cross-engine (hash differs):
-    // rows-only check.
-    "text_winnow" -> QueryDef.rowsOnly { (s, dir) =>
+    // style matching. The md5-derived hash is bit-identical in DuckDB
+    // (see Dedup's banded minhash), so the sketch is fully oracled;
+    // production swaps in xxhash64 without changing the shape.
+    "text_winnow" -> QueryDef.withOracle(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 2)) AS i, toks
+        |  FROM t WHERE len(toks) >= 4)
+        |SELECT doc_id, CAST((i - 1) // 8 AS INT) AS win_id,
+        |  min(('0x' || substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])), 1, 15))::BIGINT) AS fp_hash
+        |FROM sh GROUP BY doc_id, (i - 1) // 8""".stripMargin) { (s, dir) =>
       // toks materialized in its own projection — see Dedup.shingled for
       // why (per-element regexp re-evaluation otherwise).
       val shingles = when(size(col("toks")) >= 4,
@@ -219,7 +229,7 @@ object TextOps {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), posexplode(shingles).as(Seq("pos", "shingle")))
         .select(col("doc_id"), (col("pos") / 8).cast(IntegerType).as("win_id"),
-          xxhash64(col("shingle")).as("h"))
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType).as("h"))
         .groupBy(col("doc_id"), col("win_id"))
         .agg(min(col("h")).as("fp_hash"))
     }
