@@ -54,6 +54,22 @@ object EventStreams {
   def eventStream(spark: SparkSession, sfDir: String): DataFrame =
     eventStreamFromDir(spark, stageDir(sfDir))
 
+  /** Windowed counts over Spark's built-in unbounded rate source — the
+    * stand-in for a Kafka topic in this container. Unlike the file
+    * replays, the source never ends: state genuinely accumulates across
+    * micro-batches until the watermark expires each window. */
+  def rateWindowedCounts(spark: SparkSession,
+      rowsPerSecond: Int = 500): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load() // schema: (timestamp: Timestamp, value: Long)
+      .withWatermark("timestamp", "2 seconds")
+      .groupBy(window(col("timestamp"), "1 second"), (col("value") % 4).as("lane"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("lane"),
+        col("n"), col("sum_value"))
+
   /** Tumbling 1 h windowed counts with a 1 h watermark (append mode). */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
     eventStream(spark, sfDir)

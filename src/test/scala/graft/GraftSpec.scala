@@ -639,6 +639,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate source accumulates windowed state across an unbounded stream") {
+    val q = EventStreams.rateWindowedCounts(spark, rowsPerSecond = 500)
+      .writeStream.format("memory").queryName("rate_win")
+      .outputMode("update").start()
+    try {
+      // let the unbounded source produce several micro-batches
+      val deadline = System.currentTimeMillis() + 15000
+      var batches = 0L
+      while (batches < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+        batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      }
+      assert(batches >= 3, s"only $batches micro-batches ran")
+      val rows = spark.sql("SELECT count(*) FROM rate_win").head().getLong(0)
+      assert(rows > 0)
+      // every 1-second window carries 4 lanes once filled; per-lane
+      // counts must never exceed rowsPerSecond (state is per-window,
+      // not global accumulation)
+      val bad = spark.sql("SELECT count(*) FROM rate_win WHERE n > 500").head().getLong(0)
+      assert(bad == 0)
+    } finally q.stop()
+  }
+
   test("parquet sink ingests 3+ micro-batches exactly once") {
     import java.nio.file._
     val dir = stageTerciles()
