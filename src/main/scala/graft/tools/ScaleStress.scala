@@ -67,6 +67,65 @@ object ScaleStress {
       val w = Window.partitionBy(col("suppkey")).orderBy(col("price").desc, col("orderkey").asc)
       fact.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10).count()
     }
+
+    // ---- round-2 shapes ------------------------------------------------
+    // Banded-minhash dedup candidates over a synthetic 200k-doc corpus
+    // (4 docs per template → dense duplicate clusters, like real crawl
+    // data). The xxhash64 fast path; candidates ∝ duplicate density.
+    val nDocs = 200000L
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      // 60 tokens per doc: 59 from the template, one doc-specific
+      transform(sequence(lit(0), lit(59)), i =>
+        concat(lit("w"), pmod(hash((col("id") % 50000L) * 61 + i, i), lit(30000))))
+        .as("toks"))
+      // persist barrier: CollapseProject would inline the toks-building
+      // transform into the shingle lambda and re-run it per element
+      // (the measured-20x lambda-inlining trap) — cache the token
+      // arrays so the stress times the DEDUP, not the generator
+      .persist()
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), lit(57)), i =>
+          xxhash64(concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))).as("sh"))
+    def stressTime(label: String, inputRows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $label: $sec%.2f s  (${inputRows / sec / 1e6}%.2f M input rows/s, $rows result rows)")
+    }
+    docs.count() // materialize the corpus cache before timing
+    stressTime("banded-minhash dedup candidates (200k docs)", nDocs) {
+      val mins = (0 until 16).map(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+      val mh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bands = mh.select(col("doc_id"),
+        posexplode(array((0 until 8).map(b =>
+          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
+          .as(Seq("band", "sig")))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    }
+    // Mergeable sketches: one small summary per partition through the
+    // exchange, never the raw stream.
+    stressTime("Misra-Gries heavy hitters (20M skewed tokens)", n) {
+      val toks = spark.range(n).select(
+        concat(lit("t"), floor(sqrt(pmod(hash(col("id")), lit(4000000)).cast(DoubleType))))
+          .as("tok"))
+      toks.agg(graft.functions.Vectors.heavyHitters(spark, col("tok"), 512, 20).as("hh"))
+        .select(explode(col("hh"))).count()
+    }
+    stressTime("KLL quantile sketch (20M doubles, 4 groups)", n) {
+      spark.range(n).select((col("id") % 4).as("g"),
+          pmod(hash(col("id")), lit(100000)).cast(DoubleType).as("v"))
+        .groupBy(col("g"))
+        .agg(graft.functions.Vectors.kllQuantiles(spark, col("v"), 256,
+          Seq(0.5, 0.95, 0.99)).as("est"))
+        .count()
+    }
     spark.stop()
   }
 }
