@@ -279,6 +279,33 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Incremental aggregate maintenance: the warehouse pattern where a
+    // nightly batch merges into an existing aggregate instead of
+    // rescanning history. Partial aggregates (count, decimal sum) are
+    // the mergeable state; merged result must equal the full rescan,
+    // which is exactly what the oracle computes. At 100 TB this is the
+    // difference between touching one day and touching three years.
+    "etl_incremental_agg" -> QueryDef.withOracle(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+      val dec2 = DecimalType(18, 2)
+      val orders = Tables.orders(s, dir)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec2)).as("total_spend"))
+      // "existing" state: everything before the cutoff; "delta": the new
+      // batch. Merge = re-aggregate the partials on the same key.
+      val cutoff = lit("1997-01-01").cast(TimestampType)
+      partial(orders.filter(col("o_orderdate") < cutoff))
+        .unionByName(partial(orders.filter(col("o_orderdate") >= cutoff)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total_spend")).cast(DoubleType).as("total_spend"))
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString

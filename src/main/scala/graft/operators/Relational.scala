@@ -590,6 +590,51 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
+    // Explicit GROUPING SETS (vs q10 rollup / q25 cube): disjoint
+    // per-dimension marginals + grand total in one pass. Exercised
+    // through spark.sql — grouping sets have no DataFrame builder, and
+    // the SQL surface is part of the library contract.
+    "q33_grouping_sets" -> QueryDef.withOracle(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Rank-family windows beyond row_number: quartile bucketing and
+    // normalized ranks per priority class. Unique (price, orderkey)
+    // ordering keeps every rank deterministic; the int/int rank ratios
+    // are rounded per the §4 protocol.
+    "q34_rank_family" -> QueryDef.withOracle(
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS price_quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC), 9) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC), 9) AS cume
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("price_quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"))
+    },
+
+    // ------------------------------------------------------------------
     // Exact median without engine-native quantile (whose interpolation
     // differs across engines): sort within group, average the two middle
     // elements in double ((a+b)/2 is exact binary for 2-dec inputs).

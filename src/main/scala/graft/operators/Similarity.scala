@@ -131,6 +131,55 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // IVF-probed ANN: the scale path that completes build→assign→search.
+    // Corpus vectors are indexed by HOME cell only (rn=1, one row per
+    // vector); each probe scans its 2 nearest cells. Per-probe work is
+    // bounded by 2 cells × cell size, never the corpus; the candidate
+    // join is a plain equi-join on the cell id, so at 10^9 vectors it
+    // shuffles (id, cell) pairs, not embeddings. Fully deterministic
+    // (fixed-point centroids, round-6 cosine, id tiebreaks) → oracled.
+    "ann_ivf_topk" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, c_label FROM ranked
+         |           WHERE rn <= 2 AND vec_id < $NPROBES),
+         |cand AS (
+         |  SELECT DISTINCT p.probe_id, h.vec_id AS neighbor_id
+         |  FROM probes p JOIN home h
+         |    ON p.c_label = h.c_label AND h.vec_id <> p.probe_id),
+         |pair_scored AS (
+         |  SELECT c.probe_id, c.neighbor_id,
+         |    round(list_cosine_similarity(
+         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.probe_id
+         |  JOIN embeddings y ON y.vec_id = c.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM pair_scored)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      val assigns = ivfAssignments(s, dir).persist() // home + probe views share one build
+      val home = assigns.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label"))
+      val probeCells = assigns.filter(col("rn") <= 2 && col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("c_label"))
+      val cand = probeCells.join(home, Seq("c_label"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val e = Tables.embeddings(s, dir)
+      val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand
+        .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "probe_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+    },
+
+    // ------------------------------------------------------------------
     // Hyperplane-LSH bucketed ANN, band-OR construction: 4 independent
     // hash tables of 4 planes each (16 planes total). A vector lands in
     // one 4-bit sign-bucket PER TABLE; a pair is a candidate if it

@@ -145,6 +145,34 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Cohort retention matrix: users bucketed by first-seen week, then
+    // counted per (cohort, weeks-since-cohort) — the standard product
+    // analytics triangle. Two keyed aggregations + one keyed join, all
+    // on user_id / the (cohort, offset) pair; week ids are integer
+    // division on floored epoch seconds (cross-engine exact).
+    "ev_retention" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |        e.week - f.cohort_week AS week_offset
+        |      FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM a GROUP BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        // integer div, not double-divide-then-truncate (boundary-safe)
+        .select(col("user_id"), expr("ts_s div 604800").as("week"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    },
+
+    // ------------------------------------------------------------------
     // Range join against a tiny band table: broadcast non-equi join.
     "range_join" -> QueryDef.withOracle(
       """SELECT b.band_label, count(*) AS n,
