@@ -66,6 +66,62 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
+    // Resize planning: target box fit (224×224) preserving aspect ratio,
+    // computed from the typed metadata in pure integer/double arithmetic
+    // (the real resample would run in the batched decode seam below —
+    // the PLAN of what to resize to is engine-checkable, and is what a
+    // scheduler shards work by). Dims are the same deterministic fakes
+    // mm_meta derives from byte length.
+    "mm_resize" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 640 + 32 AS w,
+        |    (octet_length(encode(text)) * 7) % 480 + 32 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN w * 224 <= h * 224 THEN round(w * 224.0 / h) ELSE 224 END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN w * 224 <= h * 224 THEN 224 ELSE round(h * 224.0 / w) END AS BIGINT) AS out_h,
+        |  w * 224 > h * 224 AS landscape
+        |FROM m""".stripMargin) { (s, dir) =>
+      val byteLen = length(col("text").cast(BinaryType))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (byteLen % 640 + 32).cast(LongType).as("w"),
+          ((byteLen * 7) % 480 + 32).cast(LongType).as("h"))
+        .select(col("doc_id"), col("w").as("width"), col("h").as("height"),
+          when(col("w") * 224 <= col("h") * 224,
+            round(col("w") * lit(224.0) / col("h")).cast(LongType))
+            .otherwise(lit(224L)).as("out_w"),
+          when(col("w") * 224 <= col("h") * 224, lit(224L))
+            .otherwise(round(col("h") * lit(224.0) / col("w")).cast(LongType)).as("out_h"),
+          (col("w") * 224 > col("h") * 224).as("landscape"))
+    },
+
+    // ------------------------------------------------------------------
+    // Frame sampling plan: a "video" payload's frame count is derived
+    // from its metadata; every k-th frame is selected so each doc
+    // explodes into a bounded set of (doc, frame, offset) work items —
+    // the row shape a decode fleet consumes. Explode stays bounded
+    // (≤ 32 frames/doc) so a 100 TB corpus fans out linearly.
+    "mm_frame_sample" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 961 + 1 AS n_frames
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_frames,
+        |        CAST(ceil(n_frames / 32.0) AS BIGINT) AS stride FROM m)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(unnest(range(0, n_frames, stride)) AS BIGINT) AS frame_idx
+        |FROM k""".stripMargin) { (s, dir) =>
+      val byteLen = length(col("text").cast(BinaryType))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (byteLen % 961 + 1).cast(LongType).as("n_frames"))
+        .withColumn("stride", ceil(col("n_frames") / 32.0).cast(LongType))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))).as("frame_idx"))
+    },
+
+    // ------------------------------------------------------------------
     // Partition-batched feature extraction through the stub decoder.
     // Batching shape is real: payloads are processed per-partition in
     // groups of 64 (the codec-call batch), never row-at-a-time across a
