@@ -306,6 +306,35 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Late-arriving dimension repair: the first load joins facts to the
+    // dim snapshot that exists at load time; misses are quarantined
+    // with a placeholder instead of dropped, then repaired when the
+    // late dim batch lands. Two keyed joins + a union; end state equals
+    // the join against the complete dimension, which is the oracle.
+    "etl_late_arriving" -> QueryDef.withOracle(
+      """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment AS segment,
+        |  (o.o_custkey % 7 = 0) AS was_late
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, dir) =>
+      val customers = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      // the dim rows for custkey % 7 == 0 "arrive late"
+      val early = customers.filter(col("c_custkey") % 7 =!= 0)
+      val late = customers.filter(col("c_custkey") % 7 === 0)
+      val phase1 = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(early), col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("c_mktsegment").as("segment"))
+      val resolved = phase1.filter(col("segment").isNotNull)
+        .withColumn("was_late", lit(false))
+      val repaired = phase1.filter(col("segment").isNull).drop("segment")
+        .join(broadcast(late), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("c_mktsegment").as("segment"), lit(true).as("was_late"))
+      resolved.unionByName(repaired)
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString

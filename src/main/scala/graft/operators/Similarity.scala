@@ -131,6 +131,41 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Int8 embedding quantization: per-vector symmetric scale
+    // (127/max|x|), values mapped with the explicit floor(x·s + 0.5)
+    // rounding that is bit-identical on any IEEE engine — the 4×
+    // storage/bandwidth reduction step before an embedding corpus
+    // ships to an ANN index. Summary stats (exact long sums) keep the
+    // output flat for the driver's row-hash; the quantized array
+    // itself stays an internal column shape.
+    "embedding_quantize" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT vec_id, label,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id, e.label, m.maxabs,
+        |    list_transform(e.embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id)
+        |SELECT vec_id, label, maxabs,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+        |FROM q""".stripMargin) { (s, dir) =>
+      val embD = transform(col("embedding"), x => x.cast(DoubleType))
+      val qv = transform(embD,
+        x => floor(x * 127.0 / col("maxabs") + 0.5).cast(LongType))
+      Tables.embeddings(s, dir)
+        .withColumn("maxabs",
+          greatest(array_max(transform(embD, x => abs(x))), lit(1e-12)))
+        .select(col("vec_id"), col("label"), col("maxabs"),
+          aggregate(qv, lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(qv).as("q_min"),
+          array_max(qv).as("q_max"))
+    },
+
+    // ------------------------------------------------------------------
     // IVF-probed ANN: the scale path that completes build→assign→search.
     // Corpus vectors are indexed by HOME cell only (rn=1, one row per
     // vector); each probe scans its 2 nearest cells. Per-probe work is

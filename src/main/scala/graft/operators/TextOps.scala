@@ -202,6 +202,44 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Per-language bigram frequency profile, top-10 per language — the
+    // n-gram statistic language-ID models are trained from. Bigrams are
+    // built once per row from a materialized token array (persist
+    // barrier against lambda-inlined regexp re-evaluation), then one
+    // shuffle on (lang, bigram) with map-side partial counts.
+    "text_ngram_freq" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT lang, ${toksSql("text")} AS toks FROM documents),
+         |b AS (
+         |  SELECT lang, concat_ws(' ', toks[i], toks[i+1]) AS bigram
+         |  FROM (SELECT lang, unnest(range(1, len(toks))) AS i, toks
+         |        FROM t WHERE len(toks) >= 2)),
+         |f AS (
+         |  SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram)
+         |SELECT lang, bigram, CAST(n AS BIGINT) AS n, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY n DESC, bigram ASC) AS rn FROM f)
+         |WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      val toksDf = Tables.documents(s, dir)
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .persist() // barrier: keep the regexp out of the bigram lambda
+      val bigrams = toksDf
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))).as("bigram"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram").asc)
+      bigrams.groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("lang", "bigram", "n", "rn")
+    },
+
+    // ------------------------------------------------------------------
     // Winnowed fingerprints: 4-token shingles, 60-bit md5 hash, min per
     // position window of 8 — the standard near-dup sketch for plagiarism
     // style matching. The md5-derived hash is bit-identical in DuckDB

@@ -15,14 +15,16 @@ object PlanAudit {
   // table), text_tfidf_topk (1-row corpus-count broadcast)
   private val nestedLoopAllowed =
     Set("range_join", "ann_topk_exact", "ann_ivf_assign",
-      "dedup_embedding_xcell", "text_tfidf_topk")
+      "dedup_embedding_xcell", "ann_ivf_topk", "text_tfidf_topk")
 
-  // dedup_embedding_xcell legitimately stacks the IVF build (2 tiny
-  // keyed aggs + a per-vector window), the cell self-join and two
-  // payload joins — 9 exchanges, of which only the last three touch
-  // corpus-scale data (the build exchanges carry 64×n_labels rows).
+  // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
+  // build (2 tiny keyed aggs + a per-vector window), the cell
+  // candidate join and two payload joins — 9-10 exchanges, of which
+  // only the last three touch corpus-scale data (the build exchanges
+  // carry 64×n_labels rows).
   private val exchangeAllowance =
-    Map("dedup_embedding_xcell" -> 10).withDefaultValue(6)
+    Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10)
+      .withDefaultValue(6)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
