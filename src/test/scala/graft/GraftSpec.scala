@@ -221,6 +221,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q6_multijoin").contains("BroadcastHashJoin"))
   }
 
+  test("late-arriving dim repair broadcasts both dim batches") {
+    val p = plan("etl_late_arriving")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("IVF-probed ANN joins candidates by cell with hash joins, not loops") {
+    val p = plan("ann_ivf_topk")
+    // the intended corpus × broadcast-centroid scoring (a nested loop)
+    // lives inside the SHARED cached cell build; the candidate/payload
+    // joins outside it must be equi-joins and never a cartesian
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "cell assignments should be shared via the persisted relation")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+  }
+
+  test("cross-engine md5 hash matches the documented DuckDB formula") {
+    // conv(substr(md5(x),1,15),16,10) must equal ('0x'||substr)::BIGINT:
+    // spot-check the Spark side against a precomputed DuckDB value
+    import org.apache.spark.sql.functions.{conv, lit, md5, substring}
+    val got = spark.range(1)
+      .select(conv(substring(md5(lit("a").cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+      .head().getLong(0)
+    assert(got == 57446577476672362L) // SELECT ('0x'||substr(md5('a'),1,15))::BIGINT
+  }
+
   test("approx percentile lands within its bound of the exact median") {
     val approx = SparkEntry.queries("q30_approx_percentile")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
