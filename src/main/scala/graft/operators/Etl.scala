@@ -335,6 +335,36 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Small-file compaction planner: month-partitions bin-packed into
+    // target output files by running-sum division — the greedy plan a
+    // lakehouse OPTIMIZE job executes. The window runs over the
+    // partition LIST (one row per month — thousands at most), never the
+    // data, so the single-partition sort is safe by construction.
+    "etl_compaction_plan" -> QueryDef.withOracle(
+      """WITH files AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+        |    count(*) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT mon, n_rows,
+        |    sum(n_rows) OVER (ORDER BY mon ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before
+        |  FROM files)
+        |SELECT mon, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(coalesce(before, 0) // 2000 AS BIGINT) AS target_file
+        |FROM c""".stripMargin) { (s, dir) =>
+      val files = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy(col("mon").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("before", sum(col("n_rows")).over(w))
+        .select(col("mon"), col("n_rows"),
+          expr("coalesce(before, 0) div 2000").as("target_file"))
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString

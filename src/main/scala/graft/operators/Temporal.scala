@@ -173,6 +173,41 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Outlier flagging from exact per-group moments (the q21 protocol:
+    // decimal power sums → double mean/std with an expression shape
+    // shared verbatim with the oracle). One aggregation + one broadcast
+    // join back to the stream — no window over the full event log.
+    "ev_anomaly" -> QueryDef.withOracle(
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    sum(CAST(value * value AS DECIMAL(18,4))) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - CAST(s.s1 AS DOUBLE) / s.n) /
+        |    sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+        |         / (s.n - 1)), 9) AS z,
+        |  abs((e.value - CAST(s.s1 AS DOUBLE) / s.n) /
+        |    sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+        |         / (s.n - 1))) > 3 AS is_anomaly
+        |FROM events e JOIN stats s ON e.event_type = s.event_type""".stripMargin) { (s, dir) =>
+      val stats = Tables.events(s, dir)
+        .groupBy(col("event_type").as("st_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(18, 4))).as("s2"))
+      val mean = col("s1").cast(DoubleType) / col("n")
+      val variance = (col("s2").cast(DoubleType) -
+        col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n")) /
+        (col("n") - 1)
+      val z = (col("value") - mean) / sqrt(variance)
+      Tables.events(s, dir)
+        .join(broadcast(stats), col("event_type") === col("st_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 9).as("z"), (abs(z) > 3).as("is_anomaly"))
+    },
+
+    // ------------------------------------------------------------------
     // Range join against a tiny band table: broadcast non-equi join.
     "range_join" -> QueryDef.withOracle(
       """SELECT b.band_label, count(*) AS n,

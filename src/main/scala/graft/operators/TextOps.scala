@@ -240,6 +240,30 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // PII scrubbing: the redaction pass every training-data pipeline
+    // runs before anything ships. Conservative patterns chosen to mean
+    // the same thing in Java regex and RE2 (no lookarounds, no
+    // backrefs); the scrubbed text is verified via md5 so the oracle
+    // proves byte-identical redaction, not just matching counts.
+    "text_pii_scrub" -> QueryDef.withOracle(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_long_ids,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<ID>', 'g')) AS scrub_md5
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val idPat = "[0-9]{6,}"
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(idPat), lit(0))).as("n_long_ids"),
+        md5(regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          idPat, "<ID>").cast(BinaryType)).as("scrub_md5"))
+    },
+
+    // ------------------------------------------------------------------
     // Winnowed fingerprints: 4-token shingles, 60-bit md5 hash, min per
     // position window of 8 — the standard near-dup sketch for plagiarism
     // style matching. The md5-derived hash is bit-identical in DuckDB
