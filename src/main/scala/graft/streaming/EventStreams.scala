@@ -119,6 +119,29 @@ object EventStreams {
         col("value"), coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding hour. Both sides are watermarked
+    * and the join predicate bounds the event-time gap, so the engine
+    * can expire buffered state — the attribution-join shape that at
+    * cluster scale runs clicks and purchases as two Kafka topics. */
+  def clickPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventStream(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup on event_id: state is bounded by the
     * watermark horizon (late duplicates beyond 1 h are dropped by the
     * engine, so state doesn't grow with the stream). */

@@ -667,6 +667,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val q = EventStreams.clickPurchaseJoin(spark, sf)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM ss_join").head().getLong(0)
+      // batch oracle: same join on the static table
+      val ev = graft.sources.Tables.eventsTimed(spark, sf)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_s").as("click_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_s").as("purchase_s"))
+      val want = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("click_s") <= col("purchase_s") &&
+          col("click_s") >= col("purchase_s") - 3600).count()
+      assert(got == want, s"stream-stream $got vs batch $want")
+      assert(got > 0)
+    } finally q.stop()
+  }
+
   test("rate source accumulates windowed state across an unbounded stream") {
     val q = EventStreams.rateWindowedCounts(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("rate_win")
