@@ -320,14 +320,20 @@ object Etl {
       // the dim rows for custkey % 7 == 0 "arrive late"
       val early = customers.filter(col("c_custkey") % 7 =!= 0)
       val late = customers.filter(col("c_custkey") % 7 === 0)
+      // a join-PRESENCE marker routes the repair path — testing the
+      // payload column for null would misroute dim rows whose segment
+      // is legitimately NULL
       val phase1 = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
-        .join(broadcast(early), col("o_custkey") === col("c_custkey"), "left_outer")
+        .join(broadcast(early.withColumn("dim_hit", lit(true))),
+          col("o_custkey") === col("c_custkey"), "left_outer")
         .select(col("o_orderkey"), col("o_custkey"),
-          col("c_mktsegment").as("segment"))
-      val resolved = phase1.filter(col("segment").isNotNull)
+          col("c_mktsegment").as("segment"), col("dim_hit"))
+      val resolved = phase1.filter(col("dim_hit"))
+        .select(col("o_orderkey"), col("o_custkey"), col("segment"))
         .withColumn("was_late", lit(false))
-      val repaired = phase1.filter(col("segment").isNull).drop("segment")
+      val repaired = phase1.filter(col("dim_hit").isNull)
+        .select(col("o_orderkey"), col("o_custkey"))
         .join(broadcast(late), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           col("c_mktsegment").as("segment"), lit(true).as("was_late"))

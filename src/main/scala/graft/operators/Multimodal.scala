@@ -70,8 +70,9 @@ object Multimodal {
     // computed from the typed metadata in pure integer/double arithmetic
     // (the real resample would run in the batched decode seam below —
     // the PLAN of what to resize to is engine-checkable, and is what a
-    // scheduler shards work by). Dims are the same deterministic fakes
-    // mm_meta derives from byte length.
+    // scheduler shards work by). Dims are byte-length-derived fakes like
+    // mm_meta's, shifted by +32 so both sides of the aspect-ratio
+    // division are provably nonzero (mm_meta's raw dims can be 0).
     "mm_resize" -> QueryDef.withOracle(
       """WITH m AS (
         |  SELECT doc_id,

@@ -45,10 +45,14 @@ object AvroConnector {
         case other =>
           throw new IllegalArgumentException(s"avro connector: unsupported type $other")
       }
-      val withNull =
-        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
-        else base
-      fs.name(f.name).`type`(withNull).withDefault(null)
+      // null is only a valid default for the ["null", T] union; a
+      // non-nullable field must declare no default or Avro throws at
+      // schema build time.
+      if (f.nullable)
+        fs.name(f.name)
+          .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+          .withDefault(null)
+      else fs.name(f.name).`type`(base).noDefault()
     }.endRecord()
   }
 

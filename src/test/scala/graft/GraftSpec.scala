@@ -451,6 +451,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("avro roundtrip handles non-nullable columns") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_avro_nn").toString
+    // spark.range produces a non-nullable id column — the field must be
+    // declared with NO default (null is invalid for a non-union type)
+    val df = spark.range(100).toDF("id")
+    graft.sources.Connectors.writeAvro(df, tmp)
+    val back = graft.sources.Connectors.readAvro(spark, tmp,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L))
+  }
+
   test("avro roundtrip preserves all columns including timestamps") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_avro_spec").toString
@@ -674,16 +688,19 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val got = spark.sql("SELECT count(*) FROM ss_join").head().getLong(0)
-      // batch oracle: same join on the static table
-      val ev = graft.sources.Tables.eventsTimed(spark, sf)
+      // batch oracle on MICROSECOND values — the streaming join compares
+      // ts_us, so a floored-seconds comparator would disagree for
+      // sub-second orderings and at the exact 1-hour boundary
+      val ev = graft.sources.Tables.events(spark, sf)
+        .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts_s").as("click_s"))
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts_s").as("purchase_s"))
+        .select(col("user_id").as("p_user"), col("ts_us").as("purchase_us"))
       val want = purchases.join(clicks,
         col("p_user") === col("c_user") &&
-          col("click_s") <= col("purchase_s") &&
-          col("click_s") >= col("purchase_s") - 3600).count()
+          col("click_us") <= col("purchase_us") &&
+          col("click_us") >= col("purchase_us") - 3600000000L).count()
       assert(got == want, s"stream-stream $got vs batch $want")
       assert(got > 0)
     } finally q.stop()
