@@ -53,7 +53,7 @@ object Dedup {
             .otherwise(typedLit(Seq.empty[String]))).as("sh"))
       .persist()
 
-  private val shingleSql =
+  private[operators] val shingleSql =
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS nt,
       |  list_distinct(list_transform(
@@ -108,7 +108,7 @@ object Dedup {
   /** LSH candidates verified with exact jaccard: (doc_a, doc_b, ni,
     * ntot) where ni = |A∩B| and ntot = |A|+|B|. Shingles are pre-hashed
     * to longs so the per-pair intersection runs on sorted longs. */
-  private def verifiedCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def verifiedCandidates(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingled(s, dir).filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
@@ -153,7 +153,7 @@ object Dedup {
   /** Oracle mirror of lshCandidates: CTEs `sh2` (non-empty shingle
     * sets), `cand` (banded-minhash pairs). Prepend `WITH s AS
     * (shingleSql),` before use. */
-  private val candSql: String = {
+  private[operators] val candSql: String = {
     val mins = (0 until NumHashes).map(i => s"min(md5('$i:' || g)) AS m$i").mkString(", ")
     val bands = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS sig FROM mh")

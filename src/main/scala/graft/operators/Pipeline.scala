@@ -7,23 +7,64 @@ import org.apache.spark.sql.functions._
   * pipeline actually runs, as one declarative plan:
   *
   *   1. exact dedup (content fingerprint, keep min doc_id)
-  *   2. near-dedup (minhash-LSH candidates verified at jaccard ≥ 0.5;
-  *      the higher doc_id of each verified pair is dropped)
+  *   2. near-dedup (banded-minhash candidates verified at jaccard ≥
+  *      0.5; the higher doc_id of each verified pair is dropped)
   *   3. quality filter (composite score ≥ 0.5)
   *
   * Emits every document with its verdict and the dominant drop reason
   * (priority: exact_dup > near_dup > low_quality > kept). Each stage is
   * the already-verified operator; Catalyst fuses the composition, and
-  * the shingle relation is shared through the cache across stages.
-  * Rows-only (the minhash stage is hash-based).
+  * the shingle relation is shared through the cache across stages. The
+  * near-dup stage rides the md5-banded candidates (oracle-reproducible,
+  * see Dedup), so the WHOLE pipeline carries a DuckDB oracle.
   */
 object Pipeline {
 
   val defs: Seq[(String, QueryDef)] = Seq(
-    "pipe_clean_corpus" -> QueryDef.rowsOnly { (s, dir) =>
+    "pipe_clean_corpus" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |nearp AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |near AS (SELECT DISTINCT doc_b AS doc_id FROM nearp),
+         |exd AS (
+         |  SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS exact_dup
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * alpha_ratio + 0.4 * (1 - stop_ratio) +
+         |          0.2 * least(n_words / 20.0, 1.0), 9) AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(${TextOps.toksSql("text")}) AS INT) AS n_words,
+         |      round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+         |            / length(text), 9) AS alpha_ratio,
+         |      round(len(list_filter(${TextOps.toksSql("text")},
+         |              x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+         |            / len(${TextOps.toksSql("text")}), 9) AS stop_ratio
+         |    FROM documents
+         |    WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]')))
+         |SELECT e.doc_id, e.exact_dup,
+         |  (n.doc_id IS NOT NULL) AS near_dup,
+         |  coalesce(q.quality_score, 0.0) AS quality_score,
+         |  CASE WHEN e.exact_dup THEN 'exact_dup'
+         |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |       WHEN coalesce(q.quality_score, 0.0) < 0.5 THEN 'low_quality'
+         |       ELSE 'kept' END AS verdict
+         |FROM exd e
+         |LEFT JOIN near n ON e.doc_id = n.doc_id
+         |LEFT JOIN q ON e.doc_id = q.doc_id""".stripMargin) { (s, dir) =>
       val exact = Dedup.defs.toMap.apply("dedup_exact").fn(s, dir)
         .select(col("doc_id"), col("is_dup").as("exact_dup"))
-      val nearPairs = Dedup.defs.toMap.apply("dedup_minhash_lsh").fn(s, dir)
+      val jac = col("ni") * lit(1.0) / (col("ntot") - col("ni"))
+      val nearPairs = Dedup.verifiedCandidates(s, dir)
+        .filter(jac >= 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
       val quality = TextOps.defs.toMap.apply("text_quality").fn(s, dir)

@@ -21,7 +21,7 @@ object TextOps {
   def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  private def toksSql(c: String) = s"regexp_extract_all(lower($c), '[a-z0-9]+')"
+  private[operators] def toksSql(c: String) = s"regexp_extract_all(lower($c), '[a-z0-9]+')"
 
   /** Whitespace normalization shared by fingerprint/dedup ops. */
   def normText(c: Column): Column =
