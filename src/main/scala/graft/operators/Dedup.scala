@@ -173,11 +173,11 @@ object Dedup {
 
     // ------------------------------------------------------------------
     "dedup_exact" -> QueryDef.withOracle(
-      """SELECT doc_id,
-        |  min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id,
-        |  count(*) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_copies,
-        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS is_dup
-        |FROM documents""".stripMargin) { (s, dir) =>
+      s"""SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(${TextOps.normSql("text")})) AS keep_id,
+         |  count(*) OVER (PARTITION BY md5(${TextOps.normSql("text")})) AS n_copies,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(${TextOps.normSql("text")})) AS is_dup
+         |FROM documents""".stripMargin) { (s, dir) =>
       val fp = md5(normText(col("text")).cast(BinaryType))
       val w = Window.partitionBy(fp)
       Tables.documents(s, dir).select(

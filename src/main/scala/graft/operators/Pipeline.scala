@@ -34,22 +34,10 @@ object Pipeline {
          |exd AS (
          |  SELECT doc_id,
          |    doc_id <> min(doc_id) OVER (PARTITION BY
-         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS exact_dup
+         |      md5(${TextOps.normSql("text")})) AS exact_dup
          |  FROM documents),
          |q AS (
-         |  SELECT doc_id,
-         |    round(0.4 * alpha_ratio + 0.4 * (1 - stop_ratio) +
-         |          0.2 * least(n_words / 20.0, 1.0), 9) AS quality_score
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(${TextOps.toksSql("text")}) AS INT) AS n_words,
-         |      round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-         |            / length(text), 9) AS alpha_ratio,
-         |      round(len(list_filter(${TextOps.toksSql("text")},
-         |              x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
-         |            / len(${TextOps.toksSql("text")}), 9) AS stop_ratio
-         |    FROM documents
-         |    WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]')))
+         |  ${TextOps.qualityScoreSql})
          |SELECT e.doc_id, e.exact_dup,
          |  (n.doc_id IS NOT NULL) AS near_dup,
          |  coalesce(q.quality_score, 0.0) AS quality_score,

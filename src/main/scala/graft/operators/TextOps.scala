@@ -27,7 +27,28 @@ object TextOps {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  private def normSql(c: String) = s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+  private[operators] def normSql(c: String) = s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  /** Oracle fragment: a CTE body computing (doc_id, quality_score),
+    * used by the corpus-cleaning pipeline oracle. The text_quality
+    * oracle repeats the same formula with its intermediate columns
+    * exposed — any change to the score must touch both (the pipeline's
+    * Spark side consumes the text_quality OPERATOR, so a one-sided
+    * oracle edit fails verify immediately). */
+  private[operators] val qualityScoreSql: String =
+    s"""SELECT doc_id,
+       |    round(0.4 * alpha_ratio + 0.4 * (1 - stop_ratio) +
+       |          0.2 * least(n_words / 20.0, 1.0), 9) AS quality_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(${toksSql("text")}) AS INT) AS n_words,
+       |      round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+       |            / length(text), 9) AS alpha_ratio,
+       |      round(len(list_filter(${toksSql("text")},
+       |              x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+       |            / len(${toksSql("text")}), 9) AS stop_ratio
+       |    FROM documents
+       |    WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]'))""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -48,6 +69,8 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // NOTE: the quality_score formula here must stay in sync with
+    // qualityScoreSql above (the pipeline oracle's copy).
     "text_quality" -> QueryDef.withOracle(
       s"""SELECT doc_id, len_chars, n_words, avg_word_len, alpha_ratio, stop_ratio,
          |  round(0.4 * alpha_ratio + 0.4 * (1 - stop_ratio) +

@@ -436,20 +436,8 @@ class PipelineSpec extends AnyFunSuite {
   }
 }
 
-class AnnRecallSpec extends AnyFunSuite {
+class ConnectorSpec extends AnyFunSuite {
   import SparkTestSession._
-
-  test("band-OR LSH ANN reaches recall >= 0.8 vs exact top-5") {
-    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
-      .select("probe_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs("ann_topk_exact")
-    val lsh = pairs("ann_lsh")
-    val recall = lsh.intersect(exact).size.toDouble / exact.size
-    info(f"LSH recall vs exact top-5: $recall%.2f (${lsh.size} candidates)")
-    assert(recall >= 0.8, f"recall $recall%.2f below 0.8 floor")
-    assert(lsh.nonEmpty)
-  }
 
   test("avro roundtrip handles non-nullable columns") {
     import java.nio.file.Files
@@ -476,6 +464,22 @@ class AnnRecallSpec extends AnyFunSuite {
     val a = orders.collect().map(_.toSeq).toSet
     val b = back.collect().map(_.toSeq).toSet
     assert(a == b, s"avro roundtrip diverged: ${(a -- b).take(2)} vs ${(b -- a).take(2)}")
+  }
+}
+
+class AnnRecallSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("band-OR LSH ANN reaches recall >= 0.8 vs exact top-5") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk_exact")
+    val lsh = pairs("ann_lsh")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"LSH recall vs exact top-5: $recall%.2f (${lsh.size} candidates)")
+    assert(recall >= 0.8, f"recall $recall%.2f below 0.8 floor")
+    assert(lsh.nonEmpty)
   }
 
   test("Misra-Gries heavy hitters bound error and surface the exact top-5") {
