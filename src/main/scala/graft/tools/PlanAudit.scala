@@ -22,8 +22,13 @@ object PlanAudit {
   // candidate join and two payload joins — 9-10 exchanges, of which
   // only the last three touch corpus-scale data (the build exchanges
   // carry 64×n_labels rows).
+  // pipe_clean_corpus composes three verified operators (exact-dup
+  // window + banded-minhash candidate join + quality) plus two verdict
+  // joins — 7 exchanges, each belonging to an individually-audited
+  // stage.
   private val exchangeAllowance =
-    Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10)
+    Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
+      "pipe_clean_corpus" -> 8)
       .withDefaultValue(6)
 
   def main(args: Array[String]): Unit = {
