@@ -151,6 +151,21 @@ object EventStreams {
       .dropDuplicates("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
 
+  /** Declarative gap sessionization via the native `session_window`
+    * (30 min gap): the engine manages merging/expiring session state
+    * under the watermark — the zero-custom-code alternative to
+    * [[sessionize]] when only per-session AGGREGATES (not per-event
+    * assignments) are needed. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame =
+    eventStream(spark, sfDir)
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts_us"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+
   /** Stateful gap sessionization (>30 min silence = new session). State
     * per user is O(1): last event time + session ordinal. */
   def sessionize(spark: SparkSession, sfDir: String): Dataset[SessionAssign] =

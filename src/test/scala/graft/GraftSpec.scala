@@ -685,6 +685,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window sessions agree with the stateful sessionizer") {
+    val q = EventStreams.sessionWindows(spark, sf)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // same gap rule as the flatMapGroupsWithState path → identical
+      // (user, session-event-count) multiset
+      val got = spark.sql(
+        "SELECT user_id, n_events FROM sess_win ORDER BY user_id, n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = SparkEntry.queries("ev_sessionize")(spark, sf)
+        .select("user_id", "n_events").orderBy("user_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == want, s"session_window ${got.take(3)} vs stateful ${want.take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val q = EventStreams.clickPurchaseJoin(spark, sf)
       .writeStream.format("memory").queryName("ss_join")
