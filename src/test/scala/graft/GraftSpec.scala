@@ -198,6 +198,23 @@ class OperatorSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("no query outputs decimal or nested columns (driver-gate protocol)") {
+    // the driver's hash gate rejects DECIMAL repr mismatches and its
+    // row sort crashes on array/struct/map cells — §4's output protocol
+    // (decimal stays internal, DOUBLE out; arrays explode to scalars)
+    // is enforced here so a violation fails `sbt test`, not round review
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType, StructType => SType}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sf).schema.fields.foreach { f =>
+        val bad = f.dataType match {
+          case _: DecimalType | _: ArrayType | _: SType | _: MapType => true
+          case _ => false
+        }
+        assert(!bad, s"$name outputs driver-hostile column ${f.name}: ${f.dataType}")
+      }
+    }
+  }
+
   test("multimodal stub decoder is deterministic and normalized") {
     val f1 = Multimodal.decodeStub("hello world, a payload".getBytes)
     val f2 = Multimodal.decodeStub("hello world, a payload".getBytes)
