@@ -263,6 +263,37 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // BPE-ish token-budget estimate: words + an extra token per started
+    // 6-char chunk beyond the first (long words split under subword
+    // vocabularies) + punctuation marks (typically their own tokens).
+    // Pure integer arithmetic → exact oracle; the estimate is what a
+    // pipeline budgets context windows and pricing by before running a
+    // real tokenizer.
+    "text_token_estimate" -> QueryDef.withOracle(
+      s"""SELECT doc_id,
+         |  CAST(len(${toksSql("text")}) AS INT) AS n_words,
+         |  CAST(list_sum(list_transform(${toksSql("text")},
+         |        x -> (length(x) - 1) // 6)) AS BIGINT) AS n_subword_splits,
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+         |  CAST(len(${toksSql("text")}) +
+         |    list_sum(list_transform(${toksSql("text")}, x -> (length(x) - 1) // 6)) +
+         |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS est_tokens
+         |FROM documents
+         |WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]')""".stripMargin) { (s, dir) =>
+      val splits = aggregate(col("toks"), lit(0L),
+        (acc, x) => acc + floor((length(x) - 1) / lit(6.0)).cast(LongType))
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0 && col("text").rlike("[a-zA-Z0-9]"))
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_words"),
+          splits.as("n_subword_splits"),
+          length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).as("n_punct"),
+          (size(col("toks")) + splits +
+            length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))).as("est_tokens"))
+    },
+
+    // ------------------------------------------------------------------
     // PII scrubbing: the redaction pass every training-data pipeline
     // runs before anything ships. Conservative patterns chosen to mean
     // the same thing in Java regex and RE2 (no lookarounds, no
