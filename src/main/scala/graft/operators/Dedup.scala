@@ -81,8 +81,37 @@ object Dedup {
   private val NumHashes = 16
   private val NumBands = 8 // 2 rows per band
 
-  /** Banded-minhash candidate pairs (doc_a < doc_b), deterministic. */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Production LSH safety valve: band buckets holding more than this
+    * many docs are excluded from candidate generation. A band self-join
+    * emits ~B²/2 pairs for a bucket of B docs; on a boilerplate-heavy
+    * real corpus one ubiquitous band (a shared header/footer shingle
+    * set) can hold 10⁵+ docs → 10¹⁰ pairs from a single bucket. The cap
+    * bounds every bucket's contribution at cap²; recall is lost only
+    * for pairs whose EVERY shared band is over-cap. The SAME cap is
+    * mirrored in every oracle CTE (HAVING count(*) > cap + anti join),
+    * so the semantics stay engine-identical whether or not the cap
+    * fires. At the test SFs no bucket comes near it (LshCapSpec checks);
+    * ScaleStress drives a deliberately hot band over it and reports the
+    * dropped-candidate count. */
+  private[graft] val MaxBandBucket = 1024
+
+  /** Drop over-cap band buckets from `bands` (keys = bucket identity).
+    * The hot-bucket list is tiny by construction (≤ corpus/cap buckets
+    * can exceed the cap) → broadcast anti join, no extra shuffle of the
+    * bands relation beyond one combiner-friendly count. */
+  private[graft] def capBuckets(bands: DataFrame, keys: Seq[String],
+      cap: Int = MaxBandBucket): DataFrame = {
+    val hot = bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(keys.map(col): _*)
+    bands.join(broadcast(hot), keys, "left_anti")
+  }
+
+  /** The 8×2 banded md5 minhash signatures, one (doc_id, band, sig) row
+    * per doc×band. Persisted: both sides of the bucket self-join and
+    * the cap's bucket count reuse one band scan. */
+  private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).filter(size(col("sh")) > 0)
     // all 16 min-hashes in ONE aggregation pass over the exploded
     // shingles (map-side partial agg → 16 strings per doc through the
@@ -92,13 +121,17 @@ object Dedup {
     val mh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
-    // persist: both sides of the bucket self-join reuse one band scan
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b =>
         concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
         .as(Seq("band", "sig")))
       .persist()
-    bands.as("x").join(bands.as("y"),
+  }
+
+  /** Banded-minhash candidate pairs (doc_a < doc_b), deterministic. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val capped = capBuckets(bandedSignatures(s, dir), Seq("band", "sig"))
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -141,10 +174,13 @@ object Dedup {
        |sim AS (SELECT doc_id, $bits AS simhash FROM bs),
        |bands AS (
        |  $bands),
+       |hotb AS (SELECT band, bv FROM bands
+       |         GROUP BY band, bv HAVING count(*) > $MaxBandBucket),
+       |bands2 AS (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, bv)),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS sim_a, y.simhash AS sim_b
-       |  FROM bands x JOIN bands y
+       |  FROM bands2 x JOIN bands2 y
        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
@@ -163,10 +199,47 @@ object Dedup {
        |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
        |bands AS (
        |  $bands),
+       |hotb AS (SELECT band, sig FROM bands
+       |         GROUP BY band, sig HAVING count(*) > $MaxBandBucket),
+       |bands2 AS (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, sig)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bands2 a JOIN bands2 b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Oracle for dedup_minhash_lsh: the same 16 md5-string minhashes as
+    * candSql but banded 4×4 (stricter collision rule than the 8×2
+    * reporting variant), capped buckets, then exact-jaccard ≥ 0.5
+    * verification. */
+  private val minhashLshSql: String = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('$i:' || g)) AS m$i").mkString(", ")
+    val bandExprs = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, " +
+        (4 * b until 4 * b + 4).map(i => s"m$i").mkString(" || '|' || ") +
+        " AS sig FROM mh")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s AS ($shingleSql),
+       |sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
+       |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  $bandExprs),
+       |hotb AS (SELECT band, sig FROM bands
+       |         GROUP BY band, sig HAVING count(*) > $MaxBandBucket),
+       |bands2 AS (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands2 a JOIN bands2 b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(x.sh, y.sh)) * 1.0
+       |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+       |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+       |  JOIN sh2 y ON y.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, round(jac, 9) AS jac
+       |FROM pairs WHERE jac >= 0.5""".stripMargin
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -257,9 +330,25 @@ object Dedup {
       // rejoin via a left join at the end.
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("label")).persist()
+      // Lineage cut per round: localCheckpoint by default (fast, but
+      // its blocks die with their executor — acceptable in local mode /
+      // short jobs); setting spark.graft.checkpoint.dir switches to a
+      // RELIABLE checkpoint on the shared filesystem, which a
+      // 1000-executor job needs so one lost executor doesn't force a
+      // full restart of the iteration.
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      def cutLineage(df: DataFrame): DataFrame =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
+      // Pointer jumping halves remaining depth per round → 20 rounds
+      // cover component diameters up to ~2^20; non-convergence past the
+      // cap fails LOUDLY below instead of emitting wrong cluster ids.
+      val maxIters = 20
       var converged = false
       var iter = 0
-      while (!converged && iter < 15) {
+      while (!converged && iter < maxIters) {
         val propagated = labels.join(edges, col("doc_id") === col("src"))
           .select(col("dst").as("doc_id"), col("label"),
             lit(Long.MaxValue).as("old_label"))
@@ -277,16 +366,17 @@ object Dedup {
         // min(old_label) recovers the doc's previous label (the only
         // non-MaxValue contribution), so the delta test needs no second
         // join; localCheckpoint caches AND cuts lineage at this round.
-        val next = own.unionByName(propagated).unionByName(shortcut)
+        val next = cutLineage(own.unionByName(propagated).unionByName(shortcut)
           .groupBy(col("doc_id"))
-          .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label"))
-          .localCheckpoint(false)
+          .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label")))
         val changed = next.filter(col("label") < col("old_label")).count()
         labels.unpersist()
         labels = next.select(col("doc_id"), col("label"))
         converged = changed == 0
         iter += 1
       }
+      require(converged,
+        s"dedup_cluster_assign: label propagation did not converge in $maxIters rounds")
       // edges stays cached: repeated calls (warmup → timed bench, or a
       // pipeline invoking the operator twice) reuse it via Spark's
       // canonical-plan cache, like every other persisted relation here.
@@ -298,27 +388,32 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
-    // MinHash + banded LSH: 16 hashes, 4 bands × 4 rows, candidates from
-    // band-bucket equality, verified with exact jaccard ≥ 0.5.
-    // Cross-engine hash functions differ → rows-only check.
-    "dedup_minhash_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+    // MinHash + banded LSH: 16 hashes, 4 bands × 4 rows (the strict
+    // dedup collision rule — P(candidate) ≈ s¹⁶-banded, sharp knee at
+    // jaccard 0.5+ vs candSql's permissive 8×2 reporting variant),
+    // capped buckets, candidates verified with exact jaccard ≥ 0.5.
+    // The md5-string minhash makes the banding bit-reproducible in
+    // DuckDB → fully oracled (a production run swaps xxhash64 in
+    // without changing the shape; that fast path's throughput is
+    // measured in ScaleStress).
+    "dedup_minhash_lsh" -> QueryDef.withOracle(minhashLshSql) { (s, dir) =>
       val sh = shingled(s, dir).filter(size(col("sh")) > 0)
-      // All 16 min-hashes in ONE aggregation pass: each seed is a
-      // separate min(xxhash64(shingle, seed)) — map-side partial
-      // aggregation reduces the shuffle to 16 longs per doc (vs a 16×
-      // row blowup through the exchange).
-      val minExprs = (0 until 16).map(i =>
-        min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-      val sigs = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // All 16 min-hashes in ONE aggregation pass: map-side partial
+      // aggregation reduces the shuffle to 16 strings per doc (vs a
+      // 16× row blowup through the exchange).
+      val minExprs = (0 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
+      val sigs = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         .groupBy(col("doc_id"))
         .agg(minExprs.head, minExprs.tail: _*)
-      // 4 bands × 4 rows: band signature = hash of its 4 minhashes.
       val bands = sigs.select(col("doc_id"),
         posexplode(array((0 until 4).map(b =>
-          xxhash64((4 * b until 4 * b + 4).map(i => col(s"m$i")): _*)): _*))
-          .as(Seq("band", "bsig")))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"m$i")): _*)): _*))
+          .as(Seq("band", "sig")))
+        .persist() // both sides of the bucket self-join + the cap count
+      val capped = capBuckets(bands, Seq("band", "sig"))
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
@@ -359,10 +454,13 @@ object Dedup {
             .reduce((a, c) => a + c))
         .select(col("doc_id"), col("simhash"))
         .persist() // reused by both sides of the band self-join
-      val banded = withSim.select(col("doc_id"), col("simhash"),
+      val banded0 = withSim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(j =>
           shiftright(col("simhash"), 15 * j).bitwiseAND(lit(0x7FFFL))): _*))
           .as(Seq("band", "bv")))
+      // hot-bucket cap (mirrored in the oracle's hotb/bands2 CTEs); the
+      // count agg reads the persisted withSim, not a second corpus scan
+      val banded = capBuckets(banded0, Seq("band", "bv"))
       val pairs = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))

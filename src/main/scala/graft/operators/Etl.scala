@@ -404,6 +404,32 @@ object Etl {
       Connectors.writeAvro(Tables.part(s, dir), tmp)
       Connectors.readAvro(s, tmp, Tables.partSchema)
         .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+    },
+
+    // ------------------------------------------------------------------
+    // Avro roundtrip of an ARRAY column (the embeddings table): the
+    // oracle reads the ORIGINAL parquet, so any float lost or reordered
+    // by the avro array mapping would hash-fail. Output stays scalar
+    // per the §4 protocol: length, first element, and an exact
+    // fixed-point sum over the elements (order-sensitive float sums are
+    // not portable; floor(x·2^20 + 0.5) summed as BIGINT is).
+    "src_avro_embeddings" -> QueryDef.withOracle(
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e_first,
+        |  CAST(list_aggregate(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)), 'sum')
+        |    AS BIGINT) AS e_fpsum
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_avro_emb").toString
+      Connectors.writeAvro(Tables.embeddings(s, dir), tmp)
+      Connectors.readAvro(s, tmp, Tables.embeddingsSchema)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast(DoubleType), 6).as("e_first"),
+          aggregate(transform(col("embedding"),
+              x => floor(x.cast(DoubleType) * 1048576 + 0.5).cast(LongType)),
+            lit(0L), (a, x) => a + x).as("e_fpsum"))
     }
   )
 }

@@ -37,6 +37,20 @@ object Relational {
   private def d2(c: Column): Column = c.cast(dec2)
   private def d4(c: Column): Column = c.cast(dec4)
 
+  /** Uniform range-bucket id over [mn, mx] in `buckets` cells, with the
+    * boundaries collected ONCE and inlined as literals. Literal
+    * boundaries are deterministic across jobs AND task retries (a
+    * RangePartitioner re-samples per execution, so two jobs over the
+    * same lineage can disagree on cut points); that determinism is what
+    * keeps the per-range counts and the per-range local ranks of the
+    * distributed-rank queries (q28/q34) mutually consistent. Degenerate
+    * range (mx == mn) collapses to one bucket — correct, just unsplit. */
+  private def rangeBucket(v: Column, mn: Double, mx: Double, buckets: Int): Column =
+    if (mx > mn)
+      least(lit(buckets - 1),
+        floor((v - mn) / ((mx - mn) / buckets)).cast(IntegerType))
+    else lit(0)
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -161,10 +175,25 @@ object Relational {
         |    row_number() OVER (PARTITION BY o_orderpriority
         |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
+      // Two-phase top-k. o_orderpriority has 5 values, so a plain
+      // partitionBy(o_orderpriority) window funnels the whole fact table
+      // into ≤5 reducer tasks that each sort everything (AQE cannot
+      // split a skewed WINDOW partition the way it splits a join).
+      // Phase 1 salts the partition key: 5×64 bounded window partitions,
+      // each ~1/64th of a priority class, local top-3 per salt cell.
+      // Phase 2 ranks the ≤ 5×64×3 survivors — a tiny input — with the
+      // same total order, so the final row_number is identical to the
+      // single-window formulation the oracle runs.
+      val salted = Tables.orders(s, dir)
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(64)))
+      val wLocal = Window.partitionBy(col("o_orderpriority"), col("salt"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, dir)
-        .withColumn("rn", row_number().over(w))
+      val wFinal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      salted
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= 3)
+        .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     },
@@ -625,13 +654,53 @@ object Relational {
         |  round(cume_dist() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice ASC, o_orderkey ASC), 9) AS cume
         |FROM orders""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
+      // Distributed rank: a direct ntile/percent_rank window over the
+      // 5-value priority key would sort the whole table in ≤5 tasks.
+      // Instead: (1) range-bucket the order column with literal
+      // boundaries (200 cells), (2) per-(priority, bucket) counts →
+      // running offsets (tiny, ≤5×200 rows), (3) local row_number per
+      // (priority, bucket) cell + broadcast offset = exact global rank,
+      // (4) ntile/percent_rank/cume_dist recovered from (rank, n) in
+      // closed form — valid because the (price, orderkey) ordering is
+      // unique, making rank() == row_number() and cume_dist == rank/n.
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val mmx = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      val withB = o.withColumn("bkt",
+        rangeBucket(col("o_totalprice"), mmx.getDouble(0), mmx.getDouble(1), 200))
+      val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("bkt").asc)
+      val offs = withB.groupBy(col("o_orderpriority"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("o_orderpriority"), col("bkt"),
+          coalesce(sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+          sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+      val wLocal = Window.partitionBy(col("o_orderpriority"), col("bkt"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      Tables.orders(s, dir).select(
+      val ranked = withB
+        .withColumn("lrn", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("o_orderpriority", "bkt"))
+        .withColumn("rnk", col("off") + col("lrn"))
+      // ntile(4) in closed form: base = n div 4 rows per bucket, the
+      // first r = n mod 4 buckets take one extra row. All divisions are
+      // int-over-int in double — exact well below 2^52, floor recovers
+      // the integer quotient. baseSafe only guards the (never-taken-
+      // when-base-is-0) otherwise branch against ANSI division-by-zero.
+      val n = col("n")
+      val base = floor(n / 4)
+      val r = n % 4
+      val thr = r * (base + 1)
+      val baseSafe = greatest(base, lit(1L))
+      val quart = when(col("rnk") <= thr,
+          floor((col("rnk") - 1) / (base + 1)) + 1)
+        .otherwise(r + floor((col("rnk") - thr - 1) / baseSafe) + 1)
+      ranked.select(
         col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).as("price_quartile"),
-        round(percent_rank().over(w), 9).as("pct_rank"),
-        round(cume_dist().over(w), 9).as("cume"))
+        quart.as("price_quartile"),
+        when(n > 1, round((col("rnk") - 1).cast(DoubleType) / (n - 1), 9))
+          .otherwise(lit(0.0)).as("pct_rank"),
+        round(col("rnk").cast(DoubleType) / n, 9).as("cume"))
     },
 
     // ------------------------------------------------------------------
@@ -652,18 +721,49 @@ object Relational {
         |      count(*) OVER (PARTITION BY l_returnflag) AS n
         |    FROM lineitem)
         |  GROUP BY l_returnflag)""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      Tables.lineitem(s, dir)
+      // Distributed exact selection: ranking the whole table inside a
+      // 3-value returnflag window would sort everything in ≤3 tasks.
+      // Instead: (1) range-bucket l_quantity with literal boundaries,
+      // (2) per-(flag, bucket) counts → running offsets (tiny),
+      // (3) locate the ≤2 buckets holding the middle positions
+      // (n+1)//2 and (n+2)//2 per flag, (4) sort ONLY those hot
+      // buckets (≈ n/200 rows each) locally; global rank = local
+      // row_number + bucket offset. Same selection the oracle's full
+      // window computes, at a bounded per-task sort.
+      val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_quantity"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(wAll).as("n"))
+          col("l_orderkey"), col("l_linenumber"))
+      val mmx = li.agg(min(col("l_quantity")), max(col("l_quantity"))).head()
+      val withB = li.withColumn("bkt",
+        rangeBucket(col("l_quantity"), mmx.getDouble(0), mmx.getDouble(1), 200))
+      val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt").asc)
+      val offs = withB.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("bkt"), col("cnt"),
+          coalesce(sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+          sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+      val targets = offs.select(col("l_returnflag"), col("n")).distinct()
+        .select(col("l_returnflag"), col("n"),
+          explode(array(floor((col("n") + 1) / 2), floor((col("n") + 2) / 2))).as("pos"))
+      val hot = targets.join(
+          offs.select(col("l_returnflag"), col("bkt"), col("cnt"), col("off")),
+          Seq("l_returnflag"))
+        .filter(col("pos") > col("off") && col("pos") <= col("off") + col("cnt"))
+      val hotBuckets = hot.select(col("l_returnflag"), col("bkt"), col("off")).distinct()
+      val wLoc = Window.partitionBy(col("l_returnflag"), col("bkt"))
+        .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val ranked = withB.join(broadcast(hotBuckets), Seq("l_returnflag", "bkt"))
+        .withColumn("grank", row_number().over(wLoc) + col("off"))
+      val tg = hot.select(col("l_returnflag").as("tf"), col("n"), col("pos")).distinct()
+      ranked.join(broadcast(tg),
+          col("l_returnflag") === col("tf") && col("grank") === col("pos"))
         .groupBy(col("l_returnflag"))
         .agg(
           max(col("n")).as("n"),
-          max(when(col("rn") === floor((col("n") + 1) / 2), col("l_quantity"))).as("lo_mid"),
-          max(when(col("rn") === floor((col("n") + 2) / 2), col("l_quantity"))).as("hi_mid"))
+          max(when(col("pos") === floor((col("n") + 1) / 2), col("l_quantity"))).as("lo_mid"),
+          max(when(col("pos") === floor((col("n") + 2) / 2), col("l_quantity"))).as("hi_mid"))
         .select(col("l_returnflag"), col("n"),
           ((col("lo_mid") + col("hi_mid")) / 2).as("median_qty"))
     }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Vectors
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -30,7 +30,8 @@ object Similarity {
     * fixed-point sums (order/partitioning-invariant), every vector
     * scored against the broadcast centroid table, ranked by
     * (cos_c DESC, c_label ASC). Returns (vec_id, label, c_label,
-    * cos_c, rn); callers filter rn <= topN for multi-cell probing. */
+    * cos_c, rn) for the TOP-2 cells per vector (rn ∈ {1, 2} — all any
+    * caller probes); callers filter rn = 1 for home-cell assignment. */
   private[operators] def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // Fixed-point accumulation: scale by 2^20 (exact double op), round
@@ -47,19 +48,35 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s").cast(DoubleType) / 1048576).as("cvec"))
+    // The centroid table is tiny (one row per label): collapse it to a
+    // single array-of-structs and broadcast THAT, so each vector scores
+    // all cells and picks its top-2 inside one projection — zero
+    // corpus-scale shuffle. (The previous formulation ranked
+    // corpus × n_cells rows through a partitionBy(vec_id) window: no
+    // skew, but the exchange carried n_cells× the corpus for a result
+    // derivable row-locally.)
+    val centArr = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
     val embD = transform(col("embedding"), x => x.cast(DoubleType))
     // sequential-order double accumulation, matching DuckDB's
-    // list_cosine_similarity on double lists
-    val dot = aggregate(zip_with(embD, col("cvec"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(embD, lit(0.0), (acc, x) => acc + x * x)
-    val nb = aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x)
-    val cosC = round(dot / sqrt(na * nb), 6)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("c_label").asc)
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("c_label"), cosC.as("cos_c"))
-      .withColumn("rn", row_number().over(w))
+    // list_cosine_similarity on double lists; sort key = (-cos, label)
+    // ascending ≡ the oracle's (cos DESC, c_label ASC) ranking, and
+    // negating the ROUNDED double is exact, so cos is recovered as -neg.
+    def negCos(c: Column): Column = {
+      val cv = c.getField("cvec")
+      val dot = aggregate(zip_with(embD, cv, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val na = aggregate(embD, lit(0.0), (acc, x) => acc + x * x)
+      val nb = aggregate(cv, lit(0.0), (acc, x) => acc + x * x)
+      -round(dot / sqrt(na * nb), 6)
+    }
+    val top2 = slice(sort_array(transform(col("cents"), c =>
+      struct(negCos(c).as("neg"), c.getField("c_label").as("c_label")))), 1, 2)
+    e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("label"),
+        posexplode(top2).as(Seq("pos", "sc")))
+      .select(col("vec_id"), col("label"),
+        col("sc.c_label").as("c_label"), (-col("sc.neg")).as("cos_c"),
+        (col("pos") + 1).as("rn"))
   }
 
   /** Oracle CTEs mirroring [[ivfAssignments]] (`sums`, `cent`,

@@ -126,6 +126,64 @@ object ScaleStress {
           Seq(0.5, 0.95, 0.99)).as("est"))
         .count()
     }
+
+    // ---- round-3 shapes ------------------------------------------------
+    // Pathological join skew: ONE key holds 50% of all fact rows — the
+    // case the salted-join utility exists for. Broadcast is disabled so
+    // the join actually shuffles (with a broadcastable dim there is no
+    // reducer skew to fix). Three timings: raw skew (AQE skew-join
+    // splitting off), AQE's runtime split, and the explicit salt.
+    val skewFact = spark.range(n).select(
+      when(pmod(col("id"), lit(2)) === 0, lit(7L))
+        .otherwise(pmod(hash(col("id")), lit(100)).cast(LongType)).as("suppkey"),
+      col("id").as("orderkey"),
+      (pmod(hash(col("id"), lit(1)), lit(100000)) / 100.0 + 1.0).as("price"))
+    val dimR = dim.select(col("s_suppkey").as("suppkey"), col("s_name"))
+    val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("skewed SMJ unsalted, AQE skew split OFF (key 7 = 50% of rows)") {
+      skewFact.join(dimR, Seq("suppkey")).count()
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    time("skewed SMJ unsalted, AQE skew split ON") {
+      skewFact.join(dimR, Seq("suppkey")).count()
+    }
+    time("skewed join SALTED x16 (Skew.saltedJoin)") {
+      graft.operators.Skew.saltedJoin(skewFact, dimR, "suppkey", col("orderkey"), 16)
+        .count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+
+    // Hot-band LSH: every doc additionally lands in ONE ubiquitous band
+    // bucket (a corpus-wide boilerplate band — the shared-header case).
+    // Without the cap that single bucket alone contributes ~nDocs²/2
+    // candidate pairs (2×10^10 at 200k docs — unrunnable); the cap
+    // drops it and candidates stay ∝ duplicate density.
+    val bandsAll = {
+      val mins = (0 until 16).map(i => min(xxhash64(col("g"), lit(i))).as(s"m$i"))
+      val mh = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      mh.select(col("doc_id"),
+        posexplode(array((0 until 8).map(b =>
+          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
+          .as(Seq("band", "sig")))
+        .unionByName(docs.select(col("doc_id"), lit(8).as("band"), lit(0L).as("sig")))
+        .persist()
+    }
+    val uncappedUpperBound = bandsAll.groupBy(col("band"), col("sig")).count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0)
+    stressTime("banded dedup candidates WITH hot band, capped (200k docs)", nDocs) {
+      val capped = graft.operators.Dedup.capBuckets(bandsAll, Seq("band", "sig"))
+      val dropped = bandsAll.count() - capped.count()
+      val cands = capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+      println(f"[stress]   hot-band cap: dropped $dropped doc-band rows from over-cap buckets; " +
+        f"capped candidates=$cands vs uncapped upper bound ${uncappedUpperBound}%.2e pairs")
+      cands
+    }
     spark.stop()
   }
 }

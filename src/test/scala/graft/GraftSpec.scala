@@ -277,6 +277,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("distributed-rank queries never sort a whole group in one task") {
+    // q7/q34/q28 group on 3-5-value keys; a window partitioned ONLY by
+    // that key funnels the whole fact table into as many tasks. The
+    // rewrites salt/range-bucket the partition key; any remaining
+    // single-key window must consume bounded input (a top-k filter or a
+    // pre-aggregated tiny child), never the raw scan.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q7_window_topk", "q34_rank_family", "q28_median_exact")) {
+      val phys = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val wins = phys.collect { case w: WindowExec => w }
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        s"$q: no window partitioned beyond the low-cardinality group key")
+      wins.filter(_.partitionSpec.size < 2).foreach { w =>
+        val bounded = w.child.collectFirst {
+          case f: FilterExec => f
+          case a: BaseAggregateExec => a
+        }.nonEmpty
+        assert(bounded, s"$q: single-key window reads unbounded input:\n$w")
+      }
+    }
+  }
+
   test("shingle pipelines evaluate the tokenizer exactly once") {
     // regression guard: CollapseProject inlining the regexp into
     // per-element lambdas is an O(n^2)-regexp trap (see Dedup.shingled)
@@ -393,6 +417,51 @@ class EdgeCorpusSpec extends AnyFunSuite {
   }
 }
 
+class LshCapSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("over-cap band buckets are dropped from candidate generation") {
+    import spark.implicits._
+    val rows = (0 until 50).map(i => (i.toLong, 0, "hot")) ++
+      Seq((100L, 0, "cold1"), (101L, 0, "cold1"), (200L, 1, "cold2"))
+    val bands = rows.toDF("doc_id", "band", "sig")
+    val kept = graft.operators.Dedup.capBuckets(bands, Seq("band", "sig"), cap = 10)
+    val sigs = kept.select("sig").distinct().collect().map(_.getString(0)).toSet
+    assert(sigs == Set("cold1", "cold2"))
+    assert(kept.count() == 3)
+  }
+
+  test("test-corpus band buckets stay far below the default cap") {
+    // oracle parity never depends on the cap firing at test SFs (the
+    // oracles mirror it anyway), but this documents the headroom
+    val maxBucket = graft.operators.Dedup.bandedSignatures(spark, sf)
+      .groupBy(col("band"), col("sig")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    info(s"max band bucket at sf0.001: $maxBucket (cap ${graft.operators.Dedup.MaxBandBucket})")
+    assert(maxBucket <= graft.operators.Dedup.MaxBandBucket)
+  }
+}
+
+class ClusterCheckpointSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("reliable-checkpoint mode produces identical clusters") {
+    import java.nio.file.{Files, Paths}
+    def clusters(): Set[(Long, Long, Boolean)] =
+      SparkEntry.queries("dedup_cluster_assign")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val base = clusters()
+    val dir = Files.createTempDirectory("graft_ckpt_rel").toString
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      assert(clusters() == base)
+      // the rounds actually wrote reliable checkpoint data
+      assert(Files.walk(Paths.get(dir)).filter(Files.isRegularFile(_)).count() > 0,
+        s"no checkpoint files under $dir")
+    } finally spark.conf.unset("spark.graft.checkpoint.dir")
+  }
+}
+
 class Scd2MergeSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -468,6 +537,30 @@ class ConnectorSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false))))
     assert(back.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L))
+  }
+
+  test("avro connector rides the Hadoop FileSystem API (explicit file: URI)") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_avro_fs").toString
+    val df = graft.sources.Tables.region(spark, sf)
+    graft.sources.Connectors.writeAvro(df, s"file:$tmp")
+    val back = graft.sources.Connectors.readAvro(spark, s"file:$tmp",
+      graft.sources.Tables.regionSchema)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // the commit protocol cleaned up its temp dir
+    assert(!Files.exists(java.nio.file.Paths.get(tmp, "_temporary")))
+  }
+
+  test("avro roundtrips array columns bit-exactly (embeddings)") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_avro_arr").toString
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    graft.sources.Connectors.writeAvro(e, tmp)
+    val back = graft.sources.Connectors.readAvro(spark, tmp,
+      graft.sources.Tables.embeddingsSchema)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList, r.getInt(2))).toSet
+    assert(key(back) == key(e))
   }
 
   test("avro roundtrip preserves all columns including timestamps") {
@@ -665,13 +758,19 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$sf/events.parquet")
     val ts = ev.select("ts").collect().map(_.getLong(0)).sorted
     val (t1, t2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
+    val t0 = System.currentTimeMillis()
     Seq(col("ts") <= t1, col("ts") > t1 && col("ts") <= t2, col("ts") > t2)
       .zipWithIndex.foreach { case (pred, i) =>
         val tmp = Files.createTempDirectory(s"graft_terc$i")
         ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
-        Files.copy(part, Paths.get(dir, f"batch_$i%02d.parquet"))
-        Thread.sleep(5) // distinct mod times keep source file order stable
+        val dst = Files.copy(part, Paths.get(dir, f"batch_$i%02d.parquet"))
+        // EXPLICIT increasing mtimes (2 s apart): FileStreamSource orders
+        // by modification time, and on coarse-granularity (1 s) file
+        // systems wall-clock writes can share a timestamp → flaky batch
+        // order. Setting the times directly is deterministic everywhere.
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
       }
     dir
   }

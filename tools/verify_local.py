@@ -69,6 +69,10 @@ def main(sf_dir, out_dir):
             continue
         files = glob.glob(os.path.join(pq_dir, "*.parquet"))
         if not files:
+            # a query dir with no parquet means the Spark job crashed
+            # before writing output — that is a failure, not a skip
+            print(f"FAIL {d} (rows-only): no parquet output at {pq_dir}")
+            n_fail += 1
             continue
         schema = pq.read_schema(files[0])
         bad_cols = [f.name for f in schema
