@@ -101,10 +101,14 @@ object Dedup {
     * bands relation beyond one combiner-friendly count. */
   private[graft] def capBuckets(bands: DataFrame, keys: Seq[String],
       cap: Int = MaxBandBucket): DataFrame = {
+    // persisted: the hot list is tiny (usually empty) and referenced by
+    // BOTH sides of the downstream self-join — the cache collapses the
+    // bucket-count subtree to one evaluation
     val hot = bands.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
       .select(keys.map(col): _*)
+      .persist()
     bands.join(broadcast(hot), keys, "left_anti")
   }
 

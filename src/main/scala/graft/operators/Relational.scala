@@ -744,6 +744,7 @@ object Relational {
             .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
           sum(col("cnt"))
             .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+        .persist() // ≤ 3×200 rows, referenced by targets/hot/ranked
       val targets = offs.select(col("l_returnflag"), col("n")).distinct()
         .select(col("l_returnflag"), col("n"),
           explode(array(floor((col("n") + 1) / 2), floor((col("n") + 2) / 2))).as("pos"))

@@ -128,13 +128,13 @@ object ScaleStress {
     }
 
     // ---- round-3 shapes ------------------------------------------------
-    // Pathological join skew: ONE key holds 50% of all fact rows — the
+    // Pathological join skew: ONE key holds 95% of all fact rows — the
     // case the salted-join utility exists for. Broadcast is disabled so
     // the join actually shuffles (with a broadcastable dim there is no
     // reducer skew to fix). Three timings: raw skew (AQE skew-join
     // splitting off), AQE's runtime split, and the explicit salt.
     val skewFact = spark.range(n).select(
-      when(pmod(col("id"), lit(2)) === 0, lit(7L))
+      when(pmod(col("id"), lit(20)) < 19, lit(7L))
         .otherwise(pmod(hash(col("id")), lit(100)).cast(LongType)).as("suppkey"),
       col("id").as("orderkey"),
       (pmod(hash(col("id"), lit(1)), lit(100000)) / 100.0 + 1.0).as("price"))
@@ -142,7 +142,7 @@ object ScaleStress {
     val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    time("skewed SMJ unsalted, AQE skew split OFF (key 7 = 50% of rows)") {
+    time("skewed SMJ unsalted, AQE skew split OFF (key 7 = 95% of rows)") {
       skewFact.join(dimR, Seq("suppkey")).count()
     }
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
