@@ -37,7 +37,7 @@ object Dedup {
     * exchange; the relation is corpus-linear and column-pruned (ids +
     * shingle hashes, not text).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(

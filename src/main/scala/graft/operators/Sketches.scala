@@ -54,6 +54,27 @@ object Sketches {
         .select(col("l_returnflag"),
           element_at(typedLit(KllQs), col("qi").cast("int") + 1).as("q"),
           col("est_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Mergeable distinct-count sketches (Apache DataSketches HLL, native
+    // in Spark 4): one sketch per source slice, then the UNION of those
+    // partial sketches answers the corpus-wide distinct question
+    // without a second scan — the per-slice + global pattern a
+    // 1000-executor job runs for distinct tokens/users. Sketch register
+    // layout is engine-specific → rows-only; SketchSpec bounds every
+    // estimate within 5% of the exact distinct count.
+    "sketch_hll_union" -> QueryDef.rowsOnly { (s, dir) =>
+      val perSrc = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("tok"), 12).as("sk"))
+        .persist() // per-source rows + the union read one sketch build
+      perSrc
+        .select(col("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .unionByName(perSrc.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+          .select(lit("__all__").as("source"), col("est_distinct")))
     }
   )
 }

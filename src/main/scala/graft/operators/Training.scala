@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.operators.TextOps.tokens
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data preparation operators: the steps between a cleaned
+  * corpus and a training run — benchmark decontamination, shard
+  * assignment/manifests, fixed-length sequence packing, and intra-doc
+  * repetition scoring.
+  *
+  * Scale shapes: decontamination is a broadcast semi-join of corpus
+  * shingles against the (small) eval-set shingle table; sharding is a
+  * row-local hash; packing is a per-shard running sum whose
+  * parallelism IS the shard count (the knob a real job sets to
+  * thousands); repetition is one keyed agg + a row-local ratio. All
+  * deterministic → every operator carries a full DuckDB oracle.
+  */
+object Training {
+
+  private val NumShards = 64
+  private val SeqLen = 2048
+
+  /** Portable shard id: 60-bit md5 of the doc id string, mod nShards —
+    * bit-identical in DuckDB (('0x'||substr(md5(x),1,15))::BIGINT), so
+    * the whole shard layout is oracle-reproducible. Production swaps in
+    * xxhash64 with the same shape. */
+  private def shardOf(id: Column, nShards: Int): Column =
+    pmod(conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType), lit(nShards.toLong))
+
+  private def shardSql(id: String, nShards: Int): String =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % $nShards"
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    // Benchmark decontamination: flag corpus documents sharing ≥3
+    // distinct word-3-gram shingles with the eval set (here: doc_id <
+    // 20 stands in for the benchmark suite). The eval shingle table is
+    // tiny by construction (benchmarks are small) → broadcast join;
+    // corpus-side work is one explode + one keyed count, linear in
+    // corpus shingles. At 100 TB the join key would be the 60-bit
+    // shingle hash instead of the string — same shape.
+    "dedup_decontaminate" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh2 WHERE doc_id < 20),
+         |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh2 WHERE doc_id >= 20),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_hit
+         |  FROM corp c JOIN ev USING (g) GROUP BY c.doc_id)
+         |SELECT x.doc_id, CAST(len(x.sh) AS INT) AS n_shingles,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  coalesce(h.n_hit, 0) >= 3 AS contaminated
+         |FROM sh2 x LEFT JOIN hits h ON h.doc_id = x.doc_id
+         |WHERE x.doc_id >= 20""".stripMargin) { (s, dir) =>
+      val sh2 = Dedup.shingled(s, dir).filter(size(col("sh")) > 0)
+      val ev = sh2.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      val hits = sh2.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(ev), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      sh2.filter(col("doc_id") >= 20)
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          size(col("sh")).as("n_shingles"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) >= 3).as("contaminated"))
+    },
+
+    // ------------------------------------------------------------------
+    // Shard manifest: deterministic hash-sharding of the corpus into
+    // training shards plus the per-shard bookkeeping (doc count, byte
+    // budget) a downstream loader consumes. Row-local shard id + one
+    // keyed agg — embarrassingly parallel at any scale.
+    "pipe_shard_manifest" -> QueryDef.withOracle(
+      s"""SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM (
+         |  SELECT doc_id, n_chars, ${shardSql("doc_id", NumShards)} AS shard
+         |  FROM documents)
+         |GROUP BY shard""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          shardOf(col("doc_id"), NumShards).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sequence packing: concatenate each shard's documents (doc_id
+    // order) into fixed 2048-token training sequences; emit each doc's
+    // (pack, offset) address. The running sum is per-shard sequential
+    // BY DEFINITION (packing is order-dependent), so the shard count is
+    // the parallelism knob — 64 here, thousands on a real corpus; no
+    // task ever scans more than one shard. Token counts use the regex
+    // word count (see text_token_estimate for the BPE-ish budget).
+    "pipe_pack_sequences" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${shardSql("doc_id", NumShards)} AS shard,
+         |    CAST(len(${TextOps.toksSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+         |  CAST(cum_before // $SeqLen AS BIGINT) AS pack_id,
+         |  CAST(cum_before % $SeqLen AS BIGINT) AS pack_offset
+         |FROM w""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          shardOf(col("doc_id"), NumShards).as("shard"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard").cast(IntegerType).as("shard"),
+          col("n_tokens"),
+          expr(s"cum_before div $SeqLen").as("pack_id"),
+          pmod(col("cum_before"), lit(SeqLen.toLong)).as("pack_offset"))
+    },
+
+    // ------------------------------------------------------------------
+    // Intra-document repetition: the boilerplate/loop signal quality
+    // filters key on. rep3 = 1 − distinct/total 3-grams (shingle
+    // relation shared with the dedup family through the cache);
+    // top_tok_ratio = modal token share via one (doc, token) count —
+    // a keyed agg, not a per-row O(n·distinct) lambda.
+    "text_repetition" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |tok AS (SELECT doc_id, unnest(${TextOps.toksSql("text")}) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+         |mx AS (SELECT doc_id, max(c) AS max_c FROM tc GROUP BY doc_id)
+         |SELECT s.doc_id, s.nt AS n_tokens,
+         |  CAST(s.nt - 2 AS INT) AS n3, CAST(len(s.sh) AS INT) AS d3,
+         |  round(1 - len(s.sh) * 1.0 / (s.nt - 2), 9) AS rep3,
+         |  round(mx.max_c * 1.0 / s.nt, 9) AS top_tok_ratio
+         |FROM s JOIN mx ON mx.doc_id = s.doc_id
+         |WHERE s.nt >= 3""".stripMargin) { (s, dir) =>
+      val sh = Dedup.shingled(s, dir).filter(col("nt") >= 3)
+      val mx = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_c"))
+      sh.join(mx, Seq("doc_id"))
+        .select(col("doc_id"), col("nt").as("n_tokens"),
+          (col("nt") - 2).as("n3"), size(col("sh")).as("d3"),
+          round(lit(1) - size(col("sh")) * lit(1.0) / (col("nt") - 2), 9).as("rep3"),
+          round(col("max_c") * lit(1.0) / col("nt"), 9).as("top_tok_ratio"))
+    }
+  )
+}

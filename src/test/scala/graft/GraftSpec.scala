@@ -633,6 +633,25 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL union sketch estimates land within 5% of exact distinct counts") {
+    import org.apache.spark.sql.functions.{countDistinct, expr}
+    val est = SparkEntry.queries("sketch_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+    val exactBySrc = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = toks.select("tok").distinct().count()
+    (exactBySrc + ("__all__" -> exactAll)).foreach { case (src, ex) =>
+      assert(est.contains(src), s"missing sketch row for $src")
+      assert(math.abs(est(src) - ex) <= math.max(1.0, 0.05 * ex),
+        s"$src: est ${est(src)} vs exact $ex")
+    }
+    assert(est.size == exactBySrc.size + 1)
+  }
+
   test("cross-cell embedding dedup finds pairs invisible to label blocking") {
     val xcell = SparkEntry.queries("dedup_embedding_xcell")(spark, sf)
       .select("vec_a", "vec_b", "cross_label").collect()
