@@ -276,6 +276,79 @@ object Similarity {
         .distinct() // a pair may collide in several tables — score once
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
+    },
+
+    // ------------------------------------------------------------------
+    // Quantized brute-force ANN: top-k by the cosine of the int8 codes
+    // from embedding_quantize. The per-vector scale factors cancel in
+    // the cosine, so the score is Σqa·qb / √(Σqa²·Σqb²) — all-integer
+    // accumulation (exact on any engine) with one sqrt at the end →
+    // fully DuckDB-oracled even though it is an APPROXIMATION of the
+    // float cosine. This is the memory-bandwidth scale path: the scan
+    // side reads 4× fewer bytes than float32 brute force, which is the
+    // bottleneck of a 10^9-vector exact-rerank tier. Ranking is the
+    // salted two-phase top-k (local top-K per salt cell, then final
+    // top-K over ≤64×K survivors per probe) so no single task ever
+    // sorts a probe's whole candidate list. QuantRecallSpec measures
+    // recall vs the float-exact top-5.
+    "ann_quantized_topk" -> QueryDef.withOracle(
+      s"""WITH m AS (
+         |  SELECT vec_id,
+         |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT e.vec_id,
+         |    list_transform(e.embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id),
+         |n AS (
+         |  SELECT vec_id, qv,
+         |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
+         |  FROM q),
+         |c AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(list_transform(p.qv, x -> CAST(x AS DOUBLE)),
+         |                          list_transform(e.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qdot,
+         |    p.qn * e.qn AS qq
+         |  FROM (SELECT * FROM n WHERE vec_id < $NPROBES) p
+         |  JOIN n e ON e.vec_id <> p.vec_id)
+         |SELECT probe_id, neighbor_id, cos_q, rn FROM (
+         |  SELECT probe_id, neighbor_id,
+         |    round(CAST(qdot AS DOUBLE) / sqrt(CAST(greatest(qq, 1) AS DOUBLE)), 6) AS cos_q,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(CAST(qdot AS DOUBLE) / sqrt(CAST(greatest(qq, 1) AS DOUBLE)), 6) DESC,
+         |               neighbor_id ASC) AS rn
+         |  FROM c)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      val embD = transform(col("embedding"), x => x.cast(DoubleType))
+      // persist = optimizer barrier: without it CollapseProject inlines
+      // the whole quantization into the per-pair zip_with lambda and
+      // re-quantizes both vectors for every candidate pair
+      val qcorp = Tables.embeddings(s, dir)
+        .withColumn("maxabs", greatest(array_max(transform(embD, x => abs(x))), lit(1e-12)))
+        .select(col("vec_id"),
+          transform(embD, x => floor(x * 127.0 / col("maxabs") + 0.5).cast(LongType)).as("qv"))
+        .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+        .persist()
+      val probes = qcorp
+        .filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("qn").as("pqn"))
+      val cosQ = round(col("qdot").cast(DoubleType) /
+        sqrt(greatest(col("pqn") * col("qn"), lit(1L)).cast(DoubleType)), 6)
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+      qcorp.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("qdot",
+          aggregate(zip_with(col("pqv"), col("qv"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), cosQ.as("cos_q"),
+          pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("cos_q"), col("rn"))
     }
   )
 }

@@ -162,6 +162,64 @@ object Training {
           (col("nt") - 2).as("n3"), size(col("sh")).as("d3"),
           round(lit(1) - size(col("sh")) * lit(1.0) / (col("nt") - 2), 9).as("rep3"),
           round(col("max_c") * lit(1.0) / col("nt"), 9).as("top_tok_ratio"))
+    },
+
+    // ------------------------------------------------------------------
+    // Domain-mixture sampling: given per-source target weights (here
+    // derived deterministically from the source name) and a global
+    // token budget (30% of the corpus), compute each source's sampling
+    // rate and keep documents whose deterministic md5-uniform u(doc_id)
+    // falls under it. Two tiny aggregations (per-source totals + one
+    // global row, broadcast back) and a row-local keep test — nothing
+    // scales with corpus size except the linear scan, and the sample is
+    // reproducible on any engine/run. This is the rebalancing step
+    // between "cleaned corpus" and "training mix".
+    "pipe_mixture_sample" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${TextOps.toksSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_src FROM t GROUP BY source),
+         |w AS (
+         |  SELECT source, tok_src,
+         |    1 + CAST(regexp_extract(source, '(\\d+)$$', 1) AS INT) % 4 AS wt
+         |  FROM s),
+         |g AS (SELECT CAST(sum(tok_src) AS BIGINT) AS tok_all,
+         |             CAST(sum(wt) AS BIGINT) AS wt_all FROM w),
+         |r AS (
+         |  SELECT w.source,
+         |    least(1.0, 0.3 * g.tok_all * wt / CAST(g.wt_all AS DOUBLE) / tok_src) AS rate
+         |  FROM w CROSS JOIN g)
+         |SELECT t.doc_id, t.source, t.n_tokens,
+         |  round(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    / 1152921504606846976.0, 9) AS u,
+         |  round(r.rate, 9) AS rate
+         |FROM t JOIN r ON r.source = t.source
+         |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    / 1152921504606846976.0 < r.rate""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val srcStats = t.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tok_src"))
+        .withColumn("wt",
+          (lit(1) + pmod(regexp_extract(col("source"), "(\\d+)$", 1)
+            .cast(IntegerType), lit(4))).cast(LongType))
+      val g = srcStats.agg(sum(col("tok_src")).as("tok_all"), sum(col("wt")).as("wt_all"))
+      // same left-assoc double op order as the oracle → bit-identical rate
+      val rates = srcStats.crossJoin(broadcast(g))
+        .select(col("source"),
+          least(lit(1.0), lit(0.3) * col("tok_all") * col("wt")
+            / col("wt_all").cast(DoubleType) / col("tok_src")).as("rate"))
+      // 60-bit md5 uniform: integer conversion is exact on both engines;
+      // the /2^60 division is a power-of-two scale (exact in IEEE)
+      val u = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit(1.152921504606846976e18)
+      t.join(broadcast(rates), Seq("source"))
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          round(u, 9).as("u"), round(col("rate"), 9).as("rate"))
     }
   )
 }

@@ -592,6 +592,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("int8-quantized ANN reaches recall >= 0.9 vs float-exact top-5") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk_exact")
+    val quant = pairs("ann_quantized_topk")
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    info(f"int8 recall vs exact top-5: $recall%.2f")
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9 floor")
+    assert(quant.size == exact.size) // same k per probe
+  }
+
   test("Misra-Gries heavy hitters bound error and surface the exact top-5") {
     import org.apache.spark.sql.functions.{explode, expr, count => fcount}
     val toks = spark.read.parquet(s"$sf/documents.parquet")
