@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -22,6 +22,9 @@ object Vectors {
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bottomk_sample",
       exprs => BottomKSample(exprs(0),
@@ -81,6 +84,13 @@ object Vectors {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_sorted_intersect_count", a, b)
+  }
+
+  /** Bloom-membership predicate over a bigint key column; `bytes` is a
+    * serialized `org.apache.spark.util.sketch.BloomFilter`. */
+  def bloomMightContain(spark: SparkSession, key: Column, bytes: Array[Byte]): Column = {
+    register(spark)
+    call_function("graft_bloom_might_contain", key, lit(bytes))
   }
 
   /** Deterministic pseudo-random hyperplanes for LSH: plane(j)(i) in

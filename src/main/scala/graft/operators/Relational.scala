@@ -767,6 +767,49 @@ object Relational {
           max(when(col("pos") === floor((col("n") + 2) / 2), col("l_quantity"))).as("hi_mid"))
         .select(col("l_returnflag"), col("n"),
           ((col("lo_mid") + col("hi_mid")) / 2).as("median_qty"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bloom-filter semi-join reduction: revenue of lineitems belonging
+    // to URGENT orders. The build side (urgent orderkeys) is aggregated
+    // into a bloom filter (a distributed build, merged at the driver),
+    // and the fact scan is pre-filtered with graft_bloom_might_contain
+    // BEFORE the join's exchange — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling only the
+    // ~20% candidate rows, when the build side's key set is too large
+    // to broadcast as a hash relation but its bloom bits are a few MB.
+    // Bloom false positives are culled by the exact join that follows,
+    // so the result is identical to the plain join — hence the
+    // plain-join oracle. BloomPruneSpec asserts the pruned scan result
+    // equals the unpruned one and the filter actually reaches the scan.
+    "q35_bloom_join" -> QueryDef.withOracle(
+      """SELECT o_orderdate, CAST(revenue AS DOUBLE) AS revenue, n_items FROM (
+        |  SELECT o.o_orderdate,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderpriority = '1-URGENT'
+        |  GROUP BY o.o_orderdate)""".stripMargin) { (s, dir) =>
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      // distributed bloom build over the join keys (one agg job); the
+      // 1% fpp keeps the pruned scan within ~1.01x of the true matches
+      val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bytes = {
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        out.toByteArray
+      }
+      val prunedFact = Tables.lineitem(s, dir)
+        .filter(graft.functions.Vectors.bloomMightContain(s, col("l_orderkey"), bytes))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      prunedFact
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate"))
+        .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
     }
   )
 }

@@ -255,6 +255,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty)
   }
 
+  test("bloom semi-join reduction prunes the fact scan and stays exact") {
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+    val p = plan("q35_bloom_join")
+    assert(p.contains("graft_bloom_might_contain"),
+      "bloom predicate missing from the physical plan")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val urgent = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bytes = { val o = new java.io.ByteArrayOutputStream(); bloom.writeTo(o); o.toByteArray }
+    val total = li.count()
+    val pruned = li.filter(graft.functions.Vectors
+      .bloomMightContain(spark, col("l_orderkey"), bytes)).count()
+    val trueMatch = li.join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    assert(pruned >= trueMatch, "bloom must never drop a true match")
+    assert(pruned <= trueMatch + (0.02 * total).toLong + 10,
+      s"false-positive leakage too high: pruned=$pruned true=$trueMatch total=$total")
+    assert(pruned < total / 2, s"bloom pruned nothing: $pruned of $total")
+    // exactness: operator result equals the plain unpruned join
+    val got = SparkEntry.queries("q35_bloom_join")(spark, sf)
+      .collect().map(r => r.get(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+    val want = li.join(graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderdate"))
+      .agg(fsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        fcount(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (rev, n)) =>
+      assert(n == want(k)._2 && math.abs(rev - want(k)._1) < 1e-4, s"$k mismatch")
+    }
+  }
+
   test("cross-engine md5 hash matches the documented DuckDB formula") {
     // conv(substr(md5(x),1,15),16,10) must equal ('0x'||substr)::BIGINT:
     // spot-check the Spark side against a precomputed DuckDB value
