@@ -371,6 +371,65 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Z-order layout planner: interleave 8+8 range-bucket bits of
+    // (o_custkey, o_totalprice) into a 16-bit z-value and cut the
+    // z-range into 64 target files. Emits the per-file manifest (row
+    // count + per-dimension min/max) a data-skipping reader consults:
+    // because z-neighbors are close in BOTH dimensions, every file's
+    // bounding box is tight in both keys, so 2-D predicates prune files
+    // that a single-column sort order cannot (ZorderSpec quantifies
+    // this). Bucket boundaries are collected once and inlined as
+    // literals (deterministic across retries, same rationale as the
+    // distributed-rank queries); everything after is row-local bit math
+    // + one keyed agg — no global sort anywhere, at any scale.
+    "etl_zorder_plan" -> QueryDef.withOracle({
+      val zTerms = (0 until 8).map(i =>
+        s"(((zbx >> $i) & 1) << ${2 * i + 1}) + (((zby >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+         |         min(o_totalprice) AS minp, max(o_totalprice) AS maxp
+         |  FROM orders),
+         |b AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice,
+         |    CAST(least(255, floor((o_custkey - minc) * 256.0 / (maxc - minc))) AS INT) AS zbx,
+         |    CAST(least(255, floor((o_totalprice - minp) * 256.0 / (maxp - minp))) AS INT) AS zby
+         |  FROM orders CROSS JOIN mm),
+         |z AS (SELECT *, CAST($zTerms AS INT) AS zval FROM b)
+         |SELECT CAST(zval // 1024 AS INT) AS file_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |  CAST(min(zval) AS INT) AS min_z, CAST(max(zval) AS INT) AS max_z
+         |FROM z GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val mm = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      val (minc, maxc) = (mm.getLong(0), mm.getLong(1))
+      val (minp, maxp) = (mm.getDouble(2), mm.getDouble(3))
+      // same left-assoc double op order as the oracle → identical buckets
+      val zbx = least(lit(255),
+        floor((col("o_custkey") - lit(minc)) * lit(256.0) / lit(maxc - minc)))
+        .cast(IntegerType)
+      val zby = least(lit(255),
+        floor((col("o_totalprice") - lit(minp)) * lit(256.0) / lit(maxp - minp)))
+        .cast(IntegerType)
+      val zval = (0 until 8).map(i =>
+        shiftleft(shiftright(col("zbx"), i).bitwiseAND(lit(1)), 2 * i + 1) +
+          shiftleft(shiftright(col("zby"), i).bitwiseAND(lit(1)), 2 * i))
+        .reduce(_ + _)
+      o.withColumn("zbx", zbx).withColumn("zby", zby)
+        .withColumn("zval", zval.cast(IntegerType))
+        .groupBy(expr("zval div 1024").cast(IntegerType).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+          min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString

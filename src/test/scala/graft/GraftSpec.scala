@@ -145,6 +145,38 @@ class TypedApiSpec extends AnyFunSuite {
 class LayoutSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("z-order layout prunes 2-D box queries better than a 1-D sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, ntile}
+    val man = SparkEntry.queries("etl_zorder_plan")(spark, sf).collect()
+    assert(man.length == 64, s"expected 64 target files, got ${man.length}")
+    val o = graft.sources.Tables.orders(spark, sf)
+    assert(man.map(_.getLong(1)).sum == o.count(), "manifest must cover every row")
+    val mm = o.agg(fmin(col("o_custkey")), fmax(col("o_custkey")),
+      fmin(col("o_totalprice")), fmax(col("o_totalprice"))).head()
+    val (minc, maxc, minp, maxp) =
+      (mm.getLong(0), mm.getLong(1), mm.getDouble(2), mm.getDouble(3))
+    // box query: the middle 1/8 of both dimensions
+    val (ckLo, ckHi) = (minc + (maxc - minc) * 7 / 16, minc + (maxc - minc) * 9 / 16)
+    val (pLo, pHi) = (minp + (maxp - minp) * 7 / 16, minp + (maxp - minp) * 9 / 16)
+    val zTouched = man.count(r => r.getLong(3) >= ckLo && r.getLong(2) <= ckHi &&
+      r.getDouble(5) >= pLo && r.getDouble(4) <= pHi)
+    // the alternative layout: 64 equal-count files sorted by price only
+    // (test-scale ntile; the comparison target, not a scale path)
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val sman = o.withColumn("f", ntile(64).over(w))
+      .groupBy(col("f"))
+      .agg(fmin(col("o_custkey")).as("min_ck"), fmax(col("o_custkey")).as("max_ck"),
+        fmin(col("o_totalprice")).as("min_price"), fmax(col("o_totalprice")).as("max_price"))
+      .collect()
+    val sTouched = sman.count(r => r.getLong(2) >= ckLo && r.getLong(1) <= ckHi &&
+      r.getDouble(4) >= pLo && r.getDouble(3) <= pHi)
+    info(s"files touched by 2-D box: z-order $zTouched vs price-sort $sTouched (of 64)")
+    assert(zTouched < sTouched,
+      s"z-order ($zTouched files) must beat single-dim sort ($sTouched files)")
+    assert(zTouched <= 8, s"z-order bounding boxes too loose: $zTouched files")
+  }
+
   test("partitioned write enables partition pruning") {
     import graft.sources.Connectors
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
