@@ -9,13 +9,15 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
 
   // ops where a nested-loop broadcast join is the intended shape:
-  // range_join (non-equi band table), ann_topk_exact (tiny broadcast
-  // probe set × corpus is the brute-force baseline by design),
-  // ann_ivf_assign + dedup_embedding_xcell (corpus × broadcast centroid
-  // table), text_tfidf_topk (1-row corpus-count broadcast)
+  // range_join (non-equi band table), ann_topk_exact +
+  // ann_quantized_topk (tiny broadcast probe set × corpus is the
+  // brute-force scan tier by design), ann_ivf_assign +
+  // dedup_embedding_xcell (corpus × broadcast centroid table),
+  // text_tfidf_topk + pipe_mixture_sample (1-row global-total broadcast)
   private val nestedLoopAllowed =
-    Set("range_join", "ann_topk_exact", "ann_ivf_assign",
-      "dedup_embedding_xcell", "ann_ivf_topk", "text_tfidf_topk")
+    Set("range_join", "ann_topk_exact", "ann_quantized_topk", "ann_ivf_assign",
+      "dedup_embedding_xcell", "ann_ivf_topk", "text_tfidf_topk",
+      "pipe_mixture_sample")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
