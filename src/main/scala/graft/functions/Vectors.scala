@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -35,6 +35,11 @@ object Vectors {
       exprs => HeavyHittersSketch(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_kmv_minhashes",
+      exprs => KmvDistinctSketch(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_kll_quantiles",
@@ -84,6 +89,13 @@ object Vectors {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_sorted_intersect_count", a, b)
+  }
+
+  /** KMV/theta distinct sketch over a bigint hash column: the k
+    * smallest distinct hashes, sorted ascending. */
+  def kmvMinHashes(spark: SparkSession, h: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_kmv_minhashes", h, lit(k))
   }
 
   /** Bloom-membership predicate over a bigint key column; `bytes` is a

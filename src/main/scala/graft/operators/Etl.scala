@@ -279,6 +279,45 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Weighted (Efraimidis–Spirakis) per-source sampling: exact-k
+    // WITHOUT replacement with inclusion odds ∝ n_chars. The classic
+    // u^(1/w) max-key scheme, ranked in the equivalent ln(u)/w form;
+    // u is the deterministic 60-bit md5 uniform, and the round-9 +
+    // doc_id tiebreak makes the ranking reproducible across engines
+    // (a last-ulp libm difference in ln cannot reorder). Top-3 per
+    // source via the salted two-phase window, so no task sorts a whole
+    // source even when one source holds half the corpus. This is the
+    // importance-sampling step a training mix uses when "sample by
+    // tokens, not documents" matters.
+    "etl_weighted_sample" -> QueryDef.withOracle(
+      """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key, rn FROM (
+        |  SELECT doc_id, source, n_chars, es_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY es_key DESC, doc_id ASC) AS rn
+        |  FROM (
+        |    SELECT doc_id, source, n_chars,
+        |      round(ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        / 1152921504606846976.0) / n_chars, 9) AS es_key
+        |    FROM documents))
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val u = conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit(1.152921504606846976e18)
+      val wLocal = Window.partitionBy(col("source"), col("salt"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+      val wFinal = Window.partitionBy(col("source"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(log(u) / col("n_chars"), 9).as("es_key"),
+          pmod(hash(col("doc_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= 3)
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("es_key"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
     // Incremental aggregate maintenance: the warehouse pattern where a
     // nightly batch merges into an existing aggregate instead of
     // rescanning history. Partial aggregates (count, decimal sum) are

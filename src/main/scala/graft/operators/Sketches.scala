@@ -75,6 +75,78 @@ object Sketches {
         .unionByName(perSrc.agg(
             hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
           .select(lit("__all__").as("source"), col("est_distinct")))
+    },
+
+    // ------------------------------------------------------------------
+    // KMV/theta distinct sketch (plans/KmvDistinctSketch.scala): per
+    // source the k=256 smallest distinct md5-60bit token hashes; the
+    // kth min gives the distinct estimate, and — what HLL cannot do —
+    // the min-k arrays of two sources intersect to an overlap estimate
+    // (distinct tokens shared by adjacent source pairs here). Because
+    // the hash is the cross-engine md5 formula and min-k-distinct is
+    // order-invariant, the ENTIRE sketch is DuckDB-reproducible: this
+    // is a fully-oracled approximate-distinct operator. O(k) state per
+    // partial, mergeable under the shuffle tree.
+    "sketch_kmv_distinct" -> QueryDef.withOracle(
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS nd
+        |  FROM h),
+        |k AS (
+        |  SELECT source, list(h ORDER BY h) AS arr, CAST(max(nd) AS BIGINT) AS nd
+        |  FROM r WHERE rn <= 256 GROUP BY source),
+        |singles AS (
+        |  SELECT source AS scope,
+        |    round(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+        |          ELSE 255.0 * 1152921504606846976.0 / arr[256] END, 6) AS est
+        |  FROM k),
+        |th AS (
+        |  SELECT source, arr,
+        |    CASE WHEN len(arr) < 256 THEN 1152921504606846976.0
+        |         ELSE CAST(arr[len(arr)] AS DOUBLE) END AS theta,
+        |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) AS idx
+        |  FROM k),
+        |pairs AS (
+        |  SELECT a.source || '|' || b.source AS scope,
+        |    round(len(list_intersect(a.arr, b.arr)) * 1152921504606846976.0
+        |      / least(a.theta, b.theta), 6) AS est
+        |  FROM th a JOIN th b ON b.idx = a.idx + 1 AND a.idx < 5)
+        |SELECT scope, est FROM singles
+        |UNION ALL SELECT scope, est FROM pairs""".stripMargin) { (s, dir) =>
+      val k = 256
+      val two60 = 1.152921504606846976e18
+      val hashed = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      // nd (exact distinct per source, for the n<k fallback) rides the
+      // same shuffle as the sketch via countDistinct in one agg
+      val sk = hashed.groupBy(col("source"))
+        .agg(Vectors.kmvMinHashes(s, col("h"), k).as("arr"),
+          countDistinct(col("h")).as("nd"))
+        .persist() // shared by singles + both sides of the pair join
+      val singles = sk.select(col("source").as("scope"),
+        round(when(col("nd") < k, col("nd").cast(DoubleType))
+          .otherwise(lit(255.0) * lit(two60) / element_at(col("arr"), k)), 6).as("est"))
+      val th = sk.select(col("source"), col("arr"),
+        when(size(col("arr")) < k, lit(two60))
+          .otherwise(element_at(col("arr"), size(col("arr"))).cast(DoubleType)).as("theta"),
+        regexp_extract(col("source"), "(\\d+)$", 1).cast("int").as("idx"))
+      val b = th.select(col("source").as("src_b"), col("arr").as("arr_b"),
+        col("theta").as("theta_b"), col("idx").as("idx_b"))
+      val pairs = th.join(b, col("idx_b") === col("idx") + 1 && col("idx") < 5)
+        .select(concat(col("source"), lit("|"), col("src_b")).as("scope"),
+          round(Vectors.sortedIntersectCount(s, col("arr"), col("arr_b")) * lit(two60)
+            / least(col("theta"), col("theta_b")), 6).as("est"))
+      singles.unionByName(pairs)
     }
   )
 }

@@ -712,6 +712,30 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV theta sketch bounds distinct and intersection estimates") {
+    import org.apache.spark.sql.functions.{countDistinct, expr}
+    val est = SparkEntry.queries("sketch_kmv_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = toks.groupBy(_._1).map { case (s0, ts) => s0 -> ts.map(_._2).toSet }
+    // k=256 → σ ≈ 6.3%; 3σ bound for singles, looser for intersections
+    bySrc.foreach { case (s0, ts) =>
+      val e = est(s0)
+      assert(math.abs(e - ts.size) <= math.max(2.0, 0.20 * ts.size),
+        s"$s0: est $e vs exact ${ts.size}")
+    }
+    est.keys.filter(_.contains("|")).foreach { scope =>
+      val Array(a, b) = scope.split('|')
+      val exact = bySrc(a).intersect(bySrc(b)).size
+      assert(math.abs(est(scope) - exact) <= math.max(5.0, 0.30 * exact),
+        s"$scope: est ${est(scope)} vs exact $exact")
+    }
+    assert(est.keys.count(_.contains("|")) == 5)
+  }
+
   test("HLL union sketch estimates land within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions.{countDistinct, expr}
     val est = SparkEntry.queries("sketch_hll_union")(spark, sf)
