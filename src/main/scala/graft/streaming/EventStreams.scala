@@ -106,6 +106,52 @@ object EventStreams {
       .start()
   }
 
+  /** CDC-style streaming upsert via foreachBatch: maintain a
+    * latest-event-per-user table under `targetDir` as the stream
+    * arrives. Each micro-batch is reduced to its per-key latest row
+    * (one keyed agg, map-side combined), merged with the current table
+    * snapshot, and committed as a NEW versioned directory
+    * (`v=<batchId>`) before the `_latest` pointer file flips — the
+    * read-version/write-version/flip-pointer protocol every lakehouse
+    * table format implements. Retried batches are idempotent: replaying
+    * batch b re-merges already-applied rows (latest-per-key is
+    * idempotent) and rewrites the same version. The merge cost scales
+    * with |table| + |batch| per trigger, and the table never rewrites
+    * in place, so a concurrent reader always sees a complete version.
+    */
+  def upsertLatestSink(spark: SparkSession, srcDir: String, targetDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val latestOf = (df: DataFrame) =>
+      df.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts_s"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts_s"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("r.ts_s").as("ts_s"),
+          col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+          col("r.value").as("value"))
+    eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_s"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val pointer = new java.io.File(s"$targetDir/_latest")
+        val cur: Option[DataFrame] =
+          if (pointer.exists()) {
+            val v = new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim
+            Some(s.read.parquet(s"$targetDir/v=$v"))
+          } else None
+        val merged = latestOf(cur.fold(latestOf(batch))(latestOf(batch).unionByName(_)))
+        merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+        java.nio.file.Files.write(pointer.toPath,
+          batchId.toString.getBytes) // commit point: readers flip here
+        ()
+      }
+      .start()
+  }
+
   /** Stream-static enrichment: the event stream joined to the customer
     * dimension (static side re-read per micro-batch, broadcast by size).
     * This is the standard streaming dim-enrichment shape; on a cluster

@@ -897,6 +897,33 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("foreachBatch upsert sink converges to the batch latest-per-user table") {
+    import org.apache.spark.sql.functions.{max_by, struct}
+    val dir = stageTerciles()
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val q = EventStreams.upsertLatestSink(spark, dir, target, ckpt, maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2, s"only ${q.lastProgress.batchId + 1} batches ran")
+    } finally q.stop()
+    val versions = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
+    assert(versions.length >= 3, s"expected >=3 committed versions, got ${versions.toSeq}")
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/_latest"))).trim
+    val got = spark.read.parquet(s"$target/v=$v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = spark.read.schema(graft.sources.Tables.eventsSchema)
+      .parquet(s"$sf/events.parquet")
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts_s"), col("event_id")), struct(col("ts_s"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts_s"), col("r.event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"upsert table diverges: ${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("sessionization state carries across 3+ micro-batches and matches batch") {
     val dir = stageTerciles()
     val q = EventStreams.sessionizeStream(spark,
