@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, SortedLongIntersectCount}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -25,6 +25,9 @@ object Vectors {
     reg.createOrReplaceTempFunction(
       "graft_bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_quantized_dot",
+      exprs => QuantizedDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bottomk_sample",
       exprs => BottomKSample(exprs(0),
@@ -89,6 +92,13 @@ object Vectors {
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_sorted_intersect_count", a, b)
+  }
+
+  /** Exact integer dot product of two int8-code `array<bigint>`
+    * columns (codegen'd tight loop). */
+  def quantizedDot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_quantized_dot", a, b)
   }
 
   /** KMV/theta distinct sketch over a bigint hash column: the k

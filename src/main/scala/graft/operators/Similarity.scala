@@ -340,8 +340,7 @@ object Similarity {
       val wFinal = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_q").desc, col("neighbor_id").asc)
       qcorp.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("qdot",
-          aggregate(zip_with(col("pqv"), col("qv"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+        .withColumn("qdot", Vectors.quantizedDot(s, col("pqv"), col("qv")))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), cosQ.as("cos_q"),
           pmod(hash(col("vec_id")), lit(64)).as("salt"))
         .withColumn("rn0", row_number().over(wLocal))

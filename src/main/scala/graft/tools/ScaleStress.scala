@@ -184,6 +184,76 @@ object ScaleStress {
         f"capped candidates=$cands vs uncapped upper bound ${uncappedUpperBound}%.2e pairs")
       cands
     }
+
+    // Bloom semi-join reduction: 100k-key build side vs the 20M fact.
+    // The bloom (~180 KB at 1% fpp) filters the fact scan row-local;
+    // only ~1/15th of rows (matches + fp) reach the join exchange.
+    val buildKeys = spark.range(100000L).select((col("id") * 15L).as("k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("shuffle join UNPRUNED (20M fact x 100k keys)") {
+      fact.join(buildKeys, col("orderkey") === col("k")).count()
+    }
+    time("bloom-pruned shuffle join (same result set)") {
+      val bloom = buildKeys.stat.bloomFilter("k", 100000L, 0.01)
+      val bytes = { val o = new java.io.ByteArrayOutputStream(); bloom.writeTo(o); o.toByteArray }
+      val pruned = fact.filter(
+        graft.functions.Vectors.bloomMightContain(spark, col("orderkey"), bytes))
+      val reach = pruned.count()
+      // locally the 20M-row shuffle is CPU-cheap so wall-clock ties the
+      // unpruned join; the exchange-row reduction below is the number
+      // that matters when shuffle bytes cross a network at 100 TB
+      println(f"[stress]   bloom prune: $reach of $n rows reach the exchange " +
+        f"(${n.toDouble / reach}%.1fx shuffle reduction, ~180 KB filter)")
+      pruned.join(buildKeys, col("orderkey") === col("k")).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+
+    // KMV theta sketch: distinct estimates over 20M skewed tokens in 4
+    // groups — O(256) state per partial through the exchange.
+    stressTime("KMV theta distinct sketch (20M tokens, 4 groups)", n) {
+      spark.range(n).select((col("id") % 4).as("g"),
+          xxhash64(pmod(hash(col("id")), lit(4000000)))
+            .bitwiseAND(lit((1L << 60) - 1)).as("h"))
+        .groupBy(col("g"))
+        .agg(graft.functions.Vectors.kmvMinHashes(spark, col("h"), 256).as("arr"))
+        .count()
+    }
+
+    // int8-quantized brute-force ANN scan: 1M synthetic 64-d vectors,
+    // 4 probes — the memory-bandwidth tier (4x fewer bytes than f32).
+    val nVec = 1000000L
+    val qvecs = spark.range(nVec).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(hash(col("id"), i), lit(255)) - lit(127)).cast("long")).as("qv"))
+      .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .persist()
+    qvecs.count()
+    stressTime("int8 brute-force ANN scan (1M x 64-d, 4 probes)", nVec) {
+      import org.apache.spark.sql.expressions.Window
+      val probes = qvecs.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("qn").as("pqn"))
+      val w = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+      qvecs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("qdot",
+          graft.functions.Vectors.quantizedDot(spark, col("pqv"), col("qv")))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (col("qdot").cast(DoubleType) /
+            sqrt(greatest(col("pqn") * col("qn"), lit(1L)).cast(DoubleType))).as("cos_q"),
+          pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .count()
+    }
+
+    // Z-order bit interleave: row-local 16-bit math over 20M rows.
+    stressTime("z-order bucket + interleave (20M rows)", n) {
+      val zbx = pmod(hash(col("orderkey")), lit(256))
+      val zby = pmod(hash(col("partkey"), lit(7)), lit(256))
+      val zval = (0 until 8).map(i =>
+        shiftleft(shiftright(zbx, i).bitwiseAND(lit(1)), 2 * i + 1) +
+          shiftleft(shiftright(zby, i).bitwiseAND(lit(1)), 2 * i)).reduce(_ + _)
+      fact.select(zval.as("z")).groupBy(expr("z div 1024")).count().count()
+    }
     spark.stop()
   }
 }
