@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the document-similarity graph (the verified
+  * near-duplicate edges the dedup family already computes).
+  * Connected components live in [[Dedup]] (`dedup_cluster_assign`);
+  * here: PageRank-style centrality, the importance signal a crawl
+  * pipeline uses to weight boilerplate-heavy template clusters.
+  *
+  * Everything is FIXED-POINT integer arithmetic (2^20 scale, damping
+  * 85/100 as exact integer ops), so per-node sums are order- and
+  * partitioning-invariant — rank values are bit-identical across any
+  * cluster size, task retry, or engine, which is what lets an
+  * 8-iteration iterative job carry a full DuckDB oracle (unrolled
+  * CTEs, no recursive-aggregation support needed).
+  */
+object Graph {
+
+  private val FP = 1048576L // 2^20
+  private val Iters = 8
+
+  /** One unrolled oracle iteration: r_{i+1} = (15·FP + 85·Σ_in r_i/deg) div 100. */
+  private def stepSql(i: Int): String =
+    s"""r${i + 1} AS (
+       |  SELECT n.doc_id, (15 * 1048576 + 85 * coalesce(c.contrib_sum, 0)) // 100 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS doc_id, CAST(sum(p.r // d.deg) AS BIGINT) AS contrib_sum
+       |    FROM edges e
+       |    JOIN r$i p ON p.doc_id = e.src
+       |    JOIN deg d ON d.doc_id = e.src
+       |    GROUP BY e.dst) c ON c.doc_id = n.doc_id)""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ------------------------------------------------------------------
+    // PageRank over the near-dup graph, 8 synchronous iterations.
+    // Scale shape = Pregel: per iteration ONE join of the rank vector
+    // to the (src, dst, deg) edge relation and ONE keyed aggregation —
+    // O(E) work and two bounded exchanges per round, lineage cut per
+    // round (localCheckpoint, or a reliable checkpoint via
+    // spark.graft.checkpoint.dir exactly like dedup_cluster_assign).
+    // Only the edge subgraph iterates: a node with no in-edges holds
+    // the closed-form base rank (15·FP) div 100 after round 1 and can
+    // never influence a neighbor, so singletons — the overwhelming
+    // majority of a 100 TB corpus — join once at the end instead of
+    // riding 8 shuffles.
+    "graph_pagerank" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (
+         |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |nodes AS (SELECT doc_id FROM documents),
+         |r0 AS (SELECT doc_id, CAST(1048576 AS BIGINT) AS r FROM nodes),
+         |${(0 until Iters).map(stepSql).mkString(",\n")}
+         |SELECT doc_id, r AS rank_fp, round(r / 1048576.0, 9) AS rank
+         |FROM r$Iters""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(deg, Seq("src")).persist() // (src, dst, deg)
+      // nodes that can ever receive rank mass = edge endpoints
+      val nodesE = edgesD.select(col("dst").as("doc_id")).distinct().persist()
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      def cutLineage(df: DataFrame): DataFrame =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
+      var r = nodesE.withColumn("r", lit(FP))
+      for (_ <- 0 until Iters) {
+        val sums = edgesD
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
+        r = cutLineage(nodesE
+          .join(sums, col("doc_id") === col("dst"), "left_outer")
+          .select(col("doc_id"),
+            expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r")))
+      }
+      // singletons: no in-edges → closed-form base rank from round 1 on
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(r, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("r"), lit(15L * FP / 100L)).as("rank_fp"))
+        .withColumn("rank", round(col("rank_fp") / lit(1048576.0), 9))
+    }
+  )
+}

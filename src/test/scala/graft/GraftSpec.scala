@@ -712,6 +712,25 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-point PageRank separates cluster members from singletons") {
+    val base = 15L * 1048576L / 100L
+    val ranks = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clustered = SparkEntry.queries("dedup_cluster_assign")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inCluster = clustered.groupBy(_._2).filter(_._2.length > 1)
+      .values.flatten.map(_._1).toSet
+    assert(ranks.values.forall(_ >= base), "rank below the damping floor")
+    inCluster.foreach { d =>
+      assert(ranks(d) > base, s"doc $d is in a near-dup cluster but holds base rank")
+    }
+    val singles = ranks.keySet -- inCluster
+    singles.foreach { d =>
+      assert(ranks(d) == base, s"singleton $d should hold exactly the base rank ${ranks(d)}")
+    }
+    assert(inCluster.nonEmpty && singles.nonEmpty)
+  }
+
   test("KMV theta sketch bounds distinct and intersection estimates") {
     import org.apache.spark.sql.functions.{countDistinct, expr}
     val est = SparkEntry.queries("sketch_kmv_distinct")(spark, sf)
