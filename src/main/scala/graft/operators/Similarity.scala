@@ -279,6 +279,43 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Hard-negative mining for contrastive training: for each probe,
+    // the top-k most-similar vectors with a DIFFERENT label — the
+    // near-boundary negatives that make embedding training converge.
+    // Same single-pass broadcast-probe scan as ann_topk_exact with the
+    // label inequality fused into the join condition, so negatives are
+    // filtered before scoring ever happens.
+    "ann_hard_negatives" -> QueryDef.withOracle(
+      s"""SELECT probe_id, probe_label, neighbor_id, neighbor_label, cos_sim, rn FROM (
+         |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |    e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         |    round(list_cosine_similarity(
+         |      list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(list_cosine_similarity(
+         |        list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |        list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+         |               e.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
+         |  JOIN embeddings e ON e.label <> p.label)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+          col("embedding").as("probe_emb"))
+      val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      e.join(broadcast(probes), col("label") =!= col("probe_label"))
+        .select(col("probe_id"), col("probe_label"),
+          col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+          cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+    },
+
+    // ------------------------------------------------------------------
     // Quantized brute-force ANN: top-k by the cosine of the int8 codes
     // from embedding_quantize. The per-vector scale factors cancel in
     // the cosine, so the score is Σqa·qb / √(Σqa²·Σqb²) — all-integer

@@ -348,6 +348,59 @@ object TextOps {
           conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType).as("h"))
         .groupBy(col("doc_id"), col("win_id"))
         .agg(min(col("h")).as("fp_hash"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bigram language-model scoring — the KenLM-shaped fluency filter:
+    // per-doc mean ln P(w_i | w_{i-1}) under the corpus's own add-one-
+    // smoothed bigram model. Model build = two keyed counts + one
+    // 1-row vocab broadcast; scoring = two equi-joins of the doc
+    // bigram stream against the count tables (at 100 TB the count
+    // tables are the join's build side, pruned to hashes). Per-bigram
+    // log-probs are snapped to fixed point (×10^6, exact long sums) so
+    // the per-doc mean is order/partition-invariant and cross-engine
+    // reproducible — a raw double sum over an unordered join is
+    // neither.
+    "text_bigram_lm" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |bg0 AS (
+         |  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+         |  FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bg0),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM bg),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    CAST(floor(ln((c2.c12 + 1.0) / (c1.c1 + v.vocab)) * 1000000 + 0.5) AS BIGINT) AS lp_fp
+         |  FROM bg b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+         |  JOIN c1 ON c1.w1 = b.w1 CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp_fp) AS BIGINT) * 1.0 / count(*) / 1000000.0, 9) AS avg_ln_p
+         |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      // token arrays materialized behind a persist barrier (the
+      // regexp-per-element inlining trap, see Dedup.shingled)
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist()
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = bg.agg(countDistinct(col("w2")).as("vocab"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          floor(log((col("c12") + lit(1.0)) / (col("c1") + col("vocab"))) * 1000000 + 0.5)
+            .cast(LongType).as("lp_fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s") * lit(1.0) / col("n_bigrams") / lit(1000000.0), 9).as("avg_ln_p"))
     }
   )
 }

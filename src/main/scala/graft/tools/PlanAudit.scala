@@ -13,11 +13,13 @@ object PlanAudit {
   // ann_quantized_topk (tiny broadcast probe set × corpus is the
   // brute-force scan tier by design), ann_ivf_assign +
   // dedup_embedding_xcell (corpus × broadcast centroid table),
-  // text_tfidf_topk + pipe_mixture_sample (1-row global-total broadcast)
+  // text_tfidf_topk + pipe_mixture_sample + text_bigram_lm (1-row
+  // global-total broadcast), ann_hard_negatives (broadcast probe set ×
+  // corpus with the label inequality as the join condition)
   private val nestedLoopAllowed =
     Set("range_join", "ann_topk_exact", "ann_quantized_topk", "ann_ivf_assign",
       "dedup_embedding_xcell", "ann_ivf_topk", "text_tfidf_topk",
-      "pipe_mixture_sample")
+      "pipe_mixture_sample", "text_bigram_lm", "ann_hard_negatives")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -32,9 +34,15 @@ object PlanAudit {
   // exchange (the per-(flag, bucket) counts agg) + one hot-bucket-only
   // window; the other six exchanges (offset window, target/hot-bucket
   // distincts, final 3-row agg) all carry ≤ 5×200 bookkeeping rows.
+  // graph_pagerank chains 6 Pregel rounds lazily in ONE plan (no
+  // per-round lineage cut locally), so the audit sees every round's
+  // rank-vector join + per-dst message agg + the edge/node builds:
+  // ~3-4 exchanges per round is the intended iterative shape, each
+  // bounded by O(E) messages — not a fan-out bug.
   private val exchangeAllowance =
     Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
-      "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8)
+      "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
+      "graph_pagerank" -> 26)
       .withDefaultValue(6)
 
   def main(args: Array[String]): Unit = {
