@@ -55,7 +55,13 @@ object Similarity {
     // corpus × n_cells rows through a partitionBy(vec_id) window: no
     // skew, but the exchange carried n_cells× the corpus for a result
     // derivable row-locally.)
-    val centArr = cent.agg(collect_list(struct(col("c_label"), col("cvec"))).as("cents"))
+    // Norms are hoisted out of the per-cell lambda: the centroid norm
+    // rides inside the broadcast struct (computed once per cell), and
+    // the vector's own norm is a column computed BELOW the cross join —
+    // a join boundary CollapseProject cannot inline an alias across, so
+    // it is evaluated once per row instead of once per (row, cell).
+    val centArr = cent.agg(collect_list(struct(col("c_label"), col("cvec"),
+      aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x).as("nb"))).as("cents"))
     val embD = transform(col("embedding"), x => x.cast(DoubleType))
     // sequential-order double accumulation, matching DuckDB's
     // list_cosine_similarity on double lists; sort key = (-cos, label)
@@ -65,13 +71,13 @@ object Similarity {
       val cv = c.getField("cvec")
       val dot = aggregate(zip_with(embD, cv, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-      val na = aggregate(embD, lit(0.0), (acc, x) => acc + x * x)
-      val nb = aggregate(cv, lit(0.0), (acc, x) => acc + x * x)
-      -round(dot / sqrt(na * nb), 6)
+      -round(dot / sqrt(col("na") * c.getField("nb")), 6)
     }
     val top2 = slice(sort_array(transform(col("cents"), c =>
       struct(negCos(c).as("neg"), c.getField("c_label").as("c_label")))), 1, 2)
-    e.crossJoin(broadcast(centArr))
+    e.select(col("vec_id"), col("label"), col("embedding"),
+        aggregate(embD, lit(0.0), (acc, x) => acc + x * x).as("na"))
+      .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("label"),
         posexplode(top2).as(Seq("pos", "sc")))
       .select(col("vec_id"), col("label"),
@@ -121,12 +127,22 @@ object Similarity {
       val probes = e.filter(col("vec_id") < NPROBES)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
       val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("probe_id"))
+      // Salted two-phase top-k: candidate lists are corpus-sized per
+      // probe, so a single partitionBy(probe_id) window would sort a
+      // whole corpus in NPROBES reducer tasks. Local top-K per salt
+      // cell first; the final window sees ≤64×K rows per probe.
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"))
-        .withColumn("rn", row_number().over(w))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"),
+          pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
     },
 
     // ------------------------------------------------------------------
@@ -267,15 +283,23 @@ object Similarity {
             col("bucket") +: (0 until planesPerTable).map(j =>
               col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("probe_bucket"))
       val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("probe_id"))
+      // Candidate lists are bucket-bounded, but a hot bucket can still
+      // concentrate a probe's candidates into one task — salt anyway.
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       bucketed.join(broadcast(probes),
           col("tbl") === col("ptbl") && col("bucket") === col("probe_bucket") &&
             col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"))
         .distinct() // a pair may collide in several tables — score once
-        .withColumn("rn", row_number().over(w))
+        .withColumn("salt", pmod(hash(col("neighbor_id")), lit(64)))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
     },
 
     // ------------------------------------------------------------------
@@ -305,14 +329,22 @@ object Similarity {
         .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
           col("embedding").as("probe_emb"))
       val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
-      val w = Window.partitionBy(col("probe_id"))
+      // Same salted two-phase ranking as ann_topk_exact: negatives per
+      // probe are corpus-sized, so never sort them in one task.
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       e.join(broadcast(probes), col("label") =!= col("probe_label"))
         .select(col("probe_id"), col("probe_label"),
           col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
-          cos.as("cos_sim"))
-        .withColumn("rn", row_number().over(w))
+          cos.as("cos_sim"), pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= K)
+        .select(col("probe_id"), col("probe_label"), col("neighbor_id"),
+          col("neighbor_label"), col("cos_sim"), col("rn"))
     },
 
     // ------------------------------------------------------------------
