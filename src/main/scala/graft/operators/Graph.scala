@@ -36,6 +36,53 @@ object Graph {
        |    JOIN deg d ON d.doc_id = e.src
        |    GROUP BY e.dst) c ON c.doc_id = n.doc_id)""".stripMargin
 
+  /** Edge-subgraph rank vector (doc_id, r) after `iters` synchronous
+    * rounds — the iterative core of `graph_pagerank`, parameterized so
+    * PageRankConvergenceSpec can pin the fixed-point claim (round 6 vs
+    * round 8 ranks) instead of trusting the Iters=6 comment. */
+  private[graft] def pageRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val pairs = Dedup.verifiedCandidates(s, dir)
+      .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Pre-partition the edge relation by src ONCE: the cached
+    // partitioning satisfies every iteration's join requirement, so
+    // each round shuffles only the (small) rank vector and the
+    // per-dst messages — the edge relation never moves again. This
+    // is the standard Pregel layout and the difference between
+    // shuffling O(E) twice per round and once.
+    val edgesD = edges.join(deg, Seq("src"))
+      .repartition(col("src")).persist() // (src, dst, deg)
+    // nodes that can ever receive rank mass = edge endpoints
+    val nodesE = edgesD.select(col("dst").as("doc_id")).distinct().persist()
+    // Each rank vector feeds exactly one downstream join → the DAG is
+    // LINEAR, so lazy chaining computes every round exactly once in a
+    // single job cascade (no per-round action barrier; ~2x faster than
+    // eager per-round checkpoints at sf0.1). The bounded 6-round
+    // lineage needs no truncation; setting spark.graft.checkpoint.dir
+    // opts into a reliable per-round checkpoint so a 1000-executor run
+    // survives executor loss without replaying the whole iteration.
+    val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+    ckptDir.foreach { d =>
+      if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+    }
+    var r = nodesE.withColumn("r", lit(FP))
+    for (_ <- 0 until iters) {
+      val sums = edgesD
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
+      val next = nodesE
+        .join(sums, col("doc_id") === col("dst"), "left_outer")
+        .select(col("doc_id"),
+          expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
+      r = if (ckptDir.isDefined) next.checkpoint() else next
+    }
+    r
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -70,48 +117,9 @@ object Graph {
          |${(0 until Iters).map(stepSql).mkString(",\n")}
          |SELECT doc_id, r AS rank_fp, round(r / 1048576.0, 9) AS rank
          |FROM r$Iters""".stripMargin) { (s, dir) =>
-      val pairs = Dedup.verifiedCandidates(s, dir)
-        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      // Pre-partition the edge relation by src ONCE: the cached
-      // partitioning satisfies every iteration's join requirement, so
-      // each round shuffles only the (small) rank vector and the
-      // per-dst messages — the edge relation never moves again. This
-      // is the standard Pregel layout and the difference between
-      // shuffling O(E) twice per round and once.
-      val edgesD = edges.join(deg, Seq("src"))
-        .repartition(col("src")).persist() // (src, dst, deg)
-      // nodes that can ever receive rank mass = edge endpoints
-      val nodesE = edgesD.select(col("dst").as("doc_id")).distinct().persist()
-      // Each rank vector feeds exactly one downstream join → the DAG is
-      // LINEAR, so lazy chaining computes every round exactly once in a
-      // single job cascade (no per-round action barrier; ~2x faster than
-      // eager per-round checkpoints at sf0.1). The bounded 6-round
-      // lineage needs no truncation; setting spark.graft.checkpoint.dir
-      // opts into a reliable per-round checkpoint so a 1000-executor run
-      // survives executor loss without replaying the whole iteration.
-      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
-      ckptDir.foreach { d =>
-        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
-      }
-      var r = nodesE.withColumn("r", lit(FP))
-      for (_ <- 0 until Iters) {
-        val sums = edgesD
-          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .select(col("dst"), expr("r div deg").as("contrib"))
-          .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
-        val next = nodesE
-          .join(sums, col("doc_id") === col("dst"), "left_outer")
-          .select(col("doc_id"),
-            expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
-        r = if (ckptDir.isDefined) next.checkpoint() else next
-      }
       // singletons: no in-edges → closed-form base rank from round 1 on
       Tables.documents(s, dir).select(col("doc_id"))
-        .join(r, Seq("doc_id"), "left_outer")
+        .join(pageRanks(s, dir, Iters), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("r"), lit(15L * FP / 100L)).as("rank_fp"))
         .withColumn("rank", round(col("rank_fp") / lit(1048576.0), 9))

@@ -1052,3 +1052,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == batch && distinctIds == batch)
   }
 }
+
+class PageRankConvergenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("round-6 ranks are the fixed point: rounds 7-8 change no node by more than 1 fp unit") {
+    // Pins the Iters=6 claim (Graph.scala): near-dup clusters are
+    // near-cliques, so 6 synchronous rounds reach the integer fixed
+    // point. Comparison is on the 2^20 fixed-point rank itself — an
+    // L-inf delta of <=1 unit (~9.5e-7 in rank) means every further
+    // round only dithers the last integer bit, i.e. the published
+    // round(rank, 9) values are converged, not truncated mid-descent.
+    def ranks(iters: Int): Map[Long, Long] =
+      graft.operators.Graph.pageRanks(spark, sf, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r6 = ranks(6)
+    val r8 = ranks(8)
+    assert(r6.keySet == r8.keySet)
+    val linf = r6.map { case (id, v) => math.abs(v - r8(id)) }.max
+    info(s"L-inf |r6 - r8| = $linf fp units over ${r6.size} edge-subgraph nodes")
+    assert(linf <= 1L, s"rank not converged at round 6: L-inf delta $linf fp units")
+  }
+}
