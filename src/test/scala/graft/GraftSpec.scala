@@ -1074,3 +1074,68 @@ class PageRankConvergenceSpec extends AnyFunSuite {
     assert(linf <= 1L, s"rank not converged at round 6: L-inf delta $linf fp units")
   }
 }
+
+class OffsetLedgerSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.OffsetLedgerIngest._
+  import java.nio.file.{Files, Paths}
+
+  private def freshDirs(): (String, String) = (
+    Files.createTempDirectory("graft_topic").toString,
+    Files.createTempDirectory("graft_sink").toString)
+
+  test("bounded polls drain the topic exactly once and the ledger tracks per-partition heads") {
+    val (topic, sink) = freshDirs()
+    stageTopic(spark, sf, topic, nPartitions = 4)
+    val total = spark.read.parquet(topic).count()
+    val polls = drain(spark, topic, sink, maxPerPartition = 100)
+    assert(polls >= 2, s"maxPerPartition=100 should need several polls, got $polls")
+    val ingested = sinkTable(spark, sink)
+    assert(ingested.count() == total)
+    assert(ingested.select("event_id").distinct().count() == total)
+    // ledger heads == true per-partition maxima
+    val heads = spark.read.parquet(topic).groupBy(col("part"))
+      .agg(max(col("offset")).as("hi")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(readLedger(sink).offsets == heads)
+    // caught-up poll ingests nothing and does not advance the ledger
+    val v = readLedger(sink).version
+    assert(poll(spark, topic, sink) == 0L)
+    assert(readLedger(sink).version == v)
+  }
+
+  test("a poll whose ledger commit is lost replays the same epoch without duplicating rows") {
+    val (topic, sink) = freshDirs()
+    stageTopic(spark, sf, topic, nPartitions = 4)
+    assert(poll(spark, topic, sink, maxPerPartition = 80) > 0)
+    // simulate crash between sink write and ledger commit: the second
+    // poll's data landed but its ledger flip is lost
+    val preCrash = Files.readAllBytes(Paths.get(sink, "_offsets"))
+    assert(poll(spark, topic, sink, maxPerPartition = 80) > 0)
+    Files.write(Paths.get(sink, "_offsets"), preCrash) // roll the commit back
+    // restarted consumer re-polls: rebuilds and overwrites epoch=1
+    assert(poll(spark, topic, sink, maxPerPartition = 80) > 0)
+    drain(spark, topic, sink, maxPerPartition = 80)
+    val ingested = sinkTable(spark, sink)
+    val total = spark.read.parquet(topic).count()
+    assert(ingested.count() == total, "replayed epoch must not duplicate")
+    assert(ingested.select("event_id").distinct().count() == total)
+  }
+
+  test("topic poll predicate reaches the parquet scan as pushed filters") {
+    val (topic, sink) = freshDirs()
+    stageTopic(spark, sf, topic, nPartitions = 4)
+    assert(drain(spark, topic, sink, maxPerPartition = 1000) >= 1)
+    // offsets are monotone within each partition's files: the
+    // offset > committed bound must appear in PushedFilters so a poll
+    // near the topic head skips history row groups
+    val ledger = readLedger(sink)
+    import spark.implicits._
+    val committed = ledger.offsets.toSeq.toDF("part", "committed")
+    val plan = spark.read.parquet(topic)
+      .join(broadcast(committed), Seq("part"), "left_outer")
+      .filter(col("offset") > coalesce(col("committed"), lit(0L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+  }
+}
