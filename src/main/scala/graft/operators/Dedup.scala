@@ -346,6 +346,15 @@ object Dedup {
       }
       def cutLineage(df: DataFrame): DataFrame =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
+      // As in Graph.pageRanks: per-round shuffles carry only (doc_id,
+      // label) pairs over the edge subgraph, degree is bucket-capped
+      // upstream, so when the measured subgraph is small, per-stage AQE
+      // re-planning across ~20 rounds is pure overhead — disable it for
+      // the loop only (rounds materialize eagerly, restore in finally).
+      val smallSubgraph = edges.count() < 50000000L
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
       // Pointer jumping halves remaining depth per round → 20 rounds
       // cover component diameters up to ~2^20; non-convergence past the
       // cap fails LOUDLY below instead of emitting wrong cluster ids.
@@ -381,6 +390,9 @@ object Dedup {
       }
       require(converged,
         s"dedup_cluster_assign: label propagation did not converge in $maxIters rounds")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      }
       // edges stays cached: repeated calls (warmup → timed bench, or a
       // pipeline invoking the operator twice) reuse it via Spark's
       // canonical-plan cache, like every other persisted relation here.

@@ -57,30 +57,45 @@ object Graph {
       .repartition(col("src")).persist() // (src, dst, deg)
     // nodes that can ever receive rank mass = edge endpoints
     val nodesE = edgesD.select(col("dst").as("doc_id")).distinct().persist()
-    // Each rank vector feeds exactly one downstream join → the DAG is
-    // LINEAR, so lazy chaining computes every round exactly once in a
-    // single job cascade (no per-round action barrier; ~2x faster than
-    // eager per-round checkpoints at sf0.1). The bounded 6-round
-    // lineage needs no truncation; setting spark.graft.checkpoint.dir
-    // opts into a reliable per-round checkpoint so a 1000-executor run
+    // Rounds are cut eagerly (localCheckpoint) so each iteration plans
+    // a constant-size 2-join fragment instead of a 6-round cascade —
+    // Catalyst + AQE cost on the cascade grows superlinearly with
+    // depth and dominated the job at bench scale (lazy 9.5 s vs eager
+    // 2.5 s at sf0.1). Setting spark.graft.checkpoint.dir upgrades the
+    // per-round cut to a RELIABLE checkpoint so a 1000-executor run
     // survives executor loss without replaying the whole iteration.
     val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
     ckptDir.foreach { d =>
       if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
     }
-    var r = nodesE.withColumn("r", lit(FP))
-    for (_ <- 0 until iters) {
-      val sums = edgesD
-        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst"), expr("r div deg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
-      val next = nodesE
-        .join(sums, col("doc_id") === col("dst"), "left_outer")
-        .select(col("doc_id"),
-          expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
-      r = if (ckptDir.isDefined) next.checkpoint() else next
+    // The per-round shuffles carry only the rank vector and messages —
+    // O(E) 16-byte rows, and upstream bucket caps bound any dst's
+    // degree, so there is no skew for AQE to fix. When the measured
+    // edge subgraph is small enough that static partitions can't spill
+    // (50M edges ≈ 25 MB/partition at 32 partitions), per-stage AQE
+    // re-planning is pure overhead across 6 rounds × ~4 stages —
+    // disable it for the loop only (restored in finally). The count
+    // also forces edgesD's cache before iteration starts.
+    val smallSubgraph = edgesD.count() < 50000000L
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var r = nodesE.withColumn("r", lit(FP))
+      for (_ <- 0 until iters) {
+        val sums = edgesD
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
+        val next = nodesE
+          .join(sums, col("doc_id") === col("dst"), "left_outer")
+          .select(col("doc_id"),
+            expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
+        r = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
+      }
+      r
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
-    r
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
