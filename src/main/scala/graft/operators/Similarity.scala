@@ -24,6 +24,72 @@ object Similarity {
 
   private val K = 5
   private val NPROBES = 10
+  private val RERANK = 32
+
+  /** Shared int8-quantized corpus (vec_id, qv, qn), persisted so the
+    * quantized scan tier and the rerank tier hit one cache entry.
+    * The persist is also an optimizer barrier: without it
+    * CollapseProject inlines the whole quantization into the per-pair
+    * zip_with lambda and re-quantizes both vectors for every candidate
+    * pair. */
+  private def quantizedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast(DoubleType))
+    Tables.embeddings(s, dir)
+      .withColumn("maxabs", greatest(array_max(transform(embD, x => abs(x))), lit(1e-12)))
+      .select(col("vec_id"),
+        transform(embD, x => floor(x * 127.0 / col("maxabs") + 0.5).cast(LongType)).as("qv"))
+      .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .persist()
+  }
+
+  /** Quantized-cosine candidates: for each probe, the top-`k` corpus
+    * vectors by int8-code cosine, ranked with the salted two-phase
+    * window. Returns (probe_id, neighbor_id, cos_q, rn). */
+  private def quantizedTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val qcorp = quantizedCorpus(s, dir)
+    val probes = qcorp
+      .filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("qn").as("pqn"))
+    val cosQ = round(col("qdot").cast(DoubleType) /
+      sqrt(greatest(col("pqn") * col("qn"), lit(1L)).cast(DoubleType)), 6)
+    val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    val wFinal = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    qcorp.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("qdot", Vectors.quantizedDot(s, col("pqv"), col("qv")))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cosQ.as("cos_q"),
+        pmod(hash(col("vec_id")), lit(64)).as("salt"))
+      .withColumn("rn0", row_number().over(wLocal))
+      .filter(col("rn0") <= k)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_q"), col("rn"))
+  }
+
+  /** Oracle CTEs for the quantized corpus + pairwise code cosine
+    * (`m`, `q`, `n`, `c`). Prepend `WITH ` before use. */
+  private val quantizedSql: String =
+    s"""m AS (
+       |  SELECT vec_id,
+       |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT e.vec_id,
+       |    list_transform(e.embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id),
+       |n AS (
+       |  SELECT vec_id, qv,
+       |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
+       |  FROM q),
+       |c AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(list_transform(p.qv, x -> CAST(x AS DOUBLE)),
+       |                          list_transform(e.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qdot,
+       |    p.qn * e.qn AS qq
+       |  FROM (SELECT * FROM n WHERE vec_id < $NPROBES) p
+       |  JOIN n e ON e.vec_id <> p.vec_id)""".stripMargin
 
   /** Deterministic IVF cell assignment shared by `ann_ivf_assign` and
     * the cross-cell embedding dedup: per-label centroids from exact
@@ -361,26 +427,7 @@ object Similarity {
     // sorts a probe's whole candidate list. QuantRecallSpec measures
     // recall vs the float-exact top-5.
     "ann_quantized_topk" -> QueryDef.withOracle(
-      s"""WITH m AS (
-         |  SELECT vec_id,
-         |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
-         |  FROM embeddings),
-         |q AS (
-         |  SELECT e.vec_id,
-         |    list_transform(e.embedding, x ->
-         |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS BIGINT)) AS qv
-         |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id),
-         |n AS (
-         |  SELECT vec_id, qv,
-         |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
-         |  FROM q),
-         |c AS (
-         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-         |    CAST(list_dot_product(list_transform(p.qv, x -> CAST(x AS DOUBLE)),
-         |                          list_transform(e.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qdot,
-         |    p.qn * e.qn AS qq
-         |  FROM (SELECT * FROM n WHERE vec_id < $NPROBES) p
-         |  JOIN n e ON e.vec_id <> p.vec_id)
+      s"""WITH $quantizedSql
          |SELECT probe_id, neighbor_id, cos_q, rn FROM (
          |  SELECT probe_id, neighbor_id,
          |    round(CAST(qdot AS DOUBLE) / sqrt(CAST(greatest(qq, 1) AS DOUBLE)), 6) AS cos_q,
@@ -389,34 +436,55 @@ object Similarity {
          |               neighbor_id ASC) AS rn
          |  FROM c)
          |WHERE rn <= $K""".stripMargin) { (s, dir) =>
-      val embD = transform(col("embedding"), x => x.cast(DoubleType))
-      // persist = optimizer barrier: without it CollapseProject inlines
-      // the whole quantization into the per-pair zip_with lambda and
-      // re-quantizes both vectors for every candidate pair
-      val qcorp = Tables.embeddings(s, dir)
-        .withColumn("maxabs", greatest(array_max(transform(embD, x => abs(x))), lit(1e-12)))
-        .select(col("vec_id"),
-          transform(embD, x => floor(x * 127.0 / col("maxabs") + 0.5).cast(LongType)).as("qv"))
-        .withColumn("qn", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
-        .persist()
-      val probes = qcorp
-        .filter(col("vec_id") < NPROBES)
-        .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("qn").as("pqn"))
-      val cosQ = round(col("qdot").cast(DoubleType) /
-        sqrt(greatest(col("pqn") * col("qn"), lit(1L)).cast(DoubleType)), 6)
-      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
-        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
-      val wFinal = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_q").desc, col("neighbor_id").asc)
-      qcorp.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("qdot", Vectors.quantizedDot(s, col("pqv"), col("qv")))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), cosQ.as("cos_q"),
-          pmod(hash(col("vec_id")), lit(64)).as("salt"))
-        .withColumn("rn0", row_number().over(wLocal))
-        .filter(col("rn0") <= K)
-        .withColumn("rn", row_number().over(wFinal))
+      quantizedTopK(s, dir, K)
+    },
+
+    // ------------------------------------------------------------------
+    // Two-tier scan-then-rerank ANN: the production pattern for exact
+    // answers at memory-bandwidth cost. Tier 1 scans the int8 codes
+    // (4× fewer bytes than float32) and keeps RERANK=32 candidates per
+    // probe; tier 2 joins ONLY those ≤32×NPROBES ids back to the float
+    // embeddings and reranks by exact cosine. The corpus-sized pass
+    // never touches a float vector, and the exact pass never touches
+    // more than 32 rows per probe — at 10^9 vectors the rerank join
+    // shuffles (probe_id, neighbor_id) pairs, not embeddings. Both
+    // tiers are deterministic (integer codes / round-6 + id tiebreak)
+    // → fully oracled. RerankRecallSpec measures end-to-end recall vs
+    // the float-exact top-5.
+    "ann_refine_rerank" -> QueryDef.withOracle(
+      s"""WITH $quantizedSql,
+         |t1 AS (
+         |  SELECT probe_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(CAST(qdot AS DOUBLE) / sqrt(CAST(greatest(qq, 1) AS DOUBLE)), 6) DESC,
+         |               neighbor_id ASC) AS qrn
+         |  FROM c),
+         |cand AS (SELECT probe_id, neighbor_id FROM t1 WHERE qrn <= $RERANK),
+         |rr AS (
+         |  SELECT cd.probe_id, cd.neighbor_id,
+         |    round(list_cosine_similarity(
+         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM cand cd JOIN embeddings x ON x.vec_id = cd.probe_id
+         |  JOIN embeddings y ON y.vec_id = cd.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM rr)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      val cand = quantizedTopK(s, dir, RERANK)
+        .select(col("probe_id"), col("neighbor_id"))
+      val e = Tables.embeddings(s, dir)
+      val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
+      // ≤ RERANK rows per probe survive tier 1 — a single-phase window
+      // is bounded here, no salt needed
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand
+        .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "probe_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
-        .select(col("probe_id"), col("neighbor_id"), col("cos_q"), col("rn"))
     }
   )
 }

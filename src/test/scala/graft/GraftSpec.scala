@@ -659,6 +659,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("scan-then-rerank ANN recovers the float-exact top-5 at recall >= 0.95") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk_exact")
+    val rerank = pairs("ann_refine_rerank")
+    val recall = rerank.intersect(exact).size.toDouble / exact.size
+    info(f"rerank recall vs exact top-5: $recall%.2f")
+    // tier-2 rescoring is float-exact, so the only loss is a true
+    // neighbor missing tier-1's top-32 — rare even on this
+    // low-similarity stress corpus
+    assert(recall >= 0.95, f"recall $recall%.2f below 0.95 floor")
+    assert(rerank.size == exact.size)
+  }
+
   test("int8-quantized ANN reaches recall >= 0.9 vs float-exact top-5") {
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
       .select("probe_id", "neighbor_id").collect()
