@@ -157,7 +157,9 @@ object Dedup {
         col("shh").as("sh_b"), col("nsh").as("nsh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         Vectors.sortedIntersectCount(s, col("sh_a"), col("sh_b")).as("ni"),
-        (col("nsh_a") + col("nsh_b")).as("ntot"))
+        (col("nsh_a") + col("nsh_b")).as("ntot"),
+        least(col("nsh_a"), col("nsh_b")).as("nmin"),
+        col("nsh_a"))
   }
 
   /** Oracle mirror of the 60-bit md5 simhash: same hash, same ±1 bit
@@ -285,6 +287,43 @@ object Dedup {
         .filter(jac >= 0.02)
         .select(col("doc_a"), col("doc_b"),
           round(jac, 9).as("jac"), (jac >= 0.5).as("is_dup"))
+    },
+
+    // ------------------------------------------------------------------
+    // Asymmetric containment scoring: |A∩B| / min(|A|,|B|) over the
+    // verified candidate pairs — the signal Jaccard structurally
+    // misses when a short doc sits inside a much longer one (the
+    // quote-of-a-template case): the union is dominated by the long
+    // side, so jac stays low while containment is ~1. Candidates come
+    // from the same capped LSH bands (a containment-only recall pass
+    // at corpus scale would block on the SHORT side's shingles; the
+    // scoring and thresholds here are blocking-agnostic). Same
+    // shuffle shape as dedup_ngram_jaccard — (id, hashes) pairs only.
+    "dedup_containment" -> QueryDef.withOracle(
+      s"""WITH s AS ($shingleSql),
+         |$candSql,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / least(len(x.sh), len(y.sh)) AS cont,
+         |    len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac,
+         |    CASE WHEN len(x.sh) <= len(y.sh) THEN c.doc_a ELSE c.doc_b END AS doc_small,
+         |    CASE WHEN len(x.sh) <= len(y.sh) THEN c.doc_b ELSE c.doc_a END AS doc_big
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b)
+         |SELECT doc_small, doc_big, round(cont, 9) AS cont, round(jac, 9) AS jac
+         |FROM pairs WHERE cont >= 0.8""".stripMargin) { (s, dir) =>
+      val cont = col("ni") * lit(1.0) / col("nmin")
+      val jac = col("ni") * lit(1.0) / (col("ntot") - col("ni"))
+      // ties break to doc_a, matching the oracle's <=
+      val aIsSmall = col("nsh_a") <= (col("ntot") - col("nsh_a"))
+      verifiedCandidates(s, dir)
+        .filter(cont >= 0.8)
+        .select(
+          when(aIsSmall, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+          when(aIsSmall, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+          round(cont, 9).as("cont"), round(jac, 9).as("jac"))
     },
 
     // ------------------------------------------------------------------

@@ -528,6 +528,144 @@ object Etl {
           aggregate(transform(col("embedding"),
               x => floor(x.cast(DoubleType) * 1048576 + 0.5).cast(LongType)),
             lit(0L), (a, x) => a + x).as("e_fpsum"))
+    },
+
+    // ------------------------------------------------------------------
+    // CDC changelog apply (MERGE with deletes): the event log is read
+    // as an ordered changelog over the customer table — signup=INSERT,
+    // error=DELETE, click/view/purchase=UPDATE(value) — and collapsed
+    // to its LAST operation per key in one max_by aggregation
+    // (map-side combined, no window over the full log). The merge is a
+    // single full-outer join on the key: last-op DELETE drops the row,
+    // INSERT/UPDATE upserts the payload, untouched base rows pass
+    // through — the apply-a-Debezium-stream-to-a-lakehouse-table op.
+    // One shuffle for the agg, one for the join, both on the same key.
+    "etl_merge_cdc" -> QueryDef.withOracle(
+      """WITH last_op AS (
+        |  SELECT user_id, op, payload, n_ops FROM (
+        |    SELECT user_id,
+        |      CASE event_type WHEN 'signup' THEN 'I'
+        |           WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+        |      value AS payload,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |    FROM events) WHERE rn = 1)
+        |SELECT
+        |  coalesce(c.c_custkey, l.user_id) AS cust_id,
+        |  CASE WHEN l.user_id IS NULL THEN 'kept'
+        |       WHEN c.c_custkey IS NULL THEN 'inserted' ELSE 'updated' END AS merge_action,
+        |  round(CASE WHEN l.user_id IS NULL THEN c.c_acctbal ELSE l.payload END, 9) AS balance,
+        |  coalesce(l.n_ops, 0) AS n_ops
+        |FROM customer c FULL OUTER JOIN last_op l ON c.c_custkey = l.user_id
+        |WHERE l.op IS DISTINCT FROM 'D'""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").desc, col("event_id").desc)
+      val wAll = Window.partitionBy(col("user_id"))
+      val lastOp = Tables.eventsTimed(s, dir)
+        .withColumn("op",
+          when(col("event_type") === "signup", lit("I"))
+            .when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n_ops", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("op"), col("value").as("payload"), col("n_ops"))
+      Tables.customer(s, dir)
+        .join(lastOp, col("c_custkey") === col("user_id"), "full_outer")
+        .filter(!(col("op") <=> lit("D")))
+        .select(
+          coalesce(col("c_custkey"), col("user_id")).as("cust_id"),
+          when(col("user_id").isNull, lit("kept"))
+            .when(col("c_custkey").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("merge_action"),
+          round(when(col("user_id").isNull, col("c_acctbal"))
+            .otherwise(col("payload")), 9).as("balance"),
+          coalesce(col("n_ops"), lit(0L)).as("n_ops"))
+    },
+
+    // ------------------------------------------------------------------
+    // Snapshot diff: added/removed/changed rows between two versions of
+    // a table — the audit every lakehouse time-travel/backfill job
+    // needs. Snapshots are deterministic mutations of orders (so both
+    // engines construct identical inputs); the diff itself is ONE
+    // full-outer join on the key plus column compares, shuffling each
+    // snapshot once. With both snapshots bucketed by the key the join
+    // is co-located and shuffle-free; unchanged rows are dropped before
+    // anything leaves the join task.
+    "etl_snapshot_diff" -> QueryDef.withOracle(
+      """WITH snap_a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 <> 3),
+        |snap_b AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT
+        |  coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |       WHEN b.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS diff,
+        |  a.o_totalprice AS old_price, b.o_totalprice AS new_price
+        |FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |   OR a.o_totalprice <> b.o_totalprice
+        |   OR a.o_orderstatus <> b.o_orderstatus""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val snapA = o.filter(col("o_orderkey") % 11 =!= 3)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val snapB = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      snapA.as("a")
+        .join(snapB.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .filter(col("a.o_orderkey").isNull || col("b.o_orderkey").isNull ||
+          col("a.o_totalprice") =!= col("b.o_totalprice") ||
+          col("a.o_orderstatus") =!= col("b.o_orderstatus"))
+        .select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          when(col("a.o_orderkey").isNull, lit("added"))
+            .when(col("b.o_orderkey").isNull, lit("removed"))
+            .otherwise(lit("changed")).as("diff"),
+          col("a.o_totalprice").as("old_price"),
+          col("b.o_totalprice").as("new_price"))
+    },
+
+    // ------------------------------------------------------------------
+    // Equi-width histogram: the profiling primitive behind every data-
+    // quality dashboard. Bucket id is row-local integer math over
+    // literal bounds (no global min/max pass needed when bounds are
+    // known), so the whole operator is one map + one keyed agg with
+    // map-side combine — at 100 TB it moves 20 rows per partition.
+    "etl_histogram" -> QueryDef.withOracle(
+      """SELECT bucket,
+        |  round(900.0 + bucket * 5250.0, 2) AS lo,
+        |  round(900.0 + (bucket + 1) * 5250.0, 2) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 9) AS avg_price
+        |FROM (
+        |  SELECT l_extendedprice,
+        |    CAST(least(greatest(floor((l_extendedprice - 900.0) / 5250.0), 0), 19) AS BIGINT) AS bucket
+        |  FROM lineitem)
+        |GROUP BY bucket""".stripMargin) { (s, dir) =>
+      // avg over an exact decimal sum: a partial-agg double sum is
+      // addition-order-dependent across partitionings; the 2-dec money
+      // sum is exact in DECIMAL(18,2) and < 2^53, so the final double
+      // division is the identical correctly-rounded value on any engine
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"),
+          least(greatest(floor((col("l_extendedprice") - 900.0) / 5250.0), lit(0.0)), lit(19.0))
+            .cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_d"))
+        .withColumn("avg_price", round(col("sum_d") / col("n"), 9))
+        .drop("sum_d")
+        .select(col("bucket"),
+          round(lit(900.0) + col("bucket") * 5250.0, 2).as("lo"),
+          round(lit(900.0) + (col("bucket") + 1) * 5250.0, 2).as("hi"),
+          col("n"), col("avg_price"))
     }
   )
 }

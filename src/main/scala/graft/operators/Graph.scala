@@ -138,6 +138,37 @@ object Graph {
         .select(col("doc_id"),
           coalesce(col("r"), lit(15L * FP / 100L)).as("rank_fp"))
         .withColumn("rank", round(col("rank_fp") / lit(1048576.0), 9))
+    },
+
+    // ------------------------------------------------------------------
+    // Degree distribution of the near-dup graph — the sanity profile
+    // read before running anything iterative on it (a heavy tail here
+    // predicts skew in every per-node shuffle). Reuses the cached edge
+    // relation; two keyed aggs, output is |distinct degrees| rows.
+    "graph_degree_stats" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (
+         |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY deg""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      pairs.select(col("doc_a").as("src"))
+        .union(pairs.select(col("doc_b").as("src")))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
     }
   )
 }

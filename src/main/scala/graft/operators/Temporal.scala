@@ -227,6 +227,37 @@ object Temporal {
         .groupBy(col("band_label"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next_type | type), the session-model behind
+    // next-action prediction and funnel drop-off analysis. The lead()
+    // window is per-user (bounded partitions), the transition table is
+    // |types|² rows, and the probabilities divide exact integer counts
+    // — one bounded window + one keyed agg at any corpus size.
+    "ev_markov_transitions" -> QueryDef.withOracle(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / (sum(n) OVER (PARTITION BY from_type)), 9) AS p
+        |FROM t""".stripMargin) { (s, dir) =>
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val wFrom = Window.partitionBy(col("from_type"))
+      Tables.eventsTimed(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") * lit(1.0) / sum(col("n")).over(wFrom), 9))
     }
   )
 }

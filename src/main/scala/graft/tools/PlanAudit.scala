@@ -19,7 +19,10 @@ object PlanAudit {
   private val nestedLoopAllowed =
     Set("range_join", "ann_topk_exact", "ann_quantized_topk", "ann_ivf_assign",
       "dedup_embedding_xcell", "ann_ivf_topk", "text_tfidf_topk",
-      "pipe_mixture_sample", "text_bigram_lm", "ann_hard_negatives")
+      "pipe_mixture_sample", "text_bigram_lm", "ann_hard_negatives",
+      // tier 1 is the same broadcast-probe × corpus int8 scan as
+      // ann_quantized_topk; tier 2 is equi-joins only
+      "ann_refine_rerank")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
