@@ -666,6 +666,42 @@ object Etl {
           round(lit(900.0) + col("bucket") * 5250.0, 2).as("lo"),
           round(lit(900.0) + (col("bucket") + 1) * 5250.0, 2).as("hi"),
           col("n"), col("avg_price"))
+    },
+
+    // ------------------------------------------------------------------
+    // ANALYZE-style column profile: row count, null count, exact
+    // distinct count, min/max for every numeric measure — in ONE scan.
+    // The per-column aggregates all ride the same pass (Spark expands
+    // the multi-distinct agg internally but each expanded stream still
+    // partial-aggregates map-side), then a row-local inline() pivots
+    // the single summary row into one row per column. At 100 TB this
+    // is a single read of the fact table; the naive per-column loop
+    // would be four.
+    "etl_column_profile" -> QueryDef.withOracle(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")) { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c")))
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").cast(DoubleType).as("min_val"),
+          col(s"mx_$c").cast(DoubleType).as("max_val"))): _*)).as("p"))
+        .select("p.*")
     }
   )
 }

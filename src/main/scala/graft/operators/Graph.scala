@@ -169,6 +169,76 @@ object Graph {
         .union(pairs.select(col("doc_b").as("src")))
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    },
+
+    // ------------------------------------------------------------------
+    // Triangle count via degree orientation — the standard bound that
+    // makes triangle counting feasible on power-law graphs: direct each
+    // undirected edge from its lower-(deg, id) endpoint to the higher,
+    // so every node's ORIENTED out-degree is O(√E) regardless of its
+    // raw degree, and the wedge self-join (the quadratic step) is
+    // O(Σ out_deg²) = O(E^1.5) worst case instead of Σ deg² (which a
+    // boilerplate hub makes corpus-quadratic). Wedges close against the
+    // oriented edge list with one equi-join; everything shuffles on
+    // node ids only.
+    "graph_triangles" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS n FROM pairs
+         |    UNION ALL SELECT doc_b AS n FROM pairs) GROUP BY n),
+         |o AS (
+         |  SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN p.doc_a ELSE p.doc_b END AS u,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN p.doc_b ELSE p.doc_a END AS v,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN db.deg ELSE da.deg END AS dv
+         |  FROM pairs p
+         |  JOIN deg da ON da.n = p.doc_a
+         |  JOIN deg db ON db.n = p.doc_b),
+         |w AS (
+         |  SELECT e1.v AS x, e2.v AS y
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+         |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM w JOIN o ON o.u = w.x AND o.v = w.y""".stripMargin) { (s, dir) =>
+      // both edge relations are referenced 2-3 times (degree build,
+      // orientation, wedge closure) — persist so the LSH candidate
+      // pipeline and the orientation join each run ONCE, not per
+      // reference
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      val deg = pairs.select(col("doc_a").as("n"))
+        .union(pairs.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("doc_a") < col("doc_b"))
+      val o = pairs
+        .join(deg.select(col("n").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+        .join(deg.select(col("n").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+        .select(
+          when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+          when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        .persist()
+      val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+      e1.join(e2, Seq("u"))
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .agg(count(lit(1)).as("n_triangles"))
     }
   )
 }

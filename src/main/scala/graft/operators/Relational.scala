@@ -810,6 +810,46 @@ object Relational {
         .agg(sum(d4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
             .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated scalar-subquery shape (TPC-H Q17): items ordered in a
+    // quantity below half their part's average. Decorrelated the way a
+    // planner should: the filtered part list broadcasts BEFORE the
+    // per-part average runs, so the inner aggregate scans only the
+    // brand's lineitems, not every part's — and the tiny per-part agg
+    // broadcasts back onto the same pruned fact. The below-half-average
+    // predicate is evaluated in integers/decimals (qty·2·cnt < Σqty),
+    // never through a double division whose last bit could disagree
+    // across engines at the boundary.
+    "q36_correlated_agg" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+        |a AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem JOIN p ON p_partkey = l_partkey
+        |  GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+        |    AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_below
+        |FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 * a.cnt < a.sq""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"))
+      val pruned = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val a = pruned.groupBy(col("l_partkey"))
+        .agg(sum(d2(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+      pruned
+        .join(broadcast(a), Seq("l_partkey"))
+        .filter(d2(col("l_quantity")) * lit(2) * col("cnt") < col("sq"))
+        .agg(round(sum(d2(col("l_extendedprice"))).cast(DoubleType) / lit(7.0), 2)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_below"))
     }
   )
 }

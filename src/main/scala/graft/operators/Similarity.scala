@@ -6,7 +6,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -485,6 +485,43 @@ object Similarity {
         .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
+    },
+
+    // ------------------------------------------------------------------
+    // Distributed Gram matrix Σ x xᵀ over the embedding corpus — the
+    // d×d accumulation behind PCA/whitening/OPQ rotation at corpus
+    // scale. Each row emits its d(d+1)/2 = 2080 upper-triangle products
+    // (row-local explode); partial aggregation combines them map-side,
+    // so at most 2080 (i, j, partial) rows per task reach the single
+    // exchange — at 10^9 vectors the shuffle is still 2080 rows/task,
+    // and the driver-side eigendecomposition of a 64×64 matrix is
+    // trivial. Products are snapped to fixed point (×10^6, exact long
+    // sums) so the sums are addition-order-invariant → fully oracled.
+    "embedding_gram" -> QueryDef.withOracle(
+      """WITH x AS (
+        |  SELECT vec_id, embedding, len(embedding) AS d FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, embedding, unnest(range(1, d + 1)) AS i FROM x),
+        |p AS (
+        |  SELECT a.vec_id, a.i AS i1, b.i AS j1,
+        |    CAST(floor(CAST(a.embedding[a.i] AS DOUBLE)
+        |      * CAST(b.embedding[b.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p_fp
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.i >= a.i)
+        |SELECT CAST(i1 - 1 AS INT) AS i, CAST(j1 - 1 AS INT) AS j,
+        |  CAST(sum(p_fp) AS BIGINT) AS gram_fp,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      // the (i, j, product) triples never leave their input row until
+      // the map-side combine: one nested transform builds the upper
+      // triangle in place, flatten+explode feeds the partial agg
+      Tables.embeddings(s, dir)
+        .select(explode(flatten(transform(col("embedding"), (vi, i) =>
+          transform(slice(col("embedding"), i + 1, size(col("embedding")) - i), (vj, j) =>
+            struct(i.cast(IntegerType).as("i"), (i + j).cast(IntegerType).as("j"),
+              floor(vi.cast(DoubleType) * vj.cast(DoubleType) * 1000000 + 0.5)
+                .cast(LongType).as("p_fp")))))).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p_fp")).as("gram_fp"), count(lit(1)).as("n_vecs"))
     }
   )
 }

@@ -258,6 +258,58 @@ object Temporal {
         .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round(col("n") * lit(1.0) / sum(col("n")).over(wFrom), 9))
+    },
+
+    // ------------------------------------------------------------------
+    // As-of join with a lookback tolerance: the standard market-data /
+    // attribution variant — a click only matches a purchase within the
+    // trailing 10 minutes; staler matches degrade to no-match rather
+    // than attributing to ancient history. Same single-shuffle
+    // union+window plan as asof_join; the tolerance is a row-local
+    // post-filter on the already-found latest match (NOT a second
+    // window), so the cost is identical.
+    "asof_join_tolerance" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |u AS (
+        |  SELECT user_id, ts_s, event_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_s ASC, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+        |                     event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_s ASC, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+        |                     event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_s
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, ts_s AS purchase_ts_s,
+        |  CASE WHEN ts_s - click_ts_s <= 600 THEN click_id END AS click_id,
+        |  CASE WHEN ts_s - click_ts_s <= 600 THEN click_ts_s END AS click_ts_s,
+        |  CASE WHEN ts_s - click_ts_s <= 600 THEN ts_s - click_ts_s END AS gap_s
+        |FROM u WHERE is_click = 0""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("is_click").desc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inTol = col("ts_s") - col("raw_ts") <= 600
+      e.withColumn("raw_id",
+          last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("raw_ts",
+          last(when(col("is_click") === 1, col("ts_s")), ignoreNulls = true).over(w))
+        .filter(col("is_click") === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_s").as("purchase_ts_s"),
+          when(inTol, col("raw_id")).as("click_id"),
+          when(inTol, col("raw_ts")).as("click_ts_s"),
+          when(inTol, col("ts_s") - col("raw_ts")).as("gap_s"))
     }
   )
 }

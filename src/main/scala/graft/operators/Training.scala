@@ -220,6 +220,48 @@ object Training {
         .filter(u < col("rate"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           round(u, 9).as("u"), round(col("rate"), 9).as("rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sliding-window chunking: split each document into 256-token
+    // chunks on a 192-token stride (64-token overlap) — the context-
+    // window prep for embedding/retrieval training where a hard split
+    // would cut evidence in half. Entirely row-local (tokens → chunk
+    // starts → slices → md5 per chunk) followed by one explode; no
+    // shuffle at all until whatever consumes the chunks. Chunk ids are
+    // deterministic (doc_id, k), so shard assignment downstream is
+    // reproducible.
+    "pipe_chunk_overlap" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextOps.toksSql("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+         |k AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, ((greatest(n - 256, 0) + 191) // 192) + 1)) AS chunk_id
+         |  FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(1 + chunk_id * 192 AS BIGINT) AS tok_start,
+         |  CAST(least(n, chunk_id * 192 + 256) - chunk_id * 192 AS INT) AS n_tokens,
+         |  md5(array_to_string(toks[1 + chunk_id * 192 : least(n, chunk_id * 192 + 256)], ' '))
+         |    AS chunk_md5
+         |FROM k""".stripMargin) { (s, dir) =>
+      val C = 256
+      val S = 192
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast(LongType))
+        .filter(col("n") >= 1)
+      t.select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L),
+            floor((greatest(col("n") - C, lit(0L)) + (S - 1)) / S).cast(LongType)))
+            .as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (lit(1L) + col("chunk_id") * S).as("tok_start"),
+          (least(col("n"), col("chunk_id") * S + C) - col("chunk_id") * S)
+            .cast(IntegerType).as("n_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (lit(1L) + col("chunk_id") * S).cast(IntegerType), lit(C)))
+            .cast(BinaryType)).as("chunk_md5"))
     }
   )
 }

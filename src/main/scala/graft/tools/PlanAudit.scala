@@ -42,11 +42,60 @@ object PlanAudit {
   // rank-vector join + per-dst message agg + the edge/node builds:
   // ~3-4 exchanges per round is the intended iterative shape, each
   // bounded by O(E) messages — not a fan-out bug.
+  // graph_triangles stacks the individually-audited LSH candidate
+  // stage (~6 exchanges, all bucket-capped) plus the triangle plan
+  // proper: degree agg, two degree joins, the wedge self-join and the
+  // closure join — each keyed on node ids whose oriented out-degree
+  // the orientation bounds at O(√E). pairs/o are persisted so each
+  // stage runs once.
   private val exchangeAllowance =
     Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
-      "graph_pagerank" -> 26)
+      "graph_pagerank" -> 26, "graph_triangles" -> 14)
       .withDefaultValue(6)
+
+  /** Count distinct hash exchanges in an executed-plan string.
+    *
+    * A subtree referenced from several places (a persisted relation,
+    * both sides of a self-join) prints its exchange once PER
+    * REFERENCE, but executes once (reused exchange / cached relation).
+    * Expr ids make identical lines ⇔ the same physical exchange; strip
+    * only the tree-art prefix.
+    */
+  def distinctExchanges(plan: String): Int = plan.linesIterator
+    .filter(_.contains("Exchange hashpartitioning"))
+    .map(_.dropWhile(c => !c.isLetter))
+    .toSet.size
+
+  /** Scale red flags for one query's executed plan. Empty = clean. */
+  def flagsFor(name: String, plan: String): Seq[String] = {
+    val cartesian = plan.contains("CartesianProduct")
+    val nestedLoop = plan.contains("BroadcastNestedLoopJoin") &&
+      !nestedLoopAllowed(name)
+    val nExchange = distinctExchanges(plan)
+    Seq(
+      if (cartesian) Some("CARTESIAN") else None,
+      if (nestedLoop) Some("NESTED_LOOP") else None,
+      if (nExchange > exchangeAllowance(name)) Some(s"EXCHANGES=$nExchange") else None).flatten
+  }
+
+  /** Audit every registered query at `dir`; returns (name, flags) for
+    * each query whose plan raised a flag or failed to build.
+    */
+  def auditAll(spark: SparkSession, dir: String,
+      report: String => Unit = _ => ()): Seq[(String, Seq[String])] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = flagsFor(name, plan)
+        if (flags.nonEmpty) { report(s"[audit] $name: ${flags.mkString(", ")}"); Some(name -> flags) }
+        else { report(s"[audit] $name: ok (exchanges=${distinctExchanges(plan)})"); None }
+      } catch {
+        case e: Throwable =>
+          report(s"[audit] $name: PLAN ERROR ${e.getMessage.take(100)}")
+          Some(name -> Seq(s"PLAN ERROR ${e.getMessage.take(100)}"))
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -56,34 +105,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.tune(spark)
-    var flagged = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val cartesian = plan.contains("CartesianProduct")
-        val nestedLoop = plan.contains("BroadcastNestedLoopJoin") &&
-          !nestedLoopAllowed(name)
-        // DISTINCT exchanges: a subtree referenced from several places
-        // (a persisted relation, both sides of a self-join) prints its
-        // exchange once PER REFERENCE, but executes once (reused
-        // exchange / cached relation). Expr ids make identical lines ⇔
-        // the same physical exchange; strip only the tree-art prefix.
-        val nExchange = plan.linesIterator
-          .filter(_.contains("Exchange hashpartitioning"))
-          .map(_.dropWhile(c => !c.isLetter))
-          .toSet.size
-        val flags = Seq(
-          if (cartesian) Some("CARTESIAN") else None,
-          if (nestedLoop) Some("NESTED_LOOP") else None,
-          if (nExchange > exchangeAllowance(name)) Some(s"EXCHANGES=$nExchange") else None).flatten
-        if (flags.nonEmpty) { flagged += 1; println(s"[audit] $name: ${flags.mkString(", ")}") }
-        else println(s"[audit] $name: ok (exchanges=$nExchange)")
-      } catch {
-        case e: Throwable => flagged += 1
-          println(s"[audit] $name: PLAN ERROR ${e.getMessage.take(100)}")
-      }
-    }
-    println(s"[audit] flagged: $flagged")
+    val flagged = auditAll(spark, dir, println)
+    println(s"[audit] flagged: ${flagged.size}")
     spark.stop()
   }
 }

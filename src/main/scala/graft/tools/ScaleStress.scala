@@ -254,6 +254,84 @@ object ScaleStress {
           shiftleft(shiftright(zby, i).bitwiseAND(lit(1)), 2 * i)).reduce(_ + _)
       fact.select(zval.as("z")).groupBy(expr("z div 1024")).count().count()
     }
+
+    // ---- round-5 shapes ------------------------------------------------
+    // Zipfian bigram stream: ONE stopword opens 40% of all bigrams —
+    // the w1 distribution text_bigram_lm's c1-count join sees on real
+    // text. At sf0.1 the vocab count broadcasts and there is nothing to
+    // skew; at corpus scale (10^8+ vocab) c1 shuffles, and the hot w1
+    // key is the straggler risk. Broadcast disabled so the join
+    // actually exercises that path: AQE skew split vs explicit salt.
+    val bigrams = spark.range(n).select(
+      (col("id") % 100000L).as("doc_id"),
+      when(pmod(col("id"), lit(5)) < 2, lit("the"))
+        .otherwise(concat(lit("w"),
+          floor(sqrt(pmod(hash(col("id")), lit(4000000)).cast(DoubleType))))).as("w1"),
+      concat(lit("v"), pmod(hash(col("id"), lit(3)), lit(50000))).as("w2"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the w1 count itself is safe at any skew: partial agg combines the
+    // hot key map-side, one row per partition reaches the exchange
+    stressTime("bigram c1 count, 40%-hot w1 (map-side combine)", n) {
+      bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1")).count()
+    }
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1")).persist()
+    c1.count()
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("bigram c1-join unsalted, AQE skew split OFF (w1='the' = 40%)") {
+      bigrams.join(c1, Seq("w1")).count()
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    time("bigram c1-join unsalted, AQE skew split ON") {
+      bigrams.join(c1, Seq("w1")).count()
+    }
+    time("bigram c1-join SALTED x16 (Skew.saltedJoin)") {
+      graft.operators.Skew.saltedJoin(bigrams, c1, "w1", col("doc_id"), 16).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+    c1.unpersist()
+
+    // Power-law PageRank: 2M directed edges over 500k nodes where one
+    // hub dst receives 10% of ALL edges (heavy-tailed in-degree — the
+    // graph_pagerank shape the bucket caps can't pre-bound when the
+    // graph is an input rather than derived from capped LSH bands).
+    // Same Pregel layout as Graph.pageRanks: edges repartitioned by
+    // src ONCE, per round one rank-vector join + one per-dst sum, each
+    // round's lineage cut. The hot dst is absorbed by partial
+    // aggregation (map-side combine: one (dst0, partial) row per task
+    // reaches the exchange), so rounds must stay flat — a growing
+    // per-round time means the hub is being reduced single-task.
+    val nEdges = 2000000L
+    val nNodes = 500000L
+    val FP = 1048576L
+    val rawEdges = spark.range(nEdges).select(
+      pmod(hash(col("id")), lit(nNodes)).cast(LongType).as("src"),
+      when(pmod(col("id"), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(hash(col("id"), lit(1)), lit(nNodes)).cast(LongType)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val degS = rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesP = rawEdges.join(degS, Seq("src")).repartition(col("src")).persist()
+    val nE = edgesP.count()
+    val nodesP = edgesP.select(col("dst").as("doc_id")).distinct().persist()
+    nodesP.count()
+    val hubShare = edgesP.filter(col("dst") === 0L).count()
+    println(f"[stress]   pagerank graph: $nE edges, hub dst holds $hubShare (${hubShare * 100.0 / nE}%.1f%%)")
+    stressTime(s"power-law PageRank, 6 rounds x $nE edges (hot hub dst)", 6L * nE) {
+      var r = nodesP.withColumn("r", lit(FP))
+      for (round <- 0 until 6) {
+        val t0 = System.nanoTime()
+        val sums = edgesP
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
+        val next = nodesP
+          .join(sums, col("doc_id") === col("dst"), "left_outer")
+          .select(col("doc_id"),
+            expr(s"(15 * ${FP}L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
+        r = next.localCheckpoint(true)
+        println(f"[stress]   round $round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      r.count()
+    }
     spark.stop()
   }
 }

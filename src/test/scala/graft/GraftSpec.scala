@@ -1154,3 +1154,30 @@ class OffsetLedgerSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters"), plan.take(500))
   }
 }
+
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.tools.PlanAudit
+
+  test("no registered query plan carries a cartesian, unexpected nested loop, or over-allowance exchange count") {
+    // The same sweep `runMain graft.tools.PlanAudit` does, but in CI:
+    // a plan regression (lost broadcast hint, new cartesian, an
+    // operator growing extra shuffles) fails the build instead of
+    // waiting for a manual audit run.
+    val flagged = PlanAudit.auditAll(spark, sf)
+    assert(flagged.isEmpty, flagged.map { case (n, f) =>
+      s"$n: ${f.mkString(", ")}" }.mkString("; "))
+  }
+
+  test("a deliberately broken plan is flagged") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    val cart = a.crossJoin(b).queryExecution.executedPlan.toString
+    // crossJoin of two tiny local relations compiles to either
+    // CartesianProduct or BroadcastNestedLoopJoin depending on stats;
+    // both must trip the audit for a name with no allowance.
+    val flags = PlanAudit.flagsFor("q_not_allowed", cart)
+    assert(flags.exists(f => f == "CARTESIAN" || f == "NESTED_LOOP"), cart.take(300))
+  }
+}
