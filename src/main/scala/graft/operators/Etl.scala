@@ -702,6 +702,486 @@ object Etl {
           col(s"mn_$c").cast(DoubleType).as("min_val"),
           col(s"mx_$c").cast(DoubleType).as("max_val"))): _*)).as("p"))
         .select("p.*")
+    },
+
+    // ------------------------------------------------------------------
+    // Group-mean imputation, the workhorse edit rule of survey
+    // processing: negative balances are sentinel-coded missing (the
+    // classic -9/-99 encoding), replaced by the segment mean of the
+    // VALID values. One tiny per-segment agg (exact decimal sum →
+    // identical double mean on any engine/partitioning) broadcast back
+    // over the fact — no shuffle of the corpus side.
+    "etl_impute_mean" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS seg_mean
+        |  FROM customer WHERE c_acctbal >= 0
+        |  GROUP BY c_mktsegment)
+        |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |  c.c_acctbal < 0 AS imputed,
+        |  round(CASE WHEN c.c_acctbal < 0 THEN m.seg_mean ELSE c.c_acctbal END, 9)
+        |    AS acctbal_final
+        |FROM customer c JOIN m ON m.c_mktsegment = c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val means = cust.filter(col("c_acctbal") >= 0)
+        .groupBy(col("c_mktsegment"))
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+          / count(lit(1))).as("seg_mean"))
+      cust.join(broadcast(means), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          (col("c_acctbal") < 0).as("imputed"),
+          round(when(col("c_acctbal") < 0, col("seg_mean"))
+            .otherwise(col("c_acctbal")), 9).as("acctbal_final"))
+    },
+
+    // ------------------------------------------------------------------
+    // Outlier clamping (winsorize at mean ± 3σ per group): the edit
+    // step before publishing survey aggregates. Moments come from ONE
+    // exact-decimal agg pass (Σx in DECIMAL(18,2), Σx² in
+    // DECIMAL(24,4) — both order-invariant), and the double formula is
+    // written in the identical operation order on both engines so the
+    // clamp boundaries are bit-identical; the clamp itself is a
+    // row-local least/greatest under the broadcast moments.
+    "etl_outlier_clamp" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu,
+        |    sqrt(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |      - (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |      * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS sd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |  round(least(greatest(l.l_extendedprice, m.mu - 3 * m.sd), m.mu + 3 * m.sd), 6)
+        |    AS price_clamped,
+        |  CASE WHEN l.l_extendedprice < m.mu - 3 * m.sd THEN 'low'
+        |       WHEN l.l_extendedprice > m.mu + 3 * m.sd THEN 'high'
+        |       ELSE 'ok' END AS clamp_flag
+        |FROM lineitem l JOIN m ON m.l_returnflag = l.l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val p2 = col("l_extendedprice").cast(DecimalType(18, 2))
+      val mu = sum(p2).cast(DoubleType) / count(lit(1))
+      val moments = li.groupBy(col("l_returnflag"))
+        .agg(mu.as("mu"),
+          sqrt(sum(p2 * p2).cast(DoubleType) / count(lit(1)) - mu * mu).as("sd"))
+      val lo = col("mu") - lit(3) * col("sd")
+      val hi = col("mu") + lit(3) * col("sd")
+      li.join(broadcast(moments), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          round(least(greatest(col("l_extendedprice"), lo), hi), 6).as("price_clamped"),
+          when(col("l_extendedprice") < lo, "low")
+            .when(col("l_extendedprice") > hi, "high")
+            .otherwise("ok").as("clamp_flag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Survey-weighted domain estimates: every respondent (customer)
+    // carries a design weight; published totals are Σ w·y per domain,
+    // not plain sums. Weight×value products are exact decimals, so the
+    // weighted totals are partitioning-invariant; one broadcast dim
+    // join + one keyed agg.
+    "etl_weighted_total" -> QueryDef.withOracle(
+      """SELECT c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(1 + c.c_custkey % 7) AS BIGINT) AS w_sum,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * (1 + c.c_custkey % 7)) AS DOUBLE)
+        |    AS w_total,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * (1 + c.c_custkey % 7)) AS DOUBLE)
+        |    / sum(1 + c.c_custkey % 7), 9) AS w_mean
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      val w = lit(1L) + pmod(col("c_custkey"), lit(7L))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      Tables.orders(s, dir)
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(w).as("w_sum"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)) * w)
+            .cast(DoubleType).as("w_total"))
+        .withColumn("w_mean", round(col("w_total") / col("w_sum"), 9))
+    },
+
+    // ------------------------------------------------------------------
+    // Disclosure control (k-anonymity cell suppression) — the step
+    // between an aggregate and a PUBLISHED statistical table: cells
+    // with fewer than 5 contributors are primary-suppressed, and when
+    // a row margin would expose a lone suppressed cell by subtraction,
+    // the smallest surviving cell in that margin is complementary-
+    // suppressed too. The cell table is bookkeeping-sized (nations ×
+    // segments), so the suppression windows ride ≤125 rows; the only
+    // corpus-scale work is the original keyed agg.
+    "etl_cell_suppression" -> QueryDef.withOracle(
+      """WITH cells AS (
+        |  SELECT n.n_name, c.c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 9)
+        |      AS avg_bal
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT *, n < 5 AS primary_sup,
+        |    sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) OVER (PARTITION BY n_name) AS n_prim,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CASE WHEN n < 5 THEN 1 ELSE 0 END, n, c_mktsegment) AS rn
+        |  FROM cells)
+        |SELECT n_name, c_mktsegment, n,
+        |  CASE WHEN primary_sup OR (n_prim = 1 AND rn = 1) THEN NULL ELSE avg_bal END
+        |    AS published,
+        |  CASE WHEN primary_sup THEN 'k<5'
+        |       WHEN n_prim = 1 AND rn = 1 THEN 'complementary'
+        |       ELSE 'ok' END AS sup_reason
+        |FROM flagged""".stripMargin) { (s, dir) =>
+      val cells = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("s"))
+        .select(col("n_name"), col("c_mktsegment"), col("n"),
+          round(col("s") / col("n"), 9).as("avg_bal"))
+      val primFlag = when(col("n") < 5, 1).otherwise(0)
+      val wN = Window.partitionBy(col("n_name"))
+      val flagged = cells
+        .withColumn("primary_sup", col("n") < 5)
+        .withColumn("n_prim", sum(primFlag).over(wN))
+        .withColumn("rn", row_number().over(
+          wN.orderBy(primFlag.asc, col("n").asc, col("c_mktsegment").asc)))
+      val suppressed = col("primary_sup") || (col("n_prim") === 1 && col("rn") === 1)
+      flagged.select(col("n_name"), col("c_mktsegment"), col("n"),
+        when(!suppressed, col("avg_bal")).as("published"),
+        when(col("primary_sup"), "k<5")
+          .when(col("n_prim") === 1 && col("rn") === 1, "complementary")
+          .otherwise("ok").as("sup_reason"))
+    },
+
+    // ------------------------------------------------------------------
+    // Iterative proportional fitting (raking) — THE survey calibration
+    // algorithm: design weights adjusted until nation margins and
+    // segment margins both hit their targets, alternating 3 full
+    // rounds. Same determinism discipline as graph_pagerank: weights
+    // live in ×10^6 fixed point, every margin sum is an exact long
+    // (order/partitioning-invariant), and each adjustment
+    // floor(w·f + 0.5) is the identical double expression on both
+    // engines → a 6-step iterative job with a full unrolled-CTE
+    // oracle. Per step: one map-side-combined margin agg (≤ groups
+    // rows through the exchange) + one broadcast factor join — the
+    // corpus never shuffles.
+    "etl_rake_weights" -> QueryDef.withOracle {
+      def stepSql(src: String, out: String, dim: String, tgt: String): String =
+        s"""$out AS (
+           |  SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment,
+           |    CAST(floor(b.w * ((t.wt // t.$tgt) * 1.0 / m.cur) + 0.5) AS BIGINT) AS w
+           |  FROM $src b
+           |  JOIN (SELECT $dim AS k, CAST(sum(w) AS BIGINT) AS cur
+           |        FROM $src GROUP BY 1) m ON m.k = b.$dim
+           |  CROSS JOIN tot t)""".stripMargin
+      val steps = (1 to 3).flatMap { r =>
+        val prevN = if (r == 1) "base" else s"r${r - 1}s"
+        Seq(stepSql(prevN, s"r${r}n", "c_nationkey", "nn"),
+          stepSql(s"r${r}n", s"r${r}s", "c_mktsegment", "ns"))
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_nationkey, c_mktsegment,
+         |    CAST((1 + c_custkey % 7) * 1000000 AS BIGINT) AS w
+         |  FROM customer),
+         |tot AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS wt,
+         |    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nn,
+         |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS ns
+         |  FROM base),
+         |$steps
+         |SELECT c_custkey, c_nationkey, c_mktsegment,
+         |  CAST(1 + c_custkey % 7 AS BIGINT) AS w_design,
+         |  round(w / 1000000.0, 6) AS w_calibrated
+         |FROM r3s""".stripMargin
+    } { (s, dir) =>
+      val FPW = 1000000L
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          ((lit(1L) + pmod(col("c_custkey"), lit(7L))) * FPW).as("w"))
+      // one bookkeeping job for the (exact-integer) totals the targets
+      // derive from — the same values the oracle's tot CTE computes
+      val t = base.agg(sum(col("w")), countDistinct(col("c_nationkey")),
+        countDistinct(col("c_mktsegment"))).head()
+      val (wt, nn, ns) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      var cur = base
+      for (_ <- 1 to 3; (dim, tgt) <- Seq("c_nationkey" -> wt / nn,
+          "c_mktsegment" -> wt / ns)) {
+        val m = cur.groupBy(col(dim)).agg(sum(col("w")).as("cur_m"))
+        cur = cur.join(broadcast(m), Seq(dim))
+          .withColumn("w",
+            floor(col("w") * (lit(tgt) * lit(1.0) / col("cur_m")) + lit(0.5))
+              .cast(LongType))
+          .drop("cur_m")
+          // cut lineage per step (the pagerank discipline): without
+          // this every step's margin agg re-plans the whole prefix and
+          // the final plan re-executes it per reference (63 distinct
+          // exchanges at 6 steps); with it each step is a flat 2-stage
+          // fragment over the previous step's materialization
+          .localCheckpoint(true)
+      }
+      cur.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        (lit(1L) + pmod(col("c_custkey"), lit(7L))).as("w_design"),
+        round(col("w") / lit(1000000.0), 6).as("w_calibrated"))
+    },
+
+    // ------------------------------------------------------------------
+    // Blocked record linkage — the statistical-matching step of every
+    // register-based pipeline: candidate pairs are generated ONLY
+    // within a blocking key (here brand × product noun — in production
+    // a phonetic/sorted-neighborhood key), then scored by edit
+    // distance. The all-pairs comparison a naive linkage runs is
+    // corpus-quadratic; blocking bounds it at Σ block², and the key
+    // must carry enough entropy that block sizes stay bounded as the
+    // corpus grows (the noun alone has ~92 values — its blocks scale
+    // WITH the corpus; brand × noun multiplies the key space 25×).
+    // Same (key, id) self-join shape as the LSH dedup family, so the
+    // same bucket caps apply when a block runs hot.
+    "etl_record_linkage" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_brand,
+        |    concat(p_brand, ':', regexp_extract(p_name, '([a-z0-9]+)$', 1)) AS blk
+        |  FROM part)
+        |SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+        |  a.p_name AS name_a, b.p_name AS name_b, a.blk AS block,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+        |  CASE WHEN a.p_name = b.p_name THEN 'exact' ELSE 'near' END AS match_kind
+        |FROM p a JOIN p b
+        |  ON b.blk = a.blk AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"),
+          concat(col("p_brand"), lit(":"),
+            regexp_extract(col("p_name"), "([a-z0-9]+)$", 1)).as("blk"))
+      val a = p.select(col("p_partkey").as("partkey_a"), col("p_name").as("name_a"),
+        col("blk"))
+      val b = p.select(col("p_partkey").as("partkey_b"), col("p_name").as("name_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("partkey_a") < col("partkey_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+        .select(col("partkey_a"), col("partkey_b"), col("name_a"), col("name_b"),
+          col("blk").as("block"),
+          levenshtein(col("name_a"), col("name_b")).as("lev"),
+          when(col("name_a") === col("name_b"), "exact")
+            .otherwise("near").as("match_kind"))
+    },
+
+    // ------------------------------------------------------------------
+    // Price-index compilation (Laspeyres / Paasche / Fisher per brand,
+    // 1995 base → 1996 current) — the CPI arithmetic itself. Per-part
+    // unit values come from exact decimal sums; prices and quantities
+    // snap to ×10^6 / ×10^2 fixed point so the index numerators and
+    // denominators are exact integer dot products (summed in
+    // DECIMAL(38,0) ↔ HUGEINT — partitioning-invariant), and the only
+    // doubles are the final divisions, written identically on both
+    // engines. Plan: one filtered corpus agg (map-side combined), a
+    // part-cardinality pivot, one keyed join to the part dim, one
+    // 25-group agg — no corpus-scale shuffle after the first.
+    "etl_price_index" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN qty END) * 100 + 0.5) AS BIGINT) AS q0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN qty END) * 100 + 0.5) AS BIGINT) AS q1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |ix AS (
+        |  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(sum(CAST(pp.p1 AS HUGEINT) * pp.q0) AS DOUBLE)
+        |      / CAST(sum(CAST(pp.p0 AS HUGEINT) * pp.q0) AS DOUBLE) AS lasp,
+        |    CAST(sum(CAST(pp.p1 AS HUGEINT) * pp.q1) AS DOUBLE)
+        |      / CAST(sum(CAST(pp.p0 AS HUGEINT) * pp.q1) AS DOUBLE) AS paas
+        |  FROM pp JOIN part p ON p.p_partkey = pp.l_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n_parts,
+        |  round(100 * lasp, 6) AS laspeyres,
+        |  round(100 * paas, 6) AS paasche,
+        |  round(100 * sqrt(lasp * paas), 6) AS fisher
+        |FROM ix""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          floor(yv(1995, "qty") * 100 + 0.5).cast(LongType).as("q0"),
+          floor(yv(1996, "qty") * 100 + 0.5).cast(LongType).as("q1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      val ix = pp
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          (sum((col("p1").cast(dec38) * col("q0")).cast(dec38)).cast(DoubleType)
+            / sum((col("p0").cast(dec38) * col("q0")).cast(dec38)).cast(DoubleType))
+            .as("lasp"),
+          (sum((col("p1").cast(dec38) * col("q1")).cast(dec38)).cast(DoubleType)
+            / sum((col("p0").cast(dec38) * col("q1")).cast(dec38)).cast(DoubleType))
+            .as("paas"))
+      ix.select(col("p_brand"), col("n_parts"),
+        round(lit(100) * col("lasp"), 6).as("laspeyres"),
+        round(lit(100) * col("paas"), 6).as("paasche"),
+        round(lit(100) * sqrt(col("lasp") * col("paas")), 6).as("fisher"))
+    },
+
+    // ------------------------------------------------------------------
+    // Benford first-digit screening — the audit pass statistical
+    // agencies run over self-reported financial values. Digit
+    // extraction is exact string arithmetic on the integer part (no
+    // log10 bucketing of the VALUE, which would be float-fragile at
+    // power-of-ten boundaries); only the EXPECTED frequency uses
+    // log10(1+1/d), an identical closed-form on both engines. One
+    // row-local projection + a 9-group agg + a 1-row total broadcast.
+    "etl_benford" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT c.digit, c.n,
+        |  round(t.total * log10(1 + 1.0 / c.digit), 6) AS expected_n,
+        |  round((c.n - t.total * log10(1 + 1.0 / c.digit))
+        |      * (c.n - t.total * log10(1 + 1.0 / c.digit))
+        |      / (t.total * log10(1 + 1.0 / c.digit)), 6) AS chi2_term
+        |FROM c CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val c = Tables.orders(s, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast(LongType)
+          .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("total"))
+      val exp = col("total") * log10(lit(1) + lit(1.0) / col("digit"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(exp, 6).as("expected_n"),
+          round((col("n") - exp) * (col("n") - exp) / exp, 6).as("chi2_term"))
+    },
+
+    // ------------------------------------------------------------------
+    // Pairwise Pearson correlation matrix over the lineitem measures in
+    // ONE scan: all Σx, Σx², Σxy moments are exact decimal sums
+    // (products of DECIMAL(18,2) stay exact at (37,4)), so the single
+    // 1-row aggregate is partitioning-invariant; the 6 pair rows are
+    // exploded row-locally from that one row, and the correlation
+    // formula is the identical double expression on both engines.
+    // A built-in corr() would be order-dependent in its float
+    // accumulation — this is the deterministic formulation of the same
+    // statistic.
+    "etl_correlation" -> QueryDef.withOracle {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols.map(c =>
+        s"""    CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$c,
+           |    CAST(sum(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)
+           |      AS ss_$c""".stripMargin).mkString(",\n")
+      val cross = (for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield s"""    CAST(sum(CAST(${cols(i)} AS DECIMAL(18,2))
+           |      * CAST(${cols(j)} AS DECIMAL(18,2))) AS DOUBLE)
+           |      AS sp_${cols(i)}_${cols(j)}""".stripMargin).mkString(",\n")
+      val pairs = (for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round((n * sp_${a}_$b - s_$a * s_$b)
+           |    / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 9)
+           |    AS corr_r
+           |FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |$sums,
+         |$cross
+         |  FROM lineitem)
+         |$pairs""".stripMargin
+    } { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def d2(c: String) = col(c).cast(DecimalType(18, 2))
+      val m = Tables.lineitem(s, dir).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        (cols.flatMap(c => Seq(
+          sum(d2(c)).cast(DoubleType).as(s"s_$c"),
+          sum(d2(c) * d2(c)).cast(DoubleType).as(s"ss_$c"))) ++
+          (for { i <- cols.indices; j <- cols.indices if i < j } yield
+            sum(d2(cols(i)) * d2(cols(j))).cast(DoubleType)
+              .as(s"sp_${cols(i)}_${cols(j)}"))): _*)
+      val pairRows = for { i <- cols.indices; j <- cols.indices if i < j } yield {
+        val (a, b) = (cols(i), cols(j))
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            / (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+              * sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))), 9)
+            .as("corr_r"))
+      }
+      m.select(explode(array(pairRows: _*)).as("p")).select("p.*")
+    },
+
+    // ------------------------------------------------------------------
+    // 2×12-term centered moving average + seasonal-irregular ratios —
+    // the opening move of X-11 seasonal adjustment. The corpus
+    // collapses to ≤ one row per month FIRST (exact decimal sums), so
+    // the global window rides a calendar-bounded bookkeeping relation
+    // (~80 rows regardless of corpus size — same argument as the
+    // per-bucket offset windows). The MA is summed via explicit
+    // lag/lead terms in one left-associated chain, NOT a window avg,
+    // so the double addition order is pinned on both engines.
+    "etl_seasonal_ma" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS mo_s,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT mo_s, total,
+        |    (0.5 * lag(total, 6) OVER o + lag(total, 5) OVER o + lag(total, 4) OVER o
+        |      + lag(total, 3) OVER o + lag(total, 2) OVER o + lag(total, 1) OVER o
+        |      + total + lead(total, 1) OVER o + lead(total, 2) OVER o
+        |      + lead(total, 3) OVER o + lead(total, 4) OVER o + lead(total, 5) OVER o
+        |      + 0.5 * lead(total, 6) OVER o) / 12 AS ma
+        |  FROM m WINDOW o AS (ORDER BY mo_s))
+        |SELECT mo_s, round(total, 6) AS total, round(ma, 6) AS trend_ma,
+        |  round(total / ma, 9) AS si_ratio
+        |FROM w WHERE ma IS NOT NULL""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      // single-partition window is safe here: the relation is one row
+      // per calendar month, bounded by the date span, not the corpus
+      val o = Window.orderBy(col("mo_s").asc)
+      val terms = lit(0.5) * lag(col("total"), 6).over(o) +
+        lag(col("total"), 5).over(o) + lag(col("total"), 4).over(o) +
+        lag(col("total"), 3).over(o) + lag(col("total"), 2).over(o) +
+        lag(col("total"), 1).over(o) + col("total") +
+        lead(col("total"), 1).over(o) + lead(col("total"), 2).over(o) +
+        lead(col("total"), 3).over(o) + lead(col("total"), 4).over(o) +
+        lead(col("total"), 5).over(o) + lit(0.5) * lead(col("total"), 6).over(o)
+      m.withColumn("ma", terms / 12)
+        .filter(col("ma").isNotNull)
+        .select(col("mo_s"), round(col("total"), 6).as("total"),
+          round(col("ma"), 6).as("trend_ma"),
+          round(col("total") / col("ma"), 9).as("si_ratio"))
     }
   )
 }

@@ -522,6 +522,85 @@ object Similarity {
                 .cast(LongType).as("p_fp")))))).as("t"))
         .groupBy(col("t.i").as("i"), col("t.j").as("j"))
         .agg(sum(col("t.p_fp")).as("gram_fp"), count(lit(1)).as("n_vecs"))
+    },
+
+    // ------------------------------------------------------------------
+    // Top-principal-component projection: distributed Gram build →
+    // 8-round deterministic power iteration on the d×d matrix →
+    // corpus-scale row-local projection onto the resulting direction.
+    // The Gram collect is d² = 4096 bookkeeping rows — exactly what
+    // Spark MLlib's RowMatrix.computePrincipalComponents does (the
+    // Gramian is O(d²), independent of corpus size); everything
+    // corpus-sized stays distributed. Determinism discipline: the Gram
+    // is fixed-point (exact long sums), the normalized matrix snaps to
+    // ×10^3, each iteration's matvec is exact long arithmetic and its
+    // renormalization an identical IEEE expression on both engines —
+    // so an 8-round eigensolve carries a full unrolled-CTE oracle.
+    "embedding_pca_project" -> QueryDef.withOracle {
+      def step(k: Int): String = {
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""w$k AS (
+           |  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS w
+           |  FROM g2 g JOIN $prev v ON v.j = g.j GROUP BY 1),
+           |n$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm
+           |        FROM w$k),
+           |v$k AS (
+           |  SELECT w$k.i AS j,
+           |    CAST(floor(CAST(w AS DOUBLE) * 1000000.0 / n$k.nrm + 0.5) AS BIGINT) AS v
+           |  FROM w$k CROSS JOIN n$k)""".stripMargin
+      }
+      s"""WITH x AS (SELECT vec_id, embedding FROM embeddings),
+         |e AS (
+         |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM x),
+         |pr AS (
+         |  SELECT a.i AS i1, b.i AS j1,
+         |    CAST(floor(CAST(a.embedding[a.i] AS DOUBLE)
+         |      * CAST(b.embedding[b.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id),
+         |gr AS (SELECT i1, j1, CAST(sum(p) AS BIGINT) AS gfp,
+         |         CAST(count(*) AS BIGINT) AS nv
+         |       FROM pr GROUP BY 1, 2),
+         |g2 AS (SELECT i1 - 1 AS i, j1 - 1 AS j,
+         |         CAST(floor(gfp / (nv * 1000.0)) AS BIGINT) AS g FROM gr),
+         |v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM g2),
+         |${(1 to 8).map(step).mkString(",\n")},
+         |xq AS (
+         |  SELECT vec_id, i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+         |  FROM e)
+         |SELECT q.vec_id,
+         |  round(CAST(sum(q.xq * v.v) AS BIGINT) / 1000000000000.0, 6) AS pc1
+         |FROM xq q JOIN v8 v ON v.j = q.dim
+         |GROUP BY q.vec_id""".stripMargin
+    } { (s, dir) =>
+      val gram = Tables.embeddings(s, dir)
+        .select(explode(flatten(transform(col("embedding"), (vi, i) =>
+          transform(col("embedding"), (vj, j) =>
+            struct(i.cast(IntegerType).as("i"), j.cast(IntegerType).as("j"),
+              floor(vi.cast(DoubleType) * vj.cast(DoubleType) * 1000000 + 0.5)
+                .cast(LongType).as("p")))))).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum(col("t.p")).as("gfp"), count(lit(1)).as("nv"))
+        .collect() // d² bookkeeping rows — the MLlib Gramian pattern
+      val d = gram.map(_.getInt(0)).max + 1
+      val g = Array.ofDim[Long](d, d)
+      gram.foreach { r =>
+        g(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / (r.getLong(3) * 1000.0)).toLong
+      }
+      var v = Array.fill(d)(1000000L)
+      for (_ <- 0 until 8) {
+        val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+        val nrm = math.sqrt(w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+        v = w.map(x => math.floor(x.toDouble * 1000000.0 / nrm + 0.5).toLong)
+      }
+      val vLit = array(v.map(lit): _*)
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        round(
+          aggregate(
+            zip_with(col("embedding"), vLit, (x, vv) =>
+              floor(x.cast(DoubleType) * 1000000 + 0.5).cast(LongType) * vv),
+            lit(0L), (acc, t) => acc + t) / lit(1.0e12), 6).as("pc1"))
     }
   )
 }

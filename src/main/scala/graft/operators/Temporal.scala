@@ -310,6 +310,144 @@ object Temporal {
           when(inTol, col("raw_id")).as("click_id"),
           when(inTol, col("raw_ts")).as("click_ts_s"),
           when(inTol, col("ts_s") - col("raw_ts")).as("gap_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // Hopping (sliding) window aggregation: 1-hour windows every 15
+    // minutes, so each event lands in exactly 4 overlapping windows.
+    // Spark's native window(slideDuration) replicates the row per
+    // containing window BEFORE the keyed agg — the fan-out is a
+    // row-local ×4, then partial aggregation combines map-side; the
+    // exchange carries (window, type) groups, never the replicated
+    // events.
+    "ev_sliding_window_agg" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    (t // 900 - unnest(range(0, 4))) * 900 AS win_start_s
+        |  FROM e)
+        |SELECT win_start_s, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.eventsTimed(s, dir)
+        .groupBy(window(col("ts_us"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Peak concurrency per event type: every event holds a resource
+    // for 30 minutes; find the maximum simultaneous holders and the
+    // first time it occurs. The classic +1/−1 boundary sweep — but the
+    // running sum is computed as a DISTRIBUTED prefix sum (the q28
+    // pattern): deltas are pre-summed per distinct timestamp (which
+    // also kills same-instant ordering ambiguity), range-bucketed on
+    // literal bounds, per-bucket partials become running offsets over
+    // a ≤types×64-row bookkeeping relation, and each task scans only
+    // its own bucket. No task ever sorts a type's whole timeline —
+    // the single-partition-window formulation the oracle uses would.
+    "ev_peak_concurrency" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |d AS (
+        |  SELECT event_type, t, 1 AS delta FROM e
+        |  UNION ALL SELECT event_type, t + 1800, -1 FROM e),
+        |g AS (SELECT event_type, t, CAST(sum(delta) AS BIGINT) AS net
+        |      FROM d GROUP BY 1, 2),
+        |r AS (SELECT event_type, t,
+        |        CAST(sum(net) OVER (PARTITION BY event_type ORDER BY t) AS BIGINT) AS conc
+        |      FROM g),
+        |p AS (SELECT event_type, CAST(max(conc) AS BIGINT) AS peak FROM r GROUP BY 1)
+        |SELECT r.event_type, p.peak AS peak, CAST(min(r.t) AS BIGINT) AS first_peak_t
+        |FROM r JOIN p ON p.event_type = r.event_type AND r.conc = p.peak
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir).select(col("event_type"), col("ts_s").as("t"))
+      val d = e.select(col("event_type"), col("t"), lit(1L).as("delta"))
+        .unionByName(e.select(col("event_type"), (col("t") + 1800L).as("t"),
+          lit(-1L).as("delta")))
+      // net delta per distinct instant: order within an instant can no
+      // longer matter, and the sweep length halves
+      val g = d.groupBy(col("event_type"), col("t")).agg(sum(col("delta")).as("net"))
+        .persist()
+      val mmx = g.agg(min(col("t")), max(col("t"))).head()
+      val (mn, mx) = (mmx.getLong(0), mmx.getLong(1))
+      val nb = 64
+      val bkt =
+        if (mx > mn)
+          least(lit(nb - 1),
+            floor((col("t") - mn) / ((mx - mn).toDouble / nb)).cast(IntegerType))
+        else lit(0)
+      val gb = g.withColumn("bkt", bkt)
+      val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt").asc)
+      val offs = gb.groupBy(col("event_type"), col("bkt")).agg(sum(col("net")).as("bnet"))
+        .select(col("event_type"), col("bkt"),
+          coalesce(sum(col("bnet"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      val wLoc = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("t").asc)
+      val r = gb.join(broadcast(offs), Seq("event_type", "bkt"))
+        .withColumn("conc", sum(col("net")).over(wLoc) + col("off"))
+        .select(col("event_type"), col("t"), col("conc"))
+        .persist()
+      val p = r.groupBy(col("event_type")).agg(max(col("conc")).as("peak"))
+      r.join(broadcast(p), Seq("event_type"))
+        .filter(col("conc") === col("peak"))
+        .groupBy(col("event_type"), col("peak"))
+        .agg(min(col("t")).as("first_peak_t"))
+        .select(col("event_type"), col("peak"), col("first_peak_t"))
+    },
+
+    // ------------------------------------------------------------------
+    // Panel densification + last-observation-carried-forward — the
+    // gap-fill every time-series publication runs before seasonal
+    // adjustment or rate calculation. The corpus collapses to per-
+    // (user, day) aggregates first; the dense grid is user-dim ×
+    // calendar built row-locally (1-row bounds broadcast + explode —
+    // never a fact-scale cross join); the forward-fill window
+    // partitions by user, so each partition is calendar-bounded (≤ span
+    // days) no matter how large the corpus — the per-series sort can
+    // never become a hot task.
+    "ev_gap_fill" -> QueryDef.withOracle(
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |dense AS (
+        |  SELECT u.user_id, CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN b)
+        |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+        |  q.n IS NOT NULL AS observed,
+        |  coalesce(q.n, 0) AS n,
+        |  round(coalesce(q.day_value, 0), 9) AS day_value,
+        |  round(last_value(q.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY d.user_id ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS locf_value
+        |FROM dense d LEFT JOIN daily q
+        |  ON q.user_id = d.user_id AND q.day = d.day""".stripMargin) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts_us")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("day_value"))
+        .persist() // read 3×: bounds, user dim, fill join
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val dense = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds)) // 1-row bounds — row-local fan-out
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n").isNotNull.as("observed"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(coalesce(col("day_value"), lit(0.0)), 9).as("day_value"),
+          round(last(col("day_value"), ignoreNulls = true).over(w), 9)
+            .as("locf_value"))
     }
   )
 }

@@ -401,6 +401,54 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("s"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("s") * lit(1.0) / col("n_bigrams") / lit(1000000.0), 9).as("avg_ln_p"))
+    },
+
+    // ------------------------------------------------------------------
+    // PMI collocation extraction — top-50 word pairs that co-occur far
+    // more than chance (ln(c12·N / (c1·c2))), the classic multi-word-
+    // expression miner. All counts are exact integers; the PMI double
+    // is the identical expression on both engines, and the final
+    // ordering carries (pmi, w1, w2) so ties are pinned. The top-50 is
+    // a global orderBy+limit → per-partition top-k merged at the
+    // driver (TakeOrdered), never a full sort. The c1 join shares
+    // text_bigram_lm's stopword-skew profile — covered by AQE skew
+    // splitting / Skew.saltedJoin (SURVEY §6's Zipfian stress shape).
+    "text_pmi_collocations" -> QueryDef.withOracle(
+      s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |b AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM (SELECT unnest(range(1, len(toks))) AS i, toks
+         |        FROM t WHERE len(toks) >= 2)),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |lc AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS cl FROM b GROUP BY 1),
+         |rc AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b)
+         |SELECT big.w1, big.w2, big.c12,
+         |  round(ln(big.c12 * 1.0 * tot.nb / (lc.cl * rc.cr)), 6) AS pmi
+         |FROM big JOIN lc ON lc.w = big.w1 JOIN rc ON rc.w = big.w2
+         |CROSS JOIN tot
+         |WHERE big.c12 >= 5
+         |ORDER BY pmi DESC, big.w1 ASC, big.w2 ASC LIMIT 50""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("toks"))
+        .persist() // barrier: keep the regexp out of the bigram lambda
+      val b = t.filter(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val big = b.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5) // prune BEFORE the unigram joins
+      val lc = b.groupBy(col("w1")).agg(count(lit(1)).as("cl"))
+      val rc = b.groupBy(col("w2")).agg(count(lit(1)).as("cr"))
+      val tot = b.agg(count(lit(1)).as("nb"))
+      big.join(lc, Seq("w1")).join(rc, Seq("w2")).crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(col("c12") * lit(1.0) * col("nb") / (col("cl") * col("cr"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
     }
   )
 }

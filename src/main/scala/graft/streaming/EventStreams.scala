@@ -188,6 +188,34 @@ object EventStreams {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Left-outer stream-stream interval join: like [[clickPurchaseJoin]]
+    * but purchases with NO click in the preceding hour still emit (null
+    * click columns) — the attribution shape where unconverted traffic
+    * matters. The engine can only declare a purchase unmatched once the
+    * click-side watermark passes the end of its interval, so unmatched
+    * rows flush as event time advances; a finite replay needs one later
+    * event to push the watermark past the tail (the spec stages a
+    * sentinel). State stays watermark-bounded exactly as in the inner
+    * join. */
+  def clickPurchaseLeftJoin(spark: SparkSession, srcDir: String): DataFrame = {
+    val ev = eventStreamFromDir(spark, srcDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup on event_id: state is bounded by the
     * watermark horizon (late duplicates beyond 1 h are dropped by the
     * engine, so state doesn't grow with the stream). */
@@ -195,6 +223,20 @@ object EventStreams {
     eventStream(spark, sfDir)
       .withWatermark("ts_us", "1 hour")
       .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+
+  /** Watermark-bounded dedup (`dropDuplicatesWithinWatermark`): unlike
+    * [[dedupEvents]], whose per-key state lives forever unless the key
+    * column includes event time, this keeps a key's state only until
+    * the watermark passes its event time + delay — the production
+    * at-least-once-source dedup where duplicates arrive within a
+    * bounded lag (retried producer sends, replayed batches), and state
+    * provably cannot grow with stream length. */
+  def dedupEventsWithinWatermark(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 0, delay: String = "1 hour"): DataFrame =
+    eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .withWatermark("ts_us", delay)
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
 
   /** Declarative gap sessionization via the native `session_window`

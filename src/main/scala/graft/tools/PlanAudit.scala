@@ -22,7 +22,10 @@ object PlanAudit {
       "pipe_mixture_sample", "text_bigram_lm", "ann_hard_negatives",
       // tier 1 is the same broadcast-probe × corpus int8 scan as
       // ann_quantized_topk; tier 2 is equi-joins only
-      "ann_refine_rerank")
+      "ann_refine_rerank",
+      // 1-row broadcasts again: benford's grand total, pmi's bigram
+      // total, gap_fill's (d0, d1) calendar bounds
+      "etl_benford", "text_pmi_collocations", "ev_gap_fill")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -48,10 +51,17 @@ object PlanAudit {
   // closure join — each keyed on node ids whose oriented out-degree
   // the orientation bounds at O(√E). pairs/o are persisted so each
   // stage runs once.
+  // ev_peak_concurrency's distributed prefix sum runs two corpus-scale
+  // exchanges (per-instant delta agg, bucket-local cumsum window); the
+  // rest (bucket-offset agg + window, peak agg, peak join, final 5-row
+  // agg) move ≤ types×64 bookkeeping rows. The printed count varies
+  // 7-10 with cache state (a warm InMemoryRelation hides upstream
+  // exchanges; a cold one re-prints them per reference).
   private val exchangeAllowance =
     Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
-      "graph_pagerank" -> 26, "graph_triangles" -> 14)
+      "graph_pagerank" -> 26, "graph_triangles" -> 14,
+      "ev_peak_concurrency" -> 12)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

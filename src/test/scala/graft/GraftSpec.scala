@@ -1027,6 +1027,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases once the watermark passes") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_loj").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    val q = EventStreams.clickPurchaseLeftJoin(spark, dir)
+      .writeStream.format("memory").queryName("ss_loj")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a finite replay leaves the watermark 1 h behind the last real
+      // event, so tail purchases can't be declared unmatched yet; one
+      // sentinel click+purchase pair 3 h later (excluded user -1)
+      // pushes BOTH sides' watermarks past every real purchase
+      val ev = graft.sources.Tables.events(spark, sf)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      import spark.implicits._
+      Seq((-1L, maxTs + 3L * 3600 * 1000000000L, -1L, "click", 0.0, "{}"),
+          (-2L, maxTs + 3L * 3600 * 1000000000L, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val gotMatched = spark.sql(
+        "SELECT count(*) FROM ss_loj WHERE user_id >= 0 AND click_id IS NOT NULL")
+        .head().getLong(0)
+      val gotNull = spark.sql(
+        "SELECT count(*) FROM ss_loj WHERE user_id >= 0 AND click_id IS NULL")
+        .head().getLong(0)
+      // batch oracle on microsecond values, same interval predicate
+      val evUs = ev.withColumn("ts_us", expr("ts div 1000"))
+      val clicks = evUs.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_us"))
+      val purchases = evUs.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id"), col("ts_us").as("purchase_us"))
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("click_us") <= col("purchase_us") &&
+          col("click_us") >= col("purchase_us") - 3600000000L, "left_outer")
+      val wantMatched = joined.filter(col("click_us").isNotNull).count()
+      val wantNull = joined.filter(col("click_us").isNull).count()
+      assert(gotMatched == wantMatched, s"matched $gotMatched vs batch $wantMatched")
+      assert(gotNull == wantNull, s"unmatched $gotNull vs batch $wantNull")
+      assert(gotNull > 0, "test corpus should contain unconverted purchases")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark deduplicates a replayed batch exactly") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_ddww").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events_replay.parquet"))
+    // delay must cover the corpus's 30-day event-time span so no key's
+    // dedup state expires between the two replayed batches
+    val q = EventStreams.dedupEventsWithinWatermark(spark, dir,
+        maxFilesPerTrigger = 1, delay = "1440 hours")
+      .writeStream.format("memory").queryName("ddww")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) FROM ddww").head().getLong(0)
+      val want = graft.sources.Tables.events(spark, sf)
+        .select("event_id").distinct().count()
+      assert(got == want, s"dedup emitted $got vs $want distinct ids across a full replay")
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(0L) >= 1L,
+        "replay should have run as a second micro-batch")
+    } finally q.stop()
+  }
+
   test("rate source accumulates windowed state across an unbounded stream") {
     val q = EventStreams.rateWindowedCounts(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("rate_win")
