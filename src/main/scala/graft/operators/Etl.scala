@@ -1011,7 +1011,10 @@ object Etl {
         |FROM ix""".stripMargin) { (s, dir) =>
       val dec38 = DecimalType(38, 0)
       val py = Tables.lineitem(s, dir)
-        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        // explicit range, not year(..).isin(..): the range pushes down
+        // to the parquet scan; a year() wrap would not
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
         .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("ep"),

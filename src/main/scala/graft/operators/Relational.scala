@@ -358,7 +358,14 @@ object Relational {
       val l = Tables.lineitem(s, dir)
       val agg = l.groupBy(col("l_partkey").as("agg_partkey"))
         .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
-      l.join(agg, col("l_partkey") === col("agg_partkey"))
+      // pin a shuffled hash join: at 100 TB the per-key aggregate is
+      // part-cardinality (~fact/4 rows) — NOT broadcastable — and the
+      // stats-based planner here would broadcast whichever side's
+      // estimate dips under the threshold at test SF (it picked the
+      // FACT at sf0.1: an 11 MB parquet estimate → BuildLeft of 600k
+      // rows). Hash-partitioning both sides on l_partkey lets AQE
+      // reuse one exchange for probe and build.
+      l.join(agg.hint("shuffle_hash"), col("l_partkey") === col("agg_partkey"))
         .filter(d2(col("l_quantity")) * 2 * col("n") > col("sum_qty") * 3)
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
     },

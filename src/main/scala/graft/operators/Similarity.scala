@@ -573,20 +573,24 @@ object Similarity {
          |FROM xq q JOIN v8 v ON v.j = q.dim
          |GROUP BY q.vec_id""".stripMargin
     } { (s, dir) =>
+      // upper triangle only (the embedding_gram trick, halving the hot
+      // projection); vi·vj = vj·vi bit-exactly in IEEE, so mirroring
+      // driver-side reconstructs the full Gramian the oracle computes
       val gram = Tables.embeddings(s, dir)
         .select(explode(flatten(transform(col("embedding"), (vi, i) =>
-          transform(col("embedding"), (vj, j) =>
-            struct(i.cast(IntegerType).as("i"), j.cast(IntegerType).as("j"),
+          transform(slice(col("embedding"), i + 1, size(col("embedding")) - i), (vj, j) =>
+            struct(i.cast(IntegerType).as("i"), (i + j).cast(IntegerType).as("j"),
               floor(vi.cast(DoubleType) * vj.cast(DoubleType) * 1000000 + 0.5)
                 .cast(LongType).as("p")))))).as("t"))
         .groupBy(col("t.i").as("i"), col("t.j").as("j"))
         .agg(sum(col("t.p")).as("gfp"), count(lit(1)).as("nv"))
-        .collect() // d² bookkeeping rows — the MLlib Gramian pattern
-      val d = gram.map(_.getInt(0)).max + 1
+        .collect() // ≤ d(d+1)/2 bookkeeping rows — the MLlib Gramian pattern
+      val d = gram.map(_.getInt(1)).max + 1
       val g = Array.ofDim[Long](d, d)
       gram.foreach { r =>
-        g(r.getInt(0))(r.getInt(1)) =
-          math.floor(r.getLong(2).toDouble / (r.getLong(3) * 1000.0)).toLong
+        val v = math.floor(r.getLong(2).toDouble / (r.getLong(3) * 1000.0)).toLong
+        g(r.getInt(0))(r.getInt(1)) = v
+        g(r.getInt(1))(r.getInt(0)) = v
       }
       var v = Array.fill(d)(1000000L)
       for (_ <- 0 until 8) {

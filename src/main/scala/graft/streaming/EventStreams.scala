@@ -3,7 +3,8 @@ package graft.streaming
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming jobs over the event log.
   *
@@ -20,6 +21,9 @@ object EventStreams {
   final case class Ev(user_id: Long, event_id: Long, ts_s: Long)
   final case class SessionAssign(user_id: Long, sess_seq: Int, event_id: Long, ts_s: Long)
   final case class SessState(lastTs: Long, seq: Int)
+  final case class Spend(user_id: Long, event_id: Long, ts_s: Long, cents: Long)
+  final case class Milestone(user_id: Long, event_id: Long, ts_s: Long,
+    level: Long, cum_cents: Long)
 
   // The file stream source wants a directory; the test tables are bare
   // files, so stage (copy) each into a temp dir once per process. In
@@ -224,6 +228,56 @@ object EventStreams {
       .withWatermark("ts_us", "1 hour")
       .dropDuplicates("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+
+  /** Per-user spend-milestone detector on the `transformWithState`
+    * arbitrary-stateful API (the `flatMapGroupsWithState` successor):
+    * one `ValueState[Long]` holds the user's cumulative purchase cents,
+    * and a row is emitted each time the running total crosses another
+    * $100 boundary. Cents (exact integers) make the stream
+    * replay-deterministic — no float accumulation order to disagree
+    * with the batch oracle. Rows within a micro-batch are applied in
+    * (ts_s, event_id) order; across batches arrival order is the
+    * contract (the spec feeds batches in event-time order, as a
+    * log-compacted/offset-ordered source would). State is one long per
+    * user — O(users) total, independent of stream length. Requires the
+    * RocksDB state store provider (the TWS v2 engine contract). */
+  class MilestoneProcessor(stepCents: Long)
+      extends StatefulProcessor[Long, Spend, Milestone] {
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Spend],
+        timerValues: TimerValues): Iterator[Milestone] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = Seq.newBuilder[Milestone]
+      rows.toSeq.sortBy(r => (r.ts_s, r.event_id)).foreach { r =>
+        val before = c / stepCents
+        c += r.cents
+        val after = c / stepCents
+        if (after > before) out += Milestone(key, r.event_id, r.ts_s, after, c)
+      }
+      cum.update(c)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming spend milestones over the purchase sub-stream; see
+    * [[MilestoneProcessor]]. Caller must have set the RocksDB state
+    * store provider on the session. */
+  def spendMilestones(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 0,
+      stepCents: Long = 10000L): Dataset[Milestone] = {
+    import spark.implicits._
+    eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[Spend]
+      .groupByKey(_.user_id)
+      .transformWithState(new MilestoneProcessor(stepCents),
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Watermark-bounded dedup (`dropDuplicatesWithinWatermark`): unlike
     * [[dedupEvents]], whose per-key state lives forever unless the key

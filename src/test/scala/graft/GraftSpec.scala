@@ -1094,6 +1094,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState spend milestones carry exact state across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_tws").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.spendMilestones(spark, dir, maxFilesPerTrigger = 1)
+        .toDF()
+        .writeStream.format("memory").queryName("tws_ms")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // batch 2: two later $250 purchases for one real user — each
+        // MUST cross a $100 boundary, but only if the processor kept
+        // the user's batch-1 cumulative state
+        val ev = graft.sources.Tables.events(spark, sf)
+        val row = ev.filter(col("event_type") === "purchase")
+          .agg(max(col("ts")), min(col("user_id"))).head()
+        val (maxTs, u) = (row.getLong(0), row.getLong(1))
+        import spark.implicits._
+        Seq((20000001L, maxTs + 3600L * 1000000000L, u, "purchase", 250.0, "{}"),
+            (20000002L, maxTs + 7200L * 1000000000L, u, "purchase", 250.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          // ONE file: with maxFilesPerTrigger=1 a multi-file append
+          // splits into separate micro-batches in file-discovery order,
+          // which need not follow event time — arrival order is the
+          // source's contract, so hand the source an ordered arrival
+          .coalesce(1)
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT user_id, event_id, level, cum_cents FROM tws_ms").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        // batch oracle over BOTH files: exact running cents per user in
+        // (ts_s, event_id) order, milestone where the $100 level steps
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
+        val want = spark.read.schema(graft.sources.Tables.eventsSchema).parquet(dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000000000").as("ts_s"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .withColumn("cum", sum(col("cents")).over(w))
+          .filter(expr("(cum div 10000) > ((cum - cents) div 10000)"))
+          .select(col("user_id"), col("event_id"),
+            expr("cum div 10000").as("level"), col("cum"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == want,
+          s"streaming milestones ${got.size} != batch oracle ${want.size}")
+        assert(got.exists(_._2 == 20000001L) && got.exists(_._2 == 20000002L),
+          "batch-2 purchases must milestone off batch-1 carried state")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate source accumulates windowed state across an unbounded stream") {
     val q = EventStreams.rateWindowedCounts(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("rate_win")
