@@ -961,12 +961,83 @@ object Etl {
         col("blk"))
       a.join(b, Seq("blk"))
         .filter(col("partkey_a") < col("partkey_b"))
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+        // thresholded levenshtein (returns -1 above the bound): the DP
+        // abandons a pair as soon as the band exceeds 4, so scoring
+        // cost per candidate is O(k·len), not O(len²)
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 4))
+        .filter(col("lev") >= 0)
         .select(col("partkey_a"), col("partkey_b"), col("name_a"), col("name_b"),
-          col("blk").as("block"),
-          levenshtein(col("name_a"), col("name_b")).as("lev"),
+          col("blk").as("block"), col("lev"),
           when(col("name_a") === col("name_b"), "exact")
             .otherwise("near").as("match_kind"))
+    },
+
+    // ------------------------------------------------------------------
+    // Dominance ((n,k)-rule) suppression — the OTHER half of
+    // disclosure control (etl_cell_suppression covers k-anonymity):
+    // a published cell is unsafe when its largest contributor exceeds
+    // 85% of the total (n=1) or the top two exceed 90% (n=2), because
+    // a competitor could then bound the leader's value. Top-2 is
+    // computed WITHOUT sorting cell members: one exact-decimal agg
+    // produces (total, max1, count-at-max1), a conditional second agg
+    // under the broadcast max produces max2 — so the corpus crosses
+    // one keyed exchange twice and no task ever sorts a cell.
+    "etl_dominance_rule" -> QueryDef.withOracle(
+      """WITH v AS (
+        |  SELECT n.n_name, c.c_mktsegment, c.c_custkey,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  WHERE c.c_acctbal > 0),
+        |m1 AS (
+        |  SELECT n_name, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(bal) AS DECIMAL(38,2)) AS total,
+        |    CAST(max(bal) AS DECIMAL(18,2)) AS max1
+        |  FROM v GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT v.n_name, v.c_mktsegment,
+        |    CAST(sum(CASE WHEN v.bal = m1.max1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max,
+        |    max(CASE WHEN v.bal < m1.max1 THEN v.bal END) AS below
+        |  FROM v JOIN m1 ON m1.n_name = v.n_name AND m1.c_mktsegment = v.c_mktsegment
+        |  GROUP BY 1, 2)
+        |SELECT m1.n_name, m1.c_mktsegment, m1.n,
+        |  round(CAST(m1.total AS DOUBLE), 6) AS total,
+        |  round(CAST(m1.max1 AS DOUBLE) / CAST(m1.total AS DOUBLE), 9) AS share1,
+        |  round(CAST(m1.max1 + CASE WHEN m2.n_at_max >= 2 THEN m1.max1
+        |      ELSE coalesce(m2.below, 0) END AS DOUBLE)
+        |    / CAST(m1.total AS DOUBLE), 9) AS share2,
+        |  CAST(m1.max1 AS DOUBLE) / CAST(m1.total AS DOUBLE) > 0.85
+        |    OR CAST(m1.max1 + CASE WHEN m2.n_at_max >= 2 THEN m1.max1
+        |        ELSE coalesce(m2.below, 0) END AS DOUBLE)
+        |      / CAST(m1.total AS DOUBLE) > 0.90 AS suppress
+        |FROM m1 JOIN m2
+        |  ON m2.n_name = m1.n_name AND m2.c_mktsegment = m1.c_mktsegment""".stripMargin) { (s, dir) =>
+      val v = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("c_mktsegment"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val keys = Seq("n_name", "c_mktsegment")
+      val m1 = v.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal")).cast(DecimalType(38, 2)).as("total"),
+          max(col("bal")).as("max1"))
+      val m2 = v.join(broadcast(m1.select(col("n_name"), col("c_mktsegment"),
+          col("max1"))), keys)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(when(col("bal") === col("max1"), 1).otherwise(0)).as("n_at_max"),
+          max(when(col("bal") < col("max1"), col("bal"))).as("below"))
+      val top2 = (col("max1") + when(col("n_at_max") >= 2, col("max1"))
+        .otherwise(coalesce(col("below"), lit(0)))).cast(DoubleType)
+      val share1 = col("max1").cast(DoubleType) / col("total").cast(DoubleType)
+      m1.join(m2, keys)
+        .select(col("n_name"), col("c_mktsegment"), col("n"),
+          round(col("total").cast(DoubleType), 6).as("total"),
+          round(share1, 9).as("share1"),
+          round(top2 / col("total").cast(DoubleType), 9).as("share2"),
+          (share1 > 0.85 || top2 / col("total").cast(DoubleType) > 0.90)
+            .as("suppress"))
     },
 
     // ------------------------------------------------------------------
@@ -1046,6 +1117,91 @@ object Etl {
         round(lit(100) * col("lasp"), 6).as("laspeyres"),
         round(lit(100) * col("paas"), 6).as("paasche"),
         round(lit(100) * sqrt(col("lasp") * col("paas")), 6).as("fisher"))
+    },
+
+    // ------------------------------------------------------------------
+    // Chain-linked Laspeyres index (1995→1998 per brand) — how price
+    // indices are ACTUALLY published: each year-over-year link uses
+    // the previous year's basket (so the basket refreshes annually and
+    // new/exited products only affect one link), and the index level
+    // is the running product of links. Same fixed-point discipline as
+    // etl_price_index per link; the chain product is one pinned
+    // left-associated double expression. Plan: ONE filtered corpus agg
+    // feeds all three links (persisted part-year relation); each link
+    // is bookkeeping-scale from there.
+    "etl_chain_index" -> QueryDef.withOracle {
+      def linkSql(k: Int, y0: Int, y1: Int): String =
+        s"""pp$k AS (
+           |  SELECT l_partkey,
+           |    CAST(floor(max(CASE WHEN y = $y0 THEN ep END)
+           |      / max(CASE WHEN y = $y0 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+           |    CAST(floor(max(CASE WHEN y = $y1 THEN ep END)
+           |      / max(CASE WHEN y = $y1 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1,
+           |    CAST(floor(max(CASE WHEN y = $y0 THEN qty END) * 100 + 0.5) AS BIGINT) AS q0
+           |  FROM py WHERE y IN ($y0, $y1) GROUP BY 1
+           |  HAVING count(*) = 2),
+           |l$k AS (
+           |  SELECT p.p_brand,
+           |    CAST(sum(CAST(pp$k.p1 AS HUGEINT) * pp$k.q0) AS DOUBLE)
+           |      / CAST(sum(CAST(pp$k.p0 AS HUGEINT) * pp$k.q0) AS DOUBLE) AS l
+           |  FROM pp$k JOIN part p ON p.p_partkey = pp$k.l_partkey
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH py AS (
+         |  SELECT l_partkey, year(l_shipdate) AS y,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1999-01-01'
+         |  GROUP BY 1, 2),
+         |${linkSql(1, 1995, 1996)},
+         |${linkSql(2, 1996, 1997)},
+         |${linkSql(3, 1997, 1998)}
+         |SELECT l1.p_brand,
+         |  round(100 * l1.l, 6) AS link_1996,
+         |  round(100 * l2.l, 6) AS link_1997,
+         |  round(100 * l3.l, 6) AS link_1998,
+         |  round(100 * l1.l * l2.l * l3.l, 6) AS chained_1998
+         |FROM l1 JOIN l2 ON l2.p_brand = l1.p_brand
+         |JOIN l3 ON l3.p_brand = l1.p_brand""".stripMargin
+    } { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1999-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+        .persist() // one corpus agg feeds all three links
+      val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      def link(y0: Int, y1: Int, name: String) = {
+        def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+        py.filter(col("y").isin(y0, y1))
+          .groupBy(col("l_partkey"))
+          .agg(
+            floor(yv(y0, "ep") / yv(y0, "qty") * 1000000 + 0.5)
+              .cast(LongType).as("p0"),
+            floor(yv(y1, "ep") / yv(y1, "qty") * 1000000 + 0.5)
+              .cast(LongType).as("p1"),
+            floor(yv(y0, "qty") * 100 + 0.5).cast(LongType).as("q0"),
+            count(lit(1)).as("ny"))
+          .filter(col("ny") === 2)
+          .join(brand, col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg((sum((col("p1").cast(dec38) * col("q0")).cast(dec38)).cast(DoubleType)
+            / sum((col("p0").cast(dec38) * col("q0")).cast(dec38)).cast(DoubleType))
+            .as(name))
+      }
+      link(1995, 1996, "l1")
+        .join(link(1996, 1997, "l2"), Seq("p_brand"))
+        .join(link(1997, 1998, "l3"), Seq("p_brand"))
+        .select(col("p_brand"),
+          round(lit(100) * col("l1"), 6).as("link_1996"),
+          round(lit(100) * col("l2"), 6).as("link_1997"),
+          round(lit(100) * col("l3"), 6).as("link_1998"),
+          round(lit(100) * col("l1") * col("l2") * col("l3"), 6)
+            .as("chained_1998"))
     },
 
     // ------------------------------------------------------------------

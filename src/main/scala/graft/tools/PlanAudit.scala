@@ -57,11 +57,14 @@ object PlanAudit {
   // agg) move ≤ types×64 bookkeeping rows. The printed count varies
   // 7-10 with cache state (a warm InMemoryRelation hides upstream
   // exchanges; a cold one re-prints them per reference).
+  // etl_chain_index runs ONE corpus-scale exchange (the part-year agg,
+  // persisted) + 3 links × (pivot agg + brand join/agg) over
+  // part-cardinality bookkeeping rows — 8 printed, 1 corpus-scale.
   private val exchangeAllowance =
     Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
       "graph_pagerank" -> 26, "graph_triangles" -> 14,
-      "ev_peak_concurrency" -> 12)
+      "ev_peak_concurrency" -> 12, "etl_chain_index" -> 9)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -77,6 +80,59 @@ object PlanAudit {
     .map(_.dropWhile(c => !c.isLetter))
     .toSet.size
 
+  // Corpus-scale inputs (the brief's 100 TB tables). customer/part/
+  // supplier are dims in this schema's ratios (see GraftSession) and
+  // may broadcast; nation/region are constants.
+  private val factFiles = Seq("lineitem.parquet", "orders.parquet",
+    "events.parquet", "documents.parquet", "embeddings.parquet")
+
+  // nodes that bound a broadcast payload regardless of input size
+  private val boundingNodes = Seq("HashAggregate", "SortAggregate",
+    "ObjectHashAggregate", "GlobalLimit", "CollectLimit",
+    "TakeOrderedAndProject")
+
+  // ops allowed to broadcast a filter-bounded fact subset by intent
+  // (populated from the audited plans; each must carry a justification):
+  // - dedup_decontaminate / pipe_clean_corpus: the broadcast side is
+  //   the EVAL-SUITE shingle set (doc_id-bounded by construction — an
+  //   evaluation benchmark is fixed-size however big the corpus is)
+  // - ann_topk_exact / ann_lsh / ann_quantized_topk / ann_refine_rerank
+  //   / ann_hard_negatives: the broadcast is the PROBE SET
+  //   (filter(vec_id < NPROBES) — a fixed-size query workload, not a
+  //   corpus fraction); the aggregate-detection can't see this because
+  //   the filter rides a cached corpus relation
+  // - graph_degree_stats / graph_triangles: the broadcast is the
+  //   >1024-member hot-bucket relation from Dedup.capBuckets — a
+  //   HashAggregate-bounded output that prints opaquely once the shared
+  //   bands cache is materialized by an earlier plan build
+  private val factBroadcastAllowed: Set[String] =
+    Set("dedup_decontaminate", "pipe_clean_corpus",
+      "ann_topk_exact", "ann_lsh", "ann_quantized_topk", "ann_refine_rerank",
+      "ann_hard_negatives", "graph_degree_stats", "graph_triangles")
+
+  /** True when a BroadcastExchange subtree in `plan` scans one of the
+    * corpus-scale tables with NO aggregate/limit between the exchange
+    * and the scan. Run with autoBroadcastJoinThreshold=-1 so the only
+    * broadcasts left are ones an operator explicitly requested — an
+    * explicit broadcast of an unbounded fact is never scale-safe
+    * (the q16 stats-flip lesson, SURVEY §6).
+    */
+  def unboundedFactBroadcast(plan: String): Boolean = {
+    val lines = plan.linesIterator.toArray
+    def depth(l: String): Int = {
+      val i = l.indexOf("+- "); val j = l.indexOf(":- ")
+      if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    lines.indices.exists { idx =>
+      lines(idx).contains("BroadcastExchange") && {
+        val d = depth(lines(idx))
+        val subtree = lines.drop(idx + 1).takeWhile(depth(_) > d)
+        subtree.exists(l => factFiles.exists(l.contains)) &&
+          !subtree.exists(l => boundingNodes.exists(l.contains))
+      }
+    }
+  }
+
   /** Scale red flags for one query's executed plan. Empty = clean. */
   def flagsFor(name: String, plan: String): Seq[String] = {
     val cartesian = plan.contains("CartesianProduct")
@@ -91,10 +147,14 @@ object PlanAudit {
 
   /** Audit every registered query at `dir`; returns (name, flags) for
     * each query whose plan raised a flag or failed to build.
+    *
+    * Two passes: the standard checks under normal conf, then the
+    * unbounded-fact-broadcast check with stats broadcasts disabled
+    * (threshold -1) so only operator-requested broadcasts remain.
     */
   def auditAll(spark: SparkSession, dir: String,
-      report: String => Unit = _ => ()): Seq[(String, Seq[String])] =
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      report: String => Unit = _ => ()): Seq[(String, Seq[String])] = {
+    val base = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val flags = flagsFor(name, plan)
@@ -106,6 +166,23 @@ object PlanAudit {
           Some(name -> Seq(s"PLAN ERROR ${e.getMessage.take(100)}"))
       }
     }
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    val factBc =
+      try {
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          if (factBroadcastAllowed(name)) None
+          else try {
+            val plan = fn(spark, dir).queryExecution.executedPlan.toString
+            if (unboundedFactBroadcast(plan)) {
+              report(s"[audit] $name: FACT_BROADCAST"); Some(name -> Seq("FACT_BROADCAST"))
+            } else None
+          } catch { case _: Throwable => None } // pass 1 already reported
+        }
+      } finally spark.conf.set(thresholdKey, prev)
+    base ++ factBc
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -332,6 +332,45 @@ object ScaleStress {
       }
       r.count()
     }
+
+    // Distributed prefix sum (ev_peak_concurrency's plan) over 20M
+    // intervals / 5 types: +1/−1 boundary sweep as per-instant nets →
+    // literal range buckets → per-bucket offsets (bookkeeping rows) →
+    // bucket-local cumsum. Contrast: the textbook formulation runs ONE
+    // window task per type, each sorting the type's whole timeline
+    // (~corpus/types rows — unbounded at 100 TB); the bucketed plan's
+    // per-task rows are corpus/(types × buckets) and shrink with added
+    // buckets, so no task ever owns a timeline.
+    import org.apache.spark.sql.expressions.Window
+    val iv = spark.range(n).select(
+      concat(lit("t"), pmod(col("id"), lit(5))).as("typ"),
+      pmod(hash(col("id")), lit(10000000)).cast(LongType).as("t0"))
+    val deltas = iv.select(col("typ"), col("t0").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("typ"), (col("t0") + 1800L).as("t"),
+        lit(-1L).as("delta")))
+    val net = deltas.groupBy(col("typ"), col("t"))
+      .agg(sum(col("delta")).as("net")).persist()
+    net.count()
+    stressTime("peak-concurrency NAIVE: one window task per type", 2L * n) {
+      val w = Window.partitionBy(col("typ")).orderBy(col("t").asc)
+      net.withColumn("conc", sum(col("net")).over(w))
+        .groupBy(col("typ")).agg(max(col("conc"))).count()
+    }
+    stressTime("peak-concurrency DISTRIBUTED prefix sum (64 buckets/type)", 2L * n) {
+      val nb = 64
+      val bkt = least(lit(nb - 1), floor(col("t") / (10001800.0 / nb)).cast(IntegerType))
+      val gb = net.withColumn("bkt", bkt)
+      val wOff = Window.partitionBy(col("typ")).orderBy(col("bkt").asc)
+      val offs = gb.groupBy(col("typ"), col("bkt")).agg(sum(col("net")).as("bnet"))
+        .select(col("typ"), col("bkt"),
+          coalesce(sum(col("bnet"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      val wLoc = Window.partitionBy(col("typ"), col("bkt")).orderBy(col("t").asc)
+      gb.join(broadcast(offs), Seq("typ", "bkt"))
+        .withColumn("conc", sum(col("net")).over(wLoc) + col("off"))
+        .groupBy(col("typ")).agg(max(col("conc"))).count()
+    }
+    net.unpersist()
     spark.stop()
   }
 }
