@@ -478,6 +478,30 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Hive-partitioned roundtrip with partition pruning: events written
+    // partitioned by event_type, read back filtered to one type — the
+    // reader's PartitionFilters prune whole directories before any IO
+    // (PlanQualitySpec-style invariant asserted in LayoutSpec; here the
+    // driver verifies the VALUES survive the layout). At 100 TB
+    // partition pruning is the difference between scanning one type's
+    // directory and scanning everything.
+    "src_partitioned_prune" -> QueryDef.withOracle(
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  CAST(value AS DOUBLE) AS value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_part").toString
+      Connectors.writePartitioned(
+        Tables.eventsTimed(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_s"),
+            col("value"), col("event_type")),
+        tmp, Seq("event_type"))
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          col("value").cast(DoubleType).as("value"))
+    },
+
+    // ------------------------------------------------------------------
     "src_json_roundtrip" -> QueryDef.withOracle(
       "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_json").toString

@@ -400,6 +400,41 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Cumulative distinct users by day — the "running reach" metric.
+    // COUNT(DISTINCT) OVER a running window doesn't exist (and a naive
+    // rewrite re-scans history per day); the scale formulation: each
+    // user collapses to their FIRST-seen day (one keyed agg with
+    // map-side combine), days collapse to first-appearance counts, and
+    // the running sum rides the calendar-bounded day relation. The
+    // corpus crosses exactly one exchange.
+    "ev_cumulative_users" -> QueryDef.withOracle(
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_users
+        |FROM d""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts_us"))).as("first_day"))
+        .groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      // single-partition window over one row per calendar day —
+      // bounded by the date span, not the corpus (q28/etl_seasonal_ma
+      // bookkeeping-window argument)
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"),
+        sum(col("new_users")).over(w).as("cumulative_users"))
+    },
+
+    // ------------------------------------------------------------------
     // Panel densification + last-observation-carried-forward — the
     // gap-fill every time-series publication runs before seasonal
     // adjustment or rate calculation. The corpus collapses to per-

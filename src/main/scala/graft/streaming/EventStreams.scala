@@ -24,6 +24,10 @@ object EventStreams {
   final case class Spend(user_id: Long, event_id: Long, ts_s: Long, cents: Long)
   final case class Milestone(user_id: Long, event_id: Long, ts_s: Long,
     level: Long, cum_cents: Long)
+  final case class SessEvent(user_id: Long, event_id: Long, ts_s: Long)
+  final case class SessAgg(start_s: Long, last_s: Long, n: Long, timer_ms: Long)
+  final case class TimedSession(user_id: Long, start_s: Long, end_s: Long,
+    n_events: Long)
 
   // The file stream source wants a directory; the test tables are bare
   // files, so stage (copy) each into a temp dir once per process. In
@@ -260,6 +264,71 @@ object EventStreams {
       cum.update(c)
       out.result().iterator
     }
+  }
+
+  /** Gap sessionization on `transformWithState` with EVENT-TIME TIMERS:
+    * a session closes when the watermark passes its last event + gap —
+    * the engine calls [[handleExpiredTimer]] instead of the operator
+    * polling for timeouts (the modern replacement for
+    * flatMapGroupsWithState's GroupStateTimeout). Gaps WITHIN a batch
+    * close sessions inline; the open tail session re-arms one timer at
+    * (last + gap). State is one 4-field record + one timer per user —
+    * bounded by the key space, not stream length. */
+  class SessionTimerProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, SessEvent, TimedSession] {
+    @transient private var sess: ValueState[SessAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessAgg]("sess",
+        org.apache.spark.sql.Encoders.product[SessAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[TimedSession] = {
+      val out = Seq.newBuilder[TimedSession]
+      var cur = if (sess.exists()) sess.get() else null
+      rows.toSeq.sortBy(r => (r.ts_s, r.event_id)).foreach { r =>
+        cur match {
+          case null =>
+            cur = SessAgg(r.ts_s, r.ts_s, 1L, 0L)
+          case c if r.ts_s - c.last_s > gapSeconds =>
+            out += TimedSession(key, c.start_s, c.last_s, c.n)
+            cur = SessAgg(r.ts_s, r.ts_s, 1L, c.timer_ms)
+          case c =>
+            cur = SessAgg(c.start_s, math.max(c.last_s, r.ts_s), c.n + 1, c.timer_ms)
+        }
+      }
+      if (cur != null) {
+        if (cur.timer_ms > 0) getHandle.deleteTimer(cur.timer_ms)
+        val t = (cur.last_s + gapSeconds) * 1000 + 1000 // strictly past the gap
+        getHandle.registerTimer(t)
+        sess.update(SessAgg(cur.start_s, cur.last_s, cur.n, t))
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TimedSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val c = sess.get()
+        sess.clear()
+        Iterator.single(TimedSession(key, c.start_s, c.last_s, c.n))
+      }
+    }
+  }
+
+  /** Timer-closed gap sessions (30 min default); see
+    * [[SessionTimerProcessor]]. Caller must have set the RocksDB state
+    * store provider on the session. */
+  def sessionizeWithTimers(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 0,
+      gapSeconds: Long = 1800L): Dataset[TimedSession] = {
+    import spark.implicits._
+    eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .withWatermark("ts_us", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming spend milestones over the purchase sub-stream; see

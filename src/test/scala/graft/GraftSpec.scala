@@ -1094,6 +1094,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close gap sessions to the batch result") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_twst").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.sessionizeWithTimers(spark, dir)
+        .toDF()
+        .writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // sentinel 3 h past the corpus pushes the watermark beyond every
+        // real session's (last + gap) timer, so open tails close via
+        // handleExpiredTimer — the sentinel's own session stays open and
+        // is excluded by user_id
+        val maxTs = graft.sources.Tables.events(spark, sf)
+          .agg(max(col("ts"))).head().getLong(0)
+        import spark.implicits._
+        Seq((30000001L, maxTs + 3L * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1)
+          .write.mode("append").parquet(dir)
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT user_id, start_s, end_s, n_events FROM tws_sess WHERE user_id >= 0")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        // batch oracle: 30-min-gap sessions over floored-second times
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_s").asc, col("event_id").asc)
+        val want = graft.sources.Tables.events(spark, sf)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("ts_s"))
+          .withColumn("brk",
+            when(col("ts_s") - lag(col("ts_s"), 1).over(w) > 1800L
+              || lag(col("ts_s"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("seq", sum(col("brk")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("seq"))
+          .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("end_s"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "start_s", "end_s", "n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got.size == want.size, s"sessions ${got.size} vs batch ${want.size}")
+        assert(got == want, "timer-closed sessions differ from batch gap sessions")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState spend milestones carry exact state across micro-batches") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_tws").toString
