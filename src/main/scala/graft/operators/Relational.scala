@@ -857,6 +857,38 @@ object Relational {
         .agg(round(sum(d2(col("l_extendedprice"))).cast(DoubleType) / lit(7.0), 2)
             .as("avg_yearly"),
           count(lit(1)).as("n_below"))
+    },
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4.x WITH RECURSIVE) — transitive ancestor
+    // closure over a key-derived hierarchy (parent = key div 4, the
+    // BOM-explosion / org-chart shape). The recursion is declared in
+    // SQL and Catalyst iterates it (UnionLoop); depth is bounded by
+    // log₄(key domain) (~9 at sf0.1), so the closure is |part|×depth
+    // rows and every iteration is a row-local projection — no joins
+    // inside the loop. Output per part: steps to the root and which of
+    // the three top-level subtrees (1..3) it belongs to.
+    "q37_recursive_cte" -> QueryDef.withOracle(
+      """WITH RECURSIVE anc(part, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  UNION ALL
+        |  SELECT part, node // 4, depth + 1 FROM anc WHERE node > 0)
+        |SELECT part AS p_partkey,
+        |  CAST(max(depth) AS INT) AS depth_to_zero,
+        |  CAST(max(CASE WHEN node BETWEEN 1 AND 3 THEN node END) AS BIGINT)
+        |    AS top_subtree
+        |FROM anc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("graft_rec_part")
+      s.sql(
+        """WITH RECURSIVE anc(part, node, depth) AS (
+          |  SELECT p_partkey, p_partkey, 0 FROM graft_rec_part
+          |  UNION ALL
+          |  SELECT part, node div 4, depth + 1 FROM anc WHERE node > 0)
+          |SELECT part AS p_partkey,
+          |  CAST(max(depth) AS INT) AS depth_to_zero,
+          |  CAST(max(CASE WHEN node BETWEEN 1 AND 3 THEN node END) AS BIGINT)
+          |    AS top_subtree
+          |FROM anc GROUP BY part""".stripMargin)
     }
   )
 }
