@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // bounded edit-distance predicates get the banded O(k·len)
+    // algorithm automatically (see ThresholdLevenshtein)
+    e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -24,6 +24,12 @@ object GraftSession {
     // 10 MB default is conservative; dims in a TPC-H-ratio schema are tiny
     // relative to facts — let Catalyst broadcast aggressively.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // imperative counterpart of GraftExtensions' injectOptimizerRule,
+    // for sessions the library doesn't own (idempotent)
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.ThresholdLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ThresholdLevenshtein
     spark
   }
 

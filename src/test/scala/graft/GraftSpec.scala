@@ -1344,6 +1344,44 @@ class OffsetLedgerSpec extends AnyFunSuite {
   }
 }
 
+class ThresholdLevenshteinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("levenshtein <= k predicates rewrite to the banded thresholded form") {
+    // parquet-backed input so ConvertToLocalRelation can't fold the
+    // filter away before the plan is observable
+    val df = graft.sources.Tables.nation(spark, sf)
+      .select(col("n_name").as("a"),
+        reverse(col("n_name")).as("b"))
+    val names = df.collect().map(r => (r.getString(0), r.getString(1)))
+    val q = df.filter(levenshtein(col("a"), col("b")) <= 4)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(4)) >= 0"),
+      s"expected thresholded levenshtein in optimized plan:\n$opt")
+    assert(q.collect().map(_.getString(0)).toSet ==
+      names.filter { case (a, b) => refLev(a, b) <= 4 }.map(_._1).toSet)
+    // strict < maps to threshold k-1
+    val q2 = df.filter(levenshtein(col("a"), col("b")) < 5)
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Some(4)) >= 0"))
+    assert(q2.collect().map(_.getString(0)).toSet ==
+      names.filter { case (a, b) => refLev(a, b) < 5 }.map(_._1).toSet)
+    // a predicate that is NOT a bound must survive untouched
+    val q3 = df.filter(levenshtein(col("a"), col("b")) === 4)
+    assert(!q3.queryExecution.optimizedPlan.toString.contains(") >= 0"))
+    assert(q3.collect().map(_.getString(0)).toSet ==
+      names.filter { case (a, b) => refLev(a, b) == 4 }.map(_._1).toSet)
+  }
+}
+
 class PlanAuditSpec extends AnyFunSuite {
   import SparkTestSession._
   import graft.tools.PlanAudit
