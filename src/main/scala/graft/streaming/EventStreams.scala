@@ -4,7 +4,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Structured Streaming jobs over the event log.
   *
@@ -245,6 +246,21 @@ object EventStreams {
     * log-compacted/offset-ordered source would). State is one long per
     * user — O(users) total, independent of stream length. Requires the
     * RocksDB state store provider (the TWS v2 engine contract). */
+  /** Shared milestone fold: apply a batch of spends (in event order) to
+    * a running cents total, emitting a row per $step boundary crossed. */
+  private def milestoneFold(key: Long, start: Long, rows: Iterator[Spend],
+      stepCents: Long): (Long, Iterator[Milestone]) = {
+    var c = start
+    val out = Seq.newBuilder[Milestone]
+    rows.toSeq.sortBy(r => (r.ts_s, r.event_id)).foreach { r =>
+      val before = c / stepCents
+      c += r.cents
+      val after = c / stepCents
+      if (after > before) out += Milestone(key, r.event_id, r.ts_s, after, c)
+    }
+    (c, out.result().iterator)
+  }
+
   class MilestoneProcessor(stepCents: Long)
       extends StatefulProcessor[Long, Spend, Milestone] {
     @transient private var cum: ValueState[Long] = _
@@ -253,17 +269,59 @@ object EventStreams {
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Spend],
         timerValues: TimerValues): Iterator[Milestone] = {
-      var c = if (cum.exists()) cum.get() else 0L
-      val out = Seq.newBuilder[Milestone]
-      rows.toSeq.sortBy(r => (r.ts_s, r.event_id)).foreach { r =>
-        val before = c / stepCents
-        c += r.cents
-        val after = c / stepCents
-        if (after > before) out += Milestone(key, r.event_id, r.ts_s, after, c)
-      }
+      val (c, out) = milestoneFold(key,
+        if (cum.exists()) cum.get() else 0L, rows, stepCents)
       cum.update(c)
-      out.result().iterator
+      out
     }
+  }
+
+  /** Warm-start variant: state BOOTSTRAPS from a batch table (per-user
+    * cumulative cents computed over history) via
+    * `StatefulProcessorWithInitialState` — the production migration
+    * path when a streaming job takes over a metric a batch pipeline
+    * has been maintaining. handleInitialState seeds each key exactly
+    * once, before its first input row; keys absent from history start
+    * at zero. */
+  class MilestoneFromHistoryProcessor(stepCents: Long)
+      extends StatefulProcessorWithInitialState[Long, Spend, Milestone, Long] {
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInitialState(key: Long, initialState: Long,
+        timerValues: TimerValues): Unit =
+      cum.update(initialState)
+    override def handleInputRows(key: Long, rows: Iterator[Spend],
+        timerValues: TimerValues): Iterator[Milestone] = {
+      val (c, out) = milestoneFold(key,
+        if (cum.exists()) cum.get() else 0L, rows, stepCents)
+      cum.update(c)
+      out
+    }
+  }
+
+  /** Spend milestones continuing from batch history: `history` is
+    * (user_id, cum_cents) — e.g. the batch pipeline's last published
+    * totals. See [[MilestoneFromHistoryProcessor]]. */
+  def spendMilestonesFromHistory(spark: SparkSession, srcDir: String,
+      history: DataFrame,
+      maxFilesPerTrigger: Int = 0,
+      stepCents: Long = 10000L): Dataset[Milestone] = {
+    import spark.implicits._
+    val init = history
+      .select(col("user_id").cast("long"), col("cum_cents").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[Spend]
+      .groupByKey(_.user_id)
+      .transformWithState(new MilestoneFromHistoryProcessor(stepCents),
+        TimeMode.None(), OutputMode.Append(), init)
   }
 
   /** Gap sessionization on `transformWithState` with EVENT-TIME TIMERS:

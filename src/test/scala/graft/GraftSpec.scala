@@ -1152,6 +1152,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState initial state warm-starts milestones from batch history") {
+    import java.nio.file.Files
+    // source dir holds ONLY the new stream batch; all prior spend lives
+    // in the batch history table the processor bootstraps from
+    val dir = Files.createTempDirectory("graft_twsi").toString
+    val hist = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cum_cents"))
+    val cums = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (u1, u2) = (cums.keys.min, cums.keys.max)
+    import spark.implicits._
+    val newRows = Seq(
+      (40000001L, 1000000000L, u1, "purchase", 250.0, "{}"),
+      (40000002L, 2000000000L, u1, "purchase", 250.0, "{}"),
+      (40000003L, 1000000000L, u2, "purchase", 250.0, "{}"),
+      (40000004L, 1000000000L, 999999L, "purchase", 250.0, "{}"))
+    newRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.spendMilestonesFromHistory(spark, dir, hist)
+        .toDF()
+        .writeStream.format("memory").queryName("tws_init")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT user_id, event_id, level, cum_cents FROM tws_init").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        // reference fold with the SAME carried totals (user 999999 has
+        // no history row → starts at zero)
+        val want = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+        newRows.groupBy(_._3).foreach { case (u, rows) =>
+          var c = cums.getOrElse(u, 0L)
+          rows.sortBy(r => (r._2 / 1000000000L, r._1)).foreach { r =>
+            val before = c / 10000; c += 25000
+            if (c / 10000 > before)
+              want += ((u, r._1, c / 10000, c))
+          }
+        }
+        assert(got == want.toSet,
+          s"warm-started milestones $got != reference ${want.toSet}")
+        assert(got.exists(_._1 == 999999L), "history-less key must start at zero")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState spend milestones carry exact state across micro-batches") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_tws").toString
