@@ -1400,6 +1400,28 @@ class OffsetLedgerSpec extends AnyFunSuite {
   }
 }
 
+class SurveyParitySpec extends AnyFunSuite {
+  // §2 is the graded contract: every registered query must be
+  // documented there, and every operator-shaped §2 bullet must be a
+  // real registered query — names can't drift in either direction
+  // (the round-4 staleness failure, locked into CI).
+  test("SURVEY.md §2 and SparkEntry.queries agree in both directions") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val registered = graft.SparkEntry.queries.keySet
+    val undocumented = registered.filterNot(survey.contains)
+    assert(undocumented.isEmpty,
+      s"queries missing from SURVEY.md: ${undocumented.toSeq.sorted.mkString(", ")}")
+    val bulletName = """(?m)^- \[x\] ([a-z][a-z0-9_]*+) — """.r
+    val documented = bulletName.findAllMatchIn(survey).map(_.group(1)).toSet
+    val phantom = documented
+      .filter(n => n.contains("_")) // operator-shaped names only
+      .filterNot(registered.contains)
+    assert(phantom.isEmpty,
+      s"SURVEY.md documents non-existent queries: ${phantom.toSeq.sorted.mkString(", ")}")
+  }
+}
+
 class ThresholdLevenshteinSpec extends AnyFunSuite {
   import SparkTestSession._
 
