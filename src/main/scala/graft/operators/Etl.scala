@@ -997,6 +997,74 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Delete-a-group jackknife variance — how survey programs publish
+    // standard errors when the design has no closed-form variance:
+    // units are hashed into G=8 random groups, the weighted estimate
+    // is recomputed leaving each group out, and the variance is
+    // (G-1)/G · Σ(θ_g − θ)². One corpus agg produces per-(segment,
+    // group) exact sums; every replicate estimate is then a row-local
+    // double from exact components, and the 8-term deviation sum is a
+    // pinned left-associated chain — the whole resampling estimator is
+    // deterministic and oracled. No corpus data moves twice.
+    "etl_variance_jackknife" -> QueryDef.withOracle {
+      val reps = (0 to 7).map(k =>
+        s"""    max(CASE WHEN g = $k
+           |      THEN CAST(t.twy - gs.swy AS DOUBLE) / (t.tw - gs.sw) END) AS t$k"""
+          .stripMargin).mkString(",\n")
+      val chain = (0 to 7).map(k => s"(t$k - theta) * (t$k - theta)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT c_mktsegment AS seg, c_custkey % 8 AS g,
+         |    CAST(c_acctbal AS DECIMAL(18,2)) * (1 + c_custkey % 7) AS wy,
+         |    CAST(1 + c_custkey % 7 AS BIGINT) AS w
+         |  FROM customer WHERE c_acctbal > 0),
+         |gs AS (
+         |  SELECT seg, g, CAST(sum(wy) AS DECIMAL(38,4)) AS swy,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM b GROUP BY 1, 2),
+         |t AS (
+         |  SELECT seg, CAST(sum(swy) AS DECIMAL(38,4)) AS twy,
+         |    CAST(sum(sw) AS BIGINT) AS tw
+         |  FROM gs GROUP BY 1),
+         |piv AS (
+         |  SELECT gs.seg,
+         |    max(CAST(t.twy AS DOUBLE) / t.tw) AS theta,
+         |$reps
+         |  FROM gs JOIN t ON t.seg = gs.seg GROUP BY 1)
+         |SELECT seg, round(theta, 9) AS theta,
+         |  round(7.0 / 8 * ($chain), 9) AS jk_var,
+         |  round(sqrt(7.0 / 8 * ($chain)), 9) AS jk_se
+         |FROM piv""".stripMargin
+    } { (s, dir) =>
+      val wExpr = lit(1L) + pmod(col("c_custkey"), lit(7L))
+      val b = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_mktsegment").as("seg"),
+          pmod(col("c_custkey"), lit(8L)).as("g"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * wExpr).as("wy"),
+          wExpr.as("w"))
+      val gs = b.groupBy(col("seg"), col("g"))
+        .agg(sum(col("wy")).cast(DecimalType(38, 4)).as("swy"),
+          sum(col("w")).as("sw"))
+      val t = gs.groupBy(col("seg"))
+        .agg(sum(col("swy")).cast(DecimalType(38, 4)).as("twy"),
+          sum(col("sw")).as("tw"))
+      val piv = gs.join(broadcast(t), Seq("seg"))
+        .groupBy(col("seg"))
+        .agg(max(col("twy").cast(DoubleType) / col("tw")).as("theta"),
+          (0 to 7).map(k =>
+            max(when(col("g") === k,
+              (col("twy") - col("swy")).cast(DoubleType) / (col("tw") - col("sw"))))
+              .as(s"t$k")): _*)
+      val chain = (0 to 7).map { k =>
+        (col(s"t$k") - col("theta")) * (col(s"t$k") - col("theta"))
+      }.reduceLeft(_ + _)
+      piv.select(col("seg"), round(col("theta"), 9).as("theta"),
+        round(lit(7.0) / 8 * chain, 9).as("jk_var"),
+        round(sqrt(lit(7.0) / 8 * chain), 9).as("jk_se"))
+    },
+
+    // ------------------------------------------------------------------
     // Dominance ((n,k)-rule) suppression — the OTHER half of
     // disclosure control (etl_cell_suppression covers k-anonymity):
     // a published cell is unsafe when its largest contributor exceeds
