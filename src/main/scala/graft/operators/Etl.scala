@@ -1433,6 +1433,172 @@ object Etl {
         .select(col("mo_s"), round(col("total"), 6).as("total"),
           round(col("ma"), 6).as("trend_ma"),
           round(col("total") / col("ma"), 9).as("si_ratio"))
+    },
+
+    // ------------------------------------------------------------------
+    // Per-nation Gini coefficient of customer spend — the concentration
+    // statistic behind published inequality / market-concentration
+    // tables. Needs each customer's GLOBAL rank within their nation;
+    // a direct row_number window would sort whole nations in single
+    // tasks, so this rides the q34 distributed-rank plan: 200 literal
+    // range buckets over spend, per-(nation, bucket) counts → running
+    // offsets (≤ nations×200 bookkeeping rows), local row_number per
+    // cell + broadcast offset = exact global rank. Gini from the ranks
+    // in closed form: G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n. Spend sums are
+    // exact DECIMAL; the rank·spend sum's accumulation-order noise is
+    // ~1e-14 relative, far under the 9-dp rounding.
+    "etl_gini" -> QueryDef.withOracle(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_name, s.o_custkey AS custkey, s.spend
+        |  FROM spend s
+        |  JOIN customer c ON c.c_custkey = s.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |r AS (
+        |  SELECT n_name, spend,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY spend ASC, custkey ASC) AS rnk
+        |  FROM j)
+        |SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend,
+        |  round(2.0 * sum(rnk * spend) / (count(*) * sum(spend))
+        |        - (count(*) + 1.0) / count(*), 9) AS gini
+        |FROM r GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("spend"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val j = spend
+        .join(cust, col("c_custkey") === col("o_custkey")) // custkey-keyed shuffle join
+        .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("o_custkey").as("custkey"), col("spend"))
+      val mmx = j.agg(min(col("spend")), max(col("spend"))).head()
+      val withB = j.withColumn("bkt",
+        Relational.rangeBucket(col("spend"), mmx.getDouble(0), mmx.getDouble(1), 200))
+      val wOff = Window.partitionBy(col("n_name")).orderBy(col("bkt").asc)
+      val offs = withB.groupBy(col("n_name"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("n_name"), col("bkt"),
+          coalesce(sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      val wLocal = Window.partitionBy(col("n_name"), col("bkt"))
+        .orderBy(col("spend").asc, col("custkey").asc)
+      withB
+        .withColumn("lrn", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("n_name", "bkt"))
+        .withColumn("rnk", col("off") + col("lrn"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+            .as("total_spend"),
+          sum(col("rnk") * col("spend")).as("s1"),
+          sum(col("spend")).as("s2"))
+        .select(col("n_name"), col("n_cust"), col("total_spend"),
+          round(lit(2.0) * col("s1") / (col("n_cust") * col("s2"))
+            - (col("n_cust") + lit(1.0)) / col("n_cust"), 9).as("gini"))
+    },
+
+    // ------------------------------------------------------------------
+    // Survey ratio estimator with linearized (Taylor) variance — the
+    // classic design-based estimate R̂ = Σy/Σx and its SRS variance
+    // v(R̂) = Σ(y−R̂x)² / ((n−1)·n·x̄²). Two corpus passes: one keyed
+    // agg for the totals, then the residual pass re-reads the fact with
+    // the 3-row totals broadcast back. Residual squares are snapped to
+    // fixed point (×1000, exact BIGINT sums) so the order-sensitive
+    // Σe² accumulation is bit-identical on any partitioning/engine —
+    // the same trick as text_bigram_lm's log-prob sums.
+    "etl_ratio_estimator" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT l.l_returnflag,
+        |    CAST(round(pow(l.l_extendedprice - (g.sum_y / g.sum_x) * l.l_quantity, 2)
+        |         * 1000, 0) AS BIGINT) AS e2_fp
+        |  FROM lineitem l JOIN g ON g.l_returnflag = l.l_returnflag)
+        |SELECT g.l_returnflag, g.n, g.sum_y, g.sum_x,
+        |  round(g.sum_y / g.sum_x, 9) AS ratio_est,
+        |  round(sum(e.e2_fp) / 1000.0
+        |        / ((g.n - 1.0) * g.n * pow(g.sum_x / g.n, 2)), 9) AS var_lin,
+        |  round(sqrt(sum(e.e2_fp) / 1000.0
+        |        / ((g.n - 1.0) * g.n * pow(g.sum_x / g.n, 2))), 9) AS se
+        |FROM e JOIN g ON g.l_returnflag = e.l_returnflag
+        |GROUP BY g.l_returnflag, g.n, g.sum_y, g.sum_x""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      val g = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_y"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_x"))
+      val e2fp = round(pow(col("l_extendedprice")
+        - (col("sum_y") / col("sum_x")) * col("l_quantity"), 2) * 1000, 0)
+        .cast(LongType)
+      val denom = (col("n") - lit(1.0)) * col("n") * pow(col("sum_x") / col("n"), 2)
+      li.join(broadcast(g), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("n"), col("sum_y"), col("sum_x"))
+        .agg(sum(e2fp).as("se2"))
+        .select(col("l_returnflag"), col("n"), col("sum_y"), col("sum_x"),
+          round(col("sum_y") / col("sum_x"), 9).as("ratio_est"),
+          round(col("se2") / 1000.0 / denom, 9).as("var_lin"),
+          round(sqrt(col("se2") / 1000.0 / denom), 9).as("se"))
+    },
+
+    // ------------------------------------------------------------------
+    // Neyman optimal sample allocation — given a total sample budget,
+    // allocate to strata ∝ N_h·S_h (stratum size × stddev), the design
+    // that minimizes the variance of the stratified mean. Stratum
+    // moments come from exact DECIMAL sums (Σx, Σx² — never the
+    // order-sensitive stddev_pop aggregate), so S_h is bit-identical
+    // on both engines; everything after the one keyed agg is
+    // bookkeeping over ≤|nations| rows (the Σ N_h·S_h total is a 1-row
+    // broadcast). floor(x+0.5) rounding avoids banker's-rounding
+    // disagreement on exact halves.
+    "etl_stratified_alloc" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT n.n_name,
+        |    CAST(count(*) AS BIGINT) AS n_h,
+        |    CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))
+        |             * CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name),
+        |sd AS (
+        |  SELECT n_name, n_h,
+        |    sqrt(sxx / n_h - pow(sx / n_h, 2)) AS s_h
+        |  FROM m),
+        |tot AS (SELECT sum(n_h * s_h) AS w FROM sd)
+        |SELECT sd.n_name, sd.n_h, round(sd.s_h, 9) AS s_h,
+        |  CAST(floor(10000.0 * sd.n_h * sd.s_h / tot.w + 0.5) AS BIGINT) AS alloc_neyman,
+        |  CAST(floor(10000.0 * sd.n_h / (SELECT sum(n_h) FROM sd) + 0.5) AS BIGINT) AS alloc_prop
+        |FROM sd CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val bal = col("c_acctbal").cast(DecimalType(18, 2))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val m = Tables.customer(s, dir)
+        .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(bal).cast(DoubleType).as("sx"),
+          sum(bal * bal).cast(DoubleType).as("sxx"))
+        .withColumn("s_h", sqrt(col("sxx") / col("n_h") - pow(col("sx") / col("n_h"), 2)))
+      val tot = m.agg(sum(col("n_h") * col("s_h")).as("w"),
+        sum(col("n_h")).as("n_tot"))
+      m.crossJoin(broadcast(tot))
+        .select(col("n_name"), col("n_h"), round(col("s_h"), 9).as("s_h"),
+          floor(lit(10000.0) * col("n_h") * col("s_h") / col("w") + 0.5)
+            .cast(LongType).as("alloc_neyman"),
+          floor(lit(10000.0) * col("n_h") / col("n_tot") + 0.5)
+            .cast(LongType).as("alloc_prop"))
     }
   )
 }

@@ -142,6 +142,40 @@ object Multimodal {
           }
         }
       }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // Header-hash media dedup — the cheap first tier of blob dedup at
+    // 100 TB: group by (md5 of the first 64 payload bytes, coarse size
+    // class) and report multi-member groups with a canonical keeper.
+    // The shuffle carries a 16-byte hash + a long per blob, NEVER the
+    // payload — a petabyte of media dedups by moving kilobytes per
+    // million blobs. Groups found here would feed an exact byte-compare
+    // second tier (same two-tier shape as ann_refine_rerank). Member
+    // lists are emitted as a sorted CSV string (driver-side row sorting
+    // cannot order array cells — see MmFeature note).
+    "mm_header_dedup" -> QueryDef.withOracle(
+      """SELECT md5(substring(text, 1, 64)) AS header_md5,
+        |  CAST(octet_length(encode(text)) // 64 AS BIGINT) AS size_class,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keep_id,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_ids
+        |FROM documents
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      val payload = col("text").cast(BinaryType)
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(substring(col("text"), 1, 64).cast(BinaryType)).as("header_md5"),
+          floor(length(payload) / 64).cast(LongType).as("size_class"))
+        .groupBy(col("header_md5"), col("size_class"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_id"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast(StringType)), ",").as("member_ids"))
+        .filter(col("n_copies") >= 2)
     }
   )
 }

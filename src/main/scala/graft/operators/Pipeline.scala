@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** End-to-end corpus cleaning — the composition a training-data
   * pipeline actually runs, as one declarative plan:
@@ -69,6 +71,35 @@ object Pipeline {
             .when(coalesce(col("near_dup"), lit(false)), "near_dup")
             .when(coalesce(col("quality_score"), lit(0.0)) < 0.5, "low_quality")
             .otherwise("kept").as("verdict"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic train/validation/test holdout assignment: the md5
+    // of the stable doc key (NOT a random() — reruns, retries and
+    // engine swaps must agree on every row's split) buckets each doc
+    // 0-99; 80/10/10. Pure narrow map — no shuffle, no state; adding
+    // docs never reassigns existing ones, which is what makes the
+    // split stable under incremental corpus growth. The same idiom as
+    // q23/pipe_mixture_sample's md5-uniform, so one audited hash path
+    // serves sampling, mixtures and holdouts.
+    "pipe_split_holdout" -> QueryDef.withOracle(
+      """SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType), lit(100L))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation")
+            .otherwise("test"))
     }
   )
 }

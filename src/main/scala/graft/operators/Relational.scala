@@ -45,7 +45,7 @@ object Relational {
     * keeps the per-range counts and the per-range local ranks of the
     * distributed-rank queries (q28/q34) mutually consistent. Degenerate
     * range (mx == mn) collapses to one bucket — correct, just unsplit. */
-  private def rangeBucket(v: Column, mn: Double, mx: Double, buckets: Int): Column =
+  private[operators] def rangeBucket(v: Column, mn: Double, mx: Double, buckets: Int): Column =
     if (mx > mn)
       least(lit(buckets - 1),
         floor((v - mn) / ((mx - mn) / buckets)).cast(IntegerType))

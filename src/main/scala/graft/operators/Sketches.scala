@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.Vectors
 import graft.operators.TextOps.tokens
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -147,6 +148,63 @@ object Sketches {
           round(Vectors.sortedIntersectCount(s, col("arr"), col("arr_b")) * lit(two60)
             / least(col("theta"), col("theta_b")), 6).as("est"))
       singles.unionByName(pairs)
+    },
+
+    // ------------------------------------------------------------------
+    // Count-min sketch, built as a plain distributed aggregation: each
+    // token emits (depth, md5-bucket) for 4 independent hash rows of
+    // width 256, and the groupBy-count over those cells IS the sketch —
+    // map-side combine collapses every partition to ≤1024 partial
+    // cells, so the exchange carries O(W×D) rows no matter the corpus
+    // size. Point estimates (min over the 4 cells a token hashes to)
+    // are taken for the exact top-20 tokens; CMS never undercounts, so
+    // `overcount` ≥ 0 always. Deterministic md5 hashing makes the whole
+    // sketch — build and probe — DuckDB-reproducible: a fully-oracled
+    // approximate structure, like sketch_kmv_distinct. The probe join
+    // broadcasts the CELLS (bounded at 1024 rows by construction), not
+    // the data.
+    "sketch_countmin" -> QueryDef.withOracle(
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |e AS (SELECT unnest(toks) AS tok FROM t),
+        |hd AS (SELECT tok, unnest(range(0, 4)) AS d FROM e),
+        |cells AS (
+        |  SELECT d,
+        |    ('0x' || substr(md5(tok || '#' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hd GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM e GROUP BY tok
+        |  ORDER BY exact_count DESC, tok ASC LIMIT 20)
+        |SELECT x.tok, x.exact_count, min(c.cnt) AS cms_est,
+        |  min(c.cnt) - x.exact_count AS overcount
+        |FROM exact x JOIN cells c
+        |  ON c.bucket = ('0x' || substr(md5(x.tok || '#' || CAST(c.d AS VARCHAR)), 1, 15))::BIGINT % 256
+        |GROUP BY x.tok, x.exact_count""".stripMargin) { (s, dir) =>
+      val depth = 4
+      val width = 256L
+      def cmsBucket(tok: Column, d: Column): Column = pmod(
+        conv(substring(md5(concat(tok, lit("#"), d.cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(width))
+      val toks = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .persist() // shared by the sketch build and the exact-top-20 probe set
+      val cells = toks
+        .select(explode(sequence(lit(0), lit(depth - 1))).as("d"), col("tok"))
+        .select(col("d"), cmsBucket(col("tok"), col("d")).as("bucket"))
+        .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc).limit(20)
+      exact
+        .select(col("tok"), col("exact_count"),
+          explode(sequence(lit(0), lit(depth - 1))).as("d"))
+        .withColumn("bucket", cmsBucket(col("tok"), col("d")))
+        .join(broadcast(cells), Seq("d", "bucket"))
+        .groupBy(col("tok"), col("exact_count"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("exact_count"))
     }
   )
 }

@@ -449,6 +449,120 @@ object TextOps {
             .as("pmi"))
         .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
         .limit(50)
+    },
+
+    // ------------------------------------------------------------------
+    // Token-distribution entropy + type-token ratio — the lexical-
+    // diversity quality signal (low entropy = TEMPLATED/SPAMMY text,
+    // used alongside text_repetition as a pretraining filter). All
+    // row-local higher-order-function work: the per-doc distribution
+    // is computed inside the row (distinct tokens × occurrence counts),
+    // so the operator is a pure narrow map — zero shuffle, linear in
+    // corpus bytes. Per-term doubles are identical on both engines;
+    // the ≤|vocab|-term sum is rounded at 9 dp, far above the 1e-15
+    // accumulation-order noise.
+    "text_entropy" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE len(${toksSql("text")}) > 0),
+         |e AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, list_distinct(toks) AS types, toks
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(types) AS BIGINT) AS n_types,
+         |  round(len(types) * 1.0 / n_tokens, 9) AS ttr,
+         |  round(list_sum(list_transform(types, tk ->
+         |    -(len(list_filter(toks, x -> x = tk)) * 1.0 / n_tokens) *
+         |     ln(len(list_filter(toks, x -> x = tk)) * 1.0 / n_tokens))), 9) AS entropy,
+         |  CASE WHEN len(types) > 1
+         |    THEN round(list_sum(list_transform(types, tk ->
+         |      -(len(list_filter(toks, x -> x = tk)) * 1.0 / n_tokens) *
+         |       ln(len(list_filter(toks, x -> x = tk)) * 1.0 / n_tokens)))
+         |      / ln(len(types)), 9)
+         |    ELSE 0.0 END AS norm_entropy
+         |FROM e""".stripMargin) { (s, dir) =>
+      val n = size(col("toks")).cast(LongType)
+      def cnt(tk: Column): Column = size(filter(col("toks"), x => x === tk))
+      def term(tk: Column): Column = {
+        val p = cnt(tk) * lit(1.0) / n
+        -p * log(p)
+      }
+      val ent = aggregate(col("types"), lit(0.0), (acc, tk) => acc + term(tk))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"), array_distinct(col("toks")).as("types"))
+        .select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          size(col("types")).cast(LongType).as("n_types"),
+          round(size(col("types")) * lit(1.0) / n, 9).as("ttr"),
+          round(ent, 9).as("entropy"),
+          when(size(col("types")) > 1, round(ent / log(size(col("types"))), 9))
+            .otherwise(lit(0.0)).as("norm_entropy"))
+    },
+
+    // ------------------------------------------------------------------
+    // Corpus-frequency boilerplate removal (the CCNet/RefinedWeb move):
+    // chunk each doc into fixed 10-token segments, count how many
+    // DISTINCT docs each normalized segment appears in, drop segments
+    // seen in ≥ 3 docs, and re-emit the cleaned text with surviving
+    // segments in original order. Scale shape: the document-frequency
+    // count and the boilerplate join are keyed on a 60-bit md5 segment
+    // hash (8 bytes through the exchange, never the segment string);
+    // count-distinct partial-aggregates map-side; reassembly is one
+    // doc_id-keyed agg — the unavoidable shuffle of any corpus rewrite.
+    // The boilerplate relation stays keyed (never broadcast): its
+    // cardinality is corpus-dependent and unbounded in principle.
+    "text_boilerplate_segments" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE len(${toksSql("text")}) > 0),
+         |sj AS (
+         |  SELECT doc_id, unnest(range(0, (len(toks) + 9) // 10)) AS j, toks
+         |  FROM t),
+         |segs AS (
+         |  SELECT doc_id, j,
+         |    array_to_string(toks[j*10+1:j*10+10], ' ') AS seg,
+         |    ('0x' || substr(md5(array_to_string(toks[j*10+1:j*10+10], ' ')), 1, 15))::BIGINT AS seg_h
+         |  FROM sj),
+         |bl AS (
+         |  SELECT seg_h FROM (
+         |    SELECT seg_h, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg_h)
+         |  WHERE df >= 3)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(count(*) FILTER (WHERE b.seg_h IS NULL) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE b.seg_h IS NOT NULL) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(s.seg, ' ' ORDER BY s.j) FILTER (WHERE b.seg_h IS NULL), '') AS clean_text
+         |FROM segs s LEFT JOIN bl b ON b.seg_h = s.seg_h
+         |GROUP BY s.doc_id""".stripMargin) { (s, dir) =>
+      val segLen = 10
+      val dfCap = 3
+      val nseg = floor((size(col("toks")) + lit(segLen - 1)) / lit(segLen)).cast(IntegerType)
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), nseg - 1),
+          j => array_join(slice(col("toks"), j * segLen + 1, lit(segLen)), " "))).as(Seq("j", "seg")))
+        .withColumn("seg_h",
+          conv(substring(md5(col("seg").cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+      val bl = segs.groupBy(col("seg_h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= dfCap)
+        .select(col("seg_h"), lit(true).as("is_bl"))
+      segs.join(bl, Seq("seg_h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segments"),
+          count(when(col("is_bl").isNull, 1)).as("n_kept"),
+          count(col("is_bl")).as("n_dropped"),
+          array_join(transform(
+            sort_array(collect_list(when(col("is_bl").isNull,
+              struct(col("j"), col("seg"))))),
+            p => p.getField("seg")), " ").as("clean_text"))
     }
   )
 }
