@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
+import graft.plans.{BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, SortedLongIntersectCount}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq)
         .toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramSketch].getName, "graft_gram"),
+      exprs => GramSketch(exprs(0)).toAggregateExpression()))
   }
 }

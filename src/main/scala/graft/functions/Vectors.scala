@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -51,6 +51,9 @@ object Vectors {
         exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray().toSeq)
         .toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_gram",
+      exprs => GramSketch(exprs(0)).toAggregateExpression(), "built-in")
   }
 
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -106,6 +109,15 @@ object Vectors {
   def kmvMinHashes(spark: SparkSession, h: Column, k: Int): Column = {
     register(spark)
     call_function("graft_kmv_minhashes", h, lit(k))
+  }
+
+  /** Mergeable fixed-point Gram accumulator over an `array<float>`
+    * column: the upper triangle of Σ x·xᵀ as
+    * array<struct<i, j, gram_fp, n_vecs>> (one ~d²/2-long buffer per
+    * partition through the exchange; see plans/GramSketch.scala). */
+  def gramSketch(spark: SparkSession, emb: Column): Column = {
+    register(spark)
+    call_function("graft_gram", emb)
   }
 
   /** Bloom-membership predicate over a bigint key column; `bytes` is a

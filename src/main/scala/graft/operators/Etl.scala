@@ -1555,6 +1555,29 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // k-anonymity risk profile over quasi-identifiers — the microdata-
+    // release check (distinct from etl_cell_suppression, which protects
+    // PUBLISHED AGGREGATE tables): every (nation, segment, $1000
+    // balance band) equivalence class with its population k; classes
+    // under k=5 are re-identification risks. One keyed agg; the summary
+    // a release officer reads is the k distribution itself.
+    "etl_kanonymity" -> QueryDef.withOracle(
+      """SELECT n.n_name, c.c_mktsegment,
+        |  CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  count(*) < 5 AS at_risk
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      Tables.customer(s, dir)
+        .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("at_risk", col("k") < 5)
+    },
+
+    // ------------------------------------------------------------------
     // Neyman optimal sample allocation — given a total sample budget,
     // allocate to strata ∝ N_h·S_h (stratum size × stddev), the design
     // that minimizes the variance of the stratified mean. Stratum

@@ -239,6 +239,65 @@ object Graph {
           (col("dx") === col("dy") && col("x") < col("y")))
         .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
         .agg(count(lit(1)).as("n_triangles"))
+    },
+
+    // ------------------------------------------------------------------
+    // Link prediction over the embedding near-dup graph: common-
+    // neighbor counts + Adamic-Adar score (Σ 1/ln(deg(b)) over shared
+    // neighbors b) for NON-adjacent pairs — "these two vectors share
+    // near-dup relatives but aren't yet linked", the candidate-
+    // expansion step that recovers pairs the pairwise cosine threshold
+    // missed (cosine ≥ τ is not transitive, so this graph genuinely
+    // has open wedges — the shingle graph's verified clusters are
+    // cliques by construction and would score nothing). Wedge
+    // enumeration is Σ deg(b)², which one hub makes corpus-quadratic,
+    // so wedge centers are capped at deg ≤ 64 (same cap philosophy as
+    // Dedup.capBuckets; a hub's AA weight ≈ 1/ln(huge) is noise while
+    // its wedge count is the whole job). Every join shuffles node ids
+    // only; the center's degree rides the edge relation.
+    "graph_common_neighbors" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM p
+        |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
+        |deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY src),
+        |wedge AS (
+        |  SELECT e1.dst AS vec_a, e2.dst AS vec_b, d.deg AS center_deg
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        |  JOIN deg d ON d.id = e1.src
+        |  WHERE d.deg <= 64)
+        |SELECT w.vec_a, w.vec_b,
+        |  CAST(count(*) AS BIGINT) AS common_neighbors,
+        |  round(sum(1.0 / ln(w.center_deg)), 9) AS adamic_adar
+        |FROM wedge w
+        |LEFT JOIN edges x ON x.src = w.vec_a AND x.dst = w.vec_b
+        |WHERE x.src IS NULL
+        |GROUP BY w.vec_a, w.vec_b""".stripMargin) { (s, dir) =>
+      val p = Dedup.defs.toMap.apply("dedup_embedding").fn(s, dir)
+        .select(col("vec_a"), col("vec_b"))
+      val edges = p.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .persist() // read 3×: degree build, both wedge sides, adjacency anti-join
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val centered = edges.join(deg, Seq("src")).filter(col("deg") <= 64)
+      val e1 = centered.select(col("src"), col("dst").as("vec_a"), col("deg"))
+      val e2 = centered.select(col("src"), col("dst").as("vec_b"))
+      e1.join(e2, Seq("src"))
+        .filter(col("vec_a") < col("vec_b"))
+        .groupBy(col("vec_a"), col("vec_b"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          round(sum(lit(1.0) / log(col("deg"))), 9).as("adamic_adar"))
+        .join(edges.select(col("src").as("vec_a"), col("dst").as("vec_b")),
+          Seq("vec_a", "vec_b"), "left_anti")
     }
   )
 }

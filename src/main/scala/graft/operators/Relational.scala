@@ -889,6 +889,67 @@ object Relational {
           |  CAST(max(CASE WHEN node BETWEEN 1 AND 3 THEN node END) AS BIGINT)
           |    AS top_subtree
           |FROM anc GROUP BY part""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Exact per-group quartiles (percentile_disc semantics: the element
+    // at rank ceil(p·n) under a unique ordering) — q28's distributed-
+    // selection plan generalized to three positions: range-bucket
+    // histogram per group, locate the ≤3 buckets holding the target
+    // ranks, sort ONLY those buckets locally (≈ n/200 rows each),
+    // global rank = local row_number + bucket offset. No task ever
+    // sorts a whole group; engine-native quantile interpolation (which
+    // differs across engines) is never involved.
+    "q38_group_quartiles" -> QueryDef.withOracle(
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rnk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rnk = CAST(ceil(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
+        |  max(CASE WHEN rnk = CAST(ceil(0.50 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rnk = CAST(ceil(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75
+        |FROM r GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val mmx = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+      val withB = li.withColumn("bkt",
+        rangeBucket(col("l_extendedprice"), mmx.getDouble(0), mmx.getDouble(1), 200))
+      val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt").asc)
+      val offs = withB.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("bkt"), col("cnt"),
+          coalesce(sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+          sum(col("cnt"))
+            .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("n"))
+        .persist() // ≤ 3×200 bookkeeping rows, read by targets + hot buckets
+      val targets = offs.select(col("l_returnflag"), col("n")).distinct()
+        .select(col("l_returnflag"), col("n"),
+          explode(array(ceil(col("n") * 0.25), ceil(col("n") * 0.50),
+            ceil(col("n") * 0.75))).as("pos"))
+      val hot = targets.join(
+          offs.select(col("l_returnflag"), col("bkt"), col("cnt"), col("off")),
+          Seq("l_returnflag"))
+        .filter(col("pos") > col("off") && col("pos") <= col("off") + col("cnt"))
+      val hotBuckets = hot.select(col("l_returnflag"), col("bkt"), col("off")).distinct()
+      val wLoc = Window.partitionBy(col("l_returnflag"), col("bkt"))
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val ranked = withB.join(broadcast(hotBuckets), Seq("l_returnflag", "bkt"))
+        .withColumn("grank", row_number().over(wLoc) + col("off"))
+      val tg = hot.select(col("l_returnflag").as("tf"), col("n"), col("pos")).distinct()
+      ranked.join(broadcast(tg),
+          col("l_returnflag") === col("tf") && col("grank") === col("pos"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("n")).as("n"),
+          max(when(col("pos") === ceil(col("n") * 0.25), col("l_extendedprice"))).as("p25"),
+          max(when(col("pos") === ceil(col("n") * 0.50), col("l_extendedprice"))).as("p50"),
+          max(when(col("pos") === ceil(col("n") * 0.75), col("l_extendedprice"))).as("p75"))
     }
   )
 }

@@ -511,17 +511,14 @@ object Similarity {
         |  CAST(sum(p_fp) AS BIGINT) AS gram_fp,
         |  CAST(count(*) AS BIGINT) AS n_vecs
         |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      // the (i, j, product) triples never leave their input row until
-      // the map-side combine: one nested transform builds the upper
-      // triangle in place, flatten+explode feeds the partial agg
+      // the (i, j, product) longs never leave the aggregation buffer:
+      // GramSketch accumulates the whole upper triangle in ONE
+      // ~d²/2-long array per partition (vs. the explode form's
+      // d²/2 struct rows per VECTOR through the partial agg) — exact
+      // long sums, so results are bit-identical to the explode plan
       Tables.embeddings(s, dir)
-        .select(explode(flatten(transform(col("embedding"), (vi, i) =>
-          transform(slice(col("embedding"), i + 1, size(col("embedding")) - i), (vj, j) =>
-            struct(i.cast(IntegerType).as("i"), (i + j).cast(IntegerType).as("j"),
-              floor(vi.cast(DoubleType) * vj.cast(DoubleType) * 1000000 + 0.5)
-                .cast(LongType).as("p_fp")))))).as("t"))
-        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-        .agg(sum(col("t.p_fp")).as("gram_fp"), count(lit(1)).as("n_vecs"))
+        .agg(Vectors.gramSketch(s, col("embedding")).as("gs"))
+        .select(inline(col("gs")))
     },
 
     // ------------------------------------------------------------------
@@ -573,17 +570,14 @@ object Similarity {
          |FROM xq q JOIN v8 v ON v.j = q.dim
          |GROUP BY q.vec_id""".stripMargin
     } { (s, dir) =>
-      // upper triangle only (the embedding_gram trick, halving the hot
-      // projection); vi·vj = vj·vi bit-exactly in IEEE, so mirroring
-      // driver-side reconstructs the full Gramian the oracle computes
+      // upper triangle only (the embedding_gram trick, via the same
+      // GramSketch aggregate — one buffer per partition, never a
+      // per-pair row stream); vi·vj = vj·vi bit-exactly in IEEE, so
+      // mirroring driver-side reconstructs the full Gramian the oracle
+      // computes
       val gram = Tables.embeddings(s, dir)
-        .select(explode(flatten(transform(col("embedding"), (vi, i) =>
-          transform(slice(col("embedding"), i + 1, size(col("embedding")) - i), (vj, j) =>
-            struct(i.cast(IntegerType).as("i"), (i + j).cast(IntegerType).as("j"),
-              floor(vi.cast(DoubleType) * vj.cast(DoubleType) * 1000000 + 0.5)
-                .cast(LongType).as("p")))))).as("t"))
-        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-        .agg(sum(col("t.p")).as("gfp"), count(lit(1)).as("nv"))
+        .agg(Vectors.gramSketch(s, col("embedding")).as("gs"))
+        .select(inline(col("gs")))
         .collect() // ≤ d(d+1)/2 bookkeeping rows — the MLlib Gramian pattern
       val d = gram.map(_.getInt(1)).max + 1
       val g = Array.ofDim[Long](d, d)

@@ -483,6 +483,186 @@ object Temporal {
           round(coalesce(col("day_value"), lit(0.0)), 9).as("day_value"),
           round(last(col("day_value"), ignoreNulls = true).over(w), 9)
             .as("locf_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // RFM (recency / frequency / monetary) quintile segmentation — the
+    // standard behavioral-cohort cut. Each quintile is a GLOBAL
+    // ntile(5) over the user population, which is corpus-scale, so a
+    // direct window (one task sorting every user) is out; each metric
+    // instead rides the q34 distributed-rank plan (200 literal range
+    // buckets → per-bucket offsets → local row_number + offset = exact
+    // global rank → ntile in closed form). Three metrics = three
+    // bounded-fan rank passes over the already-aggregated user
+    // relation; the events table is scanned once.
+    "ev_rfm" -> QueryDef.withOracle(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS gmax FROM events),
+        |r AS (
+        |  SELECT u.user_id, u.freq, u.monetary,
+        |    CAST((g.gmax - u.last_s) // 86400 AS BIGINT) AS recency_days
+        |  FROM u CROSS JOIN g),
+        |q AS (
+        |  SELECT user_id, recency_days, freq, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_q,
+        |    CAST(ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS BIGINT) AS f_q,
+        |    CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS m_q
+        |  FROM r)
+        |SELECT user_id, recency_days, freq, monetary, r_q, f_q, m_q,
+        |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM q""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTimed(s, dir)
+      val u = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("freq"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("monetary"),
+          max(col("ts_s")).as("last_s"))
+      val gmax = ev.agg(max(col("ts_s")).as("gmax"))
+      val base = u.crossJoin(broadcast(gmax)) // 1-row global anchor
+        .select(col("user_id"), col("freq"), col("monetary"),
+          floor((col("gmax") - col("last_s")) / 86400).cast(LongType).as("recency_days"))
+      val withQ = Seq(("recency_days", "r_q"), ("freq", "f_q"), ("monetary", "m_q"))
+        .foldLeft(base) { case (df, (metric, qName)) =>
+          distributedNtile(df, metric, "user_id", 5, qName)
+        }
+      withQ.withColumn("rfm_code",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+    },
+
+    // ------------------------------------------------------------------
+    // Last-touch attribution: each purchase is credited to the same
+    // user's most recent preceding touch event (click/view/signup)
+    // within a 7-day lookback, else 'organic'. The carry-forward is
+    // the asof_join formulation folded into ONE stream: a single
+    // user-keyed shuffle, last(_, ignoreNulls) over the (ts, id)-
+    // ordered partition — no per-purchase range join, no second scan.
+    "ev_attribution" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |t AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+        |      THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+        |      THEN ts_s END IGNORE NULLS) OVER w AS touch_s,
+        |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+        |      THEN event_type END IGNORE NULLS) OVER w AS touch_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_s,
+        |  CASE WHEN touch_s IS NOT NULL AND ts_s - touch_s <= 604800
+        |       THEN touch_type ELSE 'organic' END AS channel,
+        |  CASE WHEN touch_s IS NOT NULL AND ts_s - touch_s <= 604800
+        |       THEN touch_id END AS touch_event_id,
+        |  CASE WHEN touch_s IS NOT NULL AND ts_s - touch_s <= 604800
+        |       THEN ts_s - touch_s END AS touch_age_s
+        |FROM t WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val touch = col("event_type").isin("click", "view", "signup")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val attributed = col("touch_s").isNotNull &&
+        col("ts_s") - col("touch_s") <= 604800L
+      Tables.eventsTimed(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+        .withColumn("touch_id", last(when(touch, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("touch_s", last(when(touch, col("ts_s")), ignoreNulls = true).over(w))
+        .withColumn("touch_type", last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          when(attributed, col("touch_type")).otherwise("organic").as("channel"),
+          when(attributed, col("touch_id")).as("touch_event_id"),
+          when(attributed, col("ts_s") - col("touch_s")).as("touch_age_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bounded-lag EWMA smoothing per user (α-decay over the last ≤16
+    // events): the classic trend signal, formulated so it stays a
+    // window expression — collect the ≤16-value tail, weight by the
+    // literal 0.7^lag sequence row-locally. Per-user window partitions
+    // (per-user history is bounded, same contract as ev_sessionize /
+    // q8); the ≤16-term weighted sum is left-folded in a fixed order,
+    // so the double math is engine-identical before the 9-dp round.
+    "ev_ewma" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ts_s, value,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s ASC, event_id ASC
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS tail
+        |  FROM e)
+        |SELECT event_id, user_id, ts_s, value,
+        |  CAST(len(tail) AS BIGINT) AS n_window,
+        |  round(
+        |    list_sum(list_transform(range(1, len(tail) + 1),
+        |      i -> tail[CAST(i AS INT)] * pow(0.7, len(tail) - i))) /
+        |    list_sum(list_transform(range(1, len(tail) + 1),
+        |      i -> pow(0.7, len(tail) - i))), 9) AS ewma
+        |FROM w""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+        .rowsBetween(-15, Window.currentRow)
+      val tail = col("tail")
+      val len = size(tail)
+      val num = aggregate(sequence(lit(1), len), lit(0.0),
+        (acc, i) => acc + element_at(tail, i) * pow(lit(0.7), (len - i).cast(DoubleType)))
+      val den = aggregate(sequence(lit(1), len), lit(0.0),
+        (acc, i) => acc + pow(lit(0.7), (len - i).cast(DoubleType)))
+      Tables.eventsTimed(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
+          collect_list(col("value")).over(w).as("tail"))
+        .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
+          len.cast(LongType).as("n_window"),
+          round(num / den, 9).as("ewma"))
     }
   )
+
+  /** Global ntile(k) without a global sort: the q34 distributed-rank
+    * plan as a reusable transform. Literal range buckets over the
+    * metric → per-bucket counts → running offsets (a ≤`buckets`-row
+    * bookkeeping window) → local row_number per bucket + broadcast
+    * offset = exact global rank → ntile in closed form (rank ordering
+    * made unique by the tie column, so rank() == row_number()). */
+  private def distributedNtile(
+      df: org.apache.spark.sql.DataFrame, metric: String, tie: String,
+      k: Int, qName: String, buckets: Int = 200): org.apache.spark.sql.DataFrame = {
+    val mmx = df.agg(
+      min(col(metric)).cast(DoubleType), max(col(metric)).cast(DoubleType)).head()
+    val withB = df.withColumn("bkt", Relational.rangeBucket(
+      col(metric).cast(DoubleType), mmx.getDouble(0), mmx.getDouble(1), buckets))
+    // global window over ≤`buckets` bookkeeping rows — bounded by
+    // construction, never by the corpus
+    val wOff = Window.orderBy(col("bkt").asc)
+    val offs = withB.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .select(col("bkt"),
+        coalesce(sum(col("cnt"))
+          .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+        sum(col("cnt"))
+          .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("n"))
+    val wLoc = Window.partitionBy(col("bkt"))
+      .orderBy(col(metric).asc, col(tie).asc)
+    val ranked = withB.withColumn("lrn", row_number().over(wLoc))
+      .join(broadcast(offs), Seq("bkt"))
+      .withColumn("rnk", col("off") + col("lrn"))
+    val n = col("n")
+    val base = floor(n / k)
+    val r = n % k
+    val thr = r * (base + 1)
+    val baseSafe = greatest(base, lit(1L))
+    ranked.withColumn(qName,
+      when(col("rnk") <= thr, floor((col("rnk") - 1) / (base + 1)) + 1)
+        .otherwise(r + floor((col("rnk") - thr - 1) / baseSafe) + 1).cast(LongType))
+      .drop("bkt", "lrn", "off", "n", "rnk")
+  }
 }

@@ -88,8 +88,14 @@ object HeavyHittersSketch {
     private val counts = new java.util.HashMap[String, Long](capacity * 2)
 
     def add(item: String, by: Long): Unit = {
-      val cur = counts.get(item)
-      if (cur != null) counts.put(item, cur + by)
+      // NB: counts.get on a java map of primitive Long unboxes a
+      // missing key's null to 0L — a null check here is always-true
+      // and silently disables eviction (the sketch then degrades to
+      // exact counting with unbounded state). Live counters are
+      // always ≥ 1 (inserts are ≥1, decrementAll removes ≤0), so 0
+      // is a safe miss sentinel.
+      val cur = counts.getOrDefault(item, 0L)
+      if (cur != 0L) counts.put(item, cur + by)
       else if (counts.size < capacity) counts.put(item, by)
       else decrementAll(by)
     }
@@ -106,8 +112,7 @@ object HeavyHittersSketch {
 
     def absorb(other: MisraGries): Unit = {
       other.counts.forEach { (item, c) =>
-        val cur = counts.get(item)
-        if (cur != null) counts.put(item, cur + c) else counts.put(item, c)
+        counts.put(item, counts.getOrDefault(item, 0L) + c)
       }
       if (counts.size > capacity) {
         // subtract the (capacity+1)-th largest count, drop what's left ≤0

@@ -25,7 +25,10 @@ object PlanAudit {
       "ann_refine_rerank",
       // 1-row broadcasts again: benford's grand total, pmi's bigram
       // total, gap_fill's (d0, d1) calendar bounds
-      "etl_benford", "text_pmi_collocations", "ev_gap_fill")
+      "etl_benford", "text_pmi_collocations", "ev_gap_fill",
+      // 1-row broadcasts: stratified_alloc's Σ N_h·S_h total,
+      // ev_rfm's global max-timestamp anchor
+      "etl_stratified_alloc", "ev_rfm")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -60,11 +63,23 @@ object PlanAudit {
   // etl_chain_index runs ONE corpus-scale exchange (the part-year agg,
   // persisted) + 3 links × (pivot agg + brand join/agg) over
   // part-cardinality bookkeeping rows — 8 printed, 1 corpus-scale.
+  // ev_rfm chains THREE distributed-rank passes (one per RFM metric)
+  // over the per-user relation: each pass prints a bucket-count agg
+  // (map-side combined), a ≤200-row offset window and the bucket-local
+  // rank window — only the rank window moves user-scale rows, and the
+  // unpersisted chain re-prints upstream exchanges per branch, so the
+  // printed count (≈18) is ~3× the executed corpus-scale moves (4:
+  // the user agg + one rank repartition per metric).
   private val exchangeAllowance =
     Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
       "graph_pagerank" -> 26, "graph_triangles" -> 14,
-      "ev_peak_concurrency" -> 12, "etl_chain_index" -> 9)
+      "ev_peak_concurrency" -> 12, "etl_chain_index" -> 9,
+      "ev_rfm" -> 18,
+      // q38 is q28's selection plan with 3 target ranks instead of 2 —
+      // same budget: one corpus-scale exchange (per-(flag, bucket)
+      // counts), the rest ≤5×200-row bookkeeping moves
+      "q38_group_quartiles" -> 8)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -105,10 +120,18 @@ object PlanAudit {
   //   >1024-member hot-bucket relation from Dedup.capBuckets — a
   //   HashAggregate-bounded output that prints opaquely once the shared
   //   bands cache is materialized by an earlier plan build
+  // - graph_common_neighbors: its persisted edge relation registers in
+  //   pass 1 (normal threshold), where STATS chose to broadcast the
+  //   sf-sized embeddings side of the label equi-join; pass 2 prints
+  //   that captured subtree from the cache. The operator requests no
+  //   broadcast (verified: the plan built directly under threshold -1
+  //   has zero BroadcastExchange nodes), and at 100 TB stats would not
+  //   broadcast a corpus-scale side.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_lsh", "ann_quantized_topk", "ann_refine_rerank",
-      "ann_hard_negatives", "graph_degree_stats", "graph_triangles")
+      "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
+      "graph_common_neighbors")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

@@ -371,6 +371,32 @@ object ScaleStress {
         .groupBy(col("typ")).agg(max(col("conc"))).count()
     }
     net.unpersist()
+
+    // --- Gram accumulation: mergeable buffer vs triangle explode ---
+    // d=64 → 2080 (i,j) products per vector. The explode plan
+    // materializes all of them as struct rows into the partial agg;
+    // GramSketch adds them into one long[2080] per partition and ships
+    // only that. Same exact long sums — bit-identical output.
+    val nGvec = math.max(n / 20, 100000L)
+    val emb = spark.range(nGvec).select(transform(
+      sequence(lit(0), lit(63)),
+      i => (pmod(hash(col("id"), i), lit(2000)) / lit(1000.0) - 1.0)
+        .cast(FloatType)).as("embedding")).persist()
+    emb.count()
+    stressTime(s"gram EXPLODE plan ($nGvec vecs × d=64 → ${nGvec * 2080} pair rows)", nGvec) {
+      emb.select(explode(flatten(transform(col("embedding"), (vi, i) =>
+        transform(slice(col("embedding"), i + 1, size(col("embedding")) - i), (vj, j) =>
+          struct(i.cast(IntegerType).as("i"), (i + j).cast(IntegerType).as("j"),
+            floor(vi.cast(DoubleType) * vj.cast(DoubleType) * 1000000 + 0.5)
+              .cast(LongType).as("p")))))).as("t"))
+        .groupBy(col("t.i"), col("t.j"))
+        .agg(sum(col("t.p"))).count()
+    }
+    stressTime(s"gram SKETCH aggregate ($nGvec vecs × d=64, one buffer/partition)", nGvec) {
+      emb.agg(graft.functions.Vectors.gramSketch(spark, col("embedding")).as("gs"))
+        .select(inline(col("gs"))).count()
+    }
+    emb.unpersist()
     spark.stop()
   }
 }

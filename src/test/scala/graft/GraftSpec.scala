@@ -708,6 +708,25 @@ class AnnRecallSpec extends AnyFunSuite {
     top5.foreach(t => assert(sketch.contains(t), s"exact top-5 token $t missing"))
   }
 
+  test("Misra-Gries evicts under pressure: state stays ≤ capacity, bound holds") {
+    // distinct items ≫ capacity — the corpus spec never stresses this
+    // (vocab ≪ 512), and a broken eviction path degrades the sketch to
+    // exact counting with unbounded state (the round-5 null-unboxing
+    // bug). One skewed stream: item "hot" 500×, 400 singletons.
+    val mg = new graft.plans.HeavyHittersSketch.MisraGries(16)
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(
+      (Seq.fill(500)("hot") ++ (0 until 400).map(i => s"cold$i")).toList)
+    stream.foreach(mg.add(_, 1L))
+    val kept = mg.topK(16)
+    assert(kept.length <= 16, s"state ${kept.length} exceeds capacity")
+    val hotEst = kept.collectFirst { case (t, c) if t == "hot" => c }
+    assert(hotEst.nonEmpty, "hot item evicted despite 55% frequency")
+    // MG: est ≤ exact, underestimate ≤ N/capacity
+    assert(hotEst.get <= 500L && 500L - hotEst.get <= 900L / 16,
+      s"hot estimate ${hotEst.get} outside MG bound")
+  }
+
   test("KLL sketch quantiles land inside the exact p±5% rank window") {
     val est = SparkEntry.queries("sketch_quantiles")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
