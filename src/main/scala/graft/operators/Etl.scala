@@ -1555,6 +1555,45 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Base-5 random rounding of a published count table — the StatCan
+    // disclosure-control move that replaces every cell count with a
+    // multiple of 5, unbiased (round up with probability residual/5).
+    // The "coin" is the md5-uniform of the CELL KEY, never random():
+    // the same table rounds identically on every engine, rerun and
+    // retry — randomness that can't be replayed is a correctness bug
+    // in a published statistic. Cell table is bookkeeping-sized; the
+    // only corpus-scale work is the original keyed count.
+    "etl_random_rounding" -> QueryDef.withOracle(
+      """WITH cells AS (
+        |  SELECT n.n_name, c.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, n % 5 AS res,
+        |    ('0x' || substr(md5(n_name || '|' || c_mktsegment), 1, 15))::BIGINT
+        |      % 1000000 AS u
+        |  FROM cells)
+        |SELECT n_name, c_mktsegment, n,
+        |  CASE WHEN res = 0 THEN n
+        |       WHEN u * 5 < res * 1000000 THEN n - res + 5
+        |       ELSE n - res END AS n_rounded
+        |FROM r""".stripMargin) { (s, dir) =>
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val res = col("n") % 5
+      val u = pmod(conv(substring(md5(
+        concat(col("n_name"), lit("|"), col("c_mktsegment")).cast(BinaryType)),
+        1, 15), 16, 10).cast(LongType), lit(1000000L))
+      Tables.customer(s, dir)
+        .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_rounded",
+          when(res === 0, col("n"))
+            .when(u * 5 < res * 1000000L, col("n") - res + 5)
+            .otherwise(col("n") - res))
+    },
+
+    // ------------------------------------------------------------------
     // k-anonymity risk profile over quasi-identifiers — the microdata-
     // release check (distinct from etl_cell_suppression, which protects
     // PUBLISHED AGGREGATE tables): every (nation, segment, $1000

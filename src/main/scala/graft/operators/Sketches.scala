@@ -168,11 +168,13 @@ object Sketches {
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |  FROM documents),
         |e AS (SELECT unnest(toks) AS tok FROM t),
-        |hd AS (SELECT tok, unnest(range(0, 4)) AS d FROM e),
+        |hd AS (
+        |  SELECT unnest(range(0, 4)) AS d,
+        |    unnest(list_transform(range(0, 4), k ->
+        |      ('0x' || substr(md5(tok), CAST(1 + 8 * k AS INT), 8))::BIGINT % 256)) AS bucket
+        |  FROM e),
         |cells AS (
-        |  SELECT d,
-        |    ('0x' || substr(md5(tok || '#' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cnt
+        |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
         |  FROM hd GROUP BY 1, 2),
         |exact AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
@@ -181,26 +183,29 @@ object Sketches {
         |SELECT x.tok, x.exact_count, min(c.cnt) AS cms_est,
         |  min(c.cnt) - x.exact_count AS overcount
         |FROM exact x JOIN cells c
-        |  ON c.bucket = ('0x' || substr(md5(x.tok || '#' || CAST(c.d AS VARCHAR)), 1, 15))::BIGINT % 256
+        |  ON c.bucket = ('0x' || substr(md5(x.tok), CAST(1 + 8 * c.d AS INT), 8))::BIGINT % 256
         |GROUP BY x.tok, x.exact_count""".stripMargin) { (s, dir) =>
       val depth = 4
       val width = 256L
-      def cmsBucket(tok: Column, d: Column): Column = pmod(
-        conv(substring(md5(concat(tok, lit("#"), d.cast("string")).cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(width))
+      // ONE md5 per token; the 4 depth hashes are disjoint 32-bit hex
+      // slices of it (d·8+1 … d·8+8) — 4× less hashing than hashing
+      // (tok, d) pairs, same independence for bucketing purposes
+      def buckets(tok: Column): Column = {
+        val h = md5(tok.cast("binary"))
+        array((0 until depth).map(d =>
+          pmod(conv(substring(h, 1 + 8 * d, 8), 16, 10).cast("long"), lit(width))): _*)
+      }
       val toks = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("tok"))
         .persist() // shared by the sketch build and the exact-top-20 probe set
       val cells = toks
-        .select(explode(sequence(lit(0), lit(depth - 1))).as("d"), col("tok"))
-        .select(col("d"), cmsBucket(col("tok"), col("d")).as("bucket"))
+        .select(posexplode(buckets(col("tok"))).as(Seq("d", "bucket")))
         .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
         .orderBy(col("exact_count").desc, col("tok").asc).limit(20)
       exact
         .select(col("tok"), col("exact_count"),
-          explode(sequence(lit(0), lit(depth - 1))).as("d"))
-        .withColumn("bucket", cmsBucket(col("tok"), col("d")))
+          posexplode(buckets(col("tok"))).as(Seq("d", "bucket")))
         .join(broadcast(cells), Seq("d", "bucket"))
         .groupBy(col("tok"), col("exact_count"))
         .agg(min(col("cnt")).as("cms_est"))

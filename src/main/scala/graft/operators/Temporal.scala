@@ -534,6 +534,101 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Kaplan-Meier survival per signup-week cohort — the product-limit
+    // estimator S(t) = Π (1 − d_i/n_i) over event times. Event of
+    // interest: the user's FIRST high-value purchase (value ≥ 90);
+    // users who never convert are right-censored at the observation
+    // end — the time-to-conversion curve, with real censoring. Scale
+    // shape: the corpus crosses two keyed aggs (per-user first-seen /
+    // first-conversion, then per-(cohort, hour) counts); the KM
+    // windows ride the calendar-bounded (cohort × duration-hour)
+    // relation — bookkeeping rows, never users. Determinism: d_i/n_i
+    // are integer ratios (identical doubles), each ln term snaps to
+    // ×10⁶ fixed point (exact long cumsum — the text_bigram_lm
+    // discipline), exp at the end; a d=n full-extinction row (only
+    // ever the cohort's last) short-circuits to exactly 0.0 instead of
+    // pushing ln(0) through the sum.
+    "ev_survival" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (SELECT max(ts_s) AS gmax FROM e),
+        |u AS (SELECT user_id, min(ts_s) AS first_s FROM e GROUP BY 1),
+        |cv AS (
+        |  SELECT user_id, min(ts_s) AS conv_s FROM e
+        |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+        |d AS (
+        |  SELECT u.first_s // 604800 AS cohort_week,
+        |    CASE WHEN cv.conv_s IS NOT NULL
+        |         THEN (cv.conv_s - u.first_s) // 3600
+        |         ELSE (g.gmax - u.first_s) // 3600 END AS t_hours,
+        |    CASE WHEN cv.conv_s IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u LEFT JOIN cv ON cv.user_id = u.user_id CROSS JOIN g),
+        |ct AS (
+        |  SELECT cohort_week, CAST(t_hours AS BIGINT) AS t_hours,
+        |    CAST(sum(ev) AS BIGINT) AS d_converted,
+        |    CAST(count(*) - sum(ev) AS BIGINT) AS c_censored
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(d_converted + c_censored) OVER (PARTITION BY cohort_week
+        |      ORDER BY t_hours ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS removed,
+        |    CAST(sum(d_converted + c_censored) OVER (PARTITION BY cohort_week)
+        |      AS BIGINT) AS n_cohort
+        |  FROM ct),
+        |k AS (
+        |  SELECT cohort_week, t_hours, d_converted, c_censored,
+        |    n_cohort - removed AS n_at_risk FROM w),
+        |t AS (
+        |  SELECT *, CASE WHEN d_converted < n_at_risk
+        |    THEN CAST(floor(ln(1.0 - d_converted * 1.0 / n_at_risk) * 1000000) AS BIGINT)
+        |    ELSE 0 END AS term_fp FROM k),
+        |s AS (
+        |  SELECT *, sum(term_fp) OVER (PARTITION BY cohort_week ORDER BY t_hours ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT cohort_week, t_hours, n_at_risk, d_converted, c_censored,
+        |  CASE WHEN d_converted = n_at_risk THEN 0.0
+        |       ELSE round(exp(cum / 1000000.0), 6) END AS surv
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_s"))
+      val g = e.agg(max(col("ts_s")).as("gmax"))
+      val u = e.groupBy(col("user_id")).agg(min(col("ts_s")).as("first_s"))
+      val cv = e.filter(col("event_type") === "purchase" && col("value") >= 90)
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("conv_s"))
+      val ct = u.join(cv, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(g)) // 1-row observation-end anchor
+        .select(expr("first_s div 604800").as("cohort_week"),
+          when(col("conv_s").isNotNull, expr("(conv_s - first_s) div 3600"))
+            .otherwise(expr("(gmax - first_s) div 3600")).as("t_hours"),
+          when(col("conv_s").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy(col("cohort_week"), col("t_hours"))
+        .agg(sum(col("ev")).as("d_converted"),
+          (count(lit(1)) - sum(col("ev"))).as("c_censored"))
+      // calendar-bounded relation from here down: rows = cohorts × hours
+      val wc = Window.partitionBy(col("cohort_week")).orderBy(col("t_hours").asc)
+      val k = ct
+        .withColumn("removed", coalesce(
+          sum(col("d_converted") + col("c_censored"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_cohort",
+          sum(col("d_converted") + col("c_censored"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n_at_risk", col("n_cohort") - col("removed"))
+      val termFp = when(col("d_converted") < col("n_at_risk"),
+        floor(log(lit(1.0) - col("d_converted") * lit(1.0) / col("n_at_risk")) * 1000000)
+          .cast(LongType)).otherwise(lit(0L))
+      k.withColumn("term_fp", termFp)
+        .withColumn("cum",
+          sum(col("term_fp")).over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("cohort_week"), col("t_hours"), col("n_at_risk"),
+          col("d_converted"), col("c_censored"),
+          when(col("d_converted") === col("n_at_risk"), lit(0.0))
+            .otherwise(round(exp(col("cum") / 1000000.0), 6)).as("surv"))
+    },
+
+    // ------------------------------------------------------------------
     // Last-touch attribution: each purchase is credited to the same
     // user's most recent preceding touch event (click/view/signup)
     // within a 7-day lookback, else 'organic'. The carry-forward is
@@ -633,7 +728,7 @@ object Temporal {
     * bookkeeping window) → local row_number per bucket + broadcast
     * offset = exact global rank → ntile in closed form (rank ordering
     * made unique by the tie column, so rank() == row_number()). */
-  private def distributedNtile(
+  private[graft] def distributedNtile(
       df: org.apache.spark.sql.DataFrame, metric: String, tie: String,
       k: Int, qName: String, buckets: Int = 200): org.apache.spark.sql.DataFrame = {
     val mmx = df.agg(

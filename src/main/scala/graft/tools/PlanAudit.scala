@@ -27,8 +27,8 @@ object PlanAudit {
       // total, gap_fill's (d0, d1) calendar bounds
       "etl_benford", "text_pmi_collocations", "ev_gap_fill",
       // 1-row broadcasts: stratified_alloc's Σ N_h·S_h total,
-      // ev_rfm's global max-timestamp anchor
-      "etl_stratified_alloc", "ev_rfm")
+      // ev_rfm's and ev_survival's global observation-end anchor
+      "etl_stratified_alloc", "ev_rfm", "ev_survival")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

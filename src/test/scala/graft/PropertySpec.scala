@@ -63,4 +63,43 @@ class PropertySpec extends AnyFunSuite {
     }
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
+
+  test("distributedNtile == native ntile window (randomized, with ties)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // duplicate-heavy metric values exercise tie resolution via the id
+    val rowsGen = Gen.chooseNum(1, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 30)).map(_.zipWithIndex))
+    Gen.listOfN(8, rowsGen).sample.get.foreach { rows =>
+      val df = rows.map { case (m, id) => (id.toLong, m.toDouble) }.toDF("id", "m")
+      val got = graft.operators.Temporal
+        .distributedNtile(df, "m", "id", 5, "q", buckets = 7)
+        .select(col("id"), col("q")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("q",
+          ntile(5).over(Window.orderBy(col("m").asc, col("id").asc)))
+        .select(col("id"), col("q")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(got == want, s"n=${rows.size}")
+    }
+  }
+
+  test("GramSketch == triangle-explode reference (randomized float vectors)") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(6, Gen.chooseNum(-100, 100).map(_ / 17.0f))
+    val vecs = Gen.listOfN(40, vecGen).sample.get
+    val df = vecs.toDF("embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    val got = df
+      .agg(graft.functions.Vectors.gramSketch(spark, col("embedding")).as("gs"))
+      .select(inline(col("gs"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val d = 6
+    val want = (for { i <- 0 until d; j <- i until d } yield {
+      val s = vecs.map(v =>
+        math.floor(v(i).toDouble * v(j).toDouble * 1000000.0 + 0.5).toLong).sum
+      (i, j) -> (s, vecs.size.toLong)
+    }).toMap
+    assert(got == want)
+  }
 }
