@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_gram"),
       new ExpressionInfo(classOf[GramSketch].getName, "graft_gram"),
       exprs => GramSketch(exprs(0)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk_by_key"),
+      new ExpressionInfo(classOf[graft.plans.TopKByKey].getName, "graft_topk_by_key"),
+      exprs => graft.plans.TopKByKey(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

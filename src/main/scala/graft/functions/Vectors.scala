@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount, TopKByKey}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -54,6 +54,11 @@ object Vectors {
     reg.createOrReplaceTempFunction(
       "graft_gram",
       exprs => GramSketch(exprs(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk_by_key",
+      exprs => TopKByKey(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 
   /** Cosine similarity of two `array<float>` columns, in double. */
@@ -118,6 +123,16 @@ object Vectors {
   def gramSketch(spark: SparkSession, emb: Column): Column = {
     register(spark)
     call_function("graft_gram", emb)
+  }
+
+  /** Bounded top-k-per-group aggregate over (double value, bigint id):
+    * the k best pairs under (value DESC, id ASC) as
+    * array<struct<id, value>> — the window-free top-k-per-group plan
+    * (≤k pairs per partition through the exchange, never the raw
+    * stream). */
+  def topkByKey(spark: SparkSession, value: Column, id: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_topk_by_key", value, id, lit(k))
   }
 
   /** Bloom-membership predicate over a bigint key column; `bytes` is a

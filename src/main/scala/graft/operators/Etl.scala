@@ -1555,6 +1555,52 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Capture-recapture (dual-system) population estimation — the
+    // census-coverage move: two independent "capture" lists (customers
+    // ordering in 1996 vs 1997), overlap m, Petersen N̂ = n1·n2/m plus
+    // the bias-corrected Chapman estimator and its SE. Two distinct-key
+    // scans + one key-intersection count; everything after is 1-row
+    // closed-form double math from exact integers.
+    "etl_capture_recapture" -> QueryDef.withOracle(
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |b AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |c AS (
+        |  SELECT (SELECT count(*) FROM a) AS n1,
+        |         (SELECT count(*) FROM b) AS n2,
+        |         (SELECT count(*) FROM a JOIN b USING (o_custkey)) AS m)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(m AS BIGINT) AS m_both,
+        |  round(n1 * 1.0 * n2 / m, 9) AS n_petersen,
+        |  round((n1 + 1.0) * (n2 + 1.0) / (m + 1) - 1, 9) AS n_chapman,
+        |  round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+        |        / (pow(m + 1.0, 2) * (m + 2))), 9) AS se_chapman
+        |FROM c""".stripMargin) { (s, dir) =>
+      def captured(from: String, to: String) = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(from).cast(TimestampType) &&
+          col("o_orderdate") < lit(to).cast(TimestampType))
+        .select(col("o_custkey")).distinct()
+      val a = captured("1996-01-01", "1997-01-01").persist() // reused: n1 + overlap
+      val b = captured("1997-01-01", "1998-01-01").persist() // reused: n2 + overlap
+      val n1 = a.agg(count(lit(1)).as("n1"))
+      val n2 = b.agg(count(lit(1)).as("n2"))
+      val m = a.join(b, Seq("o_custkey")).agg(count(lit(1)).as("m"))
+      n1.crossJoin(n2).crossJoin(m) // three 1-row relations
+        .select(col("n1"), col("n2"), col("m").as("m_both"),
+          round(col("n1") * lit(1.0) * col("n2") / col("m"), 9).as("n_petersen"),
+          round((col("n1") + 1.0) * (col("n2") + 1.0) / (col("m") + 1) - 1, 9)
+            .as("n_chapman"),
+          round(sqrt((col("n1") + 1.0) * (col("n2") + 1.0)
+            * (col("n1") - col("m")) * (col("n2") - col("m"))
+            / (pow(col("m") + 1.0, 2) * (col("m") + 2))), 9).as("se_chapman"))
+    },
+
+    // ------------------------------------------------------------------
     // Base-5 random rounding of a published count table — the StatCan
     // disclosure-control move that replaces every cell count with a
     // multiple of 5, unbiased (round up with probability residual/5).

@@ -298,6 +298,87 @@ object Graph {
           round(sum(lit(1.0) / log(col("deg"))), 9).as("adamic_adar"))
         .join(edges.select(col("src").as("vec_a"), col("dst").as("vec_b")),
           Seq("vec_a", "vec_b"), "left_anti")
+    },
+
+    // ------------------------------------------------------------------
+    // Contamination blast radius: multi-source BFS from the eval-
+    // contaminated docs (dedup_decontaminate's seeds) through the
+    // verified near-dup graph, depth ≤ 3 — "this doc isn't itself
+    // contaminated, but it is a near-dup (or a near-dup of a near-dup)
+    // of one that is", the transitive-suspicion pass a decontamination
+    // pipeline runs after direct flagging. Each round is one
+    // src-keyed join of the (small) frontier against the once-
+    // partitioned edge relation + a min-agg — the Pregel layout again;
+    // frontier size is bounded by the contaminated neighborhoods, not
+    // the corpus. Integer distances → fully oracled via 3 unrolled
+    // min-propagation CTEs.
+    "graph_contamination_bfs" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""d${i + 1} AS (
+           |  SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT doc_id, dist FROM d$i
+           |    UNION ALL
+           |    SELECT e.dst AS doc_id, d.dist + 1 AS dist
+           |    FROM edges e JOIN d$i d ON d.doc_id = e.src)
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh2 WHERE doc_id < 20),
+         |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh2 WHERE doc_id >= 20),
+         |seeds AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, count(*) AS n_hit
+         |    FROM corp c JOIN ev USING (g) GROUP BY c.doc_id)
+         |  WHERE n_hit >= 3),
+         |d0 AS (SELECT doc_id, 0 AS dist FROM seeds),
+         |${(0 until 3).map(stepSql).mkString(",\n")}
+         |SELECT doc_id, dist FROM d3""".stripMargin
+    } { (s, dir) =>
+      val sh2 = Dedup.shingled(s, dir).filter(size(col("sh")) > 0)
+      val ev = sh2.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      val seeds = sh2.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(ev), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= 3)
+        .select(col("doc_id"))
+      val p = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // partition the edge relation by src ONCE; every round's frontier
+      // join reuses that layout (only the frontier moves per round).
+      // Rounds are cut eagerly (localCheckpoint; the pageRanks lesson —
+      // a lazy 3-round cascade re-plans the whole LSH candidate
+      // pipeline per round), upgraded to a reliable checkpoint when
+      // spark.graft.checkpoint.dir is set.
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")).persist()
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      def cut(df: org.apache.spark.sql.DataFrame) =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      var dist = cut(seeds.select(col("doc_id"), lit(0L).as("dist")))
+      for (_ <- 0 until 3) {
+        val nxt = edges
+          .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("dst").as("doc_id"), (col("dist") + 1).as("dist"))
+        dist = cut(dist.unionByName(nxt)
+          .groupBy(col("doc_id")).agg(min(col("dist")).as("dist")))
+      }
+      dist
     }
   )
 }

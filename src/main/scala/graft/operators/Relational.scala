@@ -950,6 +950,36 @@ object Relational {
           max(when(col("pos") === ceil(col("n") * 0.25), col("l_extendedprice"))).as("p25"),
           max(when(col("pos") === ceil(col("n") * 0.50), col("l_extendedprice"))).as("p50"),
           max(when(col("pos") === ceil(col("n") * 0.75), col("l_extendedprice"))).as("p75"))
+    },
+
+    // ------------------------------------------------------------------
+    // Top-k per group as an AGGREGATE, not a window: TopKByKey keeps
+    // the 3 best (totalprice, orderkey) pairs per (priority, partition)
+    // and merges associatively, so the exchange carries ≤3 pairs per
+    // group per task instead of every raw row into a group sort.
+    // Contrast q7_window_topk, which must hand-salt the window into a
+    // two-phase plan to avoid the single-task group sort — here the
+    // aggregation framework's partial/final split does that for free.
+    // (value DESC, id ASC) is a deterministic total order → full
+    // oracle.
+    "q39_topk_agg" -> QueryDef.withOracle(
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.Vectors.topkByKey(s,
+          col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("o_orderpriority"),
+          (col("i") + 1).cast(LongType).as("rank"),
+          col("e.id").as("o_orderkey"),
+          col("e.value").as("o_totalprice"))
     }
   )
 }

@@ -486,6 +486,61 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Welch two-sample t-test between event populations (purchase vs
+    // view values) — the A/B-readout primitive. Everything derives
+    // from exact DECIMAL power sums in ONE corpus agg (n, Σx, Σx² per
+    // group — the q21 moment protocol), then closed-form driver-free
+    // double math: Welch's t and the Welch–Satterthwaite df are
+    // identical expressions on both engines. No per-row p-values, no
+    // UDFs, no second scan.
+    "ev_ab_ttest" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS s2
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, n, round(s1 / n, 9) AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS var
+        |  FROM m),
+        |ab AS (
+        |  SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+        |         b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+        |  FROM w a JOIN w b
+        |    ON a.event_type = 'purchase' AND b.event_type = 'view')
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 9) AS t_stat,
+        |  round(pow(var_a / n_a + var_b / n_b, 2)
+        |    / (pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)),
+        |    9) AS df_welch
+        |FROM ab""".stripMargin) { (s, dir) =>
+      val v = col("value").cast(dec2)
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(v).cast(DoubleType).as("s1"),
+          sum(v * v).cast(DoubleType).as("s2"))
+        .withColumn("mean", round(col("s1") / col("n"), 9))
+        .withColumn("var",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      val a = m.filter(col("event_type") === "purchase")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"), col("var").as("var_a"))
+      val b = m.filter(col("event_type") === "view")
+        .select(col("n").as("n_b"), col("mean").as("mean_b"), col("var").as("var_b"))
+      val se2 = col("var_a") / col("n_a") + col("var_b") / col("n_b")
+      a.crossJoin(b) // two 1-row relations
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          round((col("mean_a") - col("mean_b")) / sqrt(se2), 9).as("t_stat"),
+          round(pow(se2, 2) /
+            (pow(col("var_a") / col("n_a"), 2) / (col("n_a") - 1) +
+             pow(col("var_b") / col("n_b"), 2) / (col("n_b") - 1)), 9).as("df_welch"))
+    },
+
+    // ------------------------------------------------------------------
     // RFM (recency / frequency / monetary) quintile segmentation — the
     // standard behavioral-cohort cut. Each quintile is a GLOBAL
     // ntile(5) over the user population, which is corpus-scale, so a

@@ -27,8 +27,11 @@ object PlanAudit {
       // total, gap_fill's (d0, d1) calendar bounds
       "etl_benford", "text_pmi_collocations", "ev_gap_fill",
       // 1-row broadcasts: stratified_alloc's Σ N_h·S_h total,
-      // ev_rfm's and ev_survival's global observation-end anchor
-      "etl_stratified_alloc", "ev_rfm", "ev_survival")
+      // ev_rfm's and ev_survival's global observation-end anchor,
+      // ev_ab_ttest's and etl_capture_recapture's 1-row moment/count
+      // relations
+      "etl_stratified_alloc", "ev_rfm", "ev_survival",
+      "ev_ab_ttest", "etl_capture_recapture")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -79,7 +82,17 @@ object PlanAudit {
       // q38 is q28's selection plan with 3 target ranks instead of 2 —
       // same budget: one corpus-scale exchange (per-(flag, bucket)
       // counts), the rest ≤5×200-row bookkeeping moves
-      "q38_group_quartiles" -> 8)
+      "q38_group_quartiles" -> 8,
+      // BFS stacks the individually-audited LSH candidate stage (~6,
+      // bucket-capped) + the decontaminate seed build (2) + the final
+      // round's frontier join + min-agg (earlier rounds execute eagerly
+      // behind localCheckpoint cuts and print opaquely) — per-round
+      // moves are frontier-bounded, the edges shuffle once total
+      "graph_contamination_bfs" -> 14,
+      // common_neighbors stacks the embedding pair join (2 exchanges),
+      // degree agg, wedge self-join sides and the adjacency anti-join —
+      // all keyed on node ids, wedge side bounded by the deg ≤ 64 cap
+      "graph_common_neighbors" -> 10)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -120,6 +133,10 @@ object PlanAudit {
   //   >1024-member hot-bucket relation from Dedup.capBuckets — a
   //   HashAggregate-bounded output that prints opaquely once the shared
   //   bands cache is materialized by an earlier plan build
+  // - graph_contamination_bfs: the broadcast side is the EVAL-SUITE
+  //   shingle set (same bounded-by-construction argument as
+  //   dedup_decontaminate), plus the persisted-edge cache-print
+  //   artifact below
   // - graph_common_neighbors: its persisted edge relation registers in
   //   pass 1 (normal threshold), where STATS chose to broadcast the
   //   sf-sized embeddings side of the label equi-join; pass 2 prints
@@ -131,7 +148,7 @@ object PlanAudit {
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_lsh", "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
-      "graph_common_neighbors")
+      "graph_common_neighbors", "graph_contamination_bfs")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

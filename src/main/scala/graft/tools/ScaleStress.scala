@@ -397,6 +397,23 @@ object ScaleStress {
         .select(inline(col("gs"))).count()
     }
     emb.unpersist()
+
+    // --- top-k per group: mergeable aggregate vs window sort ---
+    // 100 groups × 20M rows, k=10. The window must move every raw row
+    // into its group's sort; the aggregate moves ≤k pairs per (group,
+    // partition). Same result set (unique (price, orderkey) order).
+    stressTime("topk/group WINDOW row_number (100 groups, k=10)", n) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("suppkey"))
+        .orderBy(col("price").desc, col("orderkey").asc)
+      fact.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10).count()
+    }
+    stressTime("topk/group AGGREGATE TopKByKey (100 groups, k=10)", n) {
+      fact.groupBy(col("suppkey"))
+        .agg(graft.functions.Vectors.topkByKey(spark,
+          col("price"), col("orderkey"), 10).as("tk"))
+        .select(col("suppkey"), explode(col("tk"))).count()
+    }
     spark.stop()
   }
 }

@@ -462,7 +462,9 @@ class EdgeCorpusSpec extends AnyFunSuite {
   test("text and dedup operators survive a pathological corpus") {
     val docQueries = Seq("text_tokens", "text_langid", "text_fingerprint",
       "text_topk_tokens", "text_winnow", "dedup_exact",
-      "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "mm_meta")
+      "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "mm_meta",
+      "text_entropy", "text_boilerplate_segments", "sketch_countmin",
+      "mm_header_dedup", "pipe_split_holdout")
     docQueries.foreach { q =>
       val df = SparkEntry.queries(q)(spark, edgeDir)
       df.count() // must not throw

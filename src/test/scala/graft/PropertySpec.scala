@@ -102,4 +102,23 @@ class PropertySpec extends AnyFunSuite {
     }).toMap
     assert(got == want)
   }
+
+  test("TopKByKey == reference sort-take under (value desc, id asc) (randomized)") {
+    import spark.implicits._
+    // duplicate-heavy values exercise the id tiebreak; k spans under-
+    // and over-filled buffers
+    val rowsGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 9)).map(_.zipWithIndex))
+    val cases = Gen.listOfN(12, Gen.zip(rowsGen, Gen.chooseNum(1, 8))).sample.get
+    cases.foreach { case (rows, k) =>
+      val df = rows.map { case (v, id) => (id.toLong, v.toDouble) }.toDF("id", "v")
+      val got = df
+        .agg(graft.functions.Vectors.topkByKey(spark, col("v"), col("id"), k))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getDouble(1))).toList
+      val want = rows.map { case (v, id) => (id.toLong, v.toDouble) }
+        .sortBy { case (id, v) => (-v, id) }.take(k)
+      assert(got == want, s"rows=${rows.size} k=$k")
+    }
+  }
 }
