@@ -428,6 +428,16 @@ class SqlApiSpec extends AnyFunSuite {
       "SELECT graft_cosine(a.embedding, b.embedding) FROM emb a JOIN emb b ON b.vec_id = a.vec_id LIMIT 1")
       .head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-9)
+    // native AGGREGATES callable from SQL: the Gram sketch and the
+    // window-free top-k
+    val gramCells = spark.sql(
+      "SELECT size(graft_gram(embedding)) FROM emb").head().getInt(0)
+    val d = spark.sql("SELECT size(embedding) FROM emb LIMIT 1").head().getInt(0)
+    assert(gramCells == d * (d + 1) / 2)
+    val topk = spark.sql(
+      """SELECT l_returnflag, graft_topk_by_key(l_extendedprice, l_orderkey, 2) AS tk
+        |FROM li GROUP BY l_returnflag""".stripMargin).collect()
+    assert(topk.nonEmpty && topk.forall(_.getSeq[Any](1).size == 2))
   }
 }
 
