@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.{Connectors, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1552,6 +1553,87 @@ object Etl {
           round(col("sum_y") / col("sum_x"), 9).as("ratio_est"),
           round(col("se2") / 1000.0 / denom, 9).as("var_lin"),
           round(sqrt(col("se2") / 1000.0 / denom), 9).as("se"))
+    },
+
+    // ------------------------------------------------------------------
+    // Fellegi-Sunter linkage weights — the probabilistic layer on top
+    // of etl_record_linkage's deterministic blocking: candidate pairs
+    // (blocked on noun + size so the pair space stays bounded) are
+    // scored Σ over comparison fields of ln(m/u) when the field agrees
+    // and ln((1−m)/(1−u)) when it disagrees; u (chance agreement) is
+    // ESTIMATED from the candidate set itself (exact 0/1 sums → one
+    // 1-row broadcast), m is the fixed quality literal 0.95. Scores
+    // classify link / possible / non-link at ±2. Guard rails: an
+    // agreeing row implies u > 0 and a disagreeing row implies u < 1,
+    // so neither ln sees 0 on the branch that evaluates it.
+    "etl_linkage_weights" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size,
+        |    regexp_extract(p_name, '([a-z0-9]+)$', 1) AS noun,
+        |    regexp_extract(p_name, '^([a-z0-9]+)', 1) AS adj
+        |  FROM part),
+        |pr AS (
+        |  SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+        |    a.noun || ':' || CAST(a.p_size AS VARCHAR) AS block,
+        |    (a.p_brand = b.p_brand) AS ag_brand,
+        |    (a.p_type = b.p_type) AS ag_type,
+        |    (a.adj = b.adj) AS ag_adj
+        |  FROM p a JOIN p b ON b.noun = a.noun AND b.p_size = a.p_size
+        |    AND a.p_partkey < b.p_partkey),
+        |u AS (
+        |  SELECT
+        |    sum(CASE WHEN ag_brand THEN 1.0 ELSE 0 END) / count(*) AS u_brand,
+        |    sum(CASE WHEN ag_type THEN 1.0 ELSE 0 END) / count(*) AS u_type,
+        |    sum(CASE WHEN ag_adj THEN 1.0 ELSE 0 END) / count(*) AS u_adj
+        |  FROM pr),
+        |sc AS (
+        |  SELECT pr.partkey_a, pr.partkey_b, pr.block,
+        |    pr.ag_brand, pr.ag_type, pr.ag_adj,
+        |    round(
+        |      (CASE WHEN pr.ag_brand THEN ln(0.95 / u.u_brand)
+        |            ELSE ln(0.05 / (1 - u.u_brand)) END) +
+        |      (CASE WHEN pr.ag_type THEN ln(0.95 / u.u_type)
+        |            ELSE ln(0.05 / (1 - u.u_type)) END) +
+        |      (CASE WHEN pr.ag_adj THEN ln(0.95 / u.u_adj)
+        |            ELSE ln(0.05 / (1 - u.u_adj)) END), 6) AS fs_score
+        |  FROM pr CROSS JOIN u)
+        |SELECT *,
+        |  CASE WHEN fs_score >= 2 THEN 'link'
+        |       WHEN fs_score <= -2 THEN 'non_link'
+        |       ELSE 'possible' END AS verdict
+        |FROM sc""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+          regexp_extract(col("p_name"), "([a-z0-9]+)$", 1).as("noun"),
+          regexp_extract(col("p_name"), "^([a-z0-9]+)", 1).as("adj"))
+      val a = p.select(col("p_partkey").as("partkey_a"), col("p_brand").as("br_a"),
+        col("p_type").as("ty_a"), col("adj").as("adj_a"), col("noun"), col("p_size"))
+      val b = p.select(col("p_partkey").as("partkey_b"), col("p_brand").as("br_b"),
+        col("p_type").as("ty_b"), col("adj").as("adj_b"), col("noun"), col("p_size"))
+      val pr = a.join(b, Seq("noun", "p_size"))
+        .filter(col("partkey_a") < col("partkey_b"))
+        .select(col("partkey_a"), col("partkey_b"),
+          concat(col("noun"), lit(":"), col("p_size").cast("string")).as("block"),
+          (col("br_a") === col("br_b")).as("ag_brand"),
+          (col("ty_a") === col("ty_b")).as("ag_type"),
+          (col("adj_a") === col("adj_b")).as("ag_adj"))
+        .persist() // read twice: the u-rate agg and the scored output
+      val u = pr.agg(
+        (sum(when(col("ag_brand"), 1.0).otherwise(0.0)) / count(lit(1))).as("u_brand"),
+        (sum(when(col("ag_type"), 1.0).otherwise(0.0)) / count(lit(1))).as("u_type"),
+        (sum(when(col("ag_adj"), 1.0).otherwise(0.0)) / count(lit(1))).as("u_adj"))
+      def w(ag: Column, uc: Column): Column =
+        when(ag, log(lit(0.95) / uc)).otherwise(log(lit(0.05) / (lit(1) - uc)))
+      pr.crossJoin(broadcast(u)) // 1-row u-rate relation
+        .withColumn("fs_score", round(
+          w(col("ag_brand"), col("u_brand")) +
+          w(col("ag_type"), col("u_type")) +
+          w(col("ag_adj"), col("u_adj")), 6))
+        .select(col("partkey_a"), col("partkey_b"), col("block"),
+          col("ag_brand"), col("ag_type"), col("ag_adj"), col("fs_score"),
+          when(col("fs_score") >= 2, "link")
+            .when(col("fs_score") <= -2, "non_link")
+            .otherwise("possible").as("verdict"))
     },
 
     // ------------------------------------------------------------------

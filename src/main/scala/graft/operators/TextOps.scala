@@ -377,7 +377,8 @@ object TextOps {
          |  FROM bg b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
          |  JOIN c1 ON c1.w1 = b.w1 CROSS JOIN v)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(lp_fp) AS BIGINT) * 1.0 / count(*) / 1000000.0, 9) AS avg_ln_p
+         |  CAST(floor(CAST(sum(lp_fp) AS BIGINT) * 1000.0 / count(*) + 0.5) AS BIGINT)
+         |    / 1000000000.0 AS avg_ln_p
          |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
       // token arrays materialized behind a persist barrier (the
       // regexp-per-element inlining trap, see Dedup.shingled)
@@ -399,8 +400,13 @@ object TextOps {
             .cast(LongType).as("lp_fp"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("s"))
+        // 9-dp rounding in FIXED POINT (floor(x·10⁹+0.5) on the exact
+        // long sum), not engine round(): the two engines' round()
+        // disagree by 1 ulp on near-tie doubles — caught by the sf0.1
+        // sweep (2/5000 rows flipped at the 9th decimal)
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("s") * lit(1.0) / col("n_bigrams") / lit(1000000.0), 9).as("avg_ln_p"))
+          (floor(col("s") * lit(1000.0) / col("n_bigrams") + 0.5).cast(LongType)
+            / lit(1.0e9)).as("avg_ln_p"))
     },
 
     // ------------------------------------------------------------------

@@ -31,7 +31,9 @@ object PlanAudit {
       // ev_ab_ttest's and etl_capture_recapture's 1-row moment/count
       // relations
       "etl_stratified_alloc", "ev_rfm", "ev_survival",
-      "ev_ab_ttest", "etl_capture_recapture")
+      "ev_ab_ttest", "etl_capture_recapture",
+      // 1-row u-agreement-rate broadcast
+      "etl_linkage_weights")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
