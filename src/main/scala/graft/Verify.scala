@@ -23,6 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist() shared intermediates (IVF builds, simhash
+      // tables, …) and return lazy plans, so they cannot unpersist
+      // themselves; release everything between queries so 160+ queries
+      // in one session don't accumulate cached partitions
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1546,13 +1546,17 @@ object Etl {
         - (col("sum_y") / col("sum_x")) * col("l_quantity"), 2) * 1000, 0)
         .cast(LongType)
       val denom = (col("n") - lit(1.0)) * col("n") * pow(col("sum_x") / col("n"), 2)
+      // per-row e2_fp can reach ~1e12, so a BIGINT sum would overflow
+      // around 1e7 rows per group at corpus scale — accumulate as
+      // DECIMAL(38,0) (exact, 128-bit) and drop to double only at the
+      // final division, exactly where the DuckDB HUGEINT sum does
       li.join(broadcast(g), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"), col("n"), col("sum_y"), col("sum_x"))
-        .agg(sum(e2fp).as("se2"))
+        .agg(sum(e2fp.cast(DecimalType(38, 0))).as("se2"))
         .select(col("l_returnflag"), col("n"), col("sum_y"), col("sum_x"),
           round(col("sum_y") / col("sum_x"), 9).as("ratio_est"),
-          round(col("se2") / 1000.0 / denom, 9).as("var_lin"),
-          round(sqrt(col("se2") / 1000.0 / denom), 9).as("se"))
+          round(col("se2").cast(DoubleType) / 1000.0 / denom, 9).as("var_lin"),
+          round(sqrt(col("se2").cast(DoubleType) / 1000.0 / denom), 9).as("se"))
     },
 
     // ------------------------------------------------------------------

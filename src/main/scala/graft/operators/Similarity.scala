@@ -91,47 +91,49 @@ object Similarity {
        |  FROM (SELECT * FROM n WHERE vec_id < $NPROBES) p
        |  JOIN n e ON e.vec_id <> p.vec_id)""".stripMargin
 
-  /** Deterministic IVF cell assignment shared by `ann_ivf_assign` and
-    * the cross-cell embedding dedup: per-label centroids from exact
-    * fixed-point sums (order/partitioning-invariant), every vector
-    * scored against the broadcast centroid table, ranked by
-    * (cos_c DESC, c_label ASC). Returns (vec_id, label, c_label,
-    * cos_c, rn) for the TOP-2 cells per vector (rn ∈ {1, 2} — all any
-    * caller probes); callers filter rn = 1 for home-cell assignment. */
-  private[operators] def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // Fixed-point accumulation: scale by 2^20 (exact double op), round
-    // to long (bit-identical on any engine), sum exactly, rescale.
-    // float→decimal casts are NOT portable (string-repr vs binary
-    // rounding differ per element); this is, and it's also how a real
-    // cluster makes float reductions reproducible across partitionings.
-    val sums = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+  /** Number of IVF cells — a free knob (k ∝ √N at scale), NOT the
+    * label domain: label-derived cells grow linearly with the corpus,
+    * so every downstream per-cell bound would too. 16 ≠ the 10 labels
+    * in the test corpus by design. */
+  private[operators] val KCELLS = 16
+
+  /** Fixed Lloyd refinement rounds (centroid rebuilds). Deterministic
+    * and small — the build is reproducible, not convergence-chased. */
+  private[operators] val LLOYD = 2
+
+  private def embD = transform(col("embedding"), x => x.cast(DoubleType))
+
+  /** Collapse per-cell fixed-point sum vectors into ONE broadcastable
+    * array-of-structs row (cell, cvec, nb). Cosine is scale-invariant,
+    * so the unnormalized per-cell sum vector IS the centroid — no
+    * division, the accumulation stays exact. Input must carry
+    * (cell, embedding); the posexplode is map-side combined down to
+    * k×d partial rows per task before the single exchange. */
+  private def centroidArr(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("cell"), (col("pos0") + 1).as("pos"))
       .agg(sum(floor(col("v").cast(DoubleType) * 1048576 + 0.5).cast(LongType)).as("s"))
-    val cent = sums
-      .groupBy(col("label").as("c_label"))
+      .groupBy(col("cell"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s").cast(DoubleType) / 1048576).as("cvec"))
-    // The centroid table is tiny (one row per label): collapse it to a
-    // single array-of-structs and broadcast THAT, so each vector scores
-    // all cells and picks its top-2 inside one projection — zero
-    // corpus-scale shuffle. (The previous formulation ranked
-    // corpus × n_cells rows through a partitionBy(vec_id) window: no
-    // skew, but the exchange carried n_cells× the corpus for a result
-    // derivable row-locally.)
-    // Norms are hoisted out of the per-cell lambda: the centroid norm
-    // rides inside the broadcast struct (computed once per cell), and
-    // the vector's own norm is a column computed BELOW the cross join —
-    // a join boundary CollapseProject cannot inline an alias across, so
-    // it is evaluated once per row instead of once per (row, cell).
-    val centArr = cent.agg(collect_list(struct(col("c_label"), col("cvec"),
-      aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x).as("nb"))).as("cents"))
-    val embD = transform(col("embedding"), x => x.cast(DoubleType))
+      .agg(collect_list(struct(col("cell"), col("cvec"),
+        aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x).as("nb"))).as("cents"))
+
+  /** Score every vector in `base` (must carry vec_id, label, embedding,
+    * na) against the broadcast centroid table and keep the top-`topN`
+    * cells, ranked (cos_c DESC, cell ASC). Row-local: the centroid
+    * table collapses to one array-of-structs row and each vector picks
+    * its top cells inside one projection — zero corpus-scale shuffle.
+    * Norms are hoisted: the centroid norm rides inside the broadcast
+    * struct, the vector norm is a column computed below the cross join
+    * (a boundary CollapseProject cannot inline an alias across), so
+    * each is evaluated once per row, not once per (row, cell). */
+  private def scoreCells(base: DataFrame, centArr: DataFrame, topN: Int): DataFrame = {
     // sequential-order double accumulation, matching DuckDB's
-    // list_cosine_similarity on double lists; sort key = (-cos, label)
-    // ascending ≡ the oracle's (cos DESC, c_label ASC) ranking, and
+    // list_cosine_similarity on double lists; sort key = (-cos, cell)
+    // ascending ≡ the oracle's (cos DESC, cell ASC) ranking, and
     // negating the ROUNDED double is exact, so cos is recovered as -neg.
     def negCos(c: Column): Column = {
       val cv = c.getField("cvec")
@@ -139,38 +141,98 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       -round(dot / sqrt(col("na") * c.getField("nb")), 6)
     }
-    val top2 = slice(sort_array(transform(col("cents"), c =>
-      struct(negCos(c).as("neg"), c.getField("c_label").as("c_label")))), 1, 2)
-    e.select(col("vec_id"), col("label"), col("embedding"),
-        aggregate(embD, lit(0.0), (acc, x) => acc + x * x).as("na"))
+    val top = slice(sort_array(transform(col("cents"), c =>
+      struct(negCos(c).as("neg"), c.getField("cell").as("cell")))), 1, topN)
+    base
       .crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("label"),
-        posexplode(top2).as(Seq("pos", "sc")))
-      .select(col("vec_id"), col("label"),
-        col("sc.c_label").as("c_label"), (-col("sc.neg")).as("cos_c"),
+      .select(col("vec_id"), col("label"), col("embedding"), col("na"),
+        posexplode(top).as(Seq("pos", "sc")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("na"),
+        col("sc.cell").as("c_label"), (-col("sc.neg")).as("cos_c"),
         (col("pos") + 1).as("rn"))
   }
 
-  /** Oracle CTEs mirroring [[ivfAssignments]] (`sums`, `cent`,
-    * `scored`, `ranked`). Prepend `WITH ` before use. */
-  private[operators] val ivfAssignSql: String =
-    """sums AS (
-      |  SELECT label, pos,
-      |    sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS s
-      |  FROM embeddings, range(1, 65) t(pos)
-      |  GROUP BY label, pos),
-      |cent AS (
-      |  SELECT label AS c_label,
-      |    list(CAST(s AS DOUBLE) / 1048576 ORDER BY pos) AS cvec
-      |  FROM sums GROUP BY label),
-      |scored AS (
-      |  SELECT e.vec_id, e.label, c.c_label,
-      |    round(list_cosine_similarity(
-      |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cvec), 6) AS cos_c
-      |  FROM embeddings e CROSS JOIN cent c),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cos_c DESC, c_label ASC) AS rn FROM scored)""".stripMargin
+  /** Deterministic k-means IVF cell assignment shared by
+    * `ann_ivf_assign`, `ann_ivf_topk` and the cross-cell embedding
+    * dedup: KCELLS hash-seeded cells refined by LLOYD spherical Lloyd
+    * rounds, all in the proven fixed-point discipline — seeds are the
+    * md5-bucket partition means (order-invariant exact long sums,
+    * scale 2^20), each round is ONE map-side-combined k×d aggregation
+    * plus a row-local re-assignment against the broadcast centroids,
+    * so nothing corpus-sized ever shuffles and the whole build is
+    * bit-reproducible on any engine/partitioning → fully oracled.
+    * Returns (vec_id, label, c_label, cos_c, rn) for the TOP-2 cells
+    * per vector (rn ∈ {1, 2} — all any caller probes); callers filter
+    * rn = 1 for home-cell assignment. */
+  private[operators] def ivfAssignments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.BinaryType
+    val e = Tables.embeddings(s, dir)
+    // Fixed-point accumulation: scale by 2^20 (exact double op), round
+    // to long (bit-identical on any engine), sum exactly, rescale.
+    // float→decimal casts are NOT portable (string-repr vs binary
+    // rounding differ per element); this is, and it's also how a real
+    // cluster makes float reductions reproducible across partitionings.
+    val base = e.select(col("vec_id"), col("label"), col("embedding"),
+      aggregate(embD, lit(0.0), (acc, x) => acc + x * x).as("na"))
+    // round-0 seed: the audited md5-uniform bucket (NOT random() — the
+    // seeding must agree across engines, reruns and partitionings)
+    val seed = base.withColumn("cell",
+      pmod(conv(substring(md5(col("vec_id").cast("string").cast(BinaryType)), 1, 15),
+        16, 10).cast(LongType), lit(KCELLS)).cast(IntegerType))
+    // LLOYD-1 re-assignment rounds here; the final scoreCells performs
+    // the LLOYD-th centroid build (from the last assignment) + top-2
+    // scoring, mirroring the oracle's a0 → c1 → a1 → … → cLLOYD chain
+    val refined = (1 until LLOYD).foldLeft(seed: DataFrame) { (assigned, _) =>
+      scoreCells(base, centroidArr(assigned), 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("na"),
+          col("c_label").as("cell"))
+    }
+    scoreCells(base, centroidArr(refined), 2)
+      .select(col("vec_id"), col("label"), col("c_label"), col("cos_c"), col("rn"))
+  }
+
+  /** Oracle CTEs mirroring [[ivfAssignments]]: seed partition `a0`,
+    * unrolled Lloyd rounds `s1/c1/sc1/a1 … sLLOYD/cLLOYD`, final
+    * `scored`/`ranked`. Prepend `WITH ` before use. */
+  private[operators] val ivfAssignSql: String = {
+    def sums(r: Int, from: String): String =
+      s"""s$r AS (
+         |  SELECT cell, pos,
+         |    sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS s
+         |  FROM $from, range(1, 65) t(pos)
+         |  GROUP BY cell, pos),
+         |c$r AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / 1048576 ORDER BY pos) AS cvec
+         |  FROM s$r GROUP BY cell)""".stripMargin
+    def assign(r: Int): String =
+      s"""sc$r AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.cell,
+         |    round(list_cosine_similarity(
+         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cvec), 6) AS cos_c
+         |  FROM embeddings e CROSS JOIN c$r c),
+         |a$r AS (
+         |  SELECT vec_id, label, embedding, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, cell ASC) AS rn FROM sc$r) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LLOYD).map { r =>
+      if (r < LLOYD) s"${sums(r, s"a${r - 1}")},\n${assign(r)}"
+      else sums(r, s"a${r - 1}")
+    }.mkString(",\n")
+    s"""a0 AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |         % $KCELLS AS INT) AS cell
+       |  FROM embeddings),
+       |$rounds,
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.cell AS c_label,
+       |    round(list_cosine_similarity(
+       |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.cvec), 6) AS cos_c
+       |  FROM embeddings e CROSS JOIN c$LLOYD c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_c DESC, c_label ASC) AS rn FROM scored)""".stripMargin
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -212,21 +274,22 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
-    // IVF index construction + assignment: per-label centroids built as
-    // exact per-dimension fixed-point sums (cosine is scale-invariant, so
-    // the unnormalized sum vector IS the centroid), then every vector
-    // assigned to its nearest centroid. Centroid build is two keyed
-    // aggregations; assignment is corpus × n_cells with a broadcast
-    // centroid table — linear in corpus size.
+    // IVF index construction + assignment: KCELLS hash-seeded k-means
+    // cells refined by LLOYD fixed-point spherical Lloyd rounds (cosine
+    // is scale-invariant, so the unnormalized per-cell sum vector IS
+    // the centroid), then every vector assigned to its nearest
+    // centroid. Each round is one map-side-combined k×d aggregation +
+    // a row-local re-assignment against broadcast centroids — linear
+    // in corpus size, and k is a knob (∝ √N) rather than the label
+    // domain, so cell sizes stay bounded as the corpus grows.
     "ann_ivf_assign" -> QueryDef.withOracle(
       s"""WITH $ivfAssignSql
-         |SELECT vec_id, label, c_label AS assigned_label, cos_c,
-         |  c_label = label AS is_home_cell
+         |SELECT vec_id, label, c_label AS cell, cos_c
          |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
       ivfAssignments(s, dir)
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("c_label").as("assigned_label"),
-          col("cos_c"), (col("c_label") === col("label")).as("is_home_cell"))
+        .select(col("vec_id"), col("label"), col("c_label").as("cell"),
+          col("cos_c"))
     },
 
     // ------------------------------------------------------------------
@@ -303,14 +366,26 @@ object Similarity {
         .distinct()
       val e = Tables.embeddings(s, dir)
       val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
-      val w = Window.partitionBy(col("probe_id"))
+      // Salted two-phase ranking (the ann_topk_exact pattern): a
+      // probe's candidates are the union of 2 IVF cells, which even
+      // with bounded cells can concentrate one probe's whole list into
+      // a single task under a plain partitionBy(probe_id) window.
+      // Local top-K per salt cell first; the final window sees ≤64×K
+      // rows per probe.
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       cand
         .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "probe_id")
         .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
-        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
-        .withColumn("rn", row_number().over(w))
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"),
+          pmod(hash(col("neighbor_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
     },
 
     // ------------------------------------------------------------------

@@ -747,7 +747,7 @@ object Temporal {
       """WITH e AS (
         |  SELECT event_id, user_id, value,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |w AS (
         |  SELECT event_id, user_id, ts_s, value,
         |    list(value) OVER (PARTITION BY user_id
@@ -771,7 +771,12 @@ object Temporal {
         (acc, i) => acc + element_at(tail, i) * pow(lit(0.7), (len - i).cast(DoubleType)))
       val den = aggregate(sequence(lit(1), len), lit(0.0),
         (acc, i) => acc + pow(lit(0.7), (len - i).cast(DoubleType)))
+      // null `value`s are filtered identically on BOTH engines: Spark's
+      // collect_list drops nulls while DuckDB's list() window keeps
+      // them, so an unfiltered null would shift the tail and diverge —
+      // the EWMA is defined over non-null observations by contract
       Tables.eventsTimed(s, dir)
+        .filter(col("value").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
           collect_list(col("value")).over(w).as("tail"))
         .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),

@@ -54,6 +54,15 @@ case class GramSketch(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val d = arr.numElements()
+      // defined null behavior: a vector with ANY null element is
+      // skipped whole (contributes neither products nor n_vecs) —
+      // previously getFloat silently read nulls as 0.0, diverging from
+      // the explode form / oracle, which propagate null products
+      var chk = 0
+      while (chk < d) {
+        if (arr.isNullAt(chk)) return buf
+        chk += 1
+      }
       buf.init(d)
       var i = 0
       var k = 0

@@ -32,7 +32,10 @@ case class TopKByKey(
   import TopKByKey._
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_by_key expects k >= 1, got $k")
+    else if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_topk_by_key expects (double, bigint), got " +

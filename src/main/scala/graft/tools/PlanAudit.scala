@@ -76,7 +76,13 @@ object PlanAudit {
   // printed count (≈18) is ~3× the executed corpus-scale moves (4:
   // the user agg + one rank repartition per metric).
   private val exchangeAllowance =
-    Map("dedup_embedding_xcell" -> 10, "ann_ivf_topk" -> 10,
+    // the k-means IVF build chains LLOYD+1 centroid aggregations, each
+    // = groupBy(cell,pos) + groupBy(cell) + 1-row collapse — every one
+    // a k×d-row bookkeeping move after map-side combine, never a
+    // corpus-scale shuffle; consumers (topk/xcell) stack their own
+    // candidate-join + salted two-phase ranking exchanges on top
+    Map("dedup_embedding_xcell" -> 12, "ann_ivf_topk" -> 13,
+      "ann_ivf_assign" -> 9,
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
       "graph_pagerank" -> 26, "graph_triangles" -> 14,
       "ev_peak_concurrency" -> 12, "etl_chain_index" -> 9,

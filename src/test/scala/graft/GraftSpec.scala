@@ -285,6 +285,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       "cell assignments should be shared via the persisted relation")
     assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty)
+    // final ranking must be the salted two-phase pattern: a local
+    // window partitioned by (probe_id, salt) ahead of the bounded
+    // final per-probe window — never one task sorting a whole
+    // 2-cell candidate union
+    assert(p.contains("salt"), "salted pre-ranking window missing")
+    assert("row_number".r.findAllIn(p).length >= 2,
+      "expected two-phase (local + final) ranking windows")
   }
 
   test("bloom semi-join reduction prunes the fact scan and stays exact") {
