@@ -9,7 +9,8 @@ object SparkEntry {
   private def allDefs: Seq[(String, QueryDef)] =
     Relational.defs ++ Etl.defs ++ TextOps.defs ++ Dedup.defs ++
       Similarity.defs ++ Temporal.defs ++ Multimodal.defs ++ Skew.defs ++
-      Pipeline.defs ++ Sketches.defs ++ Training.defs ++ Graph.defs
+      Pipeline.defs ++ Sketches.defs ++ Training.defs ++ Graph.defs ++
+      WebOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -99,6 +99,81 @@ object Dedup {
     * The hot-bucket list is tiny by construction (≤ corpus/cap buckets
     * can exceed the cap) → broadcast anti join, no extra shuffle of the
     * bands relation beyond one combiner-friendly count. */
+  /** Span-dedup window width (tokens). Real pipelines use ~50 (Lee et
+    * al.); 6 here so the short synthetic docs (10-99 tokens) actually
+    * exhibit cross-doc spans. The machinery is width-agnostic. */
+  private[operators] val SpanW = 6
+
+  /** Hashed `w`-token sliding windows, stride 1: (doc_id, p, h) with
+    * `p` the 1-based start position and `h` = md5 of the space-joined
+    * window. Stride 1 is what makes found spans EXACT and maximal (a
+    * winnowed stride would quantize the boundaries); volume is
+    * tokens-per-corpus ≈ corpus-linear, and the window build is a
+    * row-local transform — no shuffle until the hash self-join. */
+  private[graft] def spanWindows(toks: DataFrame, w: Int): DataFrame =
+    toks
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(w))).cast(BinaryType))))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast(IntegerType).as("p"), col("h"))
+
+  /** Cross-doc exact shared spans (the Lee-et-al substring-dedup
+    * modality): windows colliding on `h` across docs are pair hits
+    * (doc_a, doc_b, pa, pb); hits sharing the alignment offset
+    * delta = pa − pb merge into maximal runs via the island trick
+    * (pa − row_number over the (pair, delta) partition), so a 200-token
+    * shared span surfaces as ONE row with exact offsets, not 195 window
+    * hits. Scale: the self-join is hash-blocked and hot-window-capped
+    * (a corpus-wide boilerplate 6-gram would otherwise emit bucket²
+    * pairs); the island window partitions by (pair, delta) — bounded by
+    * doc length, never corpus-sized. Output: (doc_a, doc_b, start_a,
+    * end_a, start_b, span_len), token positions 1-based inclusive. */
+  private[graft] def sharedSpans(toks: DataFrame, w: Int): DataFrame = {
+    // persisted: both sides of the hash self-join and the hot-window
+    // count reuse one window build
+    val wins = capBuckets(spanWindows(toks, w).persist(), Seq("h"))
+    val wIsl = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
+      .orderBy(col("pa").asc)
+    wins.as("x").join(wins.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.p").as("pa"), (col("x.p") - col("y.p")).as("delta"))
+      .withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), max(col("pa")).as("end_w"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("end_w") + (w - 1)).as("end_a"),
+        (col("start_a") - col("delta")).as("start_b"),
+        (col("end_w") - col("start_a") + w).as("span_len"))
+  }
+
+  /** Oracle CTEs mirroring [[spanWindows]] + [[sharedSpans]] on the
+    * documents table (`t`, `wins`, `hotw`, `wins2`, `hits`, `isl`,
+    * `spans`). Prepend `WITH ` before use; `spans` carries
+    * (doc_a, doc_b, delta, start_a, end_w). */
+  private[operators] val spanSql: String =
+    s"""t AS (SELECT doc_id, ${TextOps.toksSql("text")} AS toks FROM documents),
+       |w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - ${SpanW - 2})) AS p
+       |       FROM t WHERE len(toks) >= $SpanW),
+       |wins AS (
+       |  SELECT doc_id, CAST(p AS INT) AS p,
+       |    md5(array_to_string(toks[CAST(p AS INT):CAST(p AS INT) + ${SpanW - 1}], ' ')) AS h
+       |  FROM w0),
+       |hotw AS (SELECT h FROM wins GROUP BY h HAVING count(*) > $MaxBandBucket),
+       |wins2 AS (SELECT w.* FROM wins w ANTI JOIN hotw USING (h)),
+       |hits AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, a.p - b.p AS delta
+       |  FROM wins2 a JOIN wins2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+       |    ORDER BY pa ASC) AS grp
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_a, doc_b, delta, min(pa) AS start_a, max(pa) AS end_w
+       |  FROM isl GROUP BY doc_a, doc_b, delta, grp)""".stripMargin
+
   private[graft] def capBuckets(bands: DataFrame, keys: Seq[String],
       cap: Int = MaxBandBucket): DataFrame = {
     // persisted: the hot list is tiny (usually empty) and referenced by
@@ -594,6 +669,75 @@ object Dedup {
         .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
           (col("label_a") =!= col("label_b")).as("cross_label"), cos.as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
+    },
+
+    // ------------------------------------------------------------------
+    // Span-level cross-doc EXACT substring dedup (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better"): the
+    // modality minhash/simhash structurally miss — a long span shared
+    // by exactly TWO docs is invisible to whole-doc similarity but is
+    // precisely what memorization-prone training corpora contain.
+    // Hashed stride-1 sliding windows collide across docs; collisions
+    // sharing one alignment offset merge into maximal spans with exact
+    // token offsets. SpanDedupSpec plants a 200-token shared span and
+    // asserts it comes back as one row at exactly the right offsets.
+    "dedup_spans" -> QueryDef.withOracle(
+      s"""WITH $spanSql
+         |SELECT doc_a, doc_b, CAST(start_a AS INT) AS start_a,
+         |  CAST(end_w + ${SpanW - 1} AS INT) AS end_a,
+         |  CAST(start_a - delta AS INT) AS start_b,
+         |  CAST(end_w - start_a + $SpanW AS INT) AS span_len
+         |FROM spans""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      sharedSpans(toks, SpanW)
+    },
+
+    // ------------------------------------------------------------------
+    // Per-doc cut list from the shared spans: the doc with the LOWER id
+    // keeps its copy (the dedup_exact keep-first convention); every
+    // doc_b's matched intervals are merged (overlapping or adjacent →
+    // one cut) via the running-max island window, yielding the token
+    // ranges a training-prep pass would excise. Interval-merge windows
+    // partition per doc — bounded by doc length, never corpus-sized.
+    "dedup_span_cutlist" -> QueryDef.withOracle(
+      s"""WITH $spanSql,
+         |iv AS (
+         |  SELECT DISTINCT doc_b AS doc_id,
+         |    CAST(start_a - delta AS INT) AS s,
+         |    CAST(end_w - delta + ${SpanW - 1} AS INT) AS e
+         |  FROM spans),
+         |mx AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM iv),
+         |g AS (
+         |  SELECT *, sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC) AS grp
+         |  FROM mx)
+         |SELECT doc_id, CAST(min(s) AS INT) AS cut_start,
+         |  CAST(max(e) AS INT) AS cut_end,
+         |  CAST(max(e) - min(s) + 1 AS INT) AS cut_tokens
+         |FROM g GROUP BY doc_id, grp""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val iv = sharedSpans(toks, SpanW)
+        .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("span_len") - 1).as("e"))
+        .distinct()
+      val wOrd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("s").asc, col("e").asc)
+      iv
+        .withColumn("pmax", max(col("e"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isNew",
+          when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+        .withColumn("grp", sum(col("isNew")).over(wOrd))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("s")).as("cut_start"), max(col("e")).as("cut_end"))
+        .select(col("doc_id"), col("cut_start"), col("cut_end"),
+          (col("cut_end") - col("cut_start") + 1).as("cut_tokens"))
     }
   )
 }
