@@ -234,6 +234,73 @@ object Similarity {
        |    ORDER BY cos_c DESC, c_label ASC) AS rn FROM scored)""".stripMargin
   }
 
+  // ---- product quantization (PQ) ------------------------------------
+  // 16 subspaces × 4 dims × 16 codes = 64 bits/vector. Narrow
+  // subspaces quantize far better per bit than wide ones (4-dim cells
+  // cover their subspace; 8-dim ones cannot) — on this stress corpus
+  // (true neighbors at cos 0.3-0.47) the 8×8×16 variant stalled at
+  // recall 0.82 even reranking 26% of the corpus; 16×4×16 clears 0.9.
+  // All three are knobs; production at 10^9 uses 256 codes (8 bits).
+  private val PQ_M = 16      // subspaces
+  private val PQ_DSUB = 4    // dims per subspace (d=64)
+  private val PQ_CODES = 16  // 4-bit codes
+  // rerank depth is the other recall knob (production reranks 100-1000
+  // of 10^9 candidates)
+  private val PQ_RERANK = 64
+
+  /** (vec_id, sub, xfp) — one NORMALIZED fixed-point sub-vector row per
+    * (vector, subspace). Vectors are unit-normalized before encoding —
+    * for unit vectors ‖p−c‖² = 2−2⟨p,c⟩, so the L2 ADC ranking IS the
+    * cosine ranking; skipping this is the classic PQ-recall killer on
+    * mixed-norm corpora. Normalization stays deterministic by living in
+    * the integer domain: snap to ×2^10 longs (exact), nq = Σx² (exact
+    * integer), then floor(x·2^12/√nq + 0.5) — the only float ops are
+    * IEEE sqrt/divide on bit-identical integer inputs. Persisted by the
+    * caller: codebook build, encode pass and probe tables all read it. */
+  private def pqXsub(s: SparkSession, dir: String): DataFrame = {
+    val subFp = transform(sequence(lit(0), lit(PQ_M - 1)), sN =>
+      transform(sequence(lit(1), lit(PQ_DSUB)), j =>
+        floor(element_at(col("x10"), sN * PQ_DSUB + j).cast(DoubleType) * 4096
+          / sqrt(greatest(col("nq"), lit(1L)).cast(DoubleType)) + 0.5).cast(LongType)))
+    Tables.embeddings(s, dir)
+      .withColumn("x10", transform(embD, v => floor(v * 1024 + 0.5).cast(LongType)))
+      .withColumn("nq", aggregate(col("x10"), lit(0L), (a, t) => a + t * t))
+      .select(col("vec_id"), posexplode(subFp).as(Seq("sub", "xfp")))
+  }
+
+  /** Per-subspace codebook from an assignment (vec_id, sub, cell, xfp):
+    * component-wise floor-mean of exact long sums (floor(s/n) on a
+    * <2^53 double quotient is exact — the remainder/n gap dwarfs one
+    * ulp), collapsed to ONE broadcastable row of (sub, cell, cfp)
+    * structs. The posexplode is map-side combined to m×codes×dsub
+    * partial rows per task. */
+  private def pqCodebook(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cell"), posexplode(col("xfp")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv"), col("n")))),
+        x => floor(x.getField("sv").cast(DoubleType) / x.getField("n"))
+          .cast(LongType)).as("cfp"))
+      .agg(collect_list(struct(col("sub"), col("cell"), col("cfp"))).as("cb"))
+
+  /** Row-local nearest-code assignment of every (vec, sub) row against
+    * the broadcast codebook: integer squared-L2, (dist ASC, cell ASC)
+    * argmin via array_min on (dist, cell) structs — no shuffle, no
+    * window. */
+  private def pqAssign(xsub: DataFrame, cbArr: DataFrame): DataFrame =
+    xsub.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("sub"), col("xfp"),
+        array_min(transform(
+          filter(col("cb"), c => c.getField("sub") === col("sub")),
+          c => struct(
+            aggregate(zip_with(col("xfp"), c.getField("cfp"),
+              (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("dist"),
+            c.getField("cell").as("cell")))).as("best"))
+      .select(col("vec_id"), col("sub"), col("xfp"),
+        col("best.cell").as("cell"), col("best.dist").as("dist"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -552,6 +619,153 @@ object Similarity {
       val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
       // ≤ RERANK rows per probe survive tier 1 — a single-phase window
       // is bounded here, no salt needed
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand
+        .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "probe_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+    },
+
+    // ------------------------------------------------------------------
+    // Product-quantization ANN (the Jégou-et-al tier above int8): each
+    // vector is encoded as PQ_M 4-bit codes (one per subspace) from
+    // per-subspace k-means codebooks — hash-seeded, one fixed-point
+    // Lloyd refinement, the IVF discipline at subspace granularity.
+    // Search is asymmetric-distance (ADC): the probe precomputes its
+    // exact-subvector→code distance table (m×codes integers, broadcast)
+    // and the corpus scan reads ONLY the code arrays — m·log2(codes)
+    // bits per vector (4 bytes here vs 256 for float32; 16× less scan
+    // bandwidth, the step beyond int8's 4×) — then sums m table lookups
+    // per candidate. Top-PQ_RERANK survivors rerank by exact float
+    // cosine (the ann_refine_rerank shape). Everything is integer
+    // fixed-point with id tiebreaks → fully oracled; PqRecallSpec
+    // measures end-to-end recall ≥ 0.9 vs the float-exact top-5.
+    "ann_pq_topk" -> QueryDef.withOracle(
+      s"""WITH px1 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS x10
+         |  FROM embeddings),
+         |px2 AS (
+         |  SELECT vec_id, x10,
+         |    CAST(list_aggregate(list_transform(x10, t -> t * t), 'sum') AS BIGINT) AS nq
+         |  FROM px1),
+         |xs AS (
+         |  SELECT vec_id, CAST(sN AS INT) AS sub, CAST(j AS INT) AS pos,
+         |    CAST(floor(CAST(x10[CAST(sN * $PQ_DSUB + j AS INT)] AS DOUBLE) * 4096
+         |      / sqrt(CAST(greatest(nq, 1) AS DOUBLE)) + 0.5) AS BIGINT) AS fp
+         |  FROM px2, range(0, $PQ_M) s(sN), range(1, ${PQ_DSUB + 1}) r(j)),
+         |pa0 AS (
+         |  SELECT vec_id,
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+         |         % $PQ_CODES AS INT) AS cell
+         |  FROM embeddings),
+         |pcb1 AS (
+         |  SELECT x.sub, a.cell, x.pos,
+         |    CAST(floor(CAST(sum(x.fp) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM xs x JOIN pa0 a ON a.vec_id = x.vec_id
+         |  GROUP BY 1, 2, 3),
+         |pd1 AS (
+         |  SELECT x.vec_id, x.sub, c.cell,
+         |    CAST(sum((x.fp - c.c) * (x.fp - c.c)) AS BIGINT) AS dist
+         |  FROM xs x JOIN pcb1 c ON c.sub = x.sub AND c.pos = x.pos
+         |  GROUP BY 1, 2, 3),
+         |pa1 AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist ASC, cell ASC) AS rn FROM pd1) WHERE rn = 1),
+         |pcb2 AS (
+         |  SELECT x.sub, a.cell, x.pos,
+         |    CAST(floor(CAST(sum(x.fp) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM xs x JOIN pa1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
+         |  GROUP BY 1, 2, 3),
+         |pd2 AS (
+         |  SELECT x.vec_id, x.sub, c.cell,
+         |    CAST(sum((x.fp - c.c) * (x.fp - c.c)) AS BIGINT) AS dist
+         |  FROM xs x JOIN pcb2 c ON c.sub = x.sub AND c.pos = x.pos
+         |  GROUP BY 1, 2, 3),
+         |pcodes AS (
+         |  SELECT vec_id, sub, cell AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist ASC, cell ASC) AS rn FROM pd2) WHERE rn = 1),
+         |adc AS (
+         |  SELECT t.vec_id AS probe_id, v.vec_id AS neighbor_id,
+         |    CAST(sum(t.dist) AS BIGINT) AS adist
+         |  FROM pcodes v JOIN pd2 t
+         |    ON t.sub = v.sub AND t.cell = v.code AND t.vec_id < $NPROBES
+         |  WHERE v.vec_id <> t.vec_id
+         |  GROUP BY 1, 2),
+         |pt1 AS (
+         |  SELECT probe_id, neighbor_id, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY adist ASC, neighbor_id ASC) AS qrn
+         |  FROM adc),
+         |pcand AS (SELECT probe_id, neighbor_id FROM pt1 WHERE qrn <= $PQ_RERANK),
+         |prr AS (
+         |  SELECT cd.probe_id, cd.neighbor_id,
+         |    round(list_cosine_similarity(
+         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM pcand cd JOIN embeddings x ON x.vec_id = cd.probe_id
+         |  JOIN embeddings y ON y.vec_id = cd.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM prr)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.BinaryType
+      val xsub = pqXsub(s, dir).persist() // codebooks + encode + probes share it
+      val seeded = xsub.withColumn("cell",
+        pmod(conv(substring(md5(col("vec_id").cast("string").cast(BinaryType)), 1, 15),
+          16, 10).cast(LongType), lit(PQ_CODES)).cast(IntegerType))
+      val cb2 = pqCodebook(pqAssign(xsub, pqCodebook(seeded)))
+      val enc = pqAssign(xsub, cb2).persist() // corpus codes AND probe tables
+      val codesArr = enc
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+          x => x.getField("cell")).as("codes"))
+      // probe distance tables: the probe's EXACT subvectors against all
+      // codes (not just its own argmin) — flat array indexed sub*codes+cell
+      val dtabs = xsub.filter(col("vec_id") < NPROBES)
+        .crossJoin(broadcast(cb2))
+        .select(col("vec_id").as("probe_id"), col("xfp"), col("sub").as("psub"),
+          explode(filter(col("cb"), c => c.getField("sub") === col("sub"))).as("c"))
+        .select(col("probe_id"), col("c.sub").as("sub"), col("c.cell").as("cell"),
+          aggregate(zip_with(col("xfp"), col("c.cfp"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("d"))
+        .groupBy(col("probe_id"))
+        // keyed map, not a dense flat array: a Lloyd round can empty a
+        // (sub, cell) — the codebook then has no entry for it and
+        // positional indexing would misalign every later subspace
+        .agg(map_from_entries(collect_list(
+          struct((col("sub") * PQ_CODES + col("cell")).as("k"), col("d")))).as("dtab"))
+        .agg(collect_list(struct(col("probe_id"), col("dtab"))).as("ps"))
+      // ADC scan: corpus rows read ONLY their code arrays; per probe the
+      // distance is m broadcast-table lookups summed row-locally
+      val adc = codesArr.crossJoin(broadcast(dtabs))
+        .select(col("vec_id"), col("codes"), posexplode(col("ps")).as(Seq("pidx", "p")))
+        .filter(col("p.probe_id") =!= col("vec_id"))
+        .select(col("p.probe_id").as("probe_id"), col("vec_id").as("neighbor_id"),
+          aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0L), (acc, sN) =>
+            acc + element_at(col("p.dtab"),
+              sN * PQ_CODES + element_at(col("codes"), sN + 1).cast(IntegerType)))
+            .as("adist"))
+      // salted two-phase top-RERANK (candidates per probe are corpus-sized)
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("adist").asc, col("neighbor_id").asc)
+      val wMid = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist").asc, col("neighbor_id").asc)
+      val cand = adc
+        .withColumn("salt", pmod(hash(col("neighbor_id")), lit(64)))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= PQ_RERANK)
+        .withColumn("qrn", row_number().over(wMid))
+        .filter(col("qrn") <= PQ_RERANK)
+        .select(col("probe_id"), col("neighbor_id"))
+      val e = Tables.embeddings(s, dir)
+      val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
+      // ≤ PQ_RERANK rows per probe survive — bounded final window
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       cand

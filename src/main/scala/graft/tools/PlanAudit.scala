@@ -23,6 +23,9 @@ object PlanAudit {
       // tier 1 is the same broadcast-probe × corpus int8 scan as
       // ann_quantized_topk; tier 2 is equi-joins only
       "ann_refine_rerank",
+      // 1-row broadcasts: the collapsed PQ codebook (×3: two build
+      // rounds + encode) and the collapsed probe distance tables
+      "ann_pq_topk",
       // 1-row broadcasts again: benford's grand total, pmi's bigram
       // total, gap_fill's (d0, d1) calendar bounds
       "etl_benford", "text_pmi_collocations", "ev_gap_fill",
@@ -83,6 +86,13 @@ object PlanAudit {
     // candidate-join + salted two-phase ranking exchanges on top
     Map("dedup_embedding_xcell" -> 12, "ann_ivf_topk" -> 13,
       "ann_ivf_assign" -> 9,
+      // PQ chains two codebook builds (each groupBy(sub,cell,pos) +
+      // groupBy(sub,cell) + 1-row collapse over m×codes×dsub
+      // bookkeeping rows), the per-vec code collapse, the probe-table
+      // collapse, the salted two-phase ADC ranking and the rerank
+      // joins — every exchange is either bookkeeping-bounded or the
+      // single corpus-linear code shuffle
+      "ann_pq_topk" -> 16,
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
       "graph_pagerank" -> 26, "graph_triangles" -> 14,
       "ev_peak_concurrency" -> 12, "etl_chain_index" -> 9,

@@ -693,6 +693,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rerank.size == exact.size)
   }
 
+  test("PQ ADC-then-rerank ANN reaches recall >= 0.9 vs float-exact top-5") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ann_topk_exact")
+    val pq = pairs("ann_pq_topk")
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(f"PQ recall vs exact top-5: $recall%.2f")
+    // 4-bit codes are coarse, but the 64-candidate exact rerank only
+    // needs the true neighbor to SURVIVE the ADC cut, not to rank
+    assert(recall >= 0.9, f"recall $recall%.2f below 0.9 floor")
+    assert(pq.size == exact.size)
+  }
+
   test("int8-quantized ANN reaches recall >= 0.9 vs float-exact top-5") {
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
       .select("probe_id", "neighbor_id").collect()
