@@ -63,10 +63,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // `ts` is nanosecond-precision in the parquet file; Spark's
-  // TimestampType is µs so we read the raw INT64 nanos and derive
-  // µs-timestamps / floored seconds with exact integer arithmetic
-  // (double division would lose precision above 2^53 ns).
+  // The events `ts` column has shipped under two physical encodings
+  // across data generations: raw INT64 nanoseconds (no logical type)
+  // and INT64 TIMESTAMP(microseconds, NTZ). Every graft operator is
+  // written against the nanosecond-long contract (exact integer
+  // arithmetic; double division would lose precision above 2^53 ns),
+  // so the loaders sniff the file footer and normalize to it — see
+  // `events()` / `normalizeTs`.
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -74,6 +77,33 @@ object Tables {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** `eventsSchema` with `ts` typed as the file actually stores it.
+    * Forcing LongType over a TIMESTAMP(µs) column would silently
+    * reinterpret microseconds as nanoseconds — the loaders must read
+    * with the file's own type and then convert. */
+  def eventsReadSchema(tsType: DataType): StructType =
+    StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+
+  /** Normalize an events frame to the nanosecond-long `ts` contract.
+    * Timestamp-typed input is a unit conversion, not a wall-clock
+    * shift: the session timezone is pinned UTC everywhere, so the
+    * NTZ→timestamp cast reinterprets the stored µs value 1:1. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
+
+  /** Footer-declared schema of an events parquet path (one footer
+    * read — NOT a dataset-wide inference sweep; at 100 TB the layout
+    * contract still makes this a single-footer peek). */
+  def eventsFileSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
 
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -106,7 +136,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"${d.stripSuffix("/")}/events.parquet"
+    val tsType = eventsFileSchema(s, path)("ts").dataType
+    normalizeTs(s.read.schema(eventsReadSchema(tsType)).parquet(path))
+  }
 
   /** Events with derived time columns: `ts_s` (floor-to-second epoch,
     * exact) and `ts_us` (µs TimestampType). Floored seconds are the

@@ -49,12 +49,16 @@ object EventStreams {
     * state handling instead of a one-batch replay. */
   def eventStreamFromDir(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val reader = spark.readStream.schema(Tables.eventsSchema)
+    // Streams require an explicit schema; sniff the staged files'
+    // footer so a TIMESTAMP(µs)-encoded `ts` isn't misread as nanos
+    // (see Tables.normalizeTs).
+    val tsType = Tables.eventsFileSchema(spark, dir)("ts").dataType
+    val reader = spark.readStream.schema(Tables.eventsReadSchema(tsType))
     val capped =
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
-    capped.parquet(dir)
+    Tables.normalizeTs(capped.parquet(dir))
       .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
       .withColumn("ts_s", expr("ts div 1000000000"))
   }
@@ -97,13 +101,13 @@ object EventStreams {
   def toParquetSink(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String,
       maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val reader = spark.readStream.schema(Tables.eventsSchema)
+    val tsType = Tables.eventsFileSchema(spark, srcDir)("ts").dataType
+    val reader = spark.readStream.schema(Tables.eventsReadSchema(tsType))
     val capped =
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader
-    capped
-      .parquet(srcDir)
+    Tables.normalizeTs(capped.parquet(srcDir))
       .withColumn("ts_s", expr("ts div 1000000000"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_s"))

@@ -961,9 +961,10 @@ class StreamingSpec extends AnyFunSuite {
   private def stageTerciles(): String = {
     import java.nio.file._
     val dir = Files.createTempDirectory("graft_stream_multi").toString
-    // ns-timestamp parquet needs the explicit long-typed schema
-    val ev = spark.read.schema(graft.sources.Tables.eventsSchema)
-      .parquet(s"$sf/events.parquet")
+    // Tables.events normalizes ts to long nanos whatever the file's
+    // physical encoding; the tercile files written below are therefore
+    // always long-typed
+    val ev = graft.sources.Tables.events(spark, sf)
     val ts = ev.select("ts").collect().map(_.getLong(0)).sorted
     val (t1, t2) = (ts(ts.length / 3), ts(2 * ts.length / 3))
     val t0 = System.currentTimeMillis()
@@ -1000,8 +1001,7 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$target/_latest"))).trim
     val got = spark.read.parquet(s"$target/v=$v")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val want = spark.read.schema(graft.sources.Tables.eventsSchema)
-      .parquet(s"$sf/events.parquet")
+    val want = graft.sources.Tables.events(spark, sf)
       .withColumn("ts_s", expr("ts div 1000000000"))
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("ts_s"), col("event_id")), struct(col("ts_s"), col("event_id"))).as("r"))
@@ -1080,9 +1080,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("left-outer stream-stream join emits unmatched purchases once the watermark passes") {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_loj").toString
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    // rewrite (not copy): the sentinel appended below is long-ts, so
+    // the staged file must share that encoding
+    graft.sources.Tables.events(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
     val q = EventStreams.clickPurchaseLeftJoin(spark, dir)
       .writeStream.format("memory").queryName("ss_loj")
       .outputMode("append").start()
@@ -1147,9 +1150,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState event-time timers close gap sessions to the batch result") {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_twst").toString
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    // rewrite (not copy): the sentinel appended below is long-ts, so
+    // the staged file must share that encoding
+    graft.sources.Tables.events(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -1261,9 +1267,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("transformWithState spend milestones carry exact state across micro-batches") {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_tws").toString
-    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(dir, "events.parquet"))
+    // REWRITE (not copy) the staged file: this test later APPENDS a
+    // long-ts sentinel file to the dir, so the staged file must share
+    // that encoding — Tables.events normalizes ts to long nanos
+    graft.sources.Tables.events(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
