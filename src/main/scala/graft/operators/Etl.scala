@@ -1793,6 +1793,146 @@ object Etl {
             .cast(LongType).as("alloc_neyman"),
           floor(lit(10000.0) * col("n_h") / col("n_tot") + 0.5)
             .cast(LongType).as("alloc_prop"))
+    },
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov drift test: click vs view value
+    // distributions. The ECDFs are built on the VALUE-GROUPED relation
+    // (2-decimal values → the distinct-value domain is bounded by the
+    // value range, not the corpus — a bookkeeping relation like the
+    // month/bucket windows elsewhere), so the raw stream only pays one
+    // map-side-combined conditional agg. D and its location fall out of
+    // one ordered pass over those grouped rows; the final argmax is an
+    // orderBy+limit(1) (TakeOrdered), never a full sort of raw events.
+    "etl_ks_test" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY value),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM g),
+        |c AS (
+        |  SELECT g.value,
+        |    CAST(sum(g.ca) OVER (ORDER BY g.value) AS BIGINT) AS cca,
+        |    CAST(sum(g.cb) OVER (ORDER BY g.value) AS BIGINT) AS ccb,
+        |    t.na, t.nb
+        |  FROM g CROSS JOIN t)
+        |SELECT round(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb), 9)
+        |    AS ks_d,
+        |  value AS at_value, na AS n_a, nb AS n_b
+        |FROM c ORDER BY ks_d DESC, at_value ASC LIMIT 1""".stripMargin) { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+      val t = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      // global window over the bounded value-domain relation (≲10⁴ rows
+      // at any corpus size) — bookkeeping, not a corpus sort
+      val w = Window.orderBy(col("value"))
+      g.crossJoin(broadcast(t))
+        .withColumn("cca", sum(col("ca")).over(w))
+        .withColumn("ccb", sum(col("cb")).over(w))
+        .select(
+          round(abs(col("cca").cast(DoubleType) / col("na")
+            - col("ccb").cast(DoubleType) / col("nb")), 9).as("ks_d"),
+          col("value").as("at_value"), col("na").as("n_a"), col("nb").as("n_b"))
+        .orderBy(col("ks_d").desc, col("at_value").asc)
+        .limit(1)
+    },
+
+    // ------------------------------------------------------------------
+    // Population stability index — the standard drift score between a
+    // reference window (first 15 days) and the rest of the stream, on
+    // 10 equal-width bins over the reference's [min, max]. Counts are
+    // exact; shares are Laplace-smoothed ((n+1)/(N+10)) so empty bins
+    // can't produce ln(0); each bin's (p−q)·ln(p/q) contribution is
+    // fixed-point-rounded per bin (the text_bigram_lm ln protocol) so
+    // the output never rides a cross-engine float sum. Two broadcast
+    // 1-row aggregates + one 20-row grouped agg — the stream shuffles
+    // nothing.
+    "etl_psi" -> QueryDef.withOracle(
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value
+        |  FROM events),
+        |sp AS (SELECT min(day) + 15 AS cut FROM b),
+        |rng AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax
+        |  FROM b CROSS JOIN sp WHERE day < cut),
+        |binned AS (
+        |  SELECT CASE WHEN day < cut THEN 'ref' ELSE 'cur' END AS period,
+        |    least(9, greatest(0, CAST(floor((value - vmin)
+        |      / ((vmax - vmin) / 10.0)) AS INT))) AS bin
+        |  FROM b CROSS JOIN sp CROSS JOIN rng),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM binned GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |             CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
+        |SELECT c.bin, c.n_ref, c.n_cur,
+        |  CAST(floor(((c.n_ref + 1.0) / (t.tr + 10) - (c.n_cur + 1.0) / (t.tc + 10))
+        |    * ln(((c.n_ref + 1.0) / (t.tr + 10)) / ((c.n_cur + 1.0) / (t.tc + 10)))
+        |    * 1000000000 + 0.5) AS BIGINT) / 1.0e9 AS psi_bin
+        |FROM c CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val b = Tables.eventsTimed(s, dir)
+        .select(expr("ts_s div 86400").as("day"), col("value"))
+      val sp = b.agg((min(col("day")) + 15).as("cut"))
+      val withCut = b.crossJoin(broadcast(sp))
+      val rng = withCut.filter(col("day") < col("cut"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val c = withCut.crossJoin(broadcast(rng))
+        .select(when(col("day") < col("cut"), "ref").otherwise("cur").as("period"),
+          least(lit(9), greatest(lit(0),
+            floor((col("value") - col("vmin"))
+              / ((col("vmax") - col("vmin")) / 10.0)).cast(IntegerType))).as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val t = c.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      val p = (col("n_ref") + 1.0) / (col("tr") + 10)
+      val q = (col("n_cur") + 1.0) / (col("tc") + 10)
+      c.crossJoin(broadcast(t))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          (floor((p - q) * log(p / q) * 1000000000L + 0.5).cast(LongType)
+            / lit(1.0e9)).as("psi_bin"))
+    },
+
+    // ------------------------------------------------------------------
+    // Digit-preference (heaping) screening: the last cents digit of
+    // reported values should be uniform; rounding-prone collection
+    // heaps on 0/5. Chi-square GOF via the Σo²-identity
+    // (Σ(o−n/10)²/(n/10) = 10·Σo²/n − n), which needs no per-digit
+    // expected-count rows and is exact-integer until the final double.
+    // One map-side-combined (type, digit) agg + a 5-row regroup.
+    "etl_digit_preference" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) % 10 AS digit
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY event_type, digit)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  round(10.0 * CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE)
+        |    / sum(n) - sum(n), 9) AS chi2
+        |FROM c GROUP BY event_type""".stripMargin) { (s, dir) =>
+      // n² as exact decimal: per-digit counts at corpus scale overflow
+      // a long product; decimal sums stay exact AND order-invariant
+      // (a double Σn² would be partitioning-dependent)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          (floor(col("value") * 100 + 0.5).cast(LongType) % 10).as("digit"))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_sum"),
+          round(lit(10.0)
+            * sum(col("n").cast(DecimalType(38, 0)) * col("n")).cast(DoubleType)
+            / sum(col("n")) - sum(col("n")), 9).as("chi2"))
+        .select(col("event_type"), col("n_sum").as("n"), col("chi2"))
     }
   )
 }

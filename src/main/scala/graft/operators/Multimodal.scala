@@ -176,6 +176,40 @@ object Multimodal {
           array_join(transform(sort_array(collect_list(col("doc_id"))),
             x => x.cast(StringType)), ",").as("member_ids"))
         .filter(col("n_copies") >= 2)
+    },
+
+    // ------------------------------------------------------------------
+    // Chunk-level blob dedup — the second tier after mm_header_dedup:
+    // split every payload into fixed 16-byte chunks (the CDC seam; a
+    // rolling-hash boundary would slot in where the fixed stride is),
+    // hash each chunk, and report cross-corpus duplicate chunks with
+    // their blob reach. The exchange carries (chunk_md5, doc_id) pairs
+    // — 24 bytes per chunk, never payload bytes — so a petabyte of
+    // media yields storage-dedup stats by shipping hashes. Chunking is
+    // row-local (explode over a computed index range); payloads here
+    // are the utf8 doc bytes (ASCII ⇒ char positions = byte offsets).
+    "mm_chunk_dedup" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(length(text) / 16.0) AS INT))) AS i,
+        |    text
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(substring(text, i * 16 + 1, 16)) AS chunk_md5
+        |      FROM c)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM h GROUP BY chunk_md5
+        |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      val nChunks = ceil(length(col("text")) / 16.0).cast(IntegerType)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => col("text").substr(i * 16 + 1, lit(16)))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk").cast(BinaryType)).as("chunk_md5"))
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_copies") >= 2)
     }
   )
 }

@@ -569,6 +569,60 @@ object TextOps {
             sort_array(collect_list(when(col("is_bl").isNull,
               struct(col("j"), col("seg"))))),
             p => p.getField("seg")), " ").as("clean_text"))
+    },
+
+    // ------------------------------------------------------------------
+    // Zipf-law fit over the top-200 token ranks: least-squares slope of
+    // ln(count) on ln(rank) — the corpus-health check (natural text fits
+    // ≈ −1; templated/boilerplate corpora flatten). The count table is
+    // one map-side-combined agg; the top-200 is orderBy+limit
+    // (TakeOrdered, per-partition top-k — the text_pmi discipline), and
+    // the regression moments are fixed-point longs summed exactly, so
+    // no cross-engine float-sum order dependence; the closed-form slope
+    // then runs on identical exact-long-derived doubles both engines.
+    "text_zipf_fit" -> QueryDef.withOracle(
+      s"""WITH c AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(${toksSql("text")}) AS tok FROM documents)
+         |  GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 200),
+         |r AS (
+         |  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM c),
+         |m AS (
+         |  SELECT count(*) AS k,
+         |    sum(CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT)) AS sx,
+         |    sum(CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)) AS sy,
+         |    sum(CAST(floor(ln(rank) * ln(rank) * 1000000 + 0.5) AS BIGINT)) AS sxx,
+         |    sum(CAST(floor(ln(rank) * ln(n) * 1000000 + 0.5) AS BIGINT)) AS sxy
+         |  FROM r)
+         |SELECT CAST(k AS BIGINT) AS n_ranks,
+         |  round((k * (sxy / 1.0e6) - (sx / 1.0e6) * (sy / 1.0e6))
+         |      / (k * (sxx / 1.0e6) - (sx / 1.0e6) * (sx / 1.0e6)), 9) AS slope,
+         |  round((sy / 1.0e6 - ((k * (sxy / 1.0e6) - (sx / 1.0e6) * (sy / 1.0e6))
+         |      / (k * (sxx / 1.0e6) - (sx / 1.0e6) * (sx / 1.0e6))) * (sx / 1.0e6))
+         |      / k, 9) AS intercept
+         |FROM m""".stripMargin) { (s, dir) =>
+      val top = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(200)
+      // rank window rides the 200-row bookkeeping relation
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok").asc)
+      val lx = log(col("rank").cast(DoubleType))
+      val ly = log(col("n").cast(DoubleType))
+      def fp(c: Column): Column = floor(c * 1000000 + 0.5).cast(LongType)
+      val m = top.withColumn("rank", row_number().over(w))
+        .agg(count(lit(1)).as("k"),
+          sum(fp(lx)).as("sx"), sum(fp(ly)).as("sy"),
+          sum(fp(lx * lx)).as("sxx"), sum(fp(lx * ly)).as("sxy"))
+      val slope = (col("k") * (col("sxy") / 1.0e6)
+        - (col("sx") / 1.0e6) * (col("sy") / 1.0e6)) /
+        (col("k") * (col("sxx") / 1.0e6) - (col("sx") / 1.0e6) * (col("sx") / 1.0e6))
+      m.select(col("k").as("n_ranks"),
+        round(slope, 9).as("slope"),
+        round((col("sy") / 1.0e6 - slope * (col("sx") / 1.0e6)) / col("k"), 9)
+          .as("intercept"))
     }
   )
 }

@@ -24,6 +24,9 @@ object Training {
 
   private val NumShards = 64
   private val SeqLen = 2048
+  /** pipe_token_budget: per-source token cap (~one-third of each 25-doc
+    * test source; a knob in production). */
+  private val TokenBudget = 800
 
   /** Portable shard id: 60-bit md5 of the doc id string, mod nShards —
     * bit-identical in DuckDB (('0x'||substr(md5(x),1,15))::BIGINT), so
@@ -262,6 +265,52 @@ object Training {
           md5(concat_ws(" ",
             slice(col("toks"), (lit(1L) + col("chunk_id") * S).cast(IntegerType), lit(C)))
             .cast(BinaryType)).as("chunk_md5"))
+    },
+
+    // ------------------------------------------------------------------
+    // Per-source token-budget selection: walk each source's documents
+    // in deterministic md5 order ("shuffled" but reproducible) and keep
+    // documents while the running token total stays within the budget —
+    // how a mixture recipe caps an over-represented source. The prefix
+    // sum is DISTRIBUTED (the ev_peak_concurrency discipline): md5's
+    // first nibble pre-buckets each source 16 ways, the cumsum runs
+    // per (source, bucket) — per-task rows = corpus/(sources×16), and
+    // more nibbles widen it — then 16 bucket offsets per source (a
+    // bookkeeping window) stitch the global order. A plain per-source
+    // window would sort whole sources single-task at corpus scale.
+    "pipe_token_budget" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m,
+         |    CAST(len(${TextOps.toksSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY m, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM w WHERE cum_tokens <= $TokenBudget""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("m"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      val bkt = conv(substring(col("m"), 1, 1), 16, 10).cast(IntegerType)
+      val wLoc = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("m").asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // offsets ride a sources×16-row bookkeeping relation
+      val wOff = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val b = t.withColumn("bkt", bkt)
+      val offs = b.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("btotal"))
+        .select(col("source"), col("bkt"),
+          coalesce(sum(col("btotal")).over(wOff), lit(0L)).as("off"))
+      b.withColumn("cum_local", sum(col("n_tokens")).over(wLoc))
+        .join(broadcast(offs), Seq("source", "bkt"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("off") + col("cum_local")).as("cum_tokens"))
+        .filter(col("cum_tokens") <= TokenBudget)
     }
   )
 }

@@ -36,7 +36,10 @@ object PlanAudit {
       "etl_stratified_alloc", "ev_rfm", "ev_survival",
       "ev_ab_ttest", "etl_capture_recapture",
       // 1-row u-agreement-rate broadcast
-      "etl_linkage_weights")
+      "etl_linkage_weights",
+      // 1-row broadcasts: ks_test's (na, nb) totals; psi's 15-day cut
+      // and the reference (vmin, vmax) range
+      "etl_ks_test", "etl_psi")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -414,6 +414,42 @@ object ScaleStress {
           col("price"), col("orderkey"), 10).as("tk"))
         .select(col("suppkey"), explode(col("tk"))).count()
     }
+
+    // --- IVF probe ranking under a hot cell: salted vs naive window ---
+    // ann_ivf_topk's final phase ranks each probe's candidate list.
+    // With a skewed corpus ONE cell can hold half the vectors, so a
+    // probe probing that cell owns ~corpus/2 candidate rows — a plain
+    // partitionBy(probe_id) window sorts that whole list in ONE task
+    // (the round-5 verdict's scale-killer; per-probe rows grow with
+    // the corpus, the task count doesn't). The salted two-phase plan
+    // bounds per-task sort rows by cands/salts and the final window
+    // input by salts × k per probe — both independent of cell size.
+    val nIvfProbes = 4L
+    val nCand = math.max(n / 16, 250000L) // each probe hits the hot cell
+    val pairs = spark.range(nIvfProbes * nCand).select(
+      (col("id") % nIvfProbes).as("probe_id"),
+      (col("id") / nIvfProbes).as("neighbor_id"),
+      (pmod(hash(col("id")), lit(1000000)) / 1000000.0).as("cos_sim"))
+      .persist()
+    pairs.count()
+    stressTime(s"IVF hot-cell ranking NAIVE window ($nIvfProbes probes × $nCand cands)",
+        nIvfProbes * nCand) {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).count()
+    }
+    stressTime(s"IVF hot-cell ranking SALTED two-phase (64 salts, k=5)",
+        nIvfProbes * nCand) {
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      pairs.withColumn("salt", pmod(hash(col("neighbor_id")), lit(64)))
+        .withColumn("rn0", row_number().over(wLocal)).filter(col("rn0") <= 5)
+        .withColumn("rn", row_number().over(wFinal)).filter(col("rn") <= 5)
+        .count()
+    }
+    pairs.unpersist()
     spark.stop()
   }
 }

