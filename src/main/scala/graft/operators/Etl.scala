@@ -503,6 +503,24 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Line-delimited text roundtrip — the raw-corpus interchange format
+    // (one record per line; a tab-separated id + content hash so the
+    // roundtrip is value-verifiable without embedding newline-bearing
+    // text in the lines themselves).
+    "src_text_roundtrip" -> QueryDef.withOracle(
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents") { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_text").toString
+      Connectors.writeText(
+        Tables.documents(s, dir).select(concat(
+          col("doc_id").cast(StringType), lit("\t"),
+          md5(col("text").cast(BinaryType))).as("value")), tmp)
+      Connectors.readText(s, tmp)
+        .select(
+          split(col("value"), "\t").getItem(0).cast(LongType).as("doc_id"),
+          split(col("value"), "\t").getItem(1).as("text_md5"))
+    },
+
+    // ------------------------------------------------------------------
     "src_json_roundtrip" -> QueryDef.withOracle(
       "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_json").toString
@@ -1933,6 +1951,66 @@ object Etl {
             * sum(col("n").cast(DecimalType(38, 0)) * col("n")).cast(DoubleType)
             / sum(col("n")) - sum(col("n")), 9).as("chi2"))
         .select(col("event_type"), col("n_sum").as("n"), col("chi2"))
+    },
+
+    // ------------------------------------------------------------------
+    // Winsorization at exact per-type [p5, p95]: the robust-statistics
+    // clamp (outlier treatment that keeps the row count, unlike
+    // trimming). Exact percentiles come from the value-GROUPED relation
+    // (2-dp values ⇒ bounded domain — the etl_ks_test bookkeeping
+    // argument): cumulate counts per type over values, pick the
+    // smallest value whose cumulative rank reaches ceil(q·n). The raw
+    // stream pays one map-side-combined (type, value) count + one
+    // broadcast limits join; means are exact DECIMAL sums → double.
+    "etl_winsorize" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, value),
+        |c AS (
+        |  SELECT event_type, value, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM g),
+        |lim AS (
+        |  SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN value END) AS p05,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN value END) AS p95
+        |  FROM c GROUP BY event_type)
+        |SELECT e.event_type, CAST(l.n AS BIGINT) AS n, l.p05, l.p95,
+        |  CAST(sum(CASE WHEN e.value < l.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN e.value > l.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / l.n, 9) AS mean_raw,
+        |  round(CAST(sum(CAST(least(greatest(e.value, l.p05), l.p95)
+        |    AS DECIMAL(18,2))) AS DOUBLE) / l.n, 9) AS mean_wins
+        |FROM events e JOIN lim l ON l.event_type = e.event_type
+        |GROUP BY e.event_type, l.n, l.p05, l.p95""".stripMargin) { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      // both windows ride the bounded (type × 2-dp-value) relation
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val lim = g
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(
+          wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= ceil(lit(0.05) * col("n")), col("value"))).as("p05"),
+          min(when(col("cum") >= ceil(lit(0.95) * col("n")), col("value"))).as("p95"))
+      val clamped = least(greatest(col("value"), col("p05")), col("p95"))
+      Tables.events(s, dir)
+        .join(broadcast(lim), "event_type")
+        .groupBy(col("event_type"), col("n"), col("p05"), col("p95"))
+        .agg(
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+          round(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            / col("n"), 9).as("mean_raw"),
+          round(sum(clamped.cast(DecimalType(18, 2))).cast(DoubleType)
+            / col("n"), 9).as("mean_wins"))
+        .select(col("event_type"), col("n"), col("p05"), col("p95"),
+          col("n_lo"), col("n_hi"), col("mean_raw"), col("mean_wins"))
     }
   )
 }

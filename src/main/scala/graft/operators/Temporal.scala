@@ -782,6 +782,98 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("ts_s"), col("value"),
           len.cast(LongType).as("n_window"),
           round(num / den, 9).as("ewma"))
+    },
+
+    // ------------------------------------------------------------------
+    // DAU / rolling-7-day / rolling-28-day EXACT active users per day,
+    // plus the DAU/MAU stickiness ratio. Rolling distinct is done the
+    // scalable way: each distinct (user, day) activity explodes into
+    // the ≤7 (or ≤28) window-END days it supports, then one
+    // count-distinct per end-day — a bounded constant-factor blowup of
+    // the deduped activity table, never a per-day rescan, and every agg
+    // partial-aggregates map-side. Day-grain relations are calendar-
+    // bounded bookkeeping; the bounds crop partial leading windows.
+    "ev_dau_stickiness" -> QueryDef.withOracle(
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |w7 AS (
+        |  SELECT e.day, count(DISTINCT e.user_id) AS wau7 FROM (
+        |    SELECT ud.user_id, ud.day + x.o AS day
+        |    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) x) e
+        |  CROSS JOIN bounds b WHERE e.day BETWEEN b.d0 AND b.d1 GROUP BY e.day),
+        |w28 AS (
+        |  SELECT e.day, count(DISTINCT e.user_id) AS mau28 FROM (
+        |    SELECT ud.user_id, ud.day + x.o AS day
+        |    FROM ud CROSS JOIN (SELECT unnest(range(0, 28)) AS o) x) e
+        |  CROSS JOIN bounds b WHERE e.day BETWEEN b.d0 AND b.d1 GROUP BY e.day)
+        |SELECT d.day, d.dau, w7.wau7, w28.mau28,
+        |  round(CAST(d.dau AS DOUBLE) / w28.mau28, 9) AS stickiness
+        |FROM dau d JOIN w7 ON w7.day = d.day JOIN w28 ON w28.day = d.day""".stripMargin) { (s, dir) =>
+      val ud = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct().persist() // shared by all three actives aggs
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      def rolling(n: Int, name: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + (n - 1))).as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day").between(col("d0"), col("d1")))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as(name))
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(rolling(7, "wau7"), "day").join(rolling(28, "mau28"), "day")
+        .select(col("day"), col("dau"), col("wau7"), col("mau28"),
+          round(col("dau").cast(DoubleType) / col("mau28"), 9).as("stickiness"))
+    },
+
+    // ------------------------------------------------------------------
+    // Growth accounting: each week's actives split into new / retained
+    // / resurrected, plus churned = last week's actives who went
+    // silent. One distinct (user, week) pass; the classifying lag rides
+    // per-user windows (bounded per user); weekly totals and the
+    // churn lag ride the calendar-bounded week relation.
+    "ev_growth_accounting" -> QueryDef.withOracle(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |  FROM events),
+        |cls AS (
+        |  SELECT user_id, week,
+        |    lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+        |  FROM uw),
+        |wk AS (
+        |  SELECT week,
+        |    CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY week)
+        |SELECT week, n_active, n_new, n_retained, n_resurrected,
+        |  coalesce(lag(n_active) OVER (ORDER BY week), 0) - n_retained AS n_churned
+        |FROM wk""".stripMargin) { (s, dir) =>
+      val uw = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), expr("ts_s div 604800").as("week"))
+        .distinct()
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("week").asc)
+      val wk = uw
+        .withColumn("prev_week", lag(col("week"), 1).over(wUser))
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("prev_week").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev_week") === col("week") - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("prev_week").isNotNull && col("prev_week") < col("week") - 1,
+            1L).otherwise(0L)).as("n_resurrected"))
+      // churn lag over the handful of calendar weeks — bookkeeping
+      val wWeek = Window.orderBy(col("week").asc)
+      wk.withColumn("n_churned",
+          coalesce(lag(col("n_active"), 1).over(wWeek), lit(0L)) - col("n_retained"))
+        .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"))
     }
   )
 

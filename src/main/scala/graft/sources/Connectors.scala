@@ -39,6 +39,15 @@ object Connectors {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Line-delimited text — the raw-corpus interchange format. `df`
+    * must be a single string column; one row per line. */
+  def writeText(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).text(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 

@@ -38,8 +38,9 @@ object PlanAudit {
       // 1-row u-agreement-rate broadcast
       "etl_linkage_weights",
       // 1-row broadcasts: ks_test's (na, nb) totals; psi's 15-day cut
-      // and the reference (vmin, vmax) range
-      "etl_ks_test", "etl_psi")
+      // and the reference (vmin, vmax) range; dau_stickiness's
+      // (d0, d1) calendar bounds (×2 — one per rolling horizon)
+      "etl_ks_test", "etl_psi", "ev_dau_stickiness")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -113,7 +114,12 @@ object PlanAudit {
       // common_neighbors stacks the embedding pair join (2 exchanges),
       // degree agg, wedge self-join sides and the adjacency anti-join —
       // all keyed on node ids, wedge side bounded by the deg ≤ 64 cap
-      "graph_common_neighbors" -> 10)
+      "graph_common_neighbors" -> 10,
+      // dau_stickiness runs THREE count-distinct aggs over the deduped
+      // (user, day) relation (dau + two rolling horizons, each a
+      // 2-exchange distinct agg after the ≤28× explode) + the day-grain
+      // joins — day-keyed bookkeeping moves except the shared distinct
+      "ev_dau_stickiness" -> 8)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
