@@ -25,6 +25,10 @@ object Graph {
   // to 9 decimals well inside 6 synchronous rounds
   private val Iters = 6
 
+  // LPA on near-cliques stabilizes in 2-3 sync rounds; 4 is the fixed
+  // deterministic budget (convergence-chasing would break the oracle)
+  private val LpaRounds = 4
+
   /** One unrolled oracle iteration: r_{i+1} = (15·FP + 85·Σ_in r_i/deg) div 100. */
   private def stepSql(i: Int): String =
     s"""r${i + 1} AS (
@@ -379,6 +383,72 @@ object Graph {
           .groupBy(col("doc_id")).agg(min(col("dist")).as("dist")))
       }
       dist
+    },
+
+    // ------------------------------------------------------------------
+    // Label-propagation communities (LPA), 4 synchronous rounds: each
+    // node adopts its in-neighborhood's MODE label, ties to the
+    // smallest label — the deterministic synchronous variant, which
+    // (unlike min-propagation) is NOT connected components: a node
+    // between two dense groups joins the denser one. Pregel layout as
+    // graph_pagerank: per round ONE label-vector join to the cached
+    // (src, dst) edges, one (dst, label) count and one per-dst argmax
+    // agg — O(E) rows, node-keyed exchanges, lineage cut per round.
+    // Deterministic (sync rounds + min tie-break) → fully oracled via
+    // unrolled CTEs. Singleton docs (no near-dup edges) keep their own
+    // id as community, joined once at the end.
+    "graph_lpa" -> QueryDef.withOracle {
+      def lpaStep(i: Int): String =
+        s"""c${i + 1} AS (
+           |  SELECT e.dst, p.label, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM edges e JOIN l$i p ON p.doc_id = e.src
+           |  GROUP BY e.dst, p.label),
+           |l${i + 1} AS (
+           |  SELECT dst AS doc_id, label FROM (
+           |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+           |      ORDER BY cnt DESC, label ASC) AS rn FROM c${i + 1})
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |enodes AS (SELECT DISTINCT dst AS doc_id FROM edges),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM enodes),
+         |${(0 until LpaRounds).map(lpaStep).mkString(",\n")}
+         |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS community
+         |FROM documents d LEFT JOIN l$LpaRounds l ON l.doc_id = d.doc_id""".stripMargin
+    } { (s, dir) =>
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")).persist()
+      val enodes = edges.select(col("dst").as("doc_id")).distinct()
+      // every edge-subgraph node has in-neighbors (edges are mirrored),
+      // so the round's argmax is total — no carry-over coalesce needed
+      var l = enodes.withColumn("label", col("doc_id"))
+      for (_ <- 0 until LpaRounds) {
+        val next = edges
+          .join(l.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          // (cnt DESC, label ASC) argmax as a lexicographic struct min
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+            .as("m"))
+          .select(col("dst").as("doc_id"), col("m.l").as("label"))
+        l = next.localCheckpoint(true)
+      }
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(l, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
     }
   )
 }
