@@ -78,8 +78,8 @@ object Dedup {
   // 16 hashes in 8 bands × 2 rows: P(candidate) = 1-(1-s²)^8, i.e.
   // ≥0.90 at jaccard 0.5 and ≈1 above 0.8, while unrelated pairs
   // (s≈0.05) collide with probability <2%.
-  private val NumHashes = 16
-  private val NumBands = 8 // 2 rows per band
+  private[graft] val NumHashes = 16
+  private[graft] val NumBands = 8 // 2 rows per band
 
   /** Production LSH safety valve: band buckets holding more than this
     * many docs are excluded from candidate generation. A band self-join

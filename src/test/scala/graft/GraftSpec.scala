@@ -1650,3 +1650,90 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(flags.exists(f => f == "CARTESIAN" || f == "NESTED_LOOP"), cart.take(300))
   }
 }
+
+class StreamingDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.StreamingDedup
+
+  // batch reference: the same row-local band construction self-joined —
+  // the candidate SET the incremental bucket state must reproduce
+  private def batchPairs(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val b = StreamingDedup.bandRows(docs).persist()
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("streaming LSH candidates equal the batch band self-join across batchings") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val want = batchPairs(docs)
+    assert(want.nonEmpty, "test corpus must contain band collisions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3-file staging → 3 micro-batches under maxFilesPerTrigger=1;
+      // then a one-batch replay of the same corpus from a second dir —
+      // the SET must be identical both ways (arrival-order invariance)
+      for ((mft, nFiles) <- Seq((1, 3), (0, 1))) {
+        val dir = Files.createTempDirectory(s"graft_sdedup$mft").toString
+        (0 until nFiles).foreach { i =>
+          docs.filter(col("doc_id") % nFiles === i)
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+        val q = StreamingDedup.candidateStream(spark, dir, maxFilesPerTrigger = mft)
+          .toDF().writeStream.format("memory").queryName(s"sdedup$mft")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          val got = spark.sql(s"SELECT doc_a, doc_b FROM sdedup$mft")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == want,
+            s"batching mft=$mft: streamed ${got.size} pairs != batch ${want.size}; " +
+              s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+        } finally q.stop()
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("a full band bucket stops emitting pairs (incremental hot-band cap)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // 10 docs sharing one exact text → every band collides; cap=4 ⇒
+    // members 1..4 admitted (C(4,2)=6 pairs), docs 5..10 dropped
+    val dir = Files.createTempDirectory("graft_sdedup_cap").toString
+    (1L to 10L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingDedup.candidateStream(spark, dir, cap = 4)
+        .toDF().writeStream.format("memory").queryName("sdedup_cap")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.sql("SELECT DISTINCT doc_a, doc_b FROM sdedup_cap")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got.size == 6, s"cap=4 must admit exactly C(4,2)=6 pairs, got ${got.size}")
+        assert(got.flatMap(p => Set(p._1, p._2)).max <= 4L,
+          "docs beyond the cap must never appear in pairs")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+}
