@@ -888,6 +888,62 @@ object Similarity {
             zip_with(col("embedding"), vLit, (x, vv) =>
               floor(x.cast(DoubleType) * 1000000 + 0.5).cast(LongType) * vv),
             lit(0L), (acc, t) => acc + t) / lit(1.0e12), 6).as("pc1"))
+    },
+
+    // ------------------------------------------------------------------
+    // k-NN graph build — every vector's top-3 neighbors, the input
+    // relation for embedding-based clustering/community detection and
+    // the generalization of ann_topk_exact from a probe SET to the
+    // whole corpus. All-pairs is corpus-quadratic, so candidates are
+    // IVF-home-cell blocked (k-means cells from the shared build):
+    // Σ cell² pairs, bounded by the scale-free cell-count knob — the
+    // same blocking discipline as the dedup band joins, with the same
+    // documented recall trade (a true neighbor in another cell is
+    // missed; more cells probed = more recall, same shape). The
+    // candidate join carries (id, cell) pairs only; scoring joins
+    // embeddings by id; ranking is the salted two-phase pattern.
+    "ann_knn_graph" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+         |  FROM home a JOIN home b
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id),
+         |pair_scored AS (
+         |  SELECT c.src_id, c.dst_id,
+         |    round(list_cosine_similarity(
+         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.src_id
+         |  JOIN embeddings y ON y.vec_id = c.dst_id)
+         |SELECT src_id, dst_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY cos_sim DESC, dst_id ASC) AS rn FROM pair_scored)
+         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val home = ivfAssignments(s, dir).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label"))
+      val cand = home.as("a").join(home.as("b"),
+          col("a.c_label") === col("b.c_label") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("dst_id"))
+      val e = Tables.embeddings(s, dir)
+      val cos = round(Vectors.cosine(s, col("s_emb"), col("d_emb")), 6)
+      // a hot cell concentrates a vector's whole candidate list in one
+      // task under a plain src window — salt (the ann_topk_exact shape)
+      val wLocal = Window.partitionBy(col("src_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("dst_id").asc)
+      val wFinal = Window.partitionBy(col("src_id"))
+        .orderBy(col("cos_sim").desc, col("dst_id").asc)
+      cand
+        .join(e.select(col("vec_id").as("src_id"), col("embedding").as("s_emb")), "src_id")
+        .join(e.select(col("vec_id").as("dst_id"), col("embedding").as("d_emb")), "dst_id")
+        .select(col("src_id"), col("dst_id"), cos.as("cos_sim"),
+          pmod(hash(col("dst_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= 3)
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= 3)
+        .select(col("src_id"), col("dst_id"), col("cos_sim"), col("rn"))
     }
   )
 }

@@ -40,7 +40,10 @@ object PlanAudit {
       // 1-row broadcasts: ks_test's (na, nb) totals; psi's 15-day cut
       // and the reference (vmin, vmax) range; dau_stickiness's
       // (d0, d1) calendar bounds (×2 — one per rolling horizon)
-      "etl_ks_test", "etl_psi", "ev_dau_stickiness")
+      "etl_ks_test", "etl_psi", "ev_dau_stickiness",
+      // the shared IVF build's 1-row collapsed-centroid broadcasts
+      // (same subtree as ann_ivf_assign)
+      "ann_knn_graph")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -119,7 +122,12 @@ object PlanAudit {
       // (user, day) relation (dau + two rolling horizons, each a
       // 2-exchange distinct agg after the ≤28× explode) + the day-grain
       // joins — day-keyed bookkeeping moves except the shared distinct
-      "ev_dau_stickiness" -> 8)
+      "ev_dau_stickiness" -> 8,
+      // knn_graph stacks the IVF build (ann_ivf_assign's bookkeeping
+      // exchanges), the cell-mate candidate join, two embedding payload
+      // joins and the salted two-phase ranking — same budget class as
+      // ann_ivf_topk
+      "ann_knn_graph" -> 13)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
