@@ -210,6 +210,77 @@ object Sketches {
         .groupBy(col("tok"), col("exact_count"))
         .agg(min(col("cnt")).as("cms_est"))
         .withColumn("overcount", col("cms_est") - col("exact_count"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theta-sketch set algebra: union and A-not-B estimates for
+    // adjacent source pairs from the SAME 256-hash KMV sketches as
+    // sketch_kmv_distinct (one sketch build serves every set
+    // operation — the point of theta sketches). Union sketch = the k
+    // smallest of the merged arrays (the k smallest of A∪B are always
+    // inside kminA ∪ kminB), exact when the merge stays under k
+    // (possible only if both inputs were complete); difference =
+    // max(0, est(A∪B) − est(other)). All row-local array math over
+    // ≤2×256-element arrays after one keyed sketch agg → fully
+    // oracled, like every sketch here (deterministic md5 hashing).
+    "sketch_theta_diff" -> QueryDef.withOracle(
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |        FROM documents)),
+        |r AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |  FROM h),
+        |k AS (
+        |  SELECT source, list(h ORDER BY h) AS arr,
+        |    CAST(regexp_extract(source, '(\d+)$', 1) AS INT) AS idx
+        |  FROM r WHERE rn <= 256 GROUP BY source),
+        |est AS (
+        |  SELECT source, arr, idx,
+        |    CASE WHEN len(arr) < 256 THEN CAST(len(arr) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 / arr[256] END AS est
+        |  FROM k),
+        |pairs AS (
+        |  SELECT a.source || '|' || b.source AS scope,
+        |    list_sort(list_distinct(list_concat(a.arr, b.arr)))[1:256] AS u,
+        |    a.est AS est_a, b.est AS est_b
+        |  FROM est a JOIN est b ON b.idx = a.idx + 1 AND a.idx < 5),
+        |uest AS (
+        |  SELECT scope, est_a, est_b,
+        |    CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+        |         ELSE 255.0 * 1152921504606846976.0 / u[256] END AS est_union
+        |  FROM pairs)
+        |SELECT scope, round(est_union, 6) AS est_union,
+        |  round(greatest(0.0, est_union - est_b), 6) AS est_a_not_b,
+        |  round(greatest(0.0, est_union - est_a), 6) AS est_b_not_a
+        |FROM uest""".stripMargin) { (s, dir) =>
+      val k = 256
+      val two60 = 1.152921504606846976e18
+      val hashed = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      def estOf(arr: Column): Column =
+        when(size(arr) < k, size(arr).cast(DoubleType))
+          .otherwise(lit(255.0) * lit(two60) / element_at(arr, k))
+      val sk = hashed.groupBy(col("source"))
+        .agg(Vectors.kmvMinHashes(s, col("h"), k).as("arr"))
+        .select(col("source"), col("arr"), estOf(col("arr")).as("est"),
+          regexp_extract(col("source"), "(\\d+)$", 1).cast("int").as("idx"))
+        .persist() // both sides of the adjacent-pair join
+      val b = sk.select(col("source").as("src_b"), col("arr").as("arr_b"),
+        col("est").as("est_b"), col("idx").as("idx_b"))
+      val u = slice(array_sort(array_distinct(concat(col("arr"), col("arr_b")))), 1, k)
+      sk.join(b, col("idx_b") === col("idx") + 1 && col("idx") < 5)
+        .select(concat(col("source"), lit("|"), col("src_b")).as("scope"),
+          estOf(u).as("eu"), col("est"), col("est_b"))
+        .select(col("scope"), round(col("eu"), 6).as("est_union"),
+          round(greatest(lit(0.0), col("eu") - col("est_b")), 6).as("est_a_not_b"),
+          round(greatest(lit(0.0), col("eu") - col("est")), 6).as("est_b_not_a"))
     }
   )
 }
