@@ -874,6 +874,51 @@ object Temporal {
           coalesce(lag(col("n_active"), 1).over(wWeek), lit(0L)) - col("n_retained"))
         .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
           col("n_resurrected"), col("n_churned"))
+    },
+
+    // ------------------------------------------------------------------
+    // Three-step ORDERED funnel (signup → first click at-or-after →
+    // first purchase at-or-after that click): the k-step extension of
+    // ev_funnel. Each step is one filtered keyed aggregation joined to
+    // the previous step's anchor — step k's work is bounded by step
+    // k-1's survivors, all shuffles on user_id, no windows over the
+    // event log. Ties on the floored second resolve identically on
+    // both engines because the anchor is the step MINIMUM.
+    "ev_funnel3" -> QueryDef.withOracle(
+      """WITH su AS (
+        |  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS signup_s
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |ck AS (
+        |  SELECT e.user_id, su.signup_s,
+        |    min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS click_s
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.signup_s
+        |  GROUP BY e.user_id, su.signup_s),
+        |pu AS (
+        |  SELECT e.user_id, ck.signup_s, ck.click_s,
+        |    min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS purchase_s
+        |  FROM events e JOIN ck ON e.user_id = ck.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= ck.click_s
+        |  GROUP BY e.user_id, ck.signup_s, ck.click_s)
+        |SELECT user_id, signup_s, click_s, purchase_s,
+        |  purchase_s - signup_s AS total_delay_s
+        |FROM pu""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTimed(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("signup_s"))
+      val ck = ev.filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts_s") >= col("signup_s"))
+        .groupBy(col("user_id"), col("signup_s"))
+        .agg(min(col("ts_s")).as("click_s"))
+      ev.filter(col("event_type") === "purchase")
+        .join(ck, "user_id")
+        .filter(col("ts_s") >= col("click_s"))
+        .groupBy(col("user_id"), col("signup_s"), col("click_s"))
+        .agg(min(col("ts_s")).as("purchase_s"))
+        .withColumn("total_delay_s", col("purchase_s") - col("signup_s"))
     }
   )
 
