@@ -301,7 +301,9 @@ object Training {
       // offsets ride a sources×16-row bookkeeping relation
       val wOff = Window.partitionBy(col("source")).orderBy(col("bkt").asc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val b = t.withColumn("bkt", bkt)
+      // persisted: the offsets branch would otherwise re-scan and
+      // re-tokenize the whole corpus — one scan feeds both branches
+      val b = t.withColumn("bkt", bkt).persist()
       val offs = b.groupBy(col("source"), col("bkt"))
         .agg(sum(col("n_tokens")).as("btotal"))
         .select(col("source"), col("bkt"),
