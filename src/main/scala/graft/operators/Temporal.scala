@@ -736,6 +736,58 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // LINEAR multi-touch attribution: every touch (click/view/signup)
+    // in the 7 days before a purchase shares the purchase's credit
+    // equally; untouched purchases credit 'organic'. The purchase ×
+    // touch pair join is keyed on user_id (per-user history bounded —
+    // the ev_sessionize contract) with the range predicate applied
+    // post-join; per-purchase touch counts ride a window partitioned
+    // by the purchase id (rows per purchase ≤ the user's touches).
+    // Per-pair credits are FIXED-POINT (floor(10⁶/n + 0.5) longs) so
+    // the per-channel credit sums are exact and order-invariant.
+    "ev_attribution_linear" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS touch_s
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |pairs AS (
+        |  SELECT p.event_id, p.ts_s, t.touch_id, t.touch_type
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND t.touch_s <= p.ts_s AND t.touch_s >= p.ts_s - 604800),
+        |cr AS (
+        |  SELECT event_id, touch_id, touch_type,
+        |    count(touch_id) OVER (PARTITION BY event_id) AS n
+        |  FROM pairs)
+        |SELECT coalesce(touch_type, 'organic') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_touchpoints,
+        |  CAST(sum(CASE WHEN touch_id IS NULL THEN 1000000
+        |    ELSE CAST(floor(1000000.0 / n + 0.5) AS BIGINT) END) AS BIGINT)
+        |    / 1.0e6 AS credit
+        |FROM cr GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val t = e.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
+          col("event_type").as("touch_type"), col("ts_s").as("touch_s"))
+      val w = Window.partitionBy(col("event_id"))
+      p.join(t,
+          col("t_user") === col("user_id") &&
+            col("touch_s") <= col("ts_s") &&
+            col("touch_s") >= col("ts_s") - 604800L, "left_outer")
+        .select(col("event_id"), col("touch_id"), col("touch_type"))
+        .withColumn("n", count(col("touch_id")).over(w))
+        .groupBy(coalesce(col("touch_type"), lit("organic")).as("channel"))
+        .agg(count(lit(1)).as("n_touchpoints"),
+          (sum(when(col("touch_id").isNull, 1000000L)
+            .otherwise(floor(lit(1000000.0) / col("n") + 0.5).cast(LongType)))
+            / lit(1.0e6)).as("credit"))
+    },
+
+    // ------------------------------------------------------------------
     // Bounded-lag EWMA smoothing per user (α-decay over the last ≤16
     // events): the classic trend signal, formulated so it stays a
     // window expression — collect the ≤16-value tail, weight by the
