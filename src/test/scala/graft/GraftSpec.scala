@@ -1737,3 +1737,44 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 }
+
+class EventsEncodingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // The round-6 regression: the driver's generator switched events.ts
+  // from raw INT64 nanoseconds to TIMESTAMP(us, NTZ), and the pinned
+  // long-typed read schema silently reinterpreted us as ns. This spec
+  // pins the fix: both physical encodings of the SAME instants must
+  // read back identical nanosecond longs through Tables.events.
+  test("events loader normalizes both ts encodings to identical nanos") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1704067200123456000L, 7L, "click", 1.5, "{}"),
+      (2L, 1706745599999999000L, 8L, "purchase", 2.5, "{}"))
+    // Tables.events reads <dir>/events.parquet — write the parquet
+    // data AS that directory
+    val longDir = Files.createTempDirectory("graft_enc_long").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$longDir/events.parquet")
+    val tsDir = Files.createTempDirectory("graft_enc_ts").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tsDir/events.parquet")
+    def read(d: String) = graft.sources.Tables.events(spark, d)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromLong = read(longDir)
+    val fromTs = read(tsDir)
+    // micro-precision instants: both encodings carry them exactly
+    assert(fromLong == rows.map(r => r._1 -> r._2).toMap)
+    assert(fromTs == fromLong,
+      s"NTZ-encoded ts must normalize to the same nanos: $fromTs vs $fromLong")
+    // and the derived columns agree too
+    val s1 = graft.sources.Tables.eventsTimed(spark, longDir)
+      .select("event_id", "ts_s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s2 = graft.sources.Tables.eventsTimed(spark, tsDir)
+      .select("event_id", "ts_s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+  }
+}
