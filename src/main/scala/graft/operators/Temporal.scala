@@ -736,6 +736,32 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Hour-of-week seasonality profile: (day-of-week, hour-of-day)
+    // activity heatmap with event counts and exact value sums — the
+    // capacity-planning / anomaly-baseline read of the event stream.
+    // Pure integer arithmetic on floored epoch seconds (epoch day 0 =
+    // Thursday, so dow = (day + 4) % 7 puts Sunday at 0), never
+    // engine-local date parts — one map-side-combined 168-group agg.
+    "ev_seasonality_profile" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |  FROM events)
+        |SELECT CAST(((ts_s // 86400) + 4) % 7 AS INT) AS dow,
+        |  CAST((ts_s % 86400) // 3600 AS INT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.eventsTimed(s, dir)
+        .select(
+          ((expr("ts_s div 86400") + 4) % 7).cast(IntegerType).as("dow"),
+          expr("(ts_s % 86400) div 3600").cast(IntegerType).as("hour"),
+          col("value"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
+    },
+
+    // ------------------------------------------------------------------
     // LINEAR multi-touch attribution: every touch (click/view/signup)
     // in the 7 days before a purchase shares the purchase's credit
     // equally; untouched purchases credit 'organic'. The purchase ×

@@ -572,6 +572,44 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Flesch-style readability scoring: words/sentence and a
+    // vowel-group syllable proxy per word feed the standard reading-
+    // ease formula — the document-quality signal curriculum filters
+    // sort on. Entirely row-local regexp counting (both engines count
+    // the same '[aeiouy]+' groups and '[.!?]+' terminators), zero
+    // shuffle; the score is the identical double expression rounded.
+    "text_readability" -> QueryDef.withOracle(
+      s"""SELECT doc_id,
+         |  CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_sentences,
+         |  CAST(nsyl AS BIGINT) AS n_syllables,
+         |  round(206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns)
+         |    - 84.6 * (CAST(nsyl AS DOUBLE) / nw), 9) AS flesch
+         |FROM (
+         |  SELECT doc_id,
+         |    len(${toksSql("text")}) AS nw,
+         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS nsyl
+         |  FROM documents)
+         |WHERE nw > 0""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("nw"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+            lit(1)).as("ns"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .as("nsyl"))
+        .filter(col("nw") > 0)
+        .select(col("doc_id"),
+          col("nw").cast(LongType).as("n_words"),
+          col("ns").cast(LongType).as("n_sentences"),
+          col("nsyl").cast(LongType).as("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("nw").cast(DoubleType) / col("ns"))
+            - lit(84.6) * (col("nsyl").cast(DoubleType) / col("nw")), 9)
+            .as("flesch"))
+    },
+
+    // ------------------------------------------------------------------
     // Zipf-law fit over the top-200 token ranks: least-squares slope of
     // ln(count) on ln(rank) — the corpus-health check (natural text fits
     // ≈ −1; templated/boilerplate corpora flatten). The count table is
