@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.TopKByKey].getName, "graft_topk_by_key"),
       exprs => graft.plans.TopKByKey(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk_by_skey"),
+      new ExpressionInfo(classOf[graft.plans.TopKByKeyStr].getName, "graft_topk_by_skey"),
+      exprs => graft.plans.TopKByKeyStr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount, TopKByKey}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount, TopKByKey, TopKByKeyStr}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -57,6 +57,11 @@ object Vectors {
     reg.createOrReplaceTempFunction(
       "graft_topk_by_key",
       exprs => TopKByKey(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk_by_skey",
+      exprs => TopKByKeyStr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
   }
@@ -133,6 +138,15 @@ object Vectors {
   def topkByKey(spark: SparkSession, value: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_topk_by_key", value, id, lit(k))
+  }
+
+  /** String-keyed variant of [[topkByKey]]: the k best (double value,
+    * string id) pairs under (value DESC, id ASC binary) as
+    * array<struct<id, value>> — for top-k-per-group where the row
+    * identity is a string (token, bigram, URL) rather than a bigint. */
+  def topkByStrKey(spark: SparkSession, value: Column, id: Column, k: Int): Column = {
+    register(spark)
+    call_function("graft_topk_by_skey", value, id, lit(k))
   }
 
   /** Bloom-membership predicate over a bigint key column; `bytes` is a

@@ -651,14 +651,22 @@ object Dedup {
          |SELECT vec_a, vec_b, label_a, label_b,
          |  label_a <> label_b AS cross_label, cos_sim
          |FROM pairs WHERE cos_sim >= 0.3""".stripMargin) { (s, dir) =>
+      // each side carries its full (≤2-entry) sorted probe list so a
+      // pair sharing BOTH cells can be emitted from its LOWEST shared
+      // cell only — a row-local rule (array_intersect of two 2-arrays)
+      // that replaces the r7 plan's corpus-pair-scale distinct()
+      // exchange (10.8 s at sf0.1, the suite's #2 cost) with a filter
       val cells = Similarity.ivfAssignments(s, dir)
         .filter(col("rn") <= 2)
-        .select(col("vec_id"), col("c_label"))
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(col("c_label"))).as("cells"))
+        .select(col("vec_id"), col("cells"), explode(col("cells")).as("cell"))
         .persist() // both sides of the cell self-join share one build
       val cand = cells.as("x").join(cells.as("y"),
-          col("x.c_label") === col("y.c_label") && col("x.vec_id") < col("y.vec_id"))
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .filter(col("x.cell") ===
+          array_min(array_intersect(col("x.cells"), col("y.cells"))))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
       val e = Tables.embeddings(s, dir)
       val cos = round(Vectors.cosine(s, col("emb_a"), col("emb_b")), 6)
       cand

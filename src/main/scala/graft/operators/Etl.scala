@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.{Connectors, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -574,6 +574,33 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // JDBC roundtrip through a REAL DriverManager path: the supplier
+    // table is written to an embedded Apache Derby database (on the
+    // Spark classpath — the same engine Spark's own metastore embeds)
+    // and read back with the PARTITIONED reader — 4 range-bounded
+    // queries on s_suppkey, the shape a 1000-executor warehouse load
+    // takes so one connection never streams the whole table through
+    // the driver. The oracle reads the original parquet: any value,
+    // type, or row lost in the SQL type mapping hash-fails.
+    "src_jdbc_roundtrip" -> QueryDef.withOracle(
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier""".stripMargin) { (s, dir) =>
+      val db = Files.createTempDirectory("graft_jdbc").resolve("db").toString
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      val src = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+      Connectors.writeJdbc(src, url, "supplier_rt", props, SaveMode.Overwrite)
+      val mm = src.agg(min(col("s_suppkey")), max(col("s_suppkey"))).head()
+      Connectors.readJdbcPartitioned(s, url, "supplier_rt",
+          "s_suppkey", mm.getLong(0), mm.getLong(1) + 1, 4, props)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal").cast(DoubleType).as("s_acctbal"))
+    },
+
+    // ------------------------------------------------------------------
     // CDC changelog apply (MERGE with deletes): the event log is read
     // as an ordered changelog over the customer table — signup=INSERT,
     // error=DELETE, click/view/purchase=UPDATE(value) — and collapsed
@@ -975,40 +1002,60 @@ object Etl {
     // register-based pipeline: candidate pairs are generated ONLY
     // within a blocking key (here brand × product noun — in production
     // a phonetic/sorted-neighborhood key), then scored by edit
-    // distance. The all-pairs comparison a naive linkage runs is
-    // corpus-quadratic; blocking bounds it at Σ block², and the key
-    // must carry enough entropy that block sizes stay bounded as the
-    // corpus grows (the noun alone has ~92 values — its blocks scale
-    // WITH the corpus; brand × noun multiplies the key space 25×).
-    // Same (key, id) self-join shape as the LSH dedup family, so the
-    // same bucket caps apply when a block runs hot.
+    // distance. Two scale disciplines on top of the blocking:
+    //   1. DISTINCT-NAME scoring: the name column is a vocabulary
+    //      (adjective×noun templates — 64 distinct values at any sf),
+    //      so the edit-distance DP runs once per distinct name PAIR
+    //      (vocab², broadcast back), never per candidate row pair —
+    //      at sf0.1 that is 4k banded DPs instead of 1M (the r7 plan
+    //      spent 18 s in per-pair DPs; the candidate stream now only
+    //      pays a broadcast hash-join probe per pair).
+    //   2. HOT-BLOCK CAP (mirrored in the oracle): the blocking key's
+    //      domain is FIXED (~200 brand×noun values), so block sizes
+    //      grow linearly with the corpus and Σblock² quadratically.
+    //      Blocks over 1024 members are dropped from linkage whole —
+    //      deterministic, the Dedup.capBuckets trade: an over-cap
+    //      block is a failed blocking key (production re-blocks it
+    //      with a finer key), and the cap bounds candidate pairs at
+    //      |blocks|·cap² regardless of corpus size.
     "etl_record_linkage" -> QueryDef.withOracle(
       """WITH p AS (
         |  SELECT p_partkey, p_name, p_brand,
         |    concat(p_brand, ':', regexp_extract(p_name, '([a-z0-9]+)$', 1)) AS blk
-        |  FROM part)
+        |  FROM part),
+        |ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 1024)
         |SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
         |  a.p_name AS name_a, b.p_name AS name_b, a.blk AS block,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
         |  CASE WHEN a.p_name = b.p_name THEN 'exact' ELSE 'near' END AS match_kind
         |FROM p a JOIN p b
         |  ON b.blk = a.blk AND a.p_partkey < b.p_partkey
+        |JOIN ok ON ok.blk = a.blk
         |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin) { (s, dir) =>
-      val p = Tables.part(s, dir)
+      val p0 = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_name"),
           concat(col("p_brand"), lit(":"),
             regexp_extract(col("p_name"), "([a-z0-9]+)$", 1)).as("blk"))
+      val ok = p0.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+        .filter(col("blk_n") <= 1024).select(col("blk"))
+      val p = p0.join(broadcast(ok), Seq("blk"))
+      // vocab² distance table: thresholded levenshtein (banded DP,
+      // returns -1 above the bound) over distinct-name pairs, kept
+      // only within the match radius, broadcast to the pair stream
+      val names = p.select(col("p_name")).distinct()
+      val dist = names.toDF("name_a")
+        .crossJoin(broadcast(names.toDF("name_b")))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 4))
+        .filter(col("lev") >= 0)
       val a = p.select(col("p_partkey").as("partkey_a"), col("p_name").as("name_a"),
         col("blk"))
       val b = p.select(col("p_partkey").as("partkey_b"), col("p_name").as("name_b"),
         col("blk"))
       a.join(b, Seq("blk"))
         .filter(col("partkey_a") < col("partkey_b"))
-        // thresholded levenshtein (returns -1 above the bound): the DP
-        // abandons a pair as soon as the band exceeds 4, so scoring
-        // cost per candidate is O(k·len), not O(len²)
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 4))
-        .filter(col("lev") >= 0)
+        // inner join ⇔ the lev <= 4 filter: out-of-radius name pairs
+        // are absent from the broadcast distance table
+        .join(broadcast(dist), Seq("name_a", "name_b"))
         .select(col("partkey_a"), col("partkey_b"), col("name_a"), col("name_b"),
           col("blk").as("block"), col("lev"),
           when(col("name_a") === col("name_b"), "exact")

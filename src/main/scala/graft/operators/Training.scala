@@ -288,7 +288,7 @@ object Training {
          |    sum(n_tokens) OVER (PARTITION BY source ORDER BY m, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
          |  FROM t)
-         |SELECT doc_id, source, n_tokens, cum_tokens
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM w WHERE cum_tokens <= $TokenBudget""".stripMargin) { (s, dir) =>
       val t = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),

@@ -63,11 +63,20 @@ object Connectors {
   def writeAvro(df: DataFrame, path: String): Unit =
     AvroConnector.writeAvro(df, path)
 
-  /** JDBC passthrough (warehouse loads); untestable in this container
-    * (no database), provided for API completeness. */
+  /** JDBC read (warehouse loads). Exercised end-to-end against the
+    * embedded Derby engine (on the Spark classpath) by
+    * `src_jdbc_roundtrip`. */
   def readJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** Partitioned JDBC read — the scale path: N executors each issue a
+    * range-bounded query on `partCol` instead of one connection
+    * streaming the whole table through the driver. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partCol: String, lower: Long, upper: Long, numParts: Int,
+      props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partCol, lower, upper, numParts, props)
 
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties, mode: SaveMode = SaveMode.Append): Unit =

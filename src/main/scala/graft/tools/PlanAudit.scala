@@ -43,7 +43,10 @@ object PlanAudit {
       "etl_ks_test", "etl_psi", "ev_dau_stickiness",
       // the shared IVF build's 1-row collapsed-centroid broadcasts
       // (same subtree as ann_ivf_assign)
-      "ann_knn_graph")
+      "ann_knn_graph",
+      // vocab × broadcast-vocab distance table (64 distinct names):
+      // the distinct-name levenshtein collapse — never corpus-scale
+      "etl_record_linkage")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -375,6 +375,79 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("registry-wide: no window sorts a whole low-cardinality group in one task") {
+    // Sweeps EVERY registry plan — round 7's text_ngram_freq 7×
+    // regression (an unsalted per-lang row_number) escaped the
+    // hand-listed check above, so new queries must fail by default. A
+    // WindowExec partitioned by ≤1 key funnels each group into one
+    // task; with a single HIGH-cardinality key (user_id, doc_id,
+    // probe_id…) per-group input stays corpus/|keys| and that's fine,
+    // but over a LOW-cardinality key (or no key at all) the window's
+    // input must be bounded. Accepted bounds, in order:
+    //   (a) structure: a rank-filter over an inner window below this
+    //       window (the salted two-phase pattern), or a limit /
+    //       TakeOrdered / WindowGroupLimit child;
+    //   (b) an allowlisted (query, key) whose input is a documented
+    //       bookkeeping relation — each entry carries its reason.
+    // A plain FilterExec or aggregate child is NOT accepted: the old
+    // text_ngram_freq window had both (a token-size filter and a
+    // (lang, bigram) count agg) and still sorted every distinct bigram
+    // of a language in one task.
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    val lowCard = Set("lang", "source", "event_type", "n_name", "r_name",
+      "from_type", "to_type", "o_orderpriority", "o_orderstatus",
+      "l_returnflag", "l_linestatus", "cohort_week", "shard", "p_brand",
+      "blk", "label", "flag")
+    val bookkeeping: Map[(String, String), String] = Map(
+      ("etl_cell_suppression", "n_name") -> "nations×segments cell table, ≤125 rows",
+      ("etl_gini", "n_name") -> "200-range-bucket offset stitch (≤25×200 rows)",
+      ("etl_winsorize", "event_type") -> "type × 2-dp-value bounded domain",
+      ("ev_markov_transitions", "from_type") -> "type×type transition cells",
+      ("ev_survival", "cohort_week") -> "cohort × duration-hour calendar-bounded KM table",
+      ("pipe_pack_sequences", "shard") -> "per-shard packing is order-dependent by definition; shard count is the parallelism knob",
+      ("pipe_token_budget", "source") -> "source×16 md5-nibble bucket offsets",
+      ("q34_rank_family", "o_orderpriority") -> "≤5×200 range-bucket offset stitch",
+      ("etl_surrogate_key", "") -> "distinct c_mktsegment dimension (5 rows)",
+      ("etl_compaction_plan", "") -> "month-partition list, one row per month",
+      ("etl_ks_test", "") -> "2-dp value domain bookkeeping",
+      ("etl_seasonal_ma", "") -> "daily-grain calendar relation",
+      ("ev_cumulative_users", "") -> "daily-grain calendar relation",
+      ("ev_growth_accounting", "") -> "daily-grain calendar relation")
+
+    def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
+      case _: GlobalLimitExec => ()
+      case _: LocalLimitExec => ()
+      case _: TakeOrderedAndProjectExec => ()
+      case _: WindowGroupLimitExec => ()
+      case f: FilterExec if f.child.collectFirst { case w: WindowExec => w }.nonEmpty => ()
+    }.nonEmpty
+
+    val violations = Seq.newBuilder[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val phys = fn(spark, sf).queryExecution.sparkPlan
+      phys.collect { case w: WindowExec => w }.foreach { w =>
+        val keys = w.partitionSpec.map {
+          case a: Attribute => a.name
+          case e => e.sql
+        }
+        val suspect = keys.isEmpty ||
+          (keys.size == 1 && lowCard.contains(keys.head))
+        if (suspect) {
+          val key = keys.headOption.getOrElse("")
+          if (!boundedByStructure(w.child) &&
+              !bookkeeping.contains((name, key)))
+            violations += s"$name: WindowExec PARTITION BY (${
+              if (key.isEmpty) "<global>" else key}) over unbounded input"
+        }
+      }
+    }
+    val v = violations.result()
+    assert(v.isEmpty, "single-task-sort hazards:\n" + v.mkString("\n"))
+  }
+
   test("shingle pipelines evaluate the tokenizer exactly once") {
     // regression guard: CollapseProject inlining the regexp into
     // per-element lambdas is an O(n^2)-regexp trap (see Dedup.shingled)

@@ -110,7 +110,22 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            want = con.execute(sql).df()
+            rel = con.sql(sql)
+            # Driver-gate guard (round-7 lesson, pipe_token_budget): a
+            # DuckDB window sum over BIGINT yields HUGEINT; pandas
+            # silently converts it to float64 so the value compare below
+            # passes, but the driver's hash sees the type and fails.
+            # Reject any non-standard integer oracle column here.
+            bad_oracle = [c for c, t in zip(rel.columns, rel.types)
+                          if str(t).upper() in ("HUGEINT", "UHUGEINT",
+                                                "UBIGINT", "UINTEGER")]
+            if bad_oracle:
+                print(f"FAIL {name}: oracle columns {bad_oracle} have "
+                      f"HUGEINT-class types — CAST them to BIGINT in the "
+                      f"oracle SQL (driver hash mismatch)")
+                n_fail += 1
+                continue
+            want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
