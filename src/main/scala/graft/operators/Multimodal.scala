@@ -9,17 +9,25 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * run batched per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`decodeStub`) — what is real and
-  * tested is the Spark-side shape: binary columns through the plan,
-  * typed metadata extraction, and partition-batched feature extraction
-  * with a fixed output schema (the `mapPartitions` seam is exactly
-  * where a JNI/FFI decoder would slot in).
+  * The container has no image/audio codecs or sample images, so
+  * payloads are CONSTRUCTED — but as format-valid bytes (PNG signature
+  * + IHDR chunk; JPEG SOI/APP0/COM/SOF0 marker stream), and the decode
+  * step is a REAL header parser over public format layouts: PNG width/
+  * height are the big-endian 32-bit words inside the IHDR chunk, and
+  * the JPEG parser walks the marker stream (each doc's COM segment
+  * length varies, so SOF0 sits at a variable offset — a fixed-offset
+  * cheat would fail) to the SOF0 frame header. The parse runs in the
+  * partition-batched `mapPartitions` seam where a full JNI/FFI codec
+  * would slot in, and the DuckDB oracle recomputes the dimensions each
+  * payload was built with — any parser that misreads the bytes
+  * hash-fails.
   */
 object Multimodal {
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic
-    * fake: 8 "channel" features from byte-stripe sums, normalized. */
+  /** STUB decoder: stands in for a pixel-level codec (the container has
+    * none). Deterministic fake: 8 "channel" features from byte-stripe
+    * sums, normalized. Header DIMENSION decode does not use this — see
+    * [[parseDims]], which is a real format parser. */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     val n = payload.length.max(1)
     val stripe = math.max(n / 8, 1)
@@ -32,12 +40,119 @@ object Multimodal {
     }.toArray
   }
 
-  /** Scalar feature columns (not array<double>): the driver's rows-only
-    * check sorts rows in pandas, which cannot order array cells. */
-  final case class MmFeature(
-      doc_id: Long, n_bytes: Int, n_stripes: Int,
-      f0: Double, f1: Double, f2: Double, f3: Double,
-      f4: Double, f5: Double, f6: Double, f7: Double)
+  /** Deterministic media dimensions for doc `id` — the values payloads
+    * are BUILT with and the oracle recomputes. */
+  private def dimsOf(id: Long): (Int, Int) =
+    (((id * 37) % 640 + 32).toInt, ((id * 101) % 480 + 32).toInt)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  /** Format-valid media payload for doc `id`: even ids → minimal PNG
+    * (8-byte signature, IHDR chunk with BE32 dims, zeroed CRC — the
+    * parser, like most fast-path header readers, does not validate
+    * CRCs); odd ids → minimal JPEG (SOI, JFIF APP0, a COM segment
+    * whose length depends on the id, SOF0 with BE16 height/width,
+    * EOI). */
+  def buildPayload(id: Long): Array[Byte] = {
+    val (w, h) = dimsOf(id)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) {
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte), 0, 8)
+      out.write(be32(13), 0, 4)                       // IHDR data length
+      out.write("IHDR".getBytes("US-ASCII"), 0, 4)
+      out.write(be32(w), 0, 4)
+      out.write(be32(h), 0, 4)
+      // bit depth 8, color type 2 (truecolor), compression/filter/interlace 0
+      out.write(Array(8, 2, 0, 0, 0).map(_.toByte), 0, 5)
+      out.write(be32(0), 0, 4)                        // CRC (unvalidated)
+    } else {
+      out.write(Array(0xFF, 0xD8).map(_.toByte), 0, 2)              // SOI
+      out.write((Array(0xFF, 0xE0, 0x00, 0x10) ++                   // APP0
+        "JFIF".getBytes("US-ASCII").map(_.toInt) ++
+        Array(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00))
+        .map(_.toByte), 0, 18)
+      val k = (id % 7 + 3).toInt                      // variable COM length
+      out.write(Array(0xFF, 0xFE).map(_.toByte), 0, 2)
+      out.write(be16(2 + k), 0, 2)
+      out.write(Array.fill(k)('x'.toByte), 0, k)
+      out.write(Array(0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte), 0, 5) // SOF0
+      out.write(be16(h), 0, 2)
+      out.write(be16(w), 0, 2)
+      out.write(Array(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01,
+        0x03, 0x11, 0x01).map(_.toByte), 0, 10)
+      out.write(Array(0xFF, 0xD9).map(_.toByte), 0, 2)              // EOI
+    }
+    out.toByteArray
+  }
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** REAL header decode over public format layouts. PNG: verify the
+    * 8-byte signature, then width/height are BE32 at offsets 16/20
+    * (inside the IHDR chunk, whose data begins after the 4-byte length
+    * and 4-byte type). JPEG: verify SOI, then WALK the marker stream —
+    * skip each segment by its BE16 length — until a SOF0-SOF3 frame
+    * header (0xC0-0xC3), whose payload is [precision, height BE16,
+    * width BE16]. Returns (fmt, width, height); unknown bytes →
+    * ("unknown", -1, -1). */
+  def parseDims(p: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length >= 24 && p.take(8).sameElements(PngSig) &&
+        new String(p.slice(12, 16), "US-ASCII") == "IHDR")
+      ("png", u32(16), u32(20))
+    else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 8 < p.length && u8(i) == 0xFF) {
+        val m = u8(i + 1)
+        if (m >= 0xC0 && m <= 0xC3)                   // SOF0-SOF3
+          return ("jpeg", u16(i + 7), u16(i + 5))
+        else if (m == 0xD9 || m == 0xDA)              // EOI / SOS
+          return ("jpeg", -1, -1)
+        else i += 2 + u16(i + 2)                      // skip by length
+      }
+      ("jpeg", -1, -1)
+    } else ("unknown", -1, -1)
+  }
+
+  /** Decoded header row; scalar columns (driver row-sort cannot order
+    * array cells). */
+  final case class MmDecoded(
+      doc_id: Long, fmt: String, width: Int, height: Int, n_bytes: Int)
+
+  /** The decode seam shared by mm_feature and mm_resize: construct the
+    * payload, parse its header back — batched per partition in groups
+    * of 64 (the codec-call batch shape), never row-at-a-time across a
+    * process boundary. */
+  private def decodedDims(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          // codec batch call happens here, once per `batch`
+          batch.map { id =>
+            val payload = buildPayload(id)
+            val (fmt, w, h) = parseDims(payload)
+            MmDecoded(id, fmt, w, h, payload.length)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Oracle arithmetic for the built payload sizes: PNG = 8 sig + 25
+    * IHDR chunk; JPEG = 2 SOI + 18 APP0 + (4 + k) COM + 19 SOF0 +
+    * 2 EOI with k = id%7 + 3. */
+  private val nBytesSql =
+    "CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 45 + (doc_id % 7 + 3) END"
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -66,29 +181,28 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
-    // Resize planning: target box fit (224×224) preserving aspect ratio,
-    // computed from the typed metadata in pure integer/double arithmetic
-    // (the real resample would run in the batched decode seam below —
-    // the PLAN of what to resize to is engine-checkable, and is what a
-    // scheduler shards work by). Dims are byte-length-derived fakes like
-    // mm_meta's, shifted by +32 so both sides of the aspect-ratio
-    // division are provably nonzero (mm_meta's raw dims can be 0).
+    // Resize planning: target box fit (224×224) preserving aspect
+    // ratio, computed from dimensions PARSED out of the payload header
+    // bytes by the real decoder (the mm_feature seam) — the real
+    // resample would consume the same decode batch; the PLAN of what
+    // to resize to is engine-checkable and is what a scheduler shards
+    // work by. Dims are ≥32 by construction so both sides of the
+    // aspect-ratio division are provably nonzero.
     "mm_resize" -> QueryDef.withOracle(
       """WITH m AS (
         |  SELECT doc_id,
-        |    octet_length(encode(text)) % 640 + 32 AS w,
-        |    (octet_length(encode(text)) * 7) % 480 + 32 AS h
+        |    (doc_id * 37) % 640 + 32 AS w,
+        |    (doc_id * 101) % 480 + 32 AS h
         |  FROM documents)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(CASE WHEN w * 224 <= h * 224 THEN round(w * 224.0 / h) ELSE 224 END AS BIGINT) AS out_w,
         |  CAST(CASE WHEN w * 224 <= h * 224 THEN 224 ELSE round(h * 224.0 / w) END AS BIGINT) AS out_h,
         |  w * 224 > h * 224 AS landscape
         |FROM m""".stripMargin) { (s, dir) =>
-      val byteLen = length(col("text").cast(BinaryType))
-      Tables.documents(s, dir)
+      decodedDims(s, dir)
         .select(col("doc_id"),
-          (byteLen % 640 + 32).cast(LongType).as("w"),
-          ((byteLen * 7) % 480 + 32).cast(LongType).as("h"))
+          col("width").cast(LongType).as("w"),
+          col("height").cast(LongType).as("h"))
         .select(col("doc_id"), col("w").as("width"), col("h").as("height"),
           when(col("w") * 224 <= col("h") * 224,
             round(col("w") * lit(224.0) / col("h")).cast(LongType))
@@ -123,25 +237,22 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
-    // Partition-batched feature extraction through the stub decoder.
-    // Batching shape is real: payloads are processed per-partition in
-    // groups of 64 (the codec-call batch), never row-at-a-time across a
-    // process boundary. Rows-only (the stub is engine-specific).
-    "mm_feature" -> QueryDef.rowsOnly { (s, dir) =>
-      import s.implicits._
-      val src = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-        .as[(Long, Array[Byte])]
-      src.mapPartitions { it =>
-        it.grouped(64).flatMap { batch =>
-          // codec batch call would happen here, once per `batch`
-          batch.map { case (id, payload) =>
-            val f = decodeStub(payload)
-            MmFeature(id, payload.length, f.length,
-              f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
-          }
-        }
-      }.toDF()
+    // Partition-batched header decode through REAL format parsers (see
+    // object Scaladoc): PNG IHDR BE32 words / JPEG marker-stream walk
+    // to SOF0. The oracle recomputes the dimensions and byte sizes the
+    // payloads were built with — a parser that misreads a single byte
+    // (wrong offset, wrong endianness, fixed-offset SOF0 assumption)
+    // hash-fails. Batching shape: payloads processed per-partition in
+    // groups of 64 (the codec-call batch), never row-at-a-time across
+    // a process boundary.
+    "mm_feature" -> QueryDef.withOracle(
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         |  CAST((doc_id * 37) % 640 + 32 AS INT) AS width,
+         |  CAST((doc_id * 101) % 480 + 32 AS INT) AS height,
+         |  CAST($nBytesSql AS INT) AS n_bytes
+         |FROM documents""".stripMargin) { (s, dir) =>
+      decodedDims(s, dir)
     },
 
     // ------------------------------------------------------------------
@@ -202,6 +313,10 @@ object Multimodal {
         |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
       val nChunks = ceil(length(col("text")) / 16.0).cast(IntegerType)
       Tables.documents(s, dir)
+        // empty-text guard: sequence(0, -1) would auto-step -1 and
+        // yield [0, -1] — two phantom md5("") chunks per empty doc
+        // where the oracle's range(0, 0) yields none
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), nChunks - 1),
           i => col("text").substr(i * 16 + 1, lit(16)))).as("chunk"))

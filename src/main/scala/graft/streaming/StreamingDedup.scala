@@ -18,11 +18,17 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   *  - state per bucket is bounded by [[graft.operators.Dedup.MaxBandBucket]]
   *    (a corpus-wide boilerplate band fills once and stops emitting —
   *    the same safety valve as the batch cap, applied incrementally);
-  *  - the candidate SET equals the batch band self-join's on the same
-  *    corpus, whatever the arrival order or batching (pairs are
-  *    emitted (min, max) and multi-band duplicates dedup downstream) —
-  *    StreamingDedupSpec asserts set equality against the batch
-  *    construction at two different `maxFilesPerTrigger` batchings.
+  *  - on corpora where no band bucket exceeds the cap, the candidate
+  *    SET equals the batch band self-join's, whatever the arrival
+  *    order or batching (pairs are emitted (min, max) and multi-band
+  *    duplicates dedup downstream) — StreamingDedupSpec asserts set
+  *    equality against the batch construction at two different
+  *    `maxFilesPerTrigger` batchings. In the OVER-cap regime the two
+  *    operators intentionally diverge: the batch cap drops a hot
+  *    bucket whole (zero pairs, deterministic), while the streaming
+  *    processor has already emitted C(cap, 2) pairs among whichever
+  *    cap members arrived first — an arrival-order-dependent set. Both
+  *    bound state and output; only the batch form is replayable.
   */
 object StreamingDedup {
 

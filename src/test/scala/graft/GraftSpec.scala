@@ -177,6 +177,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(zTouched <= 8, s"z-order bounding boxes too loose: $zTouched files")
   }
 
+  test("z-order data-skipping reader consults the manifest and skips files") {
+    // closes the loop the planner opens: the manifest is CONSUMED by a
+    // reader whose scan provably touches fewer partitions than exist
+    import graft.sources.ZorderLayout
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zread").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ZorderLayout.writeZordered(o, tmp, "o_custkey", "o_totalprice")
+    val mm = o.agg(fmin(col("o_custkey")), fmax(col("o_custkey")),
+      fmin(col("o_totalprice")), fmax(col("o_totalprice"))).head()
+    val (minc, maxc, minp, maxp) =
+      (mm.getLong(0), mm.getLong(1), mm.getDouble(2), mm.getDouble(3))
+    // the same middle-1/8 box as the planner spec above
+    val (ckLo, ckHi) = (minc + (maxc - minc) * 7 / 16, minc + (maxc - minc) * 9 / 16)
+    val (pLo, pHi) = (minp + (maxp - minp) * 7 / 16, minp + (maxp - minp) * 9 / 16)
+    val cand = ZorderLayout.readBox(spark, tmp,
+      ckLo.toDouble, ckHi.toDouble, pLo, pHi)
+    val got = cand.filter(col("o_custkey").between(ckLo, ckHi) &&
+      col("o_totalprice").between(pLo, pHi))
+    // correctness: manifest pruning loses no rows
+    val expected = o.filter(col("o_custkey").between(ckLo, ckHi) &&
+      col("o_totalprice").between(pLo, pHi)).count()
+    assert(got.count() == expected, "data-skipping read must lose no rows")
+    assert(expected > 0, "box query must select something for the test to bite")
+    // skipping: the scan touches only the manifest-surviving partitions
+    val scan = got.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    val touched = scan.selectedPartitions.partitionCount
+    info(s"scan touches $touched of ${ZorderLayout.NumFiles} z-files")
+    assert(touched < ZorderLayout.NumFiles, "reader must skip files")
+    assert(touched <= 8, s"z-order boxes too loose: $touched files touched")
+  }
+
   test("partitioned write enables partition pruning") {
     import graft.sources.Connectors
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
@@ -252,6 +288,26 @@ class OperatorSmokeSpec extends AnyFunSuite {
     val f2 = Multimodal.decodeStub("hello world, a payload".getBytes)
     assert(f1.toSeq == f2.toSeq)
     assert(f1.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("media header parser round-trips built payloads and rejects junk") {
+    // round trip at both parities (png even / jpeg odd), including ids
+    // that vary the JPEG COM length (SOF0 offset moves per id)
+    for (id <- Seq(0L, 1L, 2L, 7L, 12L, 13L, 999L, 1000L)) {
+      val (fmt, w, h) = Multimodal.parseDims(Multimodal.buildPayload(id))
+      assert(fmt == (if (id % 2 == 0) "png" else "jpeg"), s"id=$id")
+      assert(w == ((id * 37) % 640 + 32).toInt, s"id=$id width")
+      assert(h == ((id * 101) % 480 + 32).toInt, s"id=$id height")
+    }
+    // junk and truncation must degrade, never throw
+    assert(Multimodal.parseDims("not an image".getBytes)._1 == "unknown")
+    assert(Multimodal.parseDims(Array[Byte]())._1 == "unknown")
+    val png = Multimodal.buildPayload(4L)
+    assert(Multimodal.parseDims(png.take(10))._1 == "unknown") // cut mid-IHDR
+    val jpg = Multimodal.buildPayload(5L)
+    // cut before SOF0: parser walks off the marker stream → no dims
+    val cut = Multimodal.parseDims(jpg.take(24))
+    assert(cut == (("jpeg", -1, -1)) || cut._1 == "unknown")
   }
 }
 
@@ -484,6 +540,36 @@ class BottomKSampleSpec extends AnyFunSuite {
       .agg(graft.functions.Vectors.bottomkSample(spark, col("id"), 10).as("ids"))
       .head().getSeq[Long](1)
     assert(got.toSet == Set(1L, 2L, 3L))
+  }
+}
+
+class TopKByKeyStrSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("string-keyed top-k is invariant under repartitioning (merge correctness)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def top(parts: Int): Map[String, Seq[(String, Double)]] =
+      docs.repartition(parts)
+        .groupBy(col("source"))
+        .agg(graft.functions.Vectors.topkByStrKey(spark,
+          col("n_chars").cast("double"), col("lang"), 3).as("tk"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+            e.getString(0) -> e.getDouble(1))).toMap
+    val a = top(1)
+    val b = top(17)
+    assert(a == b)
+  }
+
+  test("ties break by binary string order, ascending") {
+    import spark.implicits._
+    val tiny = Seq(("g", 5.0, "bb"), ("g", 5.0, "aa"), ("g", 5.0, "cc"),
+      ("g", 9.0, "zz")).toDF("g", "v", "id")
+    val got = tiny.groupBy(col("g"))
+      .agg(graft.functions.Vectors.topkByStrKey(spark, col("v"), col("id"), 3).as("tk"))
+      .selectExpr("transform(tk, e -> e.id) AS ids")
+      .head().getSeq[String](0)
+    assert(got == Seq("zz", "aa", "bb"))
   }
 }
 
