@@ -450,6 +450,53 @@ object ScaleStress {
         .count()
     }
     pairs.unpersist()
+
+    // --- record-linkage blocking: fixed-domain key vs the hot-block cap ---
+    // etl_record_linkage's blocking key has a FIXED ~200-value domain,
+    // so block sizes grow linearly with the register and candidate
+    // pairs Σblock² quadratically: doubling the rows must measure ~4×
+    // the uncapped candidates. The 1024-member cap drops over-cap
+    // blocks whole, bounding candidates at Σ_surviving block² ≤
+    // |blocks|·cap² — a constant w.r.t. corpus size. Block sizes are
+    // skewed (triangular density via the squared hash) so the cap
+    // BITES progressively: at the smaller scale most blocks survive,
+    // at the larger scale the hot ones go — measured counts must stay
+    // under the printed bound while the uncapped count quadruples.
+    val linkCap = 1024L
+    for (recs <- Seq(200000L, 400000L)) {
+      val hx = pmod(hash(col("id")), lit(200))
+      val reg = spark.range(recs).select(col("id").as("rec_id"),
+        ((hx * hx) / 200).cast(IntegerType).as("blk"),
+        concat(lit("name"), pmod(hash(col("id"), lit(1)), lit(64))).as("nm"))
+        .persist()
+      reg.count()
+      val ra = reg.select(col("rec_id").as("ra"), col("blk"))
+      val rb = reg.select(col("rec_id").as("rb"), col("blk"))
+      time(s"linkage candidates UNCAPPED ($recs recs, fixed 200-value key)") {
+        ra.join(rb, Seq("blk")).filter(col("ra") < col("rb")).count()
+      }
+      val okB = reg.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= linkCap).select(col("blk"))
+      val capped = reg.join(broadcast(okB), Seq("blk")).persist()
+      capped.count()
+      val ca = capped.select(col("rec_id").as("ra"), col("nm").as("na"), col("blk"))
+      val cb = capped.select(col("rec_id").as("rb"), col("nm").as("nb"), col("blk"))
+      time(s"linkage candidates CAPPED at $linkCap (bound ≈ ${200 * linkCap * linkCap / 2} pairs at ANY scale)") {
+        ca.join(cb, Seq("blk")).filter(col("ra") < col("rb")).count()
+      }
+      // full capped linkage with the distinct-name scoring collapse:
+      // the 64-vocab distance table is built once and broadcast, so
+      // scoring adds a hash-probe per candidate, never an edit DP
+      val vocab = capped.select(col("nm")).distinct()
+      val dtab = vocab.toDF("na").crossJoin(broadcast(vocab.toDF("nb")))
+        .withColumn("lev", levenshtein(col("na"), col("nb"), 4))
+        .filter(col("lev") >= 0)
+      time(s"linkage CAPPED + distinct-name scored ($recs recs)") {
+        ca.join(cb, Seq("blk")).filter(col("ra") < col("rb"))
+          .join(broadcast(dtab), Seq("na", "nb")).count()
+      }
+      capped.unpersist(); reg.unpersist()
+    }
     spark.stop()
   }
 }
