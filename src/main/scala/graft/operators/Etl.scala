@@ -2058,6 +2058,69 @@ object Etl {
             / col("n"), 9).as("mean_wins"))
         .select(col("event_type"), col("n"), col("p05"), col("p95"),
           col("n_lo"), col("n_hi"), col("mean_raw"), col("mean_wins"))
+    },
+
+    // ------------------------------------------------------------------
+    // Chi-square test of independence between two categorical columns
+    // (order status × priority) — the association screen a statistical
+    // agency runs before publishing a cross-tabulation. One corpus scan
+    // collapses to the contingency table (map-side combine to
+    // ≤|statuses|×|priorities| rows); margins, totals and the statistic
+    // all ride that tiny relation, so nothing downstream scales with
+    // row count. Per-cell (o−e)²/e terms are snapped to ×10⁹ fixed
+    // point before the sum (the text_bigram_lm discipline): an
+    // unordered double sum is partitioning-dependent, an exact long sum
+    // is not. Margins multiply as doubles (a BIGINT rtot·ctot product
+    // overflows at ~10¹² rows).
+    "etl_chisq_independence" -> QueryDef.withOracle(
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS rs, o_orderpriority AS cs,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT rs, CAST(sum(o) AS BIGINT) AS rtot FROM obs GROUP BY rs),
+        |ct AS (SELECT cs, CAST(sum(o) AS BIGINT) AS ctot FROM obs GROUP BY cs),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT rs) AS BIGINT) AS nr,
+        |               CAST(count(DISTINCT cs) AS BIGINT) AS nc FROM obs),
+        |cell AS (
+        |  SELECT tot.n, tot.nr, tot.nc,
+        |    CAST(floor(
+        |      (obs.o - CAST(rt.rtot AS DOUBLE) * ct.ctot / tot.n)
+        |      * (obs.o - CAST(rt.rtot AS DOUBLE) * ct.ctot / tot.n)
+        |      / (CAST(rt.rtot AS DOUBLE) * ct.ctot / tot.n)
+        |      * 1000000000 + 0.5) AS BIGINT) AS t_fp
+        |  FROM obs JOIN rt USING (rs) JOIN ct USING (cs) CROSS JOIN tot)
+        |SELECT n, CAST(nr AS INT) AS n_rows, CAST(nc AS INT) AS n_cols,
+        |  CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+        |  CAST(sum(t_fp) AS BIGINT) / 1.0e9 AS chi2,
+        |  floor(sqrt((CAST(sum(t_fp) AS BIGINT) / 1.0e9)
+        |      / (n * least(nr - 1, nc - 1))) * 1000000000 + 0.5) / 1.0e9
+        |    AS cramers_v
+        |FROM cell GROUP BY n, nr, nc""".stripMargin) { (s, dir) =>
+      val obs = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("rs"), col("o_orderpriority").as("cs"))
+        .agg(count(lit(1)).as("o"))
+        .persist() // ≤15 rows; feeds margins, totals and the cell join
+      val rt = obs.groupBy(col("rs")).agg(sum(col("o")).as("rtot"))
+      val ct = obs.groupBy(col("cs")).agg(sum(col("o")).as("ctot"))
+      val tot = obs.agg(sum(col("o")).as("n"),
+        countDistinct(col("rs")).as("nr"), countDistinct(col("cs")).as("nc"))
+      val e = col("rtot").cast(DoubleType) * col("ctot") / col("n")
+      val tFp = floor((col("o") - e) * (col("o") - e) / e
+        * lit(1.0e9) + lit(0.5)).cast(LongType)
+      obs.join(broadcast(rt), Seq("rs")).join(broadcast(ct), Seq("cs"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("nr"), col("nc"), tFp.as("t_fp"))
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sum(col("t_fp")).as("s"))
+        .select(col("n"),
+          col("nr").cast(IntegerType).as("n_rows"),
+          col("nc").cast(IntegerType).as("n_cols"),
+          ((col("nr") - 1) * (col("nc") - 1)).cast(IntegerType).as("dof"),
+          (col("s") / lit(1.0e9)).as("chi2"),
+          (floor(sqrt((col("s") / lit(1.0e9))
+            / (col("n") * least(col("nr") - 1, col("nc") - 1)))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("cramers_v"))
     }
   )
 }

@@ -997,6 +997,57 @@ object Temporal {
         .groupBy(col("user_id"), col("signup_s"), col("click_s"))
         .agg(min(col("ts_s")).as("purchase_s"))
         .withColumn("total_delay_s", col("purchase_s") - col("signup_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // CUSUM changepoint screen per event type: cumulative deviation of
+    // daily counts from the type's mean rate; the |cusum| peak marks
+    // the most likely level-shift day (Page's classic statistic over
+    // the daily grain). The corpus pays ONE map-side-combined
+    // (type, day) count; every window after that rides the
+    // calendar-bounded type×day relation. Deviations stay in exact
+    // integer space (n·D − T, the clean common-denominator trick) so
+    // the running sum is order-invariant; the ÷D happens once at
+    // output, snapped to ×10⁹ fixed point.
+    "ev_changepoint_cusum" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(n) AS BIGINT) AS total FROM d GROUP BY event_type),
+        |c AS (
+        |  SELECT d.event_type, d.day, d.n, t.n_days,
+        |    CAST(sum(d.n * t.n_days - t.total) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum_fp
+        |  FROM d JOIN t USING (event_type)),
+        |m AS (SELECT event_type, max(abs(cusum_fp)) AS mx
+        |      FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.day, c.n,
+        |  CAST(floor(CAST(c.cusum_fp AS DOUBLE) * 1000000000 / c.n_days + 0.5)
+        |    AS BIGINT) / 1.0e9 AS cusum,
+        |  abs(c.cusum_fp) = m.mx AS is_peak
+        |FROM c JOIN m USING (event_type)""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // type×day bookkeeping; feeds totals + the cusum walk
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.join(broadcast(t), "event_type")
+        .withColumn("cusum_fp",
+          sum(col("n") * col("n_days") - col("total")).over(wc))
+      val m = c.groupBy(col("event_type")).agg(max(abs(col("cusum_fp"))).as("mx"))
+      c.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          (floor(col("cusum_fp").cast(DoubleType) * lit(1.0e9) / col("n_days")
+            + lit(0.5)).cast(LongType) / lit(1.0e9)).as("cusum"),
+          (abs(col("cusum_fp")) === col("mx")).as("is_peak"))
     }
   )
 

@@ -28,6 +28,42 @@ object Training {
     * test source; a knob in production). */
   private val TokenBudget = 800
 
+  /** pipe_bpe_merges: number of merge rounds to learn (a knob; real
+    * tokenizers run tens of thousands — the per-round plan is
+    * identical at any count). */
+  private val BpeMerges = 8
+
+  /** DuckDB oracle for pipe_bpe_merges, generated for [[BpeMerges]]
+    * rounds: each round is three CTEs (adjacent-pair counts over the
+    * delimited symbol strings, the arg-max pair, the merged word
+    * table). `replace()` on the `<a><b>` encoding is safe because
+    * occurrences can never overlap or straddle symbol boundaries —
+    * tokens are [a-z0-9]+ so `<`/`>` are reserved delimiters. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s""",p${r}a AS (SELECT freq, string_split(substr(syms, 2, length(syms) - 2), '><') AS l FROM w${r - 1}),
+         |p${r}b AS (SELECT freq, unnest(range(1, len(l))) AS i, l FROM p${r}a WHERE len(l) >= 2),
+         |p$r AS (SELECT l[i] AS x, l[i + 1] AS y, CAST(sum(freq) AS BIGINT) AS freq
+         |  FROM p${r}b GROUP BY x, y),
+         |t$r AS (SELECT x, y, freq FROM p$r ORDER BY freq DESC, x ASC, y ASC LIMIT 1),
+         |w$r AS (SELECT replace(w.syms, '<' || t.x || '><' || t.y || '>',
+         |    '<' || t.x || t.y || '>') AS syms, w.freq AS freq
+         |  FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
+    }.mkString("\n")
+    val ranks = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS rank, x, y, freq FROM t$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${TextOps.toksSql("text")}) AS w FROM documents)
+       |  GROUP BY w)
+       |$rounds
+       |SELECT CAST(rank AS INT) AS rank, x, y, x || y AS merged, freq
+       |FROM (
+       |  $ranks)""".stripMargin
+  }
+
   /** Portable shard id: 60-bit md5 of the doc id string, mod nShards —
     * bit-identical in DuckDB (('0x'||substr(md5(x),1,15))::BIGINT), so
     * the whole shard layout is oracle-reproducible. Production swaps in
@@ -313,6 +349,54 @@ object Training {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           (col("off") + col("cum_local")).as("cum_tokens"))
         .filter(col("cum_tokens") <= TokenBudget)
+    },
+
+    // ------------------------------------------------------------------
+    // Distributed BPE merge learning — the tokenizer-training core.
+    // ONE corpus-scale step (the word-frequency groupBy, map-side
+    // combined); every merge round after that rides the persisted
+    // DISTINCT-WORD table, which is vocabulary-sized (Zipf: sublinear
+    // in corpus bytes — at 100 TB it's millions of rows, not billions).
+    // Words are kept as `<s><y><m>`-delimited strings so a merge is a
+    // plain codegen'd `replace()` — the delimiters make occurrences
+    // non-overlapping, so left-to-right replace-all equals the greedy
+    // sequential BPE merge on both engines. Per round: one keyed pair
+    // count + a 1-row arg-max collect (the k-means/Lloyd driver-loop
+    // pattern — the round count is a constant knob, never data-sized).
+    // Deterministic by construction: exact long counts and a total
+    // (freq DESC, x, y) tie-break.
+    "pipe_bpe_merges" -> QueryDef.withOracle(bpeOracleSql) { (s, dir) =>
+      val wf = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
+        .persist() // vocab-sized; scanned once per merge round
+      var cur = wf
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to BpeMerges) {
+        val top = cur
+          .select(col("freq"),
+            split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("x"),
+              element_at(col("l"), i + 1).as("y")))).as("b"))
+          .select(col("freq"), col("b.x").as("x"), col("b.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(sum(col("freq")).as("freq"))
+          .orderBy(col("freq").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        assert(top.nonEmpty,
+          s"BPE round $r: no pairs left — BpeMerges exceeds the corpus")
+        val x = top(0).getString(0)
+        val y = top(0).getString(1)
+        merges += ((r, x, y, x + y, top(0).getLong(2)))
+        // tokens are [a-z0-9]+ → x/y embed literally in the expression
+        cur = cur.withColumn("syms",
+          expr(s"replace(syms, '<$x><$y>', '<$x$y>')"))
+      }
+      import s.implicits._
+      merges.result().toDF("rank", "x", "y", "merged", "freq")
     }
   )
 }

@@ -46,7 +46,9 @@ object PlanAudit {
       "ann_knn_graph",
       // vocab × broadcast-vocab distance table (64 distinct names):
       // the distinct-name levenshtein collapse — never corpus-scale
-      "etl_record_linkage")
+      "etl_record_linkage",
+      // 1-row broadcast: the (n, nr, nc) contingency-total anchor
+      "etl_chisq_independence")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

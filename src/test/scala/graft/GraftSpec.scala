@@ -462,6 +462,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_gini", "n_name") -> "200-range-bucket offset stitch (≤25×200 rows)",
       ("etl_winsorize", "event_type") -> "type × 2-dp-value bounded domain",
       ("ev_markov_transitions", "from_type") -> "type×type transition cells",
+      ("ev_changepoint_cusum", "event_type") -> "type×day calendar-bounded daily counts",
       ("ev_survival", "cohort_week") -> "cohort × duration-hour calendar-bounded KM table",
       ("pipe_pack_sequences", "shard") -> "per-shard packing is order-dependent by definition; shard count is the parallelism knob",
       ("pipe_token_budget", "source") -> "source×16 md5-nibble bucket offsets",
@@ -1935,5 +1936,65 @@ class EventsEncodingSpec extends AnyFunSuite {
     val s2 = graft.sources.Tables.eventsTimed(spark, tsDir)
       .select("event_id", "ts_s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(s1 == s2)
+  }
+}
+
+class StatScreenSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("chi-square independence: dof arithmetic, non-negative statistic, V in [0,1]") {
+    val r = SparkEntry.queries("etl_chisq_independence")(spark, sf).head()
+    val (nRows, nCols, dof) = (r.getAs[Int]("n_rows"), r.getAs[Int]("n_cols"),
+      r.getAs[Int]("dof"))
+    assert(dof == (nRows - 1) * (nCols - 1))
+    val chi2 = r.getAs[Double]("chi2")
+    val v = r.getAs[Double]("cramers_v")
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("CUSUM walk returns to zero on the last day and flags >=1 peak per type") {
+    // sum over all days of (n_d*D - T) telescopes to T*D - D*T = 0, so
+    // the final cumulative deviation is exactly zero for every type —
+    // an integer-space invariant any correct implementation must hit.
+    val df = SparkEntry.queries("ev_changepoint_cusum")(spark, sf)
+    import org.apache.spark.sql.functions._
+    val last = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day").desc)))
+      .filter(col("rn") === 1)
+    assert(last.filter(col("cusum") =!= 0.0).count() == 0,
+      "per-type CUSUM must telescope to exactly 0 on the final day")
+    val types = df.select("event_type").distinct().count()
+    val peaked = df.filter(col("is_peak")).select("event_type").distinct().count()
+    assert(peaked == types, "every type must flag at least one peak day")
+  }
+
+  test("BPE merges: ranked 1..K, merged = x||y, and the first merge is the modal pair") {
+    val rows = SparkEntry.queries("pipe_bpe_merges")(spark, sf)
+      .orderBy("rank").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 8))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("x") + r.getAs[String]("y"))
+      assert(r.getAs[Long]("freq") > 0L)
+    }
+    // independent reference for round 1: count adjacent char pairs of
+    // every token occurrence in the corpus and take the (freq DESC,
+    // pair ASC) arg-max — must equal the operator's first merge.
+    import org.apache.spark.sql.functions._
+    val first = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("x"),
+          col("w").substr(i + 1, lit(1)).as("y")))).as("p"))
+      .groupBy(col("p.x"), col("p.y")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("x").asc, col("y").asc)
+      .head()
+    assert(rows(0).getAs[String]("x") == first.getAs[String]("x"))
+    assert(rows(0).getAs[String]("y") == first.getAs[String]("y"))
+    assert(rows(0).getAs[Long]("freq") == first.getAs[Long]("freq"))
   }
 }
