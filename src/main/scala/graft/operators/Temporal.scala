@@ -1048,6 +1048,56 @@ object Temporal {
           (floor(col("cusum_fp").cast(DoubleType) * lit(1.0e9) / col("n_days")
             + lit(0.5)).cast(LongType) / lit(1.0e9)).as("cusum"),
           (abs(col("cusum_fp")) === col("mx")).as("is_peak"))
+    },
+
+    // ------------------------------------------------------------------
+    // Seasonal-naive forecast backtest per event type: predict day d's
+    // count with day d−7's (the standard baseline every real forecast
+    // must beat) and report the error profile — MAE, bias, and MAE
+    // relative to the mean daily level. One map-side-combined
+    // (type, day) count; the backtest is a calendar self-join of that
+    // bookkeeping relation with itself shifted 7 days, so nothing
+    // after the first agg scales with the corpus. Errors stay in exact
+    // integer space; divisions snap to ×10⁹ fixed point at output.
+    "ev_forecast_snaive" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.day, a.n, b.n AS pred
+        |  FROM d a JOIN d b
+        |    ON b.event_type = a.event_type AND b.day = a.day - 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(floor(CAST(sum(abs(n - pred)) AS DOUBLE) * 1000000000
+        |    / count(*) + 0.5) AS BIGINT) / 1.0e9 AS mae,
+        |  CAST(floor(CAST(sum(n - pred) AS DOUBLE) * 1000000000
+        |    / count(*) + 0.5) AS BIGINT) / 1.0e9 AS bias,
+        |  CAST(floor(CAST(sum(abs(n - pred)) AS DOUBLE) * 1000000000
+        |    / CAST(sum(n) AS DOUBLE) + 0.5) AS BIGINT) / 1.0e9 AS rel_mae
+        |FROM j GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // type×day bookkeeping; both join sides
+      val j = d.as("a").join(d.as("b"),
+        col("b.event_type") === col("a.event_type")
+          && col("b.day") === col("a.day") - 7)
+        .select(col("a.event_type").as("event_type"),
+          col("a.n").as("n"), col("b.n").as("pred"))
+      def snap(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        floor(num.cast(DoubleType) * lit(1.0e9) / den + lit(0.5))
+          .cast(LongType) / lit(1.0e9)
+      j.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("n") - col("pred"))).as("sad"),
+          sum(col("n") - col("pred")).as("sd"),
+          sum(col("n")).as("sn"))
+        .select(col("event_type"), col("n_eval"),
+          snap(col("sad"), col("n_eval")).as("mae"),
+          snap(col("sd"), col("n_eval")).as("bias"),
+          snap(col("sad"), col("sn").cast(DoubleType)).as("rel_mae"))
     }
   )
 

@@ -33,13 +33,13 @@ object Training {
     * identical at any count). */
   private val BpeMerges = 8
 
-  /** DuckDB oracle for pipe_bpe_merges, generated for [[BpeMerges]]
+  /** Shared CTE chain for the BPE oracles, generated for [[BpeMerges]]
     * rounds: each round is three CTEs (adjacent-pair counts over the
     * delimited symbol strings, the arg-max pair, the merged word
     * table). `replace()` on the `<a><b>` encoding is safe because
     * occurrences can never overlap or straddle symbol boundaries —
     * tokens are [a-z0-9]+ so `<`/`>` are reserved delimiters. */
-  private def bpeOracleSql: String = {
+  private def bpeTrainCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       s""",p${r}a AS (SELECT freq, string_split(substr(syms, 2, length(syms) - 2), '><') AS l FROM w${r - 1}),
          |p${r}b AS (SELECT freq, unnest(range(1, len(l))) AS i, l FROM p${r}a WHERE len(l) >= 2),
@@ -50,18 +50,60 @@ object Training {
          |    '<' || t.x || t.y || '>') AS syms, w.freq AS freq
          |  FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
     }.mkString("\n")
-    val ranks = (1 to BpeMerges)
-      .map(r => s"SELECT $r AS rank, x, y, freq FROM t$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH w0 AS (
        |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS syms,
        |    CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(${TextOps.toksSql("text")}) AS w FROM documents)
        |  GROUP BY w)
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val ranks = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS rank, x, y, freq FROM t$r")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeTrainCtes
        |SELECT CAST(rank AS INT) AS rank, x, y, x || y AS merged, freq
        |FROM (
        |  $ranks)""".stripMargin
+  }
+
+  /** Run the [[BpeMerges]] training rounds on Spark: one corpus-scale
+    * word-frequency groupBy, then vocabulary-sized pair counts with a
+    * 1-row arg-max collect per round (the Lloyd driver-loop pattern).
+    * Returns the ranked merge list. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] = {
+    val wf = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
+      .persist() // vocab-sized; scanned once per merge round
+    var cur: org.apache.spark.sql.DataFrame = wf
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val top = cur
+        .select(col("freq"),
+          split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("l")) - 1),
+          i => struct(element_at(col("l"), i).as("x"),
+            element_at(col("l"), i + 1).as("y")))).as("b"))
+        .select(col("freq"), col("b.x").as("x"), col("b.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(sum(col("freq")).as("freq"))
+        .orderBy(col("freq").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      assert(top.nonEmpty,
+        s"BPE round $r: no pairs left — BpeMerges exceeds the corpus")
+      val x = top(0).getString(0)
+      val y = top(0).getString(1)
+      merges += ((r, x, y, x + y, top(0).getLong(2)))
+      // tokens are [a-z0-9]+ → x/y embed literally in the expression
+      cur = cur.withColumn("syms",
+        expr(s"replace(syms, '<$x><$y>', '<$x$y>')"))
+    }
+    merges.result()
   }
 
   /** Portable shard id: 60-bit md5 of the doc id string, mod nShards —
@@ -366,37 +408,64 @@ object Training {
     // Deterministic by construction: exact long counts and a total
     // (freq DESC, x, y) tie-break.
     "pipe_bpe_merges" -> QueryDef.withOracle(bpeOracleSql) { (s, dir) =>
-      val wf = Tables.documents(s, dir)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
-        .persist() // vocab-sized; scanned once per merge round
-      var cur = wf
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (r <- 1 to BpeMerges) {
-        val top = cur
-          .select(col("freq"),
-            split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("l"))
-          .filter(size(col("l")) >= 2)
-          .select(col("freq"), explode(transform(
-            sequence(lit(1), size(col("l")) - 1),
-            i => struct(element_at(col("l"), i).as("x"),
-              element_at(col("l"), i + 1).as("y")))).as("b"))
-          .select(col("freq"), col("b.x").as("x"), col("b.y").as("y"))
-          .groupBy(col("x"), col("y")).agg(sum(col("freq")).as("freq"))
-          .orderBy(col("freq").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
-        assert(top.nonEmpty,
-          s"BPE round $r: no pairs left — BpeMerges exceeds the corpus")
-        val x = top(0).getString(0)
-        val y = top(0).getString(1)
-        merges += ((r, x, y, x + y, top(0).getLong(2)))
-        // tokens are [a-z0-9]+ → x/y embed literally in the expression
-        cur = cur.withColumn("syms",
-          expr(s"replace(syms, '<$x><$y>', '<$x$y>')"))
-      }
       import s.implicits._
-      merges.result().toDF("rank", "x", "y", "merged", "freq")
+      bpeTrain(s, dir).toDF("rank", "x", "y", "merged", "freq")
+    },
+
+    // ------------------------------------------------------------------
+    // BPE tokenization (the apply side of pipe_bpe_merges): encode each
+    // document with the learned merge table and report the token budget
+    // it would cost. After the driver-side training rounds, the encode
+    // plan is ENTIRELY row-local — per word: delimit, chain the K
+    // replaces in rank order, count top-level symbols ('<' occurrences)
+    // — composed with higher-order array functions, so the corpus pays
+    // one scan, zero joins, zero shuffles. This is the shape that wins
+    // at 100 TB: the merge table is a constant baked into codegen, not
+    // a join side. Ratio snapped to ×10⁹ fixed point (exact-integer
+    // numerator/denominator, engine-identical).
+    "pipe_bpe_encode" -> QueryDef.withOracle {
+      // nested replace chain with the merge pairs taken from the
+      // training CTEs (t1..tK scalar cross joins)
+      val enc = (1 to BpeMerges).foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+        (inner, r) =>
+          s"replace($inner, '<' || t$r.x || '><' || t$r.y || '>', '<' || t$r.x || t$r.y || '>')"
+      }
+      val crossT = (1 to BpeMerges).map(r => s"CROSS JOIN t$r").mkString(" ")
+      s"""$bpeTrainCtes,
+         |docs AS (
+         |  SELECT doc_id, ${TextOps.toksSql("text")} AS toks FROM documents),
+         |enc AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS n_syms,
+         |    CAST(list_sum(list_transform(toks,
+         |      w -> length($enc) - length(replace($enc, '<', '')))) AS BIGINT) AS n_bpe
+         |  FROM docs $crossT
+         |  WHERE len(toks) >= 1)
+         |SELECT doc_id, n_words, n_syms, n_bpe,
+         |  CAST(floor(CAST(n_bpe AS DOUBLE) * 1000000000 / n_syms + 0.5) AS BIGINT)
+         |    / 1.0e9 AS bpe_ratio
+         |FROM enc WHERE n_syms > 0""".stripMargin
+    } { (s, dir) =>
+      val merges = bpeTrain(s, dir)
+      val encExpr = merges.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
+        case (inner, (_, x, y, _, _)) =>
+          s"replace($inner, '<$x><$y>', '<$x$y>')"
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          size(col("toks")).as("n_words"),
+          expr("aggregate(transform(toks, w -> CAST(length(w) AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("n_syms"),
+          expr(s"aggregate(transform(toks, w -> CAST(length($encExpr) " +
+            s"- length(replace($encExpr, '<', '')) AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("n_bpe"))
+        .filter(col("n_syms") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_syms"), col("n_bpe"),
+          (floor(col("n_bpe").cast(DoubleType) * lit(1.0e9) / col("n_syms")
+            + lit(0.5)).cast(LongType) / lit(1.0e9)).as("bpe_ratio"))
     }
   )
 }

@@ -1997,4 +1997,28 @@ class StatScreenSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("y") == first.getAs[String]("y"))
     assert(rows(0).getAs[Long]("freq") == first.getAs[Long]("freq"))
   }
+
+  test("BPE encode: token budget sits between word count and symbol count") {
+    // each merge only ever reduces a word's symbol count, and a word
+    // can never drop below one token — so n_words <= n_bpe <= n_syms,
+    // with strict improvement somewhere in the corpus after 8 merges.
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("pipe_bpe_encode")(spark, sf)
+    assert(df.filter(col("n_bpe") > col("n_syms")).count() == 0)
+    assert(df.filter(col("n_bpe") < col("n_words")).count() == 0)
+    assert(df.filter(col("n_bpe") < col("n_syms")).count() > 0,
+      "8 merges must compress at least one document")
+  }
+
+  test("seasonal-naive backtest: |bias| <= mae and eval window excludes the first week") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ev_forecast_snaive")(spark, sf)
+    assert(df.filter(abs(col("bias")) > col("mae") + lit(1e-9)).count() == 0)
+    val days = graft.sources.Tables.eventsTimed(spark, sf)
+      .select(expr("ts_s div 86400").as("day"), col("event_type"))
+      .distinct().groupBy("event_type").count()
+    val joined = df.join(days, "event_type")
+      .filter(col("n_eval") >= col("count")).count()
+    assert(joined == 0, "eval days must be fewer than observed days (7 lost to lag)")
+  }
 }
