@@ -2061,6 +2061,75 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Mann-Whitney U rank-sum test ('click' vs 'purchase' values): the
+    // nonparametric two-sample location screen (no normality
+    // assumption, unlike ev_ab_ttest). Ranks come from the VALUE-
+    // GROUPED relation (2-dp values ⇒ bounded domain — the etl_ks_test
+    // bookkeeping argument): one map-side-combined (value, side) count,
+    // then average tie-ranks via a running total over distinct values.
+    // Rank bookkeeping stays exact-integer in ×2 fixed point
+    // (2·cum_before + cnt + 1 = twice the average rank), so U is exact
+    // until the final z; the tie-corrected variance multiplies as
+    // doubles in pinned order and z snaps to ×10⁹ fixed point.
+    "etl_mann_whitney" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value),
+        |r AS (
+        |  SELECT ca, cb, ca + cb AS t,
+        |    2 * coalesce(sum(ca + cb) OVER (ORDER BY value ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (ca + cb) + 1 AS rank2
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * rank2) AS BIGINT) AS ra2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        |  FROM r)
+        |SELECT na, nb,
+        |  (ra2 - na * (na + 1)) / 2.0 AS u_a,
+        |  na * nb - (ra2 - na * (na + 1)) / 2.0 AS u_b,
+        |  CAST(floor(
+        |    ((ra2 - na * (na + 1)) / 2 - CAST(na AS DOUBLE) * nb / 2)
+        |    / sqrt(CAST(na AS DOUBLE) * nb / 12
+        |        * ((na + nb + 1) - CAST(ties AS DOUBLE)
+        |            / ((na + nb) * (CAST(na AS DOUBLE) + nb - 1))))
+        |    * 1000000000 + 0.5) AS BIGINT) / 1.0e9 AS z
+        |FROM s""".stripMargin) { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+      // global window over the bounded 2-dp value domain (bookkeeping)
+      val wCum = Window.orderBy(col("value").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("t", col("ca") + col("cb"))
+        .withColumn("rank2",
+          lit(2) * coalesce(sum(col("ca") + col("cb")).over(wCum), lit(0L))
+            + (col("ca") + col("cb")) + lit(1))
+      val st = r.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * col("rank2")).as("ra2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      // U can be half-integer under ties (average ranks), and a
+      // long-cast truncates in Spark but rounds in DuckDB — so U ships
+      // as the exact double x.0/x.5 on both engines
+      val u2 = col("ra2") - col("na") * (col("na") + 1)
+      st.select(col("na"), col("nb"),
+        (u2 / lit(2.0)).as("u_a"),
+        (col("na") * col("nb") - u2 / lit(2.0)).as("u_b"),
+        (floor(
+          (u2 / 2 - col("na").cast(DoubleType) * col("nb") / 2)
+            / sqrt(col("na").cast(DoubleType) * col("nb") / 12
+              * ((col("na") + col("nb") + 1) - col("ties").cast(DoubleType)
+                / ((col("na") + col("nb")) * (col("na").cast(DoubleType) + col("nb") - 1))))
+          * lit(1.0e9) + lit(0.5)).cast(LongType) / lit(1.0e9)).as("z"))
+    },
+
+    // ------------------------------------------------------------------
     // Chi-square test of independence between two categorical columns
     // (order status × priority) — the association screen a statistical
     // agency runs before publishing a cross-tabulation. One corpus scan

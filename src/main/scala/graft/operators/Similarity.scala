@@ -301,43 +301,154 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("xfp"),
         col("best.cell").as("cell"), col("best.dist").as("dist"))
 
+  /** Oracle SQL for the exact brute-force top-K (also the ground-truth
+    * CTE body of ann_recall_eval's oracle). */
+  private def exactTopkSql: String =
+    s"""SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(
+       |      list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+       |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY round(list_cosine_similarity(
+       |        list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+       |        list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+       |               e.vec_id ASC) AS rn
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
+       |  JOIN embeddings e ON e.vec_id <> p.vec_id)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Exact brute-force cosine top-K per probe (salted two-phase
+    * ranking). Shared by ann_topk_exact and ann_recall_eval. */
+  private def exactTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val probes = e.filter(col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
+    // Salted two-phase top-k: candidate lists are corpus-sized per
+    // probe, so a single partitionBy(probe_id) window would sort a
+    // whole corpus in NPROBES reducer tasks. Local top-K per salt
+    // cell first; the final window sees ≤64×K rows per probe.
+    val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val wFinal = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"),
+        pmod(hash(col("vec_id")), lit(64)).as("salt"))
+      .withColumn("rn0", row_number().over(wLocal))
+      .filter(col("rn0") <= K)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** Oracle CTE chain for the IVF-probed candidate generation +
+    * scoring (consumed after `ivfAssignSql`); shared by ann_ivf_topk
+    * and ann_recall_eval. */
+  private def ivfTopkCtes: String =
+    s"""home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, c_label FROM ranked
+       |           WHERE rn <= 2 AND vec_id < $NPROBES),
+       |cand AS (
+       |  SELECT DISTINCT p.probe_id, h.vec_id AS neighbor_id
+       |  FROM probes p JOIN home h
+       |    ON p.c_label = h.c_label AND h.vec_id <> p.probe_id),
+       |pair_scored AS (
+       |  SELECT c.probe_id, c.neighbor_id,
+       |    round(list_cosine_similarity(
+       |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+       |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+       |  FROM cand c JOIN embeddings x ON x.vec_id = c.probe_id
+       |  JOIN embeddings y ON y.vec_id = c.neighbor_id)""".stripMargin
+
+  private def ivfTopkSelect: String =
+    s"""SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM pair_scored)
+       |WHERE rn <= $K""".stripMargin
+
+  /** IVF-probed approximate top-K per probe (2-cell probing, salted
+    * two-phase ranking). Shared by ann_ivf_topk and ann_recall_eval. */
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigns = ivfAssignments(s, dir).persist() // home + probe views share one build
+    val home = assigns.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label"))
+    val probeCells = assigns.filter(col("rn") <= 2 && col("vec_id") < NPROBES)
+      .select(col("vec_id").as("probe_id"), col("c_label"))
+    val cand = probeCells.join(home, Seq("c_label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val e = Tables.embeddings(s, dir)
+    val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
+    // Salted two-phase ranking (the ann_topk_exact pattern): a
+    // probe's candidates are the union of 2 IVF cells, which even
+    // with bounded cells can concentrate one probe's whole list into
+    // a single task under a plain partitionBy(probe_id) window.
+    // Local top-K per salt cell first; the final window sees ≤64×K
+    // rows per probe.
+    val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val wFinal = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "probe_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"),
+        pmod(hash(col("neighbor_id")), lit(64)).as("salt"))
+      .withColumn("rn0", row_number().over(wLocal))
+      .filter(col("rn0") <= K)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= K)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
-    "ann_topk_exact" -> QueryDef.withOracle(
-      s"""SELECT probe_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-         |    round(list_cosine_similarity(
-         |      list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
-         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim,
-         |    row_number() OVER (PARTITION BY p.vec_id
-         |      ORDER BY round(list_cosine_similarity(
-         |        list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
-         |        list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
-         |               e.vec_id ASC) AS rn
-         |  FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
-         |  JOIN embeddings e ON e.vec_id <> p.vec_id)
-         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-      val probes = e.filter(col("vec_id") < NPROBES)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-      val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
-      // Salted two-phase top-k: candidate lists are corpus-sized per
-      // probe, so a single partitionBy(probe_id) window would sort a
-      // whole corpus in NPROBES reducer tasks. Local top-K per salt
-      // cell first; the final window sees ≤64×K rows per probe.
-      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      val wFinal = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos_sim"),
-          pmod(hash(col("vec_id")), lit(64)).as("salt"))
-        .withColumn("rn0", row_number().over(wLocal))
-        .filter(col("rn0") <= K)
-        .withColumn("rn", row_number().over(wFinal))
-        .filter(col("rn") <= K)
-        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
+    "ann_topk_exact" -> QueryDef.withOracle(exactTopkSql)(exactTopK),
+
+    // ------------------------------------------------------------------
+    // ANN recall evaluation — the "measure, don't guess" harness run
+    // before an index ships: per probe, |IVF top-K ∩ exact top-K| / K.
+    // Both sides reuse the exact operator pipelines (one IVF build, one
+    // brute-force ranking); the compare itself is a K×NPROBES-row join,
+    // so the eval adds nothing corpus-scale beyond its two inputs. An
+    // index change that silently drops recall turns this row red long
+    // before production notices. On THIS test corpus the measured
+    // 2-of-16-cell recall is ~0.24 — the corpus is the documented
+    // recall stress case (true top-5 at cosine 0.3-0.47, near-uniform
+    // structure; see the ann_lsh note), so cell membership carries
+    // little signal and 2/16 probing is barely above the 0.125 random
+    // floor. That LOW number is the eval doing its job; clustered real
+    // embedding corpora sit far higher at the same nprobe.
+    "ann_recall_eval" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |$ivfTopkCtes,
+         |ivf AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM pair_scored)
+         |  WHERE rn <= $K),
+         |exact AS (SELECT probe_id, neighbor_id FROM ($exactTopkSql)),
+         |hits AS (
+         |  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM exact e JOIN ivf i
+         |    ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY e.probe_id)
+         |SELECT p.probe_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / $K.0, 9) AS recall
+         |FROM (SELECT DISTINCT probe_id FROM exact) p
+         |LEFT JOIN hits h ON h.probe_id = p.probe_id""".stripMargin) { (s, dir) =>
+      val ex = exactTopK(s, dir).select(col("probe_id"), col("neighbor_id"))
+      val iv = ivfTopK(s, dir).select(col("probe_id"), col("neighbor_id"))
+      val hits = ex.join(iv, Seq("probe_id", "neighbor_id"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      ex.select(col("probe_id")).distinct()
+        .join(hits, Seq("probe_id"), "left_outer")
+        .select(col("probe_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(K * 1.0), 9).as("recall"))
     },
 
     // ------------------------------------------------------------------
@@ -404,56 +515,8 @@ object Similarity {
     // (fixed-point centroids, round-6 cosine, id tiebreaks) → oracled.
     "ann_ivf_topk" -> QueryDef.withOracle(
       s"""WITH $ivfAssignSql,
-         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
-         |probes AS (SELECT vec_id AS probe_id, c_label FROM ranked
-         |           WHERE rn <= 2 AND vec_id < $NPROBES),
-         |cand AS (
-         |  SELECT DISTINCT p.probe_id, h.vec_id AS neighbor_id
-         |  FROM probes p JOIN home h
-         |    ON p.c_label = h.c_label AND h.vec_id <> p.probe_id),
-         |pair_scored AS (
-         |  SELECT c.probe_id, c.neighbor_id,
-         |    round(list_cosine_similarity(
-         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
-         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
-         |  FROM cand c JOIN embeddings x ON x.vec_id = c.probe_id
-         |  JOIN embeddings y ON y.vec_id = c.neighbor_id)
-         |SELECT probe_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM pair_scored)
-         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
-      val assigns = ivfAssignments(s, dir).persist() // home + probe views share one build
-      val home = assigns.filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_label"))
-      val probeCells = assigns.filter(col("rn") <= 2 && col("vec_id") < NPROBES)
-        .select(col("vec_id").as("probe_id"), col("c_label"))
-      val cand = probeCells.join(home, Seq("c_label"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
-      val e = Tables.embeddings(s, dir)
-      val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
-      // Salted two-phase ranking (the ann_topk_exact pattern): a
-      // probe's candidates are the union of 2 IVF cells, which even
-      // with bounded cells can concentrate one probe's whole list into
-      // a single task under a plain partitionBy(probe_id) window.
-      // Local top-K per salt cell first; the final window sees ≤64×K
-      // rows per probe.
-      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      val wFinal = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-      cand
-        .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "probe_id")
-        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
-        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"),
-          pmod(hash(col("neighbor_id")), lit(64)).as("salt"))
-        .withColumn("rn0", row_number().over(wLocal))
-        .filter(col("rn0") <= K)
-        .withColumn("rn", row_number().over(wFinal))
-        .filter(col("rn") <= K)
-        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
-    },
+         |$ivfTopkCtes
+         |$ivfTopkSelect""".stripMargin)(ivfTopK),
 
     // ------------------------------------------------------------------
     // Hyperplane-LSH bucketed ANN, band-OR construction: 4 independent

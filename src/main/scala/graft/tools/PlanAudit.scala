@@ -48,7 +48,9 @@ object PlanAudit {
       // the distinct-name levenshtein collapse — never corpus-scale
       "etl_record_linkage",
       // 1-row broadcast: the (n, nr, nc) contingency-total anchor
-      "etl_chisq_independence")
+      "etl_chisq_independence",
+      // inherits ann_topk_exact's NPROBES-row probe broadcast
+      "ann_recall_eval")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -132,7 +134,11 @@ object PlanAudit {
       // exchanges), the cell-mate candidate join, two embedding payload
       // joins and the salted two-phase ranking — same budget class as
       // ann_ivf_topk
-      "ann_knn_graph" -> 13)
+      "ann_knn_graph" -> 13,
+      // recall eval stacks the full ann_ivf_topk pipeline (13) on the
+      // exact ranking (2) plus the K×NPROBES-row compare joins — every
+      // added exchange rides the two top-K outputs, never the corpus
+      "ann_recall_eval" -> 18)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -186,7 +192,8 @@ object PlanAudit {
   //   broadcast a corpus-scale side.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
-      "ann_topk_exact", "ann_lsh", "ann_quantized_topk", "ann_refine_rerank",
+      "ann_topk_exact", "ann_recall_eval", "ann_lsh", "ann_quantized_topk",
+      "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs")
 

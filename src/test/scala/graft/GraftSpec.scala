@@ -470,6 +470,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_surrogate_key", "") -> "distinct c_mktsegment dimension (5 rows)",
       ("etl_compaction_plan", "") -> "month-partition list, one row per month",
       ("etl_ks_test", "") -> "2-dp value domain bookkeeping",
+      ("etl_mann_whitney", "") -> "2-dp value domain bookkeeping (rank table)",
       ("etl_seasonal_ma", "") -> "daily-grain calendar relation",
       ("ev_cumulative_users", "") -> "daily-grain calendar relation",
       ("ev_growth_accounting", "") -> "daily-grain calendar relation")
@@ -2008,6 +2009,30 @@ class StatScreenSpec extends AnyFunSuite {
     assert(df.filter(col("n_bpe") < col("n_words")).count() == 0)
     assert(df.filter(col("n_bpe") < col("n_syms")).count() > 0,
       "8 merges must compress at least one document")
+  }
+
+  test("Mann-Whitney: U_a + U_b = na*nb and z agrees with the U-vs-mean direction") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("etl_mann_whitney")(spark, sf).head()
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    val (ua, ub) = (r.getAs[Double]("u_a"), r.getAs[Double]("u_b"))
+    assert(ua + ub == na.toDouble * nb, s"U_a + U_b must equal na*nb: $ua + $ub")
+    assert(ua >= 0 && ub >= 0)
+    val z = r.getAs[Double]("z")
+    assert((z > 0) == (ua > na.toDouble * nb / 2) || z == 0.0,
+      "z sign must match U_a vs its null mean")
+  }
+
+  test("ANN recall eval: per-probe hits bounded by K, above the random-probing floor") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ann_recall_eval")(spark, sf)
+    assert(df.filter(col("n_hit") > 5 || col("n_hit") < 0).count() == 0)
+    assert(df.filter(col("recall") =!= col("n_hit") / 5.0).count() == 0)
+    // this corpus is the documented recall stress case (near-uniform
+    // cosine structure) — mean recall must still beat the 2/16-cell
+    // random-scan floor of 0.125, or candidate generation is broken
+    val mean = df.agg(avg(col("recall"))).head().getDouble(0)
+    assert(mean > 0.125, s"mean recall $mean at/below the random floor")
   }
 
   test("seasonal-naive backtest: |bias| <= mae and eval window excludes the first week") {
