@@ -497,6 +497,39 @@ object ScaleStress {
       }
       capped.unpersist(); reg.unpersist()
     }
+
+    // --- round-8 shape: BPE training cost is vocab-bound, not corpus-bound
+    // pipe_bpe_merges' claim: after the one corpus-scale word count,
+    // every merge round rides the DISTINCT-WORD table, whose size is
+    // the vocabulary (Zipf-sublinear in corpus tokens). Measured here:
+    // 10× the token stream over the SAME ~50k-word vocabulary must pay
+    // ~10× only in the word count; the per-round pair-count + arg-max
+    // cost stays flat because its input (vocab rows) is unchanged.
+    for (nTok <- Seq(2000000L, 20000000L)) {
+      // Zipf-ish draw: density ∝ 1/√u over ~50k distinct word ids
+      val words = spark.range(nTok).select(
+        concat(lit("w"), floor(sqrt(pmod(hash(col("id")), lit(2500000000L))
+          .cast(DoubleType))).cast(LongType)).as("w"))
+      val wf = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", "<$1>").as("syms"), col("freq"))
+        .persist()
+      var vocabRows = 0L
+      time(s"BPE word-frequency build ($nTok tokens → vocab table)") {
+        vocabRows = wf.count(); vocabRows
+      }
+      time(s"BPE one merge round (pair count + arg-max over $vocabRows vocab rows)") {
+        wf.select(col("freq"),
+            split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("x"),
+              element_at(col("l"), i + 1).as("y")))).as("b"))
+          .groupBy(col("b.x"), col("b.y")).agg(sum(col("freq")).as("freq"))
+          .orderBy(col("freq").desc).limit(1).count()
+      }
+      wf.unpersist()
+    }
     spark.stop()
   }
 }
