@@ -2061,6 +2061,59 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Ordinary least squares per group (extended price on quantity, by
+    // return flag): slope/intercept/R² from the five exact DECIMAL
+    // moment sums — ONE map-side-combined scan, nothing after it
+    // scales with rows. The closed-form normal equations run on
+    // doubles cast from the exact sums in pinned left-assoc order
+    // (n·Σxy − Σx·Σy cancels catastrophically at corpus scale, but
+    // identically on both engines), outputs snapped ×10⁹. This is the
+    // etl_correlation discipline extended to the fit itself.
+    "etl_regression_ols" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |    * 1000000000 + 0.5) AS BIGINT) / 1.0e9 AS slope,
+        |  CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    * 1000000000 + 0.5) AS BIGINT) / 1.0e9 AS intercept,
+        |  CAST(floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |    * 1000000000 + 0.5) AS BIGINT) / 1.0e9 AS r2
+        |FROM m""".stripMargin) { (s, dir) =>
+      val dec2 = DecimalType(18, 2)
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec2)).cast(DoubleType).as("sx"),
+          sum(col("l_extendedprice").cast(dec2)).cast(DoubleType).as("sy"),
+          sum(col("l_quantity").cast(dec2)
+            * col("l_extendedprice").cast(dec2)).cast(DoubleType).as("sxy"),
+          sum(col("l_quantity").cast(dec2)
+            * col("l_quantity").cast(dec2)).cast(DoubleType).as("sxx"),
+          sum(col("l_extendedprice").cast(dec2)
+            * col("l_extendedprice").cast(dec2)).cast(DoubleType).as("syy"))
+      def snap9(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1.0e9) + lit(0.5)).cast(LongType) / lit(1.0e9)
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      m.select(col("l_returnflag"), col("n"),
+        snap9(num / den).as("slope"),
+        snap9((col("sy") - num / den * col("sx")) / col("n")).as("intercept"),
+        snap9(num * num
+          / (den * (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+    },
+
+    // ------------------------------------------------------------------
     // Mann-Whitney U rank-sum test ('click' vs 'purchase' values): the
     // nonparametric two-sample location screen (no normality
     // assumption, unlike ev_ab_ttest). Ranks come from the VALUE-

@@ -1051,6 +1051,69 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Daily-count autocorrelation per event type at lags 1 and 7 (the
+    // seasonality screen that justifies ev_forecast_snaive's weekly
+    // lag): ACF_L = Σ dev_t·dev_{t+L} / Σ dev_t², with deviations in
+    // the exact-integer common-denominator form dev = n_t·D − T (the
+    // ev_changepoint_cusum discipline — the shared ×D scale cancels in
+    // the ratio, so no double mean ever enters). One map-side-combined
+    // (type, day) count; lag pairs are a calendar self-join of the
+    // bookkeeping relation; numerator/denominator are exact long sums,
+    // the ratio snaps ×10⁹.
+    "ev_autocorrelation" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY event_type),
+        |v AS (
+        |  SELECT d.event_type, d.day, d.n * t.nd - t.tot AS dev
+        |  FROM d JOIN t USING (event_type)),
+        |den AS (
+        |  SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS ss
+        |  FROM v GROUP BY event_type),
+        |num AS (
+        |  SELECT a.event_type, l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.dev * b.dev) AS BIGINT) AS sp
+        |  FROM v a
+        |  CROSS JOIN (SELECT unnest([1, 7]) AS lag) l
+        |  JOIN v b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+        |  GROUP BY a.event_type, l.lag)
+        |SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.n_pairs,
+        |  CAST(floor(CAST(n.sp AS DOUBLE) * 1000000000 / den.ss + 0.5) AS BIGINT)
+        |    / 1.0e9 AS acf
+        |FROM num n JOIN den USING (event_type)""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // type×day bookkeeping; totals + both join sides
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      val v = d.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("day"),
+          (col("n") * col("nd") - col("tot")).as("dev"))
+      val den = v.groupBy(col("event_type"))
+        .agg(sum(col("dev") * col("dev")).as("ss"))
+      import s.implicits._
+      val lags = Seq(1, 7).toDF("lag")
+      val num = v.as("a")
+        .crossJoin(broadcast(lags))
+        .join(v.as("b"),
+          col("b.event_type") === col("a.event_type")
+            && col("b.day") === col("a.day") + col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.dev") * col("b.dev")).as("sp"))
+      num.join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag").cast(IntegerType).as("lag"),
+          col("n_pairs"),
+          (floor(col("sp").cast(DoubleType) * lit(1.0e9) / col("ss")
+            + lit(0.5)).cast(LongType) / lit(1.0e9)).as("acf"))
+    },
+
+    // ------------------------------------------------------------------
     // Seasonal-naive forecast backtest per event type: predict day d's
     // count with day d−7's (the standard baseline every real forecast
     // must beat) and report the error profile — MAE, bias, and MAE

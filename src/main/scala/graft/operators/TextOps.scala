@@ -669,6 +669,60 @@ object TextOps {
         round(slope, 9).as("slope"),
         round((col("sy") / 1.0e6 - slope * (col("sx") / 1.0e6)) / col("k"), 9)
           .as("intercept"))
+    },
+
+    // ------------------------------------------------------------------
+    // Vocabulary growth per source + a Heaps'-law exponent across
+    // sources (V ≈ k·Nᵝ — the corpus-health check that vocabulary
+    // grows sublinearly; β drifting toward 1 means near-random text,
+    // the BPE vocab-bound claim breaking down). ONE (source, token)
+    // shuffle gives both totals and distinct counts; the log-log OLS
+    // rides the |sources|-row relation with per-point lns snapped to
+    // ×10⁶ fixed point BEFORE the moment sums (the text_zipf_fit
+    // discipline — engine ln() differs in last ulps; snapped longs
+    // make every cross-term exact).
+    "text_vocab_growth" -> QueryDef.withOracle(
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${toksSql("text")}) AS tok FROM documents),
+         |g AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok),
+         |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |             CAST(count(*) AS BIGINT) AS n_types
+         |      FROM g GROUP BY source),
+         |f AS (SELECT source, n_tokens, n_types,
+         |  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS u,
+         |  CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
+         |  FROM s),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |  CAST(sum(u * w) AS BIGINT) AS suw, CAST(sum(u) AS BIGINT) AS su,
+         |  CAST(sum(w) AS BIGINT) AS sw, CAST(sum(u * u) AS BIGINT) AS suu
+         |  FROM f)
+         |SELECT f.source, f.n_tokens, f.n_types,
+         |  CAST(floor(CAST(f.n_types AS DOUBLE) * 1000000000 / f.n_tokens + 0.5)
+         |    AS BIGINT) / 1.0e9 AS ttr,
+         |  CAST(floor(CAST(b.m * b.suw - b.su * b.sw AS DOUBLE) * 1000000000
+         |      / (b.m * b.suu - b.su * b.su) + 0.5) AS BIGINT) / 1.0e9
+         |    AS heaps_beta
+         |FROM f CROSS JOIN b""".stripMargin) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val st = g.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      def lnFp(c: Column): Column =
+        floor(log(c.cast(DoubleType)) * 1000000 + 0.5).cast(LongType)
+      val f = st.select(col("source"), col("n_tokens"), col("n_types"),
+        lnFp(col("n_tokens")).as("u"), lnFp(col("n_types")).as("w"))
+        .persist() // |sources|-row bookkeeping; per-source rows + the fit
+      val b = f.agg(count(lit(1)).as("m"),
+        sum(col("u") * col("w")).as("suw"), sum(col("u")).as("su"),
+        sum(col("w")).as("sw"), sum(col("u") * col("u")).as("suu"))
+      f.crossJoin(broadcast(b))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (floor(col("n_types").cast(DoubleType) * lit(1.0e9) / col("n_tokens")
+            + lit(0.5)).cast(LongType) / lit(1.0e9)).as("ttr"),
+          (floor((col("m") * col("suw") - col("su") * col("sw")).cast(DoubleType)
+            * lit(1.0e9) / (col("m") * col("suu") - col("su") * col("su"))
+            + lit(0.5)).cast(LongType) / lit(1.0e9)).as("heaps_beta"))
     }
   )
 }

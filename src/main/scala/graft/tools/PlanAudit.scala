@@ -50,7 +50,11 @@ object PlanAudit {
       // 1-row broadcast: the (n, nr, nc) contingency-total anchor
       "etl_chisq_independence",
       // inherits ann_topk_exact's NPROBES-row probe broadcast
-      "ann_recall_eval")
+      "ann_recall_eval",
+      // 1-row broadcast: the Heaps-fit moment anchor
+      "text_vocab_growth",
+      // 2-row broadcast: the {1, 7} lag list
+      "ev_autocorrelation")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -1580,6 +1580,52 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.sources.Tables.events(spark, sf).count()
     assert(n == batch && distinctIds == batch)
   }
+
+  test("streaming CUSUM drift monitor equals the batch prefix fold across 3 micro-batches") {
+    val dir = stageTerciles()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val refFp = graft.streaming.DriftMonitor.referenceRates(spark, sf)
+      val thr = 5000000L
+      val q = graft.streaming.DriftMonitor
+        .cusumStream(spark, dir, refFp, thr, maxFilesPerTrigger = 1)
+        .toDF().writeStream.format("memory").queryName("drift_cusum")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.sql("SELECT event_type, day, n, cum_dev_fp, alarm FROM drift_cusum")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      // batch reference: per type, close every day from first observed
+      // to last-1 (gap days at n=0), prefix-summing n*1e6 - ref — the
+      // exact fold the monitor's state performs incrementally
+      val counts = graft.sources.Tables.eventsTimed(spark, sf)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = counts.keys.groupBy(_._1).flatMap { case (tpe, ks) =>
+        val days = ks.map(_._2)
+        val ref = refFp(tpe)
+        var cum = 0L
+        (days.min until days.max).map { d =>
+          val cnt = counts.getOrElse((tpe, d), 0L)
+          cum += cnt * 1000000L - ref
+          (tpe, d, cnt, cum, math.abs(cum) > thr)
+        }
+      }.toSet
+      assert(got.nonEmpty, "the stream must close at least one day")
+      assert(got == want,
+        s"stream rows (${got.size}) differ from the batch fold (${want.size})")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 class PageRankConvergenceSpec extends AnyFunSuite {
@@ -2009,6 +2055,44 @@ class StatScreenSpec extends AnyFunSuite {
     assert(df.filter(col("n_bpe") < col("n_words")).count() == 0)
     assert(df.filter(col("n_bpe") < col("n_syms")).count() > 0,
       "8 merges must compress at least one document")
+  }
+
+  test("OLS matches an independent driver-side fit at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("etl_regression_ols")(spark, sf).collect()
+    val raw = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = raw(r.getString(0)).map(x => (x.getDouble(1), x.getDouble(2)))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6,
+        s"${r.getString(0)}: ${r.getAs[Double]("slope")} vs reference $slope")
+      assert(math.abs(r.getAs[Double]("intercept") - (sy - slope * sx) / n) < 1e-4)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("autocorrelation stays in [-1, 1] with a sane pair count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ev_autocorrelation")(spark, sf)
+    assert(df.filter(abs(col("acf")) > 1.0).count() == 0)
+    assert(df.filter(col("n_pairs") < 1).count() == 0)
+    assert(df.select("lag").distinct().count() == 2)
+  }
+
+  test("vocab growth: types bounded by tokens, one global Heaps exponent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_vocab_growth")(spark, sf)
+    assert(df.filter(col("n_types") > col("n_tokens")).count() == 0)
+    assert(df.filter(col("ttr") <= 0.0 || col("ttr") > 1.0).count() == 0)
+    assert(df.select("heaps_beta").distinct().count() == 1,
+      "the fitted exponent is a corpus constant, identical on every row")
   }
 
   test("Mann-Whitney: U_a + U_b = na*nb and z agrees with the U-vs-mean direction") {
