@@ -187,19 +187,25 @@ object Dedup {
     bands.join(broadcast(hot), keys, "left_anti")
   }
 
+  /** The raw 16-hash md5 minhash signature per doc (doc_id, m0..m15):
+    * all mins in ONE aggregation pass over the exploded shingles
+    * (map-side partial agg → 16 strings per doc through the exchange,
+    * no 16× row blowup). Shared by the band build and the estimator
+    * eval. */
+  private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).filter(size(col("sh")) > 0)
+    val mins = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
+    sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
   /** The 8×2 banded md5 minhash signatures, one (doc_id, band, sig) row
     * per doc×band. Persisted: both sides of the bucket self-join and
     * the cap's bucket count reuse one band scan. */
   private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).filter(size(col("sh")) > 0)
-    // all 16 min-hashes in ONE aggregation pass over the exploded
-    // shingles (map-side partial agg → 16 strings per doc through the
-    // exchange, no 16× row blowup)
-    val mins = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i"))
-    val mh = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+    val mh = minhashSignatures(s, dir)
     mh.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b =>
         concat_ws("|", col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*))
@@ -362,6 +368,58 @@ object Dedup {
         .filter(jac >= 0.02)
         .select(col("doc_a"), col("doc_b"),
           round(jac, 9).as("jac"), (jac >= 0.5).as("is_dup"))
+    },
+
+    // ------------------------------------------------------------------
+    // Minhash estimator accuracy eval — ann_recall_eval's sibling for
+    // the dedup family ("measure, don't guess" before trusting the
+    // sketch): per LSH candidate pair, the 16-hash estimate
+    // (matching minhashes / 16) against the exact shingle jaccard and
+    // the absolute error. The signature table and candidate machinery
+    // are the shared operator pipelines (one minhash build feeds both
+    // bands and the estimate); the compare adds two vocab-thin joins
+    // keyed on doc ids, nothing corpus-quadratic. An upstream change
+    // that skews the sketch (fewer hashes, broken seeding) turns the
+    // error column red before any production dedup quietly drifts.
+    "dedup_minhash_est_jaccard" -> QueryDef.withOracle {
+      val matchSum = (0 until NumHashes)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH s AS ($shingleSql),
+         |$candSql,
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b, $matchSum AS est_matches
+         |  FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+         |  JOIN mh b ON b.doc_id = c.doc_b),
+         |ej AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))), 9) AS jac
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b)
+         |SELECT e.doc_a, e.doc_b, CAST(e.est_matches AS INT) AS est_matches,
+         |  e.est_matches / 16.0 AS est_jac, j.jac,
+         |  round(abs(e.est_matches / 16.0 - j.jac), 9) AS abs_err
+         |FROM est e JOIN ej j
+         |  ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b""".stripMargin
+    } { (s, dir) =>
+      val mh = minhashSignatures(s, dir)
+      val matchSum = (0 until NumHashes)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = lshCandidates(s, dir)
+        .join(mh.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(mh.as("b"), col("b.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), matchSum.as("est_matches"))
+      val jac = round(col("ni") * lit(1.0) / (col("ntot") - col("ni")), 9)
+      val exact = verifiedCandidates(s, dir)
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      est.join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          col("est_matches").cast(IntegerType).as("est_matches"),
+          (col("est_matches") / lit(16.0)).as("est_jac"),
+          col("jac"),
+          round(abs(col("est_matches") / lit(16.0) - col("jac")), 9).as("abs_err"))
     },
 
     // ------------------------------------------------------------------

@@ -100,6 +100,34 @@ object Pipeline {
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "validation")
             .otherwise("test"))
+    },
+
+    // ------------------------------------------------------------------
+    // Curriculum ordering: assign each document a quality-quartile
+    // curriculum phase (phase 1 = cleanest quartile, trained first)
+    // plus a deterministic within-phase shuffle key (md5 — reruns and
+    // engine swaps agree on the exact training order). The quartile is
+    // the EXACT global ntile via the distributed range-bucket rank
+    // (the q34/ev_rfm machinery — no global sort task); the quality
+    // input is the verified text_quality operator. Row-local after the
+    // rank: at 100 TB the only corpus-scale moves are the quality scan
+    // and one bucket-count agg.
+    "pipe_curriculum_order" -> QueryDef.withOracle(
+      s"""WITH q AS (
+         |  ${TextOps.qualityScoreSql}),
+         |n AS (
+         |  SELECT doc_id, quality_score,
+         |    ntile(4) OVER (ORDER BY quality_score ASC, doc_id ASC) AS q4
+         |  FROM q)
+         |SELECT doc_id, quality_score, CAST(5 - q4 AS INT) AS phase,
+         |  md5(CAST(doc_id AS VARCHAR)) AS order_key
+         |FROM n""".stripMargin) { (s, dir) =>
+      val q = TextOps.defs.toMap.apply("text_quality").fn(s, dir)
+        .select(col("doc_id"), col("quality_score"))
+      Temporal.distributedNtile(q, "quality_score", "doc_id", 4, "q4")
+        .select(col("doc_id"), col("quality_score"),
+          (lit(5) - col("q4")).cast("int").as("phase"),
+          md5(col("doc_id").cast("string").cast(BinaryType)).as("order_key"))
     }
   )
 }

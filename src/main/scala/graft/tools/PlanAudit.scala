@@ -142,7 +142,12 @@ object PlanAudit {
       // recall eval stacks the full ann_ivf_topk pipeline (13) on the
       // exact ranking (2) plus the K×NPROBES-row compare joins — every
       // added exchange rides the two top-K outputs, never the corpus
-      "ann_recall_eval" -> 18)
+      "ann_recall_eval" -> 18,
+      // estimator eval stacks the candidate build (bands + cap, the
+      // dedup_ngram_jaccard budget) + the signature agg + the doc-id
+      // keyed compare joins — all candidate-thin after the one
+      // shingle-explode agg
+      "dedup_minhash_est_jaccard" -> 9)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

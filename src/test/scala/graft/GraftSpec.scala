@@ -473,6 +473,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_mann_whitney", "") -> "2-dp value domain bookkeeping (rank table)",
       ("etl_seasonal_ma", "") -> "daily-grain calendar relation",
       ("ev_cumulative_users", "") -> "daily-grain calendar relation",
+      ("pipe_curriculum_order", "") -> "200-range-bucket offset stitch (distributedNtile bookkeeping)",
       ("ev_growth_accounting", "") -> "daily-grain calendar relation")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
@@ -2055,6 +2056,34 @@ class StatScreenSpec extends AnyFunSuite {
     assert(df.filter(col("n_bpe") < col("n_words")).count() == 0)
     assert(df.filter(col("n_bpe") < col("n_syms")).count() > 0,
       "8 merges must compress at least one document")
+  }
+
+  test("minhash estimator error stays inside the 16-hash binomial band") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dedup_minhash_est_jaccard")(spark, sf)
+    assert(df.filter(col("est_matches") < 0 || col("est_matches") > 16).count() == 0)
+    assert(df.filter(col("est_jac") =!= col("est_matches") / 16.0).count() == 0)
+    // std of a 16-trial binomial proportion is <= 0.125; a mean
+    // absolute error beyond ~1.2 sigma across candidate pairs means
+    // the hash family or seeding is broken, not unlucky
+    val mean = df.agg(avg(col("abs_err"))).head().getDouble(0)
+    assert(mean < 0.15, s"mean |est - exact| = $mean: estimator biased")
+  }
+
+  test("curriculum phases are balanced quartiles ordered cleanest-first") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("pipe_curriculum_order")(spark, sf)
+    val sizes = df.groupBy("phase").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"quartiles must be balanced: $sizes")
+    val bounds = df.groupBy("phase")
+      .agg(min("quality_score").as("lo"), max("quality_score").as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (p <- 1 to 3)
+      assert(bounds(p)._1 >= bounds(p + 1)._2,
+        s"phase $p (cleaner) must not dip below phase ${p + 1}")
   }
 
   test("OLS matches an independent driver-side fit at sf0.001") {
