@@ -147,7 +147,12 @@ object PlanAudit {
       // dedup_ngram_jaccard budget) + the signature agg + the doc-id
       // keyed compare joins — all candidate-thin after the one
       // shingle-explode agg
-      "dedup_minhash_est_jaccard" -> 9)
+      "dedup_minhash_est_jaccard" -> 9,
+      // one corpus-scale (type, day) agg, then totals/deviation/
+      // denominator/lag-join/numerator moves on the type×day
+      // bookkeeping relation — the count varies ±1 with session state
+      // (cache/broadcast planning), every variant bookkeeping-thin
+      "ev_autocorrelation" -> 8)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
