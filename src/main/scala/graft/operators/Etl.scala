@@ -2243,6 +2243,263 @@ object Etl {
           (floor(sqrt((col("s") / lit(1.0e9))
             / (col("n") * least(col("nr") - 1, col("nc") - 1)))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("cramers_v"))
+    },
+
+    // ------------------------------------------------------------------
+    // Herfindahl-Hirschman concentration index of customer spend within
+    // each nation — the standard market-concentration screen a
+    // statistical agency runs before publishing dominance-sensitive
+    // cells (the share-based cousin of etl_dominance_rule). HHI =
+    // Σ sᵢ² over customer spend shares, computed as Σspend²/ (Σspend)²
+    // so both factors are plain keyed aggregations — one corpus scan,
+    // one custkey shuffle, one nation-keyed agg; no per-nation window
+    // at all. Spend is an exact DECIMAL sum cast to double (the q21
+    // protocol); the final ratio is fixed-point-rounded to 9 so the
+    // double division chain can't drift between engines.
+    "etl_herfindahl" -> QueryDef.withOracle(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_name, s.spend
+        |  FROM spend s
+        |  JOIN customer c ON c.c_custkey = s.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey)
+        |SELECT n_name,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_spend,
+        |  floor(sum(spend * spend)
+        |      / (CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+        |         * CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE))
+        |      * 1000000000 + 0.5) / 1.0e9 AS hhi
+        |FROM j GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("spend"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val tot = sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType)
+      spend
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(tot, 2).as("total_spend"),
+          (floor(sum(col("spend") * col("spend")) / (tot * tot)
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("hhi"))
+    },
+
+    // ------------------------------------------------------------------
+    // One-way ANOVA of order value across the five priority classes —
+    // "does priority explain spend?", the F-test a survey analyst runs
+    // on a candidate stratification variable. Everything reduces to
+    // exact per-group DECIMAL power sums (Σx as DECIMAL(18,2), Σx² as
+    // a decimal product sum — the q21 protocol), so the corpus
+    // contributes ONE map-side-combined aggregation; the F statistic
+    // assembles on a k-row bookkeeping relation from sums that are
+    // bit-identical in both engines, and the final double chain is
+    // mirrored verbatim in the oracle.
+    "etl_anova_oneway" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_j,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_j
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    sum(s_j) AS s, sum(ss_j) AS ss,
+        |    sum(s_j * s_j / n_j) AS sgm
+        |  FROM g)
+        |SELECT n, k,
+        |  floor((sgm - s * s / n) / (k - 1)
+        |      / ((ss - sgm) / (n - k)) * 1000000000 + 0.5) / 1.0e9 AS f_stat,
+        |  floor((sgm - s * s / n) / (ss - s * s / n) * 1000000000 + 0.5)
+        |    / 1.0e9 AS eta_sq
+        |FROM t""".stripMargin) { (s, dir) =>
+      val x = col("o_totalprice").cast(DecimalType(18, 2))
+      val g = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n_j"),
+          sum(x).cast(DoubleType).as("s_j"),
+          sum(x * x).cast(DoubleType).as("ss_j"))
+      // k-row relation: the whole F assembly is a 1-row agg over it
+      g.agg(sum(col("n_j")).as("n"), count(lit(1)).as("k"),
+          sum(col("s_j")).as("s"), sum(col("ss_j")).as("ss"),
+          sum(col("s_j") * col("s_j") / col("n_j")).as("sgm"))
+        .select(col("n"), col("k"),
+          (floor((col("sgm") - col("s") * col("s") / col("n")) / (col("k") - 1)
+            / ((col("ss") - col("sgm")) / (col("n") - col("k")))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("f_stat"),
+          (floor((col("sgm") - col("s") * col("s") / col("n"))
+            / (col("ss") - col("s") * col("s") / col("n"))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("eta_sq"))
+    },
+
+    // ------------------------------------------------------------------
+    // Lorenz curve of customer spend — the decile table behind
+    // etl_gini's scalar: decile k's share of total spend and the
+    // cumulative share (the curve ordinate a distribution analyst
+    // publishes). Deciles come from the distributed ntile transform
+    // (range-bucket offsets + per-bucket local ranks — no whole-corpus
+    // single-task sort), which reproduces SQL ntile(10) semantics
+    // exactly; the cumulative window then rides a 10-row bookkeeping
+    // relation. Exact DECIMAL spend sums; ratio fixed-point-rounded.
+    "etl_lorenz_curve" -> QueryDef.withOracle(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT spend,
+        |    CAST(ntile(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS BIGINT)
+        |      AS decile
+        |  FROM spend),
+        |g AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS dec_spend
+        |  FROM d GROUP BY decile),
+        |t AS (SELECT sum(dec_spend) AS tot FROM g)
+        |SELECT decile, n_cust, round(dec_spend, 2) AS decile_spend,
+        |  floor(sum(dec_spend) OVER (ORDER BY decile ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / tot * 1000000000 + 0.5) / 1.0e9 AS cum_share
+        |FROM g CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("spend"))
+      val g = Temporal.distributedNtile(spend, "spend", "o_custkey", 10, "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("spend").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("dec_spend"))
+      // 10-row relation: global windows here are bookkeeping, not scale
+      val wCum = Window.orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.orderBy(col("decile").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.select(col("decile"), col("n_cust"),
+          round(col("dec_spend"), 2).as("decile_spend"),
+          (floor(sum(col("dec_spend")).over(wCum)
+            / sum(col("dec_spend")).over(wTot)
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("cum_share"))
+    },
+
+    // ------------------------------------------------------------------
+    // Spearman rank correlation between quantity and extended price per
+    // return flag — the monotonic-association screen (robust to the
+    // price outliers Pearson chokes on). Tie handling is the textbook
+    // average-rank: rank2 = 2·avgrank = 2·minrank + ties − 1 kept
+    // integral, so the five Pearson power sums over ranks are EXACT
+    // BIGINTs (safe to ~2M rows/group before Σr·r′ nears 2⁶³; beyond
+    // that the rank2 sums would move to DOUBLE). Price ranks come from
+    // the distributed prefix pattern (per-flag range-bucket offsets +
+    // per-bucket local windows over distinct VALUES, each bucket
+    // bounded) — no per-flag single-task sort anywhere; quantity ranks
+    // ride a ≤50-value bookkeeping relation. Final ρ assembles in
+    // double from the exact sums with the expression shape mirrored in
+    // the oracle.
+    "etl_spearman_corr" -> QueryDef.withOracle(
+      """WITH cx AS (
+        |  SELECT l_returnflag AS f, l_quantity AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT f, v,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY f ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2x
+        |  FROM cx),
+        |cy AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS w,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT f, w,
+        |    2 * coalesce(sum(cnt) OVER (PARTITION BY f ORDER BY w ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS r2y
+        |  FROM cy),
+        |p AS (
+        |  SELECT l.l_returnflag AS f, x.r2x, y.r2y
+        |  FROM lineitem l
+        |  JOIN rx x ON x.f = l.l_returnflag AND x.v = l.l_quantity
+        |  JOIN ry y ON y.f = l.l_returnflag AND y.w = l.l_extendedprice),
+        |sums AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+        |    CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+        |    CAST(sum(r2y * r2y) AS BIGINT) AS syy,
+        |    CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+        |  FROM p GROUP BY f)
+        |SELECT f AS l_returnflag, n,
+        |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |      * 1000000000 + 0.5) / 1.0e9 AS spearman_rho
+        |FROM sums""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_quantity").as("v"),
+          col("l_extendedprice").as("w"))
+      val rx = avgRank2(li, "v")   // ≤50-value domain: tiny relation
+      val ry = avgRank2(li, "w")   // corpus-scale distinct values
+      val p = li
+        .join(broadcast(rx), Seq("f", "v"))     // value-keyed broadcast
+        .join(ry, Seq("f", "w"))                // (f, w)-keyed shuffle join
+        .select(col("f"), col("r2x"), col("r2y"))
+      p.groupBy(col("f"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+          sum(col("r2x") * col("r2x")).as("sxx"),
+          sum(col("r2y") * col("r2y")).as("syy"),
+          sum(col("r2x") * col("r2y")).as("sxy"))
+        .select(col("f").as("l_returnflag"), col("n"),
+          (floor((col("n").cast(DoubleType) * col("sxy")
+              - col("sx").cast(DoubleType) * col("sy"))
+            / sqrt((col("n").cast(DoubleType) * col("sxx")
+                - col("sx").cast(DoubleType) * col("sx"))
+              * (col("n").cast(DoubleType) * col("syy")
+                - col("sy").cast(DoubleType) * col("sy")))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("spearman_rho"))
     }
   )
+
+  /** Tie-averaged rank2 (= 2·average rank, always integral) of `v`
+    * within group column `f`, computed WITHOUT a per-group whole-column
+    * sort: per-(f, value) counts → per-flag range-bucket prefix offsets
+    * (a ≤200·|f|-row bookkeeping window) → per-(f, bucket) local
+    * cumulative counts over distinct VALUES (each bucket holds
+    * ~distinct/200 values). rank2(v) = 2·(rows before v) + count(v) + 1.
+    * Returns (f, v-named column, r2x/r2y) keyed by the value column for
+    * the join back to rows. */
+  private def avgRank2(df: org.apache.spark.sql.DataFrame,
+      vCol: String): org.apache.spark.sql.DataFrame = {
+    val r2Name = if (vCol == "v") "r2x" else "r2y"
+    val counts = df.groupBy(col("f"), col(vCol)).agg(count(lit(1)).as("cnt"))
+    val mmx = df.agg(min(col(vCol)).cast(DoubleType),
+      max(col(vCol)).cast(DoubleType)).head()
+    val withB = counts.withColumn("bkt", Relational.rangeBucket(
+      col(vCol).cast(DoubleType), mmx.getDouble(0), mmx.getDouble(1), 200))
+    val wOff = Window.partitionBy(col("f")).orderBy(col("bkt").asc)
+    val offs = withB.groupBy(col("f"), col("bkt"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .select(col("f"), col("bkt"),
+        coalesce(sum(col("bcnt"))
+          .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("off"))
+    val wLoc = Window.partitionBy(col("f"), col("bkt"))
+      .orderBy(col(vCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .withColumn("before_in_bkt", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .join(broadcast(offs), Seq("f", "bkt"))
+      .select(col("f"), col(vCol),
+        (lit(2L) * (col("off") + col("before_in_bkt")) + col("cnt") + 1L)
+          .as(r2Name))
+  }
 }

@@ -1161,6 +1161,120 @@ object Temporal {
           snap(col("sad"), col("n_eval")).as("mae"),
           snap(col("sd"), col("n_eval")).as("bias"),
           snap(col("sad"), col("sn").cast(DoubleType)).as("rel_mae"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cohort LTV curve: for each weekly signup cohort, cumulative
+    // purchase revenue per cohort member by week of age — the
+    // lifetime-value table behind every retention-economics dashboard.
+    // Corpus-scale work is two keyed aggregations (first-week per user,
+    // then cohort×age revenue); the cumulative window rides the
+    // weeks×weeks bookkeeping grid, never the event log. Revenue sums
+    // are exact DECIMAL (the q21 protocol) and the per-user ratio is
+    // fixed-point-rounded.
+    "ev_cohort_ltv" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+        |    event_type, value
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+        |       FROM f GROUP BY cohort_week),
+        |rev AS (
+        |  SELECT f.cohort_week, e.week - f.cohort_week AS age_weeks,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+        |  FROM e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT r.cohort_week, r.age_weeks, cs.cohort_users,
+        |    CAST(sum(CAST(r2.rev AS DECIMAL(18,6))) AS DOUBLE) AS cum_rev
+        |  FROM rev r
+        |  JOIN rev r2 ON r2.cohort_week = r.cohort_week
+        |             AND r2.age_weeks <= r.age_weeks
+        |  JOIN cs ON cs.cohort_week = r.cohort_week
+        |  GROUP BY 1, 2, 3)
+        |SELECT cohort_week, age_weeks, cohort_users,
+        |  round(cum_rev, 6) AS cum_revenue,
+        |  floor(cum_rev / cohort_users * 1000000000 + 0.5) / 1.0e9
+        |    AS ltv_per_user
+        |FROM c""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), expr("ts_s div 604800").as("week"),
+          col("event_type"), col("value"))
+      val f = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+        .persist() // user→cohort map: feeds sizes and the revenue join
+      val cs = f.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .join(f, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("rev"))
+      // weeks² bookkeeping grid: the window is bounded by the calendar,
+      // not the corpus
+      val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("cum_rev",
+          sum(col("rev").cast(DecimalType(18, 6))).over(wCum).cast(DoubleType))
+        .join(broadcast(cs), Seq("cohort_week"))
+        .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+          round(col("cum_rev"), 6).as("cum_revenue"),
+          (floor(col("cum_rev") / col("cohort_users") * lit(1.0e9) + lit(0.5))
+            / lit(1.0e9)).as("ltv_per_user"))
+    },
+
+    // ------------------------------------------------------------------
+    // Audience overlap between event types: |users(a) ∩ users(b)| and
+    // Jaccard for every unordered type pair — "do clickers also buy?".
+    // The scale shape is per-user combination generation: ONE shuffle
+    // to (user → distinct type set), then each user emits C(t,2) pair
+    // rows with t ≤ |event-type domain| (a small constant), and a
+    // final pair-keyed count. No user×user or type×type join ever
+    // touches the corpus; totals ride a broadcast of the |types|-row
+    // relation.
+    "ev_user_overlap" -> QueryDef.withOracle(
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        |        FROM ut GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |  ta.n_users AS n_a, tb.n_users AS n_b,
+        |  floor(CAST(p.n_both AS DOUBLE)
+        |      / (ta.n_users + tb.n_users - p.n_both)
+        |      * 1000000000 + 0.5) / 1.0e9 AS jaccard
+        |FROM p
+        |JOIN tot ta ON ta.event_type = p.type_a
+        |JOIN tot tb ON tb.event_type = p.type_b""".stripMargin) { (s, dir) =>
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val tot = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      // row-local pair generation from each user's sorted type array —
+      // t ≤ |type domain| keeps the explode constant-factor
+      val pairs = ut.groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .select(explode(expr(
+          """flatten(transform(types, (a, i) ->
+            |  transform(slice(types, i + 2, size(types)), b ->
+            |    named_struct('type_a', a, 'type_b', b))))""".stripMargin)).as("pr"))
+        .select(col("pr.type_a"), col("pr.type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(tot.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a"))), Seq("type_a"))
+        .join(broadcast(tot.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"),
+          (floor(col("n_both").cast(DoubleType)
+            / (col("n_a") + col("n_b") - col("n_both"))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("jaccard"))
     }
   )
 

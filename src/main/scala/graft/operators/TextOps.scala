@@ -723,6 +723,100 @@ object TextOps {
           (floor((col("m") * col("suw") - col("su") * col("sw")).cast(DoubleType)
             * lit(1.0e9) / (col("m") * col("suu") - col("su") * col("su"))
             + lit(0.5)).cast(LongType) / lit(1.0e9)).as("heaps_beta"))
+    },
+
+    // ------------------------------------------------------------------
+    // Feature-hashed term frequencies (the "hashing trick") — the
+    // fixed-width bag-of-words featurization a quality classifier or
+    // cheap similarity model consumes when the vocabulary is unbounded.
+    // Bucket = first 2 hex chars of md5(token) mod 64 (md5 is the
+    // engine-portable hash of the round-3 protocol, so the oracle lands
+    // in identical buckets). Emitted as sparse (doc_id, bucket, tf)
+    // rows, NOT a dense array — at 100 TB the sparse form is what a
+    // trainer shards on, and it keeps the whole plan one explode + one
+    // map-side-combined groupBy with nothing corpus-scale in a window.
+    "text_hashing_tf" -> QueryDef.withOracle(
+      s"""SELECT doc_id,
+         |  CAST(('0x' || substring(md5(tok), 1, 2))::BIGINT % 64 AS BIGINT)
+         |    AS bucket,
+         |  CAST(count(*) AS BIGINT) AS tf
+         |FROM (SELECT doc_id, unnest(${toksSql("text")}) AS tok
+         |      FROM documents)
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok").cast(BinaryType)), 1, 2), 16, 10)
+            .cast(LongType) % 64).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("tf"))
+    },
+
+    // ------------------------------------------------------------------
+    // Code-vs-prose detection — the corpus-routing screen an LLM data
+    // pipeline runs before language ID (code gets a different quality
+    // model and dedup granularity). Pure row-local heuristics over
+    // public signals: code-symbol density ({}[];=<>), digit density,
+    // and code-keyword token rate — all computed with codegen'd
+    // string/array functions, zero shuffle before the output, so the
+    // operator is bandwidth-bound at any corpus size. Thresholds are
+    // fixed constants; every ratio is fixed-point-rounded so the oracle
+    // can mirror the arithmetic bit-for-bit.
+    "text_code_detect" -> QueryDef.withOracle(
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    length(text) AS n_chars,
+         |    length(text) - length(regexp_replace(text,
+         |      '[\\[\\]{}();=<>]', '', 'g')) AS n_sym,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |      AS n_digit,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN
+         |      ('if', 'else', 'for', 'while', 'return', 'def', 'var',
+         |       'int', 'void', 'import'))) AS BIGINT) AS kw_hits
+         |  FROM documents WHERE length(text) > 0),
+         |sc AS (
+         |  SELECT doc_id, n_chars, kw_hits,
+         |    floor(CAST(n_sym AS DOUBLE) / n_chars * 1000000000 + 0.5)
+         |      / 1.0e9 AS sym_ratio,
+         |    floor(CAST(n_digit AS DOUBLE) / n_chars * 1000000000 + 0.5)
+         |      / 1.0e9 AS digit_ratio,
+         |    floor((0.5 * (CAST(n_sym AS DOUBLE) / n_chars)
+         |         + 0.2 * (CAST(n_digit AS DOUBLE) / n_chars)
+         |         + 0.3 * (CASE WHEN n_toks > 0
+         |             THEN CAST(kw_hits AS DOUBLE) / n_toks ELSE 0 END))
+         |      * 1000000000 + 0.5) / 1.0e9 AS code_score
+         |  FROM m)
+         |SELECT doc_id, n_chars, kw_hits, sym_ratio, digit_ratio, code_score,
+         |  CAST(CASE WHEN code_score >= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_code
+         |FROM sc""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val nChars = length(t).cast(LongType)
+      val nSym = (length(t) - length(regexp_replace(t, "[\\[\\]{}();=<>]", "")))
+        .cast(LongType)
+      val nDigit = (length(t) - length(regexp_replace(t, "[0-9]", "")))
+        .cast(LongType)
+      val toks = tokens(t)
+      val kw = typedLit(Seq("if", "else", "for", "while", "return", "def",
+        "var", "int", "void", "import"))
+      val kwHits = size(filter(toks, x => array_contains(kw, x))).cast(LongType)
+      val fp = (c: Column) => floor(c * lit(1.0e9) + lit(0.5)) / lit(1.0e9)
+      Tables.documents(s, dir)
+        .filter(length(t) > 0)
+        .select(col("doc_id"), nChars.as("n_chars"), nSym.as("n_sym"),
+          nDigit.as("n_digit"), size(toks).cast(LongType).as("n_toks"),
+          kwHits.as("kw_hits"))
+        .select(col("doc_id"), col("n_chars"), col("kw_hits"),
+          fp(col("n_sym").cast(DoubleType) / col("n_chars")).as("sym_ratio"),
+          fp(col("n_digit").cast(DoubleType) / col("n_chars")).as("digit_ratio"),
+          fp(lit(0.5) * (col("n_sym").cast(DoubleType) / col("n_chars"))
+            + lit(0.2) * (col("n_digit").cast(DoubleType) / col("n_chars"))
+            + lit(0.3) * when(col("n_toks") > 0,
+                col("kw_hits").cast(DoubleType) / col("n_toks"))
+              .otherwise(lit(0.0))).as("code_score"))
+        .withColumn("is_code",
+          when(col("code_score") >= 0.05, 1L).otherwise(0L))
     }
   )
 }

@@ -152,7 +152,15 @@ object PlanAudit {
       // denominator/lag-join/numerator moves on the type×day
       // bookkeeping relation — the count varies ±1 with session state
       // (cache/broadcast planning), every variant bookkeeping-thin
-      "ev_autocorrelation" -> 8)
+      "ev_autocorrelation" -> 8,
+      // spearman chains TWO avgRank2 passes (the ev_rfm pattern: each =
+      // one map-side-combined (f, value) count + a ≤|f|×200-row offset
+      // window + the per-(f, bucket) local cumulative window over
+      // distinct VALUES) and then the (f, value)-keyed join of ranks
+      // back to rows + the final 5-sum agg — corpus-scale moves are the
+      // two count aggs, the price-side rank join and the final agg; the
+      // rest are bucket/bookkeeping-bounded
+      "etl_spearman_corr" -> 12)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

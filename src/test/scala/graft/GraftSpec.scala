@@ -456,7 +456,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val lowCard = Set("lang", "source", "event_type", "n_name", "r_name",
       "from_type", "to_type", "o_orderpriority", "o_orderstatus",
       "l_returnflag", "l_linestatus", "cohort_week", "shard", "p_brand",
-      "blk", "label", "flag")
+      "blk", "label", "flag", "f")
     val bookkeeping: Map[(String, String), String] = Map(
       ("etl_cell_suppression", "n_name") -> "nations×segments cell table, ≤125 rows",
       ("etl_gini", "n_name") -> "200-range-bucket offset stitch (≤25×200 rows)",
@@ -474,7 +474,10 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_seasonal_ma", "") -> "daily-grain calendar relation",
       ("ev_cumulative_users", "") -> "daily-grain calendar relation",
       ("pipe_curriculum_order", "") -> "200-range-bucket offset stitch (distributedNtile bookkeeping)",
-      ("ev_growth_accounting", "") -> "daily-grain calendar relation")
+      ("ev_growth_accounting", "") -> "daily-grain calendar relation",
+      ("etl_lorenz_curve", "") -> "10-row decile relation + distributedNtile's 200-bucket offset stitch",
+      ("etl_spearman_corr", "f") -> "per-flag 200-range-bucket offset stitch (≤3×200 rows)",
+      ("ev_cohort_ltv", "cohort_week") -> "cohort×age weeks calendar-bounded grid")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -2158,5 +2161,132 @@ class StatScreenSpec extends AnyFunSuite {
     val joined = df.join(days, "event_type")
       .filter(col("n_eval") >= col("count")).count()
     assert(joined == 0, "eval days must be fewer than observed days (7 lost to lag)")
+  }
+
+  test("Herfindahl index sits in (1/n, 1] and matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("etl_herfindahl")(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, hhi) = (r.getAs[Long]("n_cust"), r.getAs[Double]("hhi"))
+      assert(hhi > 0.0 && hhi <= 1.0)
+      assert(hhi >= 1.0 / n - 1e-9, "HHI below the equal-shares floor 1/n")
+    }
+    // independent reference on one nation
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("s"))
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("c_custkey") === col("o_custkey"))
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("s")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    rows.take(3).foreach { r =>
+      val xs = spend(r.getString(0))
+      val ref = xs.map(x => x * x).sum / math.pow(xs.sum, 2)
+      assert(math.abs(r.getAs[Double]("hhi") - ref) < 1e-6)
+    }
+  }
+
+  test("one-way ANOVA: F >= 0 and eta-squared in [0, 1]") {
+    val r = SparkEntry.queries("etl_anova_oneway")(spark, sf).head()
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+  }
+
+  test("Lorenz curve is convex-monotone and ends at exactly 1") {
+    val rows = SparkEntry.queries("etl_lorenz_curve")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a },
+      "cumulative share must be monotone")
+    assert(math.abs(shares.last - 1.0) < 1e-9, s"curve must end at 1: ${shares.last}")
+    // deciles ordered by spend ⇒ per-decile increments non-decreasing
+    val incr = shares.head +: shares.zip(shares.tail).map { case (a, b) => b - a }
+    assert(incr.zip(incr.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "Lorenz increments must be non-decreasing when deciles sort ascending")
+  }
+
+  test("Spearman rho matches a driver-side tie-averaged recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("etl_spearman_corr")(spark, sf).collect()
+    val raw = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j).toDouble / 2  // mean of ranks i+1..j
+        for (k <- i until j) out(sorted(k)._2) = avg
+        i = j
+      }
+      out
+    }
+    rows.foreach { r =>
+      val pts = raw(r.getString(0))
+      val rx = avgRanks(pts.map(_.getDouble(1)))
+      val ry = avgRanks(pts.map(_.getDouble(2)))
+      val n = rx.length.toDouble
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val sxx = rx.map(a => a * a).sum
+      val syy = ry.map(a => a * a).sum
+      val ref = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val got = r.getAs[Double]("spearman_rho")
+      assert(math.abs(got - ref) < 1e-6, s"${r.getString(0)}: $got vs $ref")
+      assert(got >= -1.0 && got <= 1.0)
+    }
+  }
+
+  test("cohort LTV is cumulative-monotone per cohort with stable cohort sizes") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ev_cohort_ltv")(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("age_weeks"))
+    val bad = df.withColumn("prev", lag(col("cum_revenue"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_revenue") < col("prev"))
+    assert(bad.count() == 0, "cumulative revenue must be monotone in age")
+    val sizes = df.groupBy("cohort_week")
+      .agg(countDistinct(col("cohort_users")).as("d")).filter(col("d") =!= 1)
+    assert(sizes.count() == 0, "cohort size must be constant across its ages")
+  }
+
+  test("user overlap: intersection bounded by min set size, jaccard consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ev_user_overlap")(spark, sf)
+    assert(df.filter(col("n_both") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(df.filter(col("type_a") >= col("type_b")).count() == 0,
+      "pairs must be strictly ordered (each unordered pair once)")
+    val badJ = df.filter(abs(col("jaccard") -
+      col("n_both") / (col("n_a") + col("n_b") - col("n_both"))) > 1e-9)
+    assert(badJ.count() == 0)
+  }
+
+  test("hashing TF buckets cover [0, 64) and per-doc tf sums equal token counts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_hashing_tf")(spark, sf)
+    assert(df.filter(col("bucket") < 0 || col("bucket") > 63).count() == 0)
+    val sums = df.groupBy("doc_id").agg(sum("tf").as("tf_sum"))
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long").as("n"))
+    assert(sums.join(toks, "doc_id").filter(col("tf_sum") =!= col("n")).count() == 0,
+      "feature hashing must conserve total token mass per doc")
+  }
+
+  test("code detection: ratios in [0,1], score consistent with components") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_code_detect")(spark, sf)
+    for (c <- Seq("sym_ratio", "digit_ratio", "code_score"))
+      assert(df.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+    assert(df.filter((col("code_score") >= 0.05) =!= (col("is_code") === 1L))
+      .count() == 0, "is_code must be the thresholded score")
   }
 }
