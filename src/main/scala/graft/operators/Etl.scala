@@ -2466,6 +2466,208 @@ object Etl {
               * (col("n").cast(DoubleType) * col("syy")
                 - col("sy").cast(DoubleType) * col("sy")))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("spearman_rho"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theil inequality index per nation — the entropy-based companion
+    // to etl_gini (additively decomposable across subgroups, which is
+    // why agencies publish it alongside): T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ).
+    // μ comes from exact DECIMAL sums broadcast back; each row's
+    // (x/μ)·ln(x/μ) term snaps to ×10⁶ fixed point BEFORE the sum (the
+    // bigram-LM ln discipline) so the corpus-scale accumulation is an
+    // exact long — order- and partitioning-invariant at any size. One
+    // scan, one custkey shuffle, one nation agg; no windows.
+    "etl_theil_index" -> QueryDef.withOracle(
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT n.n_name, s.spend
+        |  FROM spend s
+        |  JOIN customer c ON c.c_custkey = s.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |mu AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+        |  FROM j GROUP BY n_name),
+        |t AS (
+        |  SELECT j.n_name, mu.n,
+        |    CAST(floor((j.spend / mu.mu) * ln(j.spend / mu.mu) * 1000000
+        |      + 0.5) AS BIGINT) AS term_fp
+        |  FROM j JOIN mu ON mu.n_name = j.n_name)
+        |SELECT n_name, n,
+        |  floor(CAST(sum(term_fp) AS BIGINT) / 1.0e6 / n * 1000000000 + 0.5)
+        |    / 1.0e9 AS theil_t
+        |FROM t GROUP BY n_name, n""".stripMargin) { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("spend"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val j = spend
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("spend"))
+        .persist() // feeds the per-nation mean and the term pass
+      val mu = j.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType)
+            / count(lit(1))).as("mu"))
+      val ratio = col("spend") / col("mu")
+      j.join(broadcast(mu), Seq("n_name"))
+        .select(col("n_name"), col("n"),
+          floor(ratio * log(ratio) * lit(1.0e6) + lit(0.5))
+            .cast(LongType).as("term_fp"))
+        .groupBy(col("n_name"), col("n"))
+        .agg(sum(col("term_fp")).as("s"))
+        .select(col("n_name"), col("n"),
+          (floor(col("s") / lit(1.0e6) / col("n") * lit(1.0e9) + lit(0.5))
+            / lit(1.0e9)).as("theil_t"))
+    },
+
+    // ------------------------------------------------------------------
+    // Median absolute deviation per return flag — the robust scale
+    // estimate behind outlier editing when σ itself is contaminated
+    // (the robust companion to etl_outlier_clamp's mean±3σ). TWO exact
+    // distributed selections via the factored q28 plan
+    // (Relational.rankSelectByKey): median of price, then median of
+    // |price − median| under the broadcast medians — each pass sorts
+    // only the ≤2 hot buckets per flag that contain a middle rank,
+    // never a whole flag. All values ride identical doubles in both
+    // engines, so no snapping is needed.
+    "etl_mad_robust" -> QueryDef.withOracle(
+      """WITH r AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS x,
+        |    l_orderkey AS ok, l_linenumber AS ln FROM lineitem),
+        |m AS (
+        |  SELECT f, max(n) AS n,
+        |    (max(CASE WHEN rn = (n + 1) // 2 THEN x END)
+        |     + max(CASE WHEN rn = (n + 2) // 2 THEN x END)) / 2.0 AS med
+        |  FROM (SELECT f, x,
+        |          row_number() OVER (PARTITION BY f ORDER BY x, ok, ln) AS rn,
+        |          count(*) OVER (PARTITION BY f) AS n
+        |        FROM r)
+        |  GROUP BY f),
+        |d AS (
+        |  SELECT r.f, abs(r.x - m.med) AS dev, r.ok, r.ln
+        |  FROM r JOIN m ON m.f = r.f),
+        |md AS (
+        |  SELECT f,
+        |    (max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+        |     + max(CASE WHEN rn = (n + 2) // 2 THEN dev END)) / 2.0 AS mad
+        |  FROM (SELECT f, dev,
+        |          row_number() OVER (PARTITION BY f ORDER BY dev, ok, ln) AS rn,
+        |          count(*) OVER (PARTITION BY f) AS n
+        |        FROM d)
+        |  GROUP BY f)
+        |SELECT m.f AS l_returnflag, m.n, m.med AS median_price, md.mad
+        |FROM m JOIN md ON md.f = m.f""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val mids = (n: Column) =>
+        array(floor((n + 1) / 2), floor((n + 2) / 2))
+      val sel1 = Relational.rankSelectByKey(li, "l_returnflag",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), mids)
+      val med = sel1.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          ((max(when(col("pos") === floor((col("n") + 1) / 2),
+              col("l_extendedprice")))
+            + max(when(col("pos") === floor((col("n") + 2) / 2),
+              col("l_extendedprice")))) / lit(2.0)).as("median_price"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("median_price")).as("dev"),
+          col("l_orderkey"), col("l_linenumber"))
+      val sel2 = Relational.rankSelectByKey(dev, "l_returnflag", "dev",
+        Seq("l_orderkey", "l_linenumber"), mids)
+      val mad = sel2.groupBy(col("l_returnflag"))
+        .agg(((max(when(col("pos") === floor((col("n") + 1) / 2), col("dev")))
+          + max(when(col("pos") === floor((col("n") + 2) / 2), col("dev"))))
+          / lit(2.0)).as("mad"))
+      med.join(mad, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("median_price"), col("mad"))
+    },
+
+    // ------------------------------------------------------------------
+    // Kruskal-Wallis rank test of event value across ALL event types —
+    // the ≥3-group generalization of etl_mann_whitney (is any type's
+    // value distribution shifted?). Same scale argument: average
+    // tie-ranks in exact ×2 integers from the bounded 2-dp
+    // value-grouped relation (one map-side-combined count + a
+    // value-domain bookkeeping window); per-group rank sums stay exact
+    // BIGINTs; Σ R²/n terms snap ×10³ fixed point before the k-row sum
+    // so the 5-term double addition is order-invariant; tie-corrected
+    // H assembles from exact components with the double chain mirrored
+    // verbatim.
+    "etl_kruskal_wallis" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT value, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT value, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY value),
+        |r AS (
+        |  SELECT value,
+        |    2 * coalesce(sum(tot) OVER (ORDER BY value ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + tot + 1 AS rank2
+        |  FROM t),
+        |sgrp AS (
+        |  SELECT c.event_type, CAST(sum(c.cnt) AS BIGINT) AS n_j,
+        |    CAST(sum(c.cnt * r.rank2) AS BIGINT) AS r2_j
+        |  FROM c JOIN r ON r.value = c.value
+        |  GROUP BY c.event_type),
+        |ties AS (SELECT CAST(sum(tot * tot * tot - tot) AS BIGINT) AS tie
+        |         FROM t),
+        |agg AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(floor((CAST(r2_j AS DOUBLE) / 2)
+        |      * (CAST(r2_j AS DOUBLE) / 2) / n_j * 1000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS srn_fp
+        |  FROM sgrp)
+        |SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
+        |  floor((12.0 / (CAST(n AS DOUBLE) * (n + 1.0))
+        |      * (srn_fp / 1.0e3) - 3.0 * (n + 1.0)) * 1000000000 + 0.5)
+        |    / 1.0e9 AS h,
+        |  floor((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * (srn_fp / 1.0e3)
+        |      - 3.0 * (n + 1.0))
+        |    / (1.0 - CAST(tie AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * n * n - n))
+        |    * 1000000000 + 0.5) / 1.0e9 AS h_corrected
+        |FROM agg CROSS JOIN ties""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("value"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // (value, type) bookkeeping: feeds totals and rank join
+      val t = c.groupBy(col("value")).agg(sum(col("cnt")).as("tot"))
+      // global window over the bounded 2-dp value domain (bookkeeping)
+      val wR = Window.orderBy(col("value").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = t.select(col("value"),
+        (lit(2L) * coalesce(sum(col("tot")).over(wR), lit(0L))
+          + col("tot") + 1L).as("rank2"))
+      val sgrp = c.join(r, Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_j"),
+          sum(col("cnt") * col("rank2")).as("r2_j"))
+      val ties = t.agg(
+        sum(col("tot") * col("tot") * col("tot") - col("tot")).as("tie"))
+      val srnFp = floor((col("r2_j").cast(DoubleType) / 2)
+        * (col("r2_j").cast(DoubleType) / 2) / col("n_j") * 1000 + lit(0.5))
+        .cast(LongType)
+      val nD = col("n").cast(DoubleType)
+      val hExpr = lit(12.0) / (nD * (col("n") + lit(1.0)))
+        .cast(DoubleType) * (col("srn_fp") / lit(1.0e3)) - lit(3.0) * (col("n") + lit(1.0))
+      sgrp.agg(sum(col("n_j")).as("n"), count(lit(1)).as("k"),
+          sum(srnFp).as("srn_fp"))
+        .crossJoin(broadcast(ties))
+        .select(col("n"), col("k"), (col("k") - 1).as("dof"),
+          (floor(hExpr * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("h"),
+          (floor(hExpr
+            / (lit(1.0) - col("tie").cast(DoubleType)
+              / (nD * col("n") * col("n") - col("n")))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("h_corrected"))
     }
   )
 

@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Graph analytics over the document-similarity graph (the verified
   * near-duplicate edges the dedup family already computes).
@@ -449,6 +450,71 @@ object Graph {
       Tables.documents(s, dir).select(col("doc_id"))
         .join(l, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+    },
+
+    // ------------------------------------------------------------------
+    // Degree assortativity of the embedding-similarity graph — Pearson
+    // correlation of endpoint degrees over directed edges ("do hubs
+    // link to hubs?", the structural screen that distinguishes a
+    // template-cluster topology from organic similarity). Degrees are
+    // exact integers, so all five moment sums are exact BIGINTs (one
+    // degree agg + two src/dst-keyed joins + a 1-row agg — the whole
+    // statistic adds O(E) keyed work on top of the shared edge
+    // relation); r assembles in double from exact sums, ×10⁹ snapped.
+    "graph_assortativity" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM p
+        |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
+        |deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY src),
+        |dd AS (
+        |  SELECT ds.deg AS dx, dt.deg AS dy
+        |  FROM edges e
+        |  JOIN deg ds ON ds.id = e.src
+        |  JOIN deg dt ON dt.id = e.dst),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |  FROM dd)
+        |SELECT m AS n_directed_edges,
+        |  floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |             * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |      * 1000000000 + 0.5) / 1.0e9 AS assortativity
+        |FROM m""".stripMargin) { (s, dir) =>
+      val p = Dedup.defs.toMap.apply("dedup_embedding").fn(s, dir)
+        .select(col("vec_a"), col("vec_b"))
+      val edges = p.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .persist() // degree build + both endpoint joins
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val dd = edges
+        .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      dd.agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("m").as("n_directed_edges"),
+          (floor((col("m").cast(DoubleType) * col("sxy")
+              - col("sx").cast(DoubleType) * col("sy"))
+            / sqrt((col("m").cast(DoubleType) * col("sxx")
+                - col("sx").cast(DoubleType) * col("sx"))
+              * (col("m").cast(DoubleType) * col("syy")
+                - col("sy").cast(DoubleType) * col("sy")))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("assortativity"))
     }
   )
 }

@@ -982,4 +982,48 @@ object Relational {
           col("e.value").as("o_totalprice"))
     }
   )
+
+  /** Exact per-key order statistics WITHOUT whole-key sorts — the q28
+    * selection plan factored for reuse (MAD, interarrival percentiles):
+    * (1) range-bucket `v` on literal global bounds, (2) per-(key,
+    * bucket) counts → running offsets on the bookkeeping relation,
+    * (3) `targets(n)` names the wanted global ranks per key (an array
+    * Column — e.g. the two middle positions, or ceil(0.9·n)), (4) only
+    * the ≤|targets| buckets that contain a target rank get a local
+    * sort (≈ n/buckets rows per task); global rank = local row_number
+    * + bucket offset. Returns (key, n, pos, `v`-named value) — one row
+    * per selected rank; callers pivot.
+    */
+  private[operators] def rankSelectByKey(df: DataFrame, key: String,
+      v: String, ties: Seq[String], targets: Column => Column): DataFrame = {
+    val mmx = df.agg(min(col(v)).cast(DoubleType),
+      max(col(v)).cast(DoubleType)).head()
+    val withB = df.withColumn("bkt",
+      rangeBucket(col(v).cast(DoubleType), mmx.getDouble(0), mmx.getDouble(1), 200))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("bkt").asc)
+    val offs = withB.groupBy(col(key), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(key), col("bkt"), col("cnt"),
+        coalesce(sum(col("cnt"))
+          .over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+        sum(col("cnt"))
+          .over(wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("n"))
+      .persist() // ≤ |key|×200 bookkeeping rows
+    val tg = offs.select(col(key), col("n")).distinct()
+      .select(col(key), col("n"),
+        explode(array_distinct(targets(col("n")))).as("pos"))
+    val hot = tg.join(offs.select(col(key), col("bkt"), col("cnt"), col("off")),
+        Seq(key))
+      .filter(col("pos") > col("off") && col("pos") <= col("off") + col("cnt"))
+    val hotBuckets = hot.select(col(key), col("bkt"), col("off")).distinct()
+    val wLoc = Window.partitionBy(col(key), col("bkt"))
+      .orderBy(col(v).asc +: ties.map(col(_).asc): _*)
+    val ranked = withB.join(broadcast(hotBuckets), Seq(key, "bkt"))
+      .withColumn("grank", row_number().over(wLoc) + col("off"))
+    val want = hot.select(col(key).as("tk"), col("n"), col("pos")).distinct()
+    ranked.join(broadcast(want),
+        col(key) === col("tk") && col("grank") === col("pos"))
+      .select(col(key), col("n"), col("pos"), col(v))
+  }
 }

@@ -1275,6 +1275,71 @@ object Temporal {
           (floor(col("n_both").cast(DoubleType)
             / (col("n_a") + col("n_b") - col("n_both"))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("jaccard"))
+    },
+
+    // ------------------------------------------------------------------
+    // Inter-arrival profile per event type: exact median / p90 / mean
+    // of the gaps between a user's successive same-type events — the
+    // burstiness read behind rate limiting and session-gap tuning.
+    // Gaps come from a (user, type)-partitioned lag (high-cardinality
+    // key, bounded per-partition); the exact percentiles use the
+    // factored q28 selection plan (range buckets + offsets + hot-bucket
+    // local sorts — never a whole-type sort); the mean is an exact
+    // integer sum snapped at output.
+    "ev_interarrival_stats" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT event_type, user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |gap AS (
+        |  SELECT event_type, user_id, event_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_s, event_id) AS gap
+        |  FROM g),
+        |d AS (SELECT event_type, gap, user_id, event_id
+        |      FROM gap WHERE gap IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap, user_id, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  (max(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+        |   + max(CASE WHEN rn = (n + 2) // 2 THEN gap END)) / 2.0
+        |    AS median_gap_s,
+        |  CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN gap END)
+        |    AS BIGINT) AS p90_gap_s,
+        |  floor(CAST(sum(gap) AS DOUBLE) * 1000000000 / max(n) + 0.5)
+        |    / 1.0e9 AS mean_gap_s
+        |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"), col("ts_s"))
+      val wLag = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      val d = e
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(wLag))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type"), col("gap"), col("user_id"), col("event_id"))
+        .persist() // feeds the selection pass and the exact-mean agg
+      val sel = Relational.rankSelectByKey(d, "event_type", "gap",
+        Seq("user_id", "event_id"),
+        n => array(floor((n + 1) / 2), floor((n + 2) / 2),
+          ceil(n * lit(0.9)).cast(LongType)))
+      val stats = sel.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_gaps"),
+          ((max(when(col("pos") === floor((col("n") + 1) / 2), col("gap")))
+            + max(when(col("pos") === floor((col("n") + 2) / 2), col("gap"))))
+            / lit(2.0)).as("median_gap_s"),
+          max(when(col("pos") === ceil(col("n") * lit(0.9)).cast(LongType),
+            col("gap"))).as("p90_gap_s"))
+      val means = d.groupBy(col("event_type"))
+        .agg(sum(col("gap")).as("sg"), count(lit(1)).as("cnt"))
+      stats.join(broadcast(means), Seq("event_type"))
+        .select(col("event_type"), col("n_gaps"), col("median_gap_s"),
+          col("p90_gap_s"),
+          (floor(col("sg").cast(DoubleType) * lit(1.0e9) / col("n_gaps")
+            + lit(0.5)) / lit(1.0e9)).as("mean_gap_s"))
     }
   )
 

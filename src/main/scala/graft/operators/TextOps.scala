@@ -817,6 +817,124 @@ object TextOps {
               .otherwise(lit(0.0))).as("code_score"))
         .withColumn("is_code",
           when(col("code_score") >= 0.05, 1L).otherwise(0L))
+    },
+
+    // ------------------------------------------------------------------
+    // Per-document n-gram novelty: the fraction of a doc's distinct
+    // 3-gram shingles that appear in NO other document — the uniqueness
+    // signal data-curation pipelines rank on (the inverse of
+    // text_boilerplate_segments' template signal). Rides the SHARED
+    // shingle cache (Dedup.shingled), shuffles 8-byte 60-bit md5 hashes
+    // rather than shingle strings (the boilerplate discipline), and is
+    // one explode + one hash-keyed document-frequency agg + one join
+    // back — every stage corpus-linear, df partial-aggregates map-side.
+    "text_ngram_novelty" -> QueryDef.withOracle(
+      s"""WITH s AS (${graft.operators.Dedup.shingleSql}),
+         |e AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(sh_el), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS sh_el FROM s)),
+         |df AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY h)
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  floor(CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*) * 1000000000 + 0.5) / 1.0e9 AS novelty
+         |FROM e JOIN df ON df.h = e.h
+         |GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
+      val e = Dedup.shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sh_el"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh_el").cast(BinaryType)), 1, 15), 16, 10)
+            .cast(LongType).as("h"))
+        .persist() // feeds the df agg and the join back
+      val df = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      e.join(df, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          (floor(col("n_unique").cast(DoubleType) / col("n_shingles")
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("novelty"))
+    },
+
+    // ------------------------------------------------------------------
+    // Jensen-Shannon divergence between every source pair's unigram
+    // distribution — the corpus-drift screen run before mixing sources
+    // into one training set (JSD is symmetric and bounded by ln 2,
+    // unlike KL). ONE (source, token) count shuffle; the vocab-keyed
+    // relation then pairs each token's ≤|sources| counts against the
+    // 10-row broadcast pair table ROW-LOCALLY (a constant ×|pairs|
+    // blowup of the vocab relation, never of the corpus); per-token
+    // terms snap to ×10⁹ exact longs before the pair sum (the ln
+    // discipline), so the corpus-scale accumulation is order-invariant.
+    "text_js_divergence" -> QueryDef.withOracle(
+      s"""WITH c AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest(${toksSql("text")}) AS tok
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM c GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+         |  FROM tot a JOIN tot b ON a.source < b.source),
+         |v AS (SELECT DISTINCT tok FROM c),
+         |j AS (
+         |  SELECT p.sa, p.sb, p.na, p.nb,
+         |    coalesce(ca.cnt, 0) AS ca, coalesce(cb.cnt, 0) AS cb
+         |  FROM p CROSS JOIN v
+         |  LEFT JOIN c ca ON ca.source = p.sa AND ca.tok = v.tok
+         |  LEFT JOIN c cb ON cb.source = p.sb AND cb.tok = v.tok),
+         |t AS (
+         |  SELECT sa, sb,
+         |    CASE WHEN ca > 0 OR cb > 0 THEN 1 ELSE 0 END AS present,
+         |    CAST(floor((
+         |      (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+         |        * ln((CAST(ca AS DOUBLE) / na)
+         |          / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+         |        ELSE 0 END)
+         |      + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+         |        * ln((CAST(cb AS DOUBLE) / nb)
+         |          / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+         |        ELSE 0 END)) * 1000000000 + 0.5) AS BIGINT) AS term_fp
+         |  FROM j)
+         |SELECT sa AS source_a, sb AS source_b,
+         |  CAST(sum(present) AS BIGINT) AS n_union_tokens,
+         |  CAST(sum(term_fp) AS BIGINT) / 2.0 / 1000000000 AS jsd
+         |FROM t GROUP BY sa, sb""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // vocab-sized; feeds totals and the per-token map
+      val tot = c.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      val pairs = tot.select(col("source").as("sa"), col("n").as("na"))
+        .join(tot.select(col("source").as("sb"), col("n").as("nb")),
+          col("sa") < col("sb"))
+      val perTok = c.groupBy(col("tok"))
+        .agg(map_from_entries(collect_list(struct(col("source"), col("cnt"))))
+          .as("m"))
+      val ca = coalesce(element_at(col("m"), col("sa")), lit(0L))
+      val cb = coalesce(element_at(col("m"), col("sb")), lit(0L))
+      val pa = ca.cast(DoubleType) / col("na")
+      val pb = cb.cast(DoubleType) / col("nb")
+      val mid = (ca.cast(DoubleType) / col("na")
+        + cb.cast(DoubleType) / col("nb")) / lit(2)
+      val term = when(ca > 0, pa * log(pa / mid)).otherwise(lit(0.0)) +
+        when(cb > 0, pb * log(pb / mid)).otherwise(lit(0.0))
+      perTok.crossJoin(broadcast(pairs))
+        .select(col("sa"), col("sb"),
+          when(ca > 0 || cb > 0, 1L).otherwise(0L).as("present"),
+          floor(term * lit(1.0e9) + lit(0.5)).cast(LongType).as("term_fp"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(col("present")).as("n_union_tokens"),
+          sum(col("term_fp")).as("s"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_union_tokens"),
+          (col("s").cast(DoubleType) / lit(2.0) / lit(1000000000L))
+            .as("jsd"))
     }
   )
 }

@@ -466,6 +466,61 @@ object Training {
         .select(col("doc_id"), col("n_words"), col("n_syms"), col("n_bpe"),
           (floor(col("n_bpe").cast(DoubleType) * lit(1.0e9) / col("n_syms")
             + lit(0.5)).cast(LongType) / lit(1.0e9)).as("bpe_ratio"))
+    },
+
+    // ------------------------------------------------------------------
+    // Temperature-scaled source sampling weights — the mixture-weighting
+    // step of multilingual/multi-source LLM training (upsample small
+    // sources, downsample the dominant one). α = 0.5: wᵢ ∝ √pᵢ, chosen
+    // because IEEE sqrt is correctly rounded (engine-identical), unlike
+    // pow/exp — each √pᵢ snaps to a ×10⁹ exact long BEFORE the
+    // normalizing sum, so the |sources|-row assembly is order-invariant.
+    // The corpus contributes ONE map-side-combined token-count agg;
+    // everything after rides the |sources|-row bookkeeping relation.
+    // boost = wᵢ/pᵢ is the effective epoch multiplier a data loader
+    // applies to the source.
+    "pipe_sample_weights" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(len(${TextOps.toksSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |g AS (
+         |  SELECT source, n_tokens,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+         |  FROM t),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / total AS p,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / total) * 1000000000
+         |      + 0.5) AS BIGINT) AS s_fp
+         |  FROM g)
+         |SELECT source, n_tokens,
+         |  floor(p * 1000000000 + 0.5) / 1.0e9 AS p_raw,
+         |  floor(CAST(s_fp AS DOUBLE)
+         |      / (SELECT CAST(sum(s_fp) AS BIGINT) FROM w)
+         |      * 1000000000 + 0.5) / 1.0e9 AS weight,
+         |  floor(CAST(s_fp AS DOUBLE)
+         |      / (SELECT CAST(sum(s_fp) AS BIGINT) FROM w) / p
+         |      * 1000000000 + 0.5) / 1.0e9 AS boost
+         |FROM w""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        .persist() // |sources|-row bookkeeping: totals + weights ride it
+      val tot = t.agg(sum(col("n_tokens")).as("total"))
+      val w = t.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) / col("total")).as("p"),
+          floor(sqrt(col("n_tokens").cast(DoubleType) / col("total"))
+            * lit(1.0e9) + lit(0.5)).cast(LongType).as("s_fp"))
+      val sTot = w.agg(sum(col("s_fp")).as("s_tot"))
+      w.crossJoin(broadcast(sTot))
+        .select(col("source"), col("n_tokens"),
+          (floor(col("p") * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("p_raw"),
+          (floor(col("s_fp").cast(DoubleType) / col("s_tot")
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("weight"),
+          (floor(col("s_fp").cast(DoubleType) / col("s_tot") / col("p")
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("boost"))
     }
   )
 }

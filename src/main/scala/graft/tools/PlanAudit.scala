@@ -54,7 +54,13 @@ object PlanAudit {
       // 1-row broadcast: the Heaps-fit moment anchor
       "text_vocab_growth",
       // 2-row broadcast: the {1, 7} lag list
-      "ev_autocorrelation")
+      "ev_autocorrelation",
+      // 1-row broadcasts: kruskal's tie-sum anchor; sample_weights'
+      // token total and √p normalizer
+      "etl_kruskal_wallis", "pipe_sample_weights",
+      // |sources|²/2-row broadcast: the source-pair table the vocab
+      // relation expands against row-locally (a constant, never corpus)
+      "text_js_divergence")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -160,7 +166,17 @@ object PlanAudit {
       // back to rows + the final 5-sum agg — corpus-scale moves are the
       // two count aggs, the price-side rank join and the final agg; the
       // rest are bucket/bookkeeping-bounded
-      "etl_spearman_corr" -> 12)
+      "etl_spearman_corr" -> 12,
+      // MAD chains TWO full rankSelectByKey selection passes (each the
+      // q28 budget: bucket-count agg + offset window + hot-bucket local
+      // rank + target joins), the second over a relation that embeds
+      // the first's median join — the printed count is ~2× q28's plus
+      // reprints of the persisted offs relation; corpus-scale moves
+      // are the two bucket-count aggs and the two hot-bucket ranks
+      "etl_mad_robust" -> 20,
+      // gap lag (user-keyed, 1 corpus move) + one rankSelectByKey pass
+      // + the exact-mean agg; bookkeeping reprints inflate the rest
+      "ev_interarrival_stats" -> 12)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -212,12 +228,18 @@ object PlanAudit {
   //   broadcast (verified: the plan built directly under threshold -1
   //   has zero BroadcastExchange nodes), and at 100 TB stats would not
   //   broadcast a corpus-scale side.
+  // - graph_assortativity: same cache-print artifact as
+  //   graph_common_neighbors — its persisted edge relation registers
+  //   under stats that broadcast the sf-sized embeddings side of
+  //   dedup_embedding's label equi-join; the operator itself requests
+  //   no broadcast.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_recall_eval", "ann_lsh", "ann_quantized_topk",
       "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
-      "graph_common_neighbors", "graph_contamination_bfs")
+      "graph_common_neighbors", "graph_contamination_bfs",
+      "graph_assortativity")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

@@ -477,7 +477,10 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_growth_accounting", "") -> "daily-grain calendar relation",
       ("etl_lorenz_curve", "") -> "10-row decile relation + distributedNtile's 200-bucket offset stitch",
       ("etl_spearman_corr", "f") -> "per-flag 200-range-bucket offset stitch (≤3×200 rows)",
-      ("ev_cohort_ltv", "cohort_week") -> "cohort×age weeks calendar-bounded grid")
+      ("ev_cohort_ltv", "cohort_week") -> "cohort×age weeks calendar-bounded grid",
+      ("etl_mad_robust", "l_returnflag") -> "rankSelectByKey's ≤3×200-row offset stitch (both selection passes)",
+      ("ev_interarrival_stats", "event_type") -> "rankSelectByKey's ≤5×200-row offset stitch",
+      ("etl_kruskal_wallis", "") -> "2-dp value domain bookkeeping (rank table, the mann_whitney argument)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -2288,5 +2291,91 @@ class StatScreenSpec extends AnyFunSuite {
       assert(df.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
     assert(df.filter((col("code_score") >= 0.05) =!= (col("is_code") === 1L))
       .count() == 0, "is_code must be the thresholded score")
+  }
+
+  test("Theil index is non-negative and bounded by ln(n)") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("etl_theil_index")(spark, sf)
+    // fixed-point snapping can dip an exactly-zero group to -5e-7;
+    // anything below that is a real sign error
+    assert(df.filter(col("theil_t") < -1e-6).count() == 0)
+    assert(df.filter(col("theil_t") > log(col("n").cast("double")) + 1e-6)
+      .count() == 0, "Theil T exceeds its ln(n) maximum")
+  }
+
+  test("assortativity is a single correlation in [-1, 1]") {
+    val r = SparkEntry.queries("graph_assortativity")(spark, sf).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a out of range")
+    assert(r.getAs[Long]("n_directed_edges") > 0L)
+  }
+
+  test("ngram novelty: unique <= total shingles and ratio consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_ngram_novelty")(spark, sf)
+    assert(df.filter(col("n_unique") > col("n_shingles")).count() == 0)
+    assert(df.filter(col("novelty") < 0.0 || col("novelty") > 1.0).count() == 0)
+    // shared-cache contract: only docs with >= 3 tokens have shingles
+    assert(df.filter(col("n_shingles") < 1).count() == 0)
+  }
+
+  test("sample weights: normalized, small sources boosted, big ones damped") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("pipe_sample_weights")(spark, sf).collect()
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-6, s"weights must sum to 1: $wSum")
+    rows.foreach { r =>
+      val (p, w, boost) = (r.getAs[Double]("p_raw"),
+        r.getAs[Double]("weight"), r.getAs[Double]("boost"))
+      assert(math.abs(boost - w / p) < 1e-5)
+      // sqrt-temperature: below-average share ⇒ upsample, above ⇒ damp
+      if (p < 1.0 / rows.length) assert(boost >= 1.0 - 1e-6, s"$p -> $boost")
+    }
+  }
+
+  test("MAD: median between min/max, mad non-negative and below max deviation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("etl_mad_robust")(spark, sf).collect()
+    val bounds = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (mn, mx) = bounds(r.getString(0))
+      val (med, mad) = (r.getAs[Double]("median_price"), r.getAs[Double]("mad"))
+      assert(med >= mn && med <= mx)
+      assert(mad >= 0.0 && mad <= (mx - mn))
+      // a median deviation can never exceed the larger half-range
+      assert(mad <= math.max(med - mn, mx - med) + 1e-9)
+    }
+  }
+
+  test("Kruskal-Wallis: tie-corrected H >= raw H >= 0 with 5 groups") {
+    val r = SparkEntry.queries("etl_kruskal_wallis")(spark, sf).head()
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Long]("dof") == 4L)
+    val (h, hc) = (r.getAs[Double]("h"), r.getAs[Double]("h_corrected"))
+    assert(h >= 0.0)
+    assert(hc >= h - 1e-9, "tie correction divides by C <= 1, so H_c >= H")
+  }
+
+  test("interarrival stats: median <= p90, mean positive, gap counts sane") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ev_interarrival_stats")(spark, sf)
+    assert(df.filter(col("median_gap_s") > col("p90_gap_s")).count() == 0)
+    assert(df.filter(col("median_gap_s") <= 0 || col("mean_gap_s") <= 0)
+      .count() == 0)
+    // every type has more events than users, so gaps exist
+    assert(df.count() == 5)
+  }
+
+  test("JS divergence is symmetric-complete over source pairs and bounded by ln 2") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_js_divergence")(spark, sf)
+    val nSrc = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(df.count() == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    assert(df.filter(col("jsd") < 0.0 || col("jsd") > math.log(2.0) + 1e-9)
+      .count() == 0, "JSD must sit in [0, ln 2]")
   }
 }
