@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, QuantizedDot, SortedLongIntersectCount, TopKByKey, TopKByKeyStr}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, QuantizedDot, SortedLongIntersectCount, TopKByKey, TopKByKeyStr}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -19,6 +19,8 @@ object Vectors {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => HyperplaneDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_l2", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
@@ -77,6 +79,13 @@ object Vectors {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Euclidean distance of two `array<float>` columns, in double
+    * (matches DuckDB `list_distance`). */
+  def l2(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_l2", a, b)
   }
 
   /** Deterministic bottom-k-by-hash sample aggregate over a bigint id

@@ -2668,6 +2668,114 @@ object Etl {
             / (lit(1.0) - col("tie").cast(DoubleType)
               / (nD * col("n") * col("n") - col("n")))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("h_corrected"))
+    },
+
+    // ------------------------------------------------------------------
+    // Parquet schema-evolution roundtrip — the lake reality where a
+    // column was ADDED mid-history: batch 1 written without c_acctbal,
+    // batch 2 with it, one read with mergeSchema=true unions the
+    // footers and back-fills nulls for pre-evolution files. The oracle
+    // reads the ORIGINAL table and reconstructs the expected
+    // null-pattern, so a reader that drops the new column, drops old
+    // rows, or mis-aligns by position hash-fails. Schema merge is a
+    // footer-only operation — file DATA is never rewritten, which is
+    // the property that makes column adds free at 100 TB.
+    "src_schema_evolution" -> QueryDef.withOracle(
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_evo").toString
+      val c = Tables.customer(s, dir)
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$tmp/batch=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    },
+
+    // ------------------------------------------------------------------
+    // Classical multiplicative seasonal decomposition — the step after
+    // etl_seasonal_ma's SI ratios: per-calendar-month seasonal factors
+    // (mean SI, normalized to average 1 across the 12 months), then
+    // each month's series value split into trend × seasonal ×
+    // irregular — the published X-11-style output. The corpus
+    // collapses to one row per calendar month up front; every window
+    // and mean after that rides the months-bounded relation. SI ratios
+    // snap to ×10⁹ exact longs before ANY mean/normalizing sum, so the
+    // whole factor table is order-invariant.
+    "etl_seasonal_decompose" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT mo_s, mo, total,
+        |    (0.5 * lag(total, 6) OVER o + lag(total, 5) OVER o + lag(total, 4) OVER o
+        |      + lag(total, 3) OVER o + lag(total, 2) OVER o + lag(total, 1) OVER o
+        |      + total + lead(total, 1) OVER o + lead(total, 2) OVER o
+        |      + lead(total, 3) OVER o + lead(total, 4) OVER o + lead(total, 5) OVER o
+        |      + 0.5 * lead(total, 6) OVER o) / 12 AS ma
+        |  FROM m WINDOW o AS (ORDER BY mo_s)),
+        |si AS (
+        |  SELECT mo_s, mo, total, ma,
+        |    CAST(floor(total / ma * 1000000000 + 0.5) AS BIGINT) AS si_fp
+        |  FROM w WHERE ma IS NOT NULL),
+        |f AS (
+        |  SELECT mo,
+        |    CAST(floor(CAST(sum(si_fp) AS BIGINT) / count(*) + 0.5) AS BIGINT)
+        |      AS m_fp
+        |  FROM si GROUP BY mo),
+        |nrm AS (SELECT CAST(sum(m_fp) AS BIGINT) AS fsum FROM f),
+        |fac AS (
+        |  SELECT f.mo, f.m_fp * 12.0 / nrm.fsum AS seasonal
+        |  FROM f CROSS JOIN nrm)
+        |SELECT si.mo_s, round(si.total, 6) AS total, round(si.ma, 6) AS trend,
+        |  floor(fac.seasonal * 1000000000 + 0.5) / 1.0e9 AS seasonal_factor,
+        |  floor(si.total / fac.seasonal * 1000000 + 0.5) / 1.0e6
+        |    AS deseasonalized,
+        |  floor(si.total / (si.ma * fac.seasonal) * 1000000000 + 0.5) / 1.0e9
+        |    AS irregular
+        |FROM si JOIN fac ON fac.mo = si.mo""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      // months-bounded relation from here down (see etl_seasonal_ma)
+      val o = Window.orderBy(col("mo_s").asc)
+      val terms = lit(0.5) * lag(col("total"), 6).over(o) +
+        lag(col("total"), 5).over(o) + lag(col("total"), 4).over(o) +
+        lag(col("total"), 3).over(o) + lag(col("total"), 2).over(o) +
+        lag(col("total"), 1).over(o) + col("total") +
+        lead(col("total"), 1).over(o) + lead(col("total"), 2).over(o) +
+        lead(col("total"), 3).over(o) + lead(col("total"), 4).over(o) +
+        lead(col("total"), 5).over(o) + lit(0.5) * lead(col("total"), 6).over(o)
+      val si = m.withColumn("ma", terms / 12)
+        .filter(col("ma").isNotNull)
+        .withColumn("si_fp",
+          floor(col("total") / col("ma") * lit(1.0e9) + lit(0.5)).cast(LongType))
+        .persist() // months-bounded; feeds factors and the final join
+      val f = si.groupBy(col("mo"))
+        .agg(floor(sum(col("si_fp")) / count(lit(1)) + lit(0.5))
+          .cast(LongType).as("m_fp"))
+      val nrm = f.agg(sum(col("m_fp")).as("fsum"))
+      val fac = f.crossJoin(broadcast(nrm))
+        .select(col("mo"), (col("m_fp") * lit(12.0) / col("fsum")).as("seasonal"))
+      si.join(broadcast(fac), Seq("mo"))
+        .select(col("mo_s"), round(col("total"), 6).as("total"),
+          round(col("ma"), 6).as("trend"),
+          (floor(col("seasonal") * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+            .as("seasonal_factor"),
+          (floor(col("total") / col("seasonal") * lit(1.0e6) + lit(0.5))
+            / lit(1.0e6)).as("deseasonalized"),
+          (floor(col("total") / (col("ma") * col("seasonal")) * lit(1.0e9)
+            + lit(0.5)) / lit(1.0e9)).as("irregular"))
     }
   )
 

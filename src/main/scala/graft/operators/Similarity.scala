@@ -410,6 +410,47 @@ object Similarity {
     "ann_topk_exact" -> QueryDef.withOracle(exactTopkSql)(exactTopK),
 
     // ------------------------------------------------------------------
+    // Euclidean (L2) exact top-K — the metric twin of ann_topk_exact
+    // for workloads whose embeddings are NOT length-normalized (where
+    // cosine and L2 rank differently and retrieval stacks specify L2).
+    // Identical scale shape: broadcast probe set × one corpus scan,
+    // distance via the codegen'd graft_l2 primitive loop (matching
+    // DuckDB list_distance double accumulation), salted two-phase
+    // ranking ascending — no corpus-sized per-probe window.
+    "ann_l2_topk" -> QueryDef.withOracle(
+      s"""SELECT probe_id, neighbor_id, l2_dist, rn FROM (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    round(list_distance(
+         |      list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS l2_dist,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(list_distance(
+         |        list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |        list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) ASC,
+         |               e.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
+         |  JOIN embeddings e ON e.vec_id <> p.vec_id)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val dist = round(Vectors.l2(s, col("probe_emb"), col("embedding")), 6)
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          dist.as("l2_dist"),
+          pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("l2_dist"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
     // ANN recall evaluation — the "measure, don't guess" harness run
     // before an index ships: per probe, |IVF top-K ∩ exact top-K| / K.
     // Both sides reuse the exact operator pipelines (one IVF build, one

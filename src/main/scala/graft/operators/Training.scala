@@ -521,6 +521,60 @@ object Training {
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("weight"),
           (floor(col("s_fp").cast(DoubleType) / col("s_tot") / col("p")
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("boost"))
+    },
+
+    // ------------------------------------------------------------------
+    // Epoch plan — pipe_sample_weights turned into the numbers a data
+    // loader actually consumes: per source, the token allocation out of
+    // a fixed training budget (√p temperature weights), the implied
+    // epoch count over that source's corpus, and a proportional shard
+    // allocation (≥1) out of the 64-shard layout. Every division is
+    // exact integer arithmetic (B·s_fp div Σ, round-half-up shard
+    // split) or a snapped double mirrored verbatim — the plan is
+    // byte-reproducible across engines and reruns, which is what makes
+    // a training mix auditable. Same ONE corpus agg as sample_weights;
+    // the plan itself is |sources|-row bookkeeping.
+    "pipe_epoch_plan" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(sum(len(${TextOps.toksSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |g AS (
+         |  SELECT source, n_tokens,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+         |  FROM t),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / total) * 1000000000
+         |      + 0.5) AS BIGINT) AS s_fp
+         |  FROM g),
+         |n AS (SELECT CAST(sum(s_fp) AS BIGINT) AS stot FROM w)
+         |SELECT w.source, w.n_tokens,
+         |  CAST((1000000 * w.s_fp) // n.stot AS BIGINT) AS target_tokens,
+         |  floor(CAST((1000000 * w.s_fp) // n.stot AS DOUBLE) * 1000000
+         |      / w.n_tokens + 0.5) / 1.0e6 AS epochs,
+         |  CAST(greatest(1, (128 * w.s_fp + n.stot) // (2 * n.stot))
+         |    AS BIGINT) AS n_shards
+         |FROM w CROSS JOIN n""".stripMargin) { (s, dir) =>
+      val budget = 1000000L
+      val t = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        .persist()
+      val tot = t.agg(sum(col("n_tokens")).as("total"))
+      val w = t.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          floor(sqrt(col("n_tokens").cast(DoubleType) / col("total"))
+            * lit(1.0e9) + lit(0.5)).cast(LongType).as("s_fp"))
+      val n = w.agg(sum(col("s_fp")).as("stot"))
+      w.crossJoin(broadcast(n))
+        .select(col("source"), col("n_tokens"),
+          expr(s"($budget * s_fp) div stot").as("target_tokens"),
+          (floor(expr(s"($budget * s_fp) div stot").cast(DoubleType)
+            * lit(1.0e6) / col("n_tokens") + lit(0.5)) / lit(1.0e6))
+            .as("epochs"),
+          greatest(lit(1L), expr("(128 * s_fp + stot) div (2 * stot)"))
+            .as("n_shards"))
     }
   )
 }

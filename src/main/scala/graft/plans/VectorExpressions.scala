@@ -66,6 +66,59 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Euclidean (L2) distance of two `array<float>` columns, accumulated
+  * in double — matches DuckDB's `list_distance` semantics, so results
+  * are oracle-comparable bit-for-bit before rounding. Same codegen
+  * argument as [[CosineSimilarity]]: a tight primitive loop inside
+  * WholeStageCodegen for the probe×corpus hot path.
+  */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2 expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val d: Double = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      ss += d * d
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ss = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
+         |  ss += d * d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(ss);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two pre-sorted long arrays via a tight
   * merge loop — the hot inner op of shingle-set verification. Spark's
   * `array_intersect` builds a boxed hash set per row; for 10^5–10^8

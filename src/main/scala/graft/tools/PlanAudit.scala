@@ -55,9 +55,14 @@ object PlanAudit {
       "text_vocab_growth",
       // 2-row broadcast: the {1, 7} lag list
       "ev_autocorrelation",
-      // 1-row broadcasts: kruskal's tie-sum anchor; sample_weights'
-      // token total and √p normalizer
-      "etl_kruskal_wallis", "pipe_sample_weights",
+      // 1-row broadcasts: kruskal's tie-sum anchor; sample_weights' /
+      // epoch_plan's token total and √p normalizer;
+      // seasonal_decompose's 12-month factor normalizer
+      "etl_kruskal_wallis", "pipe_sample_weights", "pipe_epoch_plan",
+      "etl_seasonal_decompose",
+      // the broadcast-probe × corpus scan of ann_topk_exact with the
+      // L2 primitive — the probe set is the same fixed-size workload
+      "ann_l2_topk",
       // |sources|²/2-row broadcast: the source-pair table the vocab
       // relation expands against row-locally (a constant, never corpus)
       "text_js_divergence")
@@ -235,8 +240,8 @@ object PlanAudit {
   //   no broadcast.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
-      "ann_topk_exact", "ann_recall_eval", "ann_lsh", "ann_quantized_topk",
-      "ann_refine_rerank",
+      "ann_topk_exact", "ann_l2_topk", "ann_recall_eval", "ann_lsh",
+      "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",
       "graph_assortativity")

@@ -480,7 +480,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_cohort_ltv", "cohort_week") -> "cohort×age weeks calendar-bounded grid",
       ("etl_mad_robust", "l_returnflag") -> "rankSelectByKey's ≤3×200-row offset stitch (both selection passes)",
       ("ev_interarrival_stats", "event_type") -> "rankSelectByKey's ≤5×200-row offset stitch",
-      ("etl_kruskal_wallis", "") -> "2-dp value domain bookkeeping (rank table, the mann_whitney argument)")
+      ("etl_kruskal_wallis", "") -> "2-dp value domain bookkeeping (rank table, the mann_whitney argument)",
+      ("etl_seasonal_decompose", "") -> "monthly-grain calendar relation (the seasonal_ma argument)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -2377,5 +2378,66 @@ class StatScreenSpec extends AnyFunSuite {
     assert(df.count() == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
     assert(df.filter(col("jsd") < 0.0 || col("jsd") > math.log(2.0) + 1e-9)
       .count() == 0, "JSD must sit in [0, ln 2]")
+  }
+
+  test("L2 top-k agrees with a driver-side brute-force on one probe") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("ann_l2_topk")(spark, sf)
+      .filter(col("probe_id") === 0).orderBy("rn").collect()
+    assert(rows.length == 5)
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val p = all(0L)
+    def d(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) =>
+        val dd = x.toDouble - y.toDouble; dd * dd }.sum)
+    val expect = all.filter(_._1 != 0L).toSeq
+      .map { case (id, v) =>
+        (id, BigDecimal(d(p, v)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, dist) => (dist, id) }.take(5)
+    rows.zip(expect).foreach { case (r, (id, dist)) =>
+      assert(r.getAs[Long]("neighbor_id") == id)
+      assert(math.abs(r.getAs[Double]("l2_dist") - dist) < 1e-6)
+    }
+  }
+
+  test("seasonal factors average to exactly 1 and the decomposition multiplies back") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("etl_seasonal_decompose")(spark, sf)
+    val facs = df.select(col("seasonal_factor")).distinct().collect()
+      .map(_.getDouble(0))
+    assert(math.abs(facs.sum / facs.length - 1.0) < 1e-6,
+      s"normalized factors must mean 1: ${facs.sum / facs.length}")
+    // total ≈ trend × seasonal × irregular within snap tolerance
+    val bad = df.filter(abs(col("trend") * col("seasonal_factor")
+      * col("irregular") - col("total")) / col("total") > 1e-4)
+    assert(bad.count() == 0, "decomposition must reconstruct the series")
+  }
+
+  test("epoch plan: targets within budget, shards cover the layout, epochs consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("pipe_epoch_plan")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(total <= 1000000L, s"allocations exceed the budget: $total")
+    assert(total > 900000L, "div flooring should not strand >10% of budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shards") >= 1L)
+      val e = r.getAs[Double]("epochs")
+      assert(math.abs(e - r.getAs[Long]("target_tokens").toDouble
+        / r.getAs[Long]("n_tokens")) < 1e-5)
+    }
+  }
+
+  test("schema evolution: old-batch rows null-fill the added column, none lost") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("src_schema_evolution")(spark, sf)
+    val n = graft.sources.Tables.customer(spark, sf).count()
+    assert(df.count() == n, "merge-schema read must keep every row")
+    assert(df.filter(col("c_custkey") % 2 === 0 && col("c_acctbal").isNotNull)
+      .count() == 0, "pre-evolution rows must read as null")
+    assert(df.filter(col("c_custkey") % 2 === 1 && col("c_acctbal").isNull)
+      .count() == 0, "post-evolution rows must carry the column")
   }
 }
