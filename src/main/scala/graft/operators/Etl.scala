@@ -2776,6 +2776,189 @@ object Etl {
             / lit(1.0e6)).as("deseasonalized"),
           (floor(col("total") / (col("ma") * col("seasonal")) * lit(1.0e9)
             + lit(0.5)) / lit(1.0e9)).as("irregular"))
+    },
+
+    // ------------------------------------------------------------------
+    // CV-based estimate quality grading — the publication gate every
+    // statistical agency applies before a cell is released: per
+    // (nation, segment) cell the mean balance estimate, its standard
+    // error s/√n, the coefficient of variation se/|mean|, a letter
+    // grade on the published CV bands (A <5% … F >35%), and a
+    // suppression flag for cells under the minimum sample size. One
+    // keyed aggregation of exact decimal sums (count / Σx / Σx²) —
+    // map-side combinable, cells-bounded output; the variance→se→cv
+    // double chain is identical in both engines and the CV is
+    // 1e9-snapped before the banding CASE so grade boundaries can
+    // never diverge.
+    "etl_cv_quality" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT n_name, c_mktsegment, count(*) AS n,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+        |    sum(CAST(c_acctbal * c_acctbal AS DECIMAL(18,4))) AS ssq
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT n_name, c_mktsegment, n,
+        |    CAST(s AS DOUBLE) / n AS mean_bal,
+        |    (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |      / (n - 1) AS var_bal
+        |  FROM c WHERE n >= 2),
+        |q AS (
+        |  SELECT n_name, c_mktsegment, n,
+        |    floor(mean_bal * 1000000000 + 0.5) / 1.0e9 AS mean_bal,
+        |    floor(sqrt(var_bal / n) * 1000000000 + 0.5) / 1.0e9 AS se,
+        |    floor(sqrt(var_bal / n) / abs(mean_bal) * 1000000000 + 0.5)
+        |      / 1.0e9 AS cv
+        |  FROM m)
+        |SELECT n_name, c_mktsegment, n, mean_bal, se, cv,
+        |  CASE WHEN n < 5 THEN 'X'
+        |       WHEN cv < 0.05 THEN 'A' WHEN cv < 0.10 THEN 'B'
+        |       WHEN cv < 0.15 THEN 'C' WHEN cv < 0.25 THEN 'D'
+        |       WHEN cv < 0.35 THEN 'E' ELSE 'F' END AS grade,
+        |  n < 5 AS suppressed
+        |FROM q""".stripMargin) { (s, dir) =>
+      val cells = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("s"),
+          sum((col("c_acctbal") * col("c_acctbal")).cast(DecimalType(18, 4)))
+            .as("ssq"))
+        .filter(col("n") >= 2)
+      val meanBal = col("s").cast(DoubleType) / col("n")
+      val varBal = ((col("ssq").cast(DoubleType)
+        - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n"))
+        / (col("n") - 1))
+      def snap9(c: Column) = floor(c * lit(1.0e9) + lit(0.5)) / lit(1.0e9)
+      val q = cells.select(col("n_name"), col("c_mktsegment"), col("n"),
+        snap9(meanBal).as("mean_bal"),
+        snap9(sqrt(varBal / col("n"))).as("se"),
+        snap9(sqrt(varBal / col("n")) / abs(meanBal)).as("cv"))
+      q.select(col("n_name"), col("c_mktsegment"), col("n"),
+        col("mean_bal"), col("se"), col("cv"),
+        when(col("n") < 5, "X")
+          .when(col("cv") < 0.05, "A").when(col("cv") < 0.10, "B")
+          .when(col("cv") < 0.15, "C").when(col("cv") < 0.25, "D")
+          .when(col("cv") < 0.35, "E").otherwise("F").as("grade"),
+        (col("n") < 5).as("suppressed"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic edit-rule validation (the Fellegi-Holt "edits"
+    // layer): every order checked against consistency rules — R1 the
+    // reported total must be within 5% of the recomputed
+    // Σ extprice·(1−disc)·(1+tax) over its line items, R2 an order
+    // must have line items at all, R3 the total must be positive. Line
+    // products snap to ×10⁴ fixed-point longs BEFORE the per-order sum
+    // (order-invariant, identical in both engines); the corpus-scale
+    // work is one lineitem aggregation and one orderkey join — both on
+    // the natural high-cardinality key, no broadcast of facts.
+    "etl_edit_rules" -> QueryDef.withOracle(
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, o.o_totalprice AS reported,
+        |  CAST(l.fp AS DOUBLE) / 10000 AS recomputed,
+        |  CASE WHEN l.fp IS NOT NULL THEN
+        |    floor(abs(o.o_totalprice - CAST(l.fp AS DOUBLE) / 10000)
+        |      / (CAST(l.fp AS DOUBLE) / 10000) * 1000000000 + 0.5) / 1.0e9
+        |  END AS rel_err,
+        |  coalesce(abs(o.o_totalprice - CAST(l.fp AS DOUBLE) / 10000)
+        |    / (CAST(l.fp AS DOUBLE) / 10000) > 0.05, FALSE) AS rule_mismatch,
+        |  l.fp IS NULL AS rule_missing_lines,
+        |  o.o_totalprice <= 0 AS rule_nonpositive,
+        |  CAST(coalesce(abs(o.o_totalprice - CAST(l.fp AS DOUBLE) / 10000)
+        |      / (CAST(l.fp AS DOUBLE) / 10000) > 0.05, FALSE) AS INT)
+        |    + CAST(l.fp IS NULL AS INT)
+        |    + CAST(o.o_totalprice <= 0 AS INT) AS n_rules
+        |FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey""".stripMargin) { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * lit(10000) + lit(0.5)).cast(LongType))
+          .as("fp"))
+      val recomputed = col("fp").cast(DoubleType) / lit(10000)
+      val relErr = abs(col("o_totalprice") - recomputed) / recomputed
+      val mismatch = coalesce(relErr > 0.05, lit(false))
+      Tables.orders(s, dir)
+        .join(l, col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_totalprice").as("reported"),
+          recomputed.as("recomputed"),
+          when(col("fp").isNotNull,
+            floor(relErr * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("rel_err"),
+          mismatch.as("rule_mismatch"),
+          col("fp").isNull.as("rule_missing_lines"),
+          (col("o_totalprice") <= 0).as("rule_nonpositive"),
+          (mismatch.cast(IntegerType)
+            + col("fp").isNull.cast(IntegerType)
+            + (col("o_totalprice") <= 0).cast(IntegerType)).as("n_rules"))
+    },
+
+    // ------------------------------------------------------------------
+    // Sequential hot-deck imputation — the survey-agency workhorse: a
+    // record with a missing response (negative balance, the impute_mean
+    // convention) takes the value of the nearest PRECEDING valid donor
+    // in file order within its imputation class (nation × segment),
+    // falling back to the class mean when no donor precedes. The
+    // carry-forward is a class-partitioned skip-nulls window — the
+    // per-class sequential pass IS the method's definition, and the
+    // class count (nations × segments) is the parallelism knob, exactly
+    // how production imputation systems shard. Donor values are copied
+    // bit-for-bit; only the mean fallback needs the decimal-sum
+    // protocol.
+    "etl_hotdeck_impute" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+        |    CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS valid_bal,
+        |    CASE WHEN c_acctbal >= 0 THEN c_custkey END AS valid_key
+        |  FROM customer),
+        |d AS (
+        |  SELECT *,
+        |    last_value(valid_bal IGNORE NULLS) OVER w AS donor_bal,
+        |    last_value(valid_key IGNORE NULLS) OVER w AS donor_key
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 9) AS class_mean
+        |  FROM customer WHERE c_acctbal >= 0
+        |  GROUP BY 1, 2)
+        |SELECT d.c_custkey, d.c_nationkey, d.c_mktsegment, d.c_acctbal,
+        |  d.c_acctbal < 0 AS imputed,
+        |  CASE WHEN d.c_acctbal < 0 THEN d.donor_key END AS donor_key,
+        |  CASE WHEN d.c_acctbal >= 0 THEN d.c_acctbal
+        |       WHEN d.donor_bal IS NOT NULL THEN d.donor_bal
+        |       ELSE m.class_mean END AS acctbal_final
+        |FROM d JOIN m ON m.c_nationkey = d.c_nationkey
+        |              AND m.c_mktsegment = d.c_mktsegment""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val c = cust.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"),
+        when(col("c_acctbal") >= 0, col("c_acctbal")).as("valid_bal"),
+        when(col("c_acctbal") >= 0, col("c_custkey")).as("valid_key"))
+      val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val m = cust.filter(col("c_acctbal") >= 0)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(round(sum(col("c_acctbal").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / count(lit(1)), 9).as("class_mean"))
+      c.withColumn("donor_bal", last(col("valid_bal"), ignoreNulls = true).over(w))
+        .withColumn("donor_key", last(col("valid_key"), ignoreNulls = true).over(w))
+        .join(broadcast(m), Seq("c_nationkey", "c_mktsegment"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"),
+          (col("c_acctbal") < 0).as("imputed"),
+          when(col("c_acctbal") < 0, col("donor_key")).as("donor_key"),
+          when(col("c_acctbal") >= 0, col("c_acctbal"))
+            .when(col("donor_bal").isNotNull, col("donor_bal"))
+            .otherwise(col("class_mean")).as("acctbal_final"))
     }
   )
 

@@ -1340,6 +1340,136 @@ object Temporal {
           col("p90_gap_s"),
           (floor(col("sg").cast(DoubleType) * lit(1.0e9) / col("n_gaps")
             + lit(0.5)) / lit(1.0e9)).as("mean_gap_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // Daily OHLC bars per event type — the time-series compaction every
+    // metrics store runs at ingest. The whole operator is ONE keyed
+    // aggregation of associative functions: min_by/max_by on a
+    // zero-padded "(ts_s, event_id)" string key pick deterministic
+    // open/close (lexicographic order == numeric order for fixed-width
+    // non-negatives, identical in both engines), high/low/volume are
+    // plain min/max/count. Map-side partial aggregation means each of
+    // a 1000 executors ships at most days×types bar rows — no window,
+    // no per-group sort, nothing corpus-scale crosses the exchange.
+    "ev_ohlc" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    printf('%020d|%020d', CAST(floor(epoch(ts)) AS BIGINT), event_id) AS ord,
+        |    value
+        |  FROM events)
+        |SELECT event_type, day,
+        |  round(arg_min(value, ord), 9) AS open,
+        |  round(max(value), 9) AS high,
+        |  round(min(value), 9) AS low,
+        |  round(arg_max(value, ord), 9) AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM e GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.eventsTimed(s, dir)
+        .select(col("event_type"), expr("ts_s div 86400").as("day"),
+          format_string("%020d|%020d", col("ts_s"), col("event_id")).as("ord"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          round(min_by(col("value"), col("ord")), 9).as("open"),
+          round(max(col("value")), 9).as("high"),
+          round(min(col("value")), 9).as("low"),
+          round(max_by(col("value"), col("ord")), 9).as("close"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("volume"))
+    },
+
+    // ------------------------------------------------------------------
+    // Time-weighted average value per user: each event's value holds
+    // until the next event, so the mean is Σ(value·gap)/Σgap — the
+    // correct average for irregularly-sampled gauges (balance, queue
+    // depth), where the arithmetic mean over-weights bursts. Gaps come
+    // from a user-partitioned lead (high-cardinality key, bounded
+    // per-user partitions); products are snapped to fixed point BEFORE
+    // the sum so both engines add identical micro-unit integers in any
+    // order, and the final ratio is 1e9-snapped.
+    "ev_time_weighted_avg" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, value,
+        |    lead(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) - ts_s AS gap
+        |  FROM e),
+        |w AS (
+        |  SELECT user_id,
+        |    sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT) * gap) AS wsum,
+        |    sum(gap) AS span_s, count(*) AS n_held
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(span_s AS BIGINT) AS span_s,
+        |  CAST(n_held AS BIGINT) AS n_held,
+        |  floor(CAST(wsum AS DOUBLE) / 1000000 / span_s * 1000000000 + 0.5)
+        |    / 1.0e9 AS twa_value
+        |FROM w WHERE span_s > 0""".stripMargin) { (s, dir) =>
+      val wLead = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts_s"))
+        .withColumn("gap", lead(col("ts_s"), 1).over(wLead) - col("ts_s"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(floor(col("value") * lit(1000000) + lit(0.5)).cast(LongType)
+            * col("gap")).as("wsum"),
+          sum(col("gap")).as("span_s"),
+          count(lit(1)).as("n_held"))
+        .filter(col("span_s") > 0)
+        .select(col("user_id"), col("span_s"), col("n_held"),
+          (floor(col("wsum").cast(DoubleType) / lit(1000000) / col("span_s")
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("twa_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Top-10 three-step event-type paths: the most common (a → b → c)
+    // transitions across all user timelines — sequence mining's first
+    // question. Trigrams come from a user-partitioned double-lead (the
+    // Markov-transition shape one step deeper); the global count
+    // relation is bounded by |types|³ (a constant), so the final top-10
+    // sort runs over ≤125 bookkeeping rows, never the corpus.
+    "ev_path_topk" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS step3
+        |  FROM e),
+        |c AS (
+        |  SELECT step1, step2, step3, count(*) AS n
+        |  FROM t WHERE step3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT step1, step2, step3, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, step1, step2, step3)
+        |    AS BIGINT) AS rank
+        |FROM c
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin) { (s, dir) =>
+      val wLead = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      val paths = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_s"), col("event_id"))
+        .withColumn("step2", lead(col("event_type"), 1).over(wLead))
+        .withColumn("step3", lead(col("event_type"), 2).over(wLead))
+        .filter(col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+      // ≤|types|³ rows: the global window is bookkeeping, not corpus
+      paths
+        .withColumn("rank", row_number().over(Window.orderBy(
+          col("n").desc, col("step1").asc, col("step2").asc, col("step3").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("step1"), col("step2"), col("step3"), col("n"), col("rank"))
     }
   )
 

@@ -481,7 +481,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_mad_robust", "l_returnflag") -> "rankSelectByKey's ≤3×200-row offset stitch (both selection passes)",
       ("ev_interarrival_stats", "event_type") -> "rankSelectByKey's ≤5×200-row offset stitch",
       ("etl_kruskal_wallis", "") -> "2-dp value domain bookkeeping (rank table, the mann_whitney argument)",
-      ("etl_seasonal_decompose", "") -> "monthly-grain calendar relation (the seasonal_ma argument)")
+      ("etl_seasonal_decompose", "") -> "monthly-grain calendar relation (the seasonal_ma argument)",
+      ("ev_path_topk", "") -> "|types|³-bounded path-count relation (≤125 rows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
