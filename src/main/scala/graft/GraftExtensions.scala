@@ -63,5 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.TopKByKeyStr].getName, "graft_topk_by_skey"),
       exprs => graft.plans.TopKByKeyStr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_l2"),
+      new ExpressionInfo(classOf[graft.plans.L2Distance].getName, "graft_l2"),
+      exprs => graft.plans.L2Distance(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_fdot"),
+      new ExpressionInfo(classOf[graft.plans.FloatDot].getName, "graft_fdot"),
+      exprs => graft.plans.FloatDot(exprs(0), exprs(1))))
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, QuantizedDot, SortedLongIntersectCount, TopKByKey, TopKByKeyStr}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, QuantizedDot, SortedLongIntersectCount, TopKByKey, TopKByKeyStr}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -21,6 +21,8 @@ object Vectors {
       "graft_dot", exprs => HyperplaneDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_l2", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fdot", exprs => FloatDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
@@ -86,6 +88,13 @@ object Vectors {
   def l2(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_l2", a, b)
+  }
+
+  /** Raw inner product of two `array<float>` columns, in double — the
+    * MIPS scoring primitive (matches DuckDB `list_inner_product`). */
+  def fdot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_fdot", a, b)
   }
 
   /** Deterministic bottom-k-by-hash sample aggregate over a bigint id

@@ -804,6 +804,38 @@ object Dedup {
         .agg(min(col("s")).as("cut_start"), max(col("e")).as("cut_end"))
         .select(col("doc_id"), col("cut_start"), col("cut_end"),
           (col("cut_end") - col("cut_start") + 1).as("cut_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    // Leading-prefix dedup: documents sharing their first 32 tokens are
+    // one template family — the crawl-corpus pattern where boilerplate
+    // headers/license preambles open thousands of otherwise-distinct
+    // pages, which exact dedup misses (bodies differ) and near-dup may
+    // miss (long bodies dilute Jaccard below threshold). Row-local
+    // tokenize→slice→hash, then ONE window over the high-cardinality
+    // prefix hash — the dedup_exact shape on a 32-token key. At 100 TB
+    // the prefix hash is 16 bytes/doc through the exchange; payloads
+    // never move.
+    "dedup_prefix" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string((${TextOps.toksSql("text")})[1:32], ' '))
+         |      AS pfx
+         |  FROM documents)
+         |SELECT doc_id, pfx AS prefix_md5,
+         |  min(doc_id) OVER (PARTITION BY pfx) AS keep_id,
+         |  count(*) OVER (PARTITION BY pfx) AS n_docs,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY pfx) AS is_dup
+         |FROM t""".stripMargin) { (s, dir) =>
+      val pfx = md5(concat_ws(" ",
+        slice(tokens(col("text")), 1, 32)).cast(BinaryType))
+      val w = Window.partitionBy(col("pfx"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pfx.as("pfx"))
+        .select(col("doc_id"), col("pfx").as("prefix_md5"),
+          min(col("doc_id")).over(w).as("keep_id"),
+          count(lit(1)).over(w).as("n_docs"),
+          (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
     }
   )
 }

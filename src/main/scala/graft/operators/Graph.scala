@@ -30,6 +30,52 @@ object Graph {
   // deterministic budget (convergence-chasing would break the oracle)
   private val LpaRounds = 4
 
+  // k-core peeling: k=2 strips all tree/pendant structure, leaving
+  // only nodes on cycles — the smallest k that is non-trivial on the
+  // sparse verified near-dup graph (max degree 2 at test SFs; a
+  // deployment on a denser graph raises k). 4 synchronous peels is
+  // the fixed budget (KcoreConvergenceSpec pins stabilization).
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
+  /** One unrolled oracle peel: survivors of round i+1 = nodes of round
+    * i whose degree WITHIN round i's subgraph is still ≥ k. */
+  private def peelSql(i: Int, k: Int): String =
+    s"""p${i + 1} AS (
+       |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
+       |  FROM edges e JOIN p$i a ON a.id = e.src JOIN p$i b ON b.id = e.dst
+       |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+
+  /** Survivor set (id, core_deg) after `rounds` synchronous peels at
+    * threshold k — parameterized so KcoreConvergenceSpec can assert
+    * rounds-4 == rounds-6 instead of trusting the comment. */
+  private[graft] def kcoreSurvivors(
+      s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame = {
+    val pairs = Dedup.verifiedCandidates(s, dir)
+      .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // one fixed partitioning serves every round's src-side join
+      .repartition(col("src")).persist()
+    var cur = edges.select(col("src").as("id")).distinct()
+    for (_ <- 0 until rounds) {
+      // membership semijoin on both endpoints, then a src-keyed degree
+      // count — O(E) keyed work per round, shrinking with the subgraph;
+      // eager per-round cuts keep the plan constant-size (the pagerank
+      // lesson: a lazy 4-round cascade superlinearly inflates Catalyst
+      // + AQE planning cost)
+      val next = edges
+        .join(cur.select(col("id").as("src")), Seq("src"))
+        .join(cur.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("src").as("id"), col("d"))
+      cur = next.localCheckpoint(true)
+    }
+    cur
+  }
+
   /** One unrolled oracle iteration: r_{i+1} = (15·FP + 85·Σ_in r_i/deg) div 100. */
   private def stepSql(i: Int): String =
     s"""r${i + 1} AS (
@@ -515,6 +561,36 @@ object Graph {
               * (col("m").cast(DoubleType) * col("syy")
                 - col("sy").cast(DoubleType) * col("sy")))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("assortativity"))
+    },
+
+    // ------------------------------------------------------------------
+    // 2-core of the near-dup graph via synchronous peeling: repeatedly
+    // drop nodes whose degree within the surviving subgraph falls below
+    // k — the classic densest-region extractor that separates genuine
+    // template clusters (cycles/near-cliques survive every peel) from
+    // chance pair/pendant structure (peeled in round 1). Each round is a
+    // membership semijoin on both endpoints of the cached edge relation
+    // + one src-keyed count — O(E) keyed work shrinking with the
+    // subgraph, lineage cut per round; the edge relation is partitioned
+    // once and never moves. Fixed 4-round budget (convergence pinned by
+    // KcoreConvergenceSpec), so the unrolled DuckDB oracle is exact.
+    "graph_kcore" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |p0 AS (SELECT DISTINCT src AS id FROM edges),
+         |${(0 until KcoreRounds).map(peelSql(_, KcoreK)).mkString(",\n")}
+         |SELECT id AS doc_id, d AS core_deg FROM p$KcoreRounds""".stripMargin) { (s, dir) =>
+      kcoreSurvivors(s, dir, KcoreK, KcoreRounds)
+        .select(col("id").as("doc_id"), col("d").as("core_deg"))
     }
   )
 }

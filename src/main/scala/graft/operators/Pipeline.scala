@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType}
 
 /** End-to-end corpus cleaning — the composition a training-data
   * pipeline actually runs, as one declarative plan:
@@ -128,6 +128,61 @@ object Pipeline {
         .select(col("doc_id"), col("quality_score"),
           (lit(5) - col("q4")).cast("int").as("phase"),
           md5(col("doc_id").cast("string").cast(BinaryType)).as("order_key"))
+    },
+
+    // ------------------------------------------------------------------
+    // Dataset card: the per-source corpus health sheet published next
+    // to a training mix — document/token volumes, exact-duplicate
+    // rate, language spread, and length spread. ONE corpus scan feeds
+    // a (source, text-hash) pre-aggregation (the dedup_exact key,
+    // 16 bytes/doc through the exchange) which then collapses to the
+    // |sources|-row card; token counts are exact BIGINTs and every
+    // published ratio snaps ×10⁹. This is the composition operator a
+    // real corpus release runs LAST, over whatever the cleaning
+    // pipeline kept.
+    "pipe_dataset_card" -> QueryDef.withOracle(
+      s"""WITH h AS (
+         |  SELECT source, md5(${TextOps.normSql("text")}) AS fp,
+         |    CAST(len(${TextOps.toksSql("text")}) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, fp, CAST(count(*) AS BIGINT) AS copies,
+         |    CAST(sum(n_toks) AS BIGINT) AS toks,
+         |    CAST(min(n_toks) AS BIGINT) AS min_t, CAST(max(n_toks) AS BIGINT) AS max_t
+         |  FROM h GROUP BY source, fp)
+         |SELECT source,
+         |  CAST(sum(copies) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_unique_texts,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  floor(CAST(sum(toks) AS DOUBLE) / sum(copies) * 1000000000 + 0.5)
+         |    / 1.0e9 AS mean_doc_tokens,
+         |  CAST(sum(copies) - count(*) AS BIGINT) AS n_exact_dups,
+         |  floor((1.0 - CAST(count(*) AS DOUBLE) / sum(copies)) * 1000000000
+         |    + 0.5) / 1.0e9 AS dup_rate,
+         |  CAST(min(min_t) AS BIGINT) AS min_tokens,
+         |  CAST(max(max_t) AS BIGINT) AS max_tokens
+         |FROM g GROUP BY source""".stripMargin) { (s, dir) =>
+      val h = Tables.documents(s, dir)
+        .select(col("source"),
+          md5(TextOps.normText(col("text")).cast(BinaryType)).as("fp"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_toks"))
+      // (source, fp)-keyed pre-agg: map-side combine collapses exact
+      // copies before anything corpus-wide aggregates
+      val g = h.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("copies"), sum(col("n_toks")).as("toks"),
+          min(col("n_toks")).as("min_t"), max(col("n_toks")).as("max_t"))
+      g.groupBy(col("source"))
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_unique_texts"),
+          sum(col("toks")).as("n_tokens"),
+          (floor(sum(col("toks")).cast(DoubleType) / sum(col("copies"))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("mean_doc_tokens"),
+          (sum(col("copies")) - count(lit(1))).as("n_exact_dups"),
+          (floor((lit(1.0) - count(lit(1)).cast(DoubleType)
+            / sum(col("copies"))) * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+            .as("dup_rate"),
+          min(col("min_t")).as("min_tokens"),
+          max(col("max_t")).as("max_tokens"))
     }
   )
 }

@@ -451,6 +451,49 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Maximum-inner-product top-K (MIPS) — the recommender-retrieval
+    // metric where vectors are deliberately NOT normalized: item
+    // popularity lives in the norm, so cosine and dot rank differently
+    // and serving stacks specify raw inner product. Same scale shape as
+    // its cosine/L2 siblings: broadcast probe set × ONE corpus scan,
+    // scores via the codegen'd graft_fdot primitive loop (left-to-right
+    // accumulation matching DuckDB list_inner_product bit-for-bit),
+    // salted two-phase ranking descending — no corpus-sized per-probe
+    // window task.
+    "ann_mips_topk" -> QueryDef.withOracle(
+      s"""SELECT probe_id, neighbor_id, dot, rn FROM (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |    round(list_inner_product(
+         |      list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS dot,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(list_inner_product(
+         |        list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |        list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+         |               e.vec_id ASC) AS rn
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
+         |  JOIN embeddings e ON e.vec_id <> p.vec_id)
+         |WHERE rn <= $K""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val score = round(Vectors.fdot(s, col("probe_emb"), col("embedding")), 6)
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dot").desc, col("neighbor_id").asc)
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          score.as("dot"),
+          pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"), col("dot"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
     // ANN recall evaluation — the "measure, don't guess" harness run
     // before an index ships: per probe, |IVF top-K ∩ exact top-K| / K.
     // Both sides reuse the exact operator pipelines (one IVF build, one

@@ -935,6 +935,95 @@ object TextOps {
           col("n_union_tokens"),
           (col("s").cast(DoubleType) / lit(2.0) / lit(1000000000L))
             .as("jsd"))
+    },
+
+    // ------------------------------------------------------------------
+    // Lexical diversity per document: type-token ratio and the
+    // UNBIASED Simpson repeat concentration Σ c(c−1) / n(n−1) — the
+    // pair-sampling probability that two tokens drawn without
+    // replacement are the same word. Low TTR / high Simpson = the
+    // looping-generation degeneracy text_repetition screens at the
+    // n-gram level, here at the unigram level with an exact-integer
+    // statistic (all sums are BIGINTs, only the final ratio snaps).
+    // One explode + (doc, token)-keyed count (high-cardinality, the
+    // tfidf shuffle shape) + one doc-keyed agg.
+    "text_lexical_diversity" -> QueryDef.withOracle(
+      s"""WITH c AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types,
+         |  floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000000 + 0.5)
+         |    / 1.0e9 AS ttr,
+         |  CASE WHEN n_tokens >= 2 THEN
+         |    floor(CAST(rep_pairs AS DOUBLE)
+         |      / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+         |      * 1000000000 + 0.5) / 1.0e9
+         |  END AS simpson
+         |FROM a WHERE n_tokens >= 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+        .filter(col("n_tokens") >= 1)
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (floor(col("n_types").cast(DoubleType) / col("n_tokens")
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("ttr"),
+          when(col("n_tokens") >= 2,
+            floor(col("rep_pairs").cast(DoubleType)
+              / (col("n_tokens").cast(DoubleType) * (col("n_tokens") - 1))
+              * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("simpson"))
+    },
+
+    // ------------------------------------------------------------------
+    // Stopword coverage per document — the cheap fluency prior: natural
+    // prose carries 25–45% function words, while keyword-stuffed spam
+    // and boilerplate lists sit far outside that band. Fully row-local
+    // (tokenize → filter against a broadcast-free literal array → two
+    // sizes); the ratio is the quality-scoring feature, the band flag
+    // is the filter decision a cleaning pass would apply.
+    "text_stopword_coverage" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |a AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(toks, x -> x IN
+         |      ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is',
+         |       'it', 'for', 'on', 'with', 'as', 'at', 'by'))) AS BIGINT)
+         |      AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_stop,
+         |  CASE WHEN n_tokens >= 1 THEN
+         |    floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000000 + 0.5) / 1.0e9
+         |  END AS stop_ratio,
+         |  CASE WHEN n_tokens >= 1 THEN
+         |    CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.6
+         |  ELSE FALSE END AS in_band
+         |FROM a""".stripMargin) { (s, dir) =>
+      val stop = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is",
+        "it", "for", "on", "with", "as", "at", "by")
+      val stopArr = array(stop.map(lit): _*)
+      val ratio = col("n_stop").cast(DoubleType) / col("n_tokens")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(filter(col("toks"),
+            t => array_contains(stopArr, t))).cast(LongType).as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          when(col("n_tokens") >= 1,
+            floor(ratio * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("stop_ratio"),
+          when(col("n_tokens") >= 1,
+            ratio.between(0.05, 0.6)).otherwise(lit(false)).as("in_band"))
     }
   )
 }

@@ -119,6 +119,59 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw inner product of two `array<float>` columns in a double
+  * accumulator — the scoring primitive of maximum-inner-product search
+  * (MIPS), where vectors are deliberately NOT normalized (recommender
+  * retrieval: popularity lives in the norm). Left-to-right product
+  * accumulation matches DuckDB's `list_inner_product`, so scores are
+  * bit-identical across engines. Codegen-resident like its L2/cosine
+  * siblings.
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fdot expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_fdot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection cardinality of two pre-sorted long arrays via a tight
   * merge loop — the hot inner op of shingle-set verification. Spark's
   * `array_intersect` builds a boxed hash set per row; for 10^5–10^8

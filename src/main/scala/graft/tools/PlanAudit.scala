@@ -63,6 +63,8 @@ object PlanAudit {
       // the broadcast-probe × corpus scan of ann_topk_exact with the
       // L2 primitive — the probe set is the same fixed-size workload
       "ann_l2_topk",
+      // same broadcast-probe × corpus scan with the raw-dot primitive
+      "ann_mips_topk",
       // |sources|²/2-row broadcast: the source-pair table the vocab
       // relation expands against row-locally (a constant, never corpus)
       "text_js_divergence")
@@ -240,7 +242,8 @@ object PlanAudit {
   //   no broadcast.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
-      "ann_topk_exact", "ann_l2_topk", "ann_recall_eval", "ann_lsh",
+      "ann_topk_exact", "ann_l2_topk", "ann_mips_topk",
+      "ann_recall_eval", "ann_lsh",
       "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",

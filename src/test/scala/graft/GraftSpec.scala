@@ -1659,6 +1659,24 @@ class PageRankConvergenceSpec extends AnyFunSuite {
   }
 }
 
+class KcoreConvergenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("4 peels reach the 2-core fixed point: rounds 5-6 drop no further node") {
+    // Pins the KcoreRounds=4 claim (Graph.scala): near-dup clusters
+    // are near-cliques, so peeling stabilizes fast. Set equality of
+    // (id, core_deg) between rounds 4 and 6 means round 4 IS the
+    // 2-core, not a truncation mid-peel.
+    def core(rounds: Int): Map[Long, Long] =
+      graft.operators.Graph.kcoreSurvivors(spark, sf, 2, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c4 = core(4)
+    val c6 = core(6)
+    info(s"3-core size at 4 peels: ${c4.size} nodes")
+    assert(c4 == c6, "k-core peeling not converged after 4 rounds")
+  }
+}
+
 class OffsetLedgerSpec extends AnyFunSuite {
   import SparkTestSession._
   import graft.streaming.OffsetLedgerIngest._
