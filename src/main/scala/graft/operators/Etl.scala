@@ -2959,6 +2959,101 @@ object Etl {
           when(col("c_acctbal") >= 0, col("c_acctbal"))
             .when(col("donor_bal").isNotNull, col("donor_bal"))
             .otherwise(col("class_mean")).as("acctbal_final"))
+    },
+
+    // ------------------------------------------------------------------
+    // Monthly control-total reconciliation between fact tables — the
+    // aggregate-level sibling of etl_edit_rules and the first check a
+    // statistical agency runs when two collection streams should
+    // describe the same activity: per order-month, the orders-side
+    // total vs the lineitem-side recomputed net total (via the
+    // orderkey join so each line lands in its order's month), absolute
+    // and relative gaps, and a 1% tolerance verdict. Both totals are
+    // exact fixed-point longs (orders ×100, line products ×10⁴) so the
+    // month sums are order-invariant; output is calendar-bounded.
+    "etl_reconcile_totals" -> QueryDef.withOracle(
+      """WITH lo AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS line_fp
+        |  FROM lineitem GROUP BY l_orderkey),
+        |m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o.o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS orders_fp,
+        |    CAST(sum(coalesce(lo.line_fp, 0)) AS BIGINT) AS lines_fp,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN lo.line_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unmatched
+        |  FROM orders o LEFT JOIN lo ON lo.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT mo_s, n_orders, n_unmatched,
+        |  CAST(orders_fp AS DOUBLE) / 100 AS orders_total,
+        |  CAST(lines_fp AS DOUBLE) / 10000 AS lines_total,
+        |  floor(abs(CAST(orders_fp AS DOUBLE) / 100
+        |      - CAST(lines_fp AS DOUBLE) / 10000) * 100 + 0.5) / 100.0
+        |    AS abs_gap,
+        |  floor(abs(CAST(orders_fp AS DOUBLE) / 100
+        |      - CAST(lines_fp AS DOUBLE) / 10000)
+        |    / (CAST(lines_fp AS DOUBLE) / 10000) * 1000000000 + 0.5) / 1.0e9
+        |    AS rel_gap,
+        |  abs(CAST(orders_fp AS DOUBLE) / 100
+        |      - CAST(lines_fp AS DOUBLE) / 10000)
+        |    / (CAST(lines_fp AS DOUBLE) / 10000) <= 0.01 AS reconciled
+        |FROM m""".stripMargin) { (s, dir) =>
+      val lo = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * lit(10000) + lit(0.5)).cast(LongType))
+          .as("line_fp"))
+      val m = Tables.orders(s, dir)
+        .join(lo, col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("mo_s"))
+        .agg(
+          sum(floor(col("o_totalprice") * lit(100) + lit(0.5)).cast(LongType))
+            .as("orders_fp"),
+          sum(coalesce(col("line_fp"), lit(0L))).as("lines_fp"),
+          count(lit(1)).as("n_orders"),
+          sum(when(col("line_fp").isNull, 1).otherwise(0)).as("n_unmatched"))
+      val ot = col("orders_fp").cast(DoubleType) / lit(100)
+      val lt = col("lines_fp").cast(DoubleType) / lit(10000)
+      m.select(col("mo_s"), col("n_orders"), col("n_unmatched"),
+        ot.as("orders_total"), lt.as("lines_total"),
+        (floor(abs(ot - lt) * lit(100) + lit(0.5)) / lit(100.0)).as("abs_gap"),
+        (floor(abs(ot - lt) / lt * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+          .as("rel_gap"),
+        (abs(ot - lt) / lt <= 0.01).as("reconciled"))
+    },
+
+    // ------------------------------------------------------------------
+    // Parquet compression-codec roundtrip: the same relation written
+    // under snappy / gzip / zstd and read back — the codec choice is
+    // THE storage-cost knob on a 100 TB lake (zstd ≈ 30-50% smaller
+    // than snappy at similar scan speed), and this proves every codec
+    // path decodes bit-identically. The oracle reads the ORIGINAL
+    // table tripled, so a codec that corrupts, drops rows, or loses
+    // precision hash-fails. Codec is per-write metadata: readers mix
+    // files of different codecs freely, which is what makes a
+    // recompression migration incremental instead of atomic.
+    "src_compression_codecs" -> QueryDef.withOracle(
+      """SELECT codec, s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |CROSS JOIN (VALUES ('snappy'), ('gzip'), ('zstd')) AS c(codec)""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_codec").toString
+      val sup = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val codecs = Seq("snappy", "gzip", "zstd")
+      codecs.foreach { c =>
+        sup.write.mode(SaveMode.Overwrite)
+          .option("compression", c).parquet(s"$tmp/$c")
+      }
+      codecs.map { c =>
+        s.read.schema(sup.schema).parquet(s"$tmp/$c").withColumn("codec", lit(c))
+      }.reduce(_ unionAll _)
+        .select(col("codec"), col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
     }
   )
 

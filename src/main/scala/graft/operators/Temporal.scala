@@ -1470,6 +1470,40 @@ object Temporal {
           col("n").desc, col("step1").asc, col("step2").asc, col("step3").asc)))
         .filter(col("rank") <= 10)
         .select(col("step1"), col("step2"), col("step3"), col("n"), col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // Duplicate-event suppression under a delivery-retry tolerance:
+    // an event is a retry echo when the SAME (user, type) fired within
+    // 5 s before it — the at-least-once cleanup every event pipeline
+    // runs at ingest. Lag-based (each event compares to its immediate
+    // same-key predecessor): one shuffle on the high-cardinality
+    // (user, type) key, bounded per-key partitions, and the verdict is
+    // row-local after the lag. The streaming twin is
+    // dropDuplicatesWithinWatermark (StreamingSpec); this is the batch
+    // backfill that must agree with it on replay.
+    "ev_dedup_tolerance" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT *,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_s, event_id) AS gap
+        |  FROM e)
+        |SELECT event_id, user_id, event_type, ts_s,
+        |  coalesce(gap <= 5, FALSE) AS is_echo
+        |FROM g""".stripMargin) { (s, dir) =>
+      val wLag = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      Tables.eventsTimed(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(wLag))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_s"),
+          coalesce(col("gap") <= 5, lit(false)).as("is_echo"))
     }
   )
 
