@@ -3054,6 +3054,56 @@ object Etl {
       }.reduce(_ unionAll _)
         .select(col("codec"), col("s_suppkey"), col("s_name"),
           col("s_nationkey"), col("s_acctbal"))
+    },
+
+    // ------------------------------------------------------------------
+    // Unit-nonresponse weight adjustment — the survey-methodology step
+    // between collection and estimation: within each weighting class
+    // (nation × market segment), respondents absorb the weight of the
+    // class's nonrespondents via the factor n_total/n_resp, so class
+    // totals stay design-unbiased under missing-at-random-within-class.
+    // Nonresponse = negative balance (the impute_mean convention).
+    // Corpus work is ONE keyed agg with map-side partials — respondent
+    // balances enter as exact ×100 fixed-point longs so the class sums
+    // are order-invariant; the adjusted estimate and rates assemble in
+    // double from exact integers, ×10⁹ snapped. Output is bounded by
+    // the class count (nations × segments), never the frame.
+    "etl_nonresponse_adjust" -> QueryDef.withOracle(
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_resp,
+        |  floor(CAST(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) * 1000000000 + 0.5) / 1.0e9 AS resp_rate,
+        |  floor(CAST(count(*) AS DOUBLE)
+        |      / sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+        |      * 1000000000 + 0.5) / 1.0e9 AS adj_factor,
+        |  floor(CAST(sum(CASE WHEN c_acctbal >= 0
+        |        THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS DOUBLE) / 100
+        |      * count(*) / sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+        |      * 100 + 0.5) / 100.0 AS est_total
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) > 0""".stripMargin) { (s, dir) =>
+      val resp = when(col("c_acctbal") >= 0, 1).otherwise(0)
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(resp).cast(LongType).as("n_resp"),
+          sum(when(col("c_acctbal") >= 0,
+            floor(col("c_acctbal") * lit(100) + lit(0.5)).cast(LongType))
+            .otherwise(lit(0L))).as("resp_fp"))
+        .filter(col("n_resp") > 0)
+      g.select(col("c_nationkey"), col("c_mktsegment"),
+        col("n_total"), col("n_resp"),
+        (floor(col("n_resp").cast(DoubleType) / col("n_total")
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("resp_rate"),
+        (floor(col("n_total").cast(DoubleType) / col("n_resp")
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("adj_factor"),
+        (floor(col("resp_fp").cast(DoubleType) / lit(100)
+          * col("n_total") / col("n_resp")
+          * lit(100) + lit(0.5)) / lit(100.0)).as("est_total"))
     }
   )
 

@@ -149,6 +149,69 @@ object Graph {
     }
   }
 
+  /** One unrolled synchronous LPA round: per dst, the mode of its
+    * in-neighbors' round-i labels, ties to the smallest label. */
+  private def lpaStep(i: Int): String =
+    s"""c${i + 1} AS (
+       |  SELECT e.dst, p.label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM edges e JOIN l$i p ON p.doc_id = e.src
+       |  GROUP BY e.dst, p.label),
+       |l${i + 1} AS (
+       |  SELECT dst AS doc_id, label FROM (
+       |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+       |      ORDER BY cnt DESC, label ASC) AS rn FROM c${i + 1})
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle prefix: near-dup edges + `LpaRounds` unrolled LPA
+    * rounds, ending at CTE l`LpaRounds` (doc_id, label) — consumed by
+    * graph_lpa (final labels) and graph_modularity (partition quality). */
+  private def lpaCtesSql: String =
+    s"""WITH s AS (${Dedup.shingleSql}),
+       |${Dedup.candSql},
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+       |  JOIN sh2 y ON y.doc_id = c.doc_b
+       |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+       |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |enodes AS (SELECT DISTINCT dst AS doc_id FROM edges),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM enodes),
+       |${(0 until LpaRounds).map(lpaStep).mkString(",\n")}""".stripMargin
+
+  /** Mirrored near-dup edge relation (src-partitioned, persisted) and
+    * the edge-subgraph LPA labels after `rounds` synchronous rounds.
+    * Pregel layout as [[pageRanks]]: per round ONE label-vector join to
+    * the cached edges, one (dst, label) count and one per-dst argmax —
+    * O(E) rows, node-keyed exchanges, lineage cut per round. */
+  private[graft] def lpaArtifacts(
+      s: SparkSession, dir: String, rounds: Int): (DataFrame, DataFrame) = {
+    val pairs = Dedup.verifiedCandidates(s, dir)
+      .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src")).persist()
+    val enodes = edges.select(col("dst").as("doc_id")).distinct()
+    // every edge-subgraph node has in-neighbors (edges are mirrored),
+    // so the round's argmax is total — no carry-over coalesce needed
+    var l = enodes.withColumn("label", col("doc_id"))
+    for (_ <- 0 until rounds) {
+      val next = edges
+        .join(l.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        // (cnt DESC, label ASC) argmax as a lexicographic struct min
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("dst").as("doc_id"), col("m.l").as("label"))
+      l = next.localCheckpoint(true)
+    }
+    (edges, l)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -444,58 +507,78 @@ object Graph {
     // Deterministic (sync rounds + min tie-break) → fully oracled via
     // unrolled CTEs. Singleton docs (no near-dup edges) keep their own
     // id as community, joined once at the end.
-    "graph_lpa" -> QueryDef.withOracle {
-      def lpaStep(i: Int): String =
-        s"""c${i + 1} AS (
-           |  SELECT e.dst, p.label, CAST(count(*) AS BIGINT) AS cnt
-           |  FROM edges e JOIN l$i p ON p.doc_id = e.src
-           |  GROUP BY e.dst, p.label),
-           |l${i + 1} AS (
-           |  SELECT dst AS doc_id, label FROM (
-           |    SELECT dst, label, row_number() OVER (PARTITION BY dst
-           |      ORDER BY cnt DESC, label ASC) AS rn FROM c${i + 1})
-           |  WHERE rn = 1)""".stripMargin
-      s"""WITH s AS (${Dedup.shingleSql}),
-         |${Dedup.candSql},
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
-         |  JOIN sh2 y ON y.doc_id = c.doc_b
-         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
-         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |enodes AS (SELECT DISTINCT dst AS doc_id FROM edges),
-         |l0 AS (SELECT doc_id, doc_id AS label FROM enodes),
-         |${(0 until LpaRounds).map(lpaStep).mkString(",\n")}
+    "graph_lpa" -> QueryDef.withOracle(
+      s"""$lpaCtesSql
          |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS community
          |FROM documents d LEFT JOIN l$LpaRounds l ON l.doc_id = d.doc_id""".stripMargin
-    } { (s, dir) =>
-      val pairs = Dedup.verifiedCandidates(s, dir)
-        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(col("src")).persist()
-      val enodes = edges.select(col("dst").as("doc_id")).distinct()
-      // every edge-subgraph node has in-neighbors (edges are mirrored),
-      // so the round's argmax is total — no carry-over coalesce needed
-      var l = enodes.withColumn("label", col("doc_id"))
-      for (_ <- 0 until LpaRounds) {
-        val next = edges
-          .join(l.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst"))
-          // (cnt DESC, label ASC) argmax as a lexicographic struct min
-          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
-            .as("m"))
-          .select(col("dst").as("doc_id"), col("m.l").as("label"))
-        l = next.localCheckpoint(true)
-      }
+    ) { (s, dir) =>
+      val (_, l) = lpaArtifacts(s, dir, LpaRounds)
       Tables.documents(s, dir).select(col("doc_id"))
         .join(l, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+    },
+
+    // ------------------------------------------------------------------
+    // Newman modularity of the LPA partition — the quality number that
+    // says whether the communities LPA found are real structure or
+    // noise (Q ≈ 0), and the standard acceptance gate before community
+    // labels feed a downstream sampling/mixing decision. Q decomposes
+    // per community as intra_edges/m − (deg_sum/2m)², so the whole
+    // statistic is one labels-to-edges join (both endpoints, O(E) keyed
+    // rows on the cached edge relation) + two community-keyed aggs over
+    // exact integer counts — no per-community sort, no quadratic term,
+    // and the output is bounded by the community count. Exact BIGINTs
+    // until the final double assembly, ×10⁹ snapped.
+    "graph_modularity" -> QueryDef.withOracle(
+      s"""$lpaCtesSql,
+         |lab AS (SELECT doc_id, label FROM l$LpaRounds),
+         |ed AS (SELECT CAST(count(*) AS BIGINT) AS edir FROM edges),
+         |deg AS (
+         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |intra AS (
+         |  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS intra_dir
+         |  FROM edges e
+         |  JOIN lab la ON la.doc_id = e.src
+         |  JOIN lab lb ON lb.doc_id = e.dst
+         |  WHERE la.label = lb.label
+         |  GROUP BY la.label),
+         |cs AS (
+         |  SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(d.deg) AS BIGINT) AS deg_sum
+         |  FROM lab l JOIN deg d ON d.id = l.doc_id GROUP BY l.label)
+         |SELECT cs.community, cs.n_nodes,
+         |  CAST(coalesce(i.intra_dir, 0) // 2 AS BIGINT) AS intra_edges,
+         |  cs.deg_sum,
+         |  floor((CAST(coalesce(i.intra_dir, 0) AS DOUBLE) / e.edir
+         |      - (CAST(cs.deg_sum AS DOUBLE) / e.edir)
+         |        * (CAST(cs.deg_sum AS DOUBLE) / e.edir)) * 1000000000 + 0.5)
+         |    / 1.0e9 AS q_contrib
+         |FROM cs LEFT JOIN intra i ON i.community = cs.community
+         |CROSS JOIN ed e""".stripMargin
+    ) { (s, dir) =>
+      val (edges, lab) = lpaArtifacts(s, dir, LpaRounds)
+      val edir = edges.agg(count(lit(1)).as("edir"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val intra = edges
+        .join(lab.select(col("doc_id").as("src"), col("label").as("la")), Seq("src"))
+        .join(lab.select(col("doc_id").as("dst"), col("label").as("lb")), Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_dir"))
+      val cs = lab
+        .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      val ed = col("edir").cast(DoubleType)
+      val ds = col("deg_sum").cast(DoubleType)
+      val idir = coalesce(col("intra_dir"), lit(0L))
+      cs.join(intra, Seq("community"), "left_outer")
+        .crossJoin(broadcast(edir))
+        .select(col("community"), col("n_nodes"),
+          expr("coalesce(intra_dir, 0L) div 2").as("intra_edges"),
+          col("deg_sum"),
+          (floor((idir.cast(DoubleType) / ed - (ds / ed) * (ds / ed))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("q_contrib"))
     },
 
     // ------------------------------------------------------------------

@@ -575,6 +575,67 @@ object Training {
             .as("epochs"),
           greatest(lit(1L), expr("(128 * s_fp + stot) div (2 * stot)"))
             .as("n_shards"))
+    },
+
+    // ------------------------------------------------------------------
+    // Per-user daily lag/rolling feature matrix — the feature-generation
+    // step that turns an event stream into supervised-learning rows
+    // (lag-1, lag-7, trailing-7-day sum and active-day count per user
+    // per day). Calendar-aware: all four features are RANGE frames over
+    // the integer day, so a user absent yesterday gets lag1=0, not the
+    // previous-row value a ROWS frame would leak. ONE shuffle on the
+    // high-cardinality user key serves the daily agg and every window;
+    // daily values enter as exact ×10⁶ fixed-point longs so the frame
+    // sums are order-invariant, and the doubles assemble from exact
+    // integers at output. Per-user partitions are calendar-bounded.
+    "pipe_lag_features" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS vfp
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, day, vfp,
+        |    CAST(coalesce(sum(vfp) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS lag1_fp,
+        |    CAST(coalesce(sum(vfp) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 0) AS BIGINT)
+        |      AS lag7_fp,
+        |    CAST(sum(vfp) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sum7_fp,
+        |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_active7
+        |  FROM d)
+        |SELECT user_id, day,
+        |  CAST(vfp AS DOUBLE) / 1000000 AS value,
+        |  CAST(lag1_fp AS DOUBLE) / 1000000 AS lag1,
+        |  CAST(lag7_fp AS DOUBLE) / 1000000 AS lag7,
+        |  CAST(sum7_fp AS DOUBLE) / 1000000 AS sum7,
+        |  n_active7
+        |FROM f""".stripMargin) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("user_id"), expr("ts_s div 86400").as("day"))
+        .agg(sum(floor(col("value") * lit(1000000) + lit(0.5))
+          .cast(LongType)).as("vfp"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      daily.select(col("user_id"), col("day"),
+          col("vfp"),
+          coalesce(sum(col("vfp")).over(w.rangeBetween(-1, -1)), lit(0L))
+            .as("lag1_fp"),
+          coalesce(sum(col("vfp")).over(w.rangeBetween(-7, -7)), lit(0L))
+            .as("lag7_fp"),
+          sum(col("vfp")).over(w.rangeBetween(-6, 0)).as("sum7_fp"),
+          count(lit(1)).over(w.rangeBetween(-6, 0)).as("n_active7"))
+        .select(col("user_id"), col("day"),
+          (col("vfp").cast(DoubleType) / lit(1000000)).as("value"),
+          (col("lag1_fp").cast(DoubleType) / lit(1000000)).as("lag1"),
+          (col("lag7_fp").cast(DoubleType) / lit(1000000)).as("lag7"),
+          (col("sum7_fp").cast(DoubleType) / lit(1000000)).as("sum7"),
+          col("n_active7"))
     }
   )
 }

@@ -67,7 +67,10 @@ object PlanAudit {
       "ann_mips_topk",
       // |sources|²/2-row broadcast: the source-pair table the vocab
       // relation expands against row-locally (a constant, never corpus)
-      "text_js_divergence")
+      "text_js_divergence",
+      // 1-row broadcast: the total-directed-edge-count anchor every
+      // per-community contribution divides by
+      "graph_modularity")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -183,7 +186,14 @@ object PlanAudit {
       "etl_mad_robust" -> 20,
       // gap lag (user-keyed, 1 corpus move) + one rankSelectByKey pass
       // + the exact-mean agg; bookkeeping reprints inflate the rest
-      "ev_interarrival_stats" -> 12)
+      "ev_interarrival_stats" -> 12,
+      // modularity stacks the individually-audited LSH candidate stage
+      // (~6, bucket-capped; the final LPA round executes eagerly behind
+      // localCheckpoint cuts and prints opaquely) + the degree agg, the
+      // two label-endpoint joins, the two community-keyed aggs and the
+      // community join — every added exchange keyed on node/community
+      // ids, bounded by O(E) label rows, never the corpus
+      "graph_modularity" -> 13)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -240,6 +250,10 @@ object PlanAudit {
   //   under stats that broadcast the sf-sized embeddings side of
   //   dedup_embedding's label equi-join; the operator itself requests
   //   no broadcast.
+  // - graph_modularity: same cache-print artifact via lpaArtifacts'
+  //   persisted near-dup edge relation (the graph_contamination_bfs
+  //   argument); the operator's only requested broadcast is the 1-row
+  //   aggregate-bounded edge-count anchor.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_l2_topk", "ann_mips_topk",
@@ -247,7 +261,7 @@ object PlanAudit {
       "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",
-      "graph_assortativity")
+      "graph_assortativity", "graph_modularity")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange
