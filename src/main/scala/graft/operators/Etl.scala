@@ -3104,6 +3104,123 @@ object Etl {
         (floor(col("resp_fp").cast(DoubleType) / lit(100)
           * col("n_total") / col("n_resp")
           * lit(100) + lit(0.5)) / lit(100.0)).as("est_total"))
+    },
+
+    // ------------------------------------------------------------------
+    // Hidiroglou–Berthelot outlier detection — the standard periodic-
+    // business-survey edit: units whose period-over-period ratio moves
+    // implausibly, size-weighted so a big unit's 2× jump matters more
+    // than a tiny unit's 10×. Per customer, 1996 vs 1997 order totals
+    // (exact ×100 longs), ratio r, the symmetric HB transform
+    // s = 1 − med/r (below median) | r/med − 1 (above), effect
+    // E = s·√max(x1,x2), and quartile-distance bounds
+    // med(E) ± 4·max(dist-to-quartile, 5%·|med(E)|). Both the ratio
+    // median and the E median/quartiles are EXACT distributed
+    // selections via the factored q28 plan (rankSelectByKey — only the
+    // hot buckets holding a target rank ever sort); everything else is
+    // one keyed agg + row-local scoring under 1-row broadcast anchors.
+    // All values ride identical doubles in both engines (exact longs →
+    // IEEE division/sqrt), so no snapping is needed.
+    "etl_hb_outliers" -> QueryDef.withOracle(
+      """WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS fp
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+        |per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN yr = 1996 THEN fp END) AS BIGINT) AS x1fp,
+        |    CAST(sum(CASE WHEN yr = 1997 THEN fp END) AS BIGINT) AS x2fp
+        |  FROM o GROUP BY o_custkey
+        |  HAVING sum(CASE WHEN yr = 1996 THEN fp END) > 0
+        |     AND sum(CASE WHEN yr = 1997 THEN fp END) > 0),
+        |b AS (
+        |  SELECT o_custkey, x1fp, x2fp,
+        |    CAST(x2fp AS DOUBLE) / x1fp AS r FROM per),
+        |m AS (
+        |  SELECT (max(CASE WHEN rn = (n + 1) // 2 THEN r END)
+        |        + max(CASE WHEN rn = (n + 2) // 2 THEN r END)) / 2.0 AS rmed
+        |  FROM (SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS rn,
+        |               count(*) OVER () AS n FROM b)),
+        |e AS (
+        |  SELECT b.o_custkey, b.x1fp, b.x2fp, b.r,
+        |    (CASE WHEN b.r < m.rmed THEN 1 - m.rmed / b.r
+        |          ELSE b.r / m.rmed - 1 END)
+        |      * sqrt(greatest(CAST(b.x1fp AS DOUBLE) / 100,
+        |                      CAST(b.x2fp AS DOUBLE) / 100)) AS effect
+        |  FROM b CROSS JOIN m),
+        |st AS (
+        |  SELECT (max(CASE WHEN rn = (n + 1) // 2 THEN effect END)
+        |        + max(CASE WHEN rn = (n + 2) // 2 THEN effect END)) / 2.0
+        |      AS emed,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN effect END) AS eq1,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN effect END) AS eq3
+        |  FROM (SELECT effect, o_custkey,
+        |          row_number() OVER (ORDER BY effect, o_custkey) AS rn,
+        |          count(*) OVER () AS n FROM e)),
+        |bd AS (
+        |  SELECT emed - 4 * greatest(emed - eq1, abs(0.05 * emed)) AS lo_bound,
+        |    emed + 4 * greatest(eq3 - emed, abs(0.05 * emed)) AS hi_bound
+        |  FROM st)
+        |SELECT e.o_custkey,
+        |  CAST(e.x1fp AS DOUBLE) / 100 AS x1,
+        |  CAST(e.x2fp AS DOUBLE) / 100 AS x2,
+        |  e.r AS ratio, e.effect, bd.lo_bound, bd.hi_bound,
+        |  e.effect < bd.lo_bound OR e.effect > bd.hi_bound AS is_outlier
+        |FROM e CROSS JOIN bd""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          floor(col("o_totalprice") * lit(100) + lit(0.5)).cast(LongType)
+            .as("fp"))
+        .filter(col("yr").isin(1996, 1997))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(sum(when(col("yr") === 1996, col("fp"))).as("x1fp"),
+          sum(when(col("yr") === 1997, col("fp"))).as("x2fp"))
+        .filter(col("x1fp") > 0 && col("x2fp") > 0)
+      val b = per.select(col("o_custkey"), col("x1fp"), col("x2fp"),
+          (col("x2fp").cast(DoubleType) / col("x1fp")).as("r"))
+        .withColumn("g", lit(1))
+        .persist() // feeds both selection passes + the scoring pass
+      val mids = (n: Column) => array(floor((n + 1) / 2), floor((n + 2) / 2))
+      val sel1 = Relational.rankSelectByKey(b, "g", "r", Seq("o_custkey"), mids)
+      val rmed = sel1.groupBy(col("g"))
+        .agg(((max(when(col("pos") === floor((col("n") + 1) / 2), col("r")))
+          + max(when(col("pos") === floor((col("n") + 2) / 2), col("r"))))
+          / lit(2.0)).as("rmed"))
+        .select(col("rmed"))
+      val e = b.crossJoin(broadcast(rmed))
+        .select(col("o_custkey"), col("x1fp"), col("x2fp"), col("r"),
+          (when(col("r") < col("rmed"), lit(1) - col("rmed") / col("r"))
+            .otherwise(col("r") / col("rmed") - lit(1))
+            * sqrt(greatest(col("x1fp").cast(DoubleType) / lit(100),
+              col("x2fp").cast(DoubleType) / lit(100)))).as("effect"))
+        .withColumn("g", lit(1))
+        .persist() // feeds the quartile selection + the verdict pass
+      val quarts = (n: Column) => array(
+        floor((n + 1) / 2), floor((n + 2) / 2),
+        floor((n + 3) / 4), floor((lit(3) * n + 3) / 4))
+      val sel2 = Relational.rankSelectByKey(e, "g", "effect",
+        Seq("o_custkey"), quarts)
+      val st = sel2.groupBy(col("g"))
+        .agg(((max(when(col("pos") === floor((col("n") + 1) / 2), col("effect")))
+          + max(when(col("pos") === floor((col("n") + 2) / 2), col("effect"))))
+          / lit(2.0)).as("emed"),
+          max(when(col("pos") === floor((col("n") + 3) / 4), col("effect")))
+            .as("eq1"),
+          max(when(col("pos") === floor((lit(3) * col("n") + 3) / 4),
+            col("effect"))).as("eq3"))
+      val bd = st.select(
+        (col("emed") - lit(4) * greatest(col("emed") - col("eq1"),
+          abs(lit(0.05) * col("emed")))).as("lo_bound"),
+        (col("emed") + lit(4) * greatest(col("eq3") - col("emed"),
+          abs(lit(0.05) * col("emed")))).as("hi_bound"))
+      e.crossJoin(broadcast(bd))
+        .select(col("o_custkey"),
+          (col("x1fp").cast(DoubleType) / lit(100)).as("x1"),
+          (col("x2fp").cast(DoubleType) / lit(100)).as("x2"),
+          col("r").as("ratio"), col("effect"),
+          col("lo_bound"), col("hi_bound"),
+          (col("effect") < col("lo_bound")
+            || col("effect") > col("hi_bound")).as("is_outlier"))
     }
   )
 

@@ -636,6 +636,94 @@ object Training {
           (col("lag7_fp").cast(DoubleType) / lit(1000000)).as("lag7"),
           (col("sum7_fp").cast(DoubleType) / lit(1000000)).as("sum7"),
           col("n_active7"))
+    },
+
+    // ------------------------------------------------------------------
+    // Staged dedup funnel report — the per-source audit table every
+    // dataset card carries: how many documents each dedup stage removes
+    // when run as a SEQUENCE (exact → 32-token prefix → verified
+    // near-dup). Sequential semantics without re-running stages on
+    // shrinking inputs: a prefix-group's min doc always survives the
+    // exact stage (its exact keeper has the same text, hence the same
+    // prefix, hence IS the group min), so stage-2 removal is just
+    // ¬exact ∧ ≠group-min on the full corpus; stage-3 removal = has a
+    // verified near-dup (jac ≥ 0.5) with a SMALLER-id stage-1/2
+    // survivor. Corpus work: the two hash windows (high-cardinality
+    // md5 keys), the shared banded-minhash candidate stage, one
+    // survivor semijoin — output is |sources| rows.
+    "pipe_dedup_funnel" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |nd AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY
+         |      md5(${TextOps.normSql("text")})) AS ex_dup,
+         |    min(doc_id) OVER (PARTITION BY
+         |      md5(array_to_string((${TextOps.toksSql("text")})[1:32], ' ')))
+         |      AS pf_min
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, ex_dup,
+         |    (NOT ex_dup AND doc_id <> pf_min) AS pf_dup
+         |  FROM f),
+         |surv AS (SELECT doc_id FROM g WHERE NOT ex_dup AND NOT pf_dup),
+         |ndrem AS (
+         |  SELECT DISTINCT n.doc_b AS doc_id
+         |  FROM nd n JOIN surv v ON v.doc_id = n.doc_a),
+         |r AS (
+         |  SELECT g.doc_id, g.source, g.ex_dup, g.pf_dup,
+         |    (NOT g.ex_dup AND NOT g.pf_dup AND nr.doc_id IS NOT NULL)
+         |      AS nd_dup
+         |  FROM g LEFT JOIN ndrem nr ON nr.doc_id = g.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ex_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_removed,
+         |  CAST(sum(CASE WHEN pf_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_prefix_removed,
+         |  CAST(sum(CASE WHEN nd_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neardup_removed,
+         |  CAST(sum(CASE WHEN NOT ex_dup AND NOT pf_dup AND NOT nd_dup
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+         |FROM r GROUP BY source""".stripMargin) { (s, dir) =>
+      val wEx = Window.partitionBy(col("k_ex"))
+      val wPf = Window.partitionBy(col("k_pf"))
+      val flagged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(TextOps.normText(col("text")).cast(BinaryType)).as("k_ex"),
+          md5(concat_ws(" ", slice(tokens(col("text")), 1, 32))
+            .cast(BinaryType)).as("k_pf"))
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") =!= min(col("doc_id")).over(wEx)).as("ex_dup"),
+          min(col("doc_id")).over(wPf).as("pf_min"))
+        .withColumn("pf_dup", !col("ex_dup") && col("doc_id") =!= col("pf_min"))
+        .persist() // feeds the survivor set and the final rollup
+      val jac = col("ni") * lit(1.0) / (col("ntot") - col("ni"))
+      val nd = Dedup.verifiedCandidates(s, dir).filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val surv = flagged.filter(!col("ex_dup") && !col("pf_dup"))
+        .select(col("doc_id").as("doc_a"))
+      val ndrem = nd.join(surv, Seq("doc_a"))
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("nd_hit", lit(true))
+      flagged.join(ndrem, Seq("doc_id"), "left_outer")
+        .withColumn("nd_dup", !col("ex_dup") && !col("pf_dup")
+          && coalesce(col("nd_hit"), lit(false)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ex_dup"), 1).otherwise(0)).cast(LongType)
+            .as("n_exact_removed"),
+          sum(when(col("pf_dup"), 1).otherwise(0)).cast(LongType)
+            .as("n_prefix_removed"),
+          sum(when(col("nd_dup"), 1).otherwise(0)).cast(LongType)
+            .as("n_neardup_removed"),
+          sum(when(!col("ex_dup") && !col("pf_dup") && !col("nd_dup"), 1)
+            .otherwise(0)).cast(LongType).as("n_survivors"))
     }
   )
 }

@@ -70,7 +70,10 @@ object PlanAudit {
       "text_js_divergence",
       // 1-row broadcast: the total-directed-edge-count anchor every
       // per-community contribution divides by
-      "graph_modularity")
+      "graph_modularity",
+      // 1-row broadcasts: the ratio-median anchor and the
+      // (lo_bound, hi_bound) anchor of the HB edit
+      "etl_hb_outliers")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -193,7 +196,19 @@ object PlanAudit {
       // two label-endpoint joins, the two community-keyed aggs and the
       // community join — every added exchange keyed on node/community
       // ids, bounded by O(E) label rows, never the corpus
-      "graph_modularity" -> 13)
+      "graph_modularity" -> 13,
+      // HB chains TWO full rankSelectByKey selection passes (each the
+      // q28 budget: bucket-count agg + offset window + hot-bucket
+      // local rank + target joins) over the per-customer ratio and
+      // effect relations, plus the year agg — corpus-scale moves are
+      // the year agg, the two bucket-count aggs and the two
+      // hot-bucket ranks; persisted-relation reprints inflate the rest
+      "etl_hb_outliers" -> 24,
+      // the funnel stacks the individually-audited LSH candidate stage
+      // (~6, bucket-capped) + the two md5-keyed dedup windows, the
+      // survivor semijoin and the per-source rollup — each added
+      // exchange keyed on doc ids or the |sources|-bounded rollup key
+      "pipe_dedup_funnel" -> 10)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -254,6 +269,11 @@ object PlanAudit {
   //   persisted near-dup edge relation (the graph_contamination_bfs
   //   argument); the operator's only requested broadcast is the 1-row
   //   aggregate-bounded edge-count anchor.
+  // - pipe_dedup_funnel: same cache-print artifact — the shared bands/
+  //   candidate cache and the operator's persisted flag relation
+  //   register under pass-1 stats and print opaquely in pass 2; the
+  //   only bounded broadcast the operator consumes is the
+  //   distinct-bounded near-dup-removal id set.
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_l2_topk", "ann_mips_topk",
@@ -261,7 +281,7 @@ object PlanAudit {
       "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",
-      "graph_assortativity", "graph_modularity")
+      "graph_assortativity", "graph_modularity", "pipe_dedup_funnel")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange
