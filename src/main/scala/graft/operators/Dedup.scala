@@ -836,6 +836,53 @@ object Dedup {
           min(col("doc_id")).over(w).as("keep_id"),
           count(lit(1)).over(w).as("n_docs"),
           (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+    },
+
+    // ------------------------------------------------------------------
+    // Jaccard-threshold calibration sweep — the table a pipeline owner
+    // reads BEFORE picking the near-dup cutoff: from ONE shared
+    // candidate+verify pass, the pair count and the would-be-removed
+    // doc count (distinct larger-id members, keep-smallest policy) at
+    // each of the standard thresholds {0.5, 0.7, 0.8, 0.9}. The
+    // threshold list is a 4-element literal the candidate-thin pair
+    // relation expands against row-locally — corpus work stays exactly
+    // one candidate stage regardless of how many cutoffs are surveyed.
+    "dedup_threshold_sweep" -> QueryDef.withOracle(
+      s"""WITH s AS ($shingleSql),
+         |$candSql,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b),
+         |t AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE),
+         |  CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS threshold)
+         |SELECT t.threshold,
+         |  CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_removed
+         |FROM t LEFT JOIN pairs p ON p.jac >= t.threshold
+         |GROUP BY t.threshold""".stripMargin) { (s, dir) =>
+      val jac = col("ni") * lit(1.0) / (col("ntot") - col("ni"))
+      val pairs = verifiedCandidates(s, dir)
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      // one conditional agg instead of a threshold join: every cutoff's
+      // pair count and distinct-removed count ride the same single
+      // pass; the 1-row result unpivots to the 4-row report
+      val ths = Seq(0.5, 0.7, 0.9, 0.8).sorted
+      val aggs = ths.flatMap { th =>
+        val tag = (th * 10).toInt
+        Seq(
+          sum(when(col("jac") >= th, 1).otherwise(0)).as(s"p$tag"),
+          countDistinct(when(col("jac") >= th, col("doc_b"))).as(s"d$tag"))
+      }
+      val stackArgs = ths.map { th =>
+        val tag = (th * 10).toInt
+        s"CAST($th AS DOUBLE), p$tag, d$tag"
+      }.mkString(", ")
+      pairs.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${ths.size}, $stackArgs) " +
+          "as (threshold, n_pairs, n_docs_removed)"))
     }
   )
 }

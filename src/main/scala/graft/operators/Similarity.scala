@@ -1091,6 +1091,49 @@ object Similarity {
         .withColumn("rn", row_number().over(wFinal))
         .filter(col("rn") <= 3)
         .select(col("src_id"), col("dst_id"), col("cos_sim"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // kNN label-vote classification eval — the standard embedding-
+    // quality probe ("do nearest neighbors share labels?") that gates
+    // an embedding model before it drives dedup or retrieval: each
+    // probe (vec_id < NPROBES, leave-one-out against the full corpus)
+    // takes the majority label of its exact top-K cosine neighbors,
+    // ties to the smallest label. Rides the shared exactTopK pipeline
+    // (broadcast probes × ONE corpus scan, salted two-phase ranking);
+    // the vote adds only K×NPROBES-row joins and a probe-keyed argmax
+    // (the lexicographic struct-min, no window). Deterministic → fully
+    // oracled.
+    "ann_knn_classify" -> QueryDef.withOracle(
+      s"""WITH tk AS ($exactTopkSql),
+         |v AS (
+         |  SELECT tk.probe_id, e.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tk JOIN embeddings e ON e.vec_id = tk.neighbor_id
+         |  GROUP BY tk.probe_id, e.label),
+         |p AS (
+         |  SELECT probe_id, label AS pred_label, cnt AS n_votes FROM (
+         |    SELECT probe_id, label, cnt,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cnt DESC, label ASC) AS rn FROM v)
+         |  WHERE rn = 1)
+         |SELECT p.probe_id, t.label AS true_label, p.pred_label,
+         |  p.n_votes, p.pred_label = t.label AS correct
+         |FROM p JOIN embeddings t ON t.vec_id = p.probe_id""".stripMargin) { (s, dir) =>
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val votes = exactTopK(s, dir)
+        .join(lab.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .groupBy(col("probe_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pred = votes.groupBy(col("probe_id"))
+        // (cnt DESC, label ASC) argmax as a lexicographic struct min
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"),
+          col("cnt").as("c"))).as("m"))
+        .select(col("probe_id"), col("m.l").as("pred_label"),
+          col("m.c").as("n_votes"))
+      pred.join(lab.withColumnRenamed("vec_id", "probe_id"), Seq("probe_id"))
+        .select(col("probe_id"), col("label").as("true_label"),
+          col("pred_label"), col("n_votes"),
+          (col("pred_label") === col("label")).as("correct"))
     }
   )
 }

@@ -1504,6 +1504,70 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts_s"),
           coalesce(col("gap") <= 5, lit(false)).as("is_echo"))
+    },
+
+    // ------------------------------------------------------------------
+    // A/B power analysis — the experiment-design companion to
+    // ev_ab_ttest: from the observed arm means/variances (purchase vs
+    // view, same arms and exact decimal moment sums as the t-test),
+    // the per-arm sample size needed to detect the observed effect at
+    // α=5% two-sided with 80% power (n = 2(z_α/2+z_β)²·s²_pool/δ²),
+    // and the minimum detectable effect at the CURRENT sizes
+    // (mde = (z_α/2+z_β)·√(var_a/n_a + var_b/n_b)). ONE corpus agg with
+    // map-side partials; everything after runs on two 1-row relations.
+    // z quantiles are shared literal constants, the double chain is
+    // mirrored verbatim, outputs round(…, 9)-snapped.
+    "ev_power_analysis" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS s2
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, n, round(s1 / n, 9) AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS var
+        |  FROM m),
+        |ab AS (
+        |  SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+        |         b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+        |  FROM w a JOIN w b
+        |    ON a.event_type = 'purchase' AND b.event_type = 'view')
+        |SELECT n_a, n_b, mean_a, mean_b,
+        |  round(mean_a - mean_b, 9) AS delta,
+        |  CAST(ceil(
+        |    2 * (1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)
+        |      * ((var_a + var_b) / 2)
+        |      / ((mean_a - mean_b) * (mean_a - mean_b))) AS BIGINT)
+        |    AS n_required_per_arm,
+        |  round((1.959963985 + 0.841621234)
+        |    * sqrt(var_a / n_a + var_b / n_b), 9) AS mde
+        |FROM ab""".stripMargin) { (s, dir) =>
+      val v = col("value").cast(dec2)
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(v).cast(DoubleType).as("s1"),
+          sum(v * v).cast(DoubleType).as("s2"))
+        .withColumn("mean", round(col("s1") / col("n"), 9))
+        .withColumn("var",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      val a = m.filter(col("event_type") === "purchase")
+        .select(col("n").as("n_a"), col("mean").as("mean_a"), col("var").as("var_a"))
+      val b = m.filter(col("event_type") === "view")
+        .select(col("n").as("n_b"), col("mean").as("mean_b"), col("var").as("var_b"))
+      val z = lit(1.959963985) + lit(0.841621234)
+      val delta = col("mean_a") - col("mean_b")
+      a.crossJoin(b) // two 1-row relations
+        .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+          round(delta, 9).as("delta"),
+          ceil(lit(2) * z * z * ((col("var_a") + col("var_b")) / lit(2))
+            / (delta * delta)).as("n_required_per_arm"),
+          round(z * sqrt(col("var_a") / col("n_a")
+            + col("var_b") / col("n_b")), 9).as("mde"))
     }
   )
 

@@ -73,7 +73,11 @@ object PlanAudit {
       "graph_modularity",
       // 1-row broadcasts: the ratio-median anchor and the
       // (lo_bound, hi_bound) anchor of the HB edit
-      "etl_hb_outliers")
+      "etl_hb_outliers",
+      // inherits ann_topk_exact's broadcast-probe × corpus scan
+      "ann_knn_classify",
+      // the ev_ab_ttest shape: a crossJoin of two 1-row arm aggregates
+      "ev_power_analysis")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -281,7 +285,11 @@ object PlanAudit {
       "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",
-      "graph_assortativity", "graph_modularity", "pipe_dedup_funnel")
+      "graph_assortativity", "graph_modularity", "pipe_dedup_funnel",
+      // the ann_topk_exact argument: the broadcast is the fixed-size
+      // probe set (vec_id < NPROBES), invisible to the
+      // aggregate-detection behind the cached corpus relation
+      "ann_knn_classify")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange
