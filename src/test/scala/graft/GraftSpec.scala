@@ -2460,3 +2460,93 @@ class StatScreenSpec extends AnyFunSuite {
       .count() == 0, "post-evolution rows must carry the column")
   }
 }
+
+class Round8InvariantSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("graph_modularity: Q in [-0.5, 1], per-community internal degree bounded") {
+    val df = SparkEntry.queries("graph_modularity")(spark, sf).collect()
+    assert(df.nonEmpty)
+    val q = df.map(_.getAs[Double]("q_contrib")).sum
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-0.5, 1]")
+    df.foreach { r =>
+      assert(2 * r.getAs[Long]("intra_edges") <= r.getAs[Long]("deg_sum"),
+        "internal edge stubs cannot exceed the community degree sum")
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+    }
+  }
+
+  test("etl_hb_outliers: bounds ordered, verdict consistent, not everything flagged") {
+    val rows = SparkEntry.queries("etl_hb_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lo_bound") < r.getAs[Double]("hi_bound"))
+      val e = r.getAs[Double]("effect")
+      val expect = e < r.getAs[Double]("lo_bound") || e > r.getAs[Double]("hi_bound")
+      assert(r.getAs[Boolean]("is_outlier") == expect)
+      assert(r.getAs[Double]("x1") > 0 && r.getAs[Double]("x2") > 0)
+    }
+    val flagged = rows.count(_.getAs[Boolean]("is_outlier"))
+    assert(flagged < rows.length, "the HB bounds must keep the bulk of units")
+  }
+
+  test("pipe_dedup_funnel: stage removals + survivors partition every source") {
+    val rows = SparkEntry.queries("pipe_dedup_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_exact_removed") +
+        r.getAs[Long]("n_prefix_removed") +
+        r.getAs[Long]("n_neardup_removed") + r.getAs[Long]("n_survivors")
+      assert(total == r.getAs[Long]("n_docs"),
+        s"funnel stages must partition source ${r.getAs[String]("source")}")
+    }
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("pipe_lag_features: lag1 equals the previous calendar day's value") {
+    val f = SparkEntry.queries("pipe_lag_features")(spark, sf)
+      .select("user_id", "day", "value", "lag1").persist()
+    val joined = f.select(col("user_id"), (col("day") + 1).as("day"),
+        col("value").as("prev_value"))
+      .join(f, Seq("user_id", "day"))
+    assert(joined.count() > 0, "need at least one consecutive-day pair")
+    assert(joined.filter(abs(col("lag1") - col("prev_value")) > 1e-9).count() == 0,
+      "lag1 must equal the previous day's value whenever that day exists")
+    val noPrev = f.select(col("user_id"), (col("day") + 1).as("day"),
+        lit(1).as("hit"))
+      .join(f, Seq("user_id", "day"), "right_outer")
+      .filter(col("hit").isNull)
+    assert(noPrev.filter(col("lag1") =!= 0.0).count() == 0,
+      "lag1 must be 0 when the previous calendar day is absent")
+  }
+
+  test("dedup_threshold_sweep: counts monotone non-increasing in the cutoff") {
+    val rows = SparkEntry.queries("dedup_threshold_sweep")(spark, sf)
+      .orderBy("threshold").collect()
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_pairs") >= b.getAs[Long]("n_pairs"))
+      assert(a.getAs[Long]("n_docs_removed") >= b.getAs[Long]("n_docs_removed"))
+    }
+  }
+
+  test("ann_knn_classify + ev_power_analysis + etl_nonresponse_adjust sanity") {
+    val knn = SparkEntry.queries("ann_knn_classify")(spark, sf).collect()
+    assert(knn.length == 10) // one verdict per probe
+    knn.foreach { r =>
+      val v = r.getAs[Long]("n_votes")
+      assert(v >= 1L && v <= 5L, "vote count must be within K")
+    }
+    val p = SparkEntry.queries("ev_power_analysis")(spark, sf).head()
+    assert(p.getAs[Long]("n_required_per_arm") >= 1L)
+    assert(p.getAs[Double]("mde") > 0.0)
+    val nr = SparkEntry.queries("etl_nonresponse_adjust")(spark, sf).collect()
+    nr.foreach { r =>
+      assert(r.getAs[Long]("n_resp") <= r.getAs[Long]("n_total"))
+      assert(r.getAs[Double]("adj_factor") >= 1.0)
+      assert(r.getAs[Double]("resp_rate") <= 1.0)
+    }
+  }
+}
