@@ -3221,6 +3221,79 @@ object Etl {
           col("lo_bound"), col("hi_bound"),
           (col("effect") < col("lo_bound")
             || col("effect") > col("hi_bound")).as("is_outlier"))
+    },
+
+    // ------------------------------------------------------------------
+    // Benchmarking to annual control totals (pro-rata) — the fix step
+    // after etl_reconcile_totals DETECTS a gap between collection
+    // streams: the monthly orders-side indicator series is scaled,
+    // within each year, so it sums exactly to the lineitem-side annual
+    // control total (the more complete source). Pro-rata is the
+    // level-preserving member of the benchmarking family (Denton PFD,
+    // which also smooths the January step, is the documented upgrade —
+    // a per-year 12×12 solve, the d×d-driver-solve pattern). Corpus
+    // work: the monthly agg, the per-order line agg + orderkey join;
+    // everything after rides |years| bookkeeping rows broadcast back
+    // over months. Exact fixed-point longs until the double ratio,
+    // outputs ×100 / ×10⁹ snapped.
+    "etl_benchmark_prorata" -> QueryDef.withOracle(
+      """WITH mo AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    year(o_orderdate) AS yr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS mfp
+        |  FROM orders GROUP BY 1, 2),
+        |ind AS (SELECT yr, CAST(sum(mfp) AS BIGINT) AS ifp FROM mo GROUP BY yr),
+        |lo AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS line_fp
+        |  FROM lineitem GROUP BY l_orderkey),
+        |ctl AS (
+        |  SELECT year(o.o_orderdate) AS yr,
+        |    CAST(sum(coalesce(lo.line_fp, 0)) AS BIGINT) AS cfp
+        |  FROM orders o LEFT JOIN lo ON lo.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT i.yr,
+        |    (CAST(c.cfp AS DOUBLE) / 10000) / (CAST(i.ifp AS DOUBLE) / 100)
+        |      AS ratio
+        |  FROM ind i JOIN ctl c ON c.yr = i.yr)
+        |SELECT mo.mo_s, mo.yr,
+        |  CAST(mo.mfp AS DOUBLE) / 100 AS monthly_raw,
+        |  floor(r.ratio * 1000000000 + 0.5) / 1.0e9 AS annual_ratio,
+        |  floor(CAST(mo.mfp AS DOUBLE) / 100 * r.ratio * 100 + 0.5) / 100.0
+        |    AS monthly_benchmarked
+        |FROM mo JOIN r ON r.yr = mo.yr""".stripMargin) { (s, dir) =>
+      val mo = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+          .cast(LongType)).as("mfp"))
+        .persist() // feeds the annual indicator sum and the output join
+      val ind = mo.groupBy(col("yr")).agg(sum(col("mfp")).as("ifp"))
+      val lo = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * lit(10000) + lit(0.5)).cast(LongType))
+          .as("line_fp"))
+      val ctl = Tables.orders(s, dir)
+        .join(lo, col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(coalesce(col("line_fp"), lit(0L))).as("cfp"))
+      val r = ind.join(ctl, Seq("yr"))
+        .select(col("yr"),
+          ((col("cfp").cast(DoubleType) / lit(10000))
+            / (col("ifp").cast(DoubleType) / lit(100))).as("ratio"))
+      mo.join(broadcast(r), Seq("yr"))
+        .select(col("mo_s"), col("yr"),
+          (col("mfp").cast(DoubleType) / lit(100)).as("monthly_raw"),
+          (floor(col("ratio") * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+            .as("annual_ratio"),
+          (floor(col("mfp").cast(DoubleType) / lit(100) * col("ratio")
+            * lit(100) + lit(0.5)) / lit(100.0)).as("monthly_benchmarked"))
     }
   )
 
