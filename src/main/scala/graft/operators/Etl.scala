@@ -3294,6 +3294,151 @@ object Etl {
             .as("annual_ratio"),
           (floor(col("mfp").cast(DoubleType) / lit(100) * col("ratio")
             * lit(100) + lit(0.5)) / lit(100.0)).as("monthly_benchmarked"))
+    },
+
+    // ------------------------------------------------------------------
+    // Poisson-bootstrap 95% CI for the mean event value — THE bootstrap
+    // at corpus scale: classic resampling draws n-with-replacement
+    // (impossible distributed without n passes), the Poisson(1)
+    // approximation instead weights every row independently per
+    // replicate, so all B=100 replicates ride ONE pass whose map-side
+    // partials collapse to B groups before the exchange. Weights are
+    // deterministic: md5(event_id:replicate) → 32-bit uniform compared
+    // against exact integer Poisson(1) CDF thresholds (no float
+    // compare, engine-identical). Replicate means assemble from exact
+    // fixed-point longs; the CI is the 3rd/98th of the 100 ranked
+    // means (a 100-row bookkeeping sort), round(…, 9)-snapped.
+    "etl_bootstrap_ci" -> QueryDef.withOracle(
+      """WITH base AS (
+        |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xfp
+        |  FROM events WHERE value IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xfp) AS BIGINT) AS sfp
+        |  FROM base),
+        |r AS (
+        |  SELECT b.xfp, x.b,
+        |    ('0x' || substr(md5(b.event_id || ':' || x.b), 1, 8))::BIGINT AS u
+        |  FROM base b CROSS JOIN (SELECT unnest(range(0, 100)) AS b) x),
+        |w AS (
+        |  SELECT b, xfp,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |         WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2
+        |         WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4
+        |         WHEN u < 4292415291 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM r),
+        |m AS (
+        |  SELECT b, CAST(sum(w * xfp) AS BIGINT) AS swx,
+        |    CAST(sum(w) AS BIGINT) AS sw
+        |  FROM w GROUP BY b),
+        |rk AS (
+        |  SELECT b, CAST(swx AS DOUBLE) / 100 / sw AS mean_b,
+        |    row_number() OVER (ORDER BY CAST(swx AS DOUBLE) / 100 / sw, b)
+        |      AS rn
+        |  FROM m)
+        |SELECT t.n, round(CAST(t.sfp AS DOUBLE) / 100 / t.n, 9) AS mean,
+        |  round(max(CASE WHEN rk.rn = 3 THEN rk.mean_b END), 9) AS ci_lo,
+        |  round(max(CASE WHEN rk.rn = 98 THEN rk.mean_b END), 9) AS ci_hi,
+        |  CAST(100 AS BIGINT) AS n_reps
+        |FROM rk CROSS JOIN tot t GROUP BY t.n, t.sfp""".stripMargin) { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          floor(col("value") * lit(100) + lit(0.5)).cast(LongType).as("xfp"))
+        .persist() // feeds the full-sample moment and the replicate pass
+      val tot = base.agg(count(lit(1)).as("n"), sum(col("xfp")).as("sfp"))
+      val u = conv(substring(md5(concat(col("event_id").cast(StringType),
+        lit(":"), col("b").cast(StringType)).cast(BinaryType)), 1, 8),
+        16, 10).cast(LongType)
+      val w = when(u < 1580030168L, 0).when(u < 3160060337L, 1)
+        .when(u < 3950075421L, 2).when(u < 4213413783L, 3)
+        .when(u < 4279248373L, 4).when(u < 4292415291L, 5).otherwise(6)
+      val m = base
+        .select(col("event_id"), col("xfp"),
+          explode(sequence(lit(0L), lit(99L))).as("b"))
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w") * col("xfp")).as("swx"), sum(col("w")).as("sw"))
+      val meanB = col("swx").cast(DoubleType) / lit(100) / col("sw")
+      val rk = m.select(col("b"), meanB.as("mean_b"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("mean_b").asc, col("b").asc)))
+      rk.crossJoin(broadcast(tot))
+        .groupBy(col("n"), col("sfp"))
+        .agg(round(max(when(col("rn") === 3, col("mean_b"))), 9).as("ci_lo"),
+          round(max(when(col("rn") === 98, col("mean_b"))), 9).as("ci_hi"))
+        .select(col("n"),
+          round(col("sfp").cast(DoubleType) / lit(100) / col("n"), 9)
+            .as("mean"),
+          col("ci_lo"), col("ci_hi"), lit(100L).as("n_reps"))
+    },
+
+    // ------------------------------------------------------------------
+    // Jevons elementary price index — the UNWEIGHTED geometric mean of
+    // price relatives, the CPI elementary-aggregate formula used below
+    // the level where expenditure weights exist (etl_price_index's
+    // Laspeyres/Paasche/Fisher are the weighted upper level). Same
+    // matched-part relation as etl_price_index (unit values 1995 vs
+    // 1996, ×10⁶ micro-unit longs); each part's log relative snaps to
+    // an exact ×10⁶ long BEFORE the per-brand sum (the etl_theil_index
+    // discipline — order-invariant integer addition), the log index is
+    // exact ×10⁹-snapped, and the exp'd index level rounds to 6 dp.
+    "etl_jevons_index" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |t AS (
+        |  SELECT p.p_brand,
+        |    CAST(floor(ln(CAST(pp.p1 AS DOUBLE) / pp.p0) * 1000000 + 0.5)
+        |      AS BIGINT) AS lr_fp
+        |  FROM pp JOIN part p ON p.p_partkey = pp.l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  floor(CAST(sum(lr_fp) AS BIGINT) / 1.0e6 / count(*) * 1000000000
+        |    + 0.5) / 1.0e9 AS log_jevons,
+        |  round(100 * exp(CAST(sum(lr_fp) AS BIGINT) / 1.0e6 / count(*)), 6)
+        |    AS jevons
+        |FROM t GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      pp.join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"),
+          floor(log(col("p1").cast(DoubleType) / col("p0")) * lit(1000000)
+            + lit(0.5)).cast(LongType).as("lr_fp"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("lr_fp")).as("s"))
+        .select(col("p_brand"), col("n_parts"),
+          (floor(col("s") / lit(1.0e6) / col("n_parts") * lit(1.0e9)
+            + lit(0.5)) / lit(1.0e9)).as("log_jevons"),
+          round(lit(100) * exp(col("s") / lit(1.0e6) / col("n_parts")), 6)
+            .as("jevons"))
     }
   )
 

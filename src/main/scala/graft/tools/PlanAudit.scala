@@ -77,7 +77,9 @@ object PlanAudit {
       // inherits ann_topk_exact's broadcast-probe × corpus scan
       "ann_knn_classify",
       // the ev_ab_ttest shape: a crossJoin of two 1-row arm aggregates
-      "ev_power_analysis")
+      "ev_power_analysis",
+      // 1-row broadcast: the full-sample (n, Σx) moment anchor
+      "etl_bootstrap_ci")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -482,7 +482,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_interarrival_stats", "event_type") -> "rankSelectByKey's ≤5×200-row offset stitch",
       ("etl_kruskal_wallis", "") -> "2-dp value domain bookkeeping (rank table, the mann_whitney argument)",
       ("etl_seasonal_decompose", "") -> "monthly-grain calendar relation (the seasonal_ma argument)",
-      ("ev_path_topk", "") -> "|types|³-bounded path-count relation (≤125 rows)")
+      ("ev_path_topk", "") -> "|types|³-bounded path-count relation (≤125 rows)",
+      ("etl_bootstrap_ci", "") -> "B=100 replicate-mean relation (the CI rank sort)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
