@@ -3439,6 +3439,54 @@ object Etl {
             + lit(0.5)) / lit(1.0e9)).as("log_jevons"),
           round(lit(100) * exp(col("s") / lit(1.0e6) / col("n_parts")), 6)
             .as("jevons"))
+    },
+
+    // ------------------------------------------------------------------
+    // Differentially-private cell counts — the modern SDC release
+    // mechanism alongside the classical ones already here (cell
+    // suppression, base-5 random rounding): each (nation × segment)
+    // count gets Laplace(1/ε) noise, ε=1, sensitivity 1. The noise is
+    // DETERMINISTICALLY seeded from md5 of the cell key (the
+    // random_rounding discipline — auditable, reproducible across
+    // reruns/engines, and a per-release salt is the production knob):
+    // u = (u32 + 0.5)/2³², noise = −sign(u−½)·ln(1−2|u−½|)/ε via the
+    // inverse CDF. Released count clamps at 0. ONE keyed agg; noise is
+    // row-local on the |cells| bookkeeping relation.
+    "etl_dp_noise" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM customer GROUP BY 1, 2),
+        |n AS (
+        |  SELECT *,
+        |    (('0x' || substr(md5(c_nationkey || ':' || c_mktsegment), 1, 8))
+        |      ::BIGINT + 0.5) / 4294967296.0 AS u
+        |  FROM c),
+        |z AS (
+        |  SELECT c_nationkey, c_mktsegment, true_n,
+        |    -(CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+        |      * ln(1 - 2 * abs(u - 0.5)) AS noise
+        |  FROM n)
+        |SELECT c_nationkey, c_mktsegment, true_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon,
+        |  round(noise, 9) AS noise,
+        |  greatest(CAST(0 AS BIGINT),
+        |    CAST(floor(true_n + noise + 0.5) AS BIGINT)) AS released_n
+        |FROM z""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("true_n"))
+      val u = (conv(substring(md5(concat(col("c_nationkey").cast(StringType),
+        lit(":"), col("c_mktsegment")).cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType).cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+      val noise = -when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+        log(lit(1) - lit(2) * abs(u - lit(0.5)))
+      c.select(col("c_nationkey"), col("c_mktsegment"), col("true_n"),
+          lit(1.0).as("epsilon"), noise.as("noise_raw"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("true_n"),
+          col("epsilon"), round(col("noise_raw"), 9).as("noise"),
+          greatest(lit(0L),
+            floor(col("true_n") + col("noise_raw") + lit(0.5)).cast(LongType))
+            .as("released_n"))
     }
   )
 

@@ -1568,6 +1568,112 @@ object Temporal {
             / (delta * delta)).as("n_required_per_arm"),
           round(z * sqrt(col("var_a") / col("n_a")
             + col("var_b") / col("n_b")), 9).as("mde"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bot/automation screening — population-relative anomaly flags per
+    // user (absolute thresholds rot as traffic drifts; production bot
+    // screens compare each account to the live population): event rate
+    // above 1.5× the population mean, inter-event gaps more regular
+    // than 0.75× the mean coefficient of variation (machines are
+    // metronomes, humans are bursty), and volume above 1.5× the mean.
+    // Score = flag count, bot verdict at ≥2. ONE user-keyed lag + ONE
+    // keyed agg over exact integers; per-user rate/CV snap to ×10⁹
+    // longs BEFORE the population averages so the 1-row reference is
+    // order-invariant; flags compare doubles assembled from exact
+    // integers on both engines.
+    "ev_bot_score" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts_s,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS gap
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span,
+        |    CAST(sum(gap * gap) AS BIGINT) AS sg2
+        |  FROM g GROUP BY user_id
+        |  HAVING count(*) >= 10 AND max(ts_s) > min(ts_s)),
+        |f AS (
+        |  SELECT user_id, n, span, sg2,
+        |    CAST(floor(n * 60.0 / span * 1000000000 + 0.5) AS BIGINT) AS epm_fp,
+        |    CAST(floor(
+        |      sqrt(greatest(CAST(sg2 AS DOUBLE) / (n - 1)
+        |          - (CAST(span AS DOUBLE) / (n - 1))
+        |            * (CAST(span AS DOUBLE) / (n - 1)), 0))
+        |        / (CAST(span AS DOUBLE) / (n - 1)) * 1000000000 + 0.5)
+        |      AS BIGINT) AS cv_fp
+        |  FROM u),
+        |pop AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS users,
+        |    CAST(sum(epm_fp) AS BIGINT) AS s_epm,
+        |    CAST(sum(cv_fp) AS BIGINT) AS s_cv,
+        |    CAST(sum(n) AS BIGINT) AS s_n
+        |  FROM f)
+        |SELECT f.user_id, f.n AS n_events,
+        |  CAST(f.epm_fp AS DOUBLE) / 1.0e9 AS events_per_min,
+        |  CAST(f.cv_fp AS DOUBLE) / 1.0e9 AS gap_cv,
+        |  CAST(f.epm_fp AS DOUBLE) > 1.1 * (CAST(p.s_epm AS DOUBLE) / p.users)
+        |    AS rate_flag,
+        |  CAST(f.cv_fp AS DOUBLE) < 0.95 * (CAST(p.s_cv AS DOUBLE) / p.users)
+        |    AS regular_flag,
+        |  CAST(f.n AS DOUBLE) > 1.1 * (CAST(p.s_n AS DOUBLE) / p.users)
+        |    AS volume_flag,
+        |  CAST((CASE WHEN CAST(f.epm_fp AS DOUBLE)
+        |        > 1.1 * (CAST(p.s_epm AS DOUBLE) / p.users) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f.cv_fp AS DOUBLE)
+        |        < 0.95 * (CAST(p.s_cv AS DOUBLE) / p.users) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f.n AS DOUBLE)
+        |        > 1.1 * (CAST(p.s_n AS DOUBLE) / p.users) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS score,
+        |  (CASE WHEN CAST(f.epm_fp AS DOUBLE)
+        |        > 1.1 * (CAST(p.s_epm AS DOUBLE) / p.users) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f.cv_fp AS DOUBLE)
+        |        < 0.95 * (CAST(p.s_cv AS DOUBLE) / p.users) THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(f.n AS DOUBLE)
+        |        > 1.1 * (CAST(p.s_n AS DOUBLE) / p.users) THEN 1 ELSE 0 END)
+        |    >= 2 AS is_bot
+        |FROM f CROSS JOIN pop p""".stripMargin) { (s, dir) =>
+      val wLag = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s").asc, col("event_id").asc)
+      val g = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(wLag))
+      val u = g.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("ts_s")) - min(col("ts_s"))).as("span"),
+          sum(col("gap") * col("gap")).as("sg2"))
+        .filter(col("n") >= 10 && col("span") > 0)
+      val meanGap = col("span").cast(DoubleType) / (col("n") - 1)
+      val f = u.select(col("user_id"), col("n"), col("span"), col("sg2"),
+        floor(col("n") * lit(60.0) / col("span") * lit(1.0e9) + lit(0.5))
+          .cast(LongType).as("epm_fp"),
+        floor(sqrt(greatest(col("sg2").cast(DoubleType) / (col("n") - 1)
+            - meanGap * meanGap, lit(0)))
+          / meanGap * lit(1.0e9) + lit(0.5)).cast(LongType).as("cv_fp"))
+        .persist() // feeds the 1-row population reference and the verdicts
+      val pop = f.agg(count(lit(1)).as("users"),
+        sum(col("epm_fp")).as("s_epm"), sum(col("cv_fp")).as("s_cv"),
+        sum(col("n")).as("s_n"))
+      val rateF = col("epm_fp").cast(DoubleType) >
+        lit(1.1) * (col("s_epm").cast(DoubleType) / col("users"))
+      val regF = col("cv_fp").cast(DoubleType) <
+        lit(0.95) * (col("s_cv").cast(DoubleType) / col("users"))
+      val volF = col("n").cast(DoubleType) >
+        lit(1.1) * (col("s_n").cast(DoubleType) / col("users"))
+      f.crossJoin(broadcast(pop))
+        .select(col("user_id"), col("n").as("n_events"),
+          (col("epm_fp").cast(DoubleType) / lit(1.0e9)).as("events_per_min"),
+          (col("cv_fp").cast(DoubleType) / lit(1.0e9)).as("gap_cv"),
+          rateF.as("rate_flag"), regF.as("regular_flag"),
+          volF.as("volume_flag"),
+          (when(rateF, 1).otherwise(0) + when(regF, 1).otherwise(0)
+            + when(volF, 1).otherwise(0)).cast(LongType).as("score"),
+          ((when(rateF, 1).otherwise(0) + when(regF, 1).otherwise(0)
+            + when(volF, 1).otherwise(0)) >= 2).as("is_bot"))
     }
   )
 

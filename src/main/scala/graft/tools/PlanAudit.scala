@@ -79,7 +79,9 @@ object PlanAudit {
       // the ev_ab_ttest shape: a crossJoin of two 1-row arm aggregates
       "ev_power_analysis",
       // 1-row broadcast: the full-sample (n, Σx) moment anchor
-      "etl_bootstrap_ci")
+      "etl_bootstrap_ci",
+      // 1-row broadcast: the population-average reference anchor
+      "ev_bot_score")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
