@@ -3487,6 +3487,89 @@ object Etl {
           greatest(lit(0L),
             floor(col("true_n") + col("noise_raw") + lit(0.5)).cast(LongType))
             .as("released_n"))
+    },
+
+    // ------------------------------------------------------------------
+    // GREG (generalized regression) calibration estimator — the method
+    // that unifies this library's ratio estimator and raking: the HT
+    // total from a 1-in-3 systematic sample (design weight 3) is
+    // corrected by a weighted regression of y on an auxiliary x whose
+    // FRAME total is known (here x = 1 + custkey%7, the jackknife
+    // convention), θ = Ŷ + B(T_x − X̂) + a(N − N̂) — design-unbiased
+    // and more efficient whenever x predicts y. Per-nation domains:
+    // two keyed aggs (frame counts/aux totals; sample moment sums as
+    // exact fp longs) + a nation-keyed join; slope/intercept/θ
+    // assemble in double from exact integers, degenerate domains
+    // (zero aux variance, exact integer test) are excluded on both
+    // engines. Output is |nations| rows.
+    "etl_greg_estimator" -> QueryDef.withOracle(
+      """WITH fr AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_frame,
+        |    CAST(sum(1 + c_custkey % 7) AS BIGINT) AS t_x
+        |  FROM customer GROUP BY 1),
+        |sa AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(3 * count(*) AS BIGINT) AS nhat,
+        |    CAST(3 * sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS yhat,
+        |    CAST(3 * sum(1 + c_custkey % 7) AS BIGINT) AS xhat,
+        |    CAST(3 * sum((1 + c_custkey % 7)
+        |      * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(3 * sum((1 + c_custkey % 7) * (1 + c_custkey % 7))
+        |      AS BIGINT) AS sxx
+        |  FROM customer WHERE c_custkey % 3 = 0 GROUP BY 1),
+        |j AS (
+        |  SELECT fr.c_nationkey, fr.n_frame, fr.t_x, sa.n_s, sa.nhat,
+        |    sa.yhat, sa.xhat, sa.sxy, sa.sxx
+        |  FROM fr JOIN sa ON sa.c_nationkey = fr.c_nationkey
+        |  WHERE sa.sxx * sa.nhat - sa.xhat * sa.xhat > 0),
+        |b AS (
+        |  SELECT *,
+        |    (CAST(sxy AS DOUBLE) - CAST(xhat AS DOUBLE) * yhat / nhat)
+        |      / (CAST(sxx AS DOUBLE) - CAST(xhat AS DOUBLE) * xhat / nhat)
+        |      AS slope
+        |  FROM j),
+        |a AS (
+        |  SELECT *, (CAST(yhat AS DOUBLE) - slope * xhat) / nhat AS icept
+        |  FROM b)
+        |SELECT c_nationkey, n_frame, n_s AS n_sample, t_x,
+        |  CAST(yhat AS DOUBLE) / 100 AS ht_total,
+        |  floor(slope * 10000000 + 0.5) / 1.0e9 AS slope,
+        |  floor((CAST(yhat AS DOUBLE) + slope * (t_x - xhat)
+        |    + icept * (n_frame - nhat)) + 0.5) / 100.0 AS greg_total
+        |FROM a""".stripMargin) { (s, dir) =>
+      val x = lit(1) + pmod(col("c_custkey"), lit(7L))
+      val yfp = floor(col("c_acctbal") * lit(100) + lit(0.5)).cast(LongType)
+      val fr = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_frame"), sum(x).as("t_x"))
+      val sa = Tables.customer(s, dir)
+        .filter(pmod(col("c_custkey"), lit(3L)) === 0)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_s"),
+          (lit(3) * count(lit(1))).as("nhat"),
+          (lit(3) * sum(yfp)).as("yhat"),
+          (lit(3) * sum(x)).as("xhat"),
+          (lit(3) * sum(x * yfp)).as("sxy"),
+          (lit(3) * sum(x * x)).as("sxx"))
+      val j = fr.join(sa, Seq("c_nationkey"))
+        .filter(col("sxx") * col("nhat") - col("xhat") * col("xhat") > 0)
+      val slope = (col("sxy").cast(DoubleType)
+          - col("xhat").cast(DoubleType) * col("yhat") / col("nhat")) /
+        (col("sxx").cast(DoubleType)
+          - col("xhat").cast(DoubleType) * col("xhat") / col("nhat"))
+      val withB = j.withColumn("slope_raw", slope)
+        .withColumn("icept", (col("yhat").cast(DoubleType)
+          - col("slope_raw") * col("xhat")) / col("nhat"))
+      withB.select(col("c_nationkey"), col("n_frame"),
+        col("n_s").as("n_sample"), col("t_x"),
+        (col("yhat").cast(DoubleType) / lit(100)).as("ht_total"),
+        (floor(col("slope_raw") * lit(10000000) + lit(0.5)) / lit(1.0e9))
+          .as("slope"),
+        (floor((col("yhat").cast(DoubleType)
+          + col("slope_raw") * (col("t_x") - col("xhat"))
+          + col("icept") * (col("n_frame") - col("nhat"))) + lit(0.5))
+          / lit(100.0)).as("greg_total"))
     }
   )
 

@@ -1674,6 +1674,65 @@ object Temporal {
             + when(volF, 1).otherwise(0)).cast(LongType).as("score"),
           ((when(rateF, 1).otherwise(0) + when(regF, 1).otherwise(0)
             + when(volF, 1).otherwise(0)) >= 2).as("is_bot"))
+    },
+
+    // ------------------------------------------------------------------
+    // Time-decay multi-touch attribution — completes the family
+    // (ev_attribution last-touch, ev_attribution_linear equal-split):
+    // each touch inside the 7-day lookback earns exp(−Δt/τ), τ=1 day,
+    // normalized per conversion — the industry default when recency
+    // should matter but not winner-take-all. Same two filtered scans +
+    // one user-keyed interval join as the linear op; per-touch decay
+    // snaps to a ×10⁶ long, the per-conversion normalizer is a
+    // high-cardinality event_id window, and each SHARE is an exact
+    // integer division (×10⁹ fp) so the per-channel credit sums are
+    // order-invariant longs, never a float accumulation.
+    "ev_attribution_decay" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS touch_s
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |pairs AS (
+        |  SELECT p.event_id, t.touch_id, t.touch_type,
+        |    CASE WHEN t.touch_id IS NULL THEN NULL
+        |      ELSE CAST(floor(exp(-(p.ts_s - t.touch_s) / 86400.0) * 1000000
+        |        + 0.5) AS BIGINT) END AS w_fp
+        |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |    AND t.touch_s <= p.ts_s AND t.touch_s >= p.ts_s - 604800),
+        |cr AS (
+        |  SELECT event_id, touch_id, touch_type, w_fp,
+        |    CAST(sum(w_fp) OVER (PARTITION BY event_id) AS BIGINT) AS wtot
+        |  FROM pairs)
+        |SELECT coalesce(touch_type, 'organic') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_touchpoints,
+        |  CAST(sum(CASE WHEN touch_id IS NULL THEN 1000000000
+        |    ELSE (1000000000 * w_fp) // wtot END) AS BIGINT) / 1.0e9 AS credit
+        |FROM cr GROUP BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val t = e.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
+          col("event_type").as("touch_type"), col("ts_s").as("touch_s"))
+      val w = Window.partitionBy(col("event_id"))
+      p.join(t,
+          col("t_user") === col("user_id") &&
+            col("touch_s") <= col("ts_s") &&
+            col("touch_s") >= col("ts_s") - 604800L, "left_outer")
+        .select(col("event_id"), col("touch_id"), col("touch_type"),
+          when(col("touch_id").isNull, lit(null))
+            .otherwise(floor(exp(-(col("ts_s") - col("touch_s"))
+              / lit(86400.0)) * lit(1000000) + lit(0.5)).cast(LongType))
+            .as("w_fp"))
+        .withColumn("wtot", sum(col("w_fp")).over(w))
+        .groupBy(coalesce(col("touch_type"), lit("organic")).as("channel"))
+        .agg(count(lit(1)).as("n_touchpoints"),
+          (sum(when(col("touch_id").isNull, lit(1000000000L))
+            .otherwise(expr("(1000000000L * w_fp) div wtot")))
+            / lit(1.0e9)).as("credit"))
     }
   )
 
