@@ -3570,6 +3570,44 @@ object Etl {
           + col("slope_raw") * (col("t_x") - col("xhat"))
           + col("icept") * (col("n_frame") - col("nhat"))) + lit(0.5))
           / lit(100.0)).as("greg_total"))
+    },
+
+    // ------------------------------------------------------------------
+    // Malformed-record tolerance on the JSON source — the resilience
+    // contract every lake ingest needs: a feed where 1 in 10 lines is
+    // syntactically broken (deterministically: suppkey % 10 == 0 rows
+    // are written truncated) must load the good rows and COUNT the bad
+    // ones instead of failing the job or silently dropping them.
+    // PERMISSIVE mode routes unparseable lines to the corrupt-record
+    // column; the oracle recomputes the expected survivors and the
+    // expected corrupt count from the original table, so a reader that
+    // drops, duplicates, or misroutes even one line hash-fails.
+    "src_json_malformed" -> QueryDef.withOracle(
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+        |   WHERE s_suppkey % 10 = 0) AS n_corrupt
+        |FROM supplier WHERE s_suppkey % 10 <> 0""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_badjson").toString
+      val src = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      src.select(
+          when(pmod(col("s_suppkey"), lit(10L)) === 0,
+            concat(lit("{\"s_suppkey\": "), col("s_suppkey").cast(StringType)))
+            .otherwise(to_json(struct(col("s_suppkey"), col("s_name"),
+              col("s_nationkey")))).as("value"))
+        .write.mode(SaveMode.Overwrite).text(tmp)
+      val schema = StructType(src.schema.fields :+
+        StructField("_bad", StringType))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(tmp)
+        .persist() // feeds the survivors and the corrupt count
+      val bad = parsed.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n_corrupt"))
+      parsed.filter(col("_bad").isNull)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .crossJoin(broadcast(bad))
     }
   )
 

@@ -1733,6 +1733,74 @@ object Temporal {
           (sum(when(col("touch_id").isNull, lit(1000000000L))
             .otherwise(expr("(1000000000L * w_fp) div wtot")))
             / lit(1.0e9)).as("credit"))
+    },
+
+    // ------------------------------------------------------------------
+    // Stationary distribution of the behavior Markov chain — where the
+    // user population settles long-run, the chain-level summary that
+    // turns ev_markov_transitions' matrix into ONE ranking of states.
+    // 12 synchronous power iterations in 2^20 fixed point (the
+    // graph_pagerank discipline — bit-identical across partitionings
+    // and engines, so the unrolled CTE oracle is exact): one
+    // corpus-scale user-keyed lead builds the |types|² transition
+    // relation ONCE; every iteration after that multiplies a ≤|types|-
+    // row vector against it — pure bookkeeping, exact integer
+    // contributions via (π·n) div n_i. Output normalizes the fixed
+    // point to probabilities, ×10⁹ snapped.
+    "ev_markov_steady_state" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""p${i + 1} AS (
+           |  SELECT c.to_type AS t,
+           |    CAST(sum((p.pi * c.n) // tt.n_i) AS BIGINT) AS pi
+           |  FROM c JOIN p$i p ON p.t = c.from_type
+           |  JOIN tot tt ON tt.from_type = c.from_type
+           |  GROUP BY c.to_type)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS next_type
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_i
+         |  FROM c GROUP BY from_type),
+         |p0 AS (SELECT DISTINCT from_type AS t, CAST(1048576 AS BIGINT) AS pi
+         |  FROM c),
+         |${(0 until 12).map(stepSql).mkString(",\n")},
+         |z AS (SELECT CAST(sum(pi) AS BIGINT) AS zz FROM p12)
+         |SELECT p.t AS event_type, p.pi AS pi_fp,
+         |  floor(CAST(p.pi AS DOUBLE) / z.zz * 1000000000 + 0.5) / 1.0e9
+         |    AS pi
+         |FROM p12 p CROSS JOIN z""".stripMargin
+    } { (s, dir) =>
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val c = Tables.eventsTimed(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // |types|² bookkeeping, reused by all 12 iterations
+      val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("n_i"))
+      val cd = c.join(tot, Seq("from_type")) // (from, to, n, n_i)
+      var p = c.select(col("from_type").as("t")).distinct()
+        .withColumn("pi", lit(1048576L))
+      for (_ <- 0 until 12) {
+        val next = cd
+          .join(p.withColumnRenamed("t", "from_type"), Seq("from_type"))
+          .select(col("to_type").as("t"), expr("(pi * n) div n_i").as("m"))
+          .groupBy(col("t")).agg(sum(col("m")).as("pi"))
+        p = next.localCheckpoint(true)
+      }
+      val z = p.agg(sum(col("pi")).as("zz"))
+      p.crossJoin(broadcast(z))
+        .select(col("t").as("event_type"), col("pi").as("pi_fp"),
+          (floor(col("pi").cast(DoubleType) / col("zz") * lit(1.0e9)
+            + lit(0.5)) / lit(1.0e9)).as("pi"))
     }
   )
 

@@ -81,7 +81,11 @@ object PlanAudit {
       // 1-row broadcast: the full-sample (n, Σx) moment anchor
       "etl_bootstrap_ci",
       // 1-row broadcast: the population-average reference anchor
-      "ev_bot_score")
+      "ev_bot_score",
+      // 1-row broadcast: the stationary-mass normalizer anchor
+      "ev_markov_steady_state",
+      // 1-row broadcast: the corrupt-line count anchor
+      "src_json_malformed")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
