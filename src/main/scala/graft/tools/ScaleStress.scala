@@ -530,6 +530,48 @@ object ScaleStress {
       }
       wf.unpersist()
     }
+
+    // ---- round-8 shape: Poisson bootstrap's exchange is B-bounded ----
+    // etl_bootstrap_ci's scale claim: the B=100 replicate expansion is
+    // row-local and its map-side partials collapse to B groups per
+    // partition BEFORE the exchange, so shuffle volume is B×partitions
+    // rows — independent of corpus size. Measured directly: a
+    // SparkListener sums shuffle-write records across the job at 1/10
+    // scale and full scale; the two counts must be (near-)identical
+    // while input rows differ 10×.
+    for (nBoot <- Seq(n / 10, n)) {
+      var shuffleRecords = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleRecords += m.shuffleWriteMetrics.recordsWritten
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      stressTime(s"poisson bootstrap B=100 over $nBoot rows", nBoot) {
+        val base = spark.range(nBoot).select(col("id"),
+          (pmod(hash(col("id")), lit(10000)) + 1).cast(LongType).as("xfp"))
+        val u = conv(substring(md5(concat(col("id").cast("string"),
+          lit(":"), col("b").cast("string")).cast("binary")), 1, 8),
+          16, 10).cast(LongType)
+        val w = when(u < 1580030168L, 0).when(u < 3160060337L, 1)
+          .when(u < 3950075421L, 2).when(u < 4213413783L, 3)
+          .when(u < 4279248373L, 4).when(u < 4292415291L, 5).otherwise(6)
+        base.select(col("id"), col("xfp"),
+            explode(sequence(lit(0L), lit(99L))).as("b"))
+          .withColumn("w", w)
+          .groupBy(col("b"))
+          .agg(sum(col("w") * col("xfp")).as("swx"), sum(col("w")).as("sw"))
+          .count()
+      }
+      // listener events drain asynchronously; give the bus a moment
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(listener)
+      println(s"[stress]   shuffle records written: $shuffleRecords " +
+        s"(B×maps bound, input-size-independent)")
+    }
     spark.stop()
   }
 }
