@@ -3608,6 +3608,87 @@ object Etl {
       parsed.filter(col("_bad").isNull)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         .crossJoin(broadcast(bad))
+    },
+
+    // ------------------------------------------------------------------
+    // Record-linkage accuracy eval — the "measure, don't guess" harness
+    // for the linkage family (ann_recall_eval's sibling): link the part
+    // register against a DETERMINISTICALLY perturbed copy of itself,
+    // where ground truth is the partkey by construction. Two error
+    // classes are injected: a name typo (first char dropped,
+    // partkey % 4 == 0 — the class the rule tolerates) and a size
+    // transcription error (+1, partkey % 8 == 0 — the class the rule
+    // CANNOT tolerate, since size equality is a hard field). The
+    // multi-field rule (brand block + type + size equality +
+    // levenshtein ≤ 1 on name; the ThresholdLevenshtein rewrite
+    // applies) therefore measures ~100% recall on typo-only units and
+    // 0% on size-corrupted ones — the table that tells a linkage owner
+    // WHICH perturbation class their rule misses. Two-word names from
+    // a small vocabulary collide across parts, so the hard fields also
+    // carry precision; all counts exact, ratios round(…, 9).
+    "etl_linkage_eval" -> QueryDef.withOracle(
+      """WITH a AS (
+        |  SELECT p_partkey AS a_id, p_brand, p_size, p_type,
+        |    p_name AS a_name FROM part),
+        |b AS (
+        |  SELECT p_partkey AS b_id, p_brand AS bb, p_type AS bt,
+        |    p_size + (CASE WHEN p_partkey % 8 = 0 THEN 1 ELSE 0 END) AS bs,
+        |    CASE WHEN p_partkey % 4 = 0 THEN substring(p_name, 2)
+        |      ELSE p_name END AS b_name
+        |  FROM part),
+        |pred AS (
+        |  SELECT a.a_id, b.b_id
+        |  FROM a JOIN b ON a.p_brand = b.bb AND a.p_size = b.bs
+        |    AND a.p_type = b.bt
+        |  WHERE levenshtein(a.a_name, b.b_name) <= 1),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pred,
+        |    CAST(sum(CASE WHEN a_id = b_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM pred),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN p_partkey % 8 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_size_corrupted
+        |  FROM part)
+        |SELECT t.n_true, t.n_size_corrupted, c.n_pred, c.n_correct,
+        |  round(CAST(c.n_correct AS DOUBLE) / c.n_pred, 9) AS precision,
+        |  round(CAST(c.n_correct AS DOUBLE) / t.n_true, 9) AS recall,
+        |  round(CAST(c.n_correct AS DOUBLE)
+        |    / (t.n_true - t.n_size_corrupted), 9) AS recall_reachable,
+        |  round(2.0 * c.n_correct / (c.n_pred + t.n_true), 9) AS f1
+        |FROM c CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val a = p.select(col("p_partkey").as("a_id"), col("p_brand"),
+        col("p_size"), col("p_type"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_id"),
+        col("p_brand").as("bb"), col("p_type").as("bt"),
+        (col("p_size") + when(pmod(col("p_partkey"), lit(8L)) === 0, 1)
+          .otherwise(0)).as("bs"),
+        when(pmod(col("p_partkey"), lit(4L)) === 0,
+          substring(col("p_name"), 2, 1000000))
+          .otherwise(col("p_name")).as("b_name"))
+      val pred = a.join(b, col("p_brand") === col("bb") &&
+        col("p_size") === col("bs") && col("p_type") === col("bt") &&
+        levenshtein(col("a_name"), col("b_name")) <= 1)
+      val c = pred.agg(count(lit(1)).as("n_pred"),
+        sum(when(col("a_id") === col("b_id"), 1).otherwise(0))
+          .cast(LongType).as("n_correct"))
+      val t = p.agg(count(lit(1)).as("n_true"),
+        sum(when(pmod(col("p_partkey"), lit(8L)) === 0, 1).otherwise(0))
+          .cast(LongType).as("n_size_corrupted"))
+      c.crossJoin(broadcast(t))
+        .select(col("n_true"), col("n_size_corrupted"), col("n_pred"),
+          col("n_correct"),
+          round(col("n_correct").cast(DoubleType) / col("n_pred"), 9)
+            .as("precision"),
+          round(col("n_correct").cast(DoubleType) / col("n_true"), 9)
+            .as("recall"),
+          round(col("n_correct").cast(DoubleType)
+            / (col("n_true") - col("n_size_corrupted")), 9)
+            .as("recall_reachable"),
+          round(lit(2.0) * col("n_correct")
+            / (col("n_pred") + col("n_true")), 9).as("f1"))
     }
   )
 

@@ -1801,6 +1801,71 @@ object Temporal {
         .select(col("t").as("event_type"), col("pi").as("pi_fp"),
           (floor(col("pi").cast(DoubleType) / col("zz") * lit(1.0e9)
             + lit(0.5)) / lit(1.0e9)).as("pi"))
+    },
+
+    // ------------------------------------------------------------------
+    // Holt linear-trend exponential smoothing per event type — the
+    // trend-aware upgrade of ev_ewma and the level+slope forecast the
+    // seasonal-naive backtest benchmarks against. The recurrence
+    // (l' = αy + (1−α)(l+b); b' = β(l'−l) + (1−β)b, α=0.3 β=0.1,
+    // l₂=y₂ b₂=y₂−y₁) is inherently sequential, so it runs as a
+    // row-local fold over each type's calendar-bounded daily-count
+    // array (ONE corpus agg builds the arrays; the fold is |days| FLOPs
+    // per type — the ev_ewma bookkeeping argument). The DuckDB oracle
+    // replays the identical IEEE chain as a recursive CTE, so the
+    // doubles match bit-for-bit before the round(…, 9) snap.
+    "ev_holt_forecast" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM e GROUP BY event_type),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, l, b) AS (
+        |    SELECT event_type, CAST(2 AS BIGINT), v[2],
+        |      v[2] - v[1]
+        |    FROM a WHERE nd >= 2
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      0.3 * a.v[CAST(h.i + 1 AS INT)] + 0.7 * (h.l + h.b),
+        |      0.1 * ((0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |          + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+        |    FROM h JOIN a ON a.event_type = h.event_type
+        |    WHERE h.i < a.nd)
+        |  SELECT * FROM h)
+        |SELECT r.event_type, a.nd AS n_days,
+        |  round(r.l, 9) AS level, round(r.b, 9) AS trend,
+        |  round(r.l + r.b, 9) AS fc_1, round(r.l + 7 * r.b, 9) AS fc_7
+        |FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.nd"""
+        .stripMargin) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("arr"), count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      val v = transform(col("arr"), e => e("n").cast(DoubleType))
+      val init = struct(element_at(v, 2).as("l"),
+        (element_at(v, 2) - element_at(v, 1)).as("b"))
+      val folded = aggregate(
+        slice(v, lit(3), greatest(size(v) - 2, lit(0))), init,
+        (acc, x) => {
+          val lNew = lit(0.3) * x + lit(0.7) * (acc("l") + acc("b"))
+          struct(lNew.as("l"),
+            (lit(0.1) * (lNew - acc("l")) + lit(0.9) * acc("b")).as("b"))
+        })
+      a.select(col("event_type"), col("nd").as("n_days"),
+          folded.as("h"))
+        .select(col("event_type"), col("n_days"),
+          round(col("h.l"), 9).as("level"), round(col("h.b"), 9).as("trend"),
+          round(col("h.l") + col("h.b"), 9).as("fc_1"),
+          round(col("h.l") + lit(7) * col("h.b"), 9).as("fc_7"))
     }
   )
 

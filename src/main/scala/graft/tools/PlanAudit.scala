@@ -85,7 +85,9 @@ object PlanAudit {
       // 1-row broadcast: the stationary-mass normalizer anchor
       "ev_markov_steady_state",
       // 1-row broadcast: the corrupt-line count anchor
-      "src_json_malformed")
+      "src_json_malformed",
+      // 1-row broadcast: the register-truth count anchor
+      "etl_linkage_eval")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
