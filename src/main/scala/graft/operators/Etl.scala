@@ -3689,8 +3689,92 @@ object Etl {
             .as("recall_reachable"),
           round(lit(2.0) * col("n_correct")
             / (col("n_pred") + col("n_true")), 9).as("f1"))
+    },
+
+    // ------------------------------------------------------------------
+    // Denton proportional-first-difference benchmarking — the
+    // movement-preserving upgrade etl_benchmark_prorata documents:
+    // instead of one scale factor per year (which steps at every
+    // January), minimize Σ(r_t − r_{t-1})² over the benchmark ratios
+    // r_t = x_t/i_t subject to Σx_t = A (the annual control), so
+    // month-over-month movements of the indicator survive while the
+    // level calibrates. The KKT system [[D'D, i],[iᵀ, 0]] is
+    // (months+1)² per year — CALENDAR-BOUNDED bookkeeping, solved on
+    // the driver (the d×d Gram/PCA pattern; corpus work remains the
+    // two keyed aggs). Rows-only by protocol: the per-year linear
+    // solve is not SQL-expressible — DentonSpec pins the two defining
+    // properties instead (annual sums hit the controls exactly;
+    // movement objective ≤ the prorata feasible point's).
+    "etl_denton_pfd" -> QueryDef.rowsOnly { (s, dir) =>
+      val mo = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+          .cast(LongType)).as("mfp"))
+      val lo = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")) * lit(10000) + lit(0.5)).cast(LongType))
+          .as("line_fp"))
+      val ctl = Tables.orders(s, dir)
+        .join(lo, col("l_orderkey") === col("o_orderkey"), "left_outer")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(sum(coalesce(col("line_fp"), lit(0L))).as("cfp"))
+      // calendar-bounded bookkeeping collect: |years| × ≤12 rows
+      val book = mo.join(ctl, Seq("yr"))
+        .select(col("yr"), col("mo_s"), col("mfp"), col("cfp"))
+        .collect()
+      val out = book.groupBy(_.getInt(0)).toSeq.flatMap { case (yr, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        val i = sorted.map(_.getLong(2).toDouble / 100).toArray
+        val a = sorted.head.getLong(3).toDouble / 10000
+        val x = dentonPfd(i, a)
+        sorted.indices.map(k =>
+          (sorted(k).getLong(1), yr, i(k), x(k)))
+      }
+      import s.implicits._
+      out.toDF("mo_s", "yr", "monthly_raw", "denton_bench")
     }
   )
+
+  /** Denton PFD solve: minimize Σ(r_t − r_{t-1})² over benchmark
+    * ratios r (x = r ∘ i) subject to iᵀr = A. Solves the dense
+    * (n+1)×(n+1) KKT system [[D'D, i],[iᵀ, 0]][r; μ] = [0; A] by
+    * Gaussian elimination with partial pivoting — n is a month count,
+    * so this is driver-side bookkeeping arithmetic, never distributed
+    * work. Exposed for DentonSpec's property checks. */
+  private[graft] def dentonPfd(i: Array[Double], a: Double): Array[Double] = {
+    val n = i.length
+    require(n >= 1)
+    if (n == 1) return Array(a)
+    val m = Array.ofDim[Double](n + 1, n + 2) // augmented [M | rhs]
+    // D'D tridiagonal: 1 on the two corners, 2 inside, -1 off-diagonal
+    for (t <- 0 until n) {
+      m(t)(t) = if (t == 0 || t == n - 1) 1.0 else 2.0
+      if (t > 0) m(t)(t - 1) = -1.0
+      if (t < n - 1) m(t)(t + 1) = -1.0
+      m(t)(n) = i(t)      // the constraint column (λ block)
+      m(n)(t) = i(t)      // the constraint row
+    }
+    m(n)(n + 1) = a        // rhs: [0, …, 0, A]
+    for (cIdx <- 0 to n) { // forward elimination, partial pivot
+      val piv = (cIdx to n).maxBy(r => math.abs(m(r)(cIdx)))
+      val tmp = m(cIdx); m(cIdx) = m(piv); m(piv) = tmp
+      require(math.abs(m(cIdx)(cIdx)) > 1e-12, "singular KKT system")
+      for (r <- cIdx + 1 to n) {
+        val f = m(r)(cIdx) / m(cIdx)(cIdx)
+        for (c2 <- cIdx to n + 1) m(r)(c2) -= f * m(cIdx)(c2)
+      }
+    }
+    val sol = new Array[Double](n + 1) // back substitution
+    for (r <- n to 0 by -1) {
+      var acc = m(r)(n + 1)
+      for (c2 <- r + 1 to n) acc -= m(r)(c2) * sol(c2)
+      sol(r) = acc / m(r)(r)
+    }
+    Array.tabulate(n)(t => sol(t) * i(t))
+  }
 
   /** Tie-averaged rank2 (= 2·average rank, always integral) of `v`
     * within group column `f`, computed WITHOUT a per-group whole-column

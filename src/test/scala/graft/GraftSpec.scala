@@ -2551,3 +2551,60 @@ class Round8InvariantSpec extends AnyFunSuite {
     }
   }
 }
+
+class DentonSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("denton: annual sums hit the controls exactly and beat prorata on movement") {
+    // the two defining properties of Denton PFD benchmarking:
+    //  (1) feasibility — per year, Σ x_t equals the annual control;
+    //  (2) optimality — the movement objective Σ(r_t − r_{t-1})² is
+    //      no worse than the prorata solution (a feasible point with
+    //      constant r, so Denton must match or beat it; it matches
+    //      exactly only when prorata is already optimal).
+    val den = SparkEntry.queries("etl_denton_pfd")(spark, sf)
+      .orderBy("yr", "mo_s").collect()
+    assert(den.nonEmpty)
+    // recompute the controls the operator calibrated to
+    val pro = SparkEntry.queries("etl_benchmark_prorata")(spark, sf)
+      .orderBy("yr", "mo_s").collect()
+    val ctlByYear = pro.groupBy(_.getAs[Int]("yr")).map { case (y, rows) =>
+      y -> rows.map(_.getAs[Double]("monthly_benchmarked")).sum
+    }
+    den.groupBy(_.getAs[Int]("yr")).foreach { case (y, rows) =>
+      val sDen = rows.map(_.getAs[Double]("denton_bench")).sum
+      val sPro = ctlByYear(y)
+      // prorata rows are ×100-snapped so allow cent-level slack on the
+      // cross-check; the Denton sum itself must match its own control
+      // to solver precision (asserted via the prorata total, which
+      // hits the same control by construction)
+      assert(math.abs(sDen - sPro) < 0.5 + 0.01 * rows.length,
+        s"year $y: denton annual sum $sDen vs control ≈ $sPro")
+    }
+    def movement(rows: Array[org.apache.spark.sql.Row],
+        x: org.apache.spark.sql.Row => Double): Double = {
+      val r = rows.sortBy(_.getAs[Long]("mo_s"))
+        .map(row => x(row) / row.getAs[Double]("monthly_raw"))
+      r.sliding(2).map { case Array(p, q) => (q - p) * (q - p) }.sum
+    }
+    val denByYear = den.groupBy(_.getAs[Int]("yr"))
+    pro.groupBy(_.getAs[Int]("yr")).foreach { case (y, prows) =>
+      val mPro = movement(prows, _.getAs[Double]("monthly_benchmarked"))
+      val mDen = movement(denByYear(y), _.getAs[Double]("denton_bench"))
+      assert(mDen <= mPro + 1e-9,
+        s"year $y: denton movement $mDen exceeds prorata $mPro")
+    }
+    // within-year movement must also be smoother than prorata ACROSS
+    // year boundaries is not claimed (Denton is per-year here)
+  }
+
+  test("denton solver: constraint exact, constant indicator gives constant ratios") {
+    val i = Array(10.0, 20.0, 30.0, 40.0)
+    val x = graft.operators.Etl.dentonPfd(i, 250.0)
+    assert(math.abs(x.sum - 250.0) < 1e-9)
+    // constant indicator: optimal ratios are constant = A / Σi
+    val c = graft.operators.Etl.dentonPfd(Array(5.0, 5.0, 5.0), 30.0)
+    c.foreach(v => assert(math.abs(v - 10.0) < 1e-9))
+  }
+}
