@@ -3692,6 +3692,45 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Kish design effect per domain — the weighting health metric every
+    // survey shop checks before publishing: deff = n·Σw²/(Σw)² (the
+    // variance inflation unequal weights cost relative to equal-weight
+    // sampling) and the effective sample size n/deff that determines
+    // whether a cell is publishable. Weights follow the library-wide
+    // 1 + custkey%7 design convention (exact integers), so ALL moment
+    // sums are exact BIGINTs in ONE keyed agg; deff assembles in
+    // double from exact integers, ×10⁹ snapped.
+    "etl_design_effect" -> QueryDef.withOracle(
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(1 + c_custkey % 7) AS BIGINT) AS sum_w,
+        |  CAST(sum((1 + c_custkey % 7) * (1 + c_custkey % 7)) AS BIGINT)
+        |    AS sum_w2,
+        |  floor(count(*) * CAST(sum((1 + c_custkey % 7) * (1 + c_custkey % 7))
+        |      AS DOUBLE)
+        |    / (CAST(sum(1 + c_custkey % 7) AS DOUBLE)
+        |       * CAST(sum(1 + c_custkey % 7) AS DOUBLE))
+        |    * 1000000000 + 0.5) / 1.0e9 AS deff,
+        |  floor(count(*) / (count(*)
+        |      * CAST(sum((1 + c_custkey % 7) * (1 + c_custkey % 7)) AS DOUBLE)
+        |    / (CAST(sum(1 + c_custkey % 7) AS DOUBLE)
+        |       * CAST(sum(1 + c_custkey % 7) AS DOUBLE)))
+        |    * 1000000000 + 0.5) / 1.0e9 AS n_eff
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val w = lit(1) + pmod(col("c_custkey"), lit(7L))
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(w).as("sum_w"),
+          sum(w * w).as("sum_w2"))
+      val deff = col("n") * col("sum_w2").cast(DoubleType) /
+        (col("sum_w").cast(DoubleType) * col("sum_w").cast(DoubleType))
+      g.select(col("c_mktsegment"), col("n"), col("sum_w"), col("sum_w2"),
+        (floor(deff * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("deff"),
+        (floor(col("n") / deff * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+          .as("n_eff"))
+    },
+
+    // ------------------------------------------------------------------
     // Denton proportional-first-difference benchmarking — the
     // movement-preserving upgrade etl_benchmark_prorata documents:
     // instead of one scale factor per year (which steps at every

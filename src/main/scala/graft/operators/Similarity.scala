@@ -1134,6 +1134,92 @@ object Similarity {
         .select(col("probe_id"), col("label").as("true_label"),
           col("pred_label"), col("n_votes"),
           (col("pred_label") === col("label")).as("correct"))
+    },
+
+    // ------------------------------------------------------------------
+    // Recall-vs-nprobe sweep — the ONE table that decides an IVF
+    // deployment's probe count (recall you buy vs cells you scan):
+    // aggregate recall@K against the exact ranking at nprobe = 1
+    // (home cell only) and nprobe = 2, both served by the SAME shared
+    // IVF build and the same exact-ranking pass — the sweep adds only
+    // candidate-thin compare joins per probe count, nothing
+    // corpus-scale. All counts exact BIGINTs; recall = hits/(K·probes)
+    // assembles from exact integers, round(…, 9)-snapped.
+    "ann_nprobe_sweep" -> QueryDef.withOracle {
+      def pCtes(p: Int): String =
+        s"""probes_$p AS (SELECT vec_id AS probe_id, c_label FROM ranked
+           |  WHERE rn <= $p AND vec_id < $NPROBES),
+           |cand_$p AS (
+           |  SELECT DISTINCT pr.probe_id, h.vec_id AS neighbor_id
+           |  FROM probes_$p pr JOIN home h
+           |    ON pr.c_label = h.c_label AND h.vec_id <> pr.probe_id),
+           |scored_$p AS (
+           |  SELECT c.probe_id, c.neighbor_id,
+           |    round(list_cosine_similarity(
+           |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+           |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6)
+           |      AS cos_sim
+           |  FROM cand_$p c JOIN embeddings x ON x.vec_id = c.probe_id
+           |  JOIN embeddings y ON y.vec_id = c.neighbor_id),
+           |ivf_$p AS (SELECT probe_id, neighbor_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+           |  FROM scored_$p) WHERE rn <= $K),
+           |hit_$p AS (
+           |  SELECT CAST($p AS BIGINT) AS nprobe,
+           |    CAST(count(*) AS BIGINT) AS total_hits
+           |  FROM exact e JOIN ivf_$p i
+           |    ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id)"""
+          .stripMargin
+      s"""WITH $ivfAssignSql,
+         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         |exact AS (SELECT probe_id, neighbor_id FROM ($exactTopkSql)),
+         |${pCtes(1)},
+         |${pCtes(2)},
+         |u AS (SELECT * FROM hit_1 UNION ALL SELECT * FROM hit_2)
+         |SELECT nprobe, CAST($NPROBES AS BIGINT) AS n_probes, total_hits,
+         |  round(total_hits / ($K.0 * $NPROBES), 9) AS recall_at_k
+         |FROM u""".stripMargin
+    } { (s, dir) =>
+      val assigns = ivfAssignments(s, dir).persist() // one build, both sweeps
+      val home = assigns.filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label"))
+      val e = Tables.embeddings(s, dir)
+      val ex = exactTopK(s, dir)
+        .select(col("probe_id"), col("neighbor_id")).persist()
+      val cos = round(Vectors.cosine(s, col("p_emb"), col("n_emb")), 6)
+      def sweep(p: Int): DataFrame = {
+        val probeCells = assigns
+          .filter(col("rn") <= p && col("vec_id") < NPROBES)
+          .select(col("vec_id").as("probe_id"), col("c_label"))
+        val cand = probeCells.join(home, Seq("c_label"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+          .distinct()
+        val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val wFinal = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val ivf = cand
+          .join(e.select(col("vec_id").as("probe_id"),
+            col("embedding").as("p_emb")), "probe_id")
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("n_emb")), "neighbor_id")
+          .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"),
+            pmod(hash(col("neighbor_id")), lit(64)).as("salt"))
+          .withColumn("rn0", row_number().over(wLocal))
+          .filter(col("rn0") <= K)
+          .withColumn("rn", row_number().over(wFinal))
+          .filter(col("rn") <= K)
+          .select(col("probe_id"), col("neighbor_id"))
+        ex.join(ivf, Seq("probe_id", "neighbor_id"))
+          .agg(count(lit(1)).as("total_hits"))
+          .select(lit(p.toLong).as("nprobe"),
+            lit(NPROBES.toLong).as("n_probes"), col("total_hits"),
+            round(col("total_hits") / lit(K * 1.0 * NPROBES), 9)
+              .as("recall_at_k"))
+      }
+      sweep(1).unionAll(sweep(2))
     }
   )
 }

@@ -51,6 +51,8 @@ object PlanAudit {
       "etl_chisq_independence",
       // inherits ann_topk_exact's NPROBES-row probe broadcast
       "ann_recall_eval",
+      // same inheritance, twice (one sweep arm per probe count)
+      "ann_nprobe_sweep",
       // 1-row broadcast: the Heaps-fit moment anchor
       "text_vocab_growth",
       // 2-row broadcast: the {1, 7} lag list
@@ -176,6 +178,11 @@ object PlanAudit {
       // exact ranking (2) plus the K×NPROBES-row compare joins — every
       // added exchange rides the two top-K outputs, never the corpus
       "ann_recall_eval" -> 18,
+      // the sweep runs the recall-eval shape TWICE (nprobe 1 and 2)
+      // against ONE shared IVF build and ONE exact ranking — the
+      // second arm re-prints the persisted build's exchanges; each
+      // arm's own moves are candidate-thin compare joins
+      "ann_nprobe_sweep" -> 30,
       // estimator eval stacks the candidate build (bands + cap, the
       // dedup_ngram_jaccard budget) + the signature agg + the doc-id
       // keyed compare joins — all candidate-thin after the one
@@ -291,7 +298,7 @@ object PlanAudit {
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_l2_topk", "ann_mips_topk",
-      "ann_recall_eval", "ann_lsh",
+      "ann_recall_eval", "ann_nprobe_sweep", "ann_lsh",
       "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",
