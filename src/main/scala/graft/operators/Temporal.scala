@@ -1866,6 +1866,113 @@ object Temporal {
           round(col("h.l"), 9).as("level"), round(col("h.b"), 9).as("trend"),
           round(col("h.l") + col("h.b"), 9).as("fc_1"),
           round(col("h.l") + lit(7) * col("h.b"), 9).as("fc_7"))
+    },
+
+    // ------------------------------------------------------------------
+    // Forecast-method backtest — the "measure, don't guess" table for
+    // the forecast family: hold out the LAST 7 calendar days, fit Holt
+    // (α=0.3 β=0.1, the ev_holt_forecast recurrence) on the rest,
+    // score both Holt (level + h·trend at calendar horizon h) and
+    // seasonal-naive (same weekday last week) on the holdout by MAE.
+    // One corpus agg builds the (type, day) counts; the Holt fold and
+    // the per-day scoring ride the calendar-bounded bookkeeping
+    // relation. Each absolute error snaps to a ×10⁶ long BEFORE the
+    // per-method mean so the comparison is order-invariant.
+    "ev_forecast_eval" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (SELECT max(day) - 7 AS cut FROM e),
+        |tr AS (SELECT e.* FROM e CROSS JOIN bd WHERE e.day <= bd.cut),
+        |te AS (SELECT e.* FROM e CROSS JOIN bd WHERE e.day > bd.cut),
+        |a AS (
+        |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+        |    CAST(count(*) AS BIGINT) AS nd, max(day) AS last_day
+        |  FROM tr GROUP BY event_type),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, l, b) AS (
+        |    SELECT event_type, CAST(2 AS BIGINT), v[2], v[2] - v[1]
+        |    FROM a WHERE nd >= 2
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      0.3 * a.v[CAST(h.i + 1 AS INT)] + 0.7 * (h.l + h.b),
+        |      0.1 * ((0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |          + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+        |    FROM h JOIN a ON a.event_type = h.event_type
+        |    WHERE h.i < a.nd)
+        |  SELECT h.event_type, h.l, h.b, a.last_day
+        |  FROM h JOIN a ON a.event_type = h.event_type AND h.i = a.nd),
+        |sc AS (
+        |  SELECT te.event_type, te.day,
+        |    CAST(floor(abs(te.n - (r.l + (te.day - r.last_day) * r.b))
+        |      * 1000000 + 0.5) AS BIGINT) AS err_holt,
+        |    CAST(floor(abs(te.n - coalesce(p.n, 0)) * 1000000 + 0.5)
+        |      AS BIGINT) AS err_snaive
+        |  FROM te
+        |  JOIN rec r ON r.event_type = te.event_type
+        |  LEFT JOIN e p ON p.event_type = te.event_type
+        |    AND p.day = te.day - 7),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(err_holt) AS BIGINT) AS sh,
+        |    CAST(sum(err_snaive) AS BIGINT) AS ss
+        |  FROM sc GROUP BY event_type)
+        |SELECT event_type, 'holt' AS method, n_days,
+        |  floor(CAST(sh AS DOUBLE) / 1000000 / n_days * 1000000000 + 0.5)
+        |    / 1.0e9 AS mae
+        |FROM m
+        |UNION ALL
+        |SELECT event_type, 'snaive' AS method, n_days,
+        |  floor(CAST(ss AS DOUBLE) / 1000000 / n_days * 1000000000 + 0.5)
+        |    / 1.0e9 AS mae
+        |FROM m""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // feeds the split, the snaive lookback and scoring
+      val bd = e.agg((max(col("day")) - 7).as("cut"))
+      val withCut = e.crossJoin(broadcast(bd))
+      val tr = withCut.filter(col("day") <= col("cut"))
+        .select(col("event_type"), col("day"), col("n"))
+      val te = withCut.filter(col("day") > col("cut"))
+        .select(col("event_type"), col("day"), col("n"))
+      val a = tr.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("arr"), count(lit(1)).as("nd"), max(col("day")).as("last_day"))
+        .filter(col("nd") >= 2)
+      val v = transform(col("arr"), x => x("n").cast(DoubleType))
+      val init = struct(element_at(v, 2).as("l"),
+        (element_at(v, 2) - element_at(v, 1)).as("b"))
+      val folded = aggregate(
+        slice(v, lit(3), greatest(size(v) - 2, lit(0))), init,
+        (acc, x) => {
+          val lNew = lit(0.3) * x + lit(0.7) * (acc("l") + acc("b"))
+          struct(lNew.as("l"),
+            (lit(0.1) * (lNew - acc("l")) + lit(0.9) * acc("b")).as("b"))
+        })
+      val rec = a.select(col("event_type"), folded.as("h"),
+        col("last_day"))
+      val sc = te
+        .join(rec, Seq("event_type"))
+        .join(e.select(col("event_type"), (col("day") + 7).as("day"),
+          col("n").as("pn")), Seq("event_type", "day"), "left_outer")
+        .select(col("event_type"),
+          floor(abs(col("n") - (col("h.l")
+            + (col("day") - col("last_day")) * col("h.b")))
+            * lit(1000000) + lit(0.5)).cast(LongType).as("err_holt"),
+          floor(abs(col("n") - coalesce(col("pn"), lit(0L)))
+            * lit(1000000) + lit(0.5)).cast(LongType).as("err_snaive"))
+      val m = sc.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("err_holt")).as("sh"),
+          sum(col("err_snaive")).as("ss"))
+        .persist() // two method rows unpivot from one relation
+      def row(method: String, c: String) = m.select(col("event_type"),
+        lit(method).as("method"), col("n_days"),
+        (floor(col(c).cast(DoubleType) / lit(1000000) / col("n_days")
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("mae"))
+      row("holt", "sh").unionAll(row("snaive", "ss"))
     }
   )
 

@@ -89,7 +89,9 @@ object PlanAudit {
       // 1-row broadcast: the corrupt-line count anchor
       "src_json_malformed",
       // 1-row broadcast: the register-truth count anchor
-      "etl_linkage_eval")
+      "etl_linkage_eval",
+      // 1-row broadcast: the holdout-cut calendar anchor
+      "ev_forecast_eval")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
