@@ -3692,6 +3692,55 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Trading-day adjustment — the calendar effect removed before any
+    // month-over-month comparison is publishable: a 23-weekday March
+    // mechanically out-sells a 20-weekday February, so the comparable
+    // figure is the per-trading-day rate. Trading days come from a
+    // generated in-month date sequence (row-local on the month
+    // bookkeeping relation — no calendar table dependency); monthly
+    // totals are exact ×100 longs from ONE keyed agg; the rate snaps
+    // ×100 from exact components.
+    "etl_trading_day_adjust" -> QueryDef.withOracle(
+      """WITH mo AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m0,
+        |    CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    year(o_orderdate) AS yr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS mfp
+        |  FROM orders GROUP BY 1, 2, 3),
+        |td AS (
+        |  SELECT mo_s, yr, mfp,
+        |    CAST(len(list_filter(generate_series(m0,
+        |        m0 + INTERVAL 1 MONTH - INTERVAL 1 DAY, INTERVAL 1 DAY),
+        |      d -> isodow(d) <= 5)) AS BIGINT) AS n_trading_days
+        |  FROM mo)
+        |SELECT mo_s, yr,
+        |  CAST(mfp AS DOUBLE) / 100 AS monthly_total,
+        |  n_trading_days,
+        |  floor(CAST(mfp AS DOUBLE) / 100 / n_trading_days * 100 + 0.5)
+        |    / 100.0 AS per_trading_day_rate
+        |FROM td""".stripMargin) { (s, dir) =>
+      val mo = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+            .as("m0"),
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+          .cast(LongType)).as("mfp"))
+      val days = sequence(col("m0"), last_day(col("m0")),
+        expr("interval 1 day"))
+      val td = size(filter(days,
+        d => !dayofweek(d).isin(1, 7)))
+      mo.select(col("mo_s"), col("yr"),
+        (col("mfp").cast(DoubleType) / lit(100)).as("monthly_total"),
+        td.cast(LongType).as("n_trading_days"),
+        (floor(col("mfp").cast(DoubleType) / lit(100)
+          / td.cast(LongType) * lit(100) + lit(0.5)) / lit(100.0))
+          .as("per_trading_day_rate"))
+    },
+
+    // ------------------------------------------------------------------
     // Kish design effect per domain — the weighting health metric every
     // survey shop checks before publishing: deff = n·Σw²/(Σw)² (the
     // variance inflation unequal weights cost relative to equal-weight

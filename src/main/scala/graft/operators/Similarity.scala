@@ -1220,6 +1220,86 @@ object Similarity {
               .as("recall_at_k"))
       }
       sweep(1).unionAll(sweep(2))
+    },
+
+    // ------------------------------------------------------------------
+    // Attribute-filtered vector search — the pre-filter vs post-filter
+    // question every vector deployment answers: restrict retrieval to
+    // the probe's own label class. PRE-filter ranks within the allowed
+    // class (always returns K, the correct semantics); POST-filter
+    // takes the unfiltered global top-K and drops non-matching labels
+    // (cheaper, returns ≤K — the recall you silently lose). Both arms
+    // ride the broadcast-probe × one-corpus-scan shape with salted
+    // two-phase ranking; the verdict row per probe counts what
+    // post-filtering kept. Deterministic → fully oracled.
+    "ann_filtered_topk" -> QueryDef.withOracle(
+      s"""WITH pre AS (
+         |  SELECT probe_id, neighbor_id, rn FROM (
+         |    SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |          list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6)
+         |          DESC, e.vec_id ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
+         |    JOIN embeddings e
+         |      ON e.vec_id <> p.vec_id AND e.label = p.label)
+         |  WHERE rn <= $K),
+         |post AS (
+         |  SELECT t.probe_id, t.neighbor_id
+         |  FROM ($exactTopkSql) t
+         |  JOIN embeddings pe ON pe.vec_id = t.probe_id
+         |  JOIN embeddings ne ON ne.vec_id = t.neighbor_id
+         |  WHERE ne.label = pe.label)
+         |SELECT p.probe_id,
+         |  CAST(count(*) AS BIGINT) AS n_prefilter,
+         |  CAST(count(po.neighbor_id) AS BIGINT) AS n_postfilter_kept,
+         |  CAST(sum(CASE WHEN po.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree,
+         |  round(CAST(count(po.neighbor_id) AS DOUBLE) / $K, 9)
+         |    AS postfilter_yield
+         |FROM pre p LEFT JOIN post po
+         |  ON po.probe_id = p.probe_id AND po.neighbor_id = p.neighbor_id
+         |GROUP BY p.probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"), col("label").as("p_label"))
+      val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
+      val wLocal = Window.partitionBy(col("probe_id"), col("salt"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      val wFinal = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      // PRE-filter arm: the label equality rides the broadcast join
+      // condition, so the scan scores only the allowed class
+      val pre = e.join(broadcast(probes),
+          col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cos.as("cos_sim"),
+          pmod(hash(col("vec_id")), lit(64)).as("salt"))
+        .withColumn("rn0", row_number().over(wLocal))
+        .filter(col("rn0") <= K)
+        .withColumn("rn", row_number().over(wFinal))
+        .filter(col("rn") <= K)
+        .select(col("probe_id"), col("neighbor_id"))
+      // POST-filter arm: unfiltered global top-K, labels dropped after
+      val lab = e.select(col("vec_id"), col("label"))
+      val post = exactTopK(s, dir)
+        .join(lab.select(col("vec_id").as("probe_id"),
+          col("label").as("pl")), Seq("probe_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl")), Seq("neighbor_id"))
+        .filter(col("nl") === col("pl"))
+        .select(col("probe_id"), col("neighbor_id"))
+        .withColumn("kept", lit(1))
+      pre.join(post, Seq("probe_id", "neighbor_id"), "left_outer")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_prefilter"),
+          count(col("kept")).as("n_postfilter_kept"),
+          sum(when(col("kept").isNotNull, 1).otherwise(0)).cast(LongType)
+            .as("n_agree"),
+          round(count(col("kept")).cast(DoubleType) / lit(K), 9)
+            .as("postfilter_yield"))
     }
   )
 }

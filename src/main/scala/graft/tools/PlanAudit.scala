@@ -53,6 +53,8 @@ object PlanAudit {
       "ann_recall_eval",
       // same inheritance, twice (one sweep arm per probe count)
       "ann_nprobe_sweep",
+      // broadcast-probe × corpus scan on both filter arms
+      "ann_filtered_topk",
       // 1-row broadcast: the Heaps-fit moment anchor
       "text_vocab_growth",
       // 2-row broadcast: the {1, 7} lag list
@@ -180,6 +182,10 @@ object PlanAudit {
       // exact ranking (2) plus the K×NPROBES-row compare joins — every
       // added exchange rides the two top-K outputs, never the corpus
       "ann_recall_eval" -> 18,
+      // both filter arms rank via the salted two-phase pattern (2
+      // windows each) + the label join and the K×NPROBES-row compare
+      // join — exchanges carry top-K outputs, never the corpus
+      "ann_filtered_topk" -> 9,
       // the sweep runs the recall-eval shape TWICE (nprobe 1 and 2)
       // against ONE shared IVF build and ONE exact ranking — the
       // second arm re-prints the persisted build's exchanges; each
@@ -300,7 +306,8 @@ object PlanAudit {
   private val factBroadcastAllowed: Set[String] =
     Set("dedup_decontaminate", "pipe_clean_corpus",
       "ann_topk_exact", "ann_l2_topk", "ann_mips_topk",
-      "ann_recall_eval", "ann_nprobe_sweep", "ann_lsh",
+      "ann_recall_eval", "ann_nprobe_sweep", "ann_filtered_topk",
+      "ann_lsh",
       "ann_quantized_topk", "ann_refine_rerank",
       "ann_hard_negatives", "graph_degree_stats", "graph_triangles",
       "graph_common_neighbors", "graph_contamination_bfs",
