@@ -1973,6 +1973,87 @@ object Temporal {
         (floor(col(c).cast(DoubleType) / lit(1000000) / col("n_days")
           * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("mae"))
       row("holt", "sh").unionAll(row("snaive", "ss"))
+    },
+
+    // ------------------------------------------------------------------
+    // Difference-in-differences — the workhorse causal readout when a
+    // change ships to part of the population: treatment = even user
+    // ids (the deterministic assignment convention), pre/post split at
+    // the calendar midpoint, effect = (T_post − T_pre) − (C_post −
+    // C_pre) on mean purchase value, with the standard SE from the
+    // four cell variances. ONE corpus agg produces all four cells'
+    // exact decimal moment sums (map-side partials); the estimate and
+    // its t-statistic assemble on the 4-row bookkeeping relation as
+    // mirrored double chains, round(…, 9)-snapped.
+    "ev_diff_in_diff" -> QueryDef.withOracle(
+      """WITH b AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+        |    + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        |  FROM events),
+        |cells AS (
+        |  SELECT (user_id % 2 = 0) AS treated,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) >= b.mid) AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events CROSS JOIN b
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT treated, post, n, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) / n AS var_mean
+        |  FROM cells),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN treated AND post THEN mean END) AS tp,
+        |    max(CASE WHEN treated AND NOT post THEN mean END) AS tr,
+        |    max(CASE WHEN NOT treated AND post THEN mean END) AS cp,
+        |    max(CASE WHEN NOT treated AND NOT post THEN mean END) AS cr,
+        |    CAST(sum(n) AS BIGINT) AS n_total,
+        |    max(CASE WHEN treated AND post THEN var_mean END)
+        |      + max(CASE WHEN treated AND NOT post THEN var_mean END)
+        |      + max(CASE WHEN NOT treated AND post THEN var_mean END)
+        |      + max(CASE WHEN NOT treated AND NOT post THEN var_mean END)
+        |      AS se2
+        |  FROM m)
+        |SELECT n_total,
+        |  round(tp - tr, 9) AS treated_delta,
+        |  round(cp - cr, 9) AS control_delta,
+        |  round((tp - tr) - (cp - cr), 9) AS did_estimate,
+        |  round(sqrt(se2), 9) AS se,
+        |  round(((tp - tr) - (cp - cr)) / sqrt(se2), 9) AS t_stat
+        |FROM w""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTimed(s, dir)
+        .filter(col("event_type") === "purchase")
+      val b = ev.agg(expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(b))
+        .groupBy((pmod(col("user_id"), lit(2L)) === 0).as("treated"),
+          (col("ts_s") >= col("mid")).as("post"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("s1"),
+          sum(col("value").cast(dec2) * col("value").cast(dec2))
+            .cast(DoubleType).as("s2"))
+      val m = cells.select(col("treated"), col("post"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+          / col("n")).as("var_mean"))
+      def cell(t: Boolean, p: Boolean, c: String) =
+        max(when(col("treated") === t && col("post") === p, col(c)))
+      val w = m.agg(
+        cell(true, true, "mean").as("tp"), cell(true, false, "mean").as("tr"),
+        cell(false, true, "mean").as("cp"), cell(false, false, "mean").as("cr"),
+        sum(col("n")).as("n_total"),
+        (cell(true, true, "var_mean") + cell(true, false, "var_mean")
+          + cell(false, true, "var_mean") + cell(false, false, "var_mean"))
+          .as("se2"))
+      w.select(col("n_total"),
+        round(col("tp") - col("tr"), 9).as("treated_delta"),
+        round(col("cp") - col("cr"), 9).as("control_delta"),
+        round((col("tp") - col("tr")) - (col("cp") - col("cr")), 9)
+          .as("did_estimate"),
+        round(sqrt(col("se2")), 9).as("se"),
+        round(((col("tp") - col("tr")) - (col("cp") - col("cr")))
+          / sqrt(col("se2")), 9).as("t_stat"))
     }
   )
 

@@ -1024,6 +1024,60 @@ object TextOps {
             floor(ratio * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("stop_ratio"),
           when(col("n_tokens") >= 1,
             ratio.between(0.05, 0.6)).otherwise(lit(false)).as("in_band"))
+    },
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility per (lang × source) — the corpus-level
+    // planning table behind every token-budget decision (how many
+    // tokens a byte of each slice buys; a high-fertility slice burns
+    // budget faster than its char share suggests). Aggregates the
+    // text_token_estimate per-doc formula (words + length-based
+    // subword splits + punctuation — exact integers) against exact
+    // character counts in ONE keyed agg; fertility and its inverse
+    // snap ×10⁹ from exact sums.
+    "text_fertility" -> QueryDef.withOracle(
+      s"""SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(${toksSql("text")}) +
+         |    list_sum(list_transform(${toksSql("text")},
+         |      x -> (length(x) - 1) // 6)) +
+         |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))
+         |    AS BIGINT) AS est_tokens,
+         |  floor(CAST(sum(len(${toksSql("text")}) +
+         |      list_sum(list_transform(${toksSql("text")},
+         |        x -> (length(x) - 1) // 6)) +
+         |      length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))
+         |      AS DOUBLE)
+         |    / sum(length(text)) * 1000000000 + 0.5) / 1.0e9
+         |    AS tokens_per_char,
+         |  floor(CAST(sum(length(text)) AS DOUBLE)
+         |    / sum(len(${toksSql("text")}) +
+         |      list_sum(list_transform(${toksSql("text")},
+         |        x -> (length(x) - 1) // 6)) +
+         |      length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))
+         |    * 1000000000 + 0.5) / 1.0e9 AS chars_per_token
+         |FROM documents
+         |WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]')
+         |GROUP BY lang, source""".stripMargin) { (s, dir) =>
+      val splits = aggregate(col("toks"), lit(0L),
+        (acc, x) => acc + floor((length(x) - 1) / lit(6.0)).cast(LongType))
+      val perDoc = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0 && col("text").rlike("[a-zA-Z0-9]"))
+        .select(col("lang"), col("source"), length(col("text")).as("nc"),
+          tokens(col("text")).as("toks"), col("text"))
+        .select(col("lang"), col("source"), col("nc"),
+          (size(col("toks")) + splits + length(regexp_replace(col("text"),
+            "[a-zA-Z0-9\\s]", ""))).as("et"))
+      val g = perDoc.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nc")).as("n_chars"), sum(col("et")).as("est_tokens"))
+      g.select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        col("est_tokens"),
+        (floor(col("est_tokens").cast(DoubleType) / col("n_chars")
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("tokens_per_char"),
+        (floor(col("n_chars").cast(DoubleType) / col("est_tokens")
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("chars_per_token"))
     }
   )
 }

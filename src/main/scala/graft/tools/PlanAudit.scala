@@ -93,7 +93,9 @@ object PlanAudit {
       // 1-row broadcast: the register-truth count anchor
       "etl_linkage_eval",
       // 1-row broadcast: the holdout-cut calendar anchor
-      "ev_forecast_eval")
+      "ev_forecast_eval",
+      // 1-row broadcast: the calendar-midpoint split anchor
+      "ev_diff_in_diff")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
