@@ -2054,6 +2054,37 @@ object Temporal {
         round(sqrt(col("se2")), 9).as("se"),
         round(((col("tp") - col("tr")) - (col("cp") - col("cr")))
           / sqrt(col("se2")), 9).as("t_stat"))
+    },
+
+    // ------------------------------------------------------------------
+    // Rate-limit audit — the batch backfill of an API quota check: for
+    // every event, how many SAME-USER events landed in the trailing
+    // 60 s (RANGE frame over the integer second — calendar-aware, so a
+    // silent minute resets the window; a ROWS frame would not), and
+    // the over-quota verdict at 5/min. One shuffle on the
+    // high-cardinality user key; the frame is time-bounded so per-row
+    // work never grows with history. The flagged subset is what an
+    // abuse pipeline replays against the streaming limiter.
+    "ev_rate_limit" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts_s,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_last_60s,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) > 5
+        |    AS over_quota
+        |FROM e""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-59, 0)
+      Tables.eventsTimed(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_s"))
+        .withColumn("n_last_60s", count(lit(1)).over(w))
+        .withColumn("over_quota", col("n_last_60s") > 5)
     }
   )
 
