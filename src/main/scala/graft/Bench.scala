@@ -40,11 +40,19 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // The driver captures a truncated log tail, which loses per-query
-    // entries; persist the full artifact so every query is visible to
-    // round-over-round comparison.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver captures a truncated log tail (~2000 chars — only a
+    // quarter of the per-query map survives in BENCH_rN.json); persist
+    // the full artifact so every query is visible to round-over-round
+    // comparison, both at the driver's working-dir path and at a
+    // stable committed docs/ path (snapshotted to docs/bench_rN_full
+    // .json at each round close).
+    val payload = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"), payload)
+    try {
+      val docs = java.nio.file.Paths.get("docs")
+      if (java.nio.file.Files.isDirectory(docs))
+        java.nio.file.Files.write(docs.resolve("bench_full_latest.json"), payload)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

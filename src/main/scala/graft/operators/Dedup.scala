@@ -873,7 +873,11 @@ object Dedup {
       val aggs = ths.flatMap { th =>
         val tag = (th * 10).toInt
         Seq(
-          sum(when(col("jac") >= th, 1).otherwise(0)).as(s"p$tag"),
+          // coalesce: a global sum over ZERO verified pairs is NULL in
+          // Spark, while the oracle's t LEFT JOIN pairs counts 0 — pin
+          // the empty-corpus edge to 0 on both engines
+          coalesce(sum(when(col("jac") >= th, 1L).otherwise(0L)), lit(0L))
+            .as(s"p$tag"),
           countDistinct(when(col("jac") >= th, col("doc_b"))).as(s"d$tag"))
       }
       val stackArgs = ths.map { th =>

@@ -1574,9 +1574,9 @@ object Temporal {
     // Bot/automation screening — population-relative anomaly flags per
     // user (absolute thresholds rot as traffic drifts; production bot
     // screens compare each account to the live population): event rate
-    // above 1.5× the population mean, inter-event gaps more regular
-    // than 0.75× the mean coefficient of variation (machines are
-    // metronomes, humans are bursty), and volume above 1.5× the mean.
+    // above 1.1× the population mean, inter-event gaps more regular
+    // than 0.95× the mean coefficient of variation (machines are
+    // metronomes, humans are bursty), and volume above 1.1× the mean.
     // Score = flag count, bot verdict at ≥2. ONE user-keyed lag + ONE
     // keyed agg over exact integers; per-user rate/CV snap to ×10⁹
     // longs BEFORE the population averages so the 1-row reference is

@@ -540,13 +540,16 @@ object ScaleStress {
     // scale and full scale; the two counts must be (near-)identical
     // while input rows differ 10×.
     for (nBoot <- Seq(n / 10, n)) {
-      var shuffleRecords = 0L
+      // AtomicLong: onTaskEnd fires on the listener-bus thread while
+      // the main thread reads the total afterwards — a plain var could
+      // tear or under-report
+      val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
           if (m != null)
-            shuffleRecords += m.shuffleWriteMetrics.recordsWritten
+            shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -566,10 +569,15 @@ object ScaleStress {
           .agg(sum(col("w") * col("xfp")).as("swx"), sum(col("w")).as("sw"))
           .count()
       }
-      // listener events drain asynchronously; give the bus a moment
-      Thread.sleep(1000)
+      // drain the listener bus deterministically before reading the
+      // counter — a fixed sleep can under-report when the bus is backed
+      // up. listenerBus is private[spark] (public in bytecode), so go
+      // through reflection.
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       spark.sparkContext.removeSparkListener(listener)
-      println(s"[stress]   shuffle records written: $shuffleRecords " +
+      println(s"[stress]   shuffle records written: ${shuffleRecords.get} " +
         s"(B×maps bound, input-size-independent)")
     }
     spark.stop()

@@ -1673,7 +1673,7 @@ class KcoreConvergenceSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val c4 = core(4)
     val c6 = core(6)
-    info(s"3-core size at 4 peels: ${c4.size} nodes")
+    info(s"2-core size at 4 peels: ${c4.size} nodes")
     assert(c4 == c6, "k-core peeling not converged after 4 rounds")
   }
 }

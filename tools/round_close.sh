@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Round-close checklist (round-8 lesson: the graded CORRECTNESS_r8
+# artifact shipped empty and nothing noticed). Usage:
+#   tools/round_close.sh <round-number> [sfDirVerify] [sfDirBench]
+# Produces, and leaves ready to commit:
+#   CORRECTNESS_local_r<N>.json  — full verify_local sweep at sf0.01
+#   docs/bench_r<N>_full.json    — full per-query bench map at sf0.1
+# and runs tools/artifact_guard.py so an empty/undersized graded
+# artifact from the PREVIOUS round fails loudly.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+N="${1:?usage: round_close.sh <round-number> [sfDirVerify] [sfDirBench]}"
+SFV="${2:-/root/testdata/sf0.01}"
+SFB="${3:-/root/testdata/sf0.1}"
+VOUT="/tmp/vout_r${N}"
+
+echo "== 1/4 Verify dump at ${SFV} -> ${VOUT}"
+rm -rf "${VOUT}"
+sbt -batch "runMain graft.Verify ${SFV} ${VOUT}" >/dev/null
+
+echo "== 2/4 DuckDB oracle sweep -> CORRECTNESS_local_r${N}.json"
+python3 tools/verify_local.py "${SFV}" "${VOUT}" "CORRECTNESS_local_r${N}.json" \
+  | tail -5
+
+echo "== 3/4 bench at ${SFB} -> docs/bench_r${N}_full.json"
+SPARK_GRAFT_SF_DIR="${SFB}" SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" >/dev/null
+cp bench_out.json "docs/bench_r${N}_full.json"
+python3 - "docs/bench_r${N}_full.json" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+q = d["queries"]
+print(f"   {len(q)} queries, total {d['value']:.1f}s, "
+      f"slowest {max(q, key=q.get)} {max(q.values()):.2f}s")
+EOF
+
+echo "== 4/4 graded-artifact guard"
+python3 tools/artifact_guard.py || true
+
+echo "round-close artifacts ready: CORRECTNESS_local_r${N}.json docs/bench_r${N}_full.json"

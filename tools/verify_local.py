@@ -52,7 +52,12 @@ def normalize(df):
     return list(df.columns), rows
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
+
+    def record(name, status, msg):
+        results[name] = {"status": status, "detail": msg}
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -72,6 +77,7 @@ def main(sf_dir, out_dir):
             # a query dir with no parquet means the Spark job crashed
             # before writing output — that is a failure, not a skip
             print(f"FAIL {d} (rows-only): no parquet output at {pq_dir}")
+            record(d, "fail", "rows-only: no parquet output")
             n_fail += 1
             continue
         schema = pq.read_schema(files[0])
@@ -80,9 +86,11 @@ def main(sf_dir, out_dir):
         if bad_cols:
             print(f"FAIL {d} (rows-only): driver-hostile output columns "
                   f"{bad_cols} (decimal/nested)")
+            record(d, "fail", f"rows-only: driver-hostile columns {bad_cols}")
             n_fail += 1
         else:
             print(f"PASS {d} (rows-only, schema scan)")
+            record(d, "pass", "rows-only, schema scan")
             n_pass += 1
     for name in sorted(oracle):
         sql = oracle[name]
@@ -90,12 +98,14 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(pq_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output at {pq_dir}")
+            record(name, "fail", "no spark output")
             n_fail += 1
             continue
         try:
             got = pd.read_parquet(pq_dir)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
+            record(name, "fail", f"cannot read spark output: {e}")
             n_fail += 1
             continue
         # Driver-gate guard: DECIMAL / nested output columns fail the
@@ -107,6 +117,7 @@ def main(sf_dir, out_dir):
         if bad_cols:
             print(f"FAIL {name}: driver-hostile output columns {bad_cols} "
                   f"(decimal/nested) — cast to DOUBLE / scalars")
+            record(name, "fail", f"driver-hostile columns {bad_cols}")
             n_fail += 1
             continue
         try:
@@ -123,21 +134,26 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: oracle columns {bad_oracle} have "
                       f"HUGEINT-class types — CAST them to BIGINT in the "
                       f"oracle SQL (driver hash mismatch)")
+                record(name, "fail",
+                       f"oracle columns {bad_oracle} HUGEINT-class")
                 n_fail += 1
                 continue
             want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, "fail", f"oracle SQL error: {e}")
             n_fail += 1
             continue
         gc, gr = normalize(got)
         wc, wr = normalize(want)
         if gc != wc:
             print(f"FAIL {name}: columns differ spark={gc} duckdb={wc}")
+            record(name, "fail", f"columns differ spark={gc} duckdb={wc}")
             n_fail += 1
             continue
         if len(gr) != len(wr):
             print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(wr)}")
+            record(name, "fail", f"rowcount spark={len(gr)} duckdb={len(wr)}")
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(gr, wr) if a != b]
@@ -145,13 +161,21 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first:")
             print("  spark :", bad[0][0][:300].replace("\x1f", " | "))
             print("  duckdb:", bad[0][1][:300].replace("\x1f", " | "))
+            record(name, "fail", f"{len(bad)}/{len(gr)} rows differ")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(gr)} rows)")
+            record(name, "pass", f"{len(gr)} rows hash-equivalent")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"mirror artifact -> {json_out} ({len(results)} entries)")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
