@@ -1872,14 +1872,16 @@ object Temporal {
     // Forecast-method backtest — the "measure, don't guess" table for
     // the forecast family: hold out the LAST 7 calendar days, fit Holt
     // (α=0.3 β=0.1, the ev_holt_forecast recurrence) on the rest,
-    // score both Holt (level + h·trend at calendar horizon h) and
-    // seasonal-naive (same weekday last week) on the holdout by MAE.
-    // One corpus agg builds the (type, day) counts; the Holt fold and
-    // the per-day scoring ride the calendar-bounded bookkeeping
-    // relation. Each absolute error snaps to a ×10⁶ long BEFORE the
-    // per-method mean so the comparison is order-invariant.
+    // score Holt (level + h·trend at calendar horizon h),
+    // seasonal-naive (same weekday last week) and Holt-Winters (level
+    // + h·trend + rotating weekly seasonal, the hwFold recurrence) on
+    // the holdout by MAE.
+    // One corpus agg builds the (type, day) counts; the folds and the
+    // per-day scoring ride the calendar-bounded bookkeeping relation.
+    // Each absolute error snaps to a ×10⁶ long BEFORE the per-method
+    // mean so the comparison is order-invariant.
     "ev_forecast_eval" -> QueryDef.withOracle(
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
         |    CAST(count(*) AS BIGINT) AS n
@@ -1904,20 +1906,32 @@ object Temporal {
         |    WHERE h.i < a.nd)
         |  SELECT h.event_type, h.l, h.b, a.last_day
         |  FROM h JOIN a ON a.event_type = h.event_type AND h.i = a.nd),
+        |rec2 AS (
+        |  WITH RECURSIVE ${hwRecursion("hw")}
+        |  SELECT hw.event_type, hw.l AS l2, hw.b AS b2,
+        |    hw.s1, hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+        |    a.last_day AS last_day2, a.nd
+        |  FROM hw JOIN a ON a.event_type = hw.event_type AND hw.i = a.nd),
         |sc AS (
         |  SELECT te.event_type, te.day,
         |    CAST(floor(abs(te.n - (r.l + (te.day - r.last_day) * r.b))
         |      * 1000000 + 0.5) AS BIGINT) AS err_holt,
         |    CAST(floor(abs(te.n - coalesce(p.n, 0)) * 1000000 + 0.5)
-        |      AS BIGINT) AS err_snaive
+        |      AS BIGINT) AS err_snaive,
+        |    CAST(floor(abs(te.n - (r2.l2 + (te.day - r2.last_day2) * r2.b2
+        |      + (${hwSlotCase("r2",
+                   "((r2.nd + te.day - r2.last_day2 - 1) % 7) + 1")})))
+        |      * 1000000 + 0.5) AS BIGINT) AS err_hw
         |  FROM te
         |  JOIN rec r ON r.event_type = te.event_type
+        |  JOIN rec2 r2 ON r2.event_type = te.event_type
         |  LEFT JOIN e p ON p.event_type = te.event_type
         |    AND p.day = te.day - 7),
         |m AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
         |    CAST(sum(err_holt) AS BIGINT) AS sh,
-        |    CAST(sum(err_snaive) AS BIGINT) AS ss
+        |    CAST(sum(err_snaive) AS BIGINT) AS ss,
+        |    CAST(sum(err_hw) AS BIGINT) AS shw
         |  FROM sc GROUP BY event_type)
         |SELECT event_type, 'holt' AS method, n_days,
         |  floor(CAST(sh AS DOUBLE) / 1000000 / n_days * 1000000000 + 0.5)
@@ -1926,6 +1940,11 @@ object Temporal {
         |UNION ALL
         |SELECT event_type, 'snaive' AS method, n_days,
         |  floor(CAST(ss AS DOUBLE) / 1000000 / n_days * 1000000000 + 0.5)
+        |    / 1.0e9 AS mae
+        |FROM m
+        |UNION ALL
+        |SELECT event_type, 'hw' AS method, n_days,
+        |  floor(CAST(shw AS DOUBLE) / 1000000 / n_days * 1000000000 + 0.5)
         |    / 1.0e9 AS mae
         |FROM m""".stripMargin) { (s, dir) =>
       val e = Tables.eventsTimed(s, dir)
@@ -1954,8 +1973,13 @@ object Temporal {
         })
       val rec = a.select(col("event_type"), folded.as("h"),
         col("last_day"))
+      val rec2 = a.filter(col("nd") >= 14)
+        .select(col("event_type"),
+          hwFold(transform(col("arr"), x => x("n").cast(DoubleType))).as("hw"),
+          col("last_day").as("last_day2"), col("nd"))
       val sc = te
         .join(rec, Seq("event_type"))
+        .join(rec2, Seq("event_type"))
         .join(e.select(col("event_type"), (col("day") + 7).as("day"),
           col("n").as("pn")), Seq("event_type", "day"), "left_outer")
         .select(col("event_type"),
@@ -1963,16 +1987,23 @@ object Temporal {
             + (col("day") - col("last_day")) * col("h.b")))
             * lit(1000000) + lit(0.5)).cast(LongType).as("err_holt"),
           floor(abs(col("n") - coalesce(col("pn"), lit(0L)))
-            * lit(1000000) + lit(0.5)).cast(LongType).as("err_snaive"))
+            * lit(1000000) + lit(0.5)).cast(LongType).as("err_snaive"),
+          floor(abs(col("n") - (col("hw.l")
+            + (col("day") - col("last_day2")) * col("hw.b")
+            + element_at(col("hw.s"),
+              ((col("nd") + col("day") - col("last_day2") - 1) % 7 + 1)
+                .cast(IntegerType))))
+            * lit(1000000) + lit(0.5)).cast(LongType).as("err_hw"))
       val m = sc.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"), sum(col("err_holt")).as("sh"),
-          sum(col("err_snaive")).as("ss"))
-        .persist() // two method rows unpivot from one relation
+          sum(col("err_snaive")).as("ss"), sum(col("err_hw")).as("shw"))
+        .persist() // three method rows unpivot from one relation
       def row(method: String, c: String) = m.select(col("event_type"),
         lit(method).as("method"), col("n_days"),
         (floor(col(c).cast(DoubleType) / lit(1000000) / col("n_days")
           * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("mae"))
       row("holt", "sh").unionAll(row("snaive", "ss"))
+        .unionAll(row("hw", "shw"))
     },
 
     // ------------------------------------------------------------------
@@ -2085,8 +2116,133 @@ object Temporal {
           col("ts_s"))
         .withColumn("n_last_60s", count(lit(1)).over(w))
         .withColumn("over_quota", col("n_last_60s") > 5)
+    },
+
+    // ------------------------------------------------------------------
+    // Holt-Winters additive triple smoothing — the seasonal-aware rung
+    // above ev_holt_forecast for any series with a weekly pulse, over
+    // per-type daily counts with the 7-day week as the season.
+    // Classical two-week init: level = mean(week1), trend =
+    // (mean(week2) − mean(week1)) / 7, seasonals = week1 deviations
+    // from level; then the standard recurrences (α=0.3 β=0.1 γ=0.2)
+    //   l_t = α(x_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    //   s_t = γ(x_t − l_t) + (1−γ)s_{t−7}
+    // fold over days 8..n with the seasonal slot rotating mod 7.
+    // Forecast h ahead = level + h·trend + seasonal slot (n+h−1) mod 7.
+    // ONE corpus-scale agg builds the daily counts; the fold is a
+    // per-type array aggregate over ≤|days| bookkeeping values. The
+    // oracle replays the identical IEEE chain via a recursive CTE
+    // carrying the 7 seasonal slots as columns — every double op has
+    // the same textual shape on both engines, so the doubles are
+    // bit-equal (the ev_holt_forecast discipline, extended to a
+    // vector-valued state).
+    "ev_holtwinters_forecast" -> QueryDef.withOracle(hwOracleSql) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("arr"), count(lit(1)).as("nd"))
+        .filter(col("nd") >= 14)
+      val folded = hwFold(transform(col("arr"), e => e("n").cast(DoubleType)))
+      a.select(col("event_type"), col("nd").as("n_days"), folded.as("h"))
+        .select(col("event_type"), col("n_days"),
+          round(col("h.l"), 9).as("level"), round(col("h.b"), 9).as("trend"),
+          round(col("h.l") + col("h.b") + element_at(col("h.s"),
+            (col("n_days") % 7 + 1).cast(IntegerType)), 9).as("fc_1"),
+          round(col("h.l") + lit(7) * col("h.b") + element_at(col("h.s"),
+            ((col("n_days") - 1) % 7 + 1).cast(IntegerType)), 9).as("fc_7"))
     }
   )
+
+  /** The Holt-Winters fold shared by ev_holtwinters_forecast and the
+    * ev_forecast_eval backtest: `v` is the per-type ordered daily-count
+    * double array; returns struct(l, b, s[7]) — final level, trend and
+    * the 7 rotating seasonal slots (slot j holds the most recent s for
+    * day positions ≡ j (mod 7), 0-based). */
+  private def hwFold(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def mean7(off: Int) =
+      (1 to 7).map(j => element_at(v, off + j)).reduceLeft(_ + _) / lit(7.0)
+    val l0 = mean7(0)
+    val init = struct(l0.as("l"),
+      ((mean7(7) - mean7(0)) / lit(7.0)).as("b"),
+      transform(slice(v, 1, 7), x => x - l0).as("s"))
+    val steps = transform(slice(v, lit(8), greatest(size(v) - 7, lit(0))),
+      (x, i) => struct(x.as("x"), (i % 7).as("slot")))
+    aggregate(steps, init, (acc, st) => {
+      val sOld = element_at(acc("s"), st("slot") + 1)
+      val lNew = lit(0.3) * (st("x") - sOld) + lit(0.7) * (acc("l") + acc("b"))
+      val bNew = lit(0.1) * (lNew - acc("l")) + lit(0.9) * acc("b")
+      val sNew = lit(0.2) * (st("x") - lNew) + lit(0.8) * sOld
+      struct(lNew.as("l"), bNew.as("b"),
+        transform(acc("s"), (sv, si) =>
+          when(si === st("slot"), sNew).otherwise(sv)).as("s"))
+    })
+  }
+
+  /** The recursive-CTE mirror of [[hwFold]]: `$inner(event_type, i, l,
+    * b, s1..s7) AS (base UNION ALL step)` over a CTE `a(event_type, v,
+    * nd, …)`. Step expressions are textually the same double chains the
+    * Spark fold evaluates, so the IEEE results are bit-equal. Built
+    * programmatically because the 7 seasonal-slot CASE columns would be
+    * unreadable written out by hand. */
+  private def hwRecursion(inner: String): String = {
+    val m1 = "(" + (1 to 7).map(j => s"v[$j]").mkString(" + ") + ") / 7.0"
+    val m2 = "(" + (8 to 14).map(j => s"v[$j]").mkString(" + ") + ") / 7.0"
+    val sInit = (1 to 7).map(j => s"v[$j] - ($m1)").mkString(",\n      ")
+    val x = s"a.v[CAST($inner.i + 1 AS INT)]"
+    val slot = s"(($inner.i) % 7) + 1"
+    val sOld = s"CASE $slot" +
+      (1 to 7).map(k => s" WHEN $k THEN $inner.s$k").mkString + " END"
+    val lNew = s"0.3 * ($x - ($sOld)) + 0.7 * ($inner.l + $inner.b)"
+    val bNew = s"0.1 * (($lNew) - $inner.l) + 0.9 * $inner.b"
+    val sNew = s"0.2 * ($x - ($lNew)) + 0.8 * ($sOld)"
+    val sStep = (1 to 7).map(k =>
+      s"CASE WHEN ($slot) = $k THEN $sNew ELSE $inner.s$k END")
+      .mkString(",\n      ")
+    val sCols = (1 to 7).map(k => s"s$k").mkString(", ")
+    s"""$inner(event_type, i, l, b, $sCols) AS (
+       |    SELECT event_type, CAST(7 AS BIGINT), $m1,
+       |      (($m2) - ($m1)) / 7.0,
+       |      $sInit
+       |    FROM a WHERE nd >= 14
+       |    UNION ALL
+       |    SELECT $inner.event_type, $inner.i + 1,
+       |      $lNew,
+       |      $bNew,
+       |      $sStep
+       |    FROM $inner JOIN a ON a.event_type = $inner.event_type
+       |    WHERE $inner.i < a.nd)""".stripMargin
+  }
+
+  /** CASE ladder mapping a 1-based seasonal-slot expression to the
+    * recursion's s1..s7 columns of relation `rel`. */
+  private def hwSlotCase(rel: String, slotExpr: String): String =
+    s"CASE $slotExpr" +
+      (1 to 7).map(k => s" WHEN $k THEN $rel.s$k").mkString + " END"
+
+  /** Generated oracle for ev_holtwinters_forecast. */
+  private def hwOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |a AS (
+       |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+       |    CAST(count(*) AS BIGINT) AS nd
+       |  FROM e GROUP BY event_type),
+       |rec AS (
+       |  WITH RECURSIVE ${hwRecursion("h")}
+       |  SELECT * FROM h)
+       |SELECT r.event_type, a.nd AS n_days,
+       |  round(r.l, 9) AS level, round(r.b, 9) AS trend,
+       |  round(r.l + r.b + (${hwSlotCase("r", "(a.nd % 7) + 1")}), 9) AS fc_1,
+       |  round(r.l + 7 * r.b + (${hwSlotCase("r", "((a.nd - 1) % 7) + 1")}), 9)
+       |    AS fc_7
+       |FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.nd"""
+      .stripMargin
 
   /** Global ntile(k) without a global sort: the q34 distributed-rank
     * plan as a reusable transform. Literal range buckets over the

@@ -74,29 +74,52 @@ case class KllQuantileSketch(
 object KllQuantileSketch {
 
   final class Sketch(levelCap: Int) {
-    // levels(i) holds unsorted doubles, each standing for 2^i inputs
-    private val levels = ArrayBuffer(new ArrayBuffer[Double](levelCap))
+    // levels(i) is a primitive scratch array filled to lens(i); each
+    // stored double stands for 2^i inputs. Primitive arrays keep the
+    // per-row add path allocation-free — the original
+    // ArrayBuffer[Double] boxed every value, and that box/unbox churn
+    // WAS the sketch's measured cost (sketch_quantiles 1.2 s at sf0.1;
+    // see SURVEY §6). Compaction order, the deterministic alternating
+    // offset, and the survivor rule are unchanged, so results are
+    // bit-identical to the boxed implementation.
+    private val levels = ArrayBuffer(new Array[Double](levelCap))
+    private val lens = ArrayBuffer(0)
     private var flip = false // deterministic alternating compaction offset
     private var count = 0L   // total inputs represented
 
+    private def ensure(i: Int, extra: Int): Unit = {
+      while (i >= levels.length) {
+        levels += new Array[Double](levelCap)
+        lens += 0
+      }
+      if (lens(i) + extra > levels(i).length)
+        levels(i) = java.util.Arrays.copyOf(levels(i),
+          math.max(levels(i).length * 2, lens(i) + extra))
+    }
+
     def add(v: Double): Unit = {
-      levels(0) += v
+      levels(0)(lens(0)) = v
+      lens(0) += 1
       count += 1
-      compactCascade()
+      if (lens(0) >= levelCap) compactCascade()
     }
 
     private def compactCascade(): Unit = {
       var i = 0
       while (i < levels.length) {
-        if (levels(i).length >= levelCap) {
-          val sorted = levels(i).sorted
+        if (lens(i) >= levelCap) {
+          val n = lens(i)
+          java.util.Arrays.sort(levels(i), 0, n)
           val off = if (flip) 1 else 0
           flip = !flip
-          if (i + 1 == levels.length) levels += new ArrayBuffer[Double](levelCap)
+          ensure(i + 1, (n - off + 1) / 2)
+          val up = levels(i + 1)
           var j = off
-          while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
+          var k = lens(i + 1)
+          while (j < n) { up(k) = levels(i)(j); k += 1; j += 2 }
+          lens(i + 1) = k
           // the un-promoted half is discarded; survivors carry its weight
-          levels(i).clear()
+          lens(i) = 0
         }
         i += 1
       }
@@ -105,8 +128,10 @@ object KllQuantileSketch {
     def absorb(other: Sketch): Unit = {
       var i = 0
       while (i < other.levels.length) {
-        if (i == levels.length) levels += new ArrayBuffer[Double](levelCap)
-        levels(i) ++= other.levels(i)
+        val n = other.lens(i)
+        ensure(i, n)
+        System.arraycopy(other.levels(i), 0, levels(i), lens(i), n)
+        lens(i) += n
         i += 1
       }
       count += other.count
@@ -115,37 +140,53 @@ object KllQuantileSketch {
 
     /** Weighted-rank quantile: items at level i carry weight 2^i. */
     def quantile(q: Double): Double = {
-      val all = ArrayBuffer.empty[(Double, Long)]
+      var m = 0
       var i = 0
+      while (i < levels.length) { m += lens(i); i += 1 }
+      if (m == 0) return Double.NaN
+      val vs = new Array[Double](m)
+      val ws = new Array[Long](m)
+      val idx = new Array[Integer](m)
+      var p = 0
+      i = 0
       while (i < levels.length) {
         val w = 1L << i
-        levels(i).foreach(v => all += ((v, w)))
+        var j = 0
+        while (j < lens(i)) { vs(p) = levels(i)(j); ws(p) = w; p += 1; j += 1 }
         i += 1
       }
-      if (all.isEmpty) return Double.NaN
-      val sorted = all.sortBy(_._1)
-      val total = sorted.iterator.map(_._2).sum
+      var t = 0
+      while (t < m) { idx(t) = t; t += 1 }
+      java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+        java.lang.Double.compare(vs(a), vs(b)))
+      var total = 0L
+      var k = 0
+      while (k < m) { total += ws(k); k += 1 }
       val target = math.max(1L, math.ceil(q * total).toLong)
       var cum = 0L
-      var k = 0
-      while (k < sorted.length) {
-        cum += sorted(k)._2
-        if (cum >= target) return sorted(k)._1
+      k = 0
+      while (k < m) {
+        cum += ws(idx(k))
+        if (cum >= target) return vs(idx(k))
         k += 1
       }
-      sorted.last._1
+      vs(idx(m - 1))
     }
 
     def toBytes: Array[Byte] = {
       var sz = 4 + 8 + 1
-      levels.foreach(l => sz += 4 + 8 * l.length)
+      lens.foreach(n => sz += 4 + 8 * n)
       val bb = ByteBuffer.allocate(sz)
       bb.putInt(levels.length)
       bb.putLong(count)
       bb.put(if (flip) 1.toByte else 0.toByte)
-      levels.foreach { l =>
-        bb.putInt(l.length)
-        l.foreach(bb.putDouble)
+      var i = 0
+      while (i < levels.length) {
+        val n = lens(i)
+        bb.putInt(n)
+        var j = 0
+        while (j < n) { bb.putDouble(levels(i)(j)); j += 1 }
+        i += 1
       }
       bb.array()
     }
@@ -160,10 +201,11 @@ object KllQuantileSketch {
       s.flip = bb.get() == 1
       var i = 0
       while (i < nLevels) {
-        if (i == s.levels.length) s.levels += new ArrayBuffer[Double](levelCap)
         val n = bb.getInt
+        s.ensure(i, n)
         var j = 0
-        while (j < n) { s.levels(i) += bb.getDouble; j += 1 }
+        while (j < n) { s.levels(i)(s.lens(i) + j) = bb.getDouble; j += 1 }
+        s.lens(i) += n
         i += 1
       }
       s

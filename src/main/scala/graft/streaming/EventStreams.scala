@@ -126,43 +126,66 @@ object EventStreams {
     * snapshot, and committed as a NEW versioned directory
     * (`v=<batchId>`) before the `_latest` pointer file flips — the
     * read-version/write-version/flip-pointer protocol every lakehouse
-    * table format implements. Retried batches are idempotent: replaying
-    * batch b re-merges already-applied rows (latest-per-key is
-    * idempotent) and rewrites the same version. The merge cost scales
+    * table format implements. Retried batches are idempotent (spec:
+    * "upsert batch function is idempotent under Spark's same-batchId
+    * retry"): a retry after the flip sees pointer == batchId and
+    * no-ops; a retry that lost the flip re-merges from the previous
+    * version and rebuilds the identical snapshot. The merge cost scales
     * with |table| + |batch| per trigger, and the table never rewrites
     * in place, so a concurrent reader always sees a complete version.
     */
   def upsertLatestSink(spark: SparkSession, srcDir: String, targetDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val latestOf = (df: DataFrame) =>
-      df.groupBy(col("user_id"))
-        .agg(max_by(
-          struct(col("ts_s"), col("event_id"), col("event_type"), col("value")),
-          struct(col("ts_s"), col("event_id"))).as("r"))
-        .select(col("user_id"), col("r.ts_s").as("ts_s"),
-          col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
-          col("r.value").as("value"))
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_s"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val pointer = new java.io.File(s"$targetDir/_latest")
-        val cur: Option[DataFrame] =
-          if (pointer.exists()) {
-            val v = new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim
-            Some(s.read.parquet(s"$targetDir/v=$v"))
-          } else None
-        val merged = latestOf(cur.fold(latestOf(batch))(latestOf(batch).unionByName(_)))
-        merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
-        java.nio.file.Files.write(pointer.toPath,
-          batchId.toString.getBytes) // commit point: readers flip here
-        ()
+        upsertBatch(targetDir)(batch, batchId)
       }
       .start()
+
+  private def latestOf(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts_s"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts_s"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.ts_s").as("ts_s"),
+        col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+
+  /** The foreachBatch body of [[upsertLatestSink]], package-visible so
+    * the Spark retry contract is spec-testable directly: after a
+    * failure, Spark re-invokes the batch function with the SAME
+    * batchId — whether the first attempt died before or after the
+    * pointer flip, the retry must converge to an identical snapshot
+    * and pointer (latest-per-key re-merge is idempotent; the version
+    * directory is rewritten, never appended). */
+  private[graft] def upsertBatch(targetDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val pointer = new java.io.File(s"$targetDir/_latest")
+    val committed: Option[String] =
+      if (pointer.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim)
+      else None
+    if (committed.contains(batchId.toString)) {
+      // Post-commit retry: the pointer only flips AFTER the version
+      // write completed, so pointer == batchId means this batch is
+      // fully applied — skip. (Re-merging here would also read
+      // v=batchId while overwriting it, which Spark rejects; found by
+      // the retry-idempotence spec.)
+      return
+    }
+    val cur: Option[DataFrame] =
+      committed.map(v => s.read.parquet(s"$targetDir/v=$v"))
+    val merged = latestOf(cur.fold(latestOf(batch))(latestOf(batch).unionByName(_)))
+    merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
+    java.nio.file.Files.write(pointer.toPath,
+      batchId.toString.getBytes) // commit point: readers flip here
+    ()
   }
 
   /** Stream-static enrichment: the event stream joined to the customer

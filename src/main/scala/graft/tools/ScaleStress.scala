@@ -531,6 +531,69 @@ object ScaleStress {
       wf.unpersist()
     }
 
+    // ---- round-9 shape: hot-user user-keyed windows ------------------
+    // ev_rate_limit / pipe_lag_features / ev_time_weighted_avg all sort
+    // each user's history inside one task (Window.partitionBy(user)).
+    // Fine for human users; a bot holding 10% of a 20M-row stream
+    // concentrates 2M rows in ONE task — the single-partition sort is
+    // the straggler. Mitigation measured here: day-sub-bucketing.
+    // Partition by (user, day) instead; a trailing 60 s frame can only
+    // reach 59 s across the midnight boundary, so duplicating each
+    // day's last-59 s rows into the NEXT day's bucket (count-only
+    // carry rows, filtered from the output) keeps the counts exact
+    // while the hot user's sort shrinks from |user| to |user,day|.
+    {
+      val nUsers = 1000000L
+      val spanDays = 30L
+      val hot = spark.range(n).select(
+        // id % 10 == 0 → user 0 (the bot, 10% of the stream); others spread
+        when(col("id") % 10 === 0, lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(nUsers - 1)) + 1).as("user_id"),
+        pmod(hash(col("id"), lit(7)), lit(spanDays * 86400L)).as("ts_s"))
+        .persist()
+      hot.count() // materialize before timing
+      stressTime("rate-limit window NAIVE: one task holds the bot user (10% of 20M)", n) {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-59, 0)
+        hot.withColumn("n60", count(lit(1)).over(w))
+          .filter(col("n60") > 5).count()
+      }
+      stressTime("rate-limit window DAY-SUB-BUCKETED (exact, 59s carry)", n) {
+        val base = hot.select(col("user_id"), col("ts_s"),
+          (col("ts_s") / 86400L).cast("long").as("day"), lit(0).as("carry"))
+        val carry = hot.filter(col("ts_s") % 86400L >= 86400L - 59L)
+          .select(col("user_id"), col("ts_s"),
+            ((col("ts_s") / 86400L).cast("long") + 1).as("day"), lit(1).as("carry"))
+        val w = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts_s")).rangeBetween(-59, 0)
+        base.unionByName(carry)
+          .withColumn("n60", count(lit(1)).over(w))
+          .filter(col("carry") === 0 && col("n60") > 5).count()
+      }
+      // cross-check: both plans must agree on the flagged-row count —
+      // run once at 1/20 scale and compare
+      val small = hot.limit(1000000).persist()
+      small.count()
+      val wN = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-59, 0)
+      val naiveFlags = small.withColumn("n60", count(lit(1)).over(wN))
+        .filter(col("n60") > 5).count()
+      val baseS = small.select(col("user_id"), col("ts_s"),
+        (col("ts_s") / 86400L).cast("long").as("day"), lit(0).as("carry"))
+      val carryS = small.filter(col("ts_s") % 86400L >= 86400L - 59L)
+        .select(col("user_id"), col("ts_s"),
+          ((col("ts_s") / 86400L).cast("long") + 1).as("day"), lit(1).as("carry"))
+      val wB = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts_s")).rangeBetween(-59, 0)
+      val bucketFlags = baseS.unionByName(carryS)
+        .withColumn("n60", count(lit(1)).over(wB))
+        .filter(col("carry") === 0 && col("n60") > 5).count()
+      println(s"[stress]   sub-bucket exactness: naive=$naiveFlags bucketed=$bucketFlags " +
+        (if (naiveFlags == bucketFlags) "EQUAL" else "*** MISMATCH ***"))
+      small.unpersist()
+      hot.unpersist()
+    }
+
     // ---- round-8 shape: Poisson bootstrap's exchange is B-bounded ----
     // etl_bootstrap_ci's scale claim: the B=100 replicate expansion is
     // row-local and its map-side partials collapse to B groups per

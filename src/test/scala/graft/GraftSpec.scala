@@ -1181,6 +1181,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"upsert table diverges: ${(got.toSet -- want.toSet).take(3)}")
   }
 
+  test("upsert batch function is idempotent under Spark's same-batchId retry") {
+    // The foreachBatch retry contract: after a failure Spark re-invokes
+    // the batch function with the SAME batchId. Both retry positions —
+    // after the pointer flipped (attempt died post-commit) and before
+    // (died between the version write and the flip) — must converge to
+    // an identical snapshot and pointer.
+    val target = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .select("user_id", "event_id", "event_type", "value", "ts_s")
+    val batch0 = ev.filter(col("event_id") % 2 === 0)
+    val batch1 = ev.filter(col("event_id") % 2 === 1)
+    def snapshot(v: Long): Seq[String] =
+      spark.read.parquet(s"$target/v=$v").collect().map(_.toString).sorted.toSeq
+    def pointer(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$target/_latest"))).trim
+    EventStreams.upsertBatch(target)(batch0, 0L)
+    EventStreams.upsertBatch(target)(batch1, 1L)
+    val want = snapshot(1L)
+    assert(pointer() == "1")
+    // retry AFTER commit: pointer already at 1, v=1 re-merged from v=1
+    EventStreams.upsertBatch(target)(batch1, 1L)
+    assert(pointer() == "1")
+    assert(snapshot(1L) == want,
+      "post-commit retry changed the committed snapshot")
+    // retry BEFORE the flip: rewind the pointer to 0 (v=1 written, flip
+    // lost) — the retry re-merges from v=0 and must rebuild v=1 exactly
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$target/_latest"),
+      "0".getBytes)
+    EventStreams.upsertBatch(target)(batch1, 1L)
+    assert(pointer() == "1")
+    assert(snapshot(1L) == want,
+      "pre-flip retry diverged from the original commit")
+  }
+
   test("sessionization state carries across 3+ micro-batches and matches batch") {
     val dir = stageTerciles()
     val q = EventStreams.sessionizeStream(spark,
