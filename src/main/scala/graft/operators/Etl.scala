@@ -3823,6 +3823,286 @@ object Etl {
       }
       import s.implicits._
       out.toDF("mo_s", "yr", "monthly_raw", "denton_bench")
+    },
+
+    // ------------------------------------------------------------------
+    // Wilcoxon signed-rank test — the PAIRED nonparametric companion to
+    // etl_mann_whitney: did part prices move between 1995 and 1996,
+    // judged on the signed ranks of the per-part changes (robust to
+    // the heavy-tailed price distribution a t-test would choke on)?
+    // Pairs reuse the etl_price_index fixed-point unit-value build;
+    // the change is snapped to a 1%-resolution percent (an exact
+    // integer), which BOUNDS the rank domain to a few hundred distinct
+    // values — so the tie-averaged rank table is bookkeeping, not a
+    // corpus sort (the mann_whitney 2-dp-domain argument). Everything
+    // through W+ / the tie term is exact integer arithmetic; the
+    // z-statistic assembles from mirrored double chains and snaps to
+    // ×10⁹.
+    "etl_wilcoxon_signrank" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |d AS (
+        |  SELECT d FROM (
+        |    SELECT CAST(floor(CAST(p1 AS DOUBLE) * 100 / p0 + 0.5) AS BIGINT)
+        |      - 100 AS d
+        |    FROM pp) WHERE d <> 0),
+        |g AS (
+        |  SELECT abs(d) AS w, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT w, cnt, pos,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY w ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS rank2
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(pos * rank2) AS BIGINT) AS wp2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM r)
+        |SELECT n, CAST(wp2 AS DOUBLE) / 2 AS w_plus,
+        |  CAST(n AS DOUBLE) * (n + 1) / 2 - CAST(wp2 AS DOUBLE) / 2 AS w_minus,
+        |  CAST(floor((CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+        |    / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+        |        - CAST(ties AS DOUBLE) / 48)
+        |    * 1000000000 + 0.5) AS BIGINT) / 1.0e9 AS z
+        |FROM s""".stripMargin) { (s, dir) =>
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      val d = pp
+        .select((floor(col("p1").cast(DoubleType) * 100 / col("p0") + 0.5)
+          .cast(LongType) - 100).as("d"))
+        .filter(col("d") =!= 0)
+      val g = d.groupBy(abs(col("d")).as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+      // global window over the bounded 1%-resolution |Δ| domain
+      val wCum = Window.orderBy(col("w").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val r = g.withColumn("rank2",
+        lit(2) * coalesce(sum(col("cnt")).over(wCum), lit(0L))
+          + col("cnt") + lit(1))
+      val st = r.agg(sum(col("cnt")).as("n"),
+        sum(col("pos") * col("rank2")).as("wp2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      st.select(col("n"),
+        (col("wp2").cast(DoubleType) / 2).as("w_plus"),
+        (col("n").cast(DoubleType) * (col("n") + 1) / 2
+          - col("wp2").cast(DoubleType) / 2).as("w_minus"),
+        (floor((col("wp2").cast(DoubleType) / 2
+            - col("n").cast(DoubleType) * (col("n") + 1) / 4)
+          / sqrt(col("n").cast(DoubleType) * (col("n") + 1)
+              * (lit(2) * col("n") + 1) / 24
+            - col("ties").cast(DoubleType) / 48)
+          * lit(1.0e9) + lit(0.5)).cast(LongType) / lit(1.0e9)).as("z"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cronbach's alpha — the internal-consistency reliability readout a
+    // survey methodologist runs on a battery of item scores before
+    // trusting their sum as a scale. Respondents = orders; items = the
+    // three per-order measures a purchase battery yields (quantity
+    // volume, line count, discount exposure), each snapped to exact
+    // fixed-point longs at the line level. ONE corpus-scale keyed agg
+    // builds the per-order item vector; the second agg collapses to a
+    // 1-row exact moment table (Σx, Σx² per item and for the total) —
+    // map-side combined, nothing downstream scales with rows. Variances
+    // and α assemble as mirrored double chains over those exact
+    // integers.
+    "etl_cronbach_alpha" -> QueryDef.withOracle(
+      """WITH it AS (
+        |  SELECT l_orderkey,
+        |    CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 + 0.5)
+        |      AS BIGINT) AS x1,
+        |    CAST(count(*) AS BIGINT) AS x2,
+        |    CAST(floor(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 + 0.5)
+        |      AS BIGINT) AS x3
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(x3) AS BIGINT) AS s3,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS q1,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS q2,
+        |    CAST(sum(x3 * x3) AS BIGINT) AS q3,
+        |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS qt
+        |  FROM it),
+        |v AS (
+        |  SELECT n,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1) AS v2,
+        |    (CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1) AS v3,
+        |    (CAST(qt AS DOUBLE) - (CAST(s1 AS DOUBLE) + s2 + s3)
+        |      * (CAST(s1 AS DOUBLE) + s2 + s3) / n) / (n - 1) AS vt
+        |  FROM m)
+        |SELECT n AS n_orders,
+        |  round(v1, 9) AS var_qty, round(v2, 9) AS var_lines,
+        |  round(v3, 9) AS var_disc, round(vt, 9) AS var_total,
+        |  round(3.0 / 2 * (1 - (v1 + v2 + v3) / vt), 9) AS alpha
+        |FROM v""".stripMargin) { (s, dir) =>
+      val it = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(floor(sum(col("l_quantity").cast(DecimalType(18, 2))) * 100 + 0.5)
+            .cast(LongType).as("x1"),
+          count(lit(1)).as("x2"),
+          floor(sum(col("l_discount").cast(DecimalType(18, 2))) * 100 + 0.5)
+            .cast(LongType).as("x3"))
+      val xt = col("x1") + col("x2") + col("x3")
+      val m = it.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x3")).as("s3"),
+        sum(col("x1") * col("x1")).as("q1"),
+        sum(col("x2") * col("x2")).as("q2"),
+        sum(col("x3") * col("x3")).as("q3"),
+        sum(xt * xt).as("qt"))
+      def va(q: String, sc: String) =
+        (col(q).cast(DoubleType) - col(sc).cast(DoubleType) * col(sc) / col("n")) /
+          (col("n") - 1)
+      val sTot = col("s1").cast(DoubleType) + col("s2") + col("s3")
+      val v = m.select(col("n"),
+        va("q1", "s1").as("v1"), va("q2", "s2").as("v2"),
+        va("q3", "s3").as("v3"),
+        ((col("qt").cast(DoubleType) - sTot * sTot / col("n")) / (col("n") - 1))
+          .as("vt"))
+      v.select(col("n").as("n_orders"),
+        round(col("v1"), 9).as("var_qty"), round(col("v2"), 9).as("var_lines"),
+        round(col("v3"), 9).as("var_disc"), round(col("vt"), 9).as("var_total"),
+        round(lit(3.0) / 2 * (lit(1) - (col("v1") + col("v2") + col("v3"))
+          / col("vt")), 9).as("alpha"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cohen's kappa — chance-corrected agreement between two raters,
+    // the standard screen before trusting any labeling operation
+    // (coder consistency in a survey shop, heuristic-vs-heuristic in a
+    // data pipeline). Raters here are two deterministic document
+    // screens: A = length > 600 chars, B = > 100 tokens (the TextOps
+    // tokenizer). ONE corpus agg collapses to the 2×2 agreement table
+    // (four exact longs); p_o, p_e and κ assemble on that single row
+    // as mirrored double chains.
+    "etl_cohens_kappa" -> QueryDef.withOracle(
+      """WITH r AS (
+        |  SELECT CASE WHEN length(text) > 300 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 55
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM r),
+        |k AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+        |      + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n AS pe
+        |  FROM m)
+        |SELECT n, n11 AS n_both, n10 AS n_only_a, n01 AS n_only_b,
+        |  n00 AS n_neither,
+        |  round(po, 9) AS po, round(pe, 9) AS pe,
+        |  round((po - pe) / (1 - pe), 9) AS kappa
+        |FROM k""".stripMargin) { (s, dir) =>
+      val r = Tables.documents(s, dir).select(
+        when(length(col("text")) > 300, 1L).otherwise(0L).as("a"),
+        when(size(TextOps.tokens(col("text"))) > 55, 1L).otherwise(0L).as("b"))
+      val m = r.agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1) - col("b"))).as("n10"),
+        sum((lit(1) - col("a")) * col("b")).as("n01"),
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"))
+      val k = m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        ((col("n11") + col("n00")).cast(DoubleType) / col("n")).as("po"),
+        (((col("n11") + col("n10")).cast(DoubleType) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")).cast(DoubleType) * (col("n10") + col("n00")))
+          / col("n") / col("n")).as("pe"))
+      k.select(col("n"), col("n11").as("n_both"), col("n10").as("n_only_a"),
+        col("n01").as("n_only_b"), col("n00").as("n_neither"),
+        round(col("po"), 9).as("po"), round(col("pe"), 9).as("pe"),
+        round((col("po") - col("pe")) / (lit(1) - col("pe")), 9).as("kappa"))
+    },
+
+    // ------------------------------------------------------------------
+    // Composite small-area estimation — the workhorse when a domain's
+    // own sample is too thin to publish: shrink the domain's direct
+    // estimate toward the synthetic (model-domain) estimate with
+    // weight w = n_d / (n_d + K) (K = 20, the prior strength), so big
+    // domains keep their data and small domains borrow strength (Rao's
+    // composite estimator, the step before a full Fay-Herriot model).
+    // Domains = nation × market segment on customer balances; the
+    // synthetic level is the segment mean. ONE corpus-scale keyed agg
+    // at domain grain (exact ×100 fixed-point sums); the segment
+    // re-aggregation and the shrinkage ride the ≤|nations|×|segments|
+    // bookkeeping relation.
+    "etl_small_area_composite" -> QueryDef.withOracle(
+      """WITH dom AS (
+        |  SELECT n.n_name, c.c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sfp
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n_seg,
+        |    CAST(sum(sfp) AS BIGINT) AS sfp_seg
+        |  FROM dom GROUP BY 1)
+        |SELECT d.n_name, d.c_mktsegment, d.n,
+        |  round(CAST(d.sfp AS DOUBLE) / d.n / 100, 9) AS direct,
+        |  round(CAST(s.sfp_seg AS DOUBLE) / s.n_seg / 100, 9) AS synthetic,
+        |  round(CAST(d.n AS DOUBLE) / (d.n + 20), 9) AS w,
+        |  round(CAST(d.n AS DOUBLE) / (d.n + 20)
+        |      * (CAST(d.sfp AS DOUBLE) / d.n / 100)
+        |    + (1 - CAST(d.n AS DOUBLE) / (d.n + 20))
+        |      * (CAST(s.sfp_seg AS DOUBLE) / s.n_seg / 100), 9) AS composite
+        |FROM dom d JOIN seg s ON s.c_mktsegment = d.c_mktsegment""".stripMargin
+    ) { (s, dir) =>
+      val dom = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100 + 0.5).cast(LongType)).as("sfp"))
+        .persist() // the segment level re-aggregates this ≤125-row relation
+      val seg = dom.groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).as("n_seg"), sum(col("sfp")).as("sfp_seg"))
+      val direct = col("sfp").cast(DoubleType) / col("n") / 100
+      val synth = col("sfp_seg").cast(DoubleType) / col("n_seg") / 100
+      val w = col("n").cast(DoubleType) / (col("n") + 20)
+      dom.join(broadcast(seg), Seq("c_mktsegment"))
+        .select(col("n_name"), col("c_mktsegment"), col("n"),
+          round(direct, 9).as("direct"),
+          round(synth, 9).as("synthetic"),
+          round(w, 9).as("w"),
+          round(w * direct + (lit(1) - w) * synth, 9).as("composite"))
     }
   )
 

@@ -471,6 +471,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_compaction_plan", "") -> "month-partition list, one row per month",
       ("etl_ks_test", "") -> "2-dp value domain bookkeeping",
       ("etl_mann_whitney", "") -> "2-dp value domain bookkeeping (rank table)",
+      ("etl_wilcoxon_signrank", "") -> "1%-resolution |Δprice| percent domain (bounded rank table)",
       ("etl_seasonal_ma", "") -> "daily-grain calendar relation",
       ("ev_cumulative_users", "") -> "daily-grain calendar relation",
       ("pipe_curriculum_order", "") -> "200-range-bucket offset stitch (distributedNtile bookkeeping)",
