@@ -356,6 +356,94 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // Local clustering coefficient — per-node cliquishness 2T_v /
+    // (deg_v·(deg_v−1)), the standard "is this node inside a dense
+    // near-dup cluster or just touching one" readout. Same degree-
+    // oriented triangle enumeration as graph_triangles (O(E^1.5)
+    // wedges, hub-proof), but each closed triangle is exploded to its
+    // THREE member nodes before a keyed count — still node-id-keyed
+    // shuffles only. Nodes with deg < 2 have no defined coefficient
+    // and are excluded (mirrored in the oracle).
+    "graph_clustering_coeff" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS n FROM pairs
+         |    UNION ALL SELECT doc_b AS n FROM pairs) GROUP BY n),
+         |o AS (
+         |  SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN p.doc_a ELSE p.doc_b END AS u,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN p.doc_b ELSE p.doc_a END AS v,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN db.deg ELSE da.deg END AS dv
+         |  FROM pairs p
+         |  JOIN deg da ON da.n = p.doc_a
+         |  JOIN deg db ON db.n = p.doc_b),
+         |w AS (
+         |  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+         |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+         |tri AS (
+         |  SELECT w.u, w.x, w.y
+         |  FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+         |tc AS (
+         |  SELECT nd, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT u AS nd FROM tri
+         |    UNION ALL SELECT x AS nd FROM tri
+         |    UNION ALL SELECT y AS nd FROM tri) GROUP BY nd)
+         |SELECT d.n AS doc_id, d.deg,
+         |  coalesce(t.n_tri, 0) AS n_tri,
+         |  round(2.0 * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1.0)), 9)
+         |    AS coeff
+         |FROM deg d LEFT JOIN tc t ON t.nd = d.n
+         |WHERE d.deg >= 2""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      val deg = pairs.select(col("doc_a").as("n"))
+        .union(pairs.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .persist() // read by the orientation AND the final coefficient join
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("doc_a") < col("doc_b"))
+      val o = pairs
+        .join(deg.select(col("n").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+        .join(deg.select(col("n").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+        .select(
+          when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+          when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        .persist()
+      val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+      val tri = e1.join(e2, Seq("u"))
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+        .select(col("u"), col("x"), col("y"))
+      val tc = tri.select(col("u").as("nd"))
+        .union(tri.select(col("x").as("nd")))
+        .union(tri.select(col("y").as("nd")))
+        .groupBy(col("nd")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tc, col("nd") === col("n"), "left_outer")
+        .select(col("n").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - lit(1.0))), 9).as("coeff"))
+    },
+
+    // ------------------------------------------------------------------
     // Link prediction over the embedding near-dup graph: common-
     // neighbor counts + Adamic-Adar score (Σ 1/ln(deg(b)) over shared
     // neighbors b) for NON-adjacent pairs — "these two vectors share

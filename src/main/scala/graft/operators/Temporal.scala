@@ -2153,6 +2153,73 @@ object Temporal {
             (col("n_days") % 7 + 1).cast(IntegerType)), 9).as("fc_1"),
           round(col("h.l") + lit(7) * col("h.b") + element_at(col("h.s"),
             ((col("n_days") - 1) % 7 + 1).cast(IntegerType)), 9).as("fc_7"))
+    },
+
+    // ------------------------------------------------------------------
+    // Croston's method — the standard forecaster for INTERMITTENT
+    // demand (many zero days), where SES/Holt smear demand into the
+    // gaps: smooth the nonzero demand sizes (z) and the inter-demand
+    // intervals (p) separately with α=0.2, forecast = z/p per day.
+    // Demand here = daily count of high-value events (value ≥ 90) per
+    // type, a genuinely sparse series. The fold iterates DEMAND DAYS
+    // ONLY (zero days enter through the interval q = day gap — no
+    // gap-filled calendar needed); init z = first demand, p = 1. ONE
+    // corpus agg builds the per-type (day, n) arrays; the fold is
+    // bookkeeping. Oracle replays the identical IEEE chain via a
+    // recursive CTE over parallel day/count lists (the ev_holt
+    // discipline).
+    "ev_croston" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE value >= 90 GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, list(day ORDER BY day) AS vd,
+        |    list(CAST(n AS DOUBLE) ORDER BY day) AS vn,
+        |    CAST(count(*) AS BIGINT) AS ndm
+        |  FROM e GROUP BY event_type),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, z, p, d) AS (
+        |    SELECT event_type, CAST(1 AS BIGINT), vn[1],
+        |      CAST(1.0 AS DOUBLE), vd[1]
+        |    FROM a WHERE ndm >= 1
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      0.2 * a.vn[CAST(h.i + 1 AS INT)] + 0.8 * h.z,
+        |      0.2 * (a.vd[CAST(h.i + 1 AS INT)] - h.d) + 0.8 * h.p,
+        |      a.vd[CAST(h.i + 1 AS INT)]
+        |    FROM h JOIN a ON a.event_type = h.event_type
+        |    WHERE h.i < a.ndm)
+        |  SELECT * FROM h)
+        |SELECT r.event_type, a.ndm AS n_demand_days,
+        |  round(r.z, 9) AS demand_level, round(r.p, 9) AS interval_level,
+        |  round(r.z / r.p, 9) AS fc_per_day
+        |FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.ndm"""
+        .stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .filter(col("value") >= 90)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = e.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"),
+          col("n").cast(DoubleType).as("n")))).as("arr"),
+          count(lit(1)).as("ndm"))
+      val v = col("arr")
+      val init = struct(element_at(v, 1)("n").as("z"),
+        lit(1.0).as("p"), element_at(v, 1)("day").as("d"))
+      val folded = aggregate(
+        slice(v, lit(2), greatest(size(v) - 1, lit(0))), init,
+        (acc, x) => struct(
+          (lit(0.2) * x("n") + lit(0.8) * acc("z")).as("z"),
+          (lit(0.2) * (x("day") - acc("d")) + lit(0.8) * acc("p")).as("p"),
+          x("day").as("d")))
+      a.select(col("event_type"), col("ndm").as("n_demand_days"),
+          folded.as("h"))
+        .select(col("event_type"), col("n_demand_days"),
+          round(col("h.z"), 9).as("demand_level"),
+          round(col("h.p"), 9).as("interval_level"),
+          round(col("h.z") / col("h.p"), 9).as("fc_per_day"))
     }
   )
 
