@@ -4103,6 +4103,58 @@ object Etl {
           round(synth, 9).as("synthetic"),
           round(w, 9).as("w"),
           round(w * direct + (lit(1) - w) * synth, 9).as("composite"))
+    },
+
+    // ------------------------------------------------------------------
+    // Contribution-to-change decomposition (waterfall) — the standard
+    // "which categories drove the total's move" publication table:
+    // per-brand 1995→1996 revenue deltas as exact ×10⁴ fixed-point
+    // longs (additive by construction: brand deltas sum to the total
+    // delta exactly, which a float decomposition cannot promise), each
+    // brand's share of the total change ×10⁹-snapped. ONE filtered
+    // corpus agg (shipdate range pushed to the scan) at brand grain;
+    // the 1-row total broadcasts back over the ≤|brands| relation.
+    "etl_contribution" -> QueryDef.withOracle(
+      """WITH b AS (
+        |  SELECT p.p_brand,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1995 THEN
+        |      CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1996 THEN
+        |      CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS r1
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r0) AS BIGINT) AS t0,
+        |               CAST(sum(r1) AS BIGINT) AS t1 FROM b)
+        |SELECT b.p_brand,
+        |  CAST(b.r0 AS DOUBLE) / 10000 AS rev0,
+        |  CAST(b.r1 AS DOUBLE) / 10000 AS rev1,
+        |  CAST(b.r1 - b.r0 AS DOUBLE) / 10000 AS delta,
+        |  floor(CAST(b.r1 - b.r0 AS DOUBLE) / (t.t1 - t.t0)
+        |    * 1000000000 + 0.5) / 1.0e9 AS share_of_change
+        |FROM b CROSS JOIN tot t""".stripMargin) { (s, dir) =>
+      val fp = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 10000 + 0.5).cast(LongType)
+      val b = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1995, fp).otherwise(0L)).as("r0"),
+          sum(when(year(col("l_shipdate")) === 1996, fp).otherwise(0L)).as("r1"))
+        .persist() // the 1-row total re-reads this ≤|brands| relation
+      val tot = b.agg(sum(col("r0")).as("t0"), sum(col("r1")).as("t1"))
+      b.crossJoin(broadcast(tot))
+        .select(col("p_brand"),
+          (col("r0").cast(DoubleType) / 10000).as("rev0"),
+          (col("r1").cast(DoubleType) / 10000).as("rev1"),
+          ((col("r1") - col("r0")).cast(DoubleType) / 10000).as("delta"),
+          (floor((col("r1") - col("r0")).cast(DoubleType) / (col("t1") - col("t0"))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("share_of_change"))
     }
   )
 

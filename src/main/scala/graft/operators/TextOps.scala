@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1024,6 +1025,105 @@ object TextOps {
             floor(ratio * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("stop_ratio"),
           when(col("n_tokens") >= 1,
             ratio.between(0.05, 0.6)).otherwise(lit(false)).as("in_band"))
+    },
+
+    // ------------------------------------------------------------------
+    // RAKE keyword extraction (Rose et al. 2010), corpus-pooled: split
+    // token streams into candidate phrases at stopwords, score each
+    // word by degree/frequency (degree = Σ length of phrases containing
+    // it), phrase score = Σ word scores, report the corpus top-20.
+    // Phrase ids are per-doc stopword prefix counts (ONE doc-keyed
+    // window — doc-length-bounded partitions); phrases over 4 words are
+    // dropped as candidates AND from the word statistics. The word-stat
+    // join is keyed by NON-stopword tokens, so the 'the'-hub skew of
+    // the bigram joins never appears. Word scores snap to exact ×10⁶
+    // longs before the order-invariant phrase sum; top-20 is a global
+    // orderBy+limit (TakeOrdered, never a full sort) with (score,
+    // phrase) a unique tie-pinned key.
+    "text_rake_keywords" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |p0 AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, pos, toks[pos] AS tok,
+         |    toks[pos] IN
+         |      ('the', 'a', 'an', 'of', 'and', 'or', 'to', 'in', 'is',
+         |       'it', 'for', 'on', 'with', 'as', 'at', 'by') AS stop
+         |  FROM p0),
+         |pidt AS (
+         |  SELECT doc_id, pos, tok, stop,
+         |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM f),
+         |w AS (SELECT doc_id, pid, pos, tok FROM pidt WHERE NOT stop),
+         |ph AS (
+         |  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |    CAST(count(*) AS BIGINT) AS plen
+         |  FROM w GROUP BY doc_id, pid HAVING count(*) <= 4),
+         |wf AS (
+         |  SELECT w.doc_id, w.pid, w.tok, ph.plen
+         |  FROM w JOIN ph ON ph.doc_id = w.doc_id AND ph.pid = w.pid),
+         |ws AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(plen) AS BIGINT) AS deg
+         |  FROM wf GROUP BY tok),
+         |sc AS (
+         |  SELECT tok,
+         |    CAST(floor(CAST(deg AS DOUBLE) * 1000000 / freq) AS BIGINT) AS ws2
+         |  FROM ws),
+         |psc AS (
+         |  SELECT wf.doc_id, wf.pid, CAST(sum(sc.ws2) AS BIGINT) AS score2
+         |  FROM wf JOIN sc ON sc.tok = wf.tok GROUP BY wf.doc_id, wf.pid),
+         |agg AS (
+         |  SELECT ph.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+         |    max(psc.score2) AS score2
+         |  FROM ph JOIN psc ON psc.doc_id = ph.doc_id AND psc.pid = ph.pid
+         |  GROUP BY ph.phrase)
+         |SELECT phrase, n_occ, CAST(score2 AS DOUBLE) / 1000000 AS score
+         |FROM agg ORDER BY score2 DESC, phrase ASC LIMIT 20""".stripMargin
+    ) { (s, dir) =>
+      val stop = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is",
+        "it", "for", "on", "with", "as", "at", "by")
+      val stopArr = array(stop.map(lit): _*)
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist() // tokenizer barrier (the regexp-inlining trap)
+      val f = t.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+          array_contains(stopArr, col("tok")).as("stop"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val w = f
+        .withColumn("pid",
+          sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("stop"))
+        .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+        .persist() // read by the phrase build AND the word statistics
+      val ph = w.groupBy(col("doc_id"), col("pid"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          e => e("tok")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= 4)
+      val wf = w.join(ph.select(col("doc_id"), col("pid"), col("plen")),
+        Seq("doc_id", "pid"))
+      val sc = wf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("tok"),
+          floor(col("deg").cast(DoubleType) * 1000000 / col("freq"))
+            .cast(LongType).as("ws2"))
+      val psc = wf.join(sc, Seq("tok"))
+        .groupBy(col("doc_id"), col("pid"))
+        .agg(sum(col("ws2")).as("score2"))
+      ph.join(psc, Seq("doc_id", "pid"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occ"), max(col("score2")).as("score2"))
+        .orderBy(col("score2").desc, col("phrase").asc)
+        .limit(20)
+        .select(col("phrase"), col("n_occ"),
+          (col("score2").cast(DoubleType) / 1000000).as("score"))
     },
 
     // ------------------------------------------------------------------
