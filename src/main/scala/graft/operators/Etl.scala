@@ -4155,6 +4155,65 @@ object Etl {
           ((col("r1") - col("r0")).cast(DoubleType) / 10000).as("delta"),
           (floor((col("r1") - col("r0")).cast(DoubleType) / (col("t1") - col("t0"))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("share_of_change"))
+    },
+
+    // ------------------------------------------------------------------
+    // Henderson 13-term trend filter — the X-11 trend extractor proper
+    // (etl_seasonal_ma's 2×12 MA is the opening move; Henderson is what
+    // the published trend-cycle actually uses: minimum-roughness
+    // weights that pass cubics exactly). Monthly order revenue as
+    // exact ×100 longs, the 13 standard weights as exact ×10⁵ integer
+    // literals → each interior month's trend is ONE exact integer dot
+    // product (partitioning-invariant by construction, no float MA
+    // drift), only then divided out to a double. The corpus collapses
+    // to the monthly relation in one agg; the filter is a 13-row
+    // literal-weights join on integer month arithmetic (no row_number
+    // needed — calendar gaps self-exclude via the full-window count).
+    "etl_henderson_trend" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS fp
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT CAST(o AS BIGINT) AS off, CAST(wfp AS BIGINT) AS wfp
+        |  FROM (VALUES (-6, -1935), (-5, -2786), (-4, 0), (-3, 6549),
+        |    (-2, 14736), (-1, 21434), (0, 24006), (1, 21434), (2, 14736),
+        |    (3, 6549), (4, 0), (5, -2786), (6, -1935)) t(o, wfp)),
+        |h AS (
+        |  SELECT m.ym, m.mo_s, m.fp,
+        |    CAST(sum(w.wfp * m2.fp) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS nterms
+        |  FROM m JOIN w ON TRUE JOIN m m2 ON m2.ym = m.ym + w.off
+        |  GROUP BY 1, 2, 3 HAVING count(*) = 13)
+        |SELECT mo_s, CAST(fp AS DOUBLE) / 100 AS revenue,
+        |  CAST(s AS DOUBLE) / 10000000 AS henderson_trend
+        |FROM h""".stripMargin) { (s, dir) =>
+      val weights = Seq(-6 -> -1935L, -5 -> -2786L, -4 -> 0L, -3 -> 6549L,
+        -2 -> 14736L, -1 -> 21434L, 0 -> 24006L, 1 -> 21434L, 2 -> 14736L,
+        3 -> 6549L, 4 -> 0L, 5 -> -2786L, 6 -> -1935L)
+      import s.implicits._
+      val w = weights.toDF("off", "wfp")
+      val m = Tables.orders(s, dir)
+        .groupBy(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast(LongType).as("ym"),
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+          .as("fp"))
+        .persist() // both sides of the 13-offset self-join
+      val m2 = m.select(col("ym").as("ym2"), col("fp").as("fp2"))
+      m.crossJoin(broadcast(w)) // 13-row literal weights relation
+        .join(m2, col("ym2") === col("ym") + col("off"))
+        .groupBy(col("ym"), col("mo_s"), col("fp"))
+        .agg(sum(col("wfp") * col("fp2")).as("s"),
+          count(lit(1)).as("nterms"))
+        .filter(col("nterms") === 13)
+        .select(col("mo_s"), (col("fp").cast(DoubleType) / 100).as("revenue"),
+          (col("s").cast(DoubleType) / 10000000).as("henderson_trend"))
     }
   )
 
