@@ -4161,16 +4161,20 @@ object Etl {
     // Henderson 13-term trend filter — the X-11 trend extractor proper
     // (etl_seasonal_ma's 2×12 MA is the opening move; Henderson is what
     // the published trend-cycle actually uses: minimum-roughness
-    // weights that pass cubics exactly). Monthly order revenue as
-    // exact ×100 longs, the 13 standard weights as exact ×10⁵ integer
-    // literals → each interior month's trend is ONE exact integer dot
-    // product (partitioning-invariant by construction, no float MA
-    // drift), only then divided out to a double. The corpus collapses
-    // to the monthly relation in one agg; the filter is a 13-row
+    // weights that pass cubics exactly). Weights are the EXACT
+    // rationals w_j = (16−j²)(49−j²)(64−j²)(81−j²) / 16930368 — the
+    // usual published 5-dp decimals sum to 1.00002 and only
+    // approximately reproduce cubics; the integer numerators do both
+    // EXACTLY (Round9InvariantSpec proves the cubic-reproduction
+    // identity in BigInt). Monthly order revenue as exact ×100 longs →
+    // each interior month's trend is ONE exact integer dot product
+    // (partitioning-invariant by construction, no float MA drift),
+    // only then divided out to a double. The corpus collapses to the
+    // monthly relation in one agg; the filter is a 13-row
     // literal-weights join on integer month arithmetic (no row_number
     // needed — calendar gaps self-exclude via the full-window count).
     "etl_henderson_trend" -> QueryDef.withOracle(
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
         |      AS ym,
         |    CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
@@ -4180,9 +4184,8 @@ object Etl {
         |  FROM orders GROUP BY 1, 2),
         |w AS (
         |  SELECT CAST(o AS BIGINT) AS off, CAST(wfp AS BIGINT) AS wfp
-        |  FROM (VALUES (-6, -1935), (-5, -2786), (-4, 0), (-3, 6549),
-        |    (-2, 14736), (-1, 21434), (0, 24006), (1, 21434), (2, 14736),
-        |    (3, 6549), (4, 0), (5, -2786), (6, -1935)) t(o, wfp)),
+        |  FROM (VALUES ${HendersonW.map { case (o, v) => s"($o, $v)" }
+               .mkString(", ")}) t(o, wfp)),
         |h AS (
         |  SELECT m.ym, m.mo_s, m.fp,
         |    CAST(sum(w.wfp * m2.fp) AS BIGINT) AS s,
@@ -4190,13 +4193,10 @@ object Etl {
         |  FROM m JOIN w ON TRUE JOIN m m2 ON m2.ym = m.ym + w.off
         |  GROUP BY 1, 2, 3 HAVING count(*) = 13)
         |SELECT mo_s, CAST(fp AS DOUBLE) / 100 AS revenue,
-        |  CAST(s AS DOUBLE) / 10000000 AS henderson_trend
+        |  CAST(s AS DOUBLE) / $HendersonDenom / 100 AS henderson_trend
         |FROM h""".stripMargin) { (s, dir) =>
-      val weights = Seq(-6 -> -1935L, -5 -> -2786L, -4 -> 0L, -3 -> 6549L,
-        -2 -> 14736L, -1 -> 21434L, 0 -> 24006L, 1 -> 21434L, 2 -> 14736L,
-        3 -> 6549L, 4 -> 0L, 5 -> -2786L, 6 -> -1935L)
       import s.implicits._
-      val w = weights.toDF("off", "wfp")
+      val w = HendersonW.toDF("off", "wfp")
       val m = Tables.orders(s, dir)
         .groupBy(
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
@@ -4213,9 +4213,21 @@ object Etl {
           count(lit(1)).as("nterms"))
         .filter(col("nterms") === 13)
         .select(col("mo_s"), (col("fp").cast(DoubleType) / 100).as("revenue"),
-          (col("s").cast(DoubleType) / 10000000).as("henderson_trend"))
+          (col("s").cast(DoubleType) / HendersonDenom / 100)
+            .as("henderson_trend"))
     }
   )
+
+  /** Exact Henderson-13 weight numerators w_j ∝ (16−j²)(49−j²)(64−j²)
+    * (81−j²), offsets −6..6; [[HendersonDenom]] is their sum, so the
+    * weights sum to exactly 1 and reproduce cubic polynomials exactly
+    * in integer arithmetic (Round9InvariantSpec). */
+  // defs (not vals): referenced while `defs` itself initializes, so a
+  // val here would still be null/0 at that point
+  private[graft] def HendersonW: Seq[(Int, Long)] = (-6 to 6).map { j =>
+    j -> ((16L - j * j) * (49L - j * j) * (64L - j * j) * (81L - j * j))
+  }
+  private[graft] def HendersonDenom: Long = HendersonW.map(_._2).sum
 
   /** Denton PFD solve: minimize Σ(r_t − r_{t-1})² over benchmark
     * ratios r (x = r ∘ i) subject to iᵀr = A. Solves the dense

@@ -2644,3 +2644,191 @@ class DentonSpec extends AnyFunSuite {
     c.foreach(v => assert(math.abs(v - 10.0) < 1e-9))
   }
 }
+
+class Round9InvariantSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("Henderson-13 exact weights sum to 1 and reproduce cubics exactly") {
+    // The defining property of the Henderson filter, checked in exact
+    // integer arithmetic: for ANY cubic f with integer values,
+    // Σ_j w_j·f(t+j) == Denom·f(t). The published 5-dp decimal weights
+    // fail both identities (they sum to 1.00002) — the exact rational
+    // numerators are why the operator's trend is fixed-point exact.
+    val w = graft.operators.Etl.HendersonW
+    val denom = graft.operators.Etl.HendersonDenom
+    assert(w.map(_._2).sum == denom)
+    def f(t: Long): BigInt =
+      BigInt(2) * t * t * t - BigInt(7) * t * t + BigInt(5) * t + 11
+    for (t <- 10L to 20L) {
+      val dot = w.map { case (j, wj) => BigInt(wj) * f(t + j) }.sum
+      assert(dot == BigInt(denom) * f(t),
+        s"Henderson dot at t=$t: $dot != ${BigInt(denom) * f(t)}")
+    }
+  }
+
+  test("ev_holtwinters_forecast matches a plain-Scala replay of the fold") {
+    // Recompute the triple-smoothing recurrence in driver-side doubles
+    // with the identical operation order — the operator's distributed
+    // fold must agree to the last rounded digit.
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = daily.groupBy(_._1).collect { case (et, rows) if rows.length >= 14 =>
+      val v = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = (0 until 7).map(v).sum / 7.0
+      var b = ((7 until 14).map(v).sum / 7.0 - (0 until 7).map(v).sum / 7.0) / 7.0
+      val s = Array.tabulate(7)(j => v(j) - (0 until 7).map(v).sum / 7.0)
+      for (i <- 7 until v.length) {
+        val slot = i % 7
+        val lN = 0.3 * (v(i) - s(slot)) + 0.7 * (l + b)
+        val bN = 0.1 * (lN - l) + 0.9 * b
+        s(slot) = 0.2 * (v(i) - lN) + 0.8 * s(slot)
+        l = lN; b = bN
+      }
+      val n = v.length
+      et -> (round9(l), round9(b),
+        round9(l + b + s(n % 7)), round9(l + 7 * b + s((n - 1) % 7)))
+    }
+    val got = SparkEntry.queries("ev_holtwinters_forecast")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == want.keySet)
+    for ((et, w) <- want) {
+      val g = got(et)
+      assert(math.abs(g._1 - w._1) < 1e-9 && math.abs(g._2 - w._2) < 1e-9 &&
+        math.abs(g._3 - w._3) < 1e-9 && math.abs(g._4 - w._4) < 1e-9,
+        s"$et: got $g want $w")
+    }
+  }
+
+  test("ev_croston matches a plain-Scala replay; interval level >= 1") {
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .filter(col("value") >= 90)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = daily.groupBy(_._1).map { case (et, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      var z = rows.head._3.toDouble
+      var p = 1.0
+      var d = rows.head._2
+      for ((_, day, n) <- rows.drop(1)) {
+        z = 0.2 * n + 0.8 * z
+        p = 0.2 * (day - d) + 0.8 * p
+        d = day
+      }
+      et -> (round9(z), round9(p), round9(z / p))
+    }
+    val got = SparkEntry.queries("ev_croston")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == want.keySet)
+    for ((et, w) <- want) {
+      val g = got(et)
+      assert(math.abs(g._1 - w._1) < 1e-9 && math.abs(g._2 - w._2) < 1e-9 &&
+        math.abs(g._3 - w._3) < 1e-9, s"$et: got $g want $w")
+      assert(g._2 >= 1.0, "inter-demand interval cannot be below 1 day")
+      assert(g._3 <= g._1 + 1e-9, "fc = z/p with p>=1 cannot exceed z")
+    }
+  }
+
+  test("etl_wilcoxon_signrank: W+ and W- partition the rank sum") {
+    val r = SparkEntry.queries("etl_wilcoxon_signrank")(spark, sf).collect()
+    assert(r.length == 1)
+    val n = r(0).getAs[Long]("n")
+    assert(n > 0)
+    val wp = r(0).getAs[Double]("w_plus")
+    val wm = r(0).getAs[Double]("w_minus")
+    assert(math.abs(wp + wm - n.toDouble * (n + 1) / 2) < 1e-9,
+      s"W+ + W- = ${wp + wm} != n(n+1)/2 = ${n.toDouble * (n + 1) / 2}")
+    assert(!r(0).getAs[Double]("z").isNaN)
+  }
+
+  test("etl_cronbach_alpha: variances positive, alpha assembles from them") {
+    val r = SparkEntry.queries("etl_cronbach_alpha")(spark, sf).collect()
+    assert(r.length == 1)
+    val Seq(v1, v2, v3, vt, alpha) = Seq("var_qty", "var_lines", "var_disc",
+      "var_total", "alpha").map(r(0).getAs[Double])
+    assert(v1 > 0 && v2 > 0 && v3 > 0 && vt > 0)
+    assert(math.abs(alpha - 1.5 * (1 - (v1 + v2 + v3) / vt)) < 1e-6)
+    assert(alpha <= 1.5 + 1e-9)
+  }
+
+  test("etl_cohens_kappa: cells partition n, kappa consistent with po/pe") {
+    val r = SparkEntry.queries("etl_cohens_kappa")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val n = row.getAs[Long]("n")
+    assert(row.getAs[Long]("n_both") + row.getAs[Long]("n_only_a") +
+      row.getAs[Long]("n_only_b") + row.getAs[Long]("n_neither") == n)
+    val po = row.getAs[Double]("po")
+    val pe = row.getAs[Double]("pe")
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    val kappa = row.getAs[Double]("kappa")
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-6)
+    assert(kappa <= 1 + 1e-9)
+  }
+
+  test("etl_small_area_composite: shrinkage stays between direct and synthetic") {
+    val rows = SparkEntry.queries("etl_small_area_composite")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("direct")
+      val sy = r.getAs[Double]("synthetic")
+      val c = r.getAs[Double]("composite")
+      val w = r.getAs[Double]("w")
+      assert(w > 0 && w < 1)
+      assert(c >= math.min(d, sy) - 1e-6 && c <= math.max(d, sy) + 1e-6,
+        s"composite $c outside [$d, $sy]")
+    }
+  }
+
+  test("etl_contribution: brand shares of change sum to 1") {
+    val rows = SparkEntry.queries("etl_contribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("share_of_change")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-6, s"share sum $shareSum")
+    // additivity of the exact fixed-point deltas: Σ brand deltas is a
+    // whole number of 10^-4 currency units equal to the total move
+    val deltaSum = rows.map(_.getAs[Double]("delta")).sum
+    val revSum = rows.map(r => r.getAs[Double]("rev1") - r.getAs[Double]("rev0")).sum
+    assert(math.abs(deltaSum - revSum) < 1e-6)
+  }
+
+  test("graph_clustering_coeff: coefficients in [0,1], triangles within degree bound") {
+    val rows = SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getAs[Long]("deg")
+      val tri = r.getAs[Long]("n_tri")
+      val c = r.getAs[Double]("coeff")
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2,
+        s"node ${r.getAs[Long]("doc_id")}: $tri triangles exceed C($deg,2)")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("text_rake_keywords: top-20 well-formed, stopword-free, score-ordered") {
+    val stop = Set("the", "a", "an", "of", "and", "or", "to", "in", "is",
+      "it", "for", "on", "with", "as", "at", "by")
+    val rows = SparkEntry.queries("text_rake_keywords")(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.nonEmpty && words.length <= 4)
+      assert(words.forall(w => !stop.contains(w)),
+        s"stopword inside phrase '${r.getAs[String]("phrase")}'")
+      assert(r.getAs[Long]("n_occ") >= 1)
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+}
