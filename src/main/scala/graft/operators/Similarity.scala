@@ -1300,6 +1300,55 @@ object Similarity {
             .as("n_agree"),
           round(count(col("kept")).cast(DoubleType) / lit(K), 9)
             .as("postfilter_yield"))
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding outlier screen — the data-cleaning pass that flags
+    // vectors far from their own IVF cell centroid (mislabeled,
+    // corrupted, or out-of-distribution embeddings poison both ANN
+    // recall and any training mix). Rides the SHARED IVF build: each
+    // vector's home-cell cosine (already round(…,6)-snapped) becomes an
+    // exact ×10⁶ long; per-cell mean/σ assemble from exact integer
+    // moment sums on the ≤|cells| bookkeeping relation, and the flag is
+    // cos < mean − 2σ with both sides of the comparison bit-identical
+    // across engines. Corpus-scale work = the one IVF build everyone
+    // shares + one keyed agg.
+    "embedding_outlier_score" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |home AS (
+         |  SELECT vec_id, c_label AS cell,
+         |    CAST(floor(cos_c * 1000000 + 0.5) AS BIGINT) AS cfp
+         |  FROM ranked WHERE rn = 1),
+         |st AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cfp) AS BIGINT) AS s1,
+         |    CAST(sum(cfp * cfp) AS BIGINT) AS s2
+         |  FROM home GROUP BY cell)
+         |SELECT h.vec_id, h.cell,
+         |  CAST(h.cfp AS DOUBLE) / 1000000 AS cos_own_cell,
+         |  floor(CAST(st.s1 AS DOUBLE) / st.n / 1000000 * 1000000000 + 0.5)
+         |    / 1.0e9 AS cell_mean,
+         |  CAST(h.cfp AS DOUBLE) < CAST(st.s1 AS DOUBLE) / st.n
+         |    - 2 * sqrt((CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * st.s1
+         |        / st.n) / st.n) AS is_outlier
+         |FROM home h JOIN st ON st.cell = h.cell""".stripMargin) { (s, dir) =>
+      val home = ivfAssignments(s, dir)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"),
+          floor(col("cos_c") * 1000000 + 0.5).cast(LongType).as("cfp"))
+        .persist() // stats re-read the assignment
+      val st = home.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("cfp")).as("s1"),
+          sum(col("cfp") * col("cfp")).as("s2"))
+      val mean = col("s1").cast(DoubleType) / col("n")
+      val sd = sqrt((col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1") / col("n")) / col("n"))
+      home.join(broadcast(st), Seq("cell")) // ≤|cells| bookkeeping rows
+        .select(col("vec_id"), col("cell"),
+          (col("cfp").cast(DoubleType) / 1000000).as("cos_own_cell"),
+          (floor(mean / 1000000 * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+            .as("cell_mean"),
+          (col("cfp").cast(DoubleType) < mean - lit(2) * sd).as("is_outlier"))
     }
   )
 }

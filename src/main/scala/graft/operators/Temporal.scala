@@ -2220,6 +2220,69 @@ object Temporal {
           round(col("h.z"), 9).as("demand_level"),
           round(col("h.p"), 9).as("interval_level"),
           round(col("h.z") / col("h.p"), 9).as("fc_per_day"))
+    },
+
+    // ------------------------------------------------------------------
+    // Weekday-seasonal anomaly flags — ev_anomaly's upgrade for any
+    // series with a weekly pulse: a quiet Sunday is NORMAL, and a
+    // global z-score (ev_anomaly) flags every weekend while missing a
+    // weekday dip. Expected level = the (type, weekday) mean of daily
+    // counts; residuals snap to exact ×10⁶ longs; per-type σ of the
+    // residuals assembles from exact integer moments, and the flag is
+    // |residual| > 2σ with both comparison sides bit-identical across
+    // engines. ONE corpus agg to daily grain; everything after rides
+    // the calendar-bounded (type × day) relation.
+    "ev_anomaly_seasonal" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wd AS (
+        |  SELECT event_type, day % 7 AS w, CAST(sum(n) AS BIGINT) AS sn,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT e.event_type, e.day, e.n,
+        |    CAST(wd.sn AS DOUBLE) / wd.c AS exp_n,
+        |    CAST(floor((e.n - CAST(wd.sn AS DOUBLE) / wd.c) * 1000000 + 0.5)
+        |      AS BIGINT) AS rfp
+        |  FROM e JOIN wd ON wd.event_type = e.event_type
+        |    AND wd.w = e.day % 7),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(rfp) AS BIGINT) AS s1,
+        |    CAST(sum(rfp * rfp) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, r.day, r.n,
+        |  floor(r.exp_n * 1000000000 + 0.5) / 1.0e9 AS expected,
+        |  CAST(r.rfp AS DOUBLE) / 1000000 AS residual,
+        |  abs(CAST(r.rfp AS DOUBLE)) > 2 * sqrt((CAST(st.s2 AS DOUBLE)
+        |    - CAST(st.s1 AS DOUBLE) * st.s1 / st.nd) / st.nd) AS is_anomaly
+        |FROM r JOIN st ON st.event_type = r.event_type""".stripMargin
+    ) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wd = e.groupBy(col("event_type").as("et2"), (col("day") % 7).as("w"))
+        .agg(sum(col("n")).as("sn"), count(lit(1)).as("c"))
+      val expN = col("sn").cast(DoubleType) / col("c")
+      val r = e.join(broadcast(wd), // ≤|types|×7 bookkeeping rows
+          col("event_type") === col("et2") && (col("day") % 7) === col("w"))
+        .select(col("event_type"), col("day"), col("n"), expN.as("exp_n"),
+          floor((col("n") - expN) * 1000000 + 0.5).cast(LongType).as("rfp"))
+        .persist() // the σ agg re-reads the residual relation
+      val st = r.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("rfp")).as("s1"),
+          sum(col("rfp") * col("rfp")).as("s2"))
+      val sd = sqrt((col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1") / col("nd")) / col("nd"))
+      r.join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          (floor(col("exp_n") * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+            .as("expected"),
+          (col("rfp").cast(DoubleType) / 1000000).as("residual"),
+          (abs(col("rfp").cast(DoubleType)) > lit(2) * sd).as("is_anomaly"))
     }
   )
 
