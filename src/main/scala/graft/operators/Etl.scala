@@ -4215,6 +4215,411 @@ object Etl {
         .select(col("mo_s"), (col("fp").cast(DoubleType) / 100).as("revenue"),
           (col("s").cast(DoubleType) / HendersonDenom / 100)
             .as("henderson_trend"))
+    },
+
+    // ------------------------------------------------------------------
+    // Superlative price indices — Törnqvist (geometric, average-
+    // expenditure-share weighted) and Walsh (√(q₀q₁) basket), the two
+    // indices that close the family etl_price_index opens (Laspeyres/
+    // Paasche/Fisher): superlative indices are what agencies publish
+    // when both periods' baskets are observed. Same part-year relation
+    // and ×10⁶/×10² fixed-point discipline; the brand expenditure
+    // totals broadcast back over the ≤|parts-per-brand| relation, and
+    // every float term (share·ln-relative, p₁√(q₀q₁)) is ×10¹²/-snapped
+    // to a long BEFORE its sum so the reduction is exact and
+    // partitioning-invariant — an unordered double sum would not be.
+    "etl_tornqvist" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN qty END) * 100 + 0.5) AS BIGINT) AS q0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN qty END) * 100 + 0.5) AS BIGINT) AS q1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |pb AS (
+        |  SELECT p.p_brand, pp.p0, pp.p1, pp.q0, pp.q1,
+        |    CAST(pp.p0 AS HUGEINT) * pp.q0 AS v0,
+        |    CAST(pp.p1 AS HUGEINT) * pp.q1 AS v1
+        |  FROM pp JOIN part p ON p.p_partkey = pp.l_partkey),
+        |tot AS (
+        |  SELECT p_brand, CAST(sum(v0) AS DOUBLE) AS tv0,
+        |    CAST(sum(v1) AS DOUBLE) AS tv1
+        |  FROM pb GROUP BY 1),
+        |terms AS (
+        |  SELECT pb.p_brand,
+        |    CAST(floor((pb.v0 / t.tv0 + pb.v1 / t.tv1) / 2
+        |      * ln(CAST(pb.p1 AS DOUBLE) / pb.p0) * 1e12 + 0.5) AS BIGINT)
+        |      AS lt_fp,
+        |    CAST(floor(pb.p1 * sqrt(CAST(pb.q0 AS DOUBLE) * pb.q1) + 0.5)
+        |      AS BIGINT) AS w1_fp,
+        |    CAST(floor(pb.p0 * sqrt(CAST(pb.q0 AS DOUBLE) * pb.q1) + 0.5)
+        |      AS BIGINT) AS w0_fp
+        |  FROM pb JOIN tot t ON t.p_brand = pb.p_brand)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  floor(100 * exp(CAST(sum(lt_fp) AS DOUBLE) / 1e12) * 1000000 + 0.5)
+        |    / 1.0e6 AS tornqvist,
+        |  floor(100 * CAST(sum(CAST(w1_fp AS HUGEINT)) AS DOUBLE)
+        |    / CAST(sum(CAST(w0_fp AS HUGEINT)) AS DOUBLE) * 1000000 + 0.5)
+        |    / 1.0e6 AS walsh
+        |FROM terms GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          floor(yv(1995, "qty") * 100 + 0.5).cast(LongType).as("q0"),
+          floor(yv(1996, "qty") * 100 + 0.5).cast(LongType).as("q1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      val pb = pp
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"), col("p0"), col("p1"), col("q0"), col("q1"),
+          (col("p0").cast(dec38) * col("q0")).cast(dec38).as("v0"),
+          (col("p1").cast(dec38) * col("q1")).cast(dec38).as("v1"))
+        .persist() // brand totals AND per-part terms read this once each
+      val tot = pb.groupBy(col("p_brand"))
+        .agg(sum(col("v0")).cast(DoubleType).as("tv0"),
+          sum(col("v1")).cast(DoubleType).as("tv1"))
+      pb.join(broadcast(tot), Seq("p_brand")) // ≤|brands| totals
+        .select(col("p_brand"),
+          floor((col("v0").cast(DoubleType) / col("tv0")
+              + col("v1").cast(DoubleType) / col("tv1")) / 2
+            * log(col("p1").cast(DoubleType) / col("p0")) * lit(1.0e12)
+            + 0.5).cast(LongType).as("lt_fp"),
+          floor(col("p1") * sqrt(col("q0").cast(DoubleType) * col("q1"))
+            + 0.5).cast(LongType).as("w1_fp"),
+          floor(col("p0") * sqrt(col("q0").cast(DoubleType) * col("q1"))
+            + 0.5).cast(LongType).as("w0_fp"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          (floor(lit(100) * exp(sum(col("lt_fp")).cast(DoubleType) / lit(1.0e12))
+            * 1000000 + 0.5) / lit(1.0e6)).as("tornqvist"),
+          (floor(lit(100) * sum(col("w1_fp").cast(dec38)).cast(DoubleType)
+            / sum(col("w0_fp").cast(dec38)).cast(DoubleType)
+            * 1000000 + 0.5) / lit(1.0e6)).as("walsh"))
+    },
+
+    // ------------------------------------------------------------------
+    // Strength of trend / strength of seasonality — the Hyndman
+    // decomposition diagnostics (F_T = max(0, 1−Var(R)/Var(T+R)),
+    // F_S = max(0, 1−Var(R)/Var(S+R)) on the log-additive components),
+    // the one-number screens an agency reads before deciding a series
+    // is worth seasonally adjusting at all. Rides the exact
+    // etl_seasonal_decompose component chain (monthly grain, 2×12 MA
+    // trend, normalized SI factors); each month's log-components are
+    // ×10⁹-snapped longs and the variances are exact integer
+    // (n·Σx²−(Σx)²)/n² sums in DECIMAL(38), so the single-row output
+    // is partitioning-invariant. Corpus collapses to months in one
+    // agg; everything after is bookkeeping-scale.
+    "etl_seasonal_strength" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT mo_s, mo, total,
+        |    (0.5 * lag(total, 6) OVER o + lag(total, 5) OVER o + lag(total, 4) OVER o
+        |      + lag(total, 3) OVER o + lag(total, 2) OVER o + lag(total, 1) OVER o
+        |      + total + lead(total, 1) OVER o + lead(total, 2) OVER o
+        |      + lead(total, 3) OVER o + lead(total, 4) OVER o + lead(total, 5) OVER o
+        |      + 0.5 * lead(total, 6) OVER o) / 12 AS ma
+        |  FROM m WINDOW o AS (ORDER BY mo_s)),
+        |si AS (
+        |  SELECT mo_s, mo, total, ma,
+        |    CAST(floor(total / ma * 1000000000 + 0.5) AS BIGINT) AS si_fp
+        |  FROM w WHERE ma IS NOT NULL),
+        |f AS (
+        |  SELECT mo,
+        |    CAST(floor(CAST(sum(si_fp) AS BIGINT) / count(*) + 0.5) AS BIGINT)
+        |      AS m_fp
+        |  FROM si GROUP BY mo),
+        |nrm AS (SELECT CAST(sum(m_fp) AS BIGINT) AS fsum FROM f),
+        |fac AS (
+        |  SELECT f.mo, f.m_fp * 12.0 / nrm.fsum AS seasonal
+        |  FROM f CROSS JOIN nrm),
+        |lg AS (
+        |  SELECT
+        |    CAST(floor(ln(si.ma) * 1e9 + 0.5) AS BIGINT) AS lt_fp,
+        |    CAST(floor(ln(fac.seasonal) * 1e9 + 0.5) AS BIGINT) AS ls_fp,
+        |    CAST(floor((ln(si.total) - ln(si.ma) - ln(fac.seasonal)) * 1e9
+        |      + 0.5) AS BIGINT) AS lr_fp
+        |  FROM si JOIN fac ON fac.mo = si.mo),
+        |v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) * sum(CAST(lr_fp AS HUGEINT) * lr_fp)
+        |      - sum(CAST(lr_fp AS HUGEINT)) * sum(CAST(lr_fp AS HUGEINT))
+        |      AS DOUBLE) AS vr,
+        |    CAST(count(*) * sum(CAST(lt_fp + lr_fp AS HUGEINT) * (lt_fp + lr_fp))
+        |      - sum(CAST(lt_fp + lr_fp AS HUGEINT))
+        |        * sum(CAST(lt_fp + lr_fp AS HUGEINT)) AS DOUBLE) AS vtr,
+        |    CAST(count(*) * sum(CAST(ls_fp + lr_fp AS HUGEINT) * (ls_fp + lr_fp))
+        |      - sum(CAST(ls_fp + lr_fp AS HUGEINT))
+        |        * sum(CAST(ls_fp + lr_fp AS HUGEINT)) AS DOUBLE) AS vsr
+        |  FROM lg)
+        |SELECT n,
+        |  floor(greatest(0, 1 - vr / vtr) * 1e9 + 0.5) / 1.0e9
+        |    AS trend_strength,
+        |  floor(greatest(0, 1 - vr / vsr) * 1e9 + 0.5) / 1.0e9
+        |    AS seasonal_strength
+        |FROM v""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val m = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      val o = Window.orderBy(col("mo_s").asc) // months-bounded relation
+      val terms = lit(0.5) * lag(col("total"), 6).over(o) +
+        lag(col("total"), 5).over(o) + lag(col("total"), 4).over(o) +
+        lag(col("total"), 3).over(o) + lag(col("total"), 2).over(o) +
+        lag(col("total"), 1).over(o) + col("total") +
+        lead(col("total"), 1).over(o) + lead(col("total"), 2).over(o) +
+        lead(col("total"), 3).over(o) + lead(col("total"), 4).over(o) +
+        lead(col("total"), 5).over(o) + lit(0.5) * lead(col("total"), 6).over(o)
+      val si = m.withColumn("ma", terms / 12)
+        .filter(col("ma").isNotNull)
+        .withColumn("si_fp",
+          floor(col("total") / col("ma") * lit(1.0e9) + lit(0.5)).cast(LongType))
+        .persist() // months-bounded; feeds factors and the log-components
+      val f = si.groupBy(col("mo"))
+        .agg(floor(sum(col("si_fp")) / count(lit(1)) + lit(0.5))
+          .cast(LongType).as("m_fp"))
+      val nrm = f.agg(sum(col("m_fp")).as("fsum"))
+      val fac = f.crossJoin(broadcast(nrm))
+        .select(col("mo"), (col("m_fp") * lit(12.0) / col("fsum")).as("seasonal"))
+      val lg = si.join(broadcast(fac), Seq("mo"))
+        .select(
+          floor(log(col("ma")) * lit(1.0e9) + 0.5).cast(LongType).as("lt_fp"),
+          floor(log(col("seasonal")) * lit(1.0e9) + 0.5).cast(LongType)
+            .as("ls_fp"),
+          floor((log(col("total")) - log(col("ma")) - log(col("seasonal")))
+            * lit(1.0e9) + 0.5).cast(LongType).as("lr_fp"))
+      def varFp(c: Column): Column =
+        (count(lit(1)) * sum((c.cast(dec38) * c).cast(dec38))
+          - sum(c.cast(dec38)) * sum(c.cast(dec38))).cast(DoubleType)
+      val v = lg.agg(count(lit(1)).as("n"),
+        varFp(col("lr_fp")).as("vr"),
+        varFp(col("lt_fp") + col("lr_fp")).as("vtr"),
+        varFp(col("ls_fp") + col("lr_fp")).as("vsr"))
+      v.select(col("n"),
+        (floor(greatest(lit(0), lit(1) - col("vr") / col("vtr")) * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("trend_strength"),
+        (floor(greatest(lit(0), lit(1) - col("vr") / col("vsr")) * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("seasonal_strength"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cochran-Armitage trend test — does a binary outcome rate move
+    // monotonically across ORDERED categories (the dose-response screen
+    // chi-square independence cannot see: etl_chisq_independence treats
+    // categories as unordered). Outcome = order finalized (status 'F'),
+    // ordered exposure = priority rank 1..5 parsed from the prefix.
+    // ONE corpus agg collapses to ≤5 rows (map-side combine); T, its
+    // null variance and Z are exact-integer sums off that tiny
+    // relation, so the statistic is partitioning-invariant by
+    // construction. Per-level rates ship alongside the 1-row Z via a
+    // broadcast cross join.
+    "etl_cochran_armitage" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+        |    CAST(sum(t * n) AS BIGINT) AS tn,
+        |    CAST(sum(t * t * n) AS BIGINT) AS t2n,
+        |    CAST(sum(t * r) AS BIGINT) AS tr
+        |  FROM g)
+        |SELECT g.t AS priority_rank, g.n, g.r,
+        |  floor(CAST(g.r AS DOUBLE) / g.n * 1e9 + 0.5) / 1.0e9 AS rate,
+        |  floor((tr - CAST(rr AS DOUBLE) * tn / nn)
+        |    / sqrt(CAST(rr AS DOUBLE) / nn * (1 - CAST(rr AS DOUBLE) / nn)
+        |        * (t2n - CAST(tn AS DOUBLE) * tn / nn))
+        |    * 1e9 + 0.5) / 1.0e9 AS z_trend
+        |FROM g CROSS JOIN s""".stripMargin) { (s, dir) =>
+      val g = Tables.orders(s, dir)
+        .groupBy(substring(col("o_orderpriority"), 1, 1).cast(LongType).as("t"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("r"))
+        .persist() // ≤5 rows; feeds the stat AND the per-level output
+      val st = g.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+        sum(col("t") * col("n")).as("tn"),
+        sum(col("t") * col("t") * col("n")).as("t2n"),
+        sum(col("t") * col("r")).as("tr"))
+      g.crossJoin(broadcast(st))
+        .select(col("t").as("priority_rank"), col("n"), col("r"),
+          (floor(col("r").cast(DoubleType) / col("n") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("rate"),
+          (floor((col("tr") - col("rr").cast(DoubleType) * col("tn") / col("nn"))
+            / sqrt(col("rr").cast(DoubleType) / col("nn")
+                * (lit(1) - col("rr").cast(DoubleType) / col("nn"))
+                * (col("t2n") - col("tn").cast(DoubleType) * col("tn") / col("nn")))
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("z_trend"))
+    },
+
+    // ------------------------------------------------------------------
+    // Intraclass correlation ICC(1,1) — the one-way random-effects
+    // reliability coefficient (how much of account-balance variance is
+    // BETWEEN nations vs within), the design-clustering number that
+    // feeds etl_design_effect's deff = 1 + (m̄−1)·ICC. Unbalanced
+    // groups use the ANOVA estimator with k₀ = (N − Σn²/N)/(a−1).
+    // ONE keyed corpus agg of exact ×100-fixed-point sums (count, Σx,
+    // Σx²) collapses to ≤|nations| rows; MSB/MSW/ICC are bookkeeping
+    // arithmetic on that relation's exact integers.
+    "etl_icc" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS HUGEINT)
+        |      * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS sxx
+        |  FROM customer GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS a, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(sx) AS BIGINT) AS tsx, CAST(sum(sxx) AS DOUBLE) AS tsxx,
+        |    CAST(sum(n * n) AS BIGINT) AS sn2,
+        |    CAST(sum(CAST(floor(CAST(sx AS DOUBLE) * sx / n + 0.5) AS BIGINT))
+        |      AS BIGINT) AS ssb_raw
+        |  FROM g),
+        |c AS (
+        |  SELECT a, nn,
+        |    (CAST(ssb_raw AS DOUBLE) - CAST(tsx AS DOUBLE) * tsx / nn)
+        |      / (a - 1) / 10000 AS msb,
+        |    (tsxx - CAST(ssb_raw AS DOUBLE)) / (nn - a) / 10000 AS msw,
+        |    (CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (a - 1) AS k0
+        |  FROM s)
+        |SELECT a AS n_groups, nn AS n_rows,
+        |  floor(msb * 1e6 + 0.5) / 1.0e6 AS ms_between,
+        |  floor(msw * 1e6 + 0.5) / 1.0e6 AS ms_within,
+        |  floor(k0 * 1e9 + 0.5) / 1.0e9 AS k0,
+        |  floor((msb - msw) / (msb + (k0 - 1) * msw) * 1e9 + 0.5) / 1.0e9
+        |    AS icc
+        |FROM c""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val xf = floor(col("c_acctbal") * 100 + 0.5).cast(LongType)
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(xf).as("sx"),
+          sum((xf.cast(dec38) * xf).cast(dec38)).as("sxx"))
+      // per-group sx²/n is NOT integral — and DuckDB's HUGEINT divide
+      // truncates while Spark's Decimal divide rounds, so neither
+      // integral form can match. Both engines instead compute the term
+      // as a double from the SAME exact integers (IEEE-deterministic),
+      // snap it to a long, and sum exactly — partitioning-invariant.
+      val st = g.agg(count(lit(1)).as("a"), sum(col("n")).as("nn"),
+        sum(col("sx")).as("tsx"), sum(col("sxx")).cast(DoubleType).as("tsxx"),
+        sum(col("n") * col("n")).as("sn2"),
+        sum(floor(col("sx").cast(DoubleType) * col("sx") / col("n") + 0.5)
+          .cast(LongType)).as("ssb_raw"))
+      val c = st.select(col("a"), col("nn"),
+        ((col("ssb_raw").cast(DoubleType)
+          - col("tsx").cast(DoubleType) * col("tsx") / col("nn"))
+          / (col("a") - 1) / 10000).as("msb"),
+        ((col("tsxx") - col("ssb_raw").cast(DoubleType)) / (col("nn") - col("a"))
+          / 10000).as("msw"),
+        ((col("nn").cast(DoubleType) - col("sn2").cast(DoubleType) / col("nn"))
+          / (col("a") - 1)).as("k0"))
+      c.select(col("a").as("n_groups"), col("nn").as("n_rows"),
+        (floor(col("msb") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("ms_between"),
+        (floor(col("msw") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("ms_within"),
+        (floor(col("k0") * lit(1.0e9) + 0.5) / lit(1.0e9)).as("k0"),
+        (floor((col("msb") - col("msw"))
+          / (col("msb") + (col("k0") - 1) * col("msw")) * lit(1.0e9) + 0.5)
+          / lit(1.0e9)).as("icc"))
+    },
+
+    // ------------------------------------------------------------------
+    // ROC curve + AUC — the threshold-free classifier evaluation the
+    // linkage/dedup screens need before picking a cutoff: score =
+    // event value, positive class = purchases, negative = clicks (the
+    // etl_mann_whitney cohorts; AUC is U/(n₁n₀), so this measures what
+    // that test tests). The corpus collapses to the 2-dp-bounded score
+    // domain in ONE map-side-combinable agg; cumulative TP/FP ride a
+    // window over that DOMAIN-bounded relation (the etl_mann_whitney
+    // bookkeeping argument — never corpus rows), and AUC is the exact
+    // integer trapezoid Σ Δfp·(tp+tp_prev) / (2·P·N), so every row and
+    // the area are partitioning-invariant with NO float accumulation.
+    "etl_roc_curve" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS fc,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY value),
+        |c AS (
+        |  SELECT value, fc, tc,
+        |    CAST(sum(tc) OVER o AS BIGINT) AS tp,
+        |    CAST(sum(fc) OVER o AS BIGINT) AS fp,
+        |    CAST(coalesce(sum(tc) OVER p, 0) AS BIGINT) AS tp_prev,
+        |    CAST(coalesce(sum(fc) OVER p, 0) AS BIGINT) AS fp_prev
+        |  FROM g
+        |  WINDOW o AS (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    p AS (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT CAST(sum(tc) AS BIGINT) AS pos,
+        |             CAST(sum(fc) AS BIGINT) AS neg FROM g),
+        |a AS (SELECT CAST(sum((fp - fp_prev) * (tp + tp_prev)) AS BIGINT)
+        |        AS auc2 FROM c)
+        |SELECT c.value AS threshold, c.tp, c.fp,
+        |  floor(CAST(c.tp AS DOUBLE) / t.pos * 1e9 + 0.5) / 1.0e9 AS tpr,
+        |  floor(CAST(c.fp AS DOUBLE) / t.neg * 1e9 + 0.5) / 1.0e9 AS fpr,
+        |  floor(CAST(a.auc2 AS DOUBLE) / (2.0 * t.pos * t.neg) * 1e9 + 0.5)
+        |    / 1.0e9 AS auc
+        |FROM c CROSS JOIN t CROSS JOIN a""".stripMargin) { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("fc"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("tc"))
+      // score-DOMAIN-bounded window (2-dp grid), not corpus rows
+      val o = Window.orderBy(col("value").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val p = Window.orderBy(col("value").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = g.withColumn("tp", sum(col("tc")).over(o))
+        .withColumn("fp", sum(col("fc")).over(o))
+        .withColumn("tp_prev", coalesce(sum(col("tc")).over(p), lit(0L)))
+        .withColumn("fp_prev", coalesce(sum(col("fc")).over(p), lit(0L)))
+        .persist() // feeds the trapezoid agg AND the per-threshold rows
+      val t = g.agg(sum(col("tc")).as("pos"), sum(col("fc")).as("neg"))
+      val a = c.agg(sum((col("fp") - col("fp_prev"))
+        * (col("tp") + col("tp_prev"))).as("auc2"))
+      c.crossJoin(broadcast(t)).crossJoin(broadcast(a))
+        .select(col("value").as("threshold"), col("tp"), col("fp"),
+          (floor(col("tp").cast(DoubleType) / col("pos") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("tpr"),
+          (floor(col("fp").cast(DoubleType) / col("neg") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("fpr"),
+          (floor(col("auc2").cast(DoubleType)
+            / (lit(2.0) * col("pos") * col("neg")) * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("auc"))
     }
   )
 

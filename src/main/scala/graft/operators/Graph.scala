@@ -431,6 +431,7 @@ object Graph {
           (col("dx") === col("dy") && col("x") < col("y")))
         .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
         .select(col("u"), col("x"), col("y"))
+        .persist() // the 3-way node explode reads the closure join once
       val tc = tri.select(col("u").as("nd"))
         .union(tri.select(col("x").as("nd")))
         .union(tri.select(col("y").as("nd")))

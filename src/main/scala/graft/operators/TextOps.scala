@@ -1107,8 +1107,10 @@ object TextOps {
           e => e("tok")), " ").as("phrase"),
           count(lit(1)).as("plen"))
         .filter(col("plen") <= 4)
+        .persist() // read by the word-stat join AND the final roll-up
       val wf = w.join(ph.select(col("doc_id"), col("pid"), col("plen")),
         Seq("doc_id", "pid"))
+        .persist() // read by the word-score build AND the phrase sum
       val sc = wf.groupBy(col("tok"))
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
         .select(col("tok"),

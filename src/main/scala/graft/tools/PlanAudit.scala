@@ -95,7 +95,16 @@ object PlanAudit {
       // 1-row broadcast: the holdout-cut calendar anchor
       "ev_forecast_eval",
       // 1-row broadcast: the calendar-midpoint split anchor
-      "ev_diff_in_diff")
+      "ev_diff_in_diff",
+      // 1-row broadcast: the (t0, t1) total-change anchor the brand
+      // shares divide by
+      "etl_contribution",
+      // 13-row literal Henderson-weights relation × the monthly
+      // bookkeeping series — a constant, never corpus
+      "etl_henderson_trend",
+      // the shared IVF build's collapsed-centroid broadcasts (the
+      // ann_ivf_assign subtree this screen rides)
+      "embedding_outlier_score")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -239,7 +248,20 @@ object PlanAudit {
       // (~6, bucket-capped) + the two md5-keyed dedup windows, the
       // survivor semijoin and the per-source rollup — each added
       // exchange keyed on doc ids or the |sources|-bounded rollup key
-      "pipe_dedup_funnel" -> 10)
+      "pipe_dedup_funnel" -> 10,
+      // rides the full ann_ivf_assign budget (9) + its own per-cell
+      // moment agg and the ≤|cells| stats broadcast-join back
+      "embedding_outlier_score" -> 11,
+      // the graph_triangles budget (LSH candidate stage + degree agg +
+      // two degree joins + wedge self-join + closure join) + the
+      // triangle-node explode agg and the coefficient join — all keyed
+      // on node ids with the orientation's O(√E) out-degree bound
+      "graph_clustering_coeff" -> 16,
+      // unchanged plan, but it now shares the persisted pairs/deg
+      // subtrees with graph_clustering_coeff — the cached-relation
+      // reprint adds a line to the printed count (the
+      // ev_peak_concurrency cache-state argument)
+      "graph_degree_stats" -> 8)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -317,7 +339,12 @@ object PlanAudit {
       // the ann_topk_exact argument: the broadcast is the fixed-size
       // probe set (vec_id < NPROBES), invisible to the
       // aggregate-detection behind the cached corpus relation
-      "ann_knn_classify")
+      "ann_knn_classify",
+      // the graph_degree_stats/graph_triangles argument: the broadcast
+      // is the >1024-member hot-bucket relation from Dedup.capBuckets,
+      // HashAggregate-bounded but printing opaquely once the shared
+      // bands cache is materialized by an earlier plan build
+      "graph_clustering_coeff")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange
