@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Graph analytics over the document-similarity graph (the verified
   * near-duplicate edges the dedup family already computes).
@@ -29,6 +29,11 @@ object Graph {
   // LPA on near-cliques stabilizes in 2-3 sync rounds; 4 is the fixed
   // deterministic budget (convergence-chasing would break the oracle)
   private val LpaRounds = 4
+
+  /** Power-iteration rounds for graph_eigencentrality (renormalized to
+    * mean FP each round, so six rounds settle the top of the ranking
+    * on the bucket-capped near-dup graph). */
+  private val EigenIters = 6
 
   // k-core peeling: k=2 strips all tree/pendant structure, leaving
   // only nodes on cycles — the smallest k that is non-trivial on the
@@ -501,6 +506,172 @@ object Graph {
           round(sum(lit(1.0) / log(col("deg"))), 9).as("adamic_adar"))
         .join(edges.select(col("src").as("vec_a"), col("dst").as("vec_b")),
           Seq("vec_a", "vec_b"), "left_anti")
+    },
+
+    // ------------------------------------------------------------------
+    // Jaccard + resource-allocation link prediction — the two
+    // degree-normalized companions to graph_common_neighbors' raw
+    // count/Adamic-Adar (Jaccard penalizes high-degree endpoints, RA
+    // penalizes high-degree SHARED neighbors harder than AA's 1/ln).
+    // Same capped wedge enumeration over the embedding near-dup graph
+    // (center deg ≤ 64, the hub-quadratic guard); endpoint degrees
+    // join back over the pair-keyed relation. Each center's 1/deg term
+    // snaps to a ×10¹² long BEFORE the per-pair sum — the float-sum
+    // order hazard the snapping discipline exists for — and Jaccard is
+    // an exact |∩|/(da+db−|∩|) rational snapped once at output.
+    "graph_link_jaccard" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM p
+        |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
+        |deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY src),
+        |wedge AS (
+        |  SELECT e1.dst AS vec_a, e2.dst AS vec_b,
+        |    CAST(floor(1e12 / d.deg + 0.5) AS BIGINT) AS ra_fp
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        |  JOIN deg d ON d.id = e1.src
+        |  WHERE d.deg <= 64),
+        |cn AS (
+        |  SELECT w.vec_a, w.vec_b,
+        |    CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(w.ra_fp) AS BIGINT) AS ra_sum
+        |  FROM wedge w
+        |  LEFT JOIN edges x ON x.src = w.vec_a AND x.dst = w.vec_b
+        |  WHERE x.src IS NULL
+        |  GROUP BY w.vec_a, w.vec_b)
+        |SELECT cn.vec_a, cn.vec_b, cn.common_neighbors,
+        |  floor(CAST(cn.common_neighbors AS DOUBLE)
+        |    / (da.deg + db.deg - cn.common_neighbors) * 1e9 + 0.5) / 1.0e9
+        |    AS jaccard,
+        |  floor(CAST(cn.ra_sum AS DOUBLE) / 1e12 * 1e9 + 0.5) / 1.0e9
+        |    AS resource_alloc
+        |FROM cn
+        |JOIN deg da ON da.id = cn.vec_a
+        |JOIN deg db ON db.id = cn.vec_b""".stripMargin) { (s, dir) =>
+      val p = Dedup.defs.toMap.apply("dedup_embedding").fn(s, dir)
+        .select(col("vec_a"), col("vec_b"))
+      val edges = p.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .persist() // degree build, both wedge sides, adjacency anti-join
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist() // wedge-center cap AND both endpoint joins
+      val centered = edges.join(deg, Seq("src")).filter(col("deg") <= 64)
+      val e1 = centered.select(col("src"), col("dst").as("vec_a"),
+        floor(lit(1.0e12) / col("deg") + 0.5).cast(LongType).as("ra_fp"))
+      val e2 = centered.select(col("src"), col("dst").as("vec_b"))
+      val cn = e1.join(e2, Seq("src"))
+        .filter(col("vec_a") < col("vec_b"))
+        .groupBy(col("vec_a"), col("vec_b"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(col("ra_fp")).as("ra_sum"))
+        .join(edges.select(col("src").as("vec_a"), col("dst").as("vec_b")),
+          Seq("vec_a", "vec_b"), "left_anti")
+      cn.join(deg.select(col("src").as("vec_a"), col("deg").as("da")),
+          Seq("vec_a"))
+        .join(deg.select(col("src").as("vec_b"), col("deg").as("db")),
+          Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"), col("common_neighbors"),
+          (floor(col("common_neighbors").cast(DoubleType)
+            / (col("da") + col("db") - col("common_neighbors"))
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("jaccard"),
+          (floor(col("ra_sum").cast(DoubleType) / lit(1.0e12) * lit(1.0e9)
+            + 0.5) / lit(1.0e9)).as("resource_alloc"))
+    },
+
+    // ------------------------------------------------------------------
+    // Eigenvector centrality — power iteration over the mirrored
+    // near-dup graph (on an undirected graph HITS hubs = authorities =
+    // this), the "which doc sits deepest inside the densest duplicate
+    // mass" ranking that degree alone misses. Six synchronous rounds in
+    // the graph_pagerank Pregel layout: the once-partitioned cached
+    // edge relation never moves; each round ships ONE score vector
+    // join + a dst-keyed exact-long sum, then renormalizes to mean FP
+    // via a 1-row broadcast total — the per-row m/S·N·FP double is
+    // IEEE-deterministic from exact integers, so the floor'd scores
+    // are partitioning-invariant and the oracle replays all six rounds
+    // verbatim. Singletons (no edges) take score 0 in one final
+    // left join — they never ride the iteration.
+    "graph_eigencentrality" -> QueryDef.withOracle {
+      // each round reads m$i TWICE (the total and the renormalize);
+      // without MATERIALIZED DuckDB inlines the reference → 2^rounds
+      // copies of the whole chain and the oracle never finishes
+      def stepSql(i: Int): String =
+        s"""m$i AS MATERIALIZED (
+           |  SELECT e.dst AS doc_id, CAST(sum(x.v) AS BIGINT) AS msum
+           |  FROM edges e JOIN x$i x ON x.doc_id = e.src
+           |  GROUP BY e.dst),
+           |t$i AS (SELECT CAST(sum(msum) AS BIGINT) AS tot FROM m$i),
+           |x${i + 1} AS MATERIALIZED (
+           |  SELECT m.doc_id,
+           |    CAST(floor(CAST(m.msum AS DOUBLE) / t.tot * nn.nfp) AS BIGINT)
+           |      AS v
+           |  FROM m$i m CROSS JOIN t$i t CROSS JOIN nn)""".stripMargin
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |enodes AS MATERIALIZED (SELECT DISTINCT dst AS doc_id FROM edges),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) * 1048576 AS nfp FROM enodes),
+         |x0 AS (SELECT doc_id, CAST(1048576 AS BIGINT) AS v FROM enodes),
+         |${(0 until EigenIters).map(stepSql).mkString(",\n")}
+         |SELECT d.doc_id, coalesce(x.v, 0) AS score_fp,
+         |  round(coalesce(x.v, 0) / 1048576.0, 9) AS score
+         |FROM documents d LEFT JOIN x$EigenIters x ON x.doc_id = d.doc_id"""
+        .stripMargin
+    } { (s, dir) =>
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")).persist() // Pregel layout: edges never move
+      val nodesE = edges.select(col("dst").as("doc_id")).distinct().persist()
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      // eager per-round cuts + AQE off for the loop: the pageRanks
+      // measurement (lazy cascade superlinear in Catalyst/AQE cost)
+      val smallSubgraph = edges.count() < 50000000L
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val nfp = nodesE.count() * FP
+        var x = nodesE.withColumn("v", lit(FP))
+        for (_ <- 0 until EigenIters) {
+          val m = edges
+            .join(x.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("v")).as("msum"))
+          val tot = m.agg(sum(col("msum")).as("tot"))
+          val next = m.crossJoin(broadcast(tot))
+            .select(col("dst").as("doc_id"),
+              floor(col("msum").cast(DoubleType) / col("tot") * lit(nfp))
+                .cast(LongType).as("v"))
+          x = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
+        }
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(x, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), coalesce(col("v"), lit(0L)).as("score_fp"),
+            round(coalesce(col("v"), lit(0L)) / lit(1048576.0), 9).as("score"))
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      }
     },
 
     // ------------------------------------------------------------------

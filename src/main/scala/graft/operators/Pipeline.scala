@@ -183,6 +183,69 @@ object Pipeline {
             .as("dup_rate"),
           min(col("min_t")).as("min_tokens"),
           max(col("max_t")).as("max_tokens"))
+    },
+
+    // ------------------------------------------------------------------
+    // Quality-threshold retention sweep — the "what does each cutoff
+    // cost" table a pipeline owner reads before picking the
+    // quality-filter threshold (the dedup_threshold_sweep discipline
+    // applied to the quality axis): for each candidate cutoff, docs
+    // kept, tokens kept, and both as fractions of the corpus. ONE
+    // corpus scan computes every threshold's conditional sums in a
+    // single map-side-combinable agg (no threshold×corpus join
+    // blowup); the 1-row result unpivots to the report. Fractions are
+    // exact-integer ratios snapped ×10⁹.
+    "pipe_quality_sweep" -> QueryDef.withOracle(
+      s"""WITH q AS (
+         |  ${TextOps.qualityScoreSql}),
+         |b AS (
+         |  SELECT d.doc_id, coalesce(q.quality_score, 0.0) AS score,
+         |    CAST(len(${TextOps.toksSql("d.text")}) AS BIGINT) AS n_toks
+         |  FROM documents d LEFT JOIN q ON q.doc_id = d.doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |               CAST(sum(n_toks) AS BIGINT) AS nt FROM b),
+         |t AS (SELECT unnest([CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+         |  CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE),
+         |  CAST(0.8 AS DOUBLE)]) AS threshold),
+         |k AS (
+         |  SELECT t.threshold,
+         |    CAST(count(b.doc_id) AS BIGINT) AS docs_kept,
+         |    CAST(coalesce(sum(b.n_toks), 0) AS BIGINT) AS tokens_kept
+         |  FROM t LEFT JOIN b ON b.score >= t.threshold
+         |  GROUP BY t.threshold)
+         |SELECT k.threshold, k.docs_kept,
+         |  floor(CAST(k.docs_kept AS DOUBLE) / tot.nd * 1e9 + 0.5) / 1.0e9
+         |    AS docs_frac,
+         |  k.tokens_kept,
+         |  floor(CAST(k.tokens_kept AS DOUBLE) / tot.nt * 1e9 + 0.5) / 1.0e9
+         |    AS tokens_frac
+         |FROM k CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val quality = TextOps.defs.toMap.apply("text_quality").fn(s, dir)
+        .select(col("doc_id"), col("quality_score"))
+      val b = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast(LongType).as("n_toks"))
+        .join(quality, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("quality_score"), lit(0.0)).as("score"))
+      val ths = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+      val aggs = ths.flatMap { th =>
+        val tag = (th * 10).toInt
+        Seq(
+          coalesce(sum(when(col("score") >= th, 1L).otherwise(0L)), lit(0L))
+            .as(s"d$tag"),
+          coalesce(sum(when(col("score") >= th, col("n_toks")).otherwise(0L)),
+            lit(0L)).as(s"t$tag"))
+      } ++ Seq(count(lit(1)).as("nd"), sum(col("n_toks")).as("nt"))
+      val stackArgs = ths.map { th =>
+        val tag = (th * 10).toInt
+        s"CAST($th AS DOUBLE), d$tag, " +
+          s"floor(CAST(d$tag AS DOUBLE) / nd * 1e9 + 0.5) / 1.0e9, t$tag, " +
+          s"floor(CAST(t$tag AS DOUBLE) / nt * 1e9 + 0.5) / 1.0e9"
+      }.mkString(", ")
+      b.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${ths.size}, $stackArgs) as (threshold, " +
+          "docs_kept, docs_frac, tokens_kept, tokens_frac)"))
     }
   )
 }

@@ -1349,6 +1349,37 @@ object Similarity {
           (floor(mean / 1000000 * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
             .as("cell_mean"),
           (col("cfp").cast(DoubleType) < mean - lit(2) * sd).as("is_outlier"))
+    },
+
+    // ------------------------------------------------------------------
+    // Range search — ALL neighbors within a similarity radius (cosine ≥
+    // τ), the retrieval mode top-k can't express (dedup candidate
+    // generation, radius joins, "everything this similar" audits).
+    // Scale shape is the BEST in the ANN family: broadcast probe set ×
+    // one corpus scan with a threshold FILTER — no ranking, no window,
+    // no per-probe sort anywhere; output size is the data's answer,
+    // not k. The codegen'd graft_cosine primitive keeps the scan in
+    // whole-stage codegen, and the round(…,6) snap pins the boundary
+    // so τ-edge rows can't diverge between engines.
+    "ann_range_search" -> QueryDef.withOracle(
+      s"""SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         |  round(list_cosine_similarity(
+         |    list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+         |FROM (SELECT * FROM embeddings WHERE vec_id < $NPROBES) p
+         |JOIN embeddings e ON e.vec_id <> p.vec_id
+         |WHERE round(list_cosine_similarity(
+         |    list_transform(p.embedding, x -> CAST(x AS DOUBLE)),
+         |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6)
+         |  >= 0.25""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < NPROBES)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val cos = round(Vectors.cosine(s, col("probe_emb"), col("embedding")), 6)
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          cos.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
     }
   )
 }

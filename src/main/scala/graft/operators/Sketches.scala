@@ -6,7 +6,7 @@ import graft.operators.TextOps.tokens
 import graft.sources.Tables
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType}
 
 /** Mergeable sketch aggregates surfaced as queries. Both are custom
   * `TypedImperativeAggregate`s (plans/HeavyHittersSketch.scala,
@@ -281,6 +281,149 @@ object Sketches {
         .select(col("scope"), round(col("eu"), 6).as("est_union"),
           round(greatest(lit(0.0), col("eu") - col("est_b")), 6).as("est_a_not_b"),
           round(greatest(lit(0.0), col("eu") - col("est")), 6).as("est_b_not_a"))
+    },
+
+    // ------------------------------------------------------------------
+    // AMS F₂ sketch — the second frequency moment ("self-join size" /
+    // repeat-rate) of the event user stream in ONE pass and 16 longs of
+    // state, vs the exact answer's full per-user groupBy. Sixteen ±1
+    // sign estimators come from the 16 hex-nibble parities of ONE md5
+    // per user id (the sketch_countmin slice trick — one hash, many
+    // estimators); each Z_j = Σ sign_j is an exact map-side-combinable
+    // long sum, Z² estimates F₂, and the published median-of-means
+    // (4 groups × 4) tames outlier estimators. Deterministic hashing →
+    // the whole sketch is DuckDB-reproducible, and the exact F₂ rides
+    // alongside so the output IS the accuracy report.
+    "sketch_ams_f2" -> QueryDef.withOracle(
+      """WITH sg AS (
+        |  SELECT j, CAST(sum(CASE WHEN
+        |      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), CAST(j + 1 AS INT), 1))::BIGINT % 2 = 1
+        |      THEN 1 ELSE -1 END) AS BIGINT) AS z
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+        |  GROUP BY j),
+        |grp AS (
+        |  SELECT j // 4 AS g,
+        |    CAST(sum(CAST(z AS HUGEINT) * z) AS DOUBLE) / 4 AS mean_z2
+        |  FROM sg GROUP BY 1),
+        |med AS (
+        |  SELECT list(mean_z2 ORDER BY mean_z2) AS ms FROM grp),
+        |ex AS (
+        |  SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2,
+        |    CAST(sum(c) AS BIGINT) AS n
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+        |        GROUP BY user_id))
+        |SELECT ex.n AS n_rows, ex.f2 AS exact_f2,
+        |  (ms[2] + ms[3]) / 2 AS est_f2,
+        |  floor(abs((ms[2] + ms[3]) / 2 - ex.f2) / ex.f2 * 1e9 + 0.5) / 1.0e9
+        |    AS rel_err
+        |FROM ex CROSS JOIN med""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val ev = Tables.events(s, dir)
+        .select(md5(col("user_id").cast("string").cast(BinaryType)).as("h"))
+      // 16 exact sign sums in ONE agg — no explode, no 16× row blowup
+      def z(j: Int) = sum(when(
+        pmod(conv(substring(col("h"), j + 1, 1), 16, 10).cast(LongType),
+          lit(2L)) === 1L, 1L).otherwise(-1L)).as(s"z$j")
+      val sg = ev.agg(z(0), (1 until 16).map(z): _*)
+      // 4 group means of Z², then the median of the sorted 4
+      val means = (0 until 4).map { g =>
+        ((0 until 4).map(k => col(s"z${g * 4 + k}").cast(dec38)
+          * col(s"z${g * 4 + k}")).reduce(_ + _).cast(DoubleType) / 4)
+          .as(s"m$g")
+      }
+      val med = sg.select(means: _*)
+        .select(sort_array(array((0 until 4).map(g => col(s"m$g")): _*))
+          .as("ms"))
+      val ex = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(sum((col("c").cast(dec38) * col("c")).cast(dec38)).cast(LongType)
+          .as("f2"), sum(col("c")).as("n"))
+      ex.crossJoin(broadcast(med))
+        .select(col("n").as("n_rows"), col("f2").as("exact_f2"),
+          ((element_at(col("ms"), 2) + element_at(col("ms"), 3)) / 2)
+            .as("est_f2"),
+          (floor(abs((element_at(col("ms"), 2) + element_at(col("ms"), 3)) / 2
+            - col("f2")) / col("f2") * lit(1.0e9) + 0.5) / lit(1.0e9))
+            .as("rel_err"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bloom-filter false-positive audit — build a 4096-bit / 4-hash
+    // Bloom filter over the distinct purchase-user set, probe it with
+    // every user who never purchased, and report the MEASURED
+    // false-positive rate next to the (1−e^(−kn/m))^k formula — the
+    // "is the filter sized right" check run before shipping a Bloom
+    // pre-filter (q35_bloom_join uses Spark's built-in; this one is
+    // hash-deterministic and therefore fully oracled). The filter
+    // materializes as the ≤4096-row distinct bit-position relation
+    // (never a corpus shuffle); probes broadcast-join it and a probe
+    // is a false positive iff all 4 of its positions are set.
+    "sketch_bloom_fpr" -> QueryDef.withOracle(
+      """WITH mem AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), CAST(1 + 8 * k AS INT), 8))::BIGINT % 4096
+        |      AS pos
+        |  FROM mem CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+        |probes AS (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0),
+        |hits AS (
+        |  SELECT p.user_id,
+        |    CAST(count(b.pos) AS BIGINT) AS set_cnt
+        |  FROM probes p
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        |  LEFT JOIN bits b ON b.pos =
+        |    ('0x' || substr(md5(CAST(p.user_id AS VARCHAR)), CAST(1 + 8 * k AS INT), 8))::BIGINT % 4096
+        |  GROUP BY p.user_id),
+        |agg AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_keys,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+        |    CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(CASE WHEN set_cnt = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS false_pos
+        |  FROM hits)
+        |SELECT n_keys, bits_set, n_probes, false_pos,
+        |  floor(CAST(false_pos AS DOUBLE) / n_probes * 1e9 + 0.5) / 1.0e9
+        |    AS measured_fpr,
+        |  floor(pow(1 - exp(-4.0 * n_keys / 4096), 4) * 1e9 + 0.5) / 1.0e9
+        |    AS theoretical_fpr
+        |FROM agg""".stripMargin) { (s, dir) =>
+      val m = 4096L
+      def pos(k: Int, c: Column) = pmod(
+        conv(substring(md5(c.cast("string").cast(BinaryType)), 1 + 8 * k, 8),
+          16, 10).cast(LongType), lit(m))
+      val ev = Tables.events(s, dir)
+      val mem = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val bits = mem
+        .select(explode(array((0 until 4).map(k => pos(k, col("user_id"))): _*))
+          .as("pos")).distinct()
+        .persist() // ≤4096 rows: the filter itself; probed AND counted
+      val probes = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .filter(col("np") === 0).select(col("user_id"))
+      val hits = probes
+        .select(col("user_id"),
+          posexplode(array((0 until 4).map(k => pos(k, col("user_id"))): _*))
+          .as(Seq("k", "pos")))
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left_outer")
+        .groupBy(col("user_id"))
+        .agg(count(col("hit")).as("set_cnt"))
+      val nk = mem.agg(count(lit(1)).as("n_keys"))
+      val bs = bits.agg(count(lit(1)).as("bits_set"))
+      hits.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("set_cnt") === 4, 1L).otherwise(0L)).as("false_pos"))
+        .crossJoin(broadcast(nk)).crossJoin(broadcast(bs))
+        .select(col("n_keys"), col("bits_set"), col("n_probes"),
+          col("false_pos"),
+          (floor(col("false_pos").cast(DoubleType) / col("n_probes")
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("measured_fpr"),
+          (floor(pow(lit(1) - exp(lit(-4.0) * col("n_keys") / lit(4096)), 4)
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("theoretical_fpr"))
     }
   )
 }

@@ -1869,6 +1869,120 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Theta-method forecast (θ=2, the M3-competition winner): per event
+    // type, decompose the daily-count series into the OLS trend line
+    // (theta-0) and the double-curvature theta-2 line 2y_t − (a+b·t),
+    // SES (α=0.5) the theta-2 line, and average the flat SES level
+    // with the line's extrapolation at the horizon. The regression
+    // sums Σy, Σt·y are EXACT longs off the calendar-bounded daily
+    // relation (Σt, Σt² are closed-form in n), so slope/intercept are
+    // engine-identical doubles; the SES chain is the ev_holt_forecast
+    // discipline — a left fold over the sorted per-type array in
+    // Spark, replayed bit-for-bit by a recursive CTE in the oracle.
+    // One corpus agg; everything after is days-per-type bookkeeping.
+    "ev_theta_forecast" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS sy
+        |  FROM e GROUP BY event_type),
+        |tidx AS (
+        |  SELECT event_type, n, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS t FROM e),
+        |ty AS (
+        |  SELECT event_type, CAST(sum(t * n) AS BIGINT) AS sty
+        |  FROM tidx GROUP BY event_type),
+        |reg AS (
+        |  SELECT a.event_type, a.v, a.nd, a.sy, ty.sty,
+        |    a.nd * (a.nd + 1) // 2 AS stn,
+        |    a.nd * (a.nd + 1) * (2 * a.nd + 1) // 6 AS st2
+        |  FROM a JOIN ty ON ty.event_type = a.event_type
+        |  WHERE a.nd >= 2),
+        |ab AS (
+        |  SELECT event_type, v, nd,
+        |    CAST(nd * sty - stn * sy AS DOUBLE)
+        |      / (nd * st2 - stn * stn) AS ib,
+        |    (CAST(sy AS DOUBLE) - CAST(nd * sty - stn * sy AS DOUBLE)
+        |      / (nd * st2 - stn * stn) * stn) / nd AS ia
+        |  FROM reg),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, l) AS (
+        |    SELECT event_type, CAST(1 AS BIGINT),
+        |      2 * v[1] - (ia + ib * 1)
+        |    FROM ab
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      0.5 * (2 * ab.v[CAST(h.i + 1 AS INT)]
+        |        - (ab.ia + ab.ib * (h.i + 1))) + 0.5 * h.l
+        |    FROM h JOIN ab ON ab.event_type = h.event_type
+        |    WHERE h.i < ab.nd)
+        |  SELECT * FROM h)
+        |SELECT r.event_type, ab.nd AS n_days,
+        |  round(ab.ib, 9) AS slope, round(ab.ia, 9) AS intercept,
+        |  round(r.l, 9) AS ses_level,
+        |  round(0.5 * r.l + 0.5 * (ab.ia + ab.ib * (ab.nd + 1)), 9) AS fc_1,
+        |  round(0.5 * r.l + 0.5 * (ab.ia + ab.ib * (ab.nd + 7)), 9) AS fc_7
+        |FROM rec r JOIN ab ON ab.event_type = r.event_type AND r.i = ab.nd"""
+        .stripMargin) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("arr"), count(lit(1)).as("nd"), sum(col("n")).as("sy"))
+        .filter(col("nd") >= 2)
+      val v = transform(col("arr"), e => e("n").cast(DoubleType))
+      // Σt·y as an exact long via an indexed fold (acc = (t, sty))
+      val sty = aggregate(
+        transform(col("arr"), e => e("n")),
+        struct(lit(0L).as("t"), lit(0L).as("s")),
+        (acc, x) => struct((acc("t") + 1L).as("t"),
+          (acc("s") + (acc("t") + 1L) * x).as("s")),
+        acc => acc("s"))
+      val withReg = a
+        .withColumn("v", v)
+        .withColumn("sty", sty)
+        .withColumn("stn", expr("nd * (nd + 1) div 2"))
+        .withColumn("st2", expr("nd * (nd + 1) * (2 * nd + 1) div 6"))
+        .withColumn("ib",
+          (col("nd") * col("sty") - col("stn") * col("sy")).cast(DoubleType)
+            / (col("nd") * col("st2") - col("stn") * col("stn")))
+        .withColumn("ia",
+          (col("sy").cast(DoubleType)
+            - (col("nd") * col("sty") - col("stn") * col("sy")).cast(DoubleType)
+              / (col("nd") * col("st2") - col("stn") * col("stn")) * col("stn"))
+            / col("nd"))
+      // SES over the theta-2 line: acc = (i, l); z_i = 2v_i − (a+b·i)
+      val folded = aggregate(
+        slice(col("v"), lit(2), greatest(col("nd").cast(IntegerType) - 1, lit(0))),
+        struct(lit(1L).as("i"),
+          (lit(2) * element_at(col("v"), 1)
+            - (col("ia") + col("ib") * lit(1))).as("l")),
+        (acc, x) => {
+          val iNew = acc("i") + 1L
+          struct(iNew.as("i"),
+            (lit(0.5) * (lit(2) * x - (col("ia") + col("ib") * iNew))
+              + lit(0.5) * acc("l")).as("l"))
+        })
+      withReg.select(col("event_type"), col("nd").as("n_days"),
+          round(col("ib"), 9).as("slope"), round(col("ia"), 9).as("intercept"),
+          folded.getField("l").as("l"), col("ia"), col("ib"), col("nd"))
+        .select(col("event_type"), col("n_days"),
+          col("slope"), col("intercept"),
+          round(col("l"), 9).as("ses_level"),
+          round(lit(0.5) * col("l")
+            + lit(0.5) * (col("ia") + col("ib") * (col("nd") + 1)), 9).as("fc_1"),
+          round(lit(0.5) * col("l")
+            + lit(0.5) * (col("ia") + col("ib") * (col("nd") + 7)), 9).as("fc_7"))
+    },
+
+    // ------------------------------------------------------------------
     // Forecast-method backtest — the "measure, don't guess" table for
     // the forecast family: hold out the LAST 7 calendar days, fit Holt
     // (α=0.3 β=0.1, the ev_holt_forecast recurrence) on the rest,

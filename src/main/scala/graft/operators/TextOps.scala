@@ -1180,6 +1180,59 @@ object TextOps {
           * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("tokens_per_char"),
         (floor(col("n_chars").cast(DoubleType) / col("est_tokens")
           * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("chars_per_token"))
+    },
+
+    // ------------------------------------------------------------------
+    // Character-class / charset profile — the encoding-health screen a
+    // crawl pipeline runs before language ID (mojibake, binary
+    // spillage, and wrong-charset docs all show up as non-ASCII or
+    // control-class anomalies long before any model sees the text).
+    // Per doc: exact counts of ASCII letters / digits / whitespace /
+    // other-ASCII / non-ASCII code points via length-difference under
+    // class-stripping regexes (identical RE2/Java character classes),
+    // ratios ×10⁹-snapped. Pure narrow map over the corpus — no
+    // shuffle at all; the plan is a single projected scan.
+    "text_charset_profile" -> QueryDef.withOracle(
+      """SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_ascii_other,
+        |  n_nonascii,
+        |  floor(CAST(n_alpha AS DOUBLE) / n_chars * 1e9 + 0.5) / 1.0e9
+        |    AS alpha_frac,
+        |  floor(CAST(n_nonascii AS DOUBLE) / n_chars * 1e9 + 0.5) / 1.0e9
+        |    AS nonascii_frac
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '[\s]', '', 'g'))
+        |      AS BIGINT) AS n_space,
+        |    CAST(length(regexp_replace(text,
+        |      '[A-Za-z0-9\s]|[^\x00-\x7F]', '', 'g')) AS BIGINT)
+        |      AS n_ascii_other,
+        |    CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]',
+        |      '', 'g')) AS BIGINT) AS n_nonascii
+        |  FROM documents WHERE length(text) > 0)""".stripMargin) { (s, dir) =>
+      def stripped(cls: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), cls, "")))
+          .cast(LongType)
+      val base = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          stripped("[A-Za-z]").as("n_alpha"),
+          stripped("[0-9]").as("n_digit"),
+          stripped("[\\s]").as("n_space"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]|[^\\x00-\\x7F]", ""))
+            .cast(LongType).as("n_ascii_other"),
+          stripped("[^\\x00-\\x7F]").as("n_nonascii"))
+      base.select(col("doc_id"), col("n_chars"), col("n_alpha"), col("n_digit"),
+        col("n_space"), col("n_ascii_other"), col("n_nonascii"),
+        (floor(col("n_alpha").cast(DoubleType) / col("n_chars") * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("alpha_frac"),
+        (floor(col("n_nonascii").cast(DoubleType) / col("n_chars") * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("nonascii_frac"))
     }
   )
 }
