@@ -4620,6 +4620,86 @@ object Etl {
           (floor(col("auc2").cast(DoubleType)
             / (lit(2.0) * col("pos") * col("neg")) * lit(1.0e9) + 0.5)
             / lit(1.0e9)).as("auc"))
+    },
+
+    // ------------------------------------------------------------------
+    // Systematic PPS sampling — n draws with probability proportional
+    // to size (account balance), the workhorse establishment-survey
+    // design (large units near-certainties, small ones proportionally
+    // rare). Units order by md5 (deterministic "random" systematic
+    // order — reruns and engines agree on every draw); selection
+    // points sit at odd multiples of X/(2n), and a unit is hit
+    // f(cum)−f(cum−x) times with f(c) = min(n, ceil((2nc−X)/2X)) —
+    // ALL exact integer arithmetic, so the sample is
+    // partitioning-invariant with no float boundary anywhere. The
+    // cumulative size uses the 16-way BUCKETED prefix sum (the
+    // pipe_token_budget plan): per-bucket local windows + a 16-row
+    // offset relation — no single-task corpus sort at any scale.
+    "etl_pps_sample" -> QueryDef.withOracle(
+      """WITH t AS (
+        |  SELECT s_suppkey, s_name,
+        |    CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS x,
+        |    md5(CAST(s_suppkey AS VARCHAR)) AS m
+        |  FROM supplier WHERE s_acctbal > 0),
+        |w AS (
+        |  SELECT s_suppkey, s_name, x,
+        |    CAST(sum(x) OVER (ORDER BY m, s_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS xx,
+        |               CAST(count(*) AS BIGINT) AS nu FROM t),
+        |h AS (
+        |  SELECT w.s_suppkey, w.s_name, w.x, w.cum, tot.xx, tot.nu,
+        |    least(24, greatest(0, 2 * 24 * w.cum - tot.xx + 2 * tot.xx - 1)
+        |      // (2 * tot.xx)) -
+        |    least(24, greatest(0, 2 * 24 * (w.cum - w.x) - tot.xx
+        |      + 2 * tot.xx - 1) // (2 * tot.xx)) AS n_hits
+        |  FROM w CROSS JOIN tot)
+        |SELECT s_suppkey, s_name, x, cum, n_hits,
+        |  floor(24.0 * x / xx * 1e9 + 0.5) / 1.0e9 AS expected_hits,
+        |  floor(CAST(xx AS DOUBLE) / (24 * x) * 1e6 + 0.5) / 1.0e6
+        |    AS design_weight
+        |FROM h WHERE n_hits >= 1""".stripMargin) { (s, dir) =>
+      val n = 24L
+      val t = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey"), col("s_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast(LongType).as("x"),
+          md5(col("s_suppkey").cast(StringType).cast(BinaryType)).as("m"))
+        .withColumn("bkt",
+          conv(substring(col("m"), 1, 1), 16, 10).cast(IntegerType))
+        .persist() // one scan feeds local cumsums, offsets and the total
+      // bucketed prefix sum (pipe_token_budget): local window per
+      // (bkt), 16-row offset relation, never one corpus-sorting task
+      val wLoc = Window.partitionBy(col("bkt"))
+        .orderBy(col("m").asc, col("s_suppkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("bkt").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = t.groupBy(col("bkt")).agg(sum(col("x")).as("btotal"))
+        .select(col("bkt"),
+          coalesce(sum(col("btotal")).over(wOff), lit(0L)).as("off"))
+      val tot = t.agg(sum(col("x")).as("xx"), count(lit(1)).as("nu"))
+      val w = t.withColumn("cum_local", sum(col("x")).over(wLoc))
+        .join(broadcast(offs), Seq("bkt"))
+        .select(col("s_suppkey"), col("s_name"), col("x"),
+          (col("off") + col("cum_local")).as("cum"))
+        .crossJoin(broadcast(tot))
+      // integer floor-div: both operands are non-negative by the
+      // greatest(0, …) guard, so Spark div ≡ DuckDB // here
+      val withHits = w.withColumn("n_hits",
+        least(lit(n), expr(s"(greatest(0L, 2 * $n * cum - xx + 2 * xx - 1)) " +
+          "div (2 * xx)"))
+          - least(lit(n), expr(s"(greatest(0L, 2 * $n * (cum - x) - xx " +
+            "+ 2 * xx - 1)) div (2 * xx)")))
+      withHits.filter(col("n_hits") >= 1)
+        .select(col("s_suppkey"), col("s_name"), col("x"), col("cum"),
+          col("n_hits"),
+          (floor(lit(24.0) * col("x") / col("xx") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("expected_hits"),
+          (floor(col("xx").cast(DoubleType) / (lit(n) * col("x")) * lit(1.0e6)
+            + 0.5) / lit(1.0e6)).as("design_weight"))
     }
   )
 

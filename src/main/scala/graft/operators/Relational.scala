@@ -980,6 +980,46 @@ object Relational {
           (col("i") + 1).cast(LongType).as("rank"),
           col("e.id").as("o_orderkey"),
           col("e.value").as("o_totalprice"))
+    },
+
+    // ------------------------------------------------------------------
+    // LATERAL correlated subquery — the "for each outer row, run this
+    // parameterized inner query" join form (SQL:1999 LATERAL, the API
+    // many migrating warehouse queries arrive in): per region, the
+    // top-2 nations by total customer balance, written as JOIN LATERAL
+    // (… WHERE correlated ORDER BY … LIMIT 2) on BOTH engines. Spark
+    // decorrelates the limit-under-correlation into the same
+    // window-rank plan q7 builds by hand — the test is that the
+    // declarative form survives Catalyst with the totals aggregated
+    // BEFORE ranking (one customer-keyed shuffle, a ≤|nations|
+    // bookkeeping rank, never a per-region corpus sort). Balances sum
+    // as exact DECIMAL(18,2) and ship as ×100 longs.
+    "q40_lateral_topk" -> QueryDef.withOracle(
+      """SELECT r.r_name, t.n_name, t.bal_fp
+        |FROM region r JOIN LATERAL (
+        |  SELECT n.n_name,
+        |    CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS bal_fp
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY bal_fp DESC, n.n_name ASC
+        |  LIMIT 2) t ON TRUE""".stripMargin) { (s, dir) =>
+      Tables.region(s, dir).createOrReplaceTempView("graft_lat_region")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_lat_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_lat_customer")
+      s.sql(
+        """SELECT r.r_name, t.n_name, t.bal_fp
+          |FROM graft_lat_region r JOIN LATERAL (
+          |  SELECT n.n_name,
+          |    CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+          |      AS BIGINT) AS bal_fp
+          |  FROM graft_lat_nation n
+          |  JOIN graft_lat_customer c ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  GROUP BY n.n_name
+          |  ORDER BY bal_fp DESC, n.n_name ASC
+          |  LIMIT 2) t ON TRUE""".stripMargin)
     }
   )
 

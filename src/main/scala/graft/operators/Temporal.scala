@@ -687,6 +687,108 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Nelson-Aalen cumulative hazard — the estimator survival analysts
+    // publish NEXT TO Kaplan-Meier (ev_survival): H(t) = Σ d_i/n_i
+    // accumulates hazard directly (better small-sample behavior, and
+    // exp(−H) gives the Fleming-Harrington survival curve), plus its
+    // variance Σ d_i/n_i². Identical risk-set machinery to ev_survival
+    // (cohorted event-time table, bookkeeping windows over the
+    // calendar-bounded relation); each d/n and d/n² term snaps to a
+    // ×10⁹ long BEFORE the cumulative sum so the curve is exact-
+    // integer partitioning-invariant — no float accumulation, unlike
+    // the KM product which needs the ln/exp trick.
+    "ev_nelson_aalen" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (SELECT max(ts_s) AS gmax FROM e),
+        |u AS (SELECT user_id, min(ts_s) AS first_s FROM e GROUP BY 1),
+        |cv AS (
+        |  SELECT user_id, min(ts_s) AS conv_s FROM e
+        |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+        |d AS (
+        |  SELECT u.first_s // 604800 AS cohort_week,
+        |    CASE WHEN cv.conv_s IS NOT NULL
+        |         THEN (cv.conv_s - u.first_s) // 3600
+        |         ELSE (g.gmax - u.first_s) // 3600 END AS t_hours,
+        |    CASE WHEN cv.conv_s IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u LEFT JOIN cv ON cv.user_id = u.user_id CROSS JOIN g),
+        |ct AS (
+        |  SELECT cohort_week, CAST(t_hours AS BIGINT) AS t_hours,
+        |    CAST(sum(ev) AS BIGINT) AS d_events,
+        |    CAST(count(*) - sum(ev) AS BIGINT) AS c_censored
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(d_events + c_censored) OVER (PARTITION BY cohort_week
+        |      ORDER BY t_hours ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS removed,
+        |    CAST(sum(d_events + c_censored) OVER (PARTITION BY cohort_week)
+        |      AS BIGINT) AS n_cohort
+        |  FROM ct),
+        |k AS (
+        |  SELECT cohort_week, t_hours, d_events, c_censored,
+        |    n_cohort - removed AS n_at_risk FROM w),
+        |t AS (
+        |  SELECT *,
+        |    CAST(floor(CAST(d_events AS DOUBLE) / n_at_risk * 1e9 + 0.5)
+        |      AS BIGINT) AS h_fp,
+        |    CAST(floor(CAST(d_events AS DOUBLE) / n_at_risk / n_at_risk * 1e9
+        |      + 0.5) AS BIGINT) AS v_fp
+        |  FROM k),
+        |s AS (
+        |  SELECT *,
+        |    CAST(sum(h_fp) OVER o AS BIGINT) AS cum_h,
+        |    CAST(sum(v_fp) OVER o AS BIGINT) AS cum_v
+        |  FROM t WINDOW o AS (PARTITION BY cohort_week ORDER BY t_hours ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort_week, t_hours, n_at_risk, d_events, c_censored,
+        |  cum_h / 1.0e9 AS cum_hazard,
+        |  cum_v / 1.0e9 AS hazard_var,
+        |  round(exp(-cum_h / 1.0e9), 6) AS fh_surv
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_s"))
+      val g = e.agg(max(col("ts_s")).as("gmax"))
+      val u = e.groupBy(col("user_id")).agg(min(col("ts_s")).as("first_s"))
+      val cv = e.filter(col("event_type") === "purchase" && col("value") >= 90)
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("conv_s"))
+      val ct = u.join(cv, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(g)) // 1-row observation-end anchor
+        .select(expr("first_s div 604800").as("cohort_week"),
+          when(col("conv_s").isNotNull, expr("(conv_s - first_s) div 3600"))
+            .otherwise(expr("(gmax - first_s) div 3600")).as("t_hours"),
+          when(col("conv_s").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy(col("cohort_week"), col("t_hours"))
+        .agg(sum(col("ev")).as("d_events"),
+          (count(lit(1)) - sum(col("ev"))).as("c_censored"))
+      // calendar-bounded relation from here down: rows = cohorts × hours
+      val wc = Window.partitionBy(col("cohort_week")).orderBy(col("t_hours").asc)
+      val k = ct
+        .withColumn("removed", coalesce(
+          sum(col("d_events") + col("c_censored"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_cohort",
+          sum(col("d_events") + col("c_censored"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n_at_risk", col("n_cohort") - col("removed"))
+      val cumW = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      k.withColumn("h_fp",
+          floor(col("d_events").cast(DoubleType) / col("n_at_risk") * lit(1.0e9)
+            + 0.5).cast(LongType))
+        .withColumn("v_fp",
+          floor(col("d_events").cast(DoubleType) / col("n_at_risk")
+            / col("n_at_risk") * lit(1.0e9) + 0.5).cast(LongType))
+        .withColumn("cum_h", sum(col("h_fp")).over(cumW))
+        .withColumn("cum_v", sum(col("v_fp")).over(cumW))
+        .select(col("cohort_week"), col("t_hours"), col("n_at_risk"),
+          col("d_events"), col("c_censored"),
+          (col("cum_h") / lit(1.0e9)).as("cum_hazard"),
+          (col("cum_v") / lit(1.0e9)).as("hazard_var"),
+          round(exp(-col("cum_h") / lit(1.0e9)), 6).as("fh_surv"))
+    },
+
+    // ------------------------------------------------------------------
     // Last-touch attribution: each purchase is credited to the same
     // user's most recent preceding touch event (click/view/signup)
     // within a 7-day lookback, else 'organic'. The carry-forward is
