@@ -1216,6 +1216,183 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Ljung-Box white-noise test — "is there ANY autocorrelation left"
+    // (the residual-diagnostic gate after every forecast fit, and the
+    // pre-test before bothering with ARIMA): Q = n(n+2)·Σ_{k≤6}
+    // r_k²/(n−k) over the daily-count series per event type. ACF
+    // deviations are exact integer products (the ev_autocorrelation
+    // discipline), each r_k snaps ×10⁹ before squaring, and the six
+    // r²/(n−k) terms snap to longs before their sum — Q assembles from
+    // exact integers, flagged against the χ²₆ 95% critical value with
+    // both sides engine-identical. Corpus collapses to (type, day) in
+    // one agg; the lag self-join rides that bookkeeping relation.
+    "ev_ljung_box" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY event_type),
+        |v AS (
+        |  SELECT d.event_type, d.day, d.n * t.nd - t.tot AS dev
+        |  FROM d JOIN t USING (event_type)),
+        |den AS (
+        |  SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS ss
+        |  FROM v GROUP BY event_type),
+        |num AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(sum(a.dev * b.dev) AS BIGINT) AS sp
+        |  FROM v a
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS lag) l
+        |  JOIN v b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+        |  GROUP BY a.event_type, l.lag),
+        |r AS (
+        |  SELECT n.event_type, n.lag, t.nd,
+        |    CAST(floor(CAST(n.sp AS DOUBLE) * 1000000000 / den.ss + 0.5)
+        |      AS BIGINT) AS r_fp
+        |  FROM num n JOIN den USING (event_type) JOIN t USING (event_type)),
+        |s AS (
+        |  SELECT event_type, nd, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(CAST(floor(CAST(r_fp AS DOUBLE) * r_fp / (nd - lag)
+        |      / 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_fp
+        |  FROM r GROUP BY event_type, nd)
+        |SELECT event_type, nd AS n_days, df,
+        |  floor(CAST(nd AS DOUBLE) * (nd + 2) * s_fp / 1e9 * 1e6 + 0.5) / 1.0e6
+        |    AS q_stat,
+        |  floor(CAST(nd AS DOUBLE) * (nd + 2) * s_fp / 1e9 * 1e6 + 0.5) / 1.0e6
+        |    > 12.591587 AS reject_white_noise
+        |FROM s""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // type×day bookkeeping; totals + both lag-join sides
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      val v = d.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("day"),
+          (col("n") * col("nd") - col("tot")).as("dev"))
+        .persist() // both sides of the 6-lag self-join + the denominator
+      val den = v.groupBy(col("event_type"))
+        .agg(sum(col("dev") * col("dev")).as("ss"))
+      import s.implicits._
+      val lags = (1 to 6).toDF("lag")
+      val num = v.as("a")
+        .crossJoin(broadcast(lags))
+        .join(v.as("b"),
+          col("b.event_type") === col("a.event_type")
+            && col("b.day") === col("a.day") + col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(sum(col("a.dev") * col("b.dev")).as("sp"))
+      val r = num.join(broadcast(den), "event_type")
+        .join(broadcast(t.select(col("event_type"), col("nd"))), "event_type")
+        .select(col("event_type"), col("lag"), col("nd"),
+          floor(col("sp").cast(DoubleType) * lit(1.0e9) / col("ss") + 0.5)
+            .cast(LongType).as("r_fp"))
+      // nd is functionally dependent on event_type — group on both
+      val st = r.groupBy(col("event_type"), col("nd"))
+        .agg(count(lit(1)).as("df"),
+          sum(floor(col("r_fp").cast(DoubleType) * col("r_fp")
+            / (col("nd") - col("lag")) / lit(1.0e9) + 0.5).cast(LongType))
+            .as("s_fp"))
+      val q = floor(col("nd").cast(DoubleType) * (col("nd") + 2) * col("s_fp")
+        / lit(1.0e9) * lit(1.0e6) + 0.5) / lit(1.0e6)
+      st.select(col("event_type"), col("nd").as("n_days"), col("df"),
+        q.as("q_stat"), (q > 12.591587).as("reject_white_noise"))
+    },
+
+    // ------------------------------------------------------------------
+    // Partial autocorrelation (lags 1-3) — the ARIMA order-
+    // identification companion to ev_autocorrelation: PACF at lag k is
+    // the correlation left after regressing out the shorter lags,
+    // computed by the Durbin-Levinson recursion unrolled to k=3 as ONE
+    // pinned closed-form double chain per engine. The r₁..r₃ inputs
+    // are the exact-integer ACF deviations snapped ×10⁹ (identical on
+    // both engines), so the recursion — φ22 = (r2−r1²)/(1−r1²),
+    // φ33 = (r3−φ21·r2−φ22·r1)/(1−φ21·r1−φ22·r2) — is IEEE-identical
+    // term by term. Same bookkeeping-scale lag self-join as the ACF.
+    "ev_pacf" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY event_type),
+        |v AS (
+        |  SELECT d.event_type, d.day, d.n * t.nd - t.tot AS dev
+        |  FROM d JOIN t USING (event_type)),
+        |den AS (
+        |  SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS ss
+        |  FROM v GROUP BY event_type),
+        |num AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(sum(a.dev * b.dev) AS BIGINT) AS sp
+        |  FROM v a
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+        |  JOIN v b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+        |  GROUP BY a.event_type, l.lag),
+        |r AS (
+        |  SELECT n.event_type,
+        |    max(CASE WHEN lag = 1 THEN CAST(floor(CAST(sp AS DOUBLE)
+        |      * 1000000000 / den.ss + 0.5) AS BIGINT) END) / 1.0e9 AS r1,
+        |    max(CASE WHEN lag = 2 THEN CAST(floor(CAST(sp AS DOUBLE)
+        |      * 1000000000 / den.ss + 0.5) AS BIGINT) END) / 1.0e9 AS r2,
+        |    max(CASE WHEN lag = 3 THEN CAST(floor(CAST(sp AS DOUBLE)
+        |      * 1000000000 / den.ss + 0.5) AS BIGINT) END) / 1.0e9 AS r3
+        |  FROM num n JOIN den USING (event_type)
+        |  GROUP BY n.event_type),
+        |p2 AS (
+        |  SELECT event_type, r1, r2, r3,
+        |    (r2 - r1 * r1) / (1 - r1 * r1) AS f22
+        |  FROM r),
+        |p3 AS (
+        |  SELECT *, r1 * (1 - f22) AS f21 FROM p2)
+        |SELECT event_type,
+        |  floor(r1 * 1e9 + 0.5) / 1.0e9 AS pacf1,
+        |  floor(f22 * 1e9 + 0.5) / 1.0e9 AS pacf2,
+        |  floor((r3 - f21 * r2 - f22 * r1) / (1 - f21 * r1 - f22 * r2) * 1e9
+        |    + 0.5) / 1.0e9 AS pacf3
+        |FROM p3""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      val v = d.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("day"),
+          (col("n") * col("nd") - col("tot")).as("dev"))
+        .persist()
+      val den = v.groupBy(col("event_type"))
+        .agg(sum(col("dev") * col("dev")).as("ss"))
+      import s.implicits._
+      val lags = (1 to 3).toDF("lag")
+      val num = v.as("a")
+        .crossJoin(broadcast(lags))
+        .join(v.as("b"),
+          col("b.event_type") === col("a.event_type")
+            && col("b.day") === col("a.day") + col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(sum(col("a.dev") * col("b.dev")).as("sp"))
+      def rk(k: Int) = (max(when(col("lag") === k,
+        floor(col("sp").cast(DoubleType) * lit(1.0e9) / col("ss") + 0.5)
+          .cast(LongType))) / lit(1.0e9)).as(s"r$k")
+      val r = num.join(broadcast(den), "event_type")
+        .groupBy(col("event_type"))
+        .agg(rk(1), rk(2), rk(3))
+      val p2 = r.withColumn("f22",
+        (col("r2") - col("r1") * col("r1")) / (lit(1) - col("r1") * col("r1")))
+      val p3 = p2.withColumn("f21", col("r1") * (lit(1) - col("f22")))
+      p3.select(col("event_type"),
+        (floor(col("r1") * lit(1.0e9) + 0.5) / lit(1.0e9)).as("pacf1"),
+        (floor(col("f22") * lit(1.0e9) + 0.5) / lit(1.0e9)).as("pacf2"),
+        (floor((col("r3") - col("f21") * col("r2") - col("f22") * col("r1"))
+          / (lit(1) - col("f21") * col("r1") - col("f22") * col("r2"))
+          * lit(1.0e9) + 0.5) / lit(1.0e9)).as("pacf3"))
+    },
+
+    // ------------------------------------------------------------------
     // Seasonal-naive forecast backtest per event type: predict day d's
     // count with day d−7's (the standard baseline every real forecast
     // must beat) and report the error profile — MAE, bias, and MAE

@@ -104,7 +104,25 @@ object PlanAudit {
       "etl_henderson_trend",
       // the shared IVF build's collapsed-centroid broadcasts (the
       // ann_ivf_assign subtree this screen rides)
-      "embedding_outlier_score")
+      "embedding_outlier_score",
+      // 1-row broadcasts: the Cochran-Armitage (N, R, Σtn, Σt²n, ΣtR)
+      // stat anchor; the ROC (pos, neg) totals + trapezoid-AUC anchor;
+      // the seasonal-strength 12-month factor normalizer (the
+      // etl_seasonal_decompose subtree) — all bounded, never corpus
+      "etl_cochran_armitage", "etl_roc_curve", "etl_seasonal_strength",
+      // broadcast-probe × corpus scan with the ≠ predicate — the
+      // ann_topk_exact shape minus the ranking (threshold filter only)
+      "ann_range_search",
+      // 1-row crossJoins: AMS median-of-means × exact-F₂ anchors;
+      // Bloom (n_keys, bits_set) anchors
+      "sketch_ams_f2", "sketch_bloom_fpr",
+      // 1-row broadcast: the PPS (X, n_universe) total anchor
+      "etl_pps_sample",
+      // 1-row broadcast: the observation-end anchor (ev_survival's)
+      "ev_nelson_aalen",
+      // 6-row / 3-row lag-list broadcasts (the ev_autocorrelation
+      // argument)
+      "ev_ljung_box", "ev_pacf")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -261,7 +279,13 @@ object PlanAudit {
       // subtrees with graph_clustering_coeff — the cached-relation
       // reprint adds a line to the printed count (the
       // ev_peak_concurrency cache-state argument)
-      "graph_degree_stats" -> 8)
+      "graph_degree_stats" -> 8,
+      // the graph_common_neighbors budget (embedding near-dup pair
+      // build + degree agg + wedge self-join + pair agg + adjacency
+      // anti-join) + TWO endpoint-degree joins for the Jaccard
+      // denominator — every added exchange keyed on pair/node ids
+      // with the deg ≤ 64 wedge cap bounding row counts
+      "graph_link_jaccard" -> 11)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -344,7 +368,14 @@ object PlanAudit {
       // is the >1024-member hot-bucket relation from Dedup.capBuckets,
       // HashAggregate-bounded but printing opaquely once the shared
       // bands cache is materialized by an earlier plan build
-      "graph_clustering_coeff")
+      "graph_clustering_coeff",
+      // the ann_topk_exact argument: the NPROBES-row probe broadcast
+      // over the corpus scan (range filter instead of ranking)
+      "ann_range_search",
+      // the graph_common_neighbors argument: the only requested
+      // broadcasts are the ≤4096 distinct-bounded bit/wedge relations,
+      // printing opaquely behind the shared embedding near-dup cache
+      "graph_link_jaccard")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange
