@@ -2831,4 +2831,89 @@ class Round9InvariantSpec extends AnyFunSuite {
       assert(r.getAs[Double]("score") > 0)
     }
   }
+
+  test("etl_pps_sample: exactly n systematic draws, certainties included") {
+    // The defining property of systematic PPS: the selection points are
+    // n fixed odd multiples of X/(2n), so Σ n_hits over selected units
+    // is EXACTLY n — no randomness, no rounding drift.
+    val rows = SparkEntry.queries("etl_pps_sample")(spark, sf).collect()
+    val n = rows.map(_.getAs[Long]("n_hits")).sum
+    assert(n == 24L, s"systematic PPS drew $n hits, want exactly 24")
+    // every unit with x ≥ X/n (expected_hits ≥ 1) must be selected
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= 1)
+      assert(r.getAs[Double]("design_weight") > 0)
+    }
+    val certaintyHits = rows.filter(_.getAs[Double]("expected_hits") >= 1.0)
+    certaintyHits.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= 1,
+        s"certainty unit ${r.getAs[Long]("s_suppkey")} missed")
+    }
+  }
+
+  test("graph_eigencentrality conserves renormalized mass; singletons 0") {
+    // Each round renormalizes to mean FP over the edge subgraph, so the
+    // total score mass is N·FP up to one floor() per node per round.
+    val rows = SparkEntry.queries("graph_eigencentrality")(spark, sf).collect()
+    val connected = rows.filter(_.getAs[Long]("score_fp") > 0)
+    assert(connected.nonEmpty, "edge subgraph is empty at this sf")
+    val mass = connected.map(_.getAs[Long]("score_fp")).sum
+    val n = connected.length
+    // the renormalization target is N_subgraph·FP with one floor() of
+    // loss per node; N_subgraph ≥ n (a subgraph node could in theory
+    // floor to 0), so: lower bound from n, upper bound from all docs
+    assert(mass > n.toLong * 1048576L - n.toLong * 6,
+      s"mass $mass below the n·FP − 6n floor for n=$n")
+    assert(mass <= rows.length.toLong * 1048576L,
+      s"mass $mass exceeds |docs|·FP")
+    // a degree-0 doc can never receive mass
+    assert(rows.forall(r => r.getAs[Long]("score_fp") >= 0))
+  }
+
+  test("ev_theta_forecast matches a plain-Scala replay of the fold") {
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = daily.groupBy(_._1).collect { case (et, rows) if rows.length >= 2 =>
+      val v = rows.sortBy(_._2).map(_._3.toDouble)
+      val nd = v.length.toLong
+      val sy = v.map(_.toLong).sum
+      val sty = v.zipWithIndex.map { case (y, i) => (i + 1) * y.toLong }.sum
+      val stn = nd * (nd + 1) / 2
+      val st2 = nd * (nd + 1) * (2 * nd + 1) / 6
+      val b = (nd * sty - stn * sy).toDouble / (nd * st2 - stn * stn)
+      val a = (sy.toDouble - (nd * sty - stn * sy).toDouble
+        / (nd * st2 - stn * stn) * stn) / nd
+      var l = 2 * v(0) - (a + b * 1)
+      for (i <- 2 to v.length) l = 0.5 * (2 * v(i - 1) - (a + b * i)) + 0.5 * l
+      et -> (round9(l), round9(0.5 * l + 0.5 * (a + b * (nd + 1))),
+        round9(0.5 * l + 0.5 * (a + b * (nd + 7))))
+    }
+    val got = SparkEntry.queries("ev_theta_forecast")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("ses_level"), r.getAs[Double]("fc_1"),
+          r.getAs[Double]("fc_7"))).toMap
+    assert(got.keySet == want.keySet)
+    for ((et, w) <- want) {
+      val g = got(et)
+      assert(math.abs(g._1 - w._1) < 1e-9 && math.abs(g._2 - w._2) < 1e-9 &&
+        math.abs(g._3 - w._3) < 1e-9, s"$et: got $g want $w")
+    }
+  }
+
+  test("etl_roc_curve: tpr/fpr monotone along thresholds, AUC in [0,1]") {
+    val rows = SparkEntry.queries("etl_roc_curve")(spark, sf)
+      .orderBy(col("threshold").desc).collect()
+    assert(rows.nonEmpty)
+    val tprs = rows.map(_.getAs[Double]("tpr"))
+    val fprs = rows.map(_.getAs[Double]("fpr"))
+    assert(tprs.zip(tprs.tail).forall { case (x, y) => y >= x - 1e-12 })
+    assert(fprs.zip(fprs.tail).forall { case (x, y) => y >= x - 1e-12 })
+    assert(math.abs(tprs.last - 1.0) < 1e-9 && math.abs(fprs.last - 1.0) < 1e-9)
+    val auc = rows.head.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
 }
