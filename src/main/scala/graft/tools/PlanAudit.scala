@@ -285,7 +285,14 @@ object PlanAudit {
       // anti-join) + TWO endpoint-degree joins for the Jaccard
       // denominator — every added exchange keyed on pair/node ids
       // with the deg ≤ 64 wedge cap bounding row counts
-      "graph_link_jaccard" -> 11)
+      "graph_link_jaccard" -> 11,
+      // the ev_autocorrelation shape + the per-type r_fp join and the
+      // (event_type, nd) Q-statistic agg — all keyed on the ≤|types|
+      // bookkeeping relation after the one corpus collapse
+      "ev_ljung_box" -> 8,
+      // same shape, one exchange fewer (the lag pivot replaces the
+      // second stats join)
+      "ev_pacf" -> 7)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

@@ -464,6 +464,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_markov_transitions", "from_type") -> "type×type transition cells",
       ("ev_changepoint_cusum", "event_type") -> "type×day calendar-bounded daily counts",
       ("ev_survival", "cohort_week") -> "cohort × duration-hour calendar-bounded KM table",
+      ("ev_nelson_aalen", "cohort_week") -> "cohort × duration-hour calendar-bounded risk table (the ev_survival argument)",
+      ("etl_pps_sample", "") -> "16-row bucket-offset stitch (the pipe_token_budget bookkeeping)",
       ("pipe_pack_sequences", "shard") -> "per-shard packing is order-dependent by definition; shard count is the parallelism knob",
       ("pipe_token_budget", "source") -> "source×16 md5-nibble bucket offsets",
       ("q34_rank_family", "o_orderpriority") -> "≤5×200 range-bucket offset stitch",
