@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded edit-distance predicates get the banded O(k·len)
     // algorithm automatically (see ThresholdLevenshtein)
     e.injectOptimizerRule(_ => graft.plans.ThresholdLevenshtein)
+    // the as-of join whole-operator path: AsofJoinPlan logical nodes
+    // plan to the sort-merge AsofJoinExec (see plans/AsofJoin.scala)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy())
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -20,6 +20,34 @@ object Temporal {
 
   private val dec2 = DecimalType(18, 2)
 
+  /** Build an as-of join through the custom operator path
+    * (plans/AsofJoin.scala): left-outer "latest right row with the
+    * same key and time ≤ left time" with the given column names. The
+    * strategy is injected by GraftExtensions; for sessions built
+    * without it, this helper registers it idempotently via
+    * `experimental.extraStrategies` so the operator works anywhere. */
+  private[graft] def asofJoinNative(
+      s: org.apache.spark.sql.SparkSession,
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightTie: String,
+      toleranceSec: Option[Long]): org.apache.spark.sql.DataFrame = {
+    import graft.plans.{AsofJoinPlan, AsofJoinStrategy}
+    if (!s.experimental.extraStrategies.exists(_.isInstanceOf[AsofJoinStrategy]))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ AsofJoinStrategy()
+    val lp = org.apache.spark.sql.GraftSqlBridge.analyzed(left)
+    val rp = org.apache.spark.sql.GraftSqlBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s,
+      AsofJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTie),
+        toleranceSec))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -139,6 +167,53 @@ object Temporal {
         .withColumn("click_ts_s",
           last(when(col("is_click") === 1, col("ts_s")), ignoreNulls = true).over(w))
         .filter(col("is_click") === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_s").as("purchase_ts_s"), col("click_id"), col("click_ts_s"),
+          (col("ts_s") - col("click_ts_s")).as("gap_s"))
+    },
+
+    // ------------------------------------------------------------------
+    // The SAME as-of semantics through the custom whole-operator path:
+    // AsofJoinPlan (logical) → AsofJoinStrategy → AsofJoinExec — a
+    // sort-merge physical operator with O(1) carried state per
+    // partition (plans/AsofJoin.scala). Two keyed shuffles + two
+    // per-partition sorts, both declared through
+    // requiredChildDistribution/Ordering so bucketed inputs skip them;
+    // vs the window formulation above, the right side STREAMS (no
+    // per-user window buffer) and only purchases scan twice. Identical
+    // oracle to asof_join — the custom exec must reproduce the window
+    // plan's answer bit-for-bit (AsofNativeSpec also asserts
+    // row-equality between the two operators and the physical shape).
+    "asof_join_native" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |u AS (
+        |  SELECT user_id, ts_s, event_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_s ASC, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+        |                     event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts_s ASC, (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) DESC,
+        |                     event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_s
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, ts_s AS purchase_ts_s,
+        |  click_id, click_ts_s, ts_s - click_ts_s AS gap_s
+        |FROM u WHERE is_click = 0""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTimed(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user_id"),
+          col("event_id").as("click_id"), col("ts_s").as("click_ts_s"))
+      asofJoinNative(s, purchases, clicks,
+        "user_id", "r_user_id", "ts_s", "click_ts_s", "click_id", None)
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts_s").as("purchase_ts_s"), col("click_id"), col("click_ts_s"),
           (col("ts_s") - col("click_ts_s")).as("gap_s"))

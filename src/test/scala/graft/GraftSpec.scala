@@ -2906,6 +2906,61 @@ class Round9InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_join_native equals the window formulation row-for-row") {
+    // two utterly different plans (union+window carry vs the custom
+    // sort-merge AsofJoinExec) must agree on every row — the custom
+    // physical operator's correctness pinned against the composable one
+    val byWindow = SparkEntry.queries("asof_join")(spark, sf)
+      .collect().map(r => r.toSeq).toSet
+    val byNative = SparkEntry.queries("asof_join_native")(spark, sf)
+      .collect().map(r => r.toSeq).toSet
+    assert(byNative == byWindow,
+      s"native\\window: ${(byNative -- byWindow).take(3)}; " +
+        s"window\\native: ${(byWindow -- byNative).take(3)}")
+  }
+
+  test("asof_join_native plans as AsofJoinExec with declared layout") {
+    val df = SparkEntry.queries("asof_join_native")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsofJoin"), s"custom exec missing:\n$phys")
+    // the layout comes from the declared contracts, not manual ops:
+    // EnsureRequirements inserts both keyed exchanges and both sorts
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(phys).length >= 2, phys)
+    assert("(?m)^\\s*[+:]- Sort ".r.findAllIn(phys).length >= 2, phys)
+  }
+
+  test("asof_join_native tolerance drops stale matches to null") {
+    val ev = graft.sources.Tables.eventsTimed(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user_id"),
+        col("event_id").as("click_id"), col("ts_s").as("click_ts_s"))
+    val tol = 3600L
+    val got = graft.operators.Temporal.asofJoinNative(spark, purchases,
+      clicks, "user_id", "r_user_id", "ts_s", "click_ts_s", "click_id",
+      Some(tol)).collect()
+    val unlimited = graft.operators.Temporal.asofJoinNative(spark, purchases,
+      clicks, "user_id", "r_user_id", "ts_s", "click_ts_s", "click_id",
+      None).collect()
+    assert(got.length == unlimited.length, "tolerance must not drop LEFT rows")
+    got.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("click_ts_s")))
+        assert(r.getAs[Long]("ts_s") - r.getAs[Long]("click_ts_s") <= tol)
+    }
+    // every in-tolerance unlimited match survives; out-of-tolerance → null
+    val unlimMap = unlimited.map(r => r.getAs[Long]("event_id") ->
+      (if (r.isNullAt(r.fieldIndex("click_ts_s"))) None
+       else Some(r.getAs[Long]("ts_s") - r.getAs[Long]("click_ts_s")))).toMap
+    got.foreach { r =>
+      val gap = unlimMap(r.getAs[Long]("event_id"))
+      val hasMatch = !r.isNullAt(r.fieldIndex("click_ts_s"))
+      assert(hasMatch == gap.exists(_ <= tol),
+        s"event ${r.getAs[Long]("event_id")}: tol-match=$hasMatch, " +
+          s"unlimited gap=$gap")
+    }
+  }
+
   test("etl_roc_curve: tpr/fpr monotone along thresholds, AUC in [0,1]") {
     val rows = SparkEntry.queries("etl_roc_curve")(spark, sf)
       .orderBy(col("threshold").desc).collect()
