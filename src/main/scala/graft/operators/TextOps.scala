@@ -1233,6 +1233,60 @@ object TextOps {
           + 0.5) / lit(1.0e9)).as("alpha_frac"),
         (floor(col("n_nonascii").cast(DoubleType) / col("n_chars") * lit(1.0e9)
           + 0.5) / lit(1.0e9)).as("nonascii_frac"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token frequency spectrum + Chao1 richness + Good-Turing discounts
+    // — the "how much vocabulary haven't we seen yet" corpus-planning
+    // numbers (Chao1 = D + f₁²/(2f₂) lower-bounds the TRUE vocabulary
+    // from singleton/doubleton counts; Good-Turing r* = (r+1)f_{r+1}/f_r
+    // is the smoothing mass every n-gram LM needs). TWO map-side-
+    // combinable aggs: corpus → per-token counts → frequency-of-
+    // frequencies (rows = |distinct counts|, Zipf-bounded); the
+    // spectrum head f₁..f₅, the estimators, and the coverage estimate
+    // 1 − f₁/N all assemble from exact integers on the 1-row relation.
+    "text_freq_spectrum" -> QueryDef.withOracle(
+      s"""WITH tok AS (
+         |  SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+         |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM tc GROUP BY c),
+         |s AS (
+         |  SELECT
+         |    CAST(sum(f) AS BIGINT) AS d,
+         |    CAST(sum(c * f) AS BIGINT) AS n,
+         |    CAST(coalesce(max(CASE WHEN c = 1 THEN f END), 0) AS BIGINT) AS f1,
+         |    CAST(coalesce(max(CASE WHEN c = 2 THEN f END), 0) AS BIGINT) AS f2,
+         |    CAST(coalesce(max(CASE WHEN c = 3 THEN f END), 0) AS BIGINT) AS f3,
+         |    CAST(coalesce(max(CASE WHEN c = 4 THEN f END), 0) AS BIGINT) AS f4,
+         |    CAST(coalesce(max(CASE WHEN c = 5 THEN f END), 0) AS BIGINT) AS f5
+         |  FROM ff)
+         |SELECT d AS distinct_tokens, n AS total_tokens, f1, f2, f3, f4, f5,
+         |  floor((d + CAST(f1 AS DOUBLE) * f1 / (2.0 * greatest(f2, 1))) * 1e6
+         |    + 0.5) / 1.0e6 AS chao1,
+         |  floor((1 - CAST(f1 AS DOUBLE) / n) * 1e9 + 0.5) / 1.0e9
+         |    AS coverage,
+         |  floor(2.0 * f2 / greatest(f1, 1) * 1e9 + 0.5) / 1.0e9 AS gt_r1_star,
+         |  floor(3.0 * f3 / greatest(f2, 1) * 1e9 + 0.5) / 1.0e9 AS gt_r2_star
+         |FROM s""".stripMargin) { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val ff = tc.groupBy(col("c")).agg(count(lit(1)).as("f"))
+      def fk(k: Int) = coalesce(max(when(col("c") === k, col("f"))), lit(0L))
+        .as(s"f$k")
+      val st = ff.agg(sum(col("f")).as("d"), sum(col("c") * col("f")).as("n"),
+        fk(1), fk(2), fk(3), fk(4), fk(5))
+      st.select(col("d").as("distinct_tokens"), col("n").as("total_tokens"),
+        col("f1"), col("f2"), col("f3"), col("f4"), col("f5"),
+        (floor((col("d") + col("f1").cast(DoubleType) * col("f1")
+          / (lit(2.0) * greatest(col("f2"), lit(1L)))) * lit(1.0e6) + 0.5)
+          / lit(1.0e6)).as("chao1"),
+        (floor((lit(1) - col("f1").cast(DoubleType) / col("n")) * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("coverage"),
+        (floor(lit(2.0) * col("f2") / greatest(col("f1"), lit(1L)) * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("gt_r1_star"),
+        (floor(lit(3.0) * col("f3") / greatest(col("f2"), lit(1L)) * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("gt_r2_star"))
     }
   )
 }
