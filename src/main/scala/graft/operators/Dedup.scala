@@ -226,7 +226,7 @@ object Dedup {
   /** LSH candidates verified with exact jaccard: (doc_a, doc_b, ni,
     * ntot) where ni = |A∩B| and ntot = |A|+|B|. Shingles are pre-hashed
     * to longs so the per-pair intersection runs on sorted longs. */
-  private[operators] def verifiedCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def verifiedCandidates(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingled(s, dir).filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         array_sort(transform(col("sh"), x => xxhash64(x))).as("shh"),
@@ -887,6 +887,58 @@ object Dedup {
       pairs.agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${ths.size}, $stackArgs) " +
           "as (threshold, n_pairs, n_docs_removed)"))
+    },
+
+    // ------------------------------------------------------------------
+    // LSH band-bucket health audit — the ops table behind the
+    // MaxBandBucket safety valve: per band, bucket counts/sizes, the
+    // candidate pairs each band would generate (Σ s(s−1)/2, the
+    // quantity that goes quadratic on a boilerplate bucket), how many
+    // buckets are over the cap, and exactly how many pairs the cap
+    // drops. This is the "measure, don't guess" companion to the cap:
+    // on a real corpus this table is what tells you the cap fired and
+    // what it cost. Rides the SHARED banded-signature relation; one
+    // (band, sig) keyed count, then a ≤8-row rollup — all integer.
+    "dedup_bucket_stats" -> QueryDef.withOracle {
+      val mins = (0 until NumHashes).map(i =>
+        s"min(md5('$i:' || g)) AS m$i").mkString(", ")
+      val bands = (0 until NumBands).map(b =>
+        s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS sig FROM mh")
+        .mkString("\n  UNION ALL ")
+      s"""WITH s AS ($shingleSql),
+         |sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
+         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bands),
+         |bk AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS sz
+         |       FROM bands GROUP BY 1, 2)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS singleton_buckets,
+         |  CAST(sum(CASE WHEN sz <= $MaxBandBucket THEN sz * (sz - 1) // 2
+         |    ELSE 0 END) AS BIGINT) AS cand_pairs,
+         |  CAST(sum(CASE WHEN sz > $MaxBandBucket THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS overcap_buckets,
+         |  CAST(sum(CASE WHEN sz > $MaxBandBucket THEN sz * (sz - 1) // 2
+         |    ELSE 0 END) AS BIGINT) AS dropped_pairs
+         |FROM bk GROUP BY band""".stripMargin
+    } { (s, dir) =>
+      val bk = bandedSignatures(s, dir)
+        .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("sz"))
+      bk.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("sz")).as("n_docs"),
+          max(col("sz")).as("max_bucket"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+          sum(when(col("sz") <= MaxBandBucket,
+            expr("sz * (sz - 1) div 2")).otherwise(0L)).as("cand_pairs"),
+          sum(when(col("sz") > MaxBandBucket, 1L).otherwise(0L))
+            .as("overcap_buckets"),
+          sum(when(col("sz") > MaxBandBucket,
+            expr("sz * (sz - 1) div 2")).otherwise(0L)).as("dropped_pairs"))
     }
   )
 }

@@ -4700,6 +4700,395 @@ object Etl {
             / lit(1.0e9)).as("expected_hits"),
           (floor(col("xx").cast(DoubleType) / (lit(n) * col("x")) * lit(1.0e6)
             + 0.5) / lit(1.0e6)).as("design_weight"))
+    },
+
+    // ------------------------------------------------------------------
+    // Fay-Herriot small-area EBLUP — THE area-level model of official
+    // small-area estimation (etl_small_area_composite is the fixed-
+    // weight opening move; FH ESTIMATES the shrinkage from the data):
+    // per-nation direct mean balances ȳᵢ with sampling variances
+    // ψᵢ = s²ᵢ/nᵢ, the between-area variance σ²ᵥ by the Prasad-Rao
+    // moment estimator (intercept-only: max(0, [Σeᵢ² − (1−1/m)Σψᵢ]
+    // /(m−1))), shrinkage γᵢ = σ²ᵥ/(σ²ᵥ+ψᵢ), and EBLUP = γᵢȳᵢ +
+    // (1−γᵢ)·β̂ with β̂ the precision-weighted GLS mean. ONE corpus
+    // agg of exact fixed-point moments; every cross-area float sum
+    // (Σeᵢ², Σwᵢ, Σwᵢȳᵢ) snaps its terms to longs first, so the
+    // m-row bookkeeping stage is partitioning-invariant.
+    "etl_fay_herriot" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS HUGEINT)
+        |      * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+        |      AS sxx
+        |  FROM customer GROUP BY 1),
+        |a AS (
+        |  SELECT c_nationkey, n,
+        |    CAST(floor(CAST(sx AS DOUBLE) / n / 100 * 1e6 + 0.5) AS BIGINT)
+        |      AS dir_fp,
+        |    CAST(floor((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |      / (n - 1) / 10000 / n * 1e6 + 0.5) AS BIGINT) AS psi_fp
+        |  FROM g),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(dir_fp) AS BIGINT)
+        |    AS sdir, CAST(sum(psi_fp) AS BIGINT) AS spsi FROM a),
+        |e2 AS (
+        |  SELECT CAST(sum(CAST(floor(
+        |    (a.dir_fp / 1e6 - CAST(st.sdir AS DOUBLE) / st.m / 1e6)
+        |    * (a.dir_fp / 1e6 - CAST(st.sdir AS DOUBLE) / st.m / 1e6)
+        |    * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS se2
+        |  FROM a CROSS JOIN st),
+        |sv AS (
+        |  SELECT greatest(0,
+        |    (e2.se2 / 1e6 - st.spsi / 1e6 * (1 - 1.0 / st.m)) / (st.m - 1))
+        |    AS s2v, st.m AS m
+        |  FROM e2 CROSS JOIN st),
+        |wts AS (
+        |  SELECT a.c_nationkey, a.n, a.dir_fp, a.psi_fp, sv.s2v,
+        |    CAST(floor(1.0 / (sv.s2v + a.psi_fp / 1e6) * 1e9 + 0.5) AS BIGINT)
+        |      AS w_fp,
+        |    CAST(floor(a.dir_fp / 1e6 / (sv.s2v + a.psi_fp / 1e6) * 1e9 + 0.5)
+        |      AS BIGINT) AS yw_fp
+        |  FROM a CROSS JOIN sv),
+        |bw AS (
+        |  SELECT CAST(sum(w_fp) AS BIGINT) AS sw,
+        |    CAST(sum(yw_fp) AS BIGINT) AS syw FROM wts)
+        |SELECT w.c_nationkey, w.n,
+        |  w.dir_fp / 1.0e6 AS direct,
+        |  w.psi_fp / 1.0e6 AS psi,
+        |  floor(w.s2v * 1e6 + 0.5) / 1.0e6 AS sigma2_v,
+        |  floor(w.s2v / (w.s2v + w.psi_fp / 1e6) * 1e9 + 0.5) / 1.0e9
+        |    AS gamma,
+        |  floor((w.s2v / (w.s2v + w.psi_fp / 1e6) * (w.dir_fp / 1e6)
+        |    + (1 - w.s2v / (w.s2v + w.psi_fp / 1e6))
+        |      * (CAST(b.syw AS DOUBLE) / b.sw)) * 1e6 + 0.5) / 1.0e6
+        |    AS eblup
+        |FROM wts w CROSS JOIN bw b""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val xf = floor(col("c_acctbal") * 100 + 0.5).cast(LongType)
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(xf).as("sx"),
+          sum((xf.cast(dec38) * xf).cast(dec38)).as("sxx"))
+      val a = g.select(col("c_nationkey"), col("n"),
+        floor(col("sx").cast(DoubleType) / col("n") / 100 * lit(1.0e6) + 0.5)
+          .cast(LongType).as("dir_fp"),
+        floor((col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx") / col("n"))
+          / (col("n") - 1) / 10000 / col("n") * lit(1.0e6) + 0.5)
+          .cast(LongType).as("psi_fp"))
+        .persist() // ≤|nations| rows; read by every bookkeeping stage
+      val st = a.agg(count(lit(1)).as("m"), sum(col("dir_fp")).as("sdir"),
+        sum(col("psi_fp")).as("spsi"))
+      val dev = (col("dir_fp") / lit(1.0e6)
+        - col("sdir").cast(DoubleType) / col("m") / lit(1.0e6))
+      val e2 = a.crossJoin(broadcast(st))
+        .agg(sum(floor(dev * dev * lit(1.0e6) + 0.5).cast(LongType)).as("se2"))
+      val sv = e2.crossJoin(broadcast(st))
+        .select(greatest(lit(0),
+          (col("se2") / lit(1.0e6) - col("spsi") / lit(1.0e6)
+            * (lit(1) - lit(1.0) / col("m"))) / (col("m") - 1)).as("s2v"),
+          col("m"))
+      val wts = a.crossJoin(broadcast(sv))
+        .select(col("c_nationkey"), col("n"), col("dir_fp"), col("psi_fp"),
+          col("s2v"),
+          floor(lit(1.0) / (col("s2v") + col("psi_fp") / lit(1.0e6))
+            * lit(1.0e9) + 0.5).cast(LongType).as("w_fp"),
+          floor(col("dir_fp") / lit(1.0e6)
+            / (col("s2v") + col("psi_fp") / lit(1.0e6)) * lit(1.0e9) + 0.5)
+            .cast(LongType).as("yw_fp"))
+        .persist() // the GLS-mean agg AND the per-area output
+      val bw = wts.agg(sum(col("w_fp")).as("sw"), sum(col("yw_fp")).as("syw"))
+      val gamma = col("s2v") / (col("s2v") + col("psi_fp") / lit(1.0e6))
+      wts.crossJoin(broadcast(bw))
+        .select(col("c_nationkey"), col("n"),
+          (col("dir_fp") / lit(1.0e6)).as("direct"),
+          (col("psi_fp") / lit(1.0e6)).as("psi"),
+          (floor(col("s2v") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("sigma2_v"),
+          (floor(gamma * lit(1.0e9) + 0.5) / lit(1.0e9)).as("gamma"),
+          (floor((gamma * (col("dir_fp") / lit(1.0e6))
+            + (lit(1) - gamma) * (col("syw").cast(DoubleType) / col("sw")))
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("eblup"))
+    },
+
+    // ------------------------------------------------------------------
+    // Theil-Sen robust trend — median-of-pairwise-slopes over the
+    // monthly revenue series per return flag (the robust companion to
+    // etl_regression_ols the way etl_mad_robust is to etl_outlier_clamp:
+    // one wild month moves OLS, not the pairwise median; 29% breakdown).
+    // Corpus collapses to ≤|months| exact cent sums per flag in ONE
+    // keyed agg; the pairwise self-join, slope medians and intercept
+    // medians all ride that calendar-bounded relation (months², not
+    // rows², ~3.5k pairs per flag). Slopes are exact-cent differences
+    // divided as identically-sequenced doubles; medians use explicit
+    // rank selection with full deterministic tiebreaks.
+    "etl_theil_sen" -> QueryDef.withOracle(
+      """WITH mo AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.f, a.mi AS mi_a, b.mi AS mi_b,
+        |    CAST(b.rev_c - a.rev_c AS DOUBLE) / (b.mi - a.mi) AS slope
+        |  FROM mo a JOIN mo b ON b.f = a.f AND b.mi > a.mi),
+        |rs AS (
+        |  SELECT f, slope,
+        |    row_number() OVER (PARTITION BY f
+        |      ORDER BY slope ASC, mi_a ASC, mi_b ASC) AS rn,
+        |    count(*) OVER (PARTITION BY f) AS np
+        |  FROM pr),
+        |sl AS (
+        |  SELECT f, max(np) AS n_pairs,
+        |    (max(CASE WHEN rn = (np + 1) // 2 THEN slope END)
+        |     + max(CASE WHEN rn = (np + 2) // 2 THEN slope END)) / 2.0 AS slope
+        |  FROM rs GROUP BY f),
+        |ic AS (
+        |  SELECT mo.f, mo.rev_c - sl.slope * mo.mi AS b0, mo.mi,
+        |    row_number() OVER (PARTITION BY mo.f
+        |      ORDER BY mo.rev_c - sl.slope * mo.mi ASC, mo.mi ASC) AS rn,
+        |    count(*) OVER (PARTITION BY mo.f) AS nm
+        |  FROM mo JOIN sl ON sl.f = mo.f),
+        |b0 AS (
+        |  SELECT f, max(nm) AS n_months,
+        |    (max(CASE WHEN rn = (nm + 1) // 2 THEN b0 END)
+        |     + max(CASE WHEN rn = (nm + 2) // 2 THEN b0 END)) / 2.0 AS b0
+        |  FROM ic GROUP BY f)
+        |SELECT sl.f AS l_returnflag, b0.n_months, sl.n_pairs,
+        |  floor(sl.slope / 100 * 1e6 + 0.5) / 1.0e6 AS sen_slope,
+        |  floor(b0.b0 / 100 * 1e2 + 0.5) / 1.0e2 AS sen_intercept
+        |FROM sl JOIN b0 ON b0.f = sl.f""".stripMargin) { (s, dir) =>
+      val mo = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast(LongType).as("mi"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType))
+          .as("rev_c"))
+        .persist() // ≤|months|·|flags| rows; pair join + intercept pass
+      val pr = mo.as("a").join(mo.as("b"),
+          col("b.f") === col("a.f") && col("b.mi") > col("a.mi"))
+        .select(col("a.f").as("f"), col("a.mi").as("mi_a"),
+          col("b.mi").as("mi_b"),
+          ((col("b.rev_c") - col("a.rev_c")).cast(DoubleType)
+            / (col("b.mi") - col("a.mi"))).as("slope"))
+      val wS = Window.partitionBy(col("f"))
+        .orderBy(col("slope").asc, col("mi_a").asc, col("mi_b").asc)
+      val wF = Window.partitionBy(col("f"))
+      val rs = pr.withColumn("rn", row_number().over(wS))
+        .withColumn("np", count(lit(1)).over(
+          wF.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val sl = rs.groupBy(col("f"))
+        .agg(max(col("np")).as("n_pairs"),
+          ((max(when(col("rn") === floor((col("np") + 1) / 2), col("slope")))
+            + max(when(col("rn") === floor((col("np") + 2) / 2), col("slope"))))
+            / lit(2.0)).as("slope"))
+      val b0v = (col("rev_c") - col("slope") * col("mi")).as("b0")
+      val ic = mo.join(broadcast(sl), Seq("f"))
+        .select(col("f"), b0v, col("mi"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("f")).orderBy(col("b0").asc, col("mi").asc)))
+        .withColumn("nm", count(lit(1)).over(
+          wF.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val b0 = ic.groupBy(col("f"))
+        .agg(max(col("nm")).as("n_months"),
+          ((max(when(col("rn") === floor((col("nm") + 1) / 2), col("b0")))
+            + max(when(col("rn") === floor((col("nm") + 2) / 2), col("b0"))))
+            / lit(2.0)).as("b0"))
+      sl.join(b0, Seq("f"))
+        .select(col("f").as("l_returnflag"), col("n_months"), col("n_pairs"),
+          (floor(col("slope") / 100 * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("sen_slope"),
+          (floor(col("b0") / 100 * lit(1.0e2) + 0.5) / lit(1.0e2))
+            .as("sen_intercept"))
+    },
+
+    // ------------------------------------------------------------------
+    // McNemar's test — paired-proportion change on the SAME subjects
+    // (do users reach a high-value purchase at a different rate than a
+    // high-value view, net of those who did both?): the within-subject
+    // companion to the
+    // independent-sample ev_ab_ttest / etl_chisq_independence. One
+    // user-keyed agg to per-user (clicked, purchased) flags, one global
+    // rollup to the 2×2 concordant/discordant cells — the test only
+    // reads the discordant b and c: χ² = (|b−c|−1)²/(b+c) with the
+    // continuity correction, all from exact BIGINTs until the final
+    // 1-row divide.
+    "etl_mcnemar" -> QueryDef.withOracle(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 90
+        |      THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN event_type = 'view' AND value >= 90
+        |      THEN 1 ELSE 0 END) AS hp
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(hc * hp) AS BIGINT) AS n_both,
+        |    CAST(sum(hc * (1 - hp)) AS BIGINT) AS n_hi_purchase_only,
+        |    CAST(sum((1 - hc) * hp) AS BIGINT) AS n_hi_view_only,
+        |    CAST(sum((1 - hc) * (1 - hp)) AS BIGINT) AS n_neither,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM u)
+        |SELECT n_users, n_both, n_hi_purchase_only, n_hi_view_only, n_neither,
+        |  CASE WHEN n_hi_purchase_only + n_hi_view_only = 0 THEN 0.0
+        |    ELSE floor((abs(CAST(n_hi_purchase_only AS DOUBLE) - n_hi_view_only) - 1)
+        |      * (abs(CAST(n_hi_purchase_only AS DOUBLE) - n_hi_view_only) - 1)
+        |      / (n_hi_purchase_only + n_hi_view_only) * 1e6 + 0.5) / 1.0e6 END AS chi2,
+        |  CASE WHEN n_hi_purchase_only + n_hi_view_only = 0 THEN 0.0
+        |    ELSE floor((abs(CAST(n_hi_purchase_only AS DOUBLE) - n_hi_view_only) - 1)
+        |      * (abs(CAST(n_hi_purchase_only AS DOUBLE) - n_hi_view_only) - 1)
+        |      / (n_hi_purchase_only + n_hi_view_only) * 1e6 + 0.5) / 1.0e6 END
+        |    > 3.841459 AS reject_marginal_homogeneity
+        |FROM c""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 90,
+            1L).otherwise(0L)).as("hc"),
+          max(when(col("event_type") === "view" && col("value") >= 90,
+            1L).otherwise(0L)).as("hp"))
+      val c = u.agg(
+        sum(col("hc") * col("hp")).as("n_both"),
+        sum(col("hc") * (lit(1L) - col("hp"))).as("n_hi_purchase_only"),
+        sum((lit(1L) - col("hc")) * col("hp")).as("n_hi_view_only"),
+        sum((lit(1L) - col("hc")) * (lit(1L) - col("hp"))).as("n_neither"),
+        count(lit(1)).as("n_users"))
+      val dd = abs(col("n_hi_purchase_only").cast(DoubleType)
+        - col("n_hi_view_only")) - 1
+      // a saturated panel (every user in both margins) has no discordant
+      // pairs: the statistic is undefined — report 0, don't divide
+      val chi2 = when(col("n_hi_purchase_only") + col("n_hi_view_only") === 0L,
+        lit(0.0)).otherwise(
+        floor(dd * dd / (col("n_hi_purchase_only") + col("n_hi_view_only"))
+          * lit(1.0e6) + 0.5) / lit(1.0e6))
+      c.select(col("n_users"), col("n_both"), col("n_hi_purchase_only"),
+        col("n_hi_view_only"), col("n_neither"), chi2.as("chi2"),
+        (chi2 > 3.841459).as("reject_marginal_homogeneity"))
+    },
+
+    // ------------------------------------------------------------------
+    // X-11-style seasonal adjustment — the full composed pass the
+    // published SA series actually goes through, assembling the pieces
+    // this surface already proves one at a time (etl_seasonal_ma's
+    // 2×12 MA, etl_seasonal_decompose's ratio-to-MA factors,
+    // etl_henderson_trend's exact-rational trend smoother): (1) first
+    // trend = 2×12 centered MA as an EXACT ×24 integer window sum over
+    // monthly cent totals, (2) SI ratios ×10⁹-snapped, (3) seasonal
+    // factors = per-calendar-month SI means normalized to mean 1,
+    // (4) SA series = y/factor snapped back to exact cents, (5) final
+    // trend = Henderson-13 over the SA cents as ONE exact integer dot
+    // product, (6) irregular = SA/trend. Corpus collapses to the
+    // monthly relation in one agg; every later stage rides that
+    // calendar-bounded bookkeeping (global-order windows over ≤|months|
+    // rows, a 13-row literal-weights join — nothing row-scaled).
+    "etl_x11_adjust" -> QueryDef.withOracle(
+      s"""WITH m AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS fp
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT ym, mo_s, mo, fp,
+        |    lag(fp, 6) OVER o + 2 * lag(fp, 5) OVER o + 2 * lag(fp, 4) OVER o
+        |      + 2 * lag(fp, 3) OVER o + 2 * lag(fp, 2) OVER o
+        |      + 2 * lag(fp, 1) OVER o + 2 * fp
+        |      + 2 * lead(fp, 1) OVER o + 2 * lead(fp, 2) OVER o
+        |      + 2 * lead(fp, 3) OVER o + 2 * lead(fp, 4) OVER o
+        |      + 2 * lead(fp, 5) OVER o + lead(fp, 6) OVER o AS ma24
+        |  FROM m WINDOW o AS (ORDER BY ym ASC)),
+        |si AS (
+        |  SELECT ym, mo, CAST(floor(CAST(fp AS DOUBLE) * 24 / ma24
+        |    * 1000000000 + 0.5) AS BIGINT) AS si_fp
+        |  FROM w WHERE ma24 IS NOT NULL),
+        |f AS (
+        |  SELECT mo,
+        |    CAST(floor(CAST(sum(si_fp) AS BIGINT) / count(*) + 0.5) AS BIGINT)
+        |      AS m_fp
+        |  FROM si GROUP BY mo),
+        |nrm AS (SELECT CAST(sum(m_fp) AS BIGINT) AS fsum,
+        |               CAST(count(*) AS BIGINT) AS nmo FROM f),
+        |fac AS (
+        |  SELECT f.mo, f.m_fp * CAST(nrm.nmo AS DOUBLE) / nrm.fsum AS seasonal
+        |  FROM f CROSS JOIN nrm),
+        |sa AS (
+        |  SELECT m.ym, m.mo_s, m.fp, fac.seasonal,
+        |    CAST(floor(CAST(m.fp AS DOUBLE) / fac.seasonal + 0.5) AS BIGINT)
+        |      AS sa_c
+        |  FROM m JOIN fac ON fac.mo = m.mo),
+        |hw AS (
+        |  SELECT CAST(o AS BIGINT) AS off, CAST(wfp AS BIGINT) AS wfp
+        |  FROM (VALUES ${HendersonW.map { case (o, v) => s"($o, $v)" }
+               .mkString(", ")}) t(o, wfp)),
+        |h AS (
+        |  SELECT a.ym, a.mo_s, a.fp, a.seasonal, a.sa_c,
+        |    CAST(sum(hw.wfp * b.sa_c) AS BIGINT) AS hdot
+        |  FROM sa a JOIN hw ON TRUE JOIN sa b ON b.ym = a.ym + hw.off
+        |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 13)
+        |SELECT mo_s, CAST(fp AS DOUBLE) / 100 AS revenue,
+        |  floor(seasonal * 1000000000 + 0.5) / 1.0e9 AS seasonal_factor,
+        |  CAST(sa_c AS DOUBLE) / 100 AS seasonally_adjusted,
+        |  floor(CAST(hdot AS DOUBLE) / $HendersonDenom / 100 * 1e6 + 0.5)
+        |    / 1.0e6 AS trend,
+        |  floor(CAST(sa_c AS DOUBLE) * $HendersonDenom / hdot * 1e9 + 0.5)
+        |    / 1.0e9 AS irregular
+        |FROM h""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = Tables.orders(s, dir)
+        .groupBy(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast(LongType).as("ym"),
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+          .as("fp"))
+        .persist() // monthly bookkeeping: MA window + factor join + filter
+      val o = Window.orderBy(col("ym").asc)
+      def lg(k: Int) = lag(col("fp"), k).over(o)
+      def ld(k: Int) = lead(col("fp"), k).over(o)
+      val ma24 = lg(6) + lit(2) * lg(5) + lit(2) * lg(4) + lit(2) * lg(3) +
+        lit(2) * lg(2) + lit(2) * lg(1) + lit(2) * col("fp") +
+        lit(2) * ld(1) + lit(2) * ld(2) + lit(2) * ld(3) + lit(2) * ld(4) +
+        lit(2) * ld(5) + ld(6)
+      val si = m.withColumn("ma24", ma24)
+        .filter(col("ma24").isNotNull)
+        .select(col("ym"), col("mo"),
+          floor(col("fp").cast(DoubleType) * 24 / col("ma24") * lit(1.0e9)
+            + 0.5).cast(LongType).as("si_fp"))
+      val f = si.groupBy(col("mo"))
+        .agg(floor(sum(col("si_fp")) / count(lit(1)) + 0.5)
+          .cast(LongType).as("m_fp"))
+      val nrm = f.agg(sum(col("m_fp")).as("fsum"), count(lit(1)).as("nmo"))
+      val fac = f.crossJoin(broadcast(nrm))
+        .select(col("mo"),
+          (col("m_fp") * col("nmo").cast(DoubleType) / col("fsum"))
+            .as("seasonal"))
+      val sa = m.join(broadcast(fac), Seq("mo"))
+        .select(col("ym"), col("mo_s"), col("fp"), col("seasonal"),
+          floor(col("fp").cast(DoubleType) / col("seasonal") + 0.5)
+            .cast(LongType).as("sa_c"))
+        .persist() // both sides of the 13-offset Henderson self-join
+      val hw = HendersonW.toDF("off", "wfp")
+      val sb = sa.select(col("ym").as("ym2"), col("sa_c").as("sa2"))
+      sa.crossJoin(broadcast(hw))
+        .join(sb, col("ym2") === col("ym") + col("off"))
+        .groupBy(col("ym"), col("mo_s"), col("fp"), col("seasonal"),
+          col("sa_c"))
+        .agg(sum(col("wfp") * col("sa2")).as("hdot"),
+          count(lit(1)).as("nterms"))
+        .filter(col("nterms") === 13)
+        .select(col("mo_s"), (col("fp").cast(DoubleType) / 100).as("revenue"),
+          (floor(col("seasonal") * lit(1.0e9) + 0.5) / lit(1.0e9))
+            .as("seasonal_factor"),
+          (col("sa_c").cast(DoubleType) / 100).as("seasonally_adjusted"),
+          (floor(col("hdot").cast(DoubleType) / HendersonDenom / 100
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("trend"),
+          (floor(col("sa_c").cast(DoubleType) * HendersonDenom / col("hdot")
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("irregular"))
     }
   )
 

@@ -934,6 +934,83 @@ object Graph {
          |SELECT id AS doc_id, d AS core_deg FROM p$KcoreRounds""".stripMargin) { (s, dir) =>
       kcoreSurvivors(s, dir, KcoreK, KcoreRounds)
         .select(col("id").as("doc_id"), col("d").as("core_deg"))
+    },
+
+    // ------------------------------------------------------------------
+    // Harmonic centrality from 8 deterministically-sampled sources —
+    // the distance-based centrality family (closeness proper is
+    // undefined on disconnected graphs; the harmonic form Σ 1/d
+    // handles unreachable pairs by contributing 0). Exact all-sources
+    // closeness is an all-pairs BFS (O(V·E) — a non-starter at corpus
+    // scale); the standard estimator fixes a sampled seed set, and
+    // md5-ordering makes the sample deterministic so the unrolled
+    // 3-round multi-source BFS carries a full oracle. State is
+    // (seed, node, dist) — ≤8·V rows; each round is ONE frontier join
+    // against the src-partitioned cached edge relation (the
+    // graph_contamination_bfs layout with a seed dimension), lineage
+    // cut per round. Per-term 1e9//dist snaps are exact integers, so
+    // the harmonic sum never touches a float.
+    "graph_harmonic" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""d${i + 1} AS (
+           |  SELECT seed, doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT seed, doc_id, dist FROM d$i
+           |    UNION ALL
+           |    SELECT d.seed, e.dst AS doc_id, d.dist + 1 AS dist
+           |    FROM edges e JOIN d$i d ON d.doc_id = e.src)
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |seeds AS (
+         |  SELECT id FROM nodes ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8),
+         |d0 AS (SELECT id AS seed, id AS doc_id, CAST(0 AS BIGINT) AS dist
+         |       FROM seeds),
+         |${(0 until 3).map(stepSql).mkString(",\n")}
+         |SELECT doc_id,
+         |  CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+         |  CAST(sum(CASE WHEN dist > 0 THEN 1000000000 // dist ELSE 0 END)
+         |    AS BIGINT) AS harmonic_fp
+         |FROM d3 GROUP BY doc_id""".stripMargin
+    } { (s, dir) =>
+      val p = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")).persist()
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy(md5(col("id").cast("string")).asc, col("id").asc)
+        .limit(8) // TakeOrdered top-8: no global sort materializes
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      def cut(df: DataFrame) =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      var dist = cut(seeds.select(col("id").as("seed"), col("id").as("doc_id"),
+        lit(0L).as("dist")))
+      for (_ <- 0 until 3) {
+        val nxt = edges
+          .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("seed"), col("dst").as("doc_id"),
+            (col("dist") + 1).as("dist"))
+        dist = cut(dist.unionByName(nxt)
+          .groupBy(col("seed"), col("doc_id")).agg(min(col("dist")).as("dist")))
+      }
+      dist.groupBy(col("doc_id"))
+        .agg(count(when(col("dist") > 0, 1)).as("n_reached"),
+          sum(when(col("dist") > 0, expr("1000000000 div dist"))
+            .otherwise(0L)).as("harmonic_fp"))
     }
   )
 }

@@ -864,6 +864,123 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Kaplan-Meier with Greenwood 95% confidence bands — the published
+    // form of ev_survival (no agency or product team ships a survival
+    // curve without its band). Same risk-set machinery; Greenwood's
+    // variance accumulates Σ d/(n(n−d)) with each term ×10¹²-snapped
+    // to a long BEFORE the cumulative window (exact-integer, like the
+    // KM ln-product chain), and the band is S·exp(±1.96·se(log S)) —
+    // the log-scale form that keeps the limits inside [0,1] without
+    // clipping artifacts. Bounded bookkeeping after the one corpus agg.
+    "ev_survival_ci" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (SELECT max(ts_s) AS gmax FROM e),
+        |u AS (SELECT user_id, min(ts_s) AS first_s FROM e GROUP BY 1),
+        |cv AS (
+        |  SELECT user_id, min(ts_s) AS conv_s FROM e
+        |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+        |d AS (
+        |  SELECT u.first_s // 604800 AS cohort_week,
+        |    CASE WHEN cv.conv_s IS NOT NULL
+        |         THEN (cv.conv_s - u.first_s) // 3600
+        |         ELSE (g.gmax - u.first_s) // 3600 END AS t_hours,
+        |    CASE WHEN cv.conv_s IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u LEFT JOIN cv ON cv.user_id = u.user_id CROSS JOIN g),
+        |ct AS (
+        |  SELECT cohort_week, CAST(t_hours AS BIGINT) AS t_hours,
+        |    CAST(sum(ev) AS BIGINT) AS d_converted,
+        |    CAST(count(*) - sum(ev) AS BIGINT) AS c_censored
+        |  FROM d GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(d_converted + c_censored) OVER (PARTITION BY cohort_week
+        |      ORDER BY t_hours ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS removed,
+        |    CAST(sum(d_converted + c_censored) OVER (PARTITION BY cohort_week)
+        |      AS BIGINT) AS n_cohort
+        |  FROM ct),
+        |k AS (
+        |  SELECT cohort_week, t_hours, d_converted, c_censored,
+        |    n_cohort - removed AS n_at_risk FROM w),
+        |t AS (
+        |  SELECT *, CASE WHEN d_converted < n_at_risk
+        |    THEN CAST(floor(ln(1.0 - d_converted * 1.0 / n_at_risk) * 1000000) AS BIGINT)
+        |    ELSE 0 END AS term_fp,
+        |  CASE WHEN d_converted < n_at_risk
+        |    THEN CAST(floor(CAST(d_converted AS DOUBLE) / n_at_risk
+        |      / (n_at_risk - d_converted) * 1e12 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS gw_fp FROM k),
+        |s AS (
+        |  SELECT *,
+        |    CAST(sum(term_fp) OVER o AS BIGINT) AS cum,
+        |    CAST(sum(gw_fp) OVER o AS BIGINT) AS cum_gw
+        |  FROM t WINDOW o AS (PARTITION BY cohort_week ORDER BY t_hours ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort_week, t_hours, n_at_risk, d_converted,
+        |  CASE WHEN d_converted = n_at_risk THEN 0.0
+        |       ELSE round(exp(cum / 1000000.0), 6) END AS surv,
+        |  CASE WHEN d_converted = n_at_risk THEN 0.0
+        |       ELSE floor(exp(cum / 1000000.0)
+        |         * exp(-1.96 * sqrt(cum_gw / 1e12)) * 1e6 + 0.5) / 1.0e6
+        |       END AS ci_lo,
+        |  CASE WHEN d_converted = n_at_risk THEN 0.0
+        |       ELSE least(1.0, floor(exp(cum / 1000000.0)
+        |         * exp(1.96 * sqrt(cum_gw / 1e12)) * 1e6 + 0.5) / 1.0e6)
+        |       END AS ci_hi
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts_s"))
+      val g = e.agg(max(col("ts_s")).as("gmax"))
+      val u = e.groupBy(col("user_id")).agg(min(col("ts_s")).as("first_s"))
+      val cv = e.filter(col("event_type") === "purchase" && col("value") >= 90)
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("conv_s"))
+      val ct = u.join(cv, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(g)) // 1-row observation-end anchor
+        .select(expr("first_s div 604800").as("cohort_week"),
+          when(col("conv_s").isNotNull, expr("(conv_s - first_s) div 3600"))
+            .otherwise(expr("(gmax - first_s) div 3600")).as("t_hours"),
+          when(col("conv_s").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy(col("cohort_week"), col("t_hours"))
+        .agg(sum(col("ev")).as("d_converted"),
+          (count(lit(1)) - sum(col("ev"))).as("c_censored"))
+      val wc = Window.partitionBy(col("cohort_week")).orderBy(col("t_hours").asc)
+      val k = ct
+        .withColumn("removed", coalesce(
+          sum(col("d_converted") + col("c_censored"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_cohort",
+          sum(col("d_converted") + col("c_censored"))
+            .over(wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n_at_risk", col("n_cohort") - col("removed"))
+      val termFp = when(col("d_converted") < col("n_at_risk"),
+        floor(log(lit(1.0) - col("d_converted") * lit(1.0) / col("n_at_risk")) * 1000000)
+          .cast(LongType)).otherwise(lit(0L))
+      val gwFp = when(col("d_converted") < col("n_at_risk"),
+        floor(col("d_converted").cast(DoubleType) / col("n_at_risk")
+          / (col("n_at_risk") - col("d_converted")) * lit(1.0e12) + 0.5)
+          .cast(LongType)).otherwise(lit(0L))
+      val cumW = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val surv = exp(col("cum") / 1000000.0)
+      k.withColumn("term_fp", termFp).withColumn("gw_fp", gwFp)
+        .withColumn("cum", sum(col("term_fp")).over(cumW))
+        .withColumn("cum_gw", sum(col("gw_fp")).over(cumW))
+        .select(col("cohort_week"), col("t_hours"), col("n_at_risk"),
+          col("d_converted"),
+          when(col("d_converted") === col("n_at_risk"), lit(0.0))
+            .otherwise(round(surv, 6)).as("surv"),
+          when(col("d_converted") === col("n_at_risk"), lit(0.0))
+            .otherwise(floor(surv * exp(lit(-1.96)
+              * sqrt(col("cum_gw") / lit(1.0e12))) * lit(1.0e6) + 0.5)
+              / lit(1.0e6)).as("ci_lo"),
+          when(col("d_converted") === col("n_at_risk"), lit(0.0))
+            .otherwise(least(lit(1.0), floor(surv * exp(lit(1.96)
+              * sqrt(col("cum_gw") / lit(1.0e12))) * lit(1.0e6) + 0.5)
+              / lit(1.0e6))).as("ci_hi"))
+    },
+
+    // ------------------------------------------------------------------
     // Last-touch attribution: each purchase is credited to the same
     // user's most recent preceding touch event (click/view/signup)
     // within a 7-day lookback, else 'organic'. The carry-forward is
@@ -1374,6 +1491,108 @@ object Temporal {
         / lit(1.0e9) * lit(1.0e6) + 0.5) / lit(1.0e6)
       st.select(col("event_type"), col("nd").as("n_days"), col("df"),
         q.as("q_stat"), (q > 12.591587).as("reject_white_noise"))
+    },
+
+    // ------------------------------------------------------------------
+    // Periodogram (discrete Fourier power spectrum) over the per-type
+    // daily-count series — the frequency-domain companion to
+    // ev_autocorrelation (a weekly cycle is one ACF spike at lag 7 but
+    // a full peak profile here; this is the table that TELLS you which
+    // seasonal period to hand ev_holtwinters_forecast). For k = 1..8:
+    // P(k) = C_k² + S_k² with C_k = Σ_t dev_t·cos(2πkt/N),
+    // S_k likewise with sin. Determinism discipline: the trig factor
+    // itself snaps ×10⁹ to a long FIRST (a 1-ulp libm difference dies
+    // at the snap, the exact-integer ACF argument extended to trig), so
+    // dev·cos_fp products and their sums are EXACT integers (DECIMAL /
+    // HUGEINT — dev is already ×N-scaled); only the final power and
+    // share divide as identically-sequenced doubles. Corpus collapses
+    // to (type, day) in one agg; the day-index window and the 8-freq
+    // cross join ride bounded bookkeeping relations.
+    "ev_dft_spectrum" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY event_type),
+        |v AS (
+        |  SELECT d.event_type, d.n * t.nd - t.tot AS dev, t.nd,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ASC) - 1 AS BIGINT) AS i
+        |  FROM d JOIN t USING (event_type)),
+        |term AS (
+        |  SELECT v.event_type, v.nd, f.k,
+        |    CAST(v.dev AS HUGEINT)
+        |      * CAST(floor(cos(2.0 * pi() * ((f.k * v.i) % v.nd) / v.nd)
+        |          * 1000000000 + 0.5) AS BIGINT) AS ct,
+        |    CAST(v.dev AS HUGEINT)
+        |      * CAST(floor(sin(2.0 * pi() * ((f.k * v.i) % v.nd) / v.nd)
+        |          * 1000000000 + 0.5) AS BIGINT) AS st
+        |  FROM v CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS k) f),
+        |cs AS (
+        |  SELECT event_type, nd, k,
+        |    CAST(sum(ct) AS HUGEINT) AS c, CAST(sum(st) AS HUGEINT) AS s
+        |  FROM term GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT event_type, nd, k,
+        |    CAST(floor((CAST(c AS DOUBLE) / 1e9 / nd) * (CAST(c AS DOUBLE) / 1e9 / nd)
+        |      + (CAST(s AS DOUBLE) / 1e9 / nd) * (CAST(s AS DOUBLE) / 1e9 / nd)
+        |      + 0.5) AS BIGINT) AS p_fp
+        |  FROM cs),
+        |tp AS (
+        |  SELECT event_type, CAST(sum(p_fp) AS BIGINT) AS ptot,
+        |    CAST(max(p_fp) AS BIGINT) AS pmax FROM p GROUP BY 1)
+        |SELECT p.event_type, CAST(p.k AS INT) AS k,
+        |  floor(CAST(p.nd AS DOUBLE) / p.k * 1e6 + 0.5) / 1.0e6 AS period_days,
+        |  p.p_fp AS power,
+        |  floor(CAST(p.p_fp AS DOUBLE) / tp.ptot * 1e9 + 0.5) / 1.0e9
+        |    AS power_share,
+        |  p.p_fp = tp.pmax AS is_peak
+        |FROM p JOIN tp USING (event_type)""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      // dense 0-based day index: bounded |days| bookkeeping window
+      val wDay = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val v = d.join(broadcast(t), "event_type")
+        .select(col("event_type"), (col("n") * col("nd") - col("tot")).as("dev"),
+          col("nd"), (row_number().over(wDay) - 1).cast(LongType).as("i"))
+      import s.implicits._
+      val freqs = (1 to 8).toDF("k")
+      // ((2·π)·m)/nd — parenthesization mirrors the oracle's
+      // left-associative parse; double × is not associative
+      val theta =
+        lit(2.0) * lit(math.Pi) * pmod(col("k") * col("i"), col("nd")) /
+          col("nd")
+      val term = v.crossJoin(broadcast(freqs))
+        .select(col("event_type"), col("nd"), col("k"),
+          (col("dev").cast(dec38)
+            * floor(cos(theta) * lit(1.0e9) + 0.5).cast(LongType)).cast(dec38)
+            .as("ct"),
+          (col("dev").cast(dec38)
+            * floor(sin(theta) * lit(1.0e9) + 0.5).cast(LongType)).cast(dec38)
+            .as("st"))
+      val cs = term.groupBy(col("event_type"), col("nd"), col("k"))
+        .agg(sum(col("ct")).as("c"), sum(col("st")).as("s"))
+      val cd = col("c").cast(DoubleType) / lit(1.0e9) / col("nd")
+      val sd = col("s").cast(DoubleType) / lit(1.0e9) / col("nd")
+      val p = cs.select(col("event_type"), col("nd"), col("k"),
+        floor(cd * cd + sd * sd + 0.5).cast(LongType).as("p_fp"))
+        .persist() // ≤ 8·|types| rows; totals + output
+      val tp = p.groupBy(col("event_type"))
+        .agg(sum(col("p_fp")).as("ptot"), max(col("p_fp")).as("pmax"))
+      p.join(broadcast(tp), "event_type")
+        .select(col("event_type"), col("k").cast(IntegerType).as("k"),
+          (floor(col("nd").cast(DoubleType) / col("k") * lit(1.0e6) + 0.5)
+            / lit(1.0e6)).as("period_days"),
+          col("p_fp").as("power"),
+          (floor(col("p_fp").cast(DoubleType) / col("ptot") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("power_share"),
+          (col("p_fp") === col("pmax")).as("is_peak"))
     },
 
     // ------------------------------------------------------------------

@@ -51,6 +51,32 @@ object TextOps {
        |    FROM documents
        |    WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]'))""".stripMargin
 
+  /** Oracle for text_langid — shared with text_langid_eval's confusion
+    * rollup (single source of truth for the scoring rule; a one-sided
+    * edit fails verify immediately, the qualityScoreSql discipline). */
+  private[operators] def langidSql: String =
+    s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh' END AS pred_lang,
+       |  (CASE
+       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_zh THEN 'fr'
+       |    ELSE 'zh' END) = lang AS is_match
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('the', 'and', 'is'))) AS INT) AS s_en,
+       |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('der', 'die', 'und'))) AS INT) AS s_de,
+       |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('el', 'la', 'los'))) AS INT) AS s_es,
+       |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('le', 'les', 'et'))) AS INT) AS s_fr,
+       |    CAST(length(text) - length(replace(text, '的', '')) AS INT) AS s_zh
+       |  FROM documents)""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
@@ -116,28 +142,7 @@ object TextOps {
     // ------------------------------------------------------------------
     // Marker-token language scoring: deterministic n-gram-style heuristic
     // with a fixed priority order (en > de > es > fr > zh) on ties.
-    "text_langid" -> QueryDef.withOracle(
-      s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
-         |  CASE
-         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |    WHEN s_fr >= s_zh THEN 'fr'
-         |    ELSE 'zh' END AS pred_lang,
-         |  (CASE
-         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |    WHEN s_fr >= s_zh THEN 'fr'
-         |    ELSE 'zh' END) = lang AS is_match
-         |FROM (
-         |  SELECT doc_id, lang,
-         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('the', 'and', 'is'))) AS INT) AS s_en,
-         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('der', 'die', 'und'))) AS INT) AS s_de,
-         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('el', 'la', 'los'))) AS INT) AS s_es,
-         |    CAST(len(list_filter(${toksSql("text")}, x -> x IN ('le', 'les', 'et'))) AS INT) AS s_fr,
-         |    CAST(length(text) - length(replace(text, '的', '')) AS INT) AS s_zh
-         |  FROM documents)""".stripMargin) { (s, dir) =>
+    "text_langid" -> QueryDef.withOracle(langidSql) { (s, dir) =>
       def score(words: String*): Column =
         size(filter(col("toks"), x => x.isin(words: _*)))
       val base = Tables.documents(s, dir)
@@ -1287,6 +1292,97 @@ object TextOps {
           + 0.5) / lit(1.0e9)).as("gt_r1_star"),
         (floor(lit(3.0) * col("f3") / greatest(col("f2"), lit(1L)) * lit(1.0e9)
           + 0.5) / lit(1.0e9)).as("gt_r2_star"))
+    },
+
+    // ------------------------------------------------------------------
+    // Language-ID confusion matrix + accuracy — the eval harness for
+    // text_langid against the table's labeled `lang` column (the
+    // "measure, don't guess" table for the classifier family, like
+    // ann_recall_eval for ANN): per (true, predicted) cell the count
+    // and its share of the true class (row-normalized = per-class
+    // recall on the diagonal), plus overall accuracy on every row.
+    // Consumes the text_langid OPERATOR (single scoring source); the
+    // rollup is two keyed aggs on the |langs|²-bounded cell relation
+    // with per-class totals broadcast back. Fractions ×10⁹-snapped.
+    "text_langid_eval" -> QueryDef.withOracle(
+      s"""WITH p AS (
+         |  $langidSql),
+         |cm AS (
+         |  SELECT lang AS true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT true_lang, CAST(sum(n) AS BIGINT) AS nt FROM cm GROUP BY 1),
+         |acc AS (
+         |  SELECT CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+         |    AS BIGINT) AS hit, CAST(sum(n) AS BIGINT) AS nall FROM cm)
+         |SELECT cm.true_lang, cm.pred_lang, cm.n,
+         |  floor(CAST(cm.n AS DOUBLE) / t.nt * 1e9 + 0.5) / 1.0e9 AS class_frac,
+         |  floor(CAST(a.hit AS DOUBLE) / a.nall * 1e9 + 0.5) / 1.0e9
+         |    AS overall_accuracy
+         |FROM cm JOIN tot t ON t.true_lang = cm.true_lang
+         |CROSS JOIN acc a""".stripMargin) { (s, dir) =>
+      val p = defs.toMap.apply("text_langid").fn(s, dir)
+        .select(col("lang").as("true_lang"), col("pred_lang"))
+      val cm = p.groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // |langs|²-bounded; totals, accuracy and cells
+      val tot = cm.groupBy(col("true_lang")).agg(sum(col("n")).as("nt"))
+      val acc = cm.agg(
+        sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L))
+          .as("hit"), sum(col("n")).as("nall"))
+      cm.join(broadcast(tot), Seq("true_lang"))
+        .crossJoin(broadcast(acc))
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          (floor(col("n").cast(DoubleType) / col("nt") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("class_frac"),
+          (floor(col("hit").cast(DoubleType) / col("nall") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("overall_accuracy"))
+    },
+
+    // ------------------------------------------------------------------
+    // Lexicon polarity scoring — the dictionary-based sentiment
+    // baseline (the text_langid marker-token mechanism pointed at
+    // connotation instead of language; the lexicon is a deployment
+    // knob, here the corpus's own polarity markers): per doc the
+    // positive/negative hit counts, polarity = (p−n)/(p+n) (0 when no
+    // hits), and the three-way label with deterministic band edges on
+    // the ×10⁹-snapped score. Pure row-local narrow map over the
+    // shared tokenizer — zero shuffles, embarrassingly parallel at any
+    // corpus size.
+    "text_sentiment" -> QueryDef.withOracle(
+      s"""SELECT doc_id, n_pos, n_neg,
+         |  CASE WHEN n_pos + n_neg = 0 THEN 0.0
+         |    ELSE floor((n_pos - n_neg) * 1.0 / (n_pos + n_neg) * 1e9 + 0.5)
+         |      / 1.0e9 END AS polarity,
+         |  CASE WHEN n_pos + n_neg = 0 THEN 'neutral'
+         |    WHEN floor((n_pos - n_neg) * 1.0 / (n_pos + n_neg) * 1e9 + 0.5)
+         |      / 1.0e9 > 0.2 THEN 'positive'
+         |    WHEN floor((n_pos - n_neg) * 1.0 / (n_pos + n_neg) * 1e9 + 0.5)
+         |      / 1.0e9 < -0.2 THEN 'negative'
+         |    ELSE 'neutral' END AS label
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(${toksSql("text")},
+         |      x -> x IN ('fast', 'small'))) AS BIGINT) AS n_pos,
+         |    CAST(len(list_filter(${toksSql("text")},
+         |      x -> x IN ('slow', 'big'))) AS BIGINT) AS n_neg
+         |  FROM documents)""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), x => x.isin("fast", "small")))
+            .cast(LongType).as("n_pos"),
+          size(filter(col("toks"), x => x.isin("slow", "big")))
+            .cast(LongType).as("n_neg"))
+      val tot = col("n_pos") + col("n_neg")
+      val pol = floor((col("n_pos") - col("n_neg")) * lit(1.0) / tot
+        * lit(1.0e9) + 0.5) / lit(1.0e9)
+      base.select(col("doc_id"), col("n_pos"), col("n_neg"),
+        when(tot === 0L, lit(0.0)).otherwise(pol).as("polarity"),
+        when(tot === 0L, lit("neutral"))
+          .when(pol > 0.2, lit("positive"))
+          .when(pol < -0.2, lit("negative"))
+          .otherwise(lit("neutral")).as("label"))
     }
   )
 }

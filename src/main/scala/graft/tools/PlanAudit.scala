@@ -122,7 +122,22 @@ object PlanAudit {
       "ev_nelson_aalen",
       // 6-row / 3-row lag-list broadcasts (the ev_autocorrelation
       // argument)
-      "ev_ljung_box", "ev_pacf")
+      "ev_ljung_box", "ev_pacf",
+      // 1-row broadcast: the observation-end anchor (ev_survival's)
+      "ev_survival_ci",
+      // 1-row broadcasts: the (m, sdir, spsi) stat anchor, the
+      // (s2v, m) Prasad-Rao variance anchor, the (sw, syw) GLS anchor
+      "etl_fay_herriot",
+      // 1-row broadcast: the (hit, nall) overall-accuracy anchor over
+      // the |langs|²-bounded confusion-cell relation
+      "text_langid_eval",
+      // 8-row frequency-list broadcast (the ev_autocorrelation
+      // lag-list argument)
+      "ev_dft_spectrum",
+      // 12-month factor normalizer (the etl_seasonal_decompose
+      // argument) + the 13-row literal Henderson-weights relation
+      // (the etl_henderson_trend argument)
+      "etl_x11_adjust")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -486,7 +486,11 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_kruskal_wallis", "") -> "2-dp value domain bookkeeping (rank table, the mann_whitney argument)",
       ("etl_seasonal_decompose", "") -> "monthly-grain calendar relation (the seasonal_ma argument)",
       ("ev_path_topk", "") -> "|types|³-bounded path-count relation (≤125 rows)",
-      ("etl_bootstrap_ci", "") -> "B=100 replicate-mean relation (the CI rank sort)")
+      ("etl_bootstrap_ci", "") -> "B=100 replicate-mean relation (the CI rank sort)",
+      ("ev_survival_ci", "cohort_week") -> "cohort × duration-hour calendar-bounded KM table (the ev_survival argument)",
+      ("ev_dft_spectrum", "event_type") -> "type×day calendar-bounded daily counts (dense day-index window)",
+      ("etl_theil_sen", "f") -> "calendar-bounded months² pair-slope relation (≤|flags|×months²/2 rows)",
+      ("etl_x11_adjust", "") -> "monthly-grain calendar relation (the seasonal_decompose argument)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -2972,5 +2976,177 @@ class Round9InvariantSpec extends AnyFunSuite {
     assert(math.abs(tprs.last - 1.0) < 1e-9 && math.abs(fprs.last - 1.0) < 1e-9)
     val auc = rows.head.getAs[Double]("auc")
     assert(auc >= 0.0 && auc <= 1.0)
+  }
+
+  test("ev_dft_spectrum matches an exact-BigInt replay of the periodogram") {
+    // Recompute C_k/S_k with the identical snap-then-multiply integer
+    // discipline driver-side; the power column must agree EXACTLY (it
+    // is an integer on both sides), and shares must sum to 1 per type.
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (et, rows) =>
+      val v = rows.sortBy(_._2).map(_._3)
+      val nd = v.length.toLong
+      val tot = v.sum
+      val dev = v.map(n => BigInt(n * nd - tot))
+      (1 to 8).map { k =>
+        var c, s = BigInt(0)
+        for (i <- v.indices) {
+          val theta = 2.0 * math.Pi * ((k.toLong * i) % nd) / nd
+          c += dev(i) * BigInt(math.floor(math.cos(theta) * 1e9 + 0.5).toLong)
+          s += dev(i) * BigInt(math.floor(math.sin(theta) * 1e9 + 0.5).toLong)
+        }
+        val cd = c.toDouble / 1e9 / nd
+        val sd = s.toDouble / 1e9 / nd
+        (et, k) -> math.floor(cd * cd + sd * sd + 0.5).toLong
+      }
+    }
+    val out = SparkEntry.queries("ev_dft_spectrum")(spark, sf).collect()
+    assert(out.length == want.size)
+    for (r <- out) {
+      val key = (r.getAs[String]("event_type"), r.getAs[Int]("k"))
+      assert(r.getAs[Long]("power") == want(key),
+        s"$key: power ${r.getAs[Long]("power")} != replay ${want(key)}")
+    }
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val shares = rs.map(_.getAs[Double]("power_share")).sum
+      assert(math.abs(shares - 1.0) < 1e-6, s"$et: shares sum to $shares")
+      assert(rs.count(_.getAs[Boolean]("is_peak")) >= 1, s"$et: no peak row")
+      val peak = rs.filter(_.getAs[Boolean]("is_peak")).map(_.getAs[Long]("power")).head
+      assert(rs.forall(_.getAs[Long]("power") <= peak))
+    }
+  }
+
+  test("etl_theil_sen: slope is the rank-median of pair slopes, outlier-robust") {
+    val mo = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("f"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("mi"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def medianBy(xs: Array[Double]): Double = {
+      val n = xs.length
+      (xs((n - 1) / 2) + xs(n / 2)) / 2.0 // xs already sorted
+    }
+    val want = mo.groupBy(_._1).map { case (f, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield ((pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1),
+        pts(i)._1, pts(j)._1)).sortBy(t => (t._1, t._2, t._3)).map(_._1).toArray
+      f -> medianBy(slopes)
+    }
+    val out = SparkEntry.queries("etl_theil_sen")(spark, sf).collect()
+    assert(out.length == want.size)
+    for (r <- out) {
+      val f = r.getAs[String]("l_returnflag")
+      val snapped = math.floor(want(f) / 100 * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("sen_slope") - snapped) < 1e-9,
+        s"$f: ${r.getAs[Double]("sen_slope")} != replay $snapped")
+      // robustness: the median slope is bracketed by the pair-slope range
+      assert(r.getAs[Long]("n_pairs") ==
+        r.getAs[Long]("n_months") * (r.getAs[Long]("n_months") - 1) / 2)
+    }
+  }
+
+  test("etl_mcnemar: 2x2 cells partition users, chi2 matches closed form") {
+    val r = SparkEntry.queries("etl_mcnemar")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val Seq(n, a, b, c, d) = Seq("n_users", "n_both", "n_hi_purchase_only",
+      "n_hi_view_only", "n_neither").map(row.getAs[Long])
+    assert(a + b + c + d == n, s"cells $a+$b+$c+$d != n=$n")
+    val chi2 = row.getAs[Double]("chi2")
+    if (b + c == 0) assert(chi2 == 0.0)
+    else {
+      val dd = math.abs(b.toDouble - c) - 1
+      assert(math.abs(chi2 - math.floor(dd * dd / (b + c) * 1e6 + 0.5) / 1e6)
+        < 1e-9)
+    }
+    assert(row.getAs[Boolean]("reject_marginal_homogeneity") == (chi2 > 3.841459))
+  }
+
+  test("graph_harmonic matches a driver-side BFS replay from the md5 seeds") {
+    val edges = graft.operators.Dedup.verifiedCandidates(spark, sf)
+      .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val seeds = adj.keySet.toSeq.sortBy(id => (md5hex(id.toString), id)).take(8)
+    val want = scala.collection.mutable.Map[Long, (Long, Long)]()
+    for (seed <- seeds) {
+      // 3-round BFS, mirroring the operator's fixed budget
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      var frontier = Set(seed)
+      for (d <- 1L to 3L) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = d)
+      }
+      for ((n, d) <- dist if d > 0) {
+        val (c, h) = want.getOrElse(n, (0L, 0L))
+        want(n) = (c + 1, h + 1000000000L / d)
+      }
+    }
+    val got = SparkEntry.queries("graph_harmonic")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_fp"))).toMap
+    // operator rows also include reached-but-zero seeds; replay covers
+    // every node with n_reached > 0
+    for ((n, w) <- want)
+      assert(got(n) == w, s"node $n: got ${got(n)} want $w")
+    for ((n, (c, h)) <- got if c > 0)
+      assert(want.contains(n), s"operator reached $n; replay did not")
+  }
+
+  test("etl_x11_adjust: SA·factor reproduces revenue; factors average to 1") {
+    val rows = SparkEntry.queries("etl_x11_adjust")(spark, sf).collect()
+    assert(rows.length >= 24, s"expected 2+ full years, got ${rows.length}")
+    for (r <- rows) {
+      val rev = r.getAs[Double]("revenue")
+      val sa = r.getAs[Double]("seasonally_adjusted")
+      val fac = r.getAs[Double]("seasonal_factor")
+      assert(fac > 0.5 && fac < 2.0, s"wild factor $fac")
+      // sa = rev/fac snapped to cents: undoing it must land within 1¢
+      assert(math.abs(sa * fac - rev) <= fac / 100 + 1e-9,
+        s"SA*factor ${sa * fac} != revenue $rev")
+      val trend = r.getAs[Double]("trend")
+      val irr = r.getAs[Double]("irregular")
+      assert(trend > 0)
+      // irregular = sa/trend: triple-check the decomposition closes
+      assert(math.abs(irr - sa / trend) < 1e-3, s"irr $irr != sa/trend ${sa / trend}")
+    }
+    val byMonth = rows.map(_.getAs[Double]("seasonal_factor")).distinct
+    val mean = byMonth.sum / byMonth.length
+    assert(math.abs(mean - 1.0) < 0.02, s"factor mean $mean far from 1")
+  }
+
+  test("text_sentiment: polarity bounded, bands consistent, zero-hit docs neutral") {
+    val rows = SparkEntry.queries("text_sentiment")(spark, sf).collect()
+    assert(rows.length == 500)
+    var nonNeutral = 0
+    for (r <- rows) {
+      val p = r.getAs[Long]("n_pos"); val n = r.getAs[Long]("n_neg")
+      val pol = r.getAs[Double]("polarity")
+      val label = r.getAs[String]("label")
+      assert(pol >= -1.0 && pol <= 1.0)
+      if (p + n == 0) { assert(pol == 0.0 && label == "neutral") }
+      else {
+        val expect = math.floor((p - n).toDouble / (p + n) * 1e9 + 0.5) / 1e9
+        assert(math.abs(pol - expect) < 1e-12)
+        val want = if (expect > 0.2) "positive"
+          else if (expect < -0.2) "negative" else "neutral"
+        assert(label == want, s"pol=$pol label=$label")
+      }
+      if (label != "neutral") nonNeutral += 1
+    }
+    assert(nonNeutral > 0, "lexicon never fired — dead operator")
   }
 }
