@@ -2341,6 +2341,255 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Tukey-Kramer HSD post-hoc — WHICH priority groups differ, after
+    // etl_anova_oneway's F says "some do" (publishing pairwise
+    // differences without the studentized-range correction is the
+    // classic multiple-comparison error). Same one map-side-combined
+    // moment scan as the ANOVA; the k²/2 pair table and the 1-row MSE
+    // anchor are bookkeeping. q = |x̄ₐ−x̄ᵦ| / √(MSE/2·(1/nₐ+1/nᵦ)),
+    // flagged against q₀.₀₅(k=5, df=∞) = 3.858 (exact-n dfs here are
+    // ~10⁵+, where the studentized-range table is flat to 3 dp). The
+    // double chain is pinned identically in both engines, ×10⁶ snapped.
+    "etl_tukey_hsd" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_j,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss_j
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    sum(ss_j) AS ss, sum(s_j * s_j / n_j) AS sgm
+        |  FROM g),
+        |m AS (SELECT (ss - sgm) / (n - k) AS mse FROM t)
+        |SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |  floor(a.s_j / a.n_j * 1e6 + 0.5) / 1.0e6 AS mean_a,
+        |  floor(b.s_j / b.n_j * 1e6 + 0.5) / 1.0e6 AS mean_b,
+        |  floor(abs(a.s_j / a.n_j - b.s_j / b.n_j) * 1e6 + 0.5) / 1.0e6
+        |    AS abs_diff,
+        |  floor(abs(a.s_j / a.n_j - b.s_j / b.n_j)
+        |    / sqrt(m.mse / 2 * (1.0 / a.n_j + 1.0 / b.n_j)) * 1e6 + 0.5)
+        |    / 1.0e6 AS q_stat,
+        |  floor(abs(a.s_j / a.n_j - b.s_j / b.n_j)
+        |    / sqrt(m.mse / 2 * (1.0 / a.n_j + 1.0 / b.n_j)) * 1e6 + 0.5)
+        |    / 1.0e6 > 3.858 AS significant
+        |FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN m""".stripMargin) { (s, dir) =>
+      val x = col("o_totalprice").cast(DecimalType(18, 2))
+      val g = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n_j"),
+          sum(x).cast(DoubleType).as("s_j"),
+          sum(x * x).cast(DoubleType).as("ss_j"))
+        .persist() // k-row moment relation: MSE anchor + both pair sides
+      val t = g.agg(sum(col("n_j")).as("n"), count(lit(1)).as("k"),
+        sum(col("ss_j")).as("ss"),
+        sum(col("s_j") * col("s_j") / col("n_j")).as("sgm"))
+      val m = t.select(((col("ss") - col("sgm")) / (col("n") - col("k")))
+        .as("mse"))
+      val a = g.select(col("grp").as("grp_a"), col("n_j").as("na"),
+        col("s_j").as("sa"))
+      val b = g.select(col("grp").as("grp_b"), col("n_j").as("nb"),
+        col("s_j").as("sb"))
+      val diff = abs(col("sa") / col("na") - col("sb") / col("nb"))
+      val q = floor(diff / sqrt(col("mse") / 2
+        * (lit(1.0) / col("na") + lit(1.0) / col("nb"))) * lit(1.0e6) + 0.5) /
+        lit(1.0e6)
+      a.join(broadcast(b), col("grp_a") < col("grp_b"))
+        .crossJoin(broadcast(m))
+        .select(col("grp_a"), col("grp_b"),
+          (floor(col("sa") / col("na") * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("mean_a"),
+          (floor(col("sb") / col("nb") * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("mean_b"),
+          (floor(diff * lit(1.0e6) + 0.5) / lit(1.0e6)).as("abs_diff"),
+          q.as("q_stat"), (q > 3.858).as("significant"))
+    },
+
+    // ------------------------------------------------------------------
+    // Huber M-estimator of location — the robust mean between the
+    // sample mean (0% breakdown) and the median (50% but inefficient):
+    // 3 unrolled IRLS rounds of w = min(1, k/|v−μ|) reweighting with
+    // the fixed tuning constant k = 20 value units (the deployment
+    // knob; 1.345σ is the textbook choice once σ is known). The corpus
+    // collapses ONCE to the bounded 2-dp (type, value, cnt) domain
+    // relation (the etl_mann_whitney argument); every IRLS round is a
+    // keyed agg over THAT — iteration cost is domain-bounded, not
+    // corpus-bounded. Weights snap ×10⁹ and each w·v·cnt term snaps to
+    // a long before its sum, so every round's mean is exact-integer
+    // assembled and partitioning-invariant.
+    "etl_huber_mean" -> QueryDef.withOracle {
+      def roundSql(i: Int): String =
+        s"""w$i AS (
+           |  SELECT c.event_type,
+           |    CAST(sum(CAST(floor(CASE WHEN abs(c.value - m${i - 1}.mu) <= 20
+           |        THEN 1000000000.0
+           |        ELSE 20 * 1000000000.0 / abs(c.value - m${i - 1}.mu) END
+           |      * c.cnt * c.value + 0.5) AS BIGINT)) AS BIGINT) AS swv,
+           |    CAST(sum(CAST(floor(CASE WHEN abs(c.value - m${i - 1}.mu) <= 20
+           |        THEN 1000000000.0
+           |        ELSE 20 * 1000000000.0 / abs(c.value - m${i - 1}.mu) END
+           |      * c.cnt + 0.5) AS BIGINT)) AS BIGINT) AS sw
+           |  FROM c JOIN m${i - 1} USING (event_type) GROUP BY 1),
+           |m$i AS (
+           |  SELECT event_type, floor(CAST(swv AS DOUBLE) / sw * 1e6 + 0.5)
+           |    / 1.0e6 AS mu FROM w$i)""".stripMargin
+      s"""WITH c AS (
+         |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |m0 AS (
+         |  SELECT event_type,
+         |    floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * cnt)
+         |      AS DOUBLE) / sum(cnt) / 100 * 1e6 + 0.5) / 1.0e6 AS mu
+         |  FROM c GROUP BY 1),
+         |${(1 to 3).map(roundSql).mkString(",\n")},
+         |n AS (
+         |  SELECT c.event_type, CAST(sum(c.cnt) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN abs(c.value - m3.mu) > 20 THEN c.cnt ELSE 0 END)
+         |      AS BIGINT) AS n_downweighted
+         |  FROM c JOIN m3 USING (event_type) GROUP BY 1)
+         |SELECT n.event_type, n.n, m0.mu AS mean, m3.mu AS huber_mean,
+         |  n.n_downweighted
+         |FROM n JOIN m0 USING (event_type) JOIN m3 USING (event_type)"""
+        .stripMargin
+    } { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // bounded 2-dp domain relation; every IRLS round reads it
+      var m = c.groupBy(col("event_type"))
+        .agg((floor(sum(floor(col("value") * 100 + 0.5).cast(LongType)
+            * col("cnt")).cast(DoubleType) / sum(col("cnt")) / 100
+          * lit(1.0e6) + 0.5) / lit(1.0e6)).as("mu"))
+      val m0 = m
+      for (_ <- 1 to 3) {
+        val w = when(abs(col("value") - col("mu")) <= 20, lit(1.0e9))
+          .otherwise(lit(20) * lit(1.0e9) / abs(col("value") - col("mu")))
+        m = c.join(broadcast(m), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(sum(floor(w * col("cnt") * col("value") + 0.5).cast(LongType))
+            .as("swv"),
+            sum(floor(w * col("cnt") + 0.5).cast(LongType)).as("sw"))
+          .select(col("event_type"),
+            (floor(col("swv").cast(DoubleType) / col("sw") * lit(1.0e6) + 0.5)
+              / lit(1.0e6)).as("mu"))
+      }
+      val n = c.join(broadcast(m.withColumnRenamed("mu", "mu3")),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(when(abs(col("value") - col("mu3")) > 20, col("cnt"))
+            .otherwise(0L)).as("n_downweighted"))
+      n.join(m0.withColumnRenamed("mu", "mean"), Seq("event_type"))
+        .join(m.withColumnRenamed("mu", "huber_mean"), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("mean"), col("huber_mean"),
+          col("n_downweighted"))
+    },
+
+    // ------------------------------------------------------------------
+    // Chow structural-break test — did the price-on-time regression
+    // CHANGE at the calendar midpoint (the regression-level companion
+    // to ev_changepoint_cusum's mean-level screen, and the formal
+    // version of "fit before vs after"): F = ((SSR_p − SSR₁ − SSR₂)/2)
+    // / ((SSR₁+SSR₂)/(n−4)) with each regime's SSR = Syy − Sxy²/Sxx
+    // from centered exact-moment sums. ONE map-side-combined scan
+    // produces both regimes' five moments (a regime flag in the
+    // group key); the 1-row midpoint anchor broadcasts; the F chain is
+    // pinned doubles ×10⁶ snapped.
+    "etl_chow_test" -> QueryDef.withOracle(
+      """WITH b AS (
+        |  SELECT CAST(min(year(o_orderdate) * 12 + month(o_orderdate))
+        |      AS BIGINT) AS mlo,
+        |    CAST(max(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+        |      AS mhi
+        |  FROM orders),
+        |r AS (
+        |  SELECT CASE WHEN year(o_orderdate) * 12 + month(o_orderdate)
+        |      < (b.mlo + b.mhi + 1) // 2 THEN 0 ELSE 1 END AS regime,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - b.mlo
+        |      AS BIGINT) AS x,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS yc
+        |  FROM orders CROSS JOIN b),
+        |g AS (
+        |  SELECT regime, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * yc) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS syy
+        |  FROM r GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+        |    CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+        |    CAST(sum(sxy) AS BIGINT) AS sxy,
+        |    CAST(sum(syy) AS HUGEINT) AS syy
+        |  FROM g),
+        |ssr AS (
+        |  SELECT
+        |    (CAST(p.syy AS DOUBLE) - CAST(p.sy AS DOUBLE) * p.sy / p.n)
+        |      - (CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE) * p.sy / p.n)
+        |        * (CAST(p.sxy AS DOUBLE) - CAST(p.sx AS DOUBLE) * p.sy / p.n)
+        |        / (CAST(p.sxx AS DOUBLE) - CAST(p.sx AS DOUBLE) * p.sx / p.n)
+        |      AS ssr_p,
+        |    p.n AS n
+        |  FROM p),
+        |sg AS (
+        |  SELECT CAST(sum((CAST(g.syy AS DOUBLE)
+        |      - CAST(g.sy AS DOUBLE) * g.sy / g.n)
+        |    - (CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sy / g.n)
+        |      * (CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sy / g.n)
+        |      / (CAST(g.sxx AS DOUBLE) - CAST(g.sx AS DOUBLE) * g.sx / g.n))
+        |    AS DOUBLE) AS ssr_12
+        |  FROM g)
+        |SELECT ssr.n,
+        |  floor(ssr.ssr_p / 10000 * 1e2 + 0.5) / 1.0e2 AS ssr_pooled,
+        |  floor(sg.ssr_12 / 10000 * 1e2 + 0.5) / 1.0e2 AS ssr_split,
+        |  floor((ssr.ssr_p - sg.ssr_12) / 2 / (sg.ssr_12 / (ssr.n - 4))
+        |    * 1e6 + 0.5) / 1.0e6 AS f_stat,
+        |  floor((ssr.ssr_p - sg.ssr_12) / 2 / (sg.ssr_12 / (ssr.n - 4))
+        |    * 1e6 + 0.5) / 1.0e6 > 2.996 AS structural_break
+        |FROM ssr CROSS JOIN sg""".stripMargin) { (s, dir) =>
+      val ym = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType)
+      val b = Tables.orders(s, dir)
+        .agg(min(ym).as("mlo"), max(ym).as("mhi"))
+      val dec38 = DecimalType(38, 0)
+      val yc = floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+      val g = Tables.orders(s, dir)
+        .crossJoin(broadcast(b)) // 1-row calendar-midpoint anchor
+        .select(when(ym < floor((col("mlo") + col("mhi") + 1) / 2), 0)
+            .otherwise(1).as("regime"),
+          (ym - col("mlo")).as("x"), yc.as("yc"))
+        .groupBy(col("regime"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("yc")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("yc")).as("sxy"),
+          sum((col("yc").cast(dec38) * col("yc")).cast(dec38)).as("syy"))
+        .persist() // 2-row regime moments: pooled sum + split SSRs
+      val p = g.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+        sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+      // SSR = Syy − Sxy²/Sxx on centered moments — the same expression
+      // evaluates the pooled row and each regime row (same column names)
+      val sxyC = col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy") / col("n")
+      val ssrExpr = (col("syy").cast(DoubleType) -
+        col("sy").cast(DoubleType) * col("sy") / col("n")) -
+        sxyC * sxyC / (col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx") / col("n"))
+      val ssrP = p.select(ssrExpr.as("ssr_p"), col("n"))
+      val sg = g.agg(sum(ssrExpr).as("ssr_12"))
+      val f = floor((col("ssr_p") - col("ssr_12")) / 2
+        / (col("ssr_12") / (col("n") - 4)) * lit(1.0e6) + 0.5) / lit(1.0e6)
+      ssrP.crossJoin(broadcast(sg))
+        .select(col("n"),
+          (floor(col("ssr_p") / 10000 * lit(1.0e2) + 0.5) / lit(1.0e2))
+            .as("ssr_pooled"),
+          (floor(col("ssr_12") / 10000 * lit(1.0e2) + 0.5) / lit(1.0e2))
+            .as("ssr_split"),
+          f.as("f_stat"), (f > 2.996).as("structural_break"))
+    },
+
+    // ------------------------------------------------------------------
     // Lorenz curve of customer spend — the decile table behind
     // etl_gini's scalar: decile k's share of total spend and the
     // cumulative share (the curve ordinate a distribution analyst

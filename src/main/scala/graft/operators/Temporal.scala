@@ -336,6 +336,129 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Markov entropy rate — how predictable the event stream is, in
+    // nats per step (the single number comparing session models: 0 =
+    // deterministic clickpaths, ln|types| = white noise; the scalar
+    // companion to ev_markov_transitions the way etl_gini is to
+    // etl_lorenz_curve). Plug-in estimator H = Σᵢ πᵢ·Hᵢ with
+    // Hᵢ = −Σⱼ p̂ᵢⱼ ln p̂ᵢⱼ and πᵢ the empirical from-state occupancy.
+    // Same one bounded per-user lead window + |types|² keyed agg as
+    // the transition matrix; each p·ln p term snaps ×10⁹ to a long
+    // before its per-state sum, and each πᵢ·Hᵢ term snaps before the
+    // ≤|types|-row global sum — both cross-row float accumulations are
+    // exact-integer.
+    "ev_markov_entropy" -> QueryDef.withOracle(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ni FROM t GROUP BY 1),
+        |h AS (
+        |  SELECT t.from_type, r.ni,
+        |    CAST(sum(CAST(floor((t.n * 1.0 / r.ni) * ln(t.n * 1.0 / r.ni)
+        |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_fp
+        |  FROM t JOIN r USING (from_type) GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS nn FROM h),
+        |e AS (
+        |  SELECT CAST(sum(CAST(floor(CAST(h.ni AS DOUBLE) / tot.nn * (0 - h.s_fp)
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS rate_fp
+        |  FROM h CROSS JOIN tot)
+        |SELECT h.from_type, h.ni AS n_transitions,
+        |  floor(CAST(h.ni AS DOUBLE) / tot.nn * 1e9 + 0.5) / 1.0e9 AS p_state,
+        |  (0 - h.s_fp) / 1.0e9 AS h_state,
+        |  e.rate_fp / 1.0e9 AS entropy_rate
+        |FROM h CROSS JOIN tot CROSS JOIN e""".stripMargin) { (s, dir) =>
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val t = Tables.eventsTimed(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val r = t.groupBy(col("from_type")).agg(sum(col("n")).as("ni"))
+      val p = col("n") * lit(1.0) / col("ni")
+      val h = t.join(broadcast(r), Seq("from_type"))
+        .groupBy(col("from_type"), col("ni"))
+        .agg(sum(floor(p * log(p) * lit(1.0e9) + 0.5).cast(LongType))
+          .as("s_fp"))
+        .persist() // ≤|types| rows; totals, the rate and the output
+      val tot = h.agg(sum(col("ni")).as("nn"))
+      val e = h.crossJoin(broadcast(tot))
+        .agg(sum(floor(col("ni").cast(DoubleType) / col("nn")
+          * (lit(0L) - col("s_fp")) + 0.5).cast(LongType)).as("rate_fp"))
+      h.crossJoin(broadcast(tot)).crossJoin(broadcast(e))
+        .select(col("from_type"), col("ni").as("n_transitions"),
+          (floor(col("ni").cast(DoubleType) / col("nn") * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("p_state"),
+          ((lit(0L) - col("s_fp")) / lit(1.0e9)).as("h_state"),
+          (col("rate_fp") / lit(1.0e9)).as("entropy_rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // Kendall tau-b between the daily click and purchase series — the
+    // rank-correlation companion to ev_autocorrelation's linear view
+    // ("do heavy-click days tend to be heavy-purchase days" without
+    // assuming linearity; tau's O(n²) pair count is exactly why it is
+    // computed on the CALENDAR-BOUNDED daily relation, never raw
+    // events). One corpus agg to (day, n_click, n_purchase); the day²
+    // pair join rides that bookkeeping relation (broadcast one side —
+    // days², not rows²); concordant/discordant/tie counts are exact
+    // integers and only the final tau divides as doubles.
+    "ev_kendall_tau" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+        |    CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS tied_y
+        |  FROM d a JOIN d b ON b.day > a.day),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+        |SELECT nd.n_days, p.n_pairs, p.concordant, p.discordant,
+        |  p.tied_x, p.tied_y,
+        |  floor((p.concordant - p.discordant)
+        |    / sqrt(CAST(p.n_pairs - p.tied_x AS DOUBLE)
+        |           * (p.n_pairs - p.tied_y)) * 1e9 + 0.5) / 1.0e9 AS tau_b
+        |FROM p CROSS JOIN nd""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .persist() // calendar-bounded; both pair-join sides + the count
+      val a = d.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+      val b = d.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+      val prod = (col("xb") - col("xa")) * (col("yb") - col("ya"))
+      val p = a.join(broadcast(b), col("db") > col("da"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(prod > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(prod < 0, 1L).otherwise(0L)).as("discordant"),
+          sum(when(col("xb") === col("xa"), 1L).otherwise(0L)).as("tied_x"),
+          sum(when(col("yb") === col("ya"), 1L).otherwise(0L)).as("tied_y"))
+      val nd = d.agg(count(lit(1)).as("n_days"))
+      p.crossJoin(broadcast(nd))
+        .select(col("n_days"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("tied_x"), col("tied_y"),
+          (floor((col("concordant") - col("discordant"))
+            / sqrt((col("n_pairs") - col("tied_x")).cast(DoubleType)
+              * (col("n_pairs") - col("tied_y"))) * lit(1.0e9) + 0.5)
+            / lit(1.0e9)).as("tau_b"))
+    },
+
+    // ------------------------------------------------------------------
     // As-of join with a lookback tolerance: the standard market-data /
     // attribution variant — a click only matches a purchase within the
     // trailing 10 minutes; staler matches degrade to no-match rather

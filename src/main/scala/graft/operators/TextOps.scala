@@ -1383,6 +1383,99 @@ object TextOps {
           .when(pol > 0.2, lit("positive"))
           .when(pol < -0.2, lit("negative"))
           .otherwise(lit("neutral")).as("label"))
+    },
+
+    // ------------------------------------------------------------------
+    // TextRank keywords — graph-based keyword extraction (the RAKE
+    // alternative that sees GLOBAL structure: a word is important if
+    // important words co-occur with it, PageRank on the per-doc word
+    // adjacency graph). 500k per-doc graphs run SIMULTANEOUSLY as one
+    // distributed computation: edges are (doc, w1, w2, cnt) adjacency
+    // counts (content words ≥3 chars), four synchronous damped-rank
+    // rounds in the Graph.scala exact fixed-point discipline (2²⁰
+    // scale, 85/100 damping, integer div) — deterministic, so the
+    // unrolled DuckDB oracle replays it bit-for-bit. Every round is
+    // O(Σ edges) keyed on (doc, word); the top-3 window partitions by
+    // the HIGH-cardinality doc_id (bounded per-doc input by
+    // construction).
+    "text_textrank" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""r${i + 1} AS (
+           |  SELECT n.doc_id, n.word,
+           |    (15 * 1048576 + 85 * coalesce(c.s, 0)) // 100 AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT e.doc_id, e.dst AS word,
+           |      CAST(sum(e.cnt * (p.r // d.deg)) AS BIGINT) AS s
+           |    FROM e JOIN r$i p ON p.doc_id = e.doc_id AND p.word = e.src
+           |    JOIN deg d ON d.doc_id = e.doc_id AND d.src = e.src
+           |    GROUP BY 1, 2) c ON c.doc_id = n.doc_id AND c.word = n.word)"""
+          .stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |bg0 AS (
+         |  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+         |  FROM t WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bg0
+         |  WHERE length(toks[i]) >= 3 AND length(toks[i+1]) >= 3
+         |    AND toks[i] <> toks[i+1]),
+         |e0 AS (
+         |  SELECT doc_id, w1 AS src, w2 AS dst FROM bg
+         |  UNION ALL SELECT doc_id, w2 AS src, w1 AS dst FROM bg),
+         |e AS (SELECT doc_id, src, dst, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM e0 GROUP BY 1, 2, 3),
+         |deg AS (SELECT doc_id, src, CAST(sum(cnt) AS BIGINT) AS deg
+         |        FROM e GROUP BY 1, 2),
+         |n AS (SELECT doc_id, src AS word, deg FROM deg),
+         |r0 AS (SELECT doc_id, word, CAST(1048576 AS BIGINT) AS r FROM n),
+         |${(0 until 4).map(stepSql).mkString(",\n")},
+         |rk AS (
+         |  SELECT doc_id, word, r, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY r DESC, word ASC) AS pos
+         |  FROM r4)
+         |SELECT doc_id, CAST(pos AS INT) AS pos, word, r AS rank_fp
+         |FROM rk WHERE pos <= 3""".stripMargin
+    } { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist() // regexp-per-element inlining trap (Dedup.shingled)
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(length(col("w1")) >= 3 && length(col("w2")) >= 3 &&
+          col("w1") =!= col("w2"))
+      val e = bg.select(col("doc_id"), col("w1").as("src"), col("w2").as("dst"))
+        .unionByName(bg.select(col("doc_id"), col("w2").as("src"),
+          col("w1").as("dst")))
+        .groupBy(col("doc_id"), col("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        // one fixed (doc, src) layout serves every round's rank join
+        .repartition(col("doc_id"), col("src")).persist()
+      val deg = e.groupBy(col("doc_id"), col("src")).agg(sum(col("cnt")).as("deg"))
+        .persist()
+      val n = deg.select(col("doc_id"), col("src").as("word"), col("deg"))
+      var r = n.select(col("doc_id"), col("word"), lit(1048576L).as("r"))
+      for (_ <- 0 until 4) {
+        val contrib = e
+          .join(r.withColumnRenamed("word", "src"),
+            Seq("doc_id", "src"))
+          .join(deg, Seq("doc_id", "src"))
+          .groupBy(col("doc_id"), col("dst").as("word"))
+          .agg(sum(col("cnt") * expr("r div deg")).as("s"))
+        r = n.select(col("doc_id"), col("word"))
+          .join(contrib, Seq("doc_id", "word"), "left_outer")
+          .select(col("doc_id"), col("word"),
+            expr("(15 * 1048576 + 85 * coalesce(s, 0)) div 100").as("r"))
+      }
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("r").desc, col("word").asc)
+      r.withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 3)
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("pos"),
+          col("word"), col("r").as("rank_fp"))
     }
   )
 }

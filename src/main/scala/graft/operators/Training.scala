@@ -724,6 +724,36 @@ object Training {
             .as("n_neardup_removed"),
           sum(when(!col("ex_dup") && !col("pf_dup") && !col("nd_dup"), 1)
             .otherwise(0)).cast(LongType).as("n_survivors"))
+    },
+
+    // ------------------------------------------------------------------
+    // Dataset fingerprint — the reproducibility gate before any
+    // training run ("is this EXACTLY the corpus the last run saw?"):
+    // per source, an ORDER-INVARIANT content fingerprint = Σ over docs
+    // of the 60-bit md5 of (doc_id ':' md5(text)), reduced mod 2⁶¹,
+    // plus row and char totals so drift surfaces three ways (changed
+    // text flips the fingerprint, dropped rows flip the count, trimmed
+    // text flips the chars). A commutative sum is what makes the
+    // fingerprint partitioning/arrival-order invariant — the property
+    // a file-order-sensitive hash chain lacks on a distributed read.
+    // One map-side-combined keyed agg, nothing after it row-scaled.
+    "pipe_dataset_hash" -> QueryDef.withOracle(
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || md5(text)), 1, 15))::BIGINT AS HUGEINT))
+        |    % 2305843009213693951 AS BIGINT) AS content_fp
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(":"), md5(col("text").cast(BinaryType)))
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(h.cast(dec38)) % lit(2305843009213693951L)).cast(LongType)
+            .as("content_fp"))
     }
   )
 }

@@ -137,7 +137,19 @@ object PlanAudit {
       // 12-month factor normalizer (the etl_seasonal_decompose
       // argument) + the 13-row literal Henderson-weights relation
       // (the etl_henderson_trend argument)
-      "etl_x11_adjust")
+      "etl_x11_adjust",
+      // 1-row broadcasts: the total-transition anchor and the 1-row
+      // entropy-rate anchor over the ≤|types| state relation
+      "ev_markov_entropy",
+      // the day² pair join broadcasts the CALENDAR-BOUNDED daily
+      // relation under a < inequality + the 1-row n_days anchor
+      "ev_kendall_tau",
+      // the k²/2 group-pair join broadcasts the ≤|priorities| moment
+      // relation under a < inequality + the 1-row MSE anchor
+      "etl_tukey_hsd",
+      // 1-row broadcasts: the calendar-midpoint anchor and the 1-row
+      // split-SSR anchor
+      "etl_chow_test")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -307,7 +319,30 @@ object PlanAudit {
       "ev_ljung_box" -> 8,
       // same shape, one exchange fewer (the lag pivot replaces the
       // second stats join)
-      "ev_pacf" -> 7)
+      "ev_pacf" -> 7,
+      // one corpus-scale (type, day) agg; the dense day-index window,
+      // the per-(type, k) trig sums and the power/peak rollup all move
+      // type×day / 8·|types| bookkeeping rows — the persisted power
+      // relation's cold reprints push the printed count past the
+      // executed ~6 (the ev_peak_concurrency cache-state argument)
+      "ev_dft_spectrum" -> 9,
+      // one corpus-scale per-user lead window + the |types|² transition
+      // agg; the persisted ≤|types| per-state entropy relation feeds
+      // the total, the rate anchor AND the output row set — three
+      // branches that each reprint the upstream prints when cold
+      "ev_markov_entropy" -> 12,
+      // one corpus-scale (type, value) agg, then 3 lazily-chained IRLS
+      // rounds (each a ≤|types|-row broadcast join + a domain-bounded
+      // keyed agg over the persisted 2-dp relation) + the m0/n/output
+      // joins — the graph_pagerank lazily-unrolled-iteration argument:
+      // every exchange after the first moves value-domain bookkeeping
+      "etl_huber_mean" -> 14,
+      // four lazily-chained damped-rank rounds over the persisted
+      // (doc, src, dst, cnt) adjacency (the graph_pagerank argument):
+      // per round one (doc, word)-keyed message agg + the node left
+      // join, every exchange O(Σ per-doc edges) and doc-keyed — plus
+      // cold reprints of the persisted edge/degree relations
+      "text_textrank" -> 14)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

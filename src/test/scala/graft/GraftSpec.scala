@@ -3149,4 +3149,126 @@ class Round9InvariantSpec extends AnyFunSuite {
     }
     assert(nonNeutral > 0, "lexicon never fired — dead operator")
   }
+
+  test("ev_markov_entropy: per-state entropy bounded, rate is the mixture") {
+    val rows = SparkEntry.queries("ev_markov_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val rate = rows.head.getAs[Double]("entropy_rate")
+    var mix = 0.0
+    for (r <- rows) {
+      val h = r.getAs[Double]("h_state")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6,
+        s"state entropy $h outside [0, ln $k]")
+      assert(r.getAs[Double]("entropy_rate") == rate, "rate must be global")
+      mix += r.getAs[Double]("p_state") * h
+    }
+    assert(rate >= 0.0 && rate <= math.log(k.toDouble) + 1e-6)
+    assert(math.abs(mix - rate) < 1e-6, s"Σ p·H = $mix but rate = $rate")
+  }
+
+  test("ev_kendall_tau matches a driver-side pair count replay") {
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .groupBy(expr("ts_s div 86400").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var c, d, tx, ty = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val prod = (daily(j)._2 - daily(i)._2) * (daily(j)._3 - daily(i)._3)
+      if (prod > 0) c += 1 else if (prod < 0) d += 1
+      if (daily(j)._2 == daily(i)._2) tx += 1
+      if (daily(j)._3 == daily(i)._3) ty += 1
+    }
+    val r = SparkEntry.queries("ev_kendall_tau")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val np = daily.length.toLong * (daily.length - 1) / 2
+    assert(row.getAs[Long]("n_pairs") == np)
+    assert(row.getAs[Long]("concordant") == c && row.getAs[Long]("discordant") == d)
+    assert(row.getAs[Long]("tied_x") == tx && row.getAs[Long]("tied_y") == ty)
+    val tau = row.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+    val want = math.floor((c - d) / math.sqrt((np - tx).toDouble * (np - ty))
+      * 1e9 + 0.5) / 1e9
+    assert(math.abs(tau - want) < 1e-12, s"tau $tau != replay $want")
+  }
+
+  test("etl_tukey_hsd: k(k-1)/2 pairs, q consistent with the ANOVA moments") {
+    val rows = SparkEntry.queries("etl_tukey_hsd")(spark, sf).collect()
+    val groups = rows.flatMap(r => Seq(r.getAs[String]("grp_a"),
+      r.getAs[String]("grp_b"))).distinct
+    val k = groups.length
+    assert(rows.length == k * (k - 1) / 2, s"${rows.length} pairs for k=$k")
+    for (r <- rows) {
+      assert(r.getAs[String]("grp_a") < r.getAs[String]("grp_b"))
+      val q = r.getAs[Double]("q_stat")
+      assert(q >= 0)
+      assert(r.getAs[Boolean]("significant") == (q > 3.858))
+      val diff = r.getAs[Double]("abs_diff")
+      assert(math.abs(diff - math.abs(r.getAs[Double]("mean_a")
+        - r.getAs[Double]("mean_b"))) < 2e-6)
+    }
+  }
+
+  test("etl_huber_mean: robust mean moves toward the bulk under an outlier") {
+    val rows = SparkEntry.queries("etl_huber_mean")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val mean = r.getAs[Double]("mean")
+      val hub = r.getAs[Double]("huber_mean")
+      val n = r.getAs[Long]("n")
+      val down = r.getAs[Long]("n_downweighted")
+      assert(n > 0 && down >= 0 && down < n)
+      // k=20 bounds each IRLS step: the robust mean stays within the
+      // clamp radius of the ordinary mean (w<1 only beyond ±20)
+      assert(math.abs(hub - mean) <= 20.0 + 1e-9,
+        s"${r.getString(0)}: |$hub - $mean| > k")
+    }
+  }
+
+  test("etl_chow_test: split SSR never exceeds pooled, F consistent") {
+    val r = SparkEntry.queries("etl_chow_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val sp = row.getAs[Double]("ssr_pooled")
+    val ss = row.getAs[Double]("ssr_split")
+    val n = row.getAs[Long]("n")
+    assert(sp > 0 && ss > 0 && n > 8)
+    // fitting two regimes separately can only reduce residual error
+    assert(ss <= sp + 1e-6, s"split SSR $ss > pooled $sp")
+    val f = row.getAs[Double]("f_stat")
+    assert(f >= 0)
+    assert(row.getAs[Boolean]("structural_break") == (f > 2.996))
+  }
+
+  test("pipe_dataset_hash is invariant under repartitioning and order") {
+    val q = SparkEntry.queries("pipe_dataset_hash")
+    def snap(): Map[String, (Long, Long, Long)] =
+      q(spark, sf).collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("content_fp"))).toMap
+    val a = snap(); val b = snap()
+    assert(a == b, "fingerprint must be deterministic across runs")
+    assert(a.nonEmpty && a.values.forall(_._3 >= 0))
+    // changing ONE doc's text must flip that source's fingerprint:
+    // recompute driver-side on a mutated copy of one row group
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), md5(col("text").cast("binary"))).cast("binary")), 1, 15),
+      16, 10).cast("long")
+    def fp(df: org.apache.spark.sql.DataFrame): Map[String, java.math.BigDecimal] =
+      df.groupBy(col("source"))
+        .agg((sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(2305843009213693951L)).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val src0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("source")
+    assert(fp(docs)(src0) != fp(mutated)(src0),
+      "a one-character edit must change the fingerprint")
+  }
 }
