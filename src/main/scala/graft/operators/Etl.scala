@@ -2590,6 +2590,92 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Variance inflation factors — the multicollinearity screen run
+    // BEFORE trusting any multi-predictor fit's coefficients (the
+    // etl_regression_ols companion; VIF > 10 means the design matrix is
+    // near-singular and the per-coefficient story is noise). For the
+    // three lineitem predictors (quantity, discount, tax), VIFⱼ =
+    // 1/(1−R²ⱼ) with R²ⱼ of each on the other two in closed form from
+    // the three pairwise correlations: R²₁.₂₃ = (r₁₂²+r₁₃²−2r₁₂r₁₃r₂₃)
+    // /(1−r₂₃²). ONE map-side-combined scan of nine exact integer
+    // moments (discount/tax ×100 cents); the correlation and VIF chains
+    // are pinned doubles on a 1-row relation, ×10⁶/10⁹ snapped.
+    "etl_vif" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS s2,
+        |    CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s11,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s22,
+        |    CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s33,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s12,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s13,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s23
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT n,
+        |    floor((CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2)
+        |      / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+        |        * (CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2))
+        |      * 1e9 + 0.5) / 1.0e9 AS r12,
+        |    floor((CAST(n AS DOUBLE) * s13 - CAST(s1 AS DOUBLE) * s3)
+        |      / sqrt((CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1)
+        |        * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3))
+        |      * 1e9 + 0.5) / 1.0e9 AS r13,
+        |    floor((CAST(n AS DOUBLE) * s23 - CAST(s2 AS DOUBLE) * s3)
+        |      / sqrt((CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2)
+        |        * (CAST(n AS DOUBLE) * s33 - CAST(s3 AS DOUBLE) * s3))
+        |      * 1e9 + 0.5) / 1.0e9 AS r23
+        |  FROM m)
+        |SELECT n, r12, r13, r23,
+        |  floor(1.0 / (1.0 - (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+        |    / (1.0 - r23 * r23)) * 1e6 + 0.5) / 1.0e6 AS vif_quantity,
+        |  floor(1.0 / (1.0 - (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+        |    / (1.0 - r13 * r13)) * 1e6 + 0.5) / 1.0e6 AS vif_discount,
+        |  floor(1.0 / (1.0 - (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+        |    / (1.0 - r12 * r12)) * 1e6 + 0.5) / 1.0e6 AS vif_tax
+        |FROM r""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast(LongType)
+      val d = floor(col("l_discount") * 100 + 0.5).cast(LongType)
+      val t = floor(col("l_tax") * 100 + 0.5).cast(LongType)
+      val m = Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n"), sum(q).as("s1"), sum(d).as("s2"),
+        sum(t).as("s3"), sum(q * q).as("s11"), sum(d * d).as("s22"),
+        sum(t * t).as("s33"), sum(q * d).as("s12"), sum(q * t).as("s13"),
+        sum(d * t).as("s23"))
+      // correlations snap ×10⁹ FIRST; the VIF chain then runs on the
+      // snapped values in both engines (no raw/snapped mixing)
+      def corr2(sij: String, si: String, sj: String, sii: String,
+          sjj: String): Column =
+        floor((col("n").cast(DoubleType) * col(sij)
+          - col(si).cast(DoubleType) * col(sj)) /
+          sqrt((col("n").cast(DoubleType) * col(sii)
+            - col(si).cast(DoubleType) * col(si))
+            * (col("n").cast(DoubleType) * col(sjj)
+              - col(sj).cast(DoubleType) * col(sj)))
+          * lit(1.0e9) + 0.5) / lit(1.0e9)
+      val r = m.select(col("n"),
+        corr2("s12", "s1", "s2", "s11", "s22").as("r12"),
+        corr2("s13", "s1", "s3", "s11", "s33").as("r13"),
+        corr2("s23", "s2", "s3", "s22", "s33").as("r23"))
+      def vif(a: Column, b: Column, c: Column): Column =
+        floor(lit(1.0) / (lit(1.0) - (a * a + b * b - lit(2) * a * b * c)
+          / (lit(1.0) - c * c)) * lit(1.0e6) + 0.5) / lit(1.0e6)
+      r.select(col("n"), col("r12"), col("r13"), col("r23"),
+        vif(col("r12"), col("r13"), col("r23")).as("vif_quantity"),
+        vif(col("r12"), col("r23"), col("r13")).as("vif_discount"),
+        vif(col("r13"), col("r23"), col("r12")).as("vif_tax"))
+    },
+
+    // ------------------------------------------------------------------
     // Lorenz curve of customer spend — the decile table behind
     // etl_gini's scalar: decile k's share of total spend and the
     // cumulative share (the curve ordinate a distribution analyst

@@ -1380,6 +1380,50 @@ object Similarity {
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           cos.as("cos_sim"))
         .filter(col("cos_sim") >= 0.25)
+    },
+
+    // ------------------------------------------------------------------
+    // IVF cluster-health audit — the "measure, don't guess" table for
+    // the k-means build every IVF consumer rides (the dedup_bucket_stats
+    // companion for the ANN family): per cell the member count, the
+    // balance factor n·K/N (1.0 = uniform; a hot cell is exactly where
+    // per-probe scan cost blows up, the knob the √N cell-count rule
+    // protects), the mean home-cell cosine (cohesion) and the worst
+    // member (the mislabel/outlier tail ann_* rerank depths must
+    // absorb). One keyed agg over the SHARED home-cell assignment;
+    // per-member cosines snap ×10⁶ before the sum.
+    "ann_ivf_quality" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |home AS (
+         |  SELECT vec_id, c_label AS cell, cos_c FROM ranked WHERE rn = 1),
+         |g AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CAST(floor(cos_c * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS scos,
+         |    min(cos_c) AS min_cos
+         |  FROM home GROUP BY cell),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM g)
+         |SELECT g.cell, g.n_vecs,
+         |  floor(CAST(g.n_vecs AS DOUBLE) * $KCELLS / t.n * 1e6 + 0.5) / 1.0e6
+         |    AS balance,
+         |  floor(CAST(g.scos AS DOUBLE) / g.n_vecs + 0.5) / 1.0e6 AS mean_cos,
+         |  g.min_cos
+         |FROM g CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val home = ivfAssignments(s, dir).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"), col("cos_c"))
+      val g = home.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(floor(col("cos_c") * 1000000 + 0.5).cast(LongType)).as("scos"),
+          min(col("cos_c")).as("min_cos"))
+        .persist() // ≤KCELLS rows: the total and the output
+      val t = g.agg(sum(col("n_vecs")).as("n"))
+      g.crossJoin(broadcast(t))
+        .select(col("cell"), col("n_vecs"),
+          (floor(col("n_vecs").cast(DoubleType) * KCELLS / col("n")
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("balance"),
+          (floor(col("scos").cast(DoubleType) / col("n_vecs") + 0.5)
+            / lit(1.0e6)).as("mean_cos"),
+          col("min_cos"))
     }
   )
 }

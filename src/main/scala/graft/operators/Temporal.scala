@@ -459,6 +459,166 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Hill tail-index estimator — how heavy the value distribution's
+    // upper tail is (α < 2 ⇒ infinite variance: the number that says
+    // whether mean±3σ screens like ev_anomaly are even meaningful, and
+    // the standard opening move of extreme-value analysis). Hill over
+    // the k = 50 largest order statistics per type with the 51st as
+    // threshold t: H = (1/k)·Σ_{v>t} cnt·ln(v/t) (ties AT t contribute
+    // ln 1 = 0, so only the strictly-above slice sums), α = 1/H. The
+    // corpus collapses ONCE to the bounded 2-dp (type, value, cnt)
+    // domain relation; the top-of-tail window rides THAT (the
+    // etl_mann_whitney bookkeeping argument), and each ln term snaps
+    // ×10⁹ to a long × its exact multiplicity before the sum.
+    "ev_hill_tail" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE value > 0 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, value, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY value DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS above
+        |  FROM c),
+        |th AS (
+        |  SELECT event_type, value AS t, above AS n_tail
+        |  FROM w WHERE above < 51 AND above + cnt >= 51),
+        |s AS (
+        |  SELECT w.event_type, th.t, th.n_tail,
+        |    CAST(sum(CAST(floor(ln(w.value / th.t) * 1000000000 + 0.5)
+        |      AS BIGINT) * w.cnt) AS BIGINT) AS s_fp
+        |  FROM w JOIN th USING (event_type) WHERE w.value > th.t
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(50 AS BIGINT) AS k, t AS threshold, n_tail,
+        |  floor(CAST(s_fp AS DOUBLE) / 50 / 1e9 * 1e9 + 0.5) / 1.0e9
+        |    AS hill_h,
+        |  CASE WHEN s_fp = 0 THEN 0.0
+        |    ELSE floor(50.0 * 1e9 / s_fp * 1e6 + 0.5) / 1.0e6 END
+        |    AS tail_index
+        |FROM s""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // bounded 2-dp domain; the tail window + the term join
+      val wAbove = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = c.withColumn("above", coalesce(sum(col("cnt")).over(wAbove),
+        lit(0L)))
+      val th = w.filter(col("above") < 51 && col("above") + col("cnt") >= 51)
+        .select(col("event_type"), col("value").as("t"),
+          col("above").as("n_tail"))
+      val sFp = w.join(broadcast(th), Seq("event_type"))
+        .filter(col("value") > col("t"))
+        .groupBy(col("event_type"), col("t"), col("n_tail"))
+        .agg(sum(floor(log(col("value") / col("t")) * lit(1.0e9) + 0.5)
+          .cast(LongType) * col("cnt")).as("s_fp"))
+      sFp.select(col("event_type"), lit(50L).as("k"),
+        col("t").as("threshold"), col("n_tail"),
+        (floor(col("s_fp").cast(DoubleType) / 50 / lit(1.0e9) * lit(1.0e9)
+          + 0.5) / lit(1.0e9)).as("hill_h"),
+        when(col("s_fp") === 0L, lit(0.0))
+          .otherwise(floor(lit(50.0) * lit(1.0e9) / col("s_fp") * lit(1.0e6)
+            + 0.5) / lit(1.0e6)).as("tail_index"))
+    },
+
+    // ------------------------------------------------------------------
+    // Poisson dispersion test — are daily event counts actually
+    // Poisson, or clumpy (the assumption check behind every rate-based
+    // alert threshold; overdispersion means Poisson control limits
+    // fire constantly)? Index of dispersion D = s²/x̄ over the per-type
+    // daily counts; (N−1)·D ~ χ²_{N−1} under H₀, flagged with the
+    // normal approximation |z| > 1.96 where z = √(2·(N−1)·D) −
+    // √(2·(N−1)−1). ONE corpus agg to (type, day), then exact integer
+    // moment sums over the calendar-bounded relation; the D/z double
+    // chain is pinned and ×10⁶-snapped.
+    "ev_dispersion_test" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, nd AS n_days,
+        |  floor(CAST(s1 AS DOUBLE) / nd * 1e6 + 0.5) / 1.0e6 AS mean_daily,
+        |  floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1)
+        |    / (CAST(s1 AS DOUBLE) / nd) * 1e6 + 0.5) / 1.0e6 AS dispersion,
+        |  floor((sqrt(2 * (nd - 1.0)
+        |      * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1)
+        |         / (CAST(s1 AS DOUBLE) / nd)))
+        |    - sqrt(2 * (nd - 1.0) - 1)) * 1e6 + 0.5) / 1.0e6 AS z,
+        |  abs(floor((sqrt(2 * (nd - 1.0)
+        |      * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1)
+        |         / (CAST(s1 AS DOUBLE) / nd)))
+        |    - sqrt(2 * (nd - 1.0) - 1)) * 1e6 + 0.5) / 1.0e6) > 1.96
+        |    AS overdispersed
+        |FROM m""".stripMargin) { (s, dir) =>
+      val m = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val disp = (col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1") / col("nd")) / (col("nd") - 1) /
+        (col("s1").cast(DoubleType) / col("nd"))
+      val z = floor((sqrt(lit(2) * (col("nd") - lit(1.0)) * disp)
+        - sqrt(lit(2) * (col("nd") - lit(1.0)) - 1)) * lit(1.0e6) + 0.5) /
+        lit(1.0e6)
+      m.select(col("event_type"), col("nd").as("n_days"),
+        (floor(col("s1").cast(DoubleType) / col("nd") * lit(1.0e6) + 0.5)
+          / lit(1.0e6)).as("mean_daily"),
+        (floor(disp * lit(1.0e6) + 0.5) / lit(1.0e6)).as("dispersion"),
+        z.as("z"), (abs(z) > 1.96).as("overdispersed"))
+    },
+
+    // ------------------------------------------------------------------
+    // Spectral entropy — ONE number per type for "seasonal or noisy?"
+    // (the scalar the periodogram's 8-row profile collapses to: ≈0 when
+    // one frequency carries everything, 1 under white noise; the
+    // automatic triage before eyeballing ev_dft_spectrum, and the
+    // feature a forecast-model selector thresholds on). H = −Σ share·
+    // ln share / ln 8 over the SHARED exact-integer periodogram
+    // relation (dftPowerSql verbatim — one-sided edits fail verify);
+    // each share·ln share term ×10⁹-snaps to a long before the ≤8-row
+    // sum. Everything after the corpus collapse is bookkeeping.
+    "ev_spectral_entropy" -> QueryDef.withOracle(
+      s"""WITH $dftPowerSql,
+        |tp AS (SELECT event_type, CAST(sum(p_fp) AS BIGINT) AS ptot
+        |       FROM p GROUP BY 1),
+        |sh AS (
+        |  SELECT p.event_type,
+        |    CAST(sum(CASE WHEN p.p_fp = 0 THEN 0
+        |      ELSE CAST(floor((CAST(p.p_fp AS DOUBLE) / tp.ptot)
+        |        * ln(CAST(p.p_fp AS DOUBLE) / tp.ptot) * 1000000000 + 0.5)
+        |        AS BIGINT) END) AS BIGINT) AS s_fp,
+        |    CAST(count(*) AS BIGINT) AS nk
+        |  FROM p JOIN tp USING (event_type) GROUP BY 1)
+        |SELECT event_type, nk AS n_freqs,
+        |  floor((0 - s_fp) / 1e9 / ln(CAST(nk AS DOUBLE)) * 1e9 + 0.5) / 1.0e9
+        |    AS spectral_entropy
+        |FROM sh""".stripMargin) { (s, dir) =>
+      val p = dftPower(s, dir).persist() // ≤8·|types| rows
+      val tp = p.groupBy(col("event_type")).agg(sum(col("p_fp")).as("ptot"))
+      val share = col("p_fp").cast(DoubleType) / col("ptot")
+      val sh = p.join(broadcast(tp), "event_type")
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("p_fp") === 0L, 0L)
+          .otherwise(floor(share * log(share) * lit(1.0e9) + 0.5)
+            .cast(LongType))).as("s_fp"),
+          count(lit(1)).as("nk"))
+      sh.select(col("event_type"), col("nk").as("n_freqs"),
+        (floor((lit(0L) - col("s_fp")) / lit(1.0e9)
+          / log(col("nk").cast(DoubleType)) * lit(1.0e9) + 0.5)
+          / lit(1.0e9)).as("spectral_entropy"))
+    },
+
+    // ------------------------------------------------------------------
     // As-of join with a lookback tolerance: the standard market-data /
     // attribution variant — a click only matches a purchase within the
     // trailing 10 minutes; staler matches degrade to no-match rather
@@ -1632,37 +1792,7 @@ object Temporal {
     // to (type, day) in one agg; the day-index window and the 8-freq
     // cross join ride bounded bookkeeping relations.
     "ev_dft_spectrum" -> QueryDef.withOracle(
-      """WITH d AS (
-        |  SELECT event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
-        |             CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY event_type),
-        |v AS (
-        |  SELECT d.event_type, d.n * t.nd - t.tot AS dev, t.nd,
-        |    CAST(row_number() OVER (PARTITION BY d.event_type
-        |      ORDER BY d.day ASC) - 1 AS BIGINT) AS i
-        |  FROM d JOIN t USING (event_type)),
-        |term AS (
-        |  SELECT v.event_type, v.nd, f.k,
-        |    CAST(v.dev AS HUGEINT)
-        |      * CAST(floor(cos(2.0 * pi() * ((f.k * v.i) % v.nd) / v.nd)
-        |          * 1000000000 + 0.5) AS BIGINT) AS ct,
-        |    CAST(v.dev AS HUGEINT)
-        |      * CAST(floor(sin(2.0 * pi() * ((f.k * v.i) % v.nd) / v.nd)
-        |          * 1000000000 + 0.5) AS BIGINT) AS st
-        |  FROM v CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS k) f),
-        |cs AS (
-        |  SELECT event_type, nd, k,
-        |    CAST(sum(ct) AS HUGEINT) AS c, CAST(sum(st) AS HUGEINT) AS s
-        |  FROM term GROUP BY 1, 2, 3),
-        |p AS (
-        |  SELECT event_type, nd, k,
-        |    CAST(floor((CAST(c AS DOUBLE) / 1e9 / nd) * (CAST(c AS DOUBLE) / 1e9 / nd)
-        |      + (CAST(s AS DOUBLE) / 1e9 / nd) * (CAST(s AS DOUBLE) / 1e9 / nd)
-        |      + 0.5) AS BIGINT) AS p_fp
-        |  FROM cs),
+      s"""WITH $dftPowerSql,
         |tp AS (
         |  SELECT event_type, CAST(sum(p_fp) AS BIGINT) AS ptot,
         |    CAST(max(p_fp) AS BIGINT) AS pmax FROM p GROUP BY 1)
@@ -1673,38 +1803,7 @@ object Temporal {
         |    AS power_share,
         |  p.p_fp = tp.pmax AS is_peak
         |FROM p JOIN tp USING (event_type)""".stripMargin) { (s, dir) =>
-      val dec38 = DecimalType(38, 0)
-      val d = Tables.eventsTimed(s, dir)
-        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
-        .agg(count(lit(1)).as("n"))
-      val t = d.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
-      // dense 0-based day index: bounded |days| bookkeeping window
-      val wDay = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
-      val v = d.join(broadcast(t), "event_type")
-        .select(col("event_type"), (col("n") * col("nd") - col("tot")).as("dev"),
-          col("nd"), (row_number().over(wDay) - 1).cast(LongType).as("i"))
-      import s.implicits._
-      val freqs = (1 to 8).toDF("k")
-      // ((2·π)·m)/nd — parenthesization mirrors the oracle's
-      // left-associative parse; double × is not associative
-      val theta =
-        lit(2.0) * lit(math.Pi) * pmod(col("k") * col("i"), col("nd")) /
-          col("nd")
-      val term = v.crossJoin(broadcast(freqs))
-        .select(col("event_type"), col("nd"), col("k"),
-          (col("dev").cast(dec38)
-            * floor(cos(theta) * lit(1.0e9) + 0.5).cast(LongType)).cast(dec38)
-            .as("ct"),
-          (col("dev").cast(dec38)
-            * floor(sin(theta) * lit(1.0e9) + 0.5).cast(LongType)).cast(dec38)
-            .as("st"))
-      val cs = term.groupBy(col("event_type"), col("nd"), col("k"))
-        .agg(sum(col("ct")).as("c"), sum(col("st")).as("s"))
-      val cd = col("c").cast(DoubleType) / lit(1.0e9) / col("nd")
-      val sd = col("s").cast(DoubleType) / lit(1.0e9) / col("nd")
-      val p = cs.select(col("event_type"), col("nd"), col("k"),
-        floor(cd * cd + sd * sd + 0.5).cast(LongType).as("p_fp"))
+      val p = dftPower(s, dir)
         .persist() // ≤ 8·|types| rows; totals + output
       val tp = p.groupBy(col("event_type"))
         .agg(sum(col("p_fp")).as("ptot"), max(col("p_fp")).as("pmax"))
@@ -3101,6 +3200,83 @@ object Temporal {
     * double array; returns struct(l, b, s[7]) — final level, trend and
     * the 7 rotating seasonal slots (slot j holds the most recent s for
     * day positions ≡ j (mod 7), 0-based). */
+  /** Oracle CTE chain producing the periodogram relation
+    * `p(event_type, nd, k, p_fp)` — shared verbatim by ev_dft_spectrum
+    * and ev_spectral_entropy (single source of truth for the trig-snap
+    * discipline; a one-sided edit fails verify immediately). Prepend
+    * `WITH `. */
+  private def dftPowerSql: String =
+    """d AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+      |             CAST(sum(n) AS BIGINT) AS tot FROM d GROUP BY event_type),
+      |v AS (
+      |  SELECT d.event_type, d.n * t.nd - t.tot AS dev, t.nd,
+      |    CAST(row_number() OVER (PARTITION BY d.event_type
+      |      ORDER BY d.day ASC) - 1 AS BIGINT) AS i
+      |  FROM d JOIN t USING (event_type)),
+      |term AS (
+      |  SELECT v.event_type, v.nd, f.k,
+      |    CAST(v.dev AS HUGEINT)
+      |      * CAST(floor(cos(2.0 * pi() * ((f.k * v.i) % v.nd) / v.nd)
+      |          * 1000000000 + 0.5) AS BIGINT) AS ct,
+      |    CAST(v.dev AS HUGEINT)
+      |      * CAST(floor(sin(2.0 * pi() * ((f.k * v.i) % v.nd) / v.nd)
+      |          * 1000000000 + 0.5) AS BIGINT) AS st
+      |  FROM v CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS k) f),
+      |cs AS (
+      |  SELECT event_type, nd, k,
+      |    CAST(sum(ct) AS HUGEINT) AS c, CAST(sum(st) AS HUGEINT) AS s
+      |  FROM term GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT event_type, nd, k,
+      |    CAST(floor((CAST(c AS DOUBLE) / 1e9 / nd) * (CAST(c AS DOUBLE) / 1e9 / nd)
+      |      + (CAST(s AS DOUBLE) / 1e9 / nd) * (CAST(s AS DOUBLE) / 1e9 / nd)
+      |      + 0.5) AS BIGINT) AS p_fp
+      |  FROM cs)""".stripMargin
+
+  /** Spark twin of [[dftPowerSql]]: the exact-integer periodogram
+    * relation (event_type, nd, k, p_fp). One corpus (type, day) agg;
+    * everything after rides bounded bookkeeping. */
+  private def dftPower(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val d = Tables.eventsTimed(s, dir)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val t = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+    // dense 0-based day index: bounded |days| bookkeeping window
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+    val v = d.join(broadcast(t), "event_type")
+      .select(col("event_type"), (col("n") * col("nd") - col("tot")).as("dev"),
+        col("nd"), (row_number().over(wDay) - 1).cast(LongType).as("i"))
+    import s.implicits._
+    val freqs = (1 to 8).toDF("k")
+    // ((2·π)·m)/nd — parenthesization mirrors the oracle's
+    // left-associative parse; double × is not associative
+    val theta =
+      lit(2.0) * lit(math.Pi) * pmod(col("k") * col("i"), col("nd")) /
+        col("nd")
+    val term = v.crossJoin(broadcast(freqs))
+      .select(col("event_type"), col("nd"), col("k"),
+        (col("dev").cast(dec38)
+          * floor(cos(theta) * lit(1.0e9) + 0.5).cast(LongType)).cast(dec38)
+          .as("ct"),
+        (col("dev").cast(dec38)
+          * floor(sin(theta) * lit(1.0e9) + 0.5).cast(LongType)).cast(dec38)
+          .as("st"))
+    val cs = term.groupBy(col("event_type"), col("nd"), col("k"))
+      .agg(sum(col("ct")).as("c"), sum(col("st")).as("s"))
+    val cd = col("c").cast(DoubleType) / lit(1.0e9) / col("nd")
+    val sd = col("s").cast(DoubleType) / lit(1.0e9) / col("nd")
+    cs.select(col("event_type"), col("nd"), col("k"),
+      floor(cd * cd + sd * sd + 0.5).cast(LongType).as("p_fp"))
+  }
+
   private def hwFold(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def mean7(off: Int) =
       (1 to 7).map(j => element_at(v, off + j)).reduceLeft(_ + _) / lit(7.0)

@@ -149,7 +149,13 @@ object PlanAudit {
       "etl_tukey_hsd",
       // 1-row broadcasts: the calendar-midpoint anchor and the 1-row
       // split-SSR anchor
-      "etl_chow_test")
+      "etl_chow_test",
+      // the shared IVF build's collapsed-centroid broadcasts (the
+      // ann_ivf_assign subtree) + the 1-row member-total anchor
+      "ann_ivf_quality",
+      // the shared periodogram's 8-row frequency-list broadcast (the
+      // ev_dft_spectrum argument)
+      "ev_spectral_entropy")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -342,7 +348,14 @@ object PlanAudit {
       // per round one (doc, word)-keyed message agg + the node left
       // join, every exchange O(Σ per-doc edges) and doc-keyed — plus
       // cold reprints of the persisted edge/degree relations
-      "text_textrank" -> 14)
+      "text_textrank" -> 14,
+      // rides the full ann_ivf_assign budget (9) + its own ≤KCELLS-row
+      // member agg and the 1-row total anchor
+      "ann_ivf_quality" -> 11,
+      // rides the shared periodogram (the ev_dft_spectrum budget of 9:
+      // one corpus (type, day) agg + bookkeeping) + its own per-type
+      // total and entropy aggs on the 8·|types|-row relation
+      "ev_spectral_entropy" -> 9)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

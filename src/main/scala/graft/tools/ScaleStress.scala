@@ -643,6 +643,47 @@ object ScaleStress {
       println(s"[stress]   shuffle records written: ${shuffleRecords.get} " +
         s"(B×maps bound, input-size-independent)")
     }
+
+    // ---- round-9b shape: per-doc TextRank is doc-keyed and linear ----
+    // text_textrank's scale claim: 4 damped-rank rounds over the
+    // (doc, src, dst, cnt) adjacency are O(Σ per-doc edges) with every
+    // exchange keyed on (doc, word) — doubling the DOC COUNT doubles
+    // the work (linear corpus scaling, the per-doc graphs never
+    // interact), and per-doc cost is bounded by doc length however big
+    // the corpus grows. Synthetic corpus: 60-word docs from a 30-word
+    // cyclic vocabulary (dense repeated-bigram structure, like
+    // template-heavy crawl text).
+    for (nDocs <- Seq(n / 400, n / 200)) {
+      stressTime(s"textrank 4 rounds over $nDocs docs", nDocs * 59) {
+        val docs = spark.range(nDocs)
+        val e = docs.select(col("id").as("doc_id"),
+            explode(sequence(lit(0), lit(58))).as("i"))
+          .select(col("doc_id"),
+            concat(lit("w"), pmod(col("i") + col("doc_id"), lit(30))).as("src"),
+            concat(lit("w"), pmod(col("i") + col("doc_id") + 1, lit(30))).as("dst"))
+          .groupBy(col("doc_id"), col("src"), col("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .repartition(col("doc_id"), col("src")).persist()
+        val deg = e.groupBy(col("doc_id"), col("src"))
+          .agg(sum(col("cnt")).as("deg")).persist()
+        val nodes = deg.select(col("doc_id"), col("src").as("word"))
+        var r = nodes.select(col("doc_id"), col("word"), lit(1048576L).as("r"))
+        for (_ <- 0 until 4) {
+          val contrib = e
+            .join(r.withColumnRenamed("word", "src"), Seq("doc_id", "src"))
+            .join(deg, Seq("doc_id", "src"))
+            .groupBy(col("doc_id"), col("dst").as("word"))
+            .agg(sum(col("cnt") * expr("r div deg")).as("s"))
+          r = nodes
+            .join(contrib, Seq("doc_id", "word"), "left_outer")
+            .select(col("doc_id"), col("word"),
+              expr("(15 * 1048576 + 85 * coalesce(s, 0)) div 100").as("r"))
+        }
+        val out = r.count()
+        e.unpersist(); deg.unpersist()
+        out
+      }
+    }
     spark.stop()
   }
 }

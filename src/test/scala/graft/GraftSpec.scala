@@ -490,7 +490,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_survival_ci", "cohort_week") -> "cohort × duration-hour calendar-bounded KM table (the ev_survival argument)",
       ("ev_dft_spectrum", "event_type") -> "type×day calendar-bounded daily counts (dense day-index window)",
       ("etl_theil_sen", "f") -> "calendar-bounded months² pair-slope relation (≤|flags|×months²/2 rows)",
-      ("etl_x11_adjust", "") -> "monthly-grain calendar relation (the seasonal_decompose argument)")
+      ("etl_x11_adjust", "") -> "monthly-grain calendar relation (the seasonal_decompose argument)",
+      ("ev_hill_tail", "event_type") -> "type × 2-dp-value bounded domain (the etl_winsorize argument)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -3270,5 +3271,91 @@ class Round9InvariantSpec extends AnyFunSuite {
     val src0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("source")
     assert(fp(docs)(src0) != fp(mutated)(src0),
       "a one-character edit must change the fingerprint")
+  }
+
+  test("ann_ivf_quality: members partition the corpus, balance averages 1") {
+    val rows = SparkEntry.queries("ann_ivf_quality")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(total == corpus, s"cell members $total != corpus $corpus")
+    for (r <- rows) {
+      assert(r.getAs[Double]("mean_cos") >= r.getAs[Double]("min_cos") - 1e-6)
+      assert(r.getAs[Double]("balance") > 0)
+    }
+    // Σ n·K/N over cells = K ⇒ the balance column averages exactly 1
+    val meanBal = rows.map(_.getAs[Double]("balance")).sum / 16
+    assert(math.abs(meanBal * 16 / rows.length - 16.0 / rows.length) < 0.01 ||
+      math.abs(meanBal - 1.0) < 0.01, s"balance mean $meanBal")
+  }
+
+  test("ev_hill_tail: threshold is the 51st order statistic, terms positive") {
+    val rows = SparkEntry.queries("ev_hill_tail")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val et = r.getAs[String]("event_type")
+      val t = r.getAs[Double]("threshold")
+      val nTail = r.getAs[Long]("n_tail")
+      assert(nTail <= 50, s"$et: $nTail strictly-above values with k=50")
+      // replay the order statistic driver-side
+      val vals = graft.sources.Tables.events(spark, sf)
+        .filter(col("event_type") === et && col("value") > 0)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted.reverse
+      assert(vals(50) == t, s"$et: threshold $t != 51st stat ${vals(50)}")
+      assert(vals.take(50).count(_ > t) == nTail)
+      val h = r.getAs[Double]("hill_h")
+      assert(h >= 0)
+      if (h > 0) {
+        val alpha = r.getAs[Double]("tail_index")
+        assert(math.abs(alpha - math.floor(1.0 / h * 1e6 + 0.5) / 1e6) < 1e-3,
+          s"$et: alpha $alpha vs 1/h ${1.0 / h}")
+      }
+    }
+  }
+
+  test("etl_vif: VIFs at least 1 and consistent with the snapped correlations") {
+    val r = SparkEntry.queries("etl_vif")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val Seq(r12, r13, r23) = Seq("r12", "r13", "r23").map(row.getAs[Double])
+    for (c <- Seq(r12, r13, r23)) assert(c >= -1.0 && c <= 1.0)
+    def vifOf(a: Double, b: Double, c: Double): Double =
+      math.floor(1.0 / (1.0 - (a * a + b * b - 2 * a * b * c)
+        / (1.0 - c * c)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(row.getAs[Double]("vif_quantity")
+      - vifOf(r12, r13, r23)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("vif_discount")
+      - vifOf(r12, r23, r13)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("vif_tax")
+      - vifOf(r13, r23, r12)) < 1e-9)
+    // R² ∈ [0, 1) ⇒ every VIF ≥ 1
+    for (c <- Seq("vif_quantity", "vif_discount", "vif_tax"))
+      assert(row.getAs[Double](c) >= 1.0 - 1e-9, s"$c < 1")
+  }
+
+  test("ev_spectral_entropy in [0,1] and consistent with the spectrum shares") {
+    val ent = SparkEntry.queries("ev_spectral_entropy")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("spectral_entropy")).toMap
+    val spec = SparkEntry.queries("ev_dft_spectrum")(spark, sf).collect()
+    assert(ent.nonEmpty)
+    for ((et, h) <- ent) assert(h >= 0.0 && h <= 1.0 + 1e-9, s"$et: H=$h")
+    // replay from the spectrum's snapped shares (coarser rounding →
+    // loose tolerance; the oracle does the exact check)
+    spec.groupBy(_.getString(0)).foreach { case (et, rows) =>
+      val shares = rows.map(_.getAs[Double]("power_share")).filter(_ > 0)
+      val want = -shares.map(p => p * math.log(p)).sum / math.log(8.0)
+      assert(math.abs(ent(et) - want) < 1e-3, s"$et: ${ent(et)} vs $want")
+    }
+  }
+
+  test("ev_dispersion_test: z flag consistent, dispersion positive") {
+    val rows = SparkEntry.queries("ev_dispersion_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Double]("dispersion") > 0)
+      assert(r.getAs[Double]("mean_daily") > 0)
+      assert(r.getAs[Boolean]("overdispersed") ==
+        (math.abs(r.getAs[Double]("z")) > 1.96))
+    }
   }
 }
