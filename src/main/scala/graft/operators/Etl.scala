@@ -2676,6 +2676,359 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Two-sample Poisson rate test — are errors arriving at a different
+    // rate than signups over the same observation window (the incident
+    // question "did the error RATE actually change relative to
+    // traffic", with both counts from the same exposure so the
+    // conditional test is exact)? Under H₀ the error count given
+    // n₁+n₂ is Binomial(n, ½): z = (n₁ − n₂)/√(n₁ + n₂). ONE
+    // map-side-combined conditional-count scan; the z chain is a 1-row
+    // pinned double, ×10⁶ snapped.
+    "etl_poisson_rate_test" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_error,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_signup,
+        |    CAST(count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+        |      AS BIGINT) AS n_days
+        |  FROM events)
+        |SELECT n_error, n_signup, n_days,
+        |  floor(CAST(n_error AS DOUBLE) / n_days * 1e6 + 0.5) / 1.0e6
+        |    AS error_rate_daily,
+        |  floor(CAST(n_signup AS DOUBLE) / n_days * 1e6 + 0.5) / 1.0e6
+        |    AS signup_rate_daily,
+        |  floor((CAST(n_error AS DOUBLE) - n_signup)
+        |    / sqrt(CAST(n_error + n_signup AS DOUBLE)) * 1e6 + 0.5) / 1.0e6
+        |    AS z,
+        |  abs(floor((CAST(n_error AS DOUBLE) - n_signup)
+        |    / sqrt(CAST(n_error + n_signup AS DOUBLE)) * 1e6 + 0.5) / 1.0e6)
+        |    > 1.96 AS rates_differ
+        |FROM c""".stripMargin) { (s, dir) =>
+      val c = Tables.eventsTimed(s, dir).agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_error"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("n_signup"),
+        countDistinct(expr("ts_s div 86400")).as("n_days"))
+      val z = floor((col("n_error").cast(DoubleType) - col("n_signup"))
+        / sqrt((col("n_error") + col("n_signup")).cast(DoubleType))
+        * lit(1.0e6) + 0.5) / lit(1.0e6)
+      c.select(col("n_error"), col("n_signup"), col("n_days"),
+        (floor(col("n_error").cast(DoubleType) / col("n_days") * lit(1.0e6)
+          + 0.5) / lit(1.0e6)).as("error_rate_daily"),
+        (floor(col("n_signup").cast(DoubleType) / col("n_days") * lit(1.0e6)
+          + 0.5) / lit(1.0e6)).as("signup_rate_daily"),
+        z.as("z"), (abs(z) > 1.96).as("rates_differ"))
+    },
+
+    // ------------------------------------------------------------------
+    // Jarque-Bera normality test of l_quantity per return flag — the
+    // moment-based omnibus screen (skewness + excess kurtosis) run
+    // before trusting any z/t-based interval on the column. Quantity is
+    // integer-valued (1..50), so the four raw power sums are EXACT
+    // BIGINT in ONE map-side-combined scan (Σq⁴ ≤ 6.25e6·n — headroom
+    // to ~1e12 rows before BIGINT saturates; past that the sums go
+    // DECIMAL(38)); the central-moment chain m2/m3/m4 runs on doubles
+    // cast from the exact sums in pinned left-assoc order (identical
+    // catastrophic cancellation on both engines), skew/kurtosis/JB
+    // snapped ×10⁶. Reject at the χ²₂ 95% critical value 5.991.
+    "etl_jarque_bera" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s2,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM m),
+        |k AS (
+        |  SELECT l_returnflag, n,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM c),
+        |j AS (
+        |  SELECT l_returnflag, n,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) AS kurt
+        |  FROM k)
+        |SELECT l_returnflag, n,
+        |  floor(skew * 1e6 + 0.5) / 1.0e6 AS skewness,
+        |  floor(kurt * 1e6 + 0.5) / 1.0e6 AS kurtosis,
+        |  floor(n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        |    * 1e6 + 0.5) / 1.0e6 AS jb,
+        |  n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        |    > 5.991 AS reject_normal
+        |FROM j""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast(LongType)
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("s1"), sum(q * q).as("s2"),
+          sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+      val mu = col("s1").cast(DoubleType) / col("n")
+      val r2 = col("s2").cast(DoubleType) / col("n")
+      val r3 = col("s3").cast(DoubleType) / col("n")
+      val r4 = col("s4").cast(DoubleType) / col("n")
+      val c = m.select(col("l_returnflag"), col("n"),
+        mu.as("mu"), r2.as("r2"), r3.as("r3"), r4.as("r4"))
+      val k = c.select(col("l_returnflag"), col("n"),
+        (col("r2") - col("mu") * col("mu")).as("m2"),
+        (col("r3") - lit(3.0) * col("mu") * col("r2")
+          + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+        (col("r4") - lit(4.0) * col("mu") * col("r3")
+          + lit(6.0) * col("mu") * col("mu") * col("r2")
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"))
+      val j = k.select(col("l_returnflag"), col("n"),
+        (col("m3") / (col("m2") * sqrt(col("m2")))).as("skew"),
+        (col("m4") / (col("m2") * col("m2"))).as("kurt"))
+      val jb = col("n") / lit(6.0) * (col("skew") * col("skew")
+        + (col("kurt") - lit(3.0)) * (col("kurt") - lit(3.0)) / lit(4.0))
+      j.select(col("l_returnflag"), col("n"),
+        (floor(col("skew") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("skewness"),
+        (floor(col("kurt") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("kurtosis"),
+        (floor(jb * lit(1.0e6) + 0.5) / lit(1.0e6)).as("jb"),
+        (jb > 5.991).as("reject_normal"))
+    },
+
+    // ------------------------------------------------------------------
+    // Durbin-Watson autocorrelation test on the monthly-OLS residuals
+    // per return flag — the serial-correlation screen that decides
+    // whether etl_regression_ols's standard errors can be trusted on a
+    // time-ordered fit (DW ≈ 2 independent, → 0 positively
+    // autocorrelated, → 4 negatively). Rides the shared monthlyOlsSql
+    // residual relation: corpus collapses once to ≤|months| exact cent
+    // sums; residuals snap ×100 to BIGINT so the lag-difference and
+    // square sums are EXACT (HUGEINT/DECIMAL38 — e_fp² ~1e22 overflows
+    // BIGINT) and the single ordered window is calendar-bounded. DW
+    // snapped ×10⁶; the d_L≈1.5 rule-of-thumb flag is documented, not
+    // a table lookup.
+    "etl_durbin_watson" -> QueryDef.withOracle(
+      s"""WITH $monthlyOlsSql,
+        |l AS (
+        |  SELECT f, n, e_fp,
+        |    lag(e_fp) OVER (PARTITION BY f ORDER BY mi ASC) AS prev
+        |  FROM r),
+        |s AS (
+        |  SELECT f, max(n) AS n_months,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL
+        |      THEN CAST(e_fp - prev AS HUGEINT) * (e_fp - prev) END)
+        |      AS HUGEINT) AS sd,
+        |    CAST(sum(CAST(e_fp AS HUGEINT) * e_fp) AS HUGEINT) AS se
+        |  FROM l GROUP BY f)
+        |SELECT f AS l_returnflag, n_months,
+        |  floor(CAST(sd AS DOUBLE) / CAST(se AS DOUBLE) * 1e6 + 0.5) / 1.0e6
+        |    AS dw,
+        |  floor(CAST(sd AS DOUBLE) / CAST(se AS DOUBLE) * 1e6 + 0.5) / 1.0e6
+        |    < 1.5 AS positive_autocorr
+        |FROM s""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val w = Window.partitionBy(col("f")).orderBy(col("mi").asc)
+      val l = monthlyOlsResiduals(s, dir)
+        .select(col("f"), col("n"), col("e_fp"),
+          lag(col("e_fp"), 1).over(w).as("prev"))
+      val agg = l.groupBy(col("f"))
+        .agg(max(col("n")).as("n_months"),
+          sum(when(col("prev").isNotNull,
+            (col("e_fp") - col("prev")).cast(dec38)
+              * (col("e_fp") - col("prev")))).as("sd"),
+          sum(col("e_fp").cast(dec38) * col("e_fp")).as("se"))
+      val dw = floor(col("sd").cast(DoubleType) / col("se").cast(DoubleType)
+        * lit(1.0e6) + 0.5) / lit(1.0e6)
+      agg.select(col("f").as("l_returnflag"), col("n_months"),
+        dw.as("dw"), (dw < 1.5).as("positive_autocorr"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cook's distance influence diagnostics on the same monthly OLS fit
+    // — WHICH months move the trend line (the per-point companion to
+    // etl_durbin_watson's residual screen and etl_hb_outliers' value
+    // screen): leverage h = 1/n + (mi−x̄)²/Sxx and D = e²/(p·s²) ·
+    // h/(1−h)² with p = 2, s² = SSE/(n−2), all closed-form double
+    // chains from the exact moment sums (identical both engines), SSE
+    // from the exact ×100-snapped residual squares. Top-3 influential
+    // months per flag, ranked on the raw double with a deterministic
+    // month tiebreak. Everything after the one corpus collapse rides
+    // the ≤|months| relation.
+    "etl_cooks_distance" -> QueryDef.withOracle(
+      s"""WITH $monthlyOlsSql,
+        |sse AS (
+        |  SELECT f, CAST(sum(CAST(e_fp AS HUGEINT) * e_fp) AS HUGEINT)
+        |    AS sse_fp
+        |  FROM r GROUP BY f),
+        |d AS (
+        |  SELECT r.f, r.mi, r.n,
+        |    CAST(r.e_fp AS DOUBLE) / 100 AS resid,
+        |    1.0 / r.n + (r.mi - r.sx / r.n) * (r.mi - r.sx / r.n)
+        |      / (r.sxx - r.sx * r.sx / r.n) AS h,
+        |    CAST(sse.sse_fp AS DOUBLE) / 1e4 / (r.n - 2) AS s2
+        |  FROM r JOIN sse ON sse.f = r.f),
+        |c AS (
+        |  SELECT f, mi, resid, h,
+        |    (resid * resid) / (2.0 * s2) * (h / ((1.0 - h) * (1.0 - h)))
+        |      AS cd
+        |  FROM d),
+        |rk AS (
+        |  SELECT f, mi, resid, h, cd,
+        |    row_number() OVER (PARTITION BY f ORDER BY cd DESC, mi ASC)
+        |      AS rn
+        |  FROM c)
+        |SELECT f AS l_returnflag, mi, CAST(rn AS BIGINT) AS rn, resid,
+        |  floor(h * 1e9 + 0.5) / 1.0e9 AS leverage,
+        |  floor(cd * 1e6 + 0.5) / 1.0e6 AS cooks_d
+        |FROM rk WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val r = monthlyOlsResiduals(s, dir)
+        .persist() // ≤|months|·|flags| rows; SSE agg + per-row pass
+      val sse = r.groupBy(col("f"))
+        .agg(sum(col("e_fp").cast(dec38) * col("e_fp")).as("sse_fp"))
+      val h = (lit(1.0) / col("n")) +
+        ((col("mi") - col("sx") / col("n")) * (col("mi") - col("sx") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n")))
+      val d = r.join(broadcast(sse), Seq("f"))
+        .select(col("f"), col("mi"), col("n"),
+          (col("e_fp").cast(DoubleType) / 100).as("resid"), h.as("h"),
+          (col("sse_fp").cast(DoubleType) / lit(1.0e4) / (col("n") - 2))
+            .as("s2"))
+      val cd = (col("resid") * col("resid")) / (lit(2.0) * col("s2")) *
+        (col("h") / ((lit(1.0) - col("h")) * (lit(1.0) - col("h"))))
+      val rk = d.select(col("f"), col("mi"), col("resid"), col("h"),
+          cd.as("cd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("f")).orderBy(col("cd").desc, col("mi").asc)))
+      rk.filter(col("rn") <= 3)
+        .select(col("f").as("l_returnflag"), col("mi"),
+          col("rn").cast(LongType).as("rn"), col("resid"),
+          (floor(col("h") * lit(1.0e9) + 0.5) / lit(1.0e9)).as("leverage"),
+          (floor(col("cd") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("cooks_d"))
+    },
+
+    // ------------------------------------------------------------------
+    // Brown-Forsythe (median-centered Levene) test of variance
+    // homogeneity of l_quantity across return flags — the
+    // equal-variance assumption check gating etl_anova_oneway (classic
+    // Levene on means is fragile under skew; the median variant is the
+    // robust standard). Group medians come from the VALUE-GROUPED
+    // bounded domain (integer 1..50 — the etl_ks_test bookkeeping
+    // argument), so 2·median is an exact integer and the absolute
+    // deviations z2 = |2q − med2| stay exact through both power sums.
+    // The one-way ANOVA F on z then needs only per-group exact sums;
+    // the k-row between/within terms snap ×10⁶ BEFORE the final sum so
+    // no cross-engine double addition order exists. Reject at the
+    // F(2,∞) 95% critical value 2.996.
+    "etl_levene_test" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT f, q, cnt,
+        |    sum(cnt) OVER (PARTITION BY f ORDER BY q ASC) AS cum,
+        |    sum(cnt) OVER (PARTITION BY f) AS n
+        |  FROM g),
+        |med AS (
+        |  SELECT f,
+        |    CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN q END)
+        |       + min(CASE WHEN cum >= (n + 2) // 2 THEN q END) AS BIGINT)
+        |      AS med2
+        |  FROM c GROUP BY f),
+        |z AS (
+        |  SELECT g.f, g.cnt, abs(2 * g.q - med.med2) AS z2
+        |  FROM g JOIN med ON med.f = g.f),
+        |a AS (
+        |  SELECT f, CAST(sum(cnt) AS BIGINT) AS n_g,
+        |    CAST(sum(cnt * z2) AS BIGINT) AS sz,
+        |    CAST(sum(cnt * z2 * z2) AS BIGINT) AS szz
+        |  FROM z GROUP BY f),
+        |t AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+        |    CAST(sum(sz) AS BIGINT) AS szt,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM a),
+        |p AS (
+        |  SELECT a.n_g, a.szz, t.nn, t.k,
+        |    CAST(a.sz AS DOUBLE) / (2 * a.n_g) AS zb_g,
+        |    CAST(t.szt AS DOUBLE) / (2 * t.nn) AS zb
+        |  FROM a CROSS JOIN t),
+        |terms AS (
+        |  SELECT nn, k,
+        |    CAST(floor(n_g * (zb_g - zb) * (zb_g - zb) * 1e6 + 0.5)
+        |      AS BIGINT) AS bt,
+        |    CAST(floor((CAST(szz AS DOUBLE) / 4 - n_g * zb_g * zb_g) * 1e6
+        |      + 0.5) AS BIGINT) AS wt
+        |  FROM p),
+        |s AS (
+        |  SELECT max(nn) AS n, max(k) AS k,
+        |    CAST(sum(bt) AS BIGINT) AS b_fp, CAST(sum(wt) AS BIGINT) AS w_fp
+        |  FROM terms)
+        |SELECT n, k, b_fp / 1.0e6 AS ss_between, w_fp / 1.0e6 AS ss_within,
+        |  floor(CAST(b_fp AS DOUBLE) * (n - k)
+        |    / (CAST(w_fp AS DOUBLE) * (k - 1)) * 1e6 + 0.5) / 1.0e6 AS f_stat,
+        |  floor(CAST(b_fp AS DOUBLE) * (n - k)
+        |    / (CAST(w_fp AS DOUBLE) * (k - 1)) * 1e6 + 0.5) / 1.0e6 > 2.996
+        |    AS reject_homogeneity
+        |FROM s""".stripMargin) { (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"),
+          col("l_quantity").cast(LongType).as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // ≤50·|flags| rows; median pass + deviation pass
+      val wCum = Window.partitionBy(col("f")).orderBy(col("q").asc)
+      val wAll = Window.partitionBy(col("f"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val med = g
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("f"))
+        .agg((min(when(col("cum") >= floor((col("n") + 1) / 2), col("q")))
+          + min(when(col("cum") >= floor((col("n") + 2) / 2), col("q"))))
+          .cast(LongType).as("med2"))
+      val a = g.join(broadcast(med), Seq("f"))
+        .select(col("f"), col("cnt"),
+          abs(lit(2) * col("q") - col("med2")).as("z2"))
+        .groupBy(col("f"))
+        .agg(sum(col("cnt")).as("n_g"),
+          sum(col("cnt") * col("z2")).as("sz"),
+          sum(col("cnt") * col("z2") * col("z2")).as("szz"))
+      val t = a.agg(sum(col("n_g")).as("nn"), sum(col("sz")).as("szt"),
+        count(lit(1)).as("k"))
+      val p = a.crossJoin(broadcast(t))
+        .select(col("n_g"), col("szz"), col("nn"), col("k"),
+          (col("sz").cast(DoubleType) / (lit(2) * col("n_g"))).as("zb_g"),
+          (col("szt").cast(DoubleType) / (lit(2) * col("nn"))).as("zb"))
+      val terms = p.select(col("nn"), col("k"),
+        floor(col("n_g") * (col("zb_g") - col("zb"))
+          * (col("zb_g") - col("zb")) * lit(1.0e6) + 0.5)
+          .cast(LongType).as("bt"),
+        floor((col("szz").cast(DoubleType) / 4
+          - col("n_g") * col("zb_g") * col("zb_g")) * lit(1.0e6) + 0.5)
+          .cast(LongType).as("wt"))
+      val agg = terms.groupBy()
+        .agg(max(col("nn")).as("n"), max(col("k")).as("k"),
+          sum(col("bt")).as("b_fp"), sum(col("wt")).as("w_fp"))
+      val f = floor(col("b_fp").cast(DoubleType) * (col("n") - col("k"))
+        / (col("w_fp").cast(DoubleType) * (col("k") - 1)) * lit(1.0e6) + 0.5) /
+        lit(1.0e6)
+      agg.select(col("n"), col("k"),
+        (col("b_fp") / lit(1.0e6)).as("ss_between"),
+        (col("w_fp") / lit(1.0e6)).as("ss_within"),
+        f.as("f_stat"), (f > 2.996).as("reject_homogeneity"))
+    },
+
+    // ------------------------------------------------------------------
     // Lorenz curve of customer spend — the decile table behind
     // etl_gini's scalar: decile k's share of total spend and the
     // cumulative share (the curve ordinate a distribution analyst
@@ -5508,5 +5861,69 @@ object Etl {
       .select(col("f"), col(vCol),
         (lit(2L) * (col("off") + col("before_in_bkt")) + col("cnt") + 1L)
           .as(r2Name))
+  }
+
+  /** Shared oracle prefix for the monthly-OLS residual family
+    * (etl_durbin_watson, etl_cooks_distance): the exact-cent monthly
+    * revenue series per return flag (etl_theil_sen's `mo` relation),
+    * its per-flag OLS fit via the etl_regression_ols pinned double
+    * chain, and the ×100-snapped residuals `e_fp` (BIGINT — squares go
+    * HUGEINT at the use sites). One-sided edits fail verify. */
+  private def monthlyOlsSql: String =
+    """mo AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT f, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(CAST(sum(mi) AS HUGEINT) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(rev_c) AS HUGEINT) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(mi * rev_c) AS HUGEINT) AS DOUBLE) AS sxy,
+      |    CAST(CAST(sum(mi * mi) AS HUGEINT) AS DOUBLE) AS sxx
+      |  FROM mo GROUP BY f),
+      |fit AS (
+      |  SELECT f, n, sx, sxx,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      |      AS intercept
+      |  FROM m),
+      |r AS (
+      |  SELECT mo.f, mo.mi, fit.n, fit.sx, fit.sxx,
+      |    CAST(floor((CAST(mo.rev_c AS DOUBLE)
+      |      - (fit.slope * mo.mi + fit.intercept)) * 100 + 0.5) AS BIGINT)
+      |      AS e_fp
+      |  FROM mo JOIN fit ON fit.f = mo.f)""".stripMargin
+
+  /** Spark twin of [[monthlyOlsSql]]: (f, mi, n, sx, sxx, e_fp) — the
+    * calendar-bounded residual relation (≤|months| rows per flag). */
+  private def monthlyOlsResiduals(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val mo = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("f"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("mi"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType))
+        .as("rev_c"))
+    val dec38 = DecimalType(38, 0)
+    // sums over DECIMAL(38) inputs: exact like the oracle's HUGEINT
+    // accumulation even where a raw long sum would saturate
+    val m = mo.groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mi").cast(dec38)).cast(DoubleType).as("sx"),
+        sum(col("rev_c").cast(dec38)).cast(DoubleType).as("sy"),
+        sum((col("mi") * col("rev_c")).cast(dec38)).cast(DoubleType).as("sxy"),
+        sum((col("mi") * col("mi")).cast(dec38)).cast(DoubleType).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val fit = m.select(col("f"), col("n"), col("sx"), col("sxx"),
+      (num / den).as("slope"),
+      ((col("sy") - num / den * col("sx")) / col("n")).as("intercept"))
+    mo.join(broadcast(fit), Seq("f"))
+      .select(col("f"), col("mi"), col("n"), col("sx"), col("sxx"),
+        floor((col("rev_c").cast(DoubleType)
+          - (col("slope") * col("mi") + col("intercept"))) * 100 + 0.5)
+          .cast(LongType).as("e_fp"))
   }
 }

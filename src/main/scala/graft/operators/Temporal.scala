@@ -619,6 +619,79 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Wald-Wolfowitz runs test — is the daily up/down pattern random,
+    // or does it trend/oscillate (the nonparametric randomness check
+    // run on residuals after every fit; too FEW runs = trending, too
+    // MANY = oscillating)? Signs of day-over-day count changes per
+    // type (zero changes dropped, the standard treatment), R = number
+    // of sign runs, z = (R − μ)/σ with μ = 2n₊n₋/n + 1. The corpus
+    // collapses once to (type, day); the lag window and run-boundary
+    // count ride that calendar-bounded relation; all counts exact
+    // integers, the z chain pinned doubles ×10⁶.
+    "ev_runs_test" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN n > lag(n) OVER w THEN 1
+        |         WHEN n < lag(n) OVER w THEN -1 END AS sgn
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |s2 AS (
+        |  SELECT event_type, day, sgn,
+        |    lag(sgn) OVER (PARTITION BY event_type ORDER BY day ASC)
+        |      AS prev_sgn
+        |  FROM s WHERE sgn IS NOT NULL),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(sum(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM s2 GROUP BY 1)
+        |SELECT event_type, n, n_up, n_down, runs,
+        |  floor((2.0 * n_up * n_down / n + 1) * 1e6 + 0.5) / 1.0e6
+        |    AS expected_runs,
+        |  floor((runs - (2.0 * n_up * n_down / n + 1))
+        |    / sqrt((2.0 * n_up * n_down * (2.0 * n_up * n_down - n))
+        |           / (CAST(n AS DOUBLE) * n * (n - 1))) * 1e6 + 0.5) / 1.0e6
+        |    AS z,
+        |  abs(floor((runs - (2.0 * n_up * n_down / n + 1))
+        |    / sqrt((2.0 * n_up * n_down * (2.0 * n_up * n_down - n))
+        |           / (CAST(n AS DOUBLE) * n * (n - 1))) * 1e6 + 0.5) / 1.0e6)
+        |    > 1.96 AS reject_randomness
+        |FROM m""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val sgn = when(col("n") > lag(col("n"), 1).over(w), 1)
+        .when(col("n") < lag(col("n"), 1).over(w), -1)
+      val s2 = d.withColumn("sgn", sgn)
+        .filter(col("sgn").isNotNull)
+        .withColumn("prev_sgn", lag(col("sgn"), 1).over(w))
+      val m = s2.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+          sum(when(col("prev_sgn").isNull ||
+            col("sgn") =!= col("prev_sgn"), 1L).otherwise(0L)).as("runs"))
+      val mu = lit(2.0) * col("n_up") * col("n_down") / col("n") + 1
+      val sig = sqrt((lit(2.0) * col("n_up") * col("n_down")
+        * (lit(2.0) * col("n_up") * col("n_down") - col("n")))
+        / (col("n").cast(DoubleType) * col("n") * (col("n") - 1)))
+      val z = floor((col("runs") - mu) / sig * lit(1.0e6) + 0.5) / lit(1.0e6)
+      m.select(col("event_type"), col("n"), col("n_up"), col("n_down"),
+        col("runs"),
+        (floor(mu * lit(1.0e6) + 0.5) / lit(1.0e6)).as("expected_runs"),
+        z.as("z"), (abs(z) > 1.96).as("reject_randomness"))
+    },
+
+    // ------------------------------------------------------------------
     // As-of join with a lookback tolerance: the standard market-data /
     // attribution variant — a click only matches a purchase within the
     // trailing 10 minutes; staler matches degrade to no-match rather

@@ -3358,4 +3358,116 @@ class Round9InvariantSpec extends AnyFunSuite {
         (math.abs(r.getAs[Double]("z")) > 1.96))
     }
   }
+
+  test("ev_runs_test: runs bounded by change count, cells partition n") {
+    val rows = SparkEntry.queries("ev_runs_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n")
+      val up = r.getAs[Long]("n_up"); val dn = r.getAs[Long]("n_down")
+      val runs = r.getAs[Long]("runs")
+      assert(up + dn == n, s"sign cells $up+$dn != n=$n")
+      assert(runs >= 1 && runs <= n, s"runs=$runs outside [1, $n]")
+      val mu = 2.0 * up * dn / n + 1
+      assert(math.abs(r.getAs[Double]("expected_runs")
+        - math.floor(mu * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
+
+  test("etl_poisson_rate_test matches a driver-side count replay") {
+    val r = SparkEntry.queries("etl_poisson_rate_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val byType = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(row.getAs[Long]("n_error") == byType.getOrElse("error", 0L))
+    assert(row.getAs[Long]("n_signup") == byType.getOrElse("signup", 0L))
+    val z = row.getAs[Double]("z")
+    val want = math.floor((byType("error").toDouble - byType("signup"))
+      / math.sqrt((byType("error") + byType("signup")).toDouble) * 1e6 + 0.5) / 1e6
+    assert(math.abs(z - want) < 1e-9, s"z $z != replay $want")
+    assert(row.getAs[Boolean]("rates_differ") == (math.abs(z) > 1.96))
+  }
+
+  test("etl_jarque_bera matches a driver-side moment replay") {
+    val rows = SparkEntry.queries("etl_jarque_bera")(spark, sf).collect()
+    assert(rows.length == 3)
+    val qs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().groupBy(_.getString(0))
+    for (r <- rows) {
+      val v = qs(r.getString(0)).map(_.getLong(1).toDouble)
+      val n = v.length.toDouble
+      val mu = v.sum / n
+      val m2 = v.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = v.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = v.map(x => math.pow(x - mu, 4)).sum / n
+      val skew = m3 / (m2 * math.sqrt(m2)); val kurt = m4 / (m2 * m2)
+      // independent accumulation order ⇒ loose tolerance; the oracle
+      // does the exact check
+      assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-6)
+      assert(math.abs(r.getAs[Double]("kurtosis") - kurt) < 1e-6)
+      val jb = n / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+      assert(math.abs(r.getAs[Double]("jb") - jb) < 1e-3)
+      assert(r.getAs[Boolean]("reject_normal") == (jb > 5.991))
+    }
+  }
+
+  test("etl_durbin_watson: DW in (0,4), flag consistent") {
+    val rows = SparkEntry.queries("etl_durbin_watson")(spark, sf).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val dw = r.getAs[Double]("dw")
+      assert(dw > 0 && dw < 4, s"DW=$dw outside (0,4)")
+      assert(r.getAs[Boolean]("positive_autocorr") == (dw < 1.5))
+      assert(r.getAs[Long]("n_months") > 10)
+    }
+  }
+
+  test("etl_cooks_distance: 3 ranked rows per flag, leverage in (0,1)") {
+    val rows = SparkEntry.queries("etl_cooks_distance")(spark, sf).collect()
+    val byFlag = rows.groupBy(_.getString(0))
+    assert(byFlag.size == 3)
+    for ((f, rs) <- byFlag) {
+      assert(rs.map(_.getAs[Long]("rn")).sorted.sameElements(Seq(1L, 2L, 3L)))
+      val ds = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cooks_d"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+        s"$f: cooks_d not descending: ${ds.toSeq}")
+      for (r <- rs) {
+        val h = r.getAs[Double]("leverage")
+        assert(h > 0 && h < 1, s"$f: leverage $h outside (0,1)")
+        assert(r.getAs[Double]("cooks_d") >= 0)
+      }
+    }
+  }
+
+  test("etl_levene_test matches a driver-side Brown-Forsythe replay") {
+    val r = SparkEntry.queries("etl_levene_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val qs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().groupBy(_.getString(0)).map { case (f, a) =>
+        f -> a.map(_.getLong(1)).sorted }
+    val z = qs.map { case (f, v) =>
+      val med2 = v((v.length - 1) / 2) + v(v.length / 2)
+      f -> v.map(q => math.abs(2 * q - med2).toDouble)
+    }
+    val nn = z.values.map(_.length).sum.toDouble
+    val zbar = z.values.map(_.sum).sum / (2 * nn)
+    val between = z.values.map { v =>
+      val zb = v.sum / (2 * v.length); v.length * (zb - zbar) * (zb - zbar)
+    }.sum
+    val within = z.values.map { v =>
+      val zb = v.sum / (2 * v.length)
+      v.map(x => (x / 2 - zb) * (x / 2 - zb)).sum
+    }.sum
+    val f = (between / (3 - 1)) / (within / (nn - 3))
+    assert(row.getAs[Long]("n") == nn.toLong)
+    assert(row.getAs[Long]("k") == 3L)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-3,
+      s"F ${row.getAs[Double]("f_stat")} != replay $f")
+    assert(row.getAs[Boolean]("reject_homogeneity") == (f > 2.996))
+  }
 }
