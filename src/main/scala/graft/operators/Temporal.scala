@@ -692,6 +692,344 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Turning-point test — the second nonparametric randomness check
+    // next to ev_runs_test, counting strict local maxima/minima of the
+    // daily count series per type (an iid series has E[T] = 2(n−2)/3,
+    // Var = (16n−29)/90; too few turning points = smooth trend, too
+    // many = high-frequency oscillation). Interior-point lag/lead
+    // windows ride the calendar-bounded daily relation; counts exact
+    // integers, z pinned ×10⁶. Ties break neither condition (strict
+    // inequalities — the standard treatment).
+    "ev_turning_points" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, n,
+        |    lag(n) OVER w AS prev, lead(n) OVER w AS next
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+        |      AND ((n > prev AND n > next) OR (n < prev AND n < next))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, nd, t AS turning_points,
+        |  floor(2.0 * (nd - 2) / 3 * 1e6 + 0.5) / 1.0e6 AS expected_tp,
+        |  floor((t - 2.0 * (nd - 2) / 3)
+        |    / sqrt((16.0 * nd - 29) / 90) * 1e6 + 0.5) / 1.0e6 AS z,
+        |  abs(floor((t - 2.0 * (nd - 2) / 3)
+        |    / sqrt((16.0 * nd - 29) / 90) * 1e6 + 0.5) / 1.0e6) > 1.96
+        |    AS reject_randomness
+        |FROM m""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val sdf = d.select(col("event_type"), col("n"),
+        lag(col("n"), 1).over(w).as("prev"), lead(col("n"), 1).over(w).as("next"))
+      val isTp = col("prev").isNotNull && col("next").isNotNull &&
+        ((col("n") > col("prev") && col("n") > col("next")) ||
+         (col("n") < col("prev") && col("n") < col("next")))
+      val m = sdf.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(isTp, 1L).otherwise(0L)).as("t"))
+      val mu = lit(2.0) * (col("nd") - 2) / 3
+      val z = floor((col("t") - mu)
+        / sqrt((lit(16.0) * col("nd") - 29) / 90) * lit(1.0e6) + 0.5) /
+        lit(1.0e6)
+      m.select(col("event_type"), col("nd"), col("t").as("turning_points"),
+        (floor(mu * lit(1.0e6) + 0.5) / lit(1.0e6)).as("expected_tp"),
+        z.as("z"), (abs(z) > 1.96).as("reject_randomness"))
+    },
+
+    // ------------------------------------------------------------------
+    // Records test — are new daily-count highs arriving faster than an
+    // exchangeable series would produce them (the trend detector that
+    // needs NO distributional assumption at all: under iid, day k is a
+    // record with probability exactly 1/k, so E[R] = H_n and
+    // Var[R] = Σ(1/k − 1/k²))? The running-max window rides the
+    // calendar-bounded daily relation; the harmonic expectation and
+    // variance sum per-term ×10⁹-snapped integers (no cross-engine
+    // double addition order), z pinned ×10⁶. Day 1 counts as a record
+    // (k = 1 term included), ties are not records.
+    "ev_records_test" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, n,
+        |    CAST(row_number() OVER w AS BIGINT) AS k,
+        |    max(n) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN prev_max IS NULL OR n > prev_max
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |    CAST(sum(CAST(floor(1e9 / CAST(k AS DOUBLE) + 0.5) AS BIGINT))
+        |      AS BIGINT) AS exp_fp,
+        |    CAST(sum(CAST(floor(1.0e9 * (k - 1) / (k * k) + 0.5) AS BIGINT))
+        |      AS BIGINT) AS var_fp
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, nd, r AS n_records,
+        |  exp_fp / 1.0e9 AS expected_records,
+        |  floor((CAST(r AS DOUBLE) - CAST(exp_fp AS DOUBLE) / 1e9)
+        |    / sqrt(CAST(var_fp AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1.0e6 AS z,
+        |  floor((CAST(r AS DOUBLE) - CAST(exp_fp AS DOUBLE) / 1e9)
+        |    / sqrt(CAST(var_fp AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1.0e6 > 1.96
+        |    AS trending_up
+        |FROM m""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val sdf = d.select(col("event_type"), col("n"),
+        row_number().over(w).cast(LongType).as("k"),
+        max(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+          .as("prev_max"))
+      val m = sdf.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("prev_max").isNull || col("n") > col("prev_max"), 1L)
+            .otherwise(0L)).as("r"),
+          sum(floor(lit(1.0e9) / col("k").cast(DoubleType) + 0.5)
+            .cast(LongType)).as("exp_fp"),
+          sum(floor(lit(1.0e9) * (col("k") - 1) / (col("k") * col("k")) + 0.5)
+            .cast(LongType)).as("var_fp"))
+      val z = floor((col("r").cast(DoubleType)
+        - col("exp_fp").cast(DoubleType) / lit(1.0e9))
+        / sqrt(col("var_fp").cast(DoubleType) / lit(1.0e9))
+        * lit(1.0e6) + 0.5) / lit(1.0e6)
+      m.select(col("event_type"), col("nd"), col("r").as("n_records"),
+        (col("exp_fp") / lit(1.0e9)).as("expected_records"),
+        z.as("z"), (z > 1.96).as("trending_up"))
+    },
+
+    // ------------------------------------------------------------------
+    // Circular statistics of event hour-of-day per type — the peak-hour
+    // question done right (an arithmetic mean of hours puts the average
+    // of 23:00 and 01:00 at noon; the circular mean puts it at
+    // midnight): mean direction from the resultant vector, mean
+    // resultant length R̄ as the concentration scalar, and the Rayleigh
+    // test z = nR̄² for "is there a daily rhythm at all". The corpus
+    // collapses to 24·|types| (type, hour) counts, trig factors are
+    // evaluated on the 24-value hour domain and snapped ×10⁹ FIRST
+    // (the ev_dft_spectrum discipline — ≤24 libm calls, not one per
+    // row), so the component sums are EXACT integers; atan2 runs on
+    // the identical snapped components and the mean hour snaps ×10⁴.
+    "ev_circular_stats" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS h,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(cnt * CAST(floor(cos(2.0 * pi() * h / 24)
+        |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS c_fp,
+        |    CAST(sum(cnt * CAST(floor(sin(2.0 * pi() * h / 24)
+        |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_fp
+        |  FROM g GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n,
+        |    CAST(c_fp AS DOUBLE) / 1e9 AS cd,
+        |    CAST(s_fp AS DOUBLE) / 1e9 AS sd
+        |  FROM cs),
+        |r AS (
+        |  SELECT event_type, n,
+        |    sqrt(cd * cd + sd * sd) / n AS rbar,
+        |    atan2(sd, cd) AS a
+        |  FROM v)
+        |SELECT event_type, n,
+        |  floor((CASE WHEN a < 0 THEN a + 2 * pi() ELSE a END)
+        |    * 24 / (2 * pi()) * 1e4 + 0.5) / 1.0e4 AS mean_hour,
+        |  floor(rbar * 1e6 + 0.5) / 1.0e6 AS rbar,
+        |  floor(n * (rbar * rbar) * 1e6 + 0.5) / 1.0e6 AS rayleigh_z,
+        |  n * (rbar * rbar) > 2.996 AS has_daily_rhythm
+        |FROM r""".stripMargin) { (s, dir) =>
+      val g = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts_s % 86400) div 3600").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val theta = lit(2.0) * lit(math.Pi) * col("h") / 24
+      val cs = g.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("cnt")
+            * floor(cos(theta) * lit(1.0e9) + 0.5).cast(LongType)).as("c_fp"),
+          sum(col("cnt")
+            * floor(sin(theta) * lit(1.0e9) + 0.5).cast(LongType)).as("s_fp"))
+      val v = cs.select(col("event_type"), col("n"),
+        (col("c_fp").cast(DoubleType) / lit(1.0e9)).as("cd"),
+        (col("s_fp").cast(DoubleType) / lit(1.0e9)).as("sd"))
+      val r = v.select(col("event_type"), col("n"),
+        (sqrt(col("cd") * col("cd") + col("sd") * col("sd")) / col("n"))
+          .as("rbar"),
+        atan2(col("sd"), col("cd")).as("a"))
+      val rz = col("n") * (col("rbar") * col("rbar"))
+      r.select(col("event_type"), col("n"),
+        (floor(when(col("a") < 0, col("a") + lit(2.0) * lit(math.Pi))
+          .otherwise(col("a"))
+          * 24 / (lit(2.0) * lit(math.Pi)) * lit(1.0e4) + 0.5) / lit(1.0e4))
+          .as("mean_hour"),
+        (floor(col("rbar") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("rbar"),
+        (floor(rz * lit(1.0e6) + 0.5) / lit(1.0e6)).as("rayleigh_z"),
+        (rz > 2.996).as("has_daily_rhythm"))
+    },
+
+    // ------------------------------------------------------------------
+    // Hurst exponent via rescaled-range (R/S) analysis of the daily
+    // count series per type — long-range dependence in ONE number
+    // (H ≈ 0.5 memoryless, > 0.5 persistent/trending, < 0.5
+    // mean-reverting), the long-memory complement to the short-lag
+    // ev_autocorrelation: the series is cut into complete blocks at
+    // scales m ∈ {4, 8, 16}; within a block the cumulative deviations
+    // run in ×m fixed point (m·n − Σn is EXACT, and they telescope to
+    // 0 at the block end so the range always brackets 0), R/S per
+    // block is a pinned double, per-scale means sum ×10⁶-snapped
+    // integers, and H is the closed-form OLS slope of ln(R/S) on ln(m)
+    // over the ≤3 snapped log points (products in HUGEINT/DECIMAL38 —
+    // fp² terms overflow BIGINT). Zero-variance blocks are skipped
+    // (S = 0 has no defined rescale); types with < 2 surviving scales
+    // are dropped rather than shipped with a 0/0 slope.
+    "ev_hurst" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT event_type, day, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY day ASC) - 1 AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+        |  FROM d),
+        |e AS (
+        |  SELECT ix.event_type, ix.day, ix.n, ix.nd,
+        |    CAST(s.m AS BIGINT) AS m, ix.i // s.m AS b
+        |  FROM ix CROSS JOIN (SELECT unnest([4, 8, 16]) AS m) s),
+        |bs AS (
+        |  SELECT event_type, m, b, CAST(sum(n) AS BIGINT) AS sb,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT e.event_type, e.m, e.b, e.nd, e.m * e.n - bs.sb AS dev,
+        |    sum(e.m * e.n - bs.sb) OVER (PARTITION BY e.event_type, e.m, e.b
+        |      ORDER BY e.day ASC) AS wcum
+        |  FROM e JOIN bs ON bs.event_type = e.event_type AND bs.m = e.m
+        |    AND bs.b = e.b
+        |  WHERE bs.cb = e.m),
+        |rb AS (
+        |  SELECT event_type, m, b, max(nd) AS nd,
+        |    CAST(max(wcum) - min(wcum) AS BIGINT) AS rm,
+        |    CAST(sum(dev * dev) AS BIGINT) AS ssm
+        |  FROM w GROUP BY event_type, m, b),
+        |rs AS (
+        |  SELECT event_type, m, nd,
+        |    CAST(rm AS DOUBLE) / m / sqrt(CAST(ssm AS DOUBLE) / (m * m * m))
+        |      AS rsv
+        |  FROM rb WHERE ssm > 0),
+        |a AS (
+        |  SELECT event_type, m, max(nd) AS nd,
+        |    CAST(sum(CAST(floor(rsv * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sfp,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM rs GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT event_type, m, nd,
+        |    CAST(floor(ln(CAST(m AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS xf,
+        |    CAST(floor(ln(CAST(sfp AS DOUBLE) / nb / 1e6) * 1e9 + 0.5)
+        |      AS BIGINT) AS yf,
+        |    CAST(sfp AS DOUBLE) / nb / 1e6 AS avg_rs
+        |  FROM a),
+        |fit AS (
+        |  SELECT event_type, max(nd) AS nd, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(xf AS HUGEINT) * yf) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(xf AS HUGEINT) * xf) AS HUGEINT) AS sxx,
+        |    CAST(sum(xf) AS BIGINT) AS sx, CAST(sum(yf) AS BIGINT) AS sy,
+        |    max(CASE WHEN m = 4 THEN avg_rs END) AS a4,
+        |    max(CASE WHEN m = 8 THEN avg_rs END) AS a8,
+        |    max(CASE WHEN m = 16 THEN avg_rs END) AS a16
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, nd, k,
+        |  floor(a4 * 1e6 + 0.5) / 1.0e6 AS rs4,
+        |  floor(a8 * 1e6 + 0.5) / 1.0e6 AS rs8,
+        |  floor(a16 * 1e6 + 0.5) / 1.0e6 AS rs16,
+        |  floor(CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e4 + 0.5)
+        |    / 1.0e4 AS hurst,
+        |  floor(CAST(k * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(k * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e4 + 0.5)
+        |    / 1.0e4 > 0.5 AS persistent
+        |FROM fit WHERE k >= 2""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val wAll = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ix = d.select(col("event_type"), col("day"), col("n"),
+        (row_number().over(wT) - 1).cast(LongType).as("i"),
+        count(lit(1)).over(wAll).as("nd"))
+      import s.implicits._
+      val scales = Seq(4, 8, 16).toDF("m")
+      val e = ix.crossJoin(broadcast(scales))
+        .select(col("event_type"), col("day"), col("n"), col("nd"),
+          col("m").cast(LongType).as("m"), expr("i div m").as("b"))
+      val bs = e.groupBy(col("event_type"), col("m"), col("b"))
+        .agg(sum(col("n")).as("sb"), count(lit(1)).as("cb"))
+      val wB = Window.partitionBy(col("event_type"), col("m"), col("b"))
+        .orderBy(col("day").asc)
+      val wd = e.join(bs, Seq("event_type", "m", "b"))
+        .filter(col("cb") === col("m"))
+        .select(col("event_type"), col("m"), col("b"), col("nd"),
+          (col("m") * col("n") - col("sb")).as("dev"), col("day"))
+        .withColumn("wcum", sum(col("dev")).over(wB))
+      val rb = wd.groupBy(col("event_type"), col("m"), col("b"))
+        .agg(max(col("nd")).as("nd"),
+          (max(col("wcum")) - min(col("wcum"))).cast(LongType).as("rm"),
+          sum(col("dev") * col("dev")).as("ssm"))
+      val rs = rb.filter(col("ssm") > 0)
+        .select(col("event_type"), col("m"), col("nd"),
+          (col("rm").cast(DoubleType) / col("m")
+            / sqrt(col("ssm").cast(DoubleType)
+              / (col("m") * col("m") * col("m")))).as("rsv"))
+      val a = rs.groupBy(col("event_type"), col("m"))
+        .agg(max(col("nd")).as("nd"),
+          sum(floor(col("rsv") * lit(1.0e6) + 0.5).cast(LongType)).as("sfp"),
+          count(lit(1)).as("nb"))
+      val pts = a.select(col("event_type"), col("m"), col("nd"),
+        floor(log(col("m").cast(DoubleType)) * lit(1.0e9) + 0.5)
+          .cast(LongType).as("xf"),
+        floor(log(col("sfp").cast(DoubleType) / col("nb") / lit(1.0e6))
+          * lit(1.0e9) + 0.5).cast(LongType).as("yf"),
+        (col("sfp").cast(DoubleType) / col("nb") / lit(1.0e6)).as("avg_rs"))
+      val fit = pts.groupBy(col("event_type"))
+        .agg(max(col("nd")).as("nd"), count(lit(1)).as("k"),
+          sum(col("xf").cast(dec38) * col("yf")).as("sxy"),
+          sum(col("xf").cast(dec38) * col("xf")).as("sxx"),
+          sum(col("xf")).as("sx"), sum(col("yf")).as("sy"),
+          max(when(col("m") === 4, col("avg_rs"))).as("a4"),
+          max(when(col("m") === 8, col("avg_rs"))).as("a8"),
+          max(when(col("m") === 16, col("avg_rs"))).as("a16"))
+      val hurst = floor(
+        (col("k") * col("sxy") - col("sx").cast(dec38) * col("sy"))
+          .cast(DoubleType)
+        / (col("k") * col("sxx") - col("sx").cast(dec38) * col("sx"))
+          .cast(DoubleType) * lit(1.0e4) + 0.5) / lit(1.0e4)
+      fit.filter(col("k") >= 2)
+        .select(col("event_type"), col("nd"), col("k"),
+          (floor(col("a4") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("rs4"),
+          (floor(col("a8") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("rs8"),
+          (floor(col("a16") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("rs16"),
+          hurst.as("hurst"), (hurst > 0.5).as("persistent"))
+    },
+
+    // ------------------------------------------------------------------
     // As-of join with a lookback tolerance: the standard market-data /
     // attribution variant — a click only matches a purchase within the
     // trailing 10 minutes; staler matches degrade to no-match rather

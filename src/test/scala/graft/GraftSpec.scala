@@ -491,7 +491,13 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_dft_spectrum", "event_type") -> "type×day calendar-bounded daily counts (dense day-index window)",
       ("etl_theil_sen", "f") -> "calendar-bounded months² pair-slope relation (≤|flags|×months²/2 rows)",
       ("etl_x11_adjust", "") -> "monthly-grain calendar relation (the seasonal_decompose argument)",
-      ("ev_hill_tail", "event_type") -> "type × 2-dp-value bounded domain (the etl_winsorize argument)")
+      ("ev_hill_tail", "event_type") -> "type × 2-dp-value bounded domain (the etl_winsorize argument)",
+      ("ev_runs_test", "event_type") -> "type×day calendar-bounded daily counts (sign/run-boundary lags)",
+      ("ev_turning_points", "event_type") -> "type×day calendar-bounded daily counts (lag/lead interior test)",
+      ("ev_records_test", "event_type") -> "type×day calendar-bounded daily counts (running-max window)",
+      ("ev_hurst", "event_type") -> "type×day calendar-bounded daily counts (day index + per-block cumsum)",
+      ("etl_durbin_watson", "f") -> "calendar-bounded monthly residual relation (≤|months| rows per flag)",
+      ("etl_levene_test", "f") -> "integer 1..50 value-domain bookkeeping (median cum windows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -3469,5 +3475,63 @@ class Round9InvariantSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-3,
       s"F ${row.getAs[Double]("f_stat")} != replay $f")
     assert(row.getAs[Boolean]("reject_homogeneity") == (f > 2.996))
+  }
+
+  test("ev_turning_points: count bounded by interior points, E[T] formula") {
+    val rows = SparkEntry.queries("ev_turning_points")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nd = r.getAs[Long]("nd"); val t = r.getAs[Long]("turning_points")
+      assert(t >= 0 && t <= nd - 2, s"T=$t outside [0, ${nd - 2}]")
+      val mu = 2.0 * (nd - 2) / 3
+      assert(math.abs(r.getAs[Double]("expected_tp")
+        - math.floor(mu * 1e6 + 0.5) / 1e6) < 1e-9)
+      assert(r.getAs[Boolean]("reject_randomness") ==
+        (math.abs(r.getAs[Double]("z")) > 1.96))
+    }
+  }
+
+  test("ev_records_test: harmonic expectation, record count in [1, nd]") {
+    val rows = SparkEntry.queries("ev_records_test")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nd = r.getAs[Long]("nd"); val rec = r.getAs[Long]("n_records")
+      assert(rec >= 1 && rec <= nd, s"records=$rec outside [1, $nd]")
+      val hn = (1L to nd).map(k => math.floor(1e9 / k + 0.5) / 1e9).sum
+      assert(math.abs(r.getAs[Double]("expected_records") - hn) < 1e-6,
+        s"E[R] ${r.getAs[Double]("expected_records")} != H_$nd=$hn")
+      assert(r.getAs[Boolean]("trending_up") == (r.getAs[Double]("z") > 1.96))
+    }
+  }
+
+  test("ev_circular_stats: mean hour in [0,24), rbar in [0,1], z = n*rbar^2") {
+    val rows = SparkEntry.queries("ev_circular_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val mh = r.getAs[Double]("mean_hour")
+      assert(mh >= 0 && mh < 24, s"mean_hour=$mh")
+      val rb = r.getAs[Double]("rbar")
+      assert(rb >= 0 && rb <= 1 + 1e-9, s"rbar=$rb")
+      // snapped-rbar replay is coarser than the exact chain
+      assert(math.abs(r.getAs[Double]("rayleigh_z")
+        - r.getAs[Long]("n") * rb * rb) < 1e-1)
+    }
+  }
+
+  test("ev_hurst: H in a sane band, per-scale R/S positive and growing") {
+    val rows = SparkEntry.queries("ev_hurst")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val h = r.getAs[Double]("hurst")
+      // random-walk-free count series land well inside (0, 1.5); the
+      // point is catching sign/overflow bugs, not pinning theory
+      assert(h > -0.5 && h < 1.6, s"hurst=$h")
+      val rs4 = r.getAs[Double]("rs4")
+      assert(rs4 > 0, s"rs4=$rs4")
+      if (!r.isNullAt(r.fieldIndex("rs16")))
+        assert(r.getAs[Double]("rs16") > rs4 * 0.5,
+          "R/S collapsed at the larger scale")
+      assert(r.getAs[Boolean]("persistent") == (h > 0.5))
+    }
   }
 }
