@@ -2805,6 +2805,396 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Two-variable PCA of (discount, tax) per return flag — the
+    // closed-form principal-axes decomposition of the 2×2 covariance
+    // (λ = tr/2 ± √((Δ/2)² + b²), axis angle ½·atan2(2b, Δ)): the
+    // correlation-structure summary a weighting pipeline checks before
+    // treating two rate columns as independent strata. Both columns
+    // are 2-dp rates, so the five moment sums are EXACT BIGINT cent
+    // fixed-point in ONE map-side-combined scan; the eigen chain runs
+    // on pinned doubles and snaps (λ ×10¹², ratio ×10⁶, angle ×10⁴ —
+    // the λ's live at 1e-4 scale, hence the deep λ snap).
+    "etl_pca_2d" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sd,
+        |    CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS st,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sdd,
+        |    CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT) AS stt,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sdt
+        |  FROM lineitem GROUP BY 1),
+        |c1 AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sd AS DOUBLE) / n / 100 AS mx,
+        |    CAST(st AS DOUBLE) / n / 100 AS my,
+        |    CAST(sdd AS DOUBLE) / n / 1e4 AS ra,
+        |    CAST(stt AS DOUBLE) / n / 1e4 AS rc,
+        |    CAST(sdt AS DOUBLE) / n / 1e4 AS rb
+        |  FROM m),
+        |c2 AS (
+        |  SELECT l_returnflag, n,
+        |    ra - mx * mx AS a, rc - my * my AS c, rb - mx * my AS b
+        |  FROM c1),
+        |f AS (
+        |  SELECT l_returnflag, n, a, c, b,
+        |    (a + c) / 2 AS tr2,
+        |    sqrt(((a - c) / 2) * ((a - c) / 2) + b * b) AS disc
+        |  FROM c2)
+        |SELECT l_returnflag, n,
+        |  floor((tr2 + disc) * 1e12 + 0.5) / 1.0e12 AS lambda1,
+        |  floor((tr2 - disc) * 1e12 + 0.5) / 1.0e12 AS lambda2,
+        |  floor((tr2 + disc) / ((tr2 + disc) + (tr2 - disc)) * 1e6 + 0.5)
+        |    / 1.0e6 AS explained_ratio,
+        |  floor(atan2(2 * b, a - c) / 2 * 180 / pi() * 1e4 + 0.5) / 1.0e4
+        |    AS angle_deg
+        |FROM f""".stripMargin) { (s, dir) =>
+      val dfp = floor(col("l_discount") * 100 + 0.5).cast(LongType)
+      val tfp = floor(col("l_tax") * 100 + 0.5).cast(LongType)
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dfp).as("sd"), sum(tfp).as("st"),
+          sum(dfp * dfp).as("sdd"), sum(tfp * tfp).as("stt"),
+          sum(dfp * tfp).as("sdt"))
+      val c1 = m.select(col("l_returnflag"), col("n"),
+        (col("sd").cast(DoubleType) / col("n") / 100).as("mx"),
+        (col("st").cast(DoubleType) / col("n") / 100).as("my"),
+        (col("sdd").cast(DoubleType) / col("n") / lit(1.0e4)).as("ra"),
+        (col("stt").cast(DoubleType) / col("n") / lit(1.0e4)).as("rc"),
+        (col("sdt").cast(DoubleType) / col("n") / lit(1.0e4)).as("rb"))
+      val c2 = c1.select(col("l_returnflag"), col("n"),
+        (col("ra") - col("mx") * col("mx")).as("a"),
+        (col("rc") - col("my") * col("my")).as("c"),
+        (col("rb") - col("mx") * col("my")).as("b"))
+      val f = c2.select(col("l_returnflag"), col("n"), col("a"), col("c"),
+        col("b"),
+        ((col("a") + col("c")) / 2).as("tr2"),
+        sqrt(((col("a") - col("c")) / 2) * ((col("a") - col("c")) / 2)
+          + col("b") * col("b")).as("disc"))
+      f.select(col("l_returnflag"), col("n"),
+        (floor((col("tr2") + col("disc")) * lit(1.0e12) + 0.5) / lit(1.0e12))
+          .as("lambda1"),
+        (floor((col("tr2") - col("disc")) * lit(1.0e12) + 0.5) / lit(1.0e12))
+          .as("lambda2"),
+        (floor((col("tr2") + col("disc"))
+          / ((col("tr2") + col("disc")) + (col("tr2") - col("disc")))
+          * lit(1.0e6) + 0.5) / lit(1.0e6)).as("explained_ratio"),
+        (floor(atan2(lit(2.0) * col("b"), col("a") - col("c")) / 2 * 180
+          / lit(math.Pi) * lit(1.0e4) + 0.5) / lit(1.0e4)).as("angle_deg"))
+    },
+
+    // ------------------------------------------------------------------
+    // Mahalanobis outlier screen on (discount, tax) per return flag —
+    // the correlation-aware companion to etl_pca_2d's axes: D² =
+    // (c·dx² − 2b·dx·dy + a·dy²)/det against the χ²₂ 99% line 9.210,
+    // i.e. "which rate pairs are jointly unusual even when each rate
+    // is individually ordinary". The corpus collapses ONCE to the
+    // bounded 2-dp (flag, d_cents, t_cents, cnt) domain relation
+    // (≤ flags × 11 × 9 rows); the same five exact BIGINT cent moments
+    // as etl_pca_2d give the covariance; D² is evaluated over the
+    // DOMAIN (broadcast moment join), outlier mass summed from exact
+    // counts, max-D² ×10⁶-snapped per value BEFORE the max so no
+    // cross-engine double comparison ordering exists.
+    "etl_mahalanobis" -> QueryDef.withOracle(
+      """WITH dom AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(dc * cnt) AS BIGINT) AS sd,
+        |    CAST(sum(tc * cnt) AS BIGINT) AS st,
+        |    CAST(sum(dc * dc * cnt) AS BIGINT) AS sdd,
+        |    CAST(sum(tc * tc * cnt) AS BIGINT) AS stt,
+        |    CAST(sum(dc * tc * cnt) AS BIGINT) AS sdt
+        |  FROM dom GROUP BY 1),
+        |cv AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sd AS DOUBLE) / n / 100 AS mx,
+        |    CAST(st AS DOUBLE) / n / 100 AS my,
+        |    CAST(sdd AS DOUBLE) / n / 1e4
+        |      - (CAST(sd AS DOUBLE) / n / 100) * (CAST(sd AS DOUBLE) / n / 100)
+        |      AS a,
+        |    CAST(stt AS DOUBLE) / n / 1e4
+        |      - (CAST(st AS DOUBLE) / n / 100) * (CAST(st AS DOUBLE) / n / 100)
+        |      AS c,
+        |    CAST(sdt AS DOUBLE) / n / 1e4
+        |      - (CAST(sd AS DOUBLE) / n / 100) * (CAST(st AS DOUBLE) / n / 100)
+        |      AS b
+        |  FROM m),
+        |d2 AS (
+        |  SELECT dom.l_returnflag, dom.cnt, cv.n,
+        |    floor((cv.c * (CAST(dom.dc AS DOUBLE) / 100 - cv.mx)
+        |        * (CAST(dom.dc AS DOUBLE) / 100 - cv.mx)
+        |      - 2 * cv.b * (CAST(dom.dc AS DOUBLE) / 100 - cv.mx)
+        |        * (CAST(dom.tc AS DOUBLE) / 100 - cv.my)
+        |      + cv.a * (CAST(dom.tc AS DOUBLE) / 100 - cv.my)
+        |        * (CAST(dom.tc AS DOUBLE) / 100 - cv.my))
+        |      / (cv.a * cv.c - cv.b * cv.b) * 1e6 + 0.5) / 1.0e6 AS d2
+        |  FROM dom JOIN cv USING (l_returnflag))
+        |SELECT l_returnflag, n,
+        |  CAST(sum(CASE WHEN d2 > 9.210 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  max(d2) AS max_d2,
+        |  floor(CAST(sum(CASE WHEN d2 > 9.210 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / n * 1e6 + 0.5) / 1.0e6 AS outlier_rate
+        |FROM d2 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val dom = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_discount") * 100 + 0.5).cast(LongType).as("dc"),
+          floor(col("l_tax") * 100 + 0.5).cast(LongType).as("tc"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist() // bounded rate domain; moments + the D² scan
+      val m = dom.groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("dc") * col("cnt")).as("sd"),
+          sum(col("tc") * col("cnt")).as("st"),
+          sum(col("dc") * col("dc") * col("cnt")).as("sdd"),
+          sum(col("tc") * col("tc") * col("cnt")).as("stt"),
+          sum(col("dc") * col("tc") * col("cnt")).as("sdt"))
+      val mx = col("sd").cast(DoubleType) / col("n") / 100
+      val my = col("st").cast(DoubleType) / col("n") / 100
+      val cv = m.select(col("l_returnflag"), col("n"), mx.as("mx"),
+        my.as("my"),
+        (col("sdd").cast(DoubleType) / col("n") / lit(1.0e4) - mx * mx)
+          .as("a"),
+        (col("stt").cast(DoubleType) / col("n") / lit(1.0e4) - my * my)
+          .as("c"),
+        (col("sdt").cast(DoubleType) / col("n") / lit(1.0e4) - mx * my)
+          .as("b"))
+      val dx = col("dc").cast(DoubleType) / 100 - col("mx")
+      val dy = col("tc").cast(DoubleType) / 100 - col("my")
+      val d2 = dom.join(broadcast(cv), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("cnt"), col("n"),
+          (floor((col("c") * dx * dx - lit(2) * col("b") * dx * dy
+            + col("a") * dy * dy)
+            / (col("a") * col("c") - col("b") * col("b"))
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("d2"))
+      d2.groupBy(col("l_returnflag"), col("n"))
+        .agg(sum(when(col("d2") > 9.210, col("cnt")).otherwise(0L))
+          .as("n_outliers"),
+          max(col("d2")).as("max_d2"))
+        .select(col("l_returnflag"), col("n"), col("n_outliers"),
+          col("max_d2"),
+          (floor(col("n_outliers").cast(DoubleType) / col("n") * lit(1.0e6)
+            + 0.5) / lit(1.0e6)).as("outlier_rate"))
+    },
+
+    // ------------------------------------------------------------------
+    // Weibull shape/scale fit per return flag via median-rank
+    // regression on quantity — the classic probability-plot estimator
+    // (z = ln(−ln(1−F)) against w = ln(q) is linear with slope = shape
+    // k exactly when the data is Weibull; k≈1 exponential-like,
+    // k>1 wear-out): the parametric summary etl_hb_outliers /
+    // ev_survival consumers ask for next. The corpus collapses ONCE to
+    // the bounded (flag, q, cnt) integer-quantity domain; midpoint
+    // median-rank positions F = (cum_before + (cnt+1)/2 − 0.3)/(n+0.4)
+    // come from an exact cumulative window over that ≤50-value domain;
+    // ln outputs are ×10⁹-snapped BEFORE any product and every
+    // cnt-weighted OLS term is ×10⁶-snapped to BIGINT before its sum,
+    // so no cross-engine libm-ulp or addition-order drift survives.
+    "etl_weibull_fit" -> QueryDef.withOracle(
+      """WITH dom AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, q, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY q ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM dom),
+        |t AS (
+        |  SELECT l_returnflag, q, cnt, n,
+        |    floor(ln(q) * 1e9 + 0.5) / 1.0e9 AS lw,
+        |    floor(ln(0.0 - ln(1.0 - (cb + (cnt + 1) / 2.0 - 0.3) / (n + 0.4)))
+        |      * 1e9 + 0.5) / 1.0e9 AS lz
+        |  FROM w),
+        |ss AS (
+        |  SELECT l_returnflag, n, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(CAST(floor(cnt * lw * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sw,
+        |    CAST(sum(CAST(floor(cnt * lz * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sz,
+        |    CAST(sum(CAST(floor(cnt * lw * lz * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS swz,
+        |    CAST(sum(CAST(floor(cnt * lw * lw * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sww
+        |  FROM t GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT l_returnflag, n, nv,
+        |    (CAST(swz AS DOUBLE) / 1e6
+        |      - CAST(sw AS DOUBLE) / 1e6 * (CAST(sz AS DOUBLE) / 1e6) / n)
+        |    / (CAST(sww AS DOUBLE) / 1e6
+        |      - CAST(sw AS DOUBLE) / 1e6 * (CAST(sw AS DOUBLE) / 1e6) / n)
+        |      AS shape,
+        |    CAST(sw AS DOUBLE) / 1e6 AS sw6, CAST(sz AS DOUBLE) / 1e6 AS sz6
+        |  FROM ss)
+        |SELECT l_returnflag, n, nv AS n_values,
+        |  floor(shape * 1e6 + 0.5) / 1.0e6 AS shape,
+        |  floor(exp(0.0 - ((sz6 - shape * sw6) / n) / shape) * 1e6 + 0.5)
+        |    / 1.0e6 AS scale
+        |FROM fit""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val dom = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+        .agg(count(lit(1)).as("cnt"))
+      // bounded ≤50-value domain per flag: these windows never see the
+      // corpus, only the value-grouped bookkeeping relation
+      val wn = W.partitionBy(col("l_returnflag"))
+      val wc = W.partitionBy(col("l_returnflag")).orderBy(col("q").asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val w = dom.select(col("l_returnflag"), col("q"), col("cnt"),
+        sum(col("cnt")).over(wn).as("n"),
+        coalesce(sum(col("cnt")).over(wc), lit(0L)).as("cb"))
+      val fpos = ((col("cb") + (col("cnt") + 1) / lit(2.0) - 0.3)
+        / (col("n") + lit(0.4)))
+      val t = w.select(col("l_returnflag"), col("q"), col("cnt"), col("n"),
+        (floor(log(col("q")) * lit(1.0e9) + 0.5) / lit(1.0e9)).as("lw"),
+        (floor(log(lit(0.0) - log(lit(1.0) - fpos)) * lit(1.0e9) + 0.5)
+          / lit(1.0e9)).as("lz"))
+      val ss = t.groupBy(col("l_returnflag"), col("n"))
+        .agg(count(lit(1)).as("nv"),
+          sum(floor(col("cnt") * col("lw") * lit(1.0e6) + 0.5)
+            .cast(LongType)).as("sw"),
+          sum(floor(col("cnt") * col("lz") * lit(1.0e6) + 0.5)
+            .cast(LongType)).as("sz"),
+          sum(floor(col("cnt") * col("lw") * col("lz") * lit(1.0e6) + 0.5)
+            .cast(LongType)).as("swz"),
+          sum(floor(col("cnt") * col("lw") * col("lw") * lit(1.0e6) + 0.5)
+            .cast(LongType)).as("sww"))
+      val shape = ((col("swz").cast(DoubleType) / lit(1.0e6)
+        - col("sw").cast(DoubleType) / lit(1.0e6)
+          * (col("sz").cast(DoubleType) / lit(1.0e6)) / col("n"))
+        / (col("sww").cast(DoubleType) / lit(1.0e6)
+          - col("sw").cast(DoubleType) / lit(1.0e6)
+            * (col("sw").cast(DoubleType) / lit(1.0e6)) / col("n")))
+      val fit = ss.select(col("l_returnflag"), col("n"), col("nv"),
+        shape.as("shape"),
+        (col("sw").cast(DoubleType) / lit(1.0e6)).as("sw6"),
+        (col("sz").cast(DoubleType) / lit(1.0e6)).as("sz6"))
+      fit.select(col("l_returnflag"), col("n"), col("nv").as("n_values"),
+        (floor(col("shape") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("shape"),
+        (floor(exp((lit(0.0) - (col("sz6") - col("shape") * col("sw6"))
+          / col("n")) / col("shape")) * lit(1.0e6) + 0.5) / lit(1.0e6))
+          .as("scale"))
+    },
+
+    // ------------------------------------------------------------------
+    // Logistic regression of P(high priority | price band) by Newton/
+    // IRLS — the binary-response companion to etl_regression_ols
+    // (rate-vs-driver questions where a linear fit predicts
+    // probabilities outside [0,1]). Grouped-binomial Newton in CLOSED
+    // form on the 2×2 Hessian, 4 unrolled rounds: the corpus collapses
+    // ONCE to the bounded (band, n, k) domain (o_totalprice/20000 →
+    // ≤ ~30 buckets); Spark folds the rounds over the sorted domain
+    // ARRAY with a nested higher-order aggregate (the 1-element-array
+    // trick binds the round's sums struct, Holt-style), the oracle
+    // replays the SAME chain as generated unrolled CTEs. Every
+    // per-bucket score/Hessian term is ×10⁶-snapped to BIGINT before
+    // its sum and β is ×10⁹-snapped after each round, so engine libm
+    // and addition order cannot diverge.
+    "etl_logistic_fit" -> {
+      // engine-portable arithmetic snippets (identical Spark SQL /
+      // DuckDB text keeps the two chains structurally equal)
+      def p(b0: String, b1: String, x: String) =
+        s"(1.0 / (1.0 + exp(0.0 - ($b0 + $b1 * $x))))"
+      def terms(b0: String, b1: String, n: String, k: String, x: String) = {
+        val pp = p(b0, b1, x)
+        Seq(
+          "g1" -> s"($k - $n * $pp)",
+          "g2" -> s"(($k - $n * $pp) * $x)",
+          "h11" -> s"(($n * $pp) * (1.0 - $pp))",
+          "h12" -> s"((($n * $pp) * (1.0 - $pp)) * $x)",
+          "h22" -> s"(((($n * $pp) * (1.0 - $pp)) * $x) * $x)")
+      }
+      def upd(b0: String, b1: String, s: String) = {
+        def d(f: String) = s"CAST($s.$f AS DOUBLE) / 1e6"
+        val det = s"(${d("h11")} * (${d("h22")}) - ${d("h12")} * (${d("h12")}))"
+        val n0 = s"(${d("h22")} * (${d("g1")}) - ${d("h12")} * (${d("g2")}))"
+        val n1 = s"(${d("h11")} * (${d("g2")}) - ${d("h12")} * (${d("g1")}))"
+        (s"floor(($b0 + $n0 / $det) * 1e9 + 0.5) / 1.0e9",
+          s"floor(($b1 + $n1 / $det) * 1e9 + 0.5) / 1.0e9")
+      }
+      val oracle = {
+        val rounds = (1 to 4).map { j =>
+          val pr = s"r${j - 1}"
+          val sums = terms(s"$pr.b0", s"$pr.b1", "dom.n", "dom.k",
+            "CAST(dom.b AS DOUBLE)")
+            .map { case (f, t) =>
+              s"CAST(sum(CAST(floor($t * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS $f"
+            }.mkString(",\n    ")
+          val (u0, u1) = upd(s"$pr.b0", s"$pr.b1", s"s$j")
+          s"""s$j AS (
+             |  SELECT $sums
+             |  FROM dom CROSS JOIN $pr),
+             |r$j AS (
+             |  SELECT $u0 AS b0, $u1 AS b1 FROM s$j CROSS JOIN $pr)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH dom AS (
+           |  SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS b,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+           |  FROM orders GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |               CAST(sum(k) AS BIGINT) AS kk FROM dom),
+           |r0 AS (
+           |  SELECT floor(ln(CAST(kk AS DOUBLE) / (nn - kk)) * 1e9 + 0.5)
+           |    / 1.0e9 AS b0, 0.0 AS b1 FROM tot),
+           |$rounds
+           |SELECT tot.nn AS n_total, tot.kk AS k_total,
+           |  r4.b0 AS beta0, r4.b1 AS beta1
+           |FROM r4 CROSS JOIN tot""".stripMargin
+      }
+      QueryDef.withOracle(oracle) { (s, dir) =>
+        val dom = Tables.orders(s, dir)
+          .groupBy(floor(col("o_totalprice") / 20000).cast(LongType).as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("k"))
+        val one = dom.agg(
+          sort_array(collect_list(struct(
+            col("b").cast(DoubleType).as("x"), col("n"), col("k")))).as("arr"),
+          sum(col("n")).as("nn"), sum(col("k")).as("kk"))
+          .withColumn("b0i",
+            expr("floor(ln(CAST(kk AS DOUBLE) / (nn - kk)) * 1e9 + 0.5) / 1.0e9"))
+        val innerSums = terms("acc.b0", "acc.b1", "e.n", "e.k", "e.x")
+          .map { case (f, t) =>
+            s"'$f', a.$f + CAST(floor($t * 1e6 + 0.5) AS BIGINT)"
+          }.mkString(", ")
+        val zeroes = Seq("g1", "g2", "h11", "h12", "h22")
+          .map(f => s"'$f', CAST(0 AS BIGINT)").mkString(", ")
+        val (u0, u1) = upd("bb.b0", "bb.b1", "s")
+        // the 1-element-array aggregate binds the sums struct `s` —
+        // Spark SQL lambdas have no let, this is the Holt-style fold's
+        // companion idiom
+        val fold =
+          s"""aggregate(sequence(1, 4),
+             |  named_struct('b0', b0i, 'b1', CAST(0.0 AS DOUBLE)),
+             |  (acc, rnd) -> aggregate(
+             |    array(aggregate(arr, named_struct($zeroes),
+             |      (a, e) -> named_struct($innerSums))),
+             |    acc,
+             |    (bb, s) -> named_struct('b0', $u0, 'b1', $u1)))""".stripMargin
+        one.select(col("nn").as("n_total"), col("kk").as("k_total"),
+          expr(fold).as("bb"))
+          .select(col("n_total"), col("k_total"),
+            col("bb.b0").as("beta0"), col("bb.b1").as("beta1"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // Durbin-Watson autocorrelation test on the monthly-OLS residuals
     // per return flag — the serial-correlation screen that decides
     // whether etl_regression_ols's standard errors can be trusted on a

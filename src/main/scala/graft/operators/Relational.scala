@@ -1020,6 +1020,124 @@ object Relational {
           |  GROUP BY n.n_name
           |  ORDER BY bal_fp DESC, n.n_name ASC
           |  LIMIT 2) t ON TRUE""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Band (range) join against a non-uniform boundary dimension —
+    // revenue per log-spaced price band. The ORACLE is the literal
+    // inequality join (price >= lo AND price < hi), which Spark would
+    // execute as a BroadcastNestedLoopJoin: every row tested against
+    // every band, no codegen, no pushdown — the classic small-dim
+    // range-join trap at corpus scale. The Spark plan ELIMINATES the
+    // join algebraically: band = Σ 1{price ≥ boundary} over the
+    // broadcast-literal sorted boundary array (an O(|bands|) codegen'd
+    // fold per row — `aggregate`, no UDF), then ONE |bands|-group agg;
+    // lo/hi are recovered from the band index after aggregation. Same
+    // result, zero joins, one exchange of ≤8 groups. Revenue sums are
+    // exact DECIMAL before the double cast.
+    "q41_band_join" -> QueryDef.withOracle(
+      """WITH b AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 0.0,     1000.0), (2, 1000.0,  2000.0),
+        |    (3, 2000.0,  4000.0), (4, 4000.0,  8000.0),
+        |    (5, 8000.0,  16000.0), (6, 16000.0, 32000.0),
+        |    (7, 32000.0, 64000.0), (8, 64000.0, CAST(NULL AS DOUBLE)))
+        |    AS t(band, lo, hi))
+        |SELECT b.band, b.lo, b.hi,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 9) AS avg_price
+        |FROM lineitem l JOIN b
+        |  ON l.l_extendedprice >= b.lo
+        |  AND (b.hi IS NULL OR l.l_extendedprice < b.hi)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val bounds = Seq(0.0, 1000.0, 2000.0, 4000.0, 8000.0, 16000.0,
+        32000.0, 64000.0)
+      val arr = array(bounds.map(lit): _*)
+      val dec2 = DecimalType(18, 2)
+      val band = aggregate(arr, lit(0),
+        (acc, b) => acc + when(col("l_extendedprice") >= b, 1).otherwise(0))
+      Tables.lineitem(s, dir)
+        .select(col("l_extendedprice"), band.as("band"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(dec2)).cast(DoubleType)
+            .as("revenue"))
+        .select(col("band"),
+          element_at(arr, col("band")).as("lo"),
+          // top band is open-ended: index |bands|+1 → NULL, not an
+          // ANSI out-of-bounds error
+          try_element_at(arr, col("band") + 1).as("hi"),
+          col("n_items"), col("revenue"),
+          round(col("revenue") / col("n_items"), 9).as("avg_price"))
+    },
+
+    // ------------------------------------------------------------------
+    // Interpolated percentiles (percentile_cont semantics) per group —
+    // the linear-interpolation variant q28/q38's percentile_disc family
+    // deliberately avoids, HERE with the interpolation computed from
+    // first principles on BOTH engines (never engine-native
+    // quantile_cont, whose internal arithmetic is not contract-stable
+    // across engines): h = (n−1)·q, straddling order statistics from
+    // the cumulative window over the BOUNDED value domain (quantity:
+    // ≤50 distinct values — the corpus collapses once, windows never
+    // see it), result v_lo + frac·(v_hi − v_lo) ×10⁶-snapped.
+    "q42_percentile_cont" -> QueryDef.withOracle(
+      """WITH dom AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM dom),
+        |t AS (
+        |  SELECT w.l_returnflag, w.v, w.cum, w.n, q.pct,
+        |    CAST(floor((w.n - 1) * q.pct) AS BIGINT) AS lo,
+        |    (w.n - 1) * q.pct - floor((w.n - 1) * q.pct) AS frac
+        |  FROM w CROSS JOIN
+        |    (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE)
+        |       AS pct) q),
+        |s AS (
+        |  SELECT l_returnflag, pct, n, frac,
+        |    min(CASE WHEN cum >= lo + 1 THEN v END) AS vlo,
+        |    min(CASE WHEN cum >= CASE WHEN lo + 2 > n THEN n
+        |                            ELSE lo + 2 END THEN v END) AS vhi
+        |  FROM t GROUP BY 1, 2, 3, 4)
+        |SELECT l_returnflag, pct, n,
+        |  floor((vlo + frac * (vhi - vlo)) * 1e6 + 0.5) / 1.0e6 AS p_cont
+        |FROM s""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val dom = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast(LongType).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      // cumulative + total over the ≤50-value bookkeeping domain only
+      val wc = W.partitionBy(col("l_returnflag")).orderBy(col("v").asc)
+        .rowsBetween(W.unboundedPreceding, 0)
+      val wn = W.partitionBy(col("l_returnflag"))
+      val w = dom.select(col("l_returnflag"), col("v"), col("cnt"),
+        sum(col("cnt")).over(wc).as("cum"),
+        sum(col("cnt")).over(wn).as("n"))
+      val q = s.range(1).select(
+        explode(array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("pct"))
+      val h = (col("n") - 1) * col("pct")
+      val t = w.crossJoin(broadcast(q))
+        .select(col("l_returnflag"), col("v"), col("cum"), col("n"),
+          col("pct"), floor(h).cast(LongType).as("lo"),
+          (h - floor(h)).as("frac"))
+      val hiRank = when(col("lo") + 2 > col("n"), col("n"))
+        .otherwise(col("lo") + 2)
+      val sres = t.groupBy(col("l_returnflag"), col("pct"), col("n"),
+          col("frac"))
+        .agg(min(when(col("cum") >= col("lo") + 1, col("v"))).as("vlo"),
+          min(when(col("cum") >= hiRank, col("v"))).as("vhi"))
+      sres.select(col("l_returnflag"), col("pct"), col("n"),
+        (floor((col("vlo") + col("frac") * (col("vhi") - col("vlo")))
+          * lit(1.0e6) + 0.5) / lit(1.0e6)).as("p_cont"))
     }
   )
 

@@ -3603,6 +3603,315 @@ object Temporal {
             .as("expected"),
           (col("rfp").cast(DoubleType) / 1000000).as("residual"),
           (abs(col("rfp").cast(DoubleType)) > lit(2) * sd).as("is_anomaly"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cross-correlation function between the daily click and purchase
+    // series at lags 0..7 — "purchases follow clicks by how many
+    // days?", the lead/lag scan that precedes any causal claim
+    // (ev_kendall_tau answers contemporaneous association; this shifts
+    // one series). Everything rides the CALENDAR-BOUNDED daily
+    // relation: one corpus collapse to (day, x, y), then an 8-lag
+    // shifted self-join of that bookkeeping relation (broadcast one
+    // side — days×8, never rows²). All sums exact BIGINT; r_k uses the
+    // standard full-series mean/sd normalization (denominator n·sx·sy)
+    // through one pinned double chain, ×10⁶ snapped.
+    "ev_cross_correlation" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM d),
+        |l AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS lag),
+        |p AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(a.x * b.y) AS BIGINT) AS sxy,
+        |    CAST(sum(a.x) AS BIGINT) AS sxa,
+        |    CAST(sum(b.y) AS BIGINT) AS syb
+        |  FROM l JOIN d a ON TRUE JOIN d b ON b.day = a.day + l.lag
+        |  GROUP BY 1)
+        |SELECT p.lag, p.n_pairs,
+        |  floor((p.sxy - CAST(g.sy AS DOUBLE) / g.n * p.sxa
+        |      - CAST(g.sx AS DOUBLE) / g.n * p.syb
+        |      + p.n_pairs * (CAST(g.sx AS DOUBLE) / g.n)
+        |        * (CAST(g.sy AS DOUBLE) / g.n))
+        |    / (g.n
+        |       * sqrt(CAST(g.sxx AS DOUBLE) / g.n
+        |         - (CAST(g.sx AS DOUBLE) / g.n) * (CAST(g.sx AS DOUBLE) / g.n))
+        |       * sqrt(CAST(g.syy AS DOUBLE) / g.n
+        |         - (CAST(g.sy AS DOUBLE) / g.n) * (CAST(g.sy AS DOUBLE) / g.n)))
+        |    * 1e6 + 0.5) / 1.0e6 AS ccf
+        |FROM p CROSS JOIN g""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .persist() // calendar-bounded; globals + both shifted-join sides
+      val g = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val a = d.select(col("day").as("da"), col("x").as("xa"))
+        .select(col("da"), col("xa"),
+          explode(sequence(lit(0), lit(7))).as("lag"))
+      val b = d.select(col("day").as("db"), col("y").as("yb"))
+      val p = a.join(broadcast(b), col("db") === col("da") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xa") * col("yb")).as("sxy"),
+          sum(col("xa")).as("sxa"), sum(col("yb")).as("syb"))
+      val mx = col("sx").cast(DoubleType) / col("n")
+      val my = col("sy").cast(DoubleType) / col("n")
+      val sdx = sqrt(col("sxx").cast(DoubleType) / col("n") - mx * mx)
+      val sdy = sqrt(col("syy").cast(DoubleType) / col("n") - my * my)
+      p.crossJoin(broadcast(g))
+        .select(col("lag").cast(IntegerType).as("lag"), col("n_pairs"),
+          (floor((col("sxy") - my * col("sxa") - mx * col("syb")
+            + col("n_pairs") * mx * my)
+            / (col("n") * sdx * sdy) * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("ccf"))
+    },
+
+    // ------------------------------------------------------------------
+    // Granger causality, both directions, on the daily click/purchase
+    // series — does yesterday's click count improve today's purchase
+    // forecast beyond yesterday's purchases alone (and vice versa)?
+    // The F-test between the restricted AR(1) fit and the full
+    // two-predictor fit, in closed form via Cramer on CENTERED exact
+    // moments: one corpus collapse to the calendar-bounded daily
+    // relation, one consecutive-day self-join of that relation, both
+    // directions unrolled from the SAME paired rows via an exploded
+    // 2-row direction dim, ten exact BIGINT moment sums per direction,
+    // then the pinned double chain (β ×10⁹, F ×10⁶; reject line is the
+    // χ²/F(1,∞) 95% point 3.841 — n−3 here is large enough that the
+    // asymptote is the honest constant, not a per-n t-table).
+    "ev_granger_causality" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pr AS (
+        |  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM d a JOIN d b ON b.day = a.day + 1),
+        |u AS (
+        |  SELECT dir.direction,
+        |    CASE WHEN dir.direction = 'click->purchase' THEN pr.yb
+        |         ELSE pr.xb END AS r,
+        |    CASE WHEN dir.direction = 'click->purchase' THEN pr.ya
+        |         ELSE pr.xa END AS sl,
+        |    CASE WHEN dir.direction = 'click->purchase' THEN pr.xa
+        |         ELSE pr.ya END AS ox
+        |  FROM pr CROSS JOIN
+        |    (SELECT unnest(['click->purchase', 'purchase->click'])
+        |       AS direction) dir),
+        |m AS (
+        |  SELECT direction, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(sl) AS BIGINT) AS sl1,
+        |    CAST(sum(ox) AS BIGINT) AS sx1,
+        |    CAST(sum(r * r) AS BIGINT) AS srr,
+        |    CAST(sum(r * sl) AS BIGINT) AS srl,
+        |    CAST(sum(r * ox) AS BIGINT) AS srx,
+        |    CAST(sum(sl * sl) AS BIGINT) AS sll,
+        |    CAST(sum(sl * ox) AS BIGINT) AS slx,
+        |    CAST(sum(ox * ox) AS BIGINT) AS sxx
+        |  FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT direction, n,
+        |    CAST(sll AS DOUBLE) - CAST(sl1 AS DOUBLE) * sl1 / n AS ca,
+        |    CAST(slx AS DOUBLE) - CAST(sl1 AS DOUBLE) * sx1 / n AS cb,
+        |    CAST(sxx AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS cc,
+        |    CAST(srl AS DOUBLE) - CAST(sr AS DOUBLE) * sl1 / n AS d1,
+        |    CAST(srx AS DOUBLE) - CAST(sr AS DOUBLE) * sx1 / n AS d2,
+        |    CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n AS syy
+        |  FROM m),
+        |f AS (
+        |  SELECT direction, n, d1, d2, syy,
+        |    (cc * d1 - cb * d2) / (ca * cc - cb * cb) AS b1,
+        |    (ca * d2 - cb * d1) / (ca * cc - cb * cb) AS b2,
+        |    syy - d1 * d1 / ca AS sse_r
+        |  FROM c),
+        |z AS (
+        |  SELECT direction, n, b2, sse_r,
+        |    syy - b1 * d1 - b2 * d2 AS sse_f
+        |  FROM f)
+        |SELECT direction, n AS n_pairs,
+        |  floor(b2 * 1e9 + 0.5) / 1.0e9 AS beta_other_lag,
+        |  floor((sse_r - sse_f) * (n - 3) / sse_f * 1e6 + 0.5) / 1.0e6
+        |    AS f_stat,
+        |  (sse_r - sse_f) * (n - 3) / sse_f > 3.841 AS granger_causes
+        |FROM z""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .persist() // calendar-bounded; both consecutive-join sides
+      val a = d.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+      val b = d.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+      val pr = a.join(broadcast(b), col("db") === col("da") + 1)
+      val u = pr.select(
+        explode(array(lit("click->purchase"), lit("purchase->click")))
+          .as("direction"),
+        col("xa"), col("ya"), col("xb"), col("yb"))
+        .select(col("direction"),
+          when(col("direction") === "click->purchase", col("yb"))
+            .otherwise(col("xb")).as("r"),
+          when(col("direction") === "click->purchase", col("ya"))
+            .otherwise(col("xa")).as("sl"),
+          when(col("direction") === "click->purchase", col("xa"))
+            .otherwise(col("ya")).as("ox"))
+      val m = u.groupBy(col("direction"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(col("sl")).as("sl1"), sum(col("ox")).as("sx1"),
+          sum(col("r") * col("r")).as("srr"),
+          sum(col("r") * col("sl")).as("srl"),
+          sum(col("r") * col("ox")).as("srx"),
+          sum(col("sl") * col("sl")).as("sll"),
+          sum(col("sl") * col("ox")).as("slx"),
+          sum(col("ox") * col("ox")).as("sxx"))
+      val c = m.select(col("direction"), col("n"),
+        (col("sll").cast(DoubleType)
+          - col("sl1").cast(DoubleType) * col("sl1") / col("n")).as("ca"),
+        (col("slx").cast(DoubleType)
+          - col("sl1").cast(DoubleType) * col("sx1") / col("n")).as("cb"),
+        (col("sxx").cast(DoubleType)
+          - col("sx1").cast(DoubleType) * col("sx1") / col("n")).as("cc"),
+        (col("srl").cast(DoubleType)
+          - col("sr").cast(DoubleType) * col("sl1") / col("n")).as("d1"),
+        (col("srx").cast(DoubleType)
+          - col("sr").cast(DoubleType) * col("sx1") / col("n")).as("d2"),
+        (col("srr").cast(DoubleType)
+          - col("sr").cast(DoubleType) * col("sr") / col("n")).as("syy"))
+      val f = c.select(col("direction"), col("n"), col("d1"), col("d2"),
+        col("syy"),
+        ((col("cc") * col("d1") - col("cb") * col("d2"))
+          / (col("ca") * col("cc") - col("cb") * col("cb"))).as("b1"),
+        ((col("ca") * col("d2") - col("cb") * col("d1"))
+          / (col("ca") * col("cc") - col("cb") * col("cb"))).as("b2"),
+        (col("syy") - col("d1") * col("d1") / col("ca")).as("sse_r"))
+      val z = f.select(col("direction"), col("n"), col("b2"), col("sse_r"),
+        (col("syy") - col("b1") * col("d1") - col("b2") * col("d2"))
+          .as("sse_f"))
+      val fstat = (col("sse_r") - col("sse_f")) * (col("n") - 3) / col("sse_f")
+      z.select(col("direction"), col("n").as("n_pairs"),
+        (floor(col("b2") * lit(1.0e9) + 0.5) / lit(1.0e9))
+          .as("beta_other_lag"),
+        (floor(fstat * lit(1.0e6) + 0.5) / lit(1.0e6)).as("f_stat"),
+        (fstat > 3.841).as("granger_causes"))
+    },
+
+    // ------------------------------------------------------------------
+    // Market-basket co-purchase pairs — top-20 part pairs by
+    // within-order co-occurrence, with support and lift (lift > 1 ⇒
+    // the pair co-occurs more than independence predicts: the
+    // association-rule opening move). The pair join is keyed on
+    // l_orderkey, so per-key fanout is bounded by ORDER SIZE (≤7 in
+    // TPC-H-shaped data), never corpus²; item supports join the 20-row
+    // top-pair relation broadcast — the corpus-scale support relation
+    // is probed twice but never widened. All counts exact BIGINT; only
+    // support/lift divide, ×10⁹/×10⁶ snapped.
+    "ev_market_basket" -> QueryDef.withOracle(
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |      FROM lineitem),
+        |s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        |      FROM op GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+        |    AND b.l_partkey > a.l_partkey
+        |  GROUP BY 1, 2
+        |  ORDER BY n_pair DESC, pa ASC, pb ASC LIMIT 20)
+        |SELECT p.pa, p.pb, p.n_pair, sa.n_item AS n_a, sb.n_item AS n_b,
+        |  floor(CAST(p.n_pair AS DOUBLE) / n.n_orders * 1e9 + 0.5) / 1.0e9
+        |    AS support,
+        |  floor(CAST(p.n_pair AS DOUBLE) * n.n_orders
+        |    / (CAST(sa.n_item AS DOUBLE) * sb.n_item) * 1e6 + 0.5) / 1.0e6
+        |    AS lift
+        |FROM p JOIN s sa ON sa.l_partkey = p.pa
+        |  JOIN s sb ON sb.l_partkey = p.pb
+        |  CROSS JOIN n""".stripMargin) { (s, dir) =>
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist() // pair join both sides + item supports
+      val n = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val sup = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = op.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val p = a.join(b, Seq("l_orderkey")).filter(col("pb") > col("pa"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+      broadcast(p)
+        .join(sup.select(col("l_partkey").as("pa"), col("n_item").as("n_a")),
+          Seq("pa"))
+        .join(sup.select(col("l_partkey").as("pb"), col("n_item").as("n_b")),
+          Seq("pb"))
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("n_pair"), col("n_a"), col("n_b"),
+          (floor(col("n_pair").cast(DoubleType) / col("n_orders")
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("support"),
+          (floor(col("n_pair").cast(DoubleType) * col("n_orders")
+            / (col("n_a").cast(DoubleType) * col("n_b")) * lit(1.0e6) + 0.5)
+            / lit(1.0e6)).as("lift"))
+    },
+
+    // ------------------------------------------------------------------
+    // Trailing 7-day distinct active users per day — the rolling
+    // count-distinct a window function cannot express (distinct does
+    // not decompose over sliding frames): the (day, user) relation is
+    // deduped ONCE at corpus scale, then each row EXPLODES to its ≤7
+    // target days and equi-joins the calendar-bounded day list
+    // broadcast (a hash join — the d BETWEEN t−6 AND t range-join
+    // formulation would be a corpus×days nested loop); the big
+    // relation shuffles once on (target_day, user) for the final
+    // distinct, never self-joins.
+    "ev_rolling_distinct" -> QueryDef.withOracle(
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |r AS (
+        |  SELECT days.day AS day, du.user_id
+        |  FROM du JOIN days
+        |    ON du.day BETWEEN days.day - 6 AND days.day),
+        |w AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+        |  FROM r GROUP BY 1),
+        |d1 AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS active_1d FROM du
+        |  GROUP BY 1)
+        |SELECT w.day, d1.active_1d, w.active_7d,
+        |  floor(CAST(d1.active_1d AS DOUBLE) / w.active_7d * 1e6 + 0.5)
+        |    / 1.0e6 AS concentration
+        |FROM w JOIN d1 USING (day)""".stripMargin) { (s, dir) =>
+      val du = Tables.eventsTimed(s, dir)
+        .select(expr("ts_s div 86400").as("day"), col("user_id")).distinct()
+        .persist() // day list + both rolling consumers
+      val days = du.select(col("day")).distinct()
+        .select(col("day").as("tday"))
+      val r = du.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("tday"))
+        .join(broadcast(days), Seq("tday"))
+      val w = r.groupBy(col("tday").as("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+      val d1 = du.groupBy(col("day")).agg(count(lit(1)).as("active_1d"))
+      w.join(d1, Seq("day"))
+        .select(col("day"), col("active_1d"), col("active_7d"),
+          (floor(col("active_1d").cast(DoubleType) / col("active_7d")
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("concentration"))
     }
   )
 

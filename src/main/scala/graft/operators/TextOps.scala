@@ -196,6 +196,67 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Term burstiness for the top-20 corpus tokens — does a word spread
+    // evenly across documents (function words) or clump into a few
+    // (topical/template words)? The signal behind content-word
+    // weighting and boilerplate spotting that raw frequency can't give:
+    // Fano factor (variance/mean of the per-doc count, zeros included
+    // via N = |docs|) and the Goh-Barabási burstiness B = (σ−μ)/(σ+μ)
+    // ∈ (−1, 1). Two keyed aggs (top-20 TopK, then per-token per-doc
+    // counts for ONLY those 20 via a broadcast semijoin — the corpus
+    // never shuffles on doc) with exact integer count sums; moment
+    // chain in pinned doubles, ×10⁶ snapped.
+    "text_burstiness" -> QueryDef.withOracle(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |top AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_total
+         |  FROM toks GROUP BY tok ORDER BY n_total DESC, tok ASC LIMIT 20),
+         |tc AS (
+         |  SELECT toks.tok, toks.doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM toks JOIN top ON top.tok = toks.tok
+         |  GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |a AS (
+         |  SELECT tok, CAST(sum(c) AS BIGINT) AS s1,
+         |    CAST(sum(c * c) AS BIGINT) AS s2,
+         |    CAST(count(*) AS BIGINT) AS df
+         |  FROM tc GROUP BY tok),
+         |m AS (
+         |  SELECT tok, s1, df, n_docs,
+         |    CAST(s1 AS DOUBLE) / n_docs AS mu,
+         |    CAST(s2 AS DOUBLE) / n_docs
+         |      - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs)
+         |      AS v
+         |  FROM a CROSS JOIN n)
+         |SELECT tok, s1 AS n_total, df, n_docs,
+         |  floor(v / mu * 1e6 + 0.5) / 1.0e6 AS fano,
+         |  floor((sqrt(v) - mu) / (sqrt(v) + mu) * 1e6 + 0.5) / 1.0e6
+         |    AS burstiness
+         |FROM m""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_total"))
+        .orderBy(col("n_total").desc, col("tok").asc).limit(20)
+      val tc = toks.join(broadcast(top.select(col("tok"))), Seq("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val a = tc.groupBy(col("tok"))
+        .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("df"))
+      val mu = col("s1").cast(DoubleType) / col("n_docs")
+      val m = a.crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("s1"), col("df"), col("n_docs"),
+          mu.as("mu"),
+          (col("s2").cast(DoubleType) / col("n_docs") - mu * mu).as("v"))
+      m.select(col("tok"), col("s1").as("n_total"), col("df"), col("n_docs"),
+        (floor(col("v") / col("mu") * lit(1.0e6) + 0.5) / lit(1.0e6))
+          .as("fano"),
+        (floor((sqrt(col("v")) - col("mu")) / (sqrt(col("v")) + col("mu"))
+          * lit(1.0e6) + 0.5) / lit(1.0e6)).as("burstiness"))
+    },
+
+    // ------------------------------------------------------------------
     // TF-IDF keyword extraction: top-3 tokens per doc. Three keyed
     // aggregations (tf, df, N) + one broadcast-sized join on token —
     // the classic two-pass shape that scales linearly with corpus size.

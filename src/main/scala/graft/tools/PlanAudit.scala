@@ -155,7 +155,26 @@ object PlanAudit {
       "ann_ivf_quality",
       // the shared periodogram's 8-row frequency-list broadcast (the
       // ev_dft_spectrum argument)
-      "ev_spectral_entropy")
+      "ev_spectral_entropy",
+      // k-row broadcast: the per-flag group-median anchors the
+      // |2q−med2| deviations expand against over the bounded value
+      // domain + the 1-row between/within ANOVA-term anchor
+      "etl_levene_test",
+      // 1-row broadcasts: the per-scale R/S mean anchors and the
+      // closed-form OLS moment anchor over ≤3 log-log points
+      "ev_hurst",
+      // 1-row broadcast: the global (n, Σx, Σy, Σx², Σy²) moment
+      // anchor; the 8-lag shifted join itself is an equi hash join
+      "ev_cross_correlation",
+      // 1-row broadcast: the order-count anchor; pair and support
+      // joins are equi
+      "ev_market_basket",
+      // 4-row pct-target dim × the ≤50-value bounded quantity domain
+      // — a constant, never corpus
+      "q42_percentile_cont",
+      // 1-row broadcast: the corpus doc-count anchor the zero-
+      // inclusive moments divide by
+      "text_burstiness")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -497,7 +497,9 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_records_test", "event_type") -> "type×day calendar-bounded daily counts (running-max window)",
       ("ev_hurst", "event_type") -> "type×day calendar-bounded daily counts (day index + per-block cumsum)",
       ("etl_durbin_watson", "f") -> "calendar-bounded monthly residual relation (≤|months| rows per flag)",
-      ("etl_levene_test", "f") -> "integer 1..50 value-domain bookkeeping (median cum windows)")
+      ("etl_levene_test", "f") -> "integer 1..50 value-domain bookkeeping (median cum windows)",
+      ("etl_weibull_fit", "l_returnflag") -> "integer 1..50 value-domain bookkeeping (median-rank cum windows)",
+      ("q42_percentile_cont", "l_returnflag") -> "integer 1..50 value-domain bookkeeping (cumulative rank windows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -3532,6 +3534,156 @@ class Round9InvariantSpec extends AnyFunSuite {
         assert(r.getAs[Double]("rs16") > rs4 * 0.5,
           "R/S collapsed at the larger scale")
       assert(r.getAs[Boolean]("persistent") == (h > 0.5))
+    }
+  }
+
+  test("q41_band_join: bands partition the corpus, no join in the plan") {
+    val df = SparkEntry.queries("q41_band_join")(spark, sf)
+    val rows = df.collect()
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == total,
+      "band counts do not partition the corpus")
+    for (r <- rows) {
+      val lo = r.getAs[Double]("lo")
+      if (!r.isNullAt(r.fieldIndex("hi")))
+        assert(lo < r.getAs[Double]("hi"))
+    }
+    // the whole point: the range join is algebraically eliminated
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), "range join fell back to BNLJ")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "band lookup should be a fold, not a join")
+  }
+
+  test("text_burstiness: function words anti-bursty vs topical words") {
+    val rows = SparkEntry.queries("text_burstiness")(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1 && b < 1, s"${r.getString(0)}: B=$b outside (-1,1)")
+      assert(r.getAs[Double]("fano") > 0)
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_total") >= r.getAs[Long]("df"))
+    }
+  }
+
+  test("ev_cross_correlation: 8 lags, ccf bounded, lag-0 covers all days") {
+    val rows = SparkEntry.queries("ev_cross_correlation")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Int]("lag")).sorted.toSeq == (0 to 7))
+    for (r <- rows)
+      assert(math.abs(r.getAs[Double]("ccf")) <= 1 + 1e-6,
+        s"lag ${r.getAs[Int]("lag")}: ccf out of [-1,1]")
+    val nDays = graft.sources.Tables.eventsTimed(spark, sf)
+      .select(expr("ts_s div 86400")).distinct().count()
+    val lag0 = rows.find(_.getAs[Int]("lag") == 0).get
+    assert(lag0.getAs[Long]("n_pairs") == nDays,
+      "lag-0 pair count must equal the day count")
+  }
+
+  test("ev_granger_causality: both directions, F >= 0, flag consistent") {
+    val rows = SparkEntry.queries("ev_granger_causality")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("click->purchase", "purchase->click"))
+    for (r <- rows) {
+      val f = r.getAs[Double]("f_stat")
+      // restricted ⊂ full ⇒ SSEr ≥ SSEf up to snap epsilon
+      assert(f >= -1e-5, s"${r.getString(0)}: negative F $f")
+      assert(r.getAs[Boolean]("granger_causes") == (f > 3.841))
+      assert(r.getAs[Long]("n_pairs") > 20)
+    }
+  }
+
+  test("etl_mahalanobis: Markov bound on chi2 tail mass, D2 positive") {
+    val rows = SparkEntry.queries("etl_mahalanobis")(spark, sf).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      // E[D^2] = 2 exactly under the fitted moments, so Markov gives
+      // P(D^2 > 9.21) <= 2/9.21
+      assert(r.getAs[Double]("outlier_rate") <= 2.0 / 9.21 + 1e-6)
+      assert(r.getAs[Double]("max_d2") > 0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("etl_weibull_fit: positive shape/scale in a sane band") {
+    val rows = SparkEntry.queries("etl_weibull_fit")(spark, sf).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val k = r.getAs[Double]("shape"); val lam = r.getAs[Double]("scale")
+      assert(k > 0.1 && k < 10, s"shape $k out of band")
+      assert(lam > 1 && lam < 100, s"scale $lam out of band")
+      assert(r.getAs[Long]("n_values") <= 50)
+    }
+  }
+
+  test("ev_market_basket: 20 pairs, ordered keys, support/lift identities") {
+    val rows = SparkEntry.queries("ev_market_basket")(spark, sf).collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      val np = r.getAs[Long]("n_pair")
+      assert(np <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")),
+        "pair support cannot exceed either item support")
+      assert(r.getAs[Double]("support") > 0)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("ev_rolling_distinct: 7d window dominates 1d, bounded by 7x") {
+    val rows = SparkEntry.queries("ev_rolling_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d1 = rows.map(r => r.getAs[Long]("day") -> r.getAs[Long]("active_1d"))
+      .toMap
+    for (r <- rows) {
+      val day = r.getAs[Long]("day"); val a7 = r.getAs[Long]("active_7d")
+      assert(a7 >= r.getAs[Long]("active_1d"))
+      val windowSum = (day - 6 to day).flatMap(d1.get).sum
+      assert(a7 <= windowSum, "distinct union cannot exceed the daily sum")
+      val c = r.getAs[Double]("concentration")
+      assert(c > 0 && c <= 1 + 1e-9)
+    }
+  }
+
+  test("q42_percentile_cont: monotone across pct, brackets the disc median") {
+    val rows = SparkEntry.queries("q42_percentile_cont")(spark, sf).collect()
+    assert(rows.length == 12) // 3 flags x 4 percentiles
+    for ((_, grp) <- rows.groupBy(_.getString(0))) {
+      val byPct = grp.sortBy(_.getAs[Double]("pct"))
+        .map(_.getAs[Double]("p_cont"))
+      assert(byPct.zip(byPct.tail).forall { case (a, b) => a <= b },
+        "percentile_cont must be monotone in pct")
+      assert(byPct.head >= 1 && byPct.last <= 50,
+        "interpolated values must stay inside the quantity range")
+    }
+  }
+
+  test("etl_logistic_fit: fitted rate reproduces the overall rate scale") {
+    val rows = SparkEntry.queries("etl_logistic_fit")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val n = r.getAs[Long]("n_total"); val k = r.getAs[Long]("k_total")
+    val b0 = r.getAs[Double]("beta0"); val b1 = r.getAs[Double]("beta1")
+    val rate = k.toDouble / n
+    // priorities are assigned independently of price, so the slope
+    // must be near zero and the intercept near logit(overall rate)
+    assert(math.abs(b1) < 0.05, s"slope $b1 too far from independence")
+    val fitted = 1.0 / (1.0 + math.exp(-(b0 + b1 * 12)))
+    assert(math.abs(fitted - rate) < 0.1,
+      s"mid-band fitted rate $fitted vs overall $rate")
+  }
+
+  test("etl_pca_2d: eigenvalue identities against the covariance") {
+    val rows = SparkEntry.queries("etl_pca_2d")(spark, sf).collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val l1 = r.getAs[Double]("lambda1"); val l2 = r.getAs[Double]("lambda2")
+      assert(l1 >= l2, s"lambda order: $l1 < $l2")
+      assert(l2 >= -1e-9, s"negative eigenvalue $l2 from a covariance")
+      val evr = r.getAs[Double]("explained_ratio")
+      assert(evr >= 0.5 - 1e-9 && evr <= 1 + 1e-9, s"evr=$evr")
+      val ang = r.getAs[Double]("angle_deg")
+      assert(ang >= -90 - 1e-9 && ang <= 90 + 1e-9, s"angle=$ang")
     }
   }
 }
