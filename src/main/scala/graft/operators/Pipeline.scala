@@ -82,6 +82,49 @@ object Pipeline {
     // split stable under incremental corpus growth. The same idiom as
     // q23/pipe_mixture_sample's md5-uniform, so one audited hash path
     // serves sampling, mixtures and holdouts.
+    // ------------------------------------------------------------------
+    // k-fold cross-validation assignment — the deterministic 5-fold
+    // partition an eval harness needs (pipe_split_holdout's fixed
+    // 80/10/10 can't do rotation estimates). Folds come from the same
+    // engine-stable md5 bucket as the holdout split (rerun- and
+    // engine-identical, uncorrelated with any data column), and the
+    // output is the per-(fold, source) balance table — n_docs,
+    // n_chars, and each fold's share of its source ×10⁶ — the check
+    // that hash folding didn't skew a source before anyone trains on
+    // it. ONE corpus scan to a ≤5×|sources| relation; the per-source
+    // totals join is a broadcast of a bounded agg.
+    "pipe_kfold_assign" -> QueryDef.withOracle(
+      """WITH f AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 5 AS fold
+        |  FROM documents),
+        |g AS (
+        |  SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM f GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+        |  FROM g GROUP BY 1)
+        |SELECT g.fold, g.source, g.n_docs, g.n_chars,
+        |  CAST(floor(CAST(g.n_docs AS DOUBLE) / t.src_docs * 1e6 + 0.5)
+        |    AS BIGINT) AS share_fp
+        |FROM g JOIN t ON t.source = g.source""".stripMargin) { (s, dir) =>
+      val fold = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast(BinaryType)),
+          1, 15), 16, 10).cast(LongType), lit(5L))
+      val g = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), fold.as("fold"))
+        .groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val t = g.groupBy(col("source").as("src2"))
+        .agg(sum(col("n_docs")).as("src_docs"))
+      g.join(broadcast(t), col("src2") === col("source"))
+        .select(col("fold"), col("source"), col("n_docs"), col("n_chars"),
+          floor(col("n_docs").cast(DoubleType) / col("src_docs")
+            * lit(1.0e6) + 0.5).cast(LongType).as("share_fp"))
+    },
+
     "pipe_split_holdout" -> QueryDef.withOracle(
       """SELECT doc_id, source, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -3912,6 +3912,595 @@ object Temporal {
         .select(col("day"), col("active_1d"), col("active_7d"),
           (floor(col("active_1d").cast(DoubleType) / col("active_7d")
             * lit(1.0e6) + 0.5) / lit(1.0e6)).as("concentration"))
+    },
+
+    // ------------------------------------------------------------------
+    // Mann-Kendall trend test per event type — THE standard
+    // nonparametric monotone-trend screen (environmental/official-
+    // statistics first choice because it needs no linearity and
+    // tolerates ties): S = ΣΣ_{i<j} sgn(n_j − n_i) over the
+    // CALENDAR-BOUNDED daily counts (the day² pair join rides the
+    // bookkeeping relation, broadcast one side — the ev_kendall_tau
+    // argument), tie-corrected variance from the value-grouped tie
+    // domain, continuity-corrected Z against ±1.96. S and tie sums
+    // are exact integers; only Z divides, ×10⁶ snapped.
+    "ev_mann_kendall" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                  WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.day > a.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+        |       FROM d GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+        |        FROM d GROUP BY event_type, n)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT p.event_type, p.s, nd.nd,
+        |    (CAST(nd.nd AS DOUBLE) * (nd.nd - 1) * (2 * nd.nd + 5)
+        |      - ties.tsum) / 18 AS vars
+        |  FROM p JOIN nd USING (event_type) JOIN ties USING (event_type))
+        |SELECT event_type, nd AS n_days, s AS s_stat,
+        |  floor(vars * 1e6 + 0.5) / 1.0e6 AS var_s,
+        |  floor(CASE WHEN s > 0 THEN (s - 1) / sqrt(vars)
+        |             WHEN s < 0 THEN (s + 1) / sqrt(vars)
+        |             ELSE 0.0 END * 1e6 + 0.5) / 1.0e6 AS z,
+        |  CASE WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(vars)
+        |                  WHEN s < 0 THEN (s + 1) / sqrt(vars)
+        |                  ELSE 0.0 END) > 1.96 THEN 'increasing'
+        |       WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(vars)
+        |                  WHEN s < 0 THEN (s + 1) / sqrt(vars)
+        |                  ELSE 0.0 END) < -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM v""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // calendar-bounded; pair join sides + ties + counts
+      val a = d.select(col("event_type"), col("day").as("da"),
+        col("n").as("na"))
+      val b = d.select(col("event_type").as("et2"), col("day").as("db"),
+        col("n").as("nb"))
+      val p = a.join(broadcast(b),
+          col("event_type") === col("et2") && col("db") > col("da"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("nb") > col("na"), 1L)
+          .when(col("nb") < col("na"), -1L).otherwise(0L)).as("s"))
+      val nd = d.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+      val ties = d.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tsum"))
+      val v = p.join(nd, Seq("event_type")).join(ties, Seq("event_type"))
+        .select(col("event_type"), col("s"), col("nd"),
+          ((col("nd").cast(DoubleType) * (col("nd") - 1)
+            * (lit(2) * col("nd") + 5) - col("tsum")) / 18).as("vars"))
+      val z = when(col("s") > 0, (col("s") - 1) / sqrt(col("vars")))
+        .when(col("s") < 0, (col("s") + 1) / sqrt(col("vars")))
+        .otherwise(lit(0.0))
+      v.select(col("event_type"), col("nd").as("n_days"),
+        col("s").as("s_stat"),
+        (floor(col("vars") * lit(1.0e6) + 0.5) / lit(1.0e6)).as("var_s"),
+        (floor(z * lit(1.0e6) + 0.5) / lit(1.0e6)).as("z"),
+        when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+    },
+
+    // ------------------------------------------------------------------
+    // Pettitt changepoint test per event type — the rank-based
+    // (nonparametric) single-changepoint locator, the distribution-
+    // free complement to ev_changepoint_cusum's parametric mean-shift
+    // screen: U_t = 2·Σ_{i≤t}R_i − t(n+1) with midranks, K = max|U_t|
+    // over interior t, p ≈ 2·exp(−6K²/(n³+n²)). Midranks come exact
+    // from the value-grouped tie domain (2R = 2·cum_before + cnt + 1,
+    // an INTEGER), U_t from a cumulative window over the CALENDAR-
+    // BOUNDED daily relation — U is exact integer fixed point ×2
+    // throughout; only the p-value exponentiates, ×10⁹ snapped.
+    "ev_pettitt" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |vdom AS (
+        |  SELECT event_type, n, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, n,
+        |    2 * CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY n ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) + cnt + 1 AS r2
+        |  FROM vdom),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+        |       FROM d GROUP BY 1),
+        |u AS (
+        |  SELECT d.event_type, d.day, nd.nd,
+        |    CAST(sum(rk.r2) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      - CAST(row_number() OVER (PARTITION BY d.event_type
+        |          ORDER BY d.day ASC) AS BIGINT) * (nd.nd + 1) AS u2
+        |  FROM d JOIN rk ON rk.event_type = d.event_type AND rk.n = d.n
+        |  JOIN nd ON nd.event_type = d.event_type),
+        |k AS (
+        |  SELECT event_type, nd, CAST(max(abs(u2)) AS BIGINT) AS k2
+        |  FROM u WHERE day < (SELECT max(day) FROM u u3
+        |                      WHERE u3.event_type = u.event_type)
+        |  GROUP BY 1, 2),
+        |loc AS (
+        |  SELECT u.event_type, k.nd, k.k2,
+        |    CAST(min(u.day) AS BIGINT) AS change_day
+        |  FROM u JOIN k ON k.event_type = u.event_type
+        |    AND abs(u.u2) = k.k2
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, nd AS n_days,
+        |  CAST(k2 AS DOUBLE) / 2 AS k_stat, change_day,
+        |  floor(2 * exp(-6.0 * (CAST(k2 AS DOUBLE) / 2)
+        |    * (CAST(k2 AS DOUBLE) / 2)
+        |    / (CAST(nd AS DOUBLE) * nd * nd + CAST(nd AS DOUBLE) * nd))
+        |    * 1e9 + 0.5) / 1.0e9 AS p_value
+        |FROM loc""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // calendar-bounded; ranks, counts, U-walk
+      val vdom = d.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+      val wcb = W.partitionBy(col("event_type")).orderBy(col("n").asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val rk = vdom.select(col("event_type").as("et2"), col("n").as("nv"),
+        (lit(2) * coalesce(sum(col("cnt")).over(W.partitionBy(
+            col("event_type")).orderBy(col("n").asc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+          + col("cnt") + 1).as("r2"))
+      val nd = d.groupBy(col("event_type").as("et3"))
+        .agg(count(lit(1)).as("nd"))
+      val wday = W.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val u = d.join(rk, col("et2") === col("event_type")
+          && col("nv") === col("n"))
+        .join(broadcast(nd), col("et3") === col("event_type"))
+        .select(col("event_type"), col("day"), col("nd"),
+          (sum(col("r2")).over(wday.rowsBetween(W.unboundedPreceding, 0))
+            - row_number().over(wday).cast(LongType) * (col("nd") + 1))
+            .as("u2"))
+        .persist() // max + argmax re-read the U walk
+      val lastDay = u.groupBy(col("event_type").as("et4"))
+        .agg(max(col("day")).as("dmax"))
+      val k = u.join(broadcast(lastDay), col("et4") === col("event_type"))
+        .filter(col("day") < col("dmax"))
+        .groupBy(col("event_type"), col("nd"))
+        .agg(max(abs(col("u2"))).as("k2"))
+      val loc = u.join(broadcast(k.select(col("event_type").as("et5"),
+          col("nd").as("nd2"), col("k2"))),
+          col("et5") === col("event_type") && abs(col("u2")) === col("k2"))
+        .groupBy(col("event_type"), col("nd2"), col("k2"))
+        .agg(min(col("day")).as("change_day"))
+      val kd = col("k2").cast(DoubleType) / 2
+      val ndd = col("nd2").cast(DoubleType)
+      loc.select(col("event_type"), col("nd2").as("n_days"),
+        kd.as("k_stat"), col("change_day"),
+        (floor(lit(2) * exp(lit(-6.0) * kd * kd
+          / (ndd * col("nd2") * col("nd2") + ndd * col("nd2")))
+          * lit(1.0e9) + 0.5) / lit(1.0e9)).as("p_value"))
+    },
+
+    // ------------------------------------------------------------------
+    // Rolling 14-day OLS slope of daily counts per event type — the
+    // "local trend right now" monitor dashboards plot (Mann-Kendall
+    // answers "is there a trend overall?"; this answers "how fast is
+    // it moving TODAY?"). All five regression moments (n, Σx, Σy,
+    // Σxy, Σx²) come from trailing RANGE frames over the CALENDAR-
+    // BOUNDED type×day relation — gap days shrink the frame
+    // identically on both engines because the frame is day-value
+    // RANGE, not ROWS. x = epoch day, y = count: every windowed sum
+    // is an exact BIGINT (day² ≈ 4×10⁸, ×14 ≪ 2⁶³), so slope =
+    // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) divides two exact integers — one
+    // double op, ×10⁹ snapped; NULL where the frame is degenerate
+    // (n = 1). At 100 TB the corpus-scale work is ONE map-side-
+    // combined (type, day) count; every window rides the bounded
+    // daily relation.
+    "ev_rolling_regression" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day,
+        |    CAST(count(*) OVER f AS BIGINT) AS nw,
+        |    CAST(sum(day) OVER f AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER f AS BIGINT) AS sy,
+        |    CAST(sum(day * y) OVER f AS BIGINT) AS sxy,
+        |    CAST(sum(day * day) OVER f AS BIGINT) AS sxx
+        |  FROM d
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day ASC
+        |    RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, nw AS n_win,
+        |  CASE WHEN nw * sxx - sx * sx > 0
+        |    THEN floor(CAST(nw * sxy - sx * sy AS DOUBLE)
+        |      / CAST(nw * sxx - sx * sx AS DOUBLE) * 1e9 + 0.5) / 1.0e9
+        |    ELSE NULL END AS slope
+        |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val f = W.partitionBy(col("event_type")).orderBy(col("day").asc)
+        .rangeBetween(-13, 0)
+      val w = d.select(col("event_type"), col("day"),
+        count(lit(1)).over(f).as("nw"),
+        sum(col("day")).over(f).as("sx"),
+        sum(col("y")).over(f).as("sy"),
+        sum(col("day") * col("y")).over(f).as("sxy"),
+        sum(col("day") * col("day")).over(f).as("sxx"))
+      val den = col("nw") * col("sxx") - col("sx") * col("sx")
+      val num = col("nw") * col("sxy") - col("sx") * col("sy")
+      w.select(col("event_type"), col("day"), col("nw").as("n_win"),
+        when(den > 0, floor(num.cast(DoubleType) / den.cast(DoubleType)
+          * lit(1.0e9) + 0.5) / lit(1.0e9)).as("slope"))
+    },
+
+    // ------------------------------------------------------------------
+    // Log-rank test comparing time-to-conversion between the two
+    // user_id-parity arms — the survival-curve significance companion
+    // to ev_survival/ev_nelson_aalen (DO the two arms' hazards differ,
+    // not just what each curve looks like). Same clock as ev_survival:
+    // t = hours from a user's first event to their first value≥90
+    // purchase, censored at the global horizon. The ONE corpus-scale
+    // move is the per-user min/conversion agg; the risk-set walk is
+    // windows over the bounded hour-domain grid (arms × distinct
+    // times): n_g(t) = N_g − #{t_u < t} via an exact-integer prefix
+    // sum, d_g(t) exact counts. Per event time, the hypergeometric
+    // E[d_1] = d·n₁/n and Var = d·(n₁/n)(1−n₁/n)(n−d)/(n−1) terms snap
+    // ×10⁹ to BIGINT BEFORE the sum (order-invariant accumulation);
+    // χ² = (O₁−E₁)²/V divides doubles only at the end, ×10⁶.
+    "ev_logrank_test" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (SELECT max(ts_s) AS gmax FROM e),
+        |u AS (SELECT user_id, user_id % 2 AS grp,
+        |             min(ts_s) AS first_s FROM e GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT user_id, min(ts_s) AS conv_s FROM e
+        |  WHERE event_type = 'purchase' AND value >= 90 GROUP BY 1),
+        |d AS (
+        |  SELECT u.grp,
+        |    CASE WHEN cv.conv_s IS NOT NULL
+        |         THEN (cv.conv_s - u.first_s) // 3600
+        |         ELSE (g.gmax - u.first_s) // 3600 END AS t,
+        |    CASE WHEN cv.conv_s IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM u LEFT JOIN cv ON cv.user_id = u.user_id CROSS JOIN g),
+        |ct AS (
+        |  SELECT grp, CAST(t AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS leave_cnt,
+        |    CAST(sum(ev) AS BIGINT) AS d_cnt
+        |  FROM d GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(leave_cnt) AS BIGINT) AS ng
+        |        FROM ct GROUP BY 1),
+        |td AS (SELECT DISTINCT t FROM ct),
+        |grid AS (
+        |  SELECT tot.grp, tot.ng, td.t,
+        |    coalesce(ct.leave_cnt, 0) AS leave_cnt,
+        |    coalesce(ct.d_cnt, 0) AS d_cnt
+        |  FROM td CROSS JOIN tot
+        |  LEFT JOIN ct ON ct.grp = tot.grp AND ct.t = td.t),
+        |rk AS (
+        |  SELECT grp, t, d_cnt,
+        |    ng - coalesce(sum(leave_cnt) OVER (PARTITION BY grp
+        |      ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_at
+        |  FROM grid),
+        |ab AS (
+        |  SELECT a.t, a.d_cnt AS d1, a.n_at AS n1,
+        |    a.d_cnt + b.d_cnt AS dt, a.n_at + b.n_at AS nt
+        |  FROM rk a JOIN rk b ON b.t = a.t AND a.grp = 0 AND b.grp = 1
+        |  WHERE a.d_cnt + b.d_cnt > 0 AND a.n_at + b.n_at > 1),
+        |terms AS (
+        |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(CAST(floor(CAST(dt AS DOUBLE) * n1 / nt * 1e9 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS e1_fp,
+        |    CAST(sum(CAST(floor(CAST(dt AS DOUBLE) * n1 / nt
+        |        * (1.0 - CAST(n1 AS DOUBLE) / nt)
+        |        * (nt - dt) / (nt - 1) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v_fp
+        |  FROM ab)
+        |SELECT o1, floor(CAST(e1_fp AS DOUBLE) / 1e3 + 0.5) / 1.0e6 AS e1,
+        |  floor(CAST(v_fp AS DOUBLE) / 1e3 + 0.5) / 1.0e6 AS v,
+        |  floor((CAST(o1 * 1000000000 - e1_fp AS DOUBLE) / 1e9)
+        |    * (CAST(o1 * 1000000000 - e1_fp AS DOUBLE) / 1e9)
+        |    / (CAST(v_fp AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1.0e6 AS chi2
+        |FROM terms""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts_s"))
+      val g = e.agg(max(col("ts_s")).as("gmax"))
+      val u = e.groupBy(col("user_id"), pmod(col("user_id"), lit(2L)).as("grp"))
+        .agg(min(col("ts_s")).as("first_s"))
+      val cv = e.filter(col("event_type") === "purchase" && col("value") >= 90)
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("conv_s"))
+      val d = u.join(cv, Seq("user_id"), "left_outer")
+        .crossJoin(broadcast(g))
+        .select(col("grp"),
+          when(col("conv_s").isNotNull,
+            expr("(conv_s - first_s) div 3600"))
+            .otherwise(expr("(gmax - first_s) div 3600")).as("t"),
+          when(col("conv_s").isNotNull, 1L).otherwise(0L).as("ev"))
+      val ct = d.groupBy(col("grp"), col("t"))
+        .agg(count(lit(1)).as("leave_cnt"), sum(col("ev")).as("d_cnt"))
+        .persist() // arms × hour-domain bookkeeping: feeds totals + grid
+      val tot = ct.groupBy(col("grp")).agg(sum(col("leave_cnt")).as("ng"))
+      val td = ct.select(col("t")).distinct()
+      val grid = td.crossJoin(broadcast(tot))
+        .join(ct.select(col("grp").as("g2"), col("t").as("t2"),
+          col("leave_cnt"), col("d_cnt")),
+          col("g2") === col("grp") && col("t2") === col("t"), "left_outer")
+        .select(col("grp"), col("ng"), col("t"),
+          coalesce(col("leave_cnt"), lit(0L)).as("leave_cnt"),
+          coalesce(col("d_cnt"), lit(0L)).as("d_cnt"))
+      val wC = Window.partitionBy(col("grp")).orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rk = grid.select(col("grp"), col("t"), col("d_cnt"),
+        (col("ng") - coalesce(sum(col("leave_cnt")).over(wC), lit(0L)))
+          .as("n_at"))
+      val b = rk.select(col("t").as("tb"), col("d_cnt").as("d2"),
+        col("n_at").as("n2"), col("grp").as("gb"))
+      val ab = rk.filter(col("grp") === 0)
+        .join(b.filter(col("gb") === 1), col("tb") === col("t"))
+        .select(col("t"), col("d_cnt").as("d1"), col("n_at").as("n1"),
+          (col("d_cnt") + col("d2")).as("dt"),
+          (col("n_at") + col("n2")).as("nt"))
+        .filter(col("dt") > 0 && col("nt") > 1)
+      val n1d = col("n1").cast(DoubleType)
+      val ntd = col("nt").cast(DoubleType)
+      val terms = ab.agg(sum(col("d1")).as("o1"),
+        sum(floor(col("dt").cast(DoubleType) * col("n1") / col("nt")
+          * lit(1.0e9) + 0.5).cast(LongType)).as("e1_fp"),
+        sum(floor(col("dt").cast(DoubleType) * col("n1") / col("nt")
+          * (lit(1.0) - n1d / ntd)
+          * (col("nt") - col("dt")) / (col("nt") - 1)
+          * lit(1.0e9) + 0.5).cast(LongType)).as("v_fp"))
+      val oe = (col("o1") * lit(1000000000L) - col("e1_fp"))
+        .cast(DoubleType) / lit(1.0e9)
+      terms.select(col("o1"),
+        (floor(col("e1_fp").cast(DoubleType) / lit(1.0e3) + 0.5)
+          / lit(1.0e6)).as("e1"),
+        (floor(col("v_fp").cast(DoubleType) / lit(1.0e3) + 0.5)
+          / lit(1.0e6)).as("v"),
+        (floor(oe * oe / (col("v_fp").cast(DoubleType) / lit(1.0e9))
+          * lit(1.0e6) + 0.5) / lit(1.0e6)).as("chi2"))
+    },
+
+    // ------------------------------------------------------------------
+    // AR(2) fit + 7-step forecast of daily counts per event type — the
+    // autoregressive rung between ev_holt_forecast's trend smoothing
+    // and a full ARIMA (captures the oscillation/mean-reversion a
+    // Holt trend line can't). Yule-Walker in EXACT integers: with
+    // deviations carried as D_t = nd·x_t − S (common denominator nd —
+    // no double mean enters), the lag-k autocovariance numerators
+    // Σ D_t·D_{t+k} are exact BIGINTs off lag windows over the
+    // calendar-bounded type×day relation, and the shared nd² scale
+    // cancels in r₁ = γ₁/γ₀, r₂ = γ₂/γ₀, so φ₁ = r₁(1−r₂)/(1−r₁²),
+    // φ₂ = (r₂−r₁²)/(1−r₁²) are deterministic doubles from exact
+    // integer ratios. The 7-step recursion d_k = φ₁d_{k−1} + φ₂d_{k−2}
+    // unrolls as an identical double chain on both engines (the
+    // ev_holt_forecast discipline without needing a recursive CTE —
+    // the horizon is a constant). One corpus scan; all else rides the
+    // bounded daily relation. ×10⁹/×10⁶ snaps at output.
+    "ev_ar2_forecast" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(n) AS BIGINT) AS s,
+        |    list(CAST(n AS BIGINT) ORDER BY day) AS v
+        |  FROM e GROUP BY 1 HAVING count(*) >= 4),
+        |dv AS (
+        |  SELECT e.event_type, e.day, a.nd * e.n - a.s AS dd
+        |  FROM e JOIN a ON a.event_type = e.event_type),
+        |lw AS (
+        |  SELECT event_type, dd,
+        |    lag(dd, 1) OVER (PARTITION BY event_type ORDER BY day ASC) AS d1,
+        |    lag(dd, 2) OVER (PARTITION BY event_type ORDER BY day ASC) AS d2
+        |  FROM dv),
+        |gam AS (
+        |  SELECT event_type,
+        |    CAST(sum(dd * dd) AS BIGINT) AS g0,
+        |    CAST(sum(CASE WHEN d1 IS NOT NULL THEN dd * d1 ELSE 0 END)
+        |      AS BIGINT) AS g1,
+        |    CAST(sum(CASE WHEN d2 IS NOT NULL THEN dd * d2 ELSE 0 END)
+        |      AS BIGINT) AS g2
+        |  FROM lw GROUP BY 1),
+        |phi AS (
+        |  SELECT a.event_type, a.nd, a.s, a.v,
+        |    CAST(g1 AS DOUBLE) / g0 AS r1, CAST(g2 AS DOUBLE) / g0 AS r2
+        |  FROM gam JOIN a ON a.event_type = gam.event_type),
+        |p2 AS (
+        |  SELECT event_type, nd, s, v,
+        |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2,
+        |    CAST(s AS DOUBLE) / nd AS mu,
+        |    CAST(v[CAST(nd AS INT)] AS DOUBLE) - CAST(s AS DOUBLE) / nd
+        |      AS dc,
+        |    CAST(v[CAST(nd - 1 AS INT)] AS DOUBLE) - CAST(s AS DOUBLE) / nd
+        |      AS dp
+        |  FROM phi),
+        |f1 AS (SELECT *, phi1 * dc + phi2 * dp AS k1 FROM p2),
+        |f2 AS (SELECT *, phi1 * k1 + phi2 * dc AS k2 FROM f1),
+        |f3 AS (SELECT *, phi1 * k2 + phi2 * k1 AS k3 FROM f2),
+        |f4 AS (SELECT *, phi1 * k3 + phi2 * k2 AS k4 FROM f3),
+        |f5 AS (SELECT *, phi1 * k4 + phi2 * k3 AS k5 FROM f4),
+        |f6 AS (SELECT *, phi1 * k5 + phi2 * k4 AS k6 FROM f5),
+        |f7 AS (SELECT *, phi1 * k6 + phi2 * k5 AS k7 FROM f6)
+        |SELECT event_type, nd AS n_days,
+        |  floor(phi1 * 1e9 + 0.5) / 1.0e9 AS phi1,
+        |  floor(phi2 * 1e9 + 0.5) / 1.0e9 AS phi2,
+        |  floor((mu + k1) * 1e6 + 0.5) / 1.0e6 AS fc_1,
+        |  floor((mu + k7) * 1e6 + 0.5) / 1.0e6 AS fc_7
+        |FROM f7""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+          sort_array(collect_list(struct(col("day"), col("n")))).as("arr"))
+        .filter(col("nd") >= 4)
+        .select(col("event_type"), col("nd"), col("s"),
+          transform(col("arr"), x => x("n")).as("v"))
+      val dv = e.join(broadcast(a.select(col("event_type"), col("nd"),
+          col("s"))), Seq("event_type"))
+        .select(col("event_type"), col("day"),
+          (col("nd") * col("n") - col("s")).as("dd"))
+      // lag windows over the calendar-bounded type×day relation
+      val wL = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val lw = dv.select(col("event_type"), col("dd"),
+        lag(col("dd"), 1).over(wL).as("d1"),
+        lag(col("dd"), 2).over(wL).as("d2"))
+      val gam = lw.groupBy(col("event_type"))
+        .agg(sum(col("dd") * col("dd")).as("g0"),
+          sum(when(col("d1").isNotNull, col("dd") * col("d1"))
+            .otherwise(0L)).as("g1"),
+          sum(when(col("d2").isNotNull, col("dd") * col("d2"))
+            .otherwise(0L)).as("g2"))
+      val r1 = col("g1").cast(DoubleType) / col("g0")
+      val r2 = col("g2").cast(DoubleType) / col("g0")
+      val p2 = gam.join(a, Seq("event_type"))
+        .select(col("event_type"), col("nd"), col("s"),
+          (r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1)).as("phi1"),
+          ((r2 - r1 * r1) / (lit(1.0) - r1 * r1)).as("phi2"),
+          (col("s").cast(DoubleType) / col("nd")).as("mu"),
+          (element_at(col("v"), col("nd").cast(IntegerType))
+            .cast(DoubleType)
+            - col("s").cast(DoubleType) / col("nd")).as("dc"),
+          (element_at(col("v"), (col("nd") - 1).cast(IntegerType))
+            .cast(DoubleType)
+            - col("s").cast(DoubleType) / col("nd")).as("dp"))
+      // 7-step recursion unrolled: identical double chain to the oracle
+      val f = (1 to 7).foldLeft(
+        p2.withColumn("k1", col("phi1") * col("dc") + col("phi2") * col("dp"))) {
+        case (df, k) if k >= 2 =>
+          df.withColumn(s"k$k",
+            col("phi1") * col(s"k${k - 1}")
+              + col("phi2") * (if (k == 2) col("dc") else col(s"k${k - 2}")))
+        case (df, _) => df
+      }
+      f.select(col("event_type"), col("nd").as("n_days"),
+        (floor(col("phi1") * lit(1.0e9) + 0.5) / lit(1.0e9)).as("phi1"),
+        (floor(col("phi2") * lit(1.0e9) + 0.5) / lit(1.0e9)).as("phi2"),
+        (floor((col("mu") + col("k1")) * lit(1.0e6) + 0.5) / lit(1.0e6))
+          .as("fc_1"),
+        (floor((col("mu") + col("k7")) * lit(1.0e6) + 0.5) / lit(1.0e6))
+          .as("fc_7"))
+    },
+
+    // ------------------------------------------------------------------
+    // Seasonal Mann-Kendall trend test per event type (Hirsch-Slack):
+    // ev_mann_kendall's plain S compares every day with every later
+    // day, so a strong weekly cycle (ev_seasonality_profile's finding)
+    // leaks into the trend verdict; the seasonal variant compares days
+    // only WITHIN the same weekday subseries and sums the 7 per-season
+    // S_w and Var_w — the trend test an agency runs on any series with
+    // a known period. All exact integers: S' = ΣS_w off the
+    // weekday-blocked day² pair join (broadcast side is the
+    // calendar-bounded daily relation), Var carried ×18 as
+    // var18 = Σ(n_w(n_w−1)(2n_w+5) − Σt(t−1)(2t+5)) so the tie
+    // correction never divides early; Z's continuity correction and
+    // the 1.96 verdict mirror ev_mann_kendall, ×10⁶ snaps.
+    "ev_seasonal_mann_kendall" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS wd,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                  WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.wd = a.wd AND b.day > a.day
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, wd, CAST(count(*) AS BIGINT) AS nw
+        |  FROM d GROUP BY 1, 2),
+        |tw AS (
+        |  SELECT event_type, wd,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, wd, CAST(count(*) AS BIGINT) AS t
+        |        FROM d GROUP BY event_type, wd, n)
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT w.event_type,
+        |    CAST(sum(w.nw) AS BIGINT) AS nd,
+        |    CAST(sum(w.nw * (w.nw - 1) * (2 * w.nw + 5) - tw.tsum)
+        |      AS BIGINT) AS var18
+        |  FROM w JOIN tw ON tw.event_type = w.event_type AND tw.wd = w.wd
+        |  GROUP BY 1)
+        |SELECT p.event_type, v.nd AS n_days, p.s AS s_stat,
+        |  floor(CAST(v.var18 AS DOUBLE) / 18 * 1e6 + 0.5) / 1.0e6 AS var_s,
+        |  floor(CASE WHEN p.s > 0 THEN (p.s - 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18)
+        |             WHEN p.s < 0 THEN (p.s + 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18)
+        |             ELSE 0.0 END * 1e6 + 0.5) / 1.0e6 AS z,
+        |  CASE WHEN (CASE WHEN p.s > 0 THEN (p.s - 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18)
+        |                  WHEN p.s < 0 THEN (p.s + 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18)
+        |                  ELSE 0.0 END) > 1.96 THEN 'increasing'
+        |       WHEN (CASE WHEN p.s > 0 THEN (p.s - 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18)
+        |                  WHEN p.s < 0 THEN (p.s + 1) / sqrt(CAST(v.var18 AS DOUBLE) / 18)
+        |                  ELSE 0.0 END) < -1.96 THEN 'decreasing'
+        |       ELSE 'none' END AS trend
+        |FROM p JOIN v USING (event_type)""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"),
+          expr("(ts_s div 86400) % 7").as("wd"))
+        .agg(count(lit(1)).as("n"))
+        .persist() // calendar-bounded; pair join sides + ties + counts
+      val a = d.select(col("event_type"), col("wd"), col("day").as("da"),
+        col("n").as("na"))
+      val b = d.select(col("event_type").as("et2"), col("wd").as("wd2"),
+        col("day").as("db"), col("n").as("nb"))
+      val p = a.join(broadcast(b),
+          col("event_type") === col("et2") && col("wd2") === col("wd")
+            && col("db") > col("da"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("nb") > col("na"), 1L)
+          .when(col("nb") < col("na"), -1L).otherwise(0L)).as("s"))
+      val w = d.groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("nw"))
+      val tw = d.groupBy(col("event_type"), col("wd"), col("n"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"), col("wd"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tsum"))
+      val v = w.join(tw, Seq("event_type", "wd"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("nw")).as("nd"),
+          sum(col("nw") * (col("nw") - 1) * (lit(2) * col("nw") + 5)
+            - col("tsum")).as("var18"))
+      val vars = col("var18").cast(DoubleType) / 18
+      val z = when(col("s") > 0, (col("s") - 1) / sqrt(vars))
+        .when(col("s") < 0, (col("s") + 1) / sqrt(vars))
+        .otherwise(lit(0.0))
+      p.join(v, Seq("event_type"))
+        .select(col("event_type"), col("nd").as("n_days"),
+          col("s").as("s_stat"),
+          (floor(vars * lit(1.0e6) + 0.5) / lit(1.0e6)).as("var_s"),
+          (floor(z * lit(1.0e6) + 0.5) / lit(1.0e6)).as("z"),
+          when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
     }
   )
 

@@ -174,7 +174,32 @@ object PlanAudit {
       "q42_percentile_cont",
       // 1-row broadcast: the corpus doc-count anchor the zero-
       // inclusive moments divide by
-      "text_burstiness")
+      "text_burstiness",
+      // 1-row crossJoins: the margin/correction/power-sum anchors the
+      // fixed-point SS identities combine (all ≤6-cell-bounded)
+      "etl_two_way_anova",
+      // 1-row crossJoins: the per-half-step normalization totals of
+      // the renormalized-integer HITS power iteration (the
+      // graph_eigencentrality argument)
+      "graph_hits",
+      // tier 1 is ann_quantized_topk's broadcast-probe × corpus int8
+      // scan; every selection-step join is equi on (probe, neighbor)
+      "ann_mmr_rerank", "ann_diversity_eval",
+      // 1-row crossJoin: the (center, sig2) pooled-limit anchor the
+      // ≤|months| subgroup relation expands against
+      "etl_control_chart",
+      // 1-row crossJoin: the pooled-p̄ anchor (the etl_control_chart
+      // argument for the attribute chart)
+      "etl_p_chart",
+      // 1-row crossJoins: the k / Σ(2R)² / tie anchors the χ²
+      // assembles from (all ≤|flags|-bounded aggregates)
+      "etl_friedman_test",
+      // bounded crossJoins: the 1-row global-horizon anchor and the
+      // 2-row per-arm totals the hour-domain risk grid expands against
+      "ev_logrank_test",
+      // 1-row crossJoin: the global calendar-midpoint anchor the
+      // per-type half-split moments divide against
+      "etl_benjamini_hochberg")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -239,6 +264,16 @@ object PlanAudit {
       // same budget: one corpus-scale exchange (per-(flag, bucket)
       // counts), the rest ≤5×200-row bookkeeping moves
       "q38_group_quartiles" -> 8,
+      // pettitt runs ONE corpus-scale exchange (the type×day count
+      // agg); the midrank build, the rank join, the U-walk window, the
+      // interior-max agg and the argmax join all move calendar-bounded
+      // bookkeeping rows (10 total measured in the full-suite sweep)
+      "ev_pettitt" -> 10,
+      // seasonal MK: one corpus-scale exchange (type×day×weekday count
+      // agg), then the weekday-blocked pair agg, the per-weekday nw /
+      // tie aggs, their join-agg and the final join — all
+      // calendar-bounded bookkeeping moves
+      "ev_seasonal_mann_kendall" -> 7,
       // BFS stacks the individually-audited LSH candidate stage (~6,
       // bucket-capped) + the decontaminate seed build (2) + the final
       // round's frontier join + min-agg (earlier rounds execute eagerly
@@ -374,7 +409,21 @@ object PlanAudit {
       // rides the shared periodogram (the ev_dft_spectrum budget of 9:
       // one corpus (type, day) agg + bookkeeping) + its own per-type
       // total and entropy aggs on the 8·|types|-row relation
-      "ev_spectral_entropy" -> 9)
+      "ev_spectral_entropy" -> 9,
+      // the shared bounded MMR machinery (tier-1 candidates + pair
+      // sims + greedy picks, all checkpointed at ≤MMR_CAND×NPROBES
+      // rows) + the two C(5,2) pair-average aggs and their join —
+      // every exchange after tier 1 moves bookkeeping rows
+      "ann_diversity_eval" -> 10,
+      // ONE corpus scan to the |months|×|flags| relation; the k /
+      // complete-block / within-block-rank self-join / rank-sum / tie
+      // aggregates stack ~13 further exchanges, all ≤|months|×|flags|
+      // bookkeeping moves
+      "etl_friedman_test" -> 14,
+      // one corpus-scale per-user agg + the conversion agg; the
+      // hour-domain grid, prefix-sum risk sets, arm join and term
+      // aggregates are calendar-bounded bookkeeping moves
+      "ev_logrank_test" -> 12)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -464,7 +513,18 @@ object PlanAudit {
       // the graph_common_neighbors argument: the only requested
       // broadcasts are the ≤4096 distinct-bounded bit/wedge relations,
       // printing opaquely behind the shared embedding near-dup cache
-      "graph_link_jaccard")
+      "graph_link_jaccard",
+      // the ann_quantized_topk argument: tier 1's broadcast is the
+      // fixed-size NPROBES probe set over the cached int8 corpus
+      "ann_mmr_rerank", "ann_diversity_eval",
+      // the graph_clustering_coeff argument: its (c, p) distinct-edge
+      // build is plan-identical to graph_hits's PERSISTED edges, so in
+      // a shared session the cache substitutes an InMemoryRelation
+      // whose stored physical plan (built with stats broadcasts on)
+      // prints a historical BroadcastExchange over the orders scan;
+      // the operator itself requests no broadcast (verified solo:
+      // two SMJ equi-joins + TakeOrdered)
+      "graph_bipartite_projection")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

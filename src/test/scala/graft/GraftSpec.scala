@@ -499,7 +499,12 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_durbin_watson", "f") -> "calendar-bounded monthly residual relation (≤|months| rows per flag)",
       ("etl_levene_test", "f") -> "integer 1..50 value-domain bookkeeping (median cum windows)",
       ("etl_weibull_fit", "l_returnflag") -> "integer 1..50 value-domain bookkeeping (median-rank cum windows)",
-      ("q42_percentile_cont", "l_returnflag") -> "integer 1..50 value-domain bookkeeping (cumulative rank windows)")
+      ("q42_percentile_cont", "l_returnflag") -> "integer 1..50 value-domain bookkeeping (cumulative rank windows)",
+      ("ev_pettitt", "event_type") -> "type×day calendar-bounded daily counts (midrank + U-walk windows)",
+      ("ev_rolling_regression", "event_type") -> "type×day calendar-bounded daily counts (trailing 14-day RANGE frames)",
+      ("etl_cusum_chart", "f") -> "flag×month calendar-bounded mean relation (exact-integer prefix-sum/min walk)",
+      ("ev_ar2_forecast", "event_type") -> "type×day calendar-bounded daily counts (lag-1/lag-2 deviation windows)",
+      ("etl_benjamini_hochberg", "") -> "m-row test battery (one row per series; the BH rank/step-up windows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -3673,6 +3678,56 @@ class Round9InvariantSpec extends AnyFunSuite {
       s"mid-band fitted rate $fitted vs overall $rate")
   }
 
+  test("etl_two_way_anova: SS decomposition telescopes, dfs partition") {
+    val rows = SparkEntry.queries("etl_two_way_anova")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("flag", "status", "interaction", "within"))
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    // dfA + dfB + dfAB + dfW = N - 1
+    assert(rows.values.map(_.getAs[Long]("df")).sum == total - 1)
+    for ((_, r) <- rows) assert(r.getAs[Double]("ss") >= -1e-6)
+    assert(rows("within").isNullAt(rows("within").fieldIndex("f_stat")))
+    assert(rows("flag").getAs[Double]("f_stat") >= 0)
+  }
+
+  test("ev_mann_kendall: S bounded by pair count, trend matches z") {
+    val rows = SparkEntry.queries("ev_mann_kendall")(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val nd = r.getAs[Long]("n_days"); val sS = r.getAs[Long]("s_stat")
+      assert(math.abs(sS) <= nd * (nd - 1) / 2)
+      assert(r.getAs[Double]("var_s") > 0)
+      val z = r.getAs[Double]("z")
+      val expect = if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"
+      assert(r.getAs[String]("trend") == expect)
+    }
+  }
+
+  test("ev_pettitt: K bounded by the max possible rank displacement") {
+    val rows = SparkEntry.queries("ev_pettitt")(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val nd = r.getAs[Long]("n_days"); val k = r.getAs[Double]("k_stat")
+      // |U_t| <= t(n-t) <= n^2/4
+      assert(k >= 0 && k <= nd.toDouble * nd / 4)
+      val p = r.getAs[Double]("p_value")
+      assert(p >= 0 && p <= 2 + 1e-9) // the 2*exp approx can exceed 1
+    }
+  }
+
+  test("graph_hits: 10+10 rows, scores renormalized and ranked") {
+    val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
+    val (auth, hubs) = rows.partition(_.getString(0) == "authority")
+    assert(auth.length == 10 && hubs.length == 10)
+    for (grp <- Seq(auth, hubs)) {
+      val scores = grp.map(_.getAs[Long]("score_fp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "top-10 must be rank-ordered")
+      assert(scores.head > 0)
+    }
+  }
+
   test("etl_pca_2d: eigenvalue identities against the covariance") {
     val rows = SparkEntry.queries("etl_pca_2d")(spark, sf).collect()
     assert(rows.length == 3)
@@ -3685,5 +3740,337 @@ class Round9InvariantSpec extends AnyFunSuite {
       val ang = r.getAs[Double]("angle_deg")
       assert(ang >= -90 - 1e-9 && ang <= 90 + 1e-9, s"angle=$ang")
     }
+  }
+
+  test("ev_rolling_regression: frame bounds and degenerate-frame NULLs") {
+    val rows = SparkEntry.queries("ev_rolling_regression")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nw = r.getAs[Long]("n_win")
+      assert(nw >= 1 && nw <= 14, s"trailing 14-day frame has $nw rows")
+      val slopeIdx = r.fieldIndex("slope")
+      if (nw == 1) assert(r.isNullAt(slopeIdx),
+        "single-point frame must yield NULL slope")
+      else assert(!r.isNullAt(slopeIdx),
+        "distinct integer days make the denominator positive")
+    }
+  }
+
+  test("etl_control_chart: limits bracket the center, status consistent") {
+    val rows = SparkEntry.queries("etl_control_chart")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (xbar, c) = (r.getAs[Double]("xbar"), r.getAs[Double]("center"))
+      val (u, l) = (r.getAs[Double]("ucl"), r.getAs[Double]("lcl"))
+      assert(l < c && c < u, s"limits must bracket the center: $l $c $u")
+      val st = r.getAs[String]("status")
+      // compare on the snapped columns with a 2-ulp-of-snap guard so a
+      // boundary tie can't flip the recomputed verdict
+      if (xbar > u + 2e-6) assert(st == "out_high")
+      else if (xbar < l - 2e-6) assert(st == "out_low")
+      else if (xbar < u - 2e-6 && xbar > l + 2e-6) assert(st == "in")
+    }
+    assert(rows.count(_.getAs[String]("status") == "in") * 2 > rows.length,
+      "a 3-sigma chart flagging most subgroups means the chain is wrong")
+  }
+
+  test("ann_diversity_eval: MMR buys (or matches) top-k diversity") {
+    val rows = SparkEntry.queries("ann_diversity_eval")(spark, sf)
+      .collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      // the harness's purpose-check: the λ=0.7 greedy selection should
+      // never be MORE redundant than the plain quantized top-5 (equality
+      // happens when the sets coincide); if this flips, the harness has
+      // caught the knob misbehaving — which is what it exists to do
+      assert(r.getAs[Long]("gain_fp") >= 0L,
+        s"probe ${r.getAs[Long]("probe_id")} MMR more redundant than top-k")
+      for (c <- Seq("topk_avg_fp", "mmr_avg_fp")) {
+        val v = r.getAs[Long](c)
+        assert(v >= -1000000L && v <= 1000000L, s"$c=$v outside cosine range")
+      }
+    }
+  }
+
+  test("etl_p_chart: clamped limits, status consistent, chart mostly in") {
+    val rows = SparkEntry.queries("etl_p_chart")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (c, u, l) = (r.getAs[Double]("center"), r.getAs[Double]("ucl"),
+        r.getAs[Double]("lcl"))
+      assert(l >= 0 && l <= c && c <= u, s"p-chart limit order: $l $c $u")
+      val phat = r.getAs[Double]("phat")
+      assert(phat >= 0 && phat <= 1)
+      val st = r.getAs[String]("status")
+      if (phat > u + 2e-6) assert(st == "out_high")
+      else if (phat < l - 2e-6) assert(st == "out_low")
+      else if (phat < u - 2e-6 && phat > l + 2e-6) assert(st == "in")
+    }
+    assert(rows.count(_.getAs[String]("status") == "in") * 2 > rows.length)
+  }
+
+  test("pipe_kfold_assign: folds partition each source, shares sum to 1") {
+    val rows = SparkEntry.queries("pipe_kfold_assign")(spark, sf).collect()
+    assert(rows.forall(r => { val f = r.getAs[Long]("fold"); f >= 0 && f < 5 }))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("source"))) {
+      val share = rs.map(_.getAs[Long]("share_fp")).sum
+      assert(math.abs(share - 1000000L) <= rs.length,
+        s"per-source fold shares must sum to 1e6±rounding, got $share")
+    }
+  }
+
+  test("ann_mmr_rerank: greedy MMR invariants") {
+    val rows = SparkEntry.queries("ann_mmr_rerank")(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 10)
+    for ((p, rs) <- byProbe) {
+      assert(rs.length == 5, s"probe $p selected ${rs.length} of 5")
+      val ordered = rs.sortBy(_.getAs[Int]("step"))
+      val ids = ordered.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length == ids.length,
+        s"probe $p re-selected a neighbor")
+      // a growing penalty set over a shrinking candidate pool makes
+      // the selected MMR score non-increasing in step
+      val scores = ordered.map(_.getAs[Long]("mmr_fp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"probe $p MMR scores increased: ${scores.mkString(",")}")
+      // step 1 is pure relevance: its rel must be the pool max
+      val rels = ordered.map(_.getAs[Long]("rel_q6"))
+      assert(rels.head == rels.max, s"probe $p step-1 not the rel argmax")
+    }
+  }
+}
+
+class Round9cInvariantSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("etl_cusum_chart equals a plain-Scala replay of the clamped recursion") {
+    // The operator computes the walk via the reflected identity
+    // C+_t = S_t - min(0, min prefix); the direct clamped recursion
+    // max(0, prev + x - mu - k) must agree at every month — this is
+    // the identity the window formulation rests on.
+    val got = SparkEntry.queries("etl_cusum_chart")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
+      .toMap
+    val mo = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("f"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("mi"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    for ((f, rows) <- mo.groupBy(_._1)) {
+      val xs = rows.sortBy(_._2)
+        .map(t => (t._2, math.floor(t._4.toDouble / t._3 * 1e6 + 0.5).toLong))
+      val nm = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2 * x._2).sum
+      val sig = math.sqrt((nm * sxx - sx * sx).toDouble)
+      val kfp = math.floor(0.5 * sig / nm + 0.5).toLong
+      val hfp = math.floor(4.0 * sig / nm + 0.5).toLong
+      var cp = 0L; var cn = 0L
+      for ((mi, xfp) <- xs) {
+        cp = math.max(0L, cp + (nm * xfp - sx - nm * kfp))
+        cn = math.max(0L, cn + (sx - nm * xfp - nm * kfp))
+        val (gxbar, ghi, glo, gstatus) = got((f, mi))
+        assert(math.abs(gxbar - xfp / 1e6) < 1e-9)
+        assert(math.abs(ghi - math.floor(cp.toDouble / nm + 0.5) / 1e6) < 1e-9,
+          s"$f $mi cusum_hi")
+        assert(math.abs(glo - math.floor(cn.toDouble / nm + 0.5) / 1e6) < 1e-9,
+          s"$f $mi cusum_lo")
+        val want = if (cp > nm * hfp) "signal_high"
+          else if (cn > nm * hfp) "signal_low" else "in"
+        assert(gstatus == want, s"$f $mi status $gstatus != $want")
+      }
+    }
+  }
+
+  test("etl_friedman_test matches a plain-Scala replay with midranks") {
+    val r = SparkEntry.queries("etl_friedman_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val mo = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("mi"), col("l_returnflag").as("f"))
+      .agg(floor(sum(col("l_quantity").cast("long")).cast("double")
+        / count(lit(1)) * lit(1.0e6) + 0.5).cast("long").as("xfp"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val k = mo.map(_._2).distinct.length
+    val blocks = mo.groupBy(_._1).filter(_._2.length == k)
+    val n = blocks.size.toLong
+    var tie = 0L
+    val r2 = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((_, rows) <- blocks) {
+      for ((_, f, x) <- rows) {
+        val lt = rows.count(_._3 < x)
+        val eq = rows.count(_._3 == x)
+        r2(f) += 2L * lt + eq + 1
+      }
+      for ((_, g) <- rows.groupBy(_._3)) {
+        val t = g.length.toLong; tie += t * t * t - t
+      }
+    }
+    val sr2 = r2.values.map(v => v * v).sum
+    val chi2 = 3.0 * sr2 / (n.toDouble * k * (k + 1)) - 3.0 * n * (k + 1)
+    val c = 1.0 - tie.toDouble / (n.toDouble * k * (k.toLong * k - 1))
+    assert(row.getLong(0) == n && row.getLong(1) == k)
+    assert(math.abs(row.getDouble(3)
+      - math.floor(chi2 * 1e9 + 0.5) / 1e9) < 1e-9)
+    assert(math.abs(row.getDouble(4)
+      - math.floor(chi2 / c * 1e9 + 0.5) / 1e9) < 1e-9)
+  }
+
+  test("ev_logrank_test: chi2 assembles from its own O/E/V columns; both arms populated") {
+    val r = SparkEntry.queries("ev_logrank_test")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val o1 = row.getLong(0)
+    val e1 = row.getDouble(1); val v = row.getDouble(2)
+    val chi2 = row.getDouble(3)
+    assert(o1 > 0 && e1 > 0 && v > 0, s"degenerate logrank inputs: $row")
+    // the published chi2 must equal (O1-E1)^2/V recomputed from the
+    // SNAPPED columns to within the double snap resolution
+    assert(math.abs(chi2 - (o1 - e1) * (o1 - e1) / v) < 1e-3,
+      s"chi2 $chi2 vs recomposed ${(o1 - e1) * (o1 - e1) / v}")
+    // O1 cannot exceed the total conversions in arm 0
+    val conv = graft.sources.Tables.eventsTimed(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value") >= 90
+        && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id")).distinct().count()
+    assert(o1 == conv, s"O1 $o1 != arm-0 converters $conv")
+  }
+
+  test("ev_ar2_forecast matches a plain-Scala Yule-Walker replay") {
+    val got = SparkEntry.queries("ev_ar2_forecast")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((et, rows0) <- daily.groupBy(_._1) if rows0.length >= 4) {
+      val v = rows0.sortBy(_._2).map(_._3)
+      val nd = v.length.toLong
+      val s0 = v.sum
+      val d = v.map(x => nd * x - s0)
+      val g0 = d.map(x => x * x).sum
+      val g1 = d.zip(d.tail).map { case (a, b) => a * b }.sum
+      val g2 = d.zip(d.drop(2)).map { case (a, b) => a * b }.sum
+      val r1 = g1.toDouble / g0; val r2 = g2.toDouble / g0
+      val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+      val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val mu = s0.toDouble / nd
+      val k1 = phi1 * (v.last - mu) + phi2 * (v(v.length - 2) - mu)
+      // steps 2..7: d_k = phi1*d_{k-1} + phi2*d_{k-2}
+      var prev2 = v.last - mu
+      var prev1 = k1
+      var k7 = k1
+      for (_ <- 2 to 7) {
+        k7 = phi1 * prev1 + phi2 * prev2
+        prev2 = prev1; prev1 = k7
+      }
+      val (gn, gphi1, gphi2, gfc1, gfc7) = got(et)
+      assert(gn == nd)
+      assert(math.abs(gphi1 - math.floor(phi1 * 1e9 + 0.5) / 1e9) < 1e-9)
+      assert(math.abs(gphi2 - math.floor(phi2 * 1e9 + 0.5) / 1e9) < 1e-9)
+      assert(math.abs(gfc1 - math.floor((mu + k1) * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"$et fc_1")
+      assert(math.abs(gfc7 - math.floor((mu + k7) * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"$et fc_7")
+      // stationarity sanity on this data: the YW fit must be causal
+      assert(math.abs(phi2) < 1.0 && phi2 + phi1 < 1.0 && phi2 - phi1 < 1.0,
+        s"$et YW fit outside the AR(2) stationary triangle")
+    }
+  }
+
+  test("graph_bipartite_projection equals brute-force co-purchase counts") {
+    val got = SparkEntry.queries("graph_bipartite_projection")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = li.map { case (ok, pk) => (ord(ok), pk) }.distinct
+    val byC = edges.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.map(_._2).sorted.take(1024) }
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for ((_, ps) <- byC; a <- ps; b <- ps if b > a) w((a, b)) += 1
+    val want = w.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    assert(got.toSeq == want.map { case ((a, b), n) => ((a, b), n) },
+      s"top-20 mismatch:\ngot  ${got.mkString(", ")}\nwant ${want.mkString(", ")}")
+  }
+}
+
+class Round9dInvariantSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("graph_closeness: 8 seeds, exact hc12 bounds, reach within 4 hops") {
+    val rows = SparkEntry.queries("graph_closeness")(spark, sf).collect()
+    assert(rows.length == 8, s"expected 8 sampled sources, got ${rows.length}")
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_reached"); val hc = r.getAs[Long]("hc12")
+      // every reached node is 1..4 hops away: its harmonic term is in
+      // [1/4, 1] → 12·HC ∈ [3n, 12n]; seeds come from the edge
+      // relation so each reaches at least one neighbor
+      assert(n >= 1, s"seed ${r.getLong(0)} reached nothing")
+      assert(hc >= 3 * n && hc <= 12 * n, s"hc12 $hc outside [3n,12n] n=$n")
+      assert(math.abs(r.getAs[Double]("harmonic") - hc / 12.0) < 1e-9)
+    }
+    // seeds are the 8 smallest node ids of the edge relation — check
+    // they are distinct and sorted-stable (deterministic sampling)
+    val seeds = rows.map(_.getLong(0))
+    assert(seeds.distinct.length == 8)
+  }
+
+  test("ev_seasonal_mann_kendall: variance strictly below plain MK; z sign follows S") {
+    val smk = SparkEntry.queries("ev_seasonal_mann_kendall")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getAs[Double]("var_s"), r.getAs[Double]("z"))).toMap
+    val mk = SparkEntry.queries("ev_mann_kendall")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("var_s")).toMap
+    assert(smk.keySet == mk.keySet)
+    for ((et, (s, v, z)) <- smk) {
+      // within-weekday pairs are a strict subset of all pairs, so the
+      // seasonal variance must be smaller than the full-series one
+      assert(v > 0 && v < mk(et), s"$et: seasonal var $v !< plain ${mk(et)}")
+      // |S| <= 1 collapses to z = 0 under the continuity correction
+      if (math.abs(s) <= 1) assert(z == 0.0, s"$et: |S|<=1 but z=$z")
+      else assert(s.sign == math.signum(z).toLong,
+        s"$et: z $z disagrees with S $s")
+    }
+  }
+
+  test("etl_benjamini_hochberg: ranks a permutation, step-up rejection region") {
+    val rows = SparkEntry.queries("etl_benjamini_hochberg")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    val m = rows.length
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to m).toSeq)
+    val ps = rows.map(_.getAs[Double]("p"))
+    assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    // p sorted ascending by construction of the rank
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    // the step-up rule: rejected exactly on ranks <= k*, where k* is
+    // the largest i with p_i <= 0.05*i/m
+    val kstar = (1 to m).filter(i =>
+      ps(i - 1) <= math.floor(i * 5.0e7 / m + 0.5) / 1e9).lastOption.getOrElse(0)
+    for ((r, idx) <- rows.zipWithIndex)
+      assert(r.getAs[Boolean]("rejected") == (idx + 1 <= kstar),
+        s"rank ${idx + 1}: rejected flag mismatches step-up k*=$kstar")
+    // |z| larger => p smaller (the erfc chain is monotone)
+    val byAbsZ = rows.sortBy(r => -math.abs(r.getAs[Double]("z")))
+    val psByZ = byAbsZ.map(_.getAs[Double]("p"))
+    assert(psByZ.zip(psByZ.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
 }
