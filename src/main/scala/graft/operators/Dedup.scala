@@ -738,6 +738,72 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    // at web-scale through semantic deduplication"): k-means-cluster
+    // the embeddings, call within-cluster pairs above a cosine
+    // threshold semantic duplicates, and KEEP the member least like
+    // its centroid (the paper's anti-prototype rule — prototypical
+    // members are re-coverable from the rest of the cluster; the
+    // outlier carries the marginal information). The cluster build is
+    // the shared deterministic IVF fixed point; the pair join is
+    // bounded by cell², never corpus²; the keep rule is per-vector
+    // local over its dup neighbors: dropped iff some neighbor has a
+    // strictly smaller (cos_c, vec_id) key — the minimal key of every
+    // connected dup group survives, so no group is wiped out. Output =
+    // only vectors with ≥1 dup neighbor (the decision set a curation
+    // run reviews).
+    "dedup_semdedup" -> QueryDef.withOracle(
+      s"""WITH $ivfSql,
+         |home AS (
+         |  SELECT r.vec_id, r.c_label AS cell, r.cos_c, e.embedding
+         |  FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rn = 1),
+         |prs AS (
+         |  SELECT a.vec_id AS va, a.cos_c AS ca, b.vec_id AS vb,
+         |    b.cos_c AS cb, a.cell
+         |  FROM home a JOIN home b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.3),
+         |dd AS (
+         |  SELECT va AS vec_id, ca AS cos_c, cell, vb AS nb, cb AS nb_cos FROM prs
+         |  UNION ALL
+         |  SELECT vb, cb, cell, va, ca FROM prs)
+         |SELECT vec_id, CAST(cell AS INT) AS cell, cos_c,
+         |  CAST(count(*) AS BIGINT) AS n_dups,
+         |  CAST(sum(CASE WHEN nb_cos < cos_c
+         |    OR (nb_cos = cos_c AND nb < vec_id) THEN 1 ELSE 0 END) AS BIGINT)
+         |    = 0 AS keep
+         |FROM dd GROUP BY vec_id, cell, cos_c""".stripMargin) { (s, dir) =>
+      val home = Similarity.ivfAssignments(s, dir)
+        .filter(col("rn") === 1)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "vec_id")
+        .select(col("vec_id"), col("c_label").as("cell"), col("cos_c"),
+          col("embedding"))
+        .persist() // one IVF build feeds both sides of the cell self-join
+      val pairCos = round(
+        Vectors.cosine(s, col("x.embedding"), col("y.embedding")), 6)
+      val prs = home.as("x").join(home.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .filter(pairCos >= 0.3)
+        .select(col("x.vec_id").as("va"), col("x.cos_c").as("ca"),
+          col("y.vec_id").as("vb"), col("y.cos_c").as("cb"),
+          col("x.cell").as("cell"))
+      val dd = prs.select(col("va").as("vec_id"), col("ca").as("cos_c"),
+          col("cell"), col("vb").as("nb"), col("cb").as("nb_cos"))
+        .union(prs.select(col("vb"), col("cb"), col("cell"), col("va"),
+          col("ca")))
+      dd.groupBy(col("vec_id"), col("cell"), col("cos_c"))
+        .agg(count(lit(1)).as("n_dups"),
+          sum(when(col("nb_cos") < col("cos_c")
+            || (col("nb_cos") === col("cos_c") && col("nb") < col("vec_id")),
+            1L).otherwise(0L)).as("n_smaller"))
+        .select(col("vec_id"), col("cell"), col("cos_c"), col("n_dups"),
+          (col("n_smaller") === 0).as("keep"))
+    },
+
+    // ------------------------------------------------------------------
     // Span-level cross-doc EXACT substring dedup (Lee et al.,
     // "Deduplicating Training Data Makes Language Models Better"): the
     // modality minhash/simhash structurally miss — a long span shared

@@ -1152,6 +1152,161 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Cluster-quality eval over the IVF home-cell partition — the
+    // "measure, don't guess" harness for the KCELLS knob itself
+    // (ann_nprobe_sweep tunes probes; nothing yet scores the
+    // PARTITION): Calinski-Harabasz (between/within variance ratio —
+    // higher is tighter) and Davies-Bouldin (worst-pair overlap —
+    // lower is better) from ONE corpus scan. Determinism discipline:
+    // points snap to ×2¹⁰ longs, each point's squared distance to its
+    // cell centroid is an EXACT BIGINT (Σ(n·x−s)², the common-
+    // denominator trick) snapped ×10⁶ before the per-cell sum, and
+    // every cross-cell double term (between-cell scatter, centroid
+    // pair distances) snaps per-pos ×10⁹ so no engine ever folds raw
+    // doubles in group order. All post-scan relations are ≤k or ≤k²
+    // bookkeeping (k = 16 cells). Magnitude budget: n·x10 ≤ n·4096,
+    // squared ×64 stays under 2⁶³ to ~3×10⁴ points/cell; beyond that a
+    // production run drops to the double centroid (the snapping is the
+    // cross-engine test discipline, not the production requirement).
+    "embedding_cluster_eval" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |home AS (
+         |  SELECT r.vec_id, r.c_label AS cell, e.embedding
+         |  FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rn = 1),
+         |x AS (
+         |  SELECT vec_id, cell, pos,
+         |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS xv
+         |  FROM home, range(1, 65) t(pos)),
+         |sc AS (
+         |  SELECT cell, pos, CAST(sum(xv) AS BIGINT) AS sv
+         |  FROM x GROUP BY cell, pos),
+         |nc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM home GROUP BY cell),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM home),
+         |d2 AS (
+         |  SELECT x.vec_id, x.cell,
+         |    CAST(floor(CAST(CAST(sum((nc.n * x.xv - sc.sv) * (nc.n * x.xv - sc.sv))
+         |        AS BIGINT) AS DOUBLE)
+         |      * 1e6 / (nc.n * 1024.0 * nc.n * 1024.0) + 0.5) AS BIGINT) AS d2fp
+         |  FROM x JOIN sc ON sc.cell = x.cell AND sc.pos = x.pos
+         |  JOIN nc ON nc.cell = x.cell
+         |  GROUP BY x.vec_id, x.cell, nc.n),
+         |wc AS (SELECT cell, CAST(sum(d2fp) AS BIGINT) AS wfp FROM d2 GROUP BY cell),
+         |wt AS (SELECT CAST(sum(wfp) AS BIGINT) AS wfp_all,
+         |              CAST(count(*) AS BIGINT) AS k FROM wc),
+         |g AS (SELECT pos, CAST(sum(sv) AS BIGINT) AS gv FROM sc GROUP BY pos),
+         |bt AS (
+         |  SELECT sc.cell,
+         |    CAST(sum(CAST(floor(
+         |      pow(CAST(sc.sv AS DOUBLE) * nv.nn - CAST(g.gv AS DOUBLE) * nc.n, 2)
+         |        / (CAST(nc.n AS DOUBLE) * nv.nn * nv.nn * 1024 * 1024)
+         |        * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS bfp
+         |  FROM sc JOIN g USING (pos) JOIN nc ON nc.cell = sc.cell CROSS JOIN nv
+         |  GROUP BY sc.cell),
+         |btot AS (SELECT CAST(sum(bfp) AS BIGINT) AS bfp_all FROM bt),
+         |m2 AS (
+         |  SELECT a.cell AS ci, b.cell AS cj,
+         |    CAST(sum(CAST(floor(
+         |      pow(CAST(a.sv AS DOUBLE) * nb.n - CAST(b.sv AS DOUBLE) * na.n, 2)
+         |        / pow(CAST(na.n AS DOUBLE) * nb.n * 1024, 2)
+         |        * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS m2fp
+         |  FROM sc a JOIN sc b ON b.pos = a.pos AND b.cell <> a.cell
+         |  JOIN nc na ON na.cell = a.cell JOIN nc nb ON nb.cell = b.cell
+         |  GROUP BY a.cell, b.cell),
+         |si AS (
+         |  SELECT wc.cell, sqrt(CAST(wc.wfp AS DOUBLE) / 1e6 / nc.n) AS s
+         |  FROM wc JOIN nc USING (cell)),
+         |dbt AS (
+         |  SELECT m2.ci AS cell,
+         |    CAST(floor(max((sa.s + sb.s) / sqrt(CAST(m2.m2fp AS DOUBLE) / 1e9))
+         |      * 1e9 + 0.5) AS BIGINT) AS dbfp
+         |  FROM m2 JOIN si sa ON sa.cell = m2.ci JOIN si sb ON sb.cell = m2.cj
+         |  GROUP BY m2.ci),
+         |dbs AS (SELECT CAST(sum(dbfp) AS BIGINT) AS sdb FROM dbt)
+         |SELECT nv.nn AS n_vectors, CAST(wt.k AS INT) AS k_cells,
+         |  CAST(wt.wfp_all AS DOUBLE) / 1e6 AS wss,
+         |  CAST(btot.bfp_all AS DOUBLE) / 1e9 AS bss,
+         |  floor((CAST(btot.bfp_all AS DOUBLE) / 1e9 / (wt.k - 1))
+         |    / (CAST(wt.wfp_all AS DOUBLE) / 1e6 / (nv.nn - wt.k))
+         |    * 1e6 + 0.5) / 1.0e6 AS ch_index,
+         |  floor(CAST(dbs.sdb AS DOUBLE) / (wt.k * 1000.0) + 0.5) / 1.0e6 AS db_index
+         |FROM nv CROSS JOIN wt CROSS JOIN btot CROSS JOIN dbs""".stripMargin) { (s, dir) =>
+      val home = ivfAssignments(s, dir).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"))
+      val pts = home
+        .join(Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(embD, v => floor(v * 1024 + 0.5).cast(LongType)).as("x10")),
+          "vec_id")
+        .persist() // one IVF build + snap feeds the d2 pass and all sums
+      val nc = pts.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val sc = pts
+        .select(col("cell"), posexplode(col("x10")).as(Seq("pos0", "xv")))
+        .groupBy(col("cell"), (col("pos0") + 1).as("pos"))
+        .agg(sum(col("xv")).as("sv"))
+        .persist() // k×d bookkeeping: centroid array, global mean, m2 pairs
+      val centArr = sc
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          t => t.getField("sv")).as("svec"))
+        .join(nc, "cell")
+      val d2int = aggregate(
+        zip_with(col("x10"), col("svec"),
+          (xv, sv) => (col("n") * xv - sv) * (col("n") * xv - sv)),
+        lit(0L), (acc, t) => acc + t)
+      val d2 = pts.join(broadcast(centArr), "cell")
+        .select(col("cell"),
+          floor(d2int.cast(DoubleType) * lit(1.0e6)
+            / (col("n") * lit(1024.0) * col("n") * lit(1024.0)) + 0.5)
+            .cast(LongType).as("d2fp"))
+      val wc = d2.groupBy(col("cell")).agg(sum(col("d2fp")).as("wfp"))
+      val wt = wc.agg(sum(col("wfp")).as("wfp_all"), count(lit(1)).as("k"))
+      val nv = pts.agg(count(lit(1)).as("nn"))
+      val g = sc.groupBy(col("pos")).agg(sum(col("sv")).as("gv"))
+      val bt = sc.join(g, "pos").join(nc, "cell").crossJoin(broadcast(nv))
+        .select(col("cell"),
+          floor(pow(col("sv").cast(DoubleType) * col("nn")
+              - col("gv").cast(DoubleType) * col("n"), 2)
+            / (col("n").cast(DoubleType) * col("nn") * col("nn")
+              * lit(1024) * lit(1024))
+            * lit(1.0e9) + 0.5).cast(LongType).as("bc"))
+        .groupBy(col("cell")).agg(sum(col("bc")).as("bfp"))
+      val btot = bt.agg(sum(col("bfp")).as("bfp_all"))
+      val m2 = sc.as("a")
+        .join(sc.as("b"),
+          col("b.pos") === col("a.pos") && col("b.cell") =!= col("a.cell"))
+        .join(nc.select(col("cell").as("ca"), col("n").as("na")),
+          col("a.cell") === col("ca"))
+        .join(nc.select(col("cell").as("cb"), col("n").as("nb")),
+          col("b.cell") === col("cb"))
+        .select(col("a.cell").as("ci"), col("b.cell").as("cj"),
+          floor(pow(col("a.sv").cast(DoubleType) * col("nb")
+              - col("b.sv").cast(DoubleType) * col("na"), 2)
+            / pow(col("na").cast(DoubleType) * col("nb") * lit(1024), 2)
+            * lit(1.0e9) + 0.5).cast(LongType).as("mc"))
+        .groupBy(col("ci"), col("cj")).agg(sum(col("mc")).as("m2fp"))
+      val si = wc.join(nc, "cell")
+        .select(col("cell"),
+          sqrt(col("wfp").cast(DoubleType) / lit(1.0e6) / col("n")).as("s"))
+      val dbt = m2
+        .join(si.select(col("cell").as("ci"), col("s").as("sa")), "ci")
+        .join(si.select(col("cell").as("cj"), col("s").as("sb")), "cj")
+        .groupBy(col("ci"))
+        .agg(floor(max((col("sa") + col("sb"))
+          / sqrt(col("m2fp").cast(DoubleType) / lit(1.0e9)))
+          * lit(1.0e9) + 0.5).cast(LongType).as("dbfp"))
+      val dbs = dbt.agg(sum(col("dbfp")).as("sdb"))
+      broadcast(nv).crossJoin(broadcast(wt)).crossJoin(broadcast(btot))
+        .crossJoin(broadcast(dbs))
+        .select(col("nn").as("n_vectors"), col("k").cast(IntegerType).as("k_cells"),
+          (col("wfp_all").cast(DoubleType) / lit(1.0e6)).as("wss"),
+          (col("bfp_all").cast(DoubleType) / lit(1.0e9)).as("bss"),
+          (floor((col("bfp_all").cast(DoubleType) / lit(1.0e9) / (col("k") - 1))
+            / (col("wfp_all").cast(DoubleType) / lit(1.0e6) / (col("nn") - col("k")))
+            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("ch_index"),
+          (floor(col("sdb").cast(DoubleType) / (col("k") * lit(1000.0)) + 0.5)
+            / lit(1.0e6)).as("db_index"))
+    },
+
+    // ------------------------------------------------------------------
     // Distributed Gram matrix Σ x xᵀ over the embedding corpus — the
     // d×d accumulation behind PCA/whitening/OPQ rotation at corpus
     // scale. Each row emits its d(d+1)/2 = 2080 upper-triangle products

@@ -4501,6 +4501,80 @@ object Temporal {
           (floor(z * lit(1.0e6) + 0.5) / lit(1.0e6)).as("z"),
           when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
             .otherwise("none").as("trend"))
+    },
+
+    // ------------------------------------------------------------------
+    // Dickey-Fuller unit-root test per event type (constant-only DF:
+    // Δy_t = α + ρ·y_{t-1}; the stationarity screen run before any
+    // AR/Holt model is trusted — a unit root means yesterday's shocks
+    // never decay and the AR(2)/Holt fits are spurious). Daily counts
+    // are integers, so every regression moment (Σx, Σx², Σxz, Σz, Σz²
+    // over x = y_{t-1}, z = Δy) is an EXACT BIGINT off the
+    // calendar-bounded type×day relation; ρ̂ = B/A and
+    // t = B·√((n−2)/(C·A−B²)) assemble in double from the common-
+    // denominator forms A = nΣx²−(Σx)², B = nΣxz−ΣxΣz, C = nΣz²−(Σz)²
+    // (C·A promotes to double BEFORE the product — the exact longs
+    // would overflow at ~10⁶-row series). Verdict vs the 5% constant-
+    // only critical value −2.86 compares the ×10⁶-snapped t. Lag is a
+    // window over observed days (documented: gap days compress, the
+    // ev_autocorrelation convention).
+    "ev_dickey_fuller" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, y,
+        |    lag(y) OVER (PARTITION BY event_type ORDER BY day ASC) AS x
+        |  FROM d),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y - x) AS BIGINT) AS sz,
+        |    CAST(sum((y - x) * (y - x)) AS BIGINT) AS szz,
+        |    CAST(sum(x * (y - x)) AS BIGINT) AS sxz
+        |  FROM l WHERE x IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, n,
+        |    n * sxx - sx * sx AS a,
+        |    n * sxz - sx * sz AS b,
+        |    n * szz - sz * sz AS c
+        |  FROM m)
+        |SELECT event_type, n AS n_obs,
+        |  floor(CAST(b AS DOUBLE) / a * 1e9 + 0.5) / 1.0e9 AS rho,
+        |  floor(CAST(b AS DOUBLE)
+        |    * sqrt((n - 2) / (CAST(c AS DOUBLE) * a - CAST(b AS DOUBLE) * b))
+        |    * 1e6 + 0.5) / 1.0e6 AS t_stat,
+        |  floor(CAST(b AS DOUBLE)
+        |    * sqrt((n - 2) / (CAST(c AS DOUBLE) * a - CAST(b AS DOUBLE) * b))
+        |    * 1e6 + 0.5) < -2860000 AS stationary
+        |FROM t WHERE a > 0 AND n > 2""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val lagW = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val lagd = d
+        .withColumn("x", lag(col("y"), 1).over(lagW))
+        .filter(col("x").isNotNull)
+        .withColumn("z", col("y") - col("x"))
+      val m = lagd.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("z")).as("sz"),
+          sum(col("z") * col("z")).as("szz"),
+          sum(col("x") * col("z")).as("sxz"))
+      val a = col("n") * col("sxx") - col("sx") * col("sx")
+      val b = col("n") * col("sxz") - col("sx") * col("sz")
+      val c = col("n") * col("szz") - col("sz") * col("sz")
+      val tRaw = b.cast(DoubleType) *
+        sqrt((col("n") - 2).cast(DoubleType)
+          / (c.cast(DoubleType) * a - b.cast(DoubleType) * b))
+      m.filter(a > 0 && col("n") > 2)
+        .select(col("event_type"), col("n").as("n_obs"),
+          (floor(b.cast(DoubleType) / a * lit(1.0e9) + 0.5) / lit(1.0e9)).as("rho"),
+          (floor(tRaw * lit(1.0e6) + 0.5) / lit(1.0e6)).as("t_stat"),
+          (floor(tRaw * lit(1.0e6) + 0.5) < lit(-2860000.0)).as("stationary"))
     }
   )
 

@@ -485,6 +485,75 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Held-out perplexity under the corpus's own bigram LM — the
+    // eval-side companion to text_bigram_lm (which scores docs under a
+    // model trained on ALL docs, itself included): train on the even
+    // doc_ids, score the odd ones, so the number is an honest
+    // generalization measure — the quality gate a data-curation loop
+    // tracks per source/snapshot while it tunes filters. Unseen
+    // bigrams/contexts fall back to add-one mass ((0+1)/(0+V)): LEFT
+    // joins + coalesce, the one modeling branch text_bigram_lm never
+    // exercises. Same scale shape: two keyed train-side counts join
+    // the held-out bigram stream (count tables are the build side);
+    // per-bigram ln p snaps ×10⁶ to exact longs, the per-doc mean
+    // snaps at 9 dp, and ppl = exp(−mean) is IEEE-identical on the
+    // identical snapped input.
+    "text_perplexity" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |bg0 AS (
+         |  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+         |  FROM t WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM bg0),
+         |tr AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+         |te AS (SELECT * FROM bg WHERE doc_id % 2 = 1),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tr GROUP BY w1, w2),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tr GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM tr),
+         |scored AS (
+         |  SELECT te.doc_id,
+         |    CAST(floor(ln((coalesce(c2.c12, 0) + 1.0)
+         |      / (coalesce(c1.c1, 0) + v.vocab)) * 1000000 + 0.5) AS BIGINT) AS lp_fp
+         |  FROM te LEFT JOIN c2 ON c2.w1 = te.w1 AND c2.w2 = te.w2
+         |  LEFT JOIN c1 ON c1.w1 = te.w1 CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(floor(CAST(sum(lp_fp) AS BIGINT) * 1000.0 / count(*) + 0.5) AS BIGINT)
+         |      / 1000000000.0 AS avg_ln_p
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, avg_ln_p,
+         |  floor(exp(-avg_ln_p) * 1000000 + 0.5) / 1.0e6 AS perplexity
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist() // barrier: keep the regexp out of the bigram lambda
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist() // train counts + held-out stream share one build
+      val tr = bg.filter(col("doc_id") % 2 === 0)
+      val te = bg.filter(col("doc_id") % 2 === 1)
+      val c2 = tr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = tr.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = tr.agg(countDistinct(col("w2")).as("vocab"))
+      val avg = (floor(col("s") * lit(1000.0) / col("n_bigrams") + 0.5)
+        .cast(LongType) / lit(1.0e9))
+      te.join(c2, Seq("w1", "w2"), "left").join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          floor(log((coalesce(col("c12"), lit(0L)) + lit(1.0))
+            / (coalesce(col("c1"), lit(0L)) + col("vocab"))) * 1000000 + 0.5)
+            .cast(LongType).as("lp_fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"), avg.as("avg_ln_p"),
+          (floor(exp(-avg) * 1000000 + 0.5) / lit(1.0e6)).as("perplexity"))
+    },
+
+    // ------------------------------------------------------------------
     // PMI collocation extraction — top-50 word pairs that co-occur far
     // more than chance (ln(c12·N / (c1·c2))), the classic multi-word-
     // expression miner. All counts are exact integers; the PMI double

@@ -199,7 +199,16 @@ object PlanAudit {
       "ev_logrank_test",
       // 1-row crossJoin: the global calendar-midpoint anchor the
       // per-type half-split moments divide against
-      "etl_benjamini_hochberg")
+      "etl_benjamini_hochberg",
+      // the shared IVF build's collapsed-centroid broadcasts (the
+      // ann_ivf_assign subtree both ops ride)
+      "dedup_semdedup",
+      // the IVF subtree + its own 1-row anchors (n, k/W, B, ΣDB) the
+      // final 1-row assembly crossJoins — all aggregate-bounded
+      "embedding_cluster_eval",
+      // 1-row broadcast: the train-side vocab anchor (the
+      // text_bigram_lm argument, train/held-out split variant)
+      "text_perplexity")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -423,7 +432,15 @@ object PlanAudit {
       // one corpus-scale per-user agg + the conversion agg; the
       // hour-domain grid, prefix-sum risk sets, arm join and term
       // aggregates are calendar-bounded bookkeeping moves
-      "ev_logrank_test" -> 12)
+      "ev_logrank_test" -> 12,
+      // rides the full ann_ivf_assign budget (9) + the embedding
+      // payload join and the cell-bounded pair/keep aggregates
+      "dedup_semdedup" -> 12,
+      // rides the full ann_ivf_assign budget (9) + the snap join, then
+      // the d2/wc/bt/m2/si/dbt chain — every exchange after the two
+      // corpus-scale moves (the point-snap join and the per-point d2
+      // agg) carries k×d = 1024 or k² = 256 bookkeeping rows
+      "embedding_cluster_eval" -> 30)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -524,7 +541,14 @@ object PlanAudit {
       // prints a historical BroadcastExchange over the orders scan;
       // the operator itself requests no broadcast (verified solo:
       // two SMJ equi-joins + TakeOrdered)
-      "graph_bipartite_projection")
+      "graph_bipartite_projection",
+      // the graph_common_neighbors argument: both persist the IVF
+      // home-assignment ⋈ embeddings relation in pass 1 (where stats
+      // broadcast the sf-sized embeddings side); pass 2 prints that
+      // captured subtree from the cache. Neither operator requests a
+      // corpus broadcast — their own broadcasts are the
+      // aggregate-bounded centroid/anchor relations.
+      "dedup_semdedup", "embedding_cluster_eval")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

@@ -3842,6 +3842,53 @@ class Round9InvariantSpec extends AnyFunSuite {
       assert(rels.head == rels.max, s"probe $p step-1 not the rel argmax")
     }
   }
+
+  test("ev_dickey_fuller: verdict consistent with its own snapped t") {
+    val rows = SparkEntry.queries("ev_dickey_fuller")(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val rho = r.getAs[Double]("rho")
+      assert(rho > -2.0 && rho < 1.0, s"DF rho out of the AR stability band: $rho")
+      val t = r.getAs[Double]("t_stat")
+      assert(r.getAs[Boolean]("stationary") == (t < -2.86))
+    }
+  }
+
+  test("text_perplexity scores only held-out docs, ppl = exp(-avg ln p) > 1") {
+    val rows = SparkEntry.queries("text_perplexity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("doc_id") % 2 == 1, "train doc leaked into eval")
+      val avg = r.getAs[Double]("avg_ln_p"); val ppl = r.getAs[Double]("perplexity")
+      assert(avg < 0 && ppl > 1)
+      assert(math.abs(ppl - math.exp(-avg)) <= 1e-5 * ppl)
+    }
+  }
+
+  test("dedup_semdedup: every dup neighborhood keeps its minimal-key member") {
+    val rows = SparkEntry.queries("dedup_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_dups") >= 1))
+    for ((cell, rs) <- rows.groupBy(_.getAs[Int]("cell"))) {
+      // the cell's global minimal (cos_c, vec_id) key has no smaller
+      // neighbor anywhere, so it MUST survive
+      val minRow = rs.minBy(r => (r.getAs[Double]("cos_c"), r.getAs[Long]("vec_id")))
+      assert(minRow.getAs[Boolean]("keep"), s"cell $cell dropped its minimal key")
+      assert(rs.exists(_.getAs[Boolean]("keep")), s"cell $cell wiped out")
+    }
+  }
+
+  test("embedding_cluster_eval: one row, positive scatter terms, sane k") {
+    val rows = SparkEntry.queries("embedding_cluster_eval")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_vectors") ==
+      graft.sources.Tables.embeddings(spark, sf).count())
+    val k = r.getAs[Int]("k_cells")
+    assert(k >= 2 && k <= 16)
+    assert(r.getAs[Double]("wss") > 0 && r.getAs[Double]("bss") > 0)
+    assert(r.getAs[Double]("ch_index") > 0 && r.getAs[Double]("db_index") > 0)
+  }
 }
 
 class Round9cInvariantSpec extends AnyFunSuite {
