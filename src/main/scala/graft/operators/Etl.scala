@@ -2246,6 +2246,137 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // G-test (log-likelihood-ratio independence) over the same
+    // status × priority contingency table as etl_chisq_independence —
+    // the additive counterpart agencies prefer when cells get small or
+    // tables are decomposed hierarchically (G sub-tables sum exactly;
+    // Pearson χ² doesn't). Same one-scan shape: ≤15-cell bookkeeping
+    // after the corpus agg; each cell's 2·O·ln(O·N/(R·C)) term snaps
+    // ×10⁶ to an exact long BEFORE the sum (the bigram-LM ln
+    // discipline — a 15-term double sum in engine group order is not
+    // reproducible, the snapped long sum is).
+    "etl_g_test" -> QueryDef.withOracle(
+      """WITH obs AS (
+        |  SELECT o_orderstatus AS rs, o_orderpriority AS cs,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT rs, CAST(sum(o) AS BIGINT) AS rtot FROM obs GROUP BY rs),
+        |ct AS (SELECT cs, CAST(sum(o) AS BIGINT) AS ctot FROM obs GROUP BY cs),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |               CAST(count(DISTINCT rs) AS BIGINT) AS nr,
+        |               CAST(count(DISTINCT cs) AS BIGINT) AS nc FROM obs),
+        |cell AS (
+        |  SELECT tot.n, tot.nr, tot.nc,
+        |    CAST(floor(2.0 * obs.o
+        |      * ln(CAST(obs.o AS DOUBLE) * tot.n / (CAST(rt.rtot AS DOUBLE) * ct.ctot))
+        |      * 1000000 + 0.5) AS BIGINT) AS g_fp
+        |  FROM obs JOIN rt USING (rs) JOIN ct USING (cs) CROSS JOIN tot)
+        |SELECT n, CAST(nr AS INT) AS n_rows, CAST(nc AS INT) AS n_cols,
+        |  CAST((nr - 1) * (nc - 1) AS INT) AS dof,
+        |  CAST(sum(g_fp) AS BIGINT) / 1.0e6 AS g_stat
+        |FROM cell GROUP BY n, nr, nc""".stripMargin) { (s, dir) =>
+      val obs = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("rs"), col("o_orderpriority").as("cs"))
+        .agg(count(lit(1)).as("o"))
+        .persist() // ≤15 rows; feeds margins, totals and the cell join
+      val rt = obs.groupBy(col("rs")).agg(sum(col("o")).as("rtot"))
+      val ct = obs.groupBy(col("cs")).agg(sum(col("o")).as("ctot"))
+      val tot = obs.agg(sum(col("o")).as("n"),
+        countDistinct(col("rs")).as("nr"), countDistinct(col("cs")).as("nc"))
+      val gFp = floor(lit(2.0) * col("o")
+        * log(col("o").cast(DoubleType) * col("n")
+          / (col("rtot").cast(DoubleType) * col("ctot")))
+        * lit(1000000) + lit(0.5)).cast(LongType)
+      obs.join(broadcast(rt), Seq("rs")).join(broadcast(ct), Seq("cs"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("nr"), col("nc"), gFp.as("g_fp"))
+        .groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sum(col("g_fp")).as("s"))
+        .select(col("n"),
+          col("nr").cast(IntegerType).as("n_rows"),
+          col("nc").cast(IntegerType).as("n_cols"),
+          ((col("nr") - 1) * (col("nc") - 1)).cast(IntegerType).as("dof"),
+          (col("s") / lit(1.0e6)).as("g_stat"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bartlett's test of equal quantity variances across return flags —
+    // the variance-homogeneity screen that gates pooled-variance
+    // ANOVA/t procedures (etl_levene_test is its robust cousin; a
+    // publication pipeline reports both: Bartlett is sharper under
+    // normality, Levene under contamination). Quantities are integral,
+    // so each group's (n, Σx, Σx²) are exact BIGINTs off ONE
+    // map-side-combined scan; every cross-group float term — the
+    // (nᵢ−1)sᵢ² pooled-variance summand, the (nᵢ−1)·ln sᵢ² statistic
+    // summand, the Σ1/(nᵢ−1) correction summand — snaps to fixed point
+    // BEFORE its ≤k-row sum. Verdict vs χ²₀.₀₅ at df = k−1 = 2 (the
+    // return-flag domain is A/N/R; the pinned 5.991465 critical value
+    // is df-specific and spec-locked to k = 3).
+    "etl_bartlett" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT flag, n,
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / n / (n - 1)
+        |      AS s2,
+        |    CAST(floor((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / n
+        |      * 1000000 + 0.5) AS BIGINT) AS pool_fp,
+        |    CAST(floor((n - 1)
+        |      * ln((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / n / (n - 1))
+        |      * 1000000 + 0.5) AS BIGINT) AS lns_fp,
+        |    CAST(floor(1e12 / (n - 1) + 0.5) AS BIGINT) AS inv_fp
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(pool_fp) AS BIGINT) AS pool,
+        |    CAST(sum(lns_fp) AS BIGINT) AS lns,
+        |    CAST(sum(inv_fp) AS BIGINT) AS inv
+        |  FROM t)
+        |SELECT CAST(k AS INT) AS k_groups, nn AS n,
+        |  floor(((nn - k) * ln(CAST(pool AS DOUBLE) / 1e6 / (nn - k))
+        |      - CAST(lns AS DOUBLE) / 1e6)
+        |    / (1 + (CAST(inv AS DOUBLE) / 1e12 - 1.0 / (nn - k)) / (3 * (k - 1)))
+        |    * 1e6 + 0.5) / 1.0e6 AS chi2,
+        |  floor(((nn - k) * ln(CAST(pool AS DOUBLE) / 1e6 / (nn - k))
+        |      - CAST(lns AS DOUBLE) / 1e6)
+        |    / (1 + (CAST(inv AS DOUBLE) / 1e12 - 1.0 / (nn - k)) / (3 * (k - 1)))
+        |    * 1e6 + 0.5) > 5991465 AS reject_equal_var
+        |FROM a""".stripMargin) { (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast(LongType).as("q"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sx"),
+          sum(col("q") * col("q")).as("sxx"))
+      val css = (col("n").cast(DoubleType) * col("sxx")
+        - col("sx").cast(DoubleType) * col("sx")) // n·(n−1)·s² (exact-int value)
+      val t = g.select(col("n"),
+        floor(css / col("n") * lit(1000000) + lit(0.5)).cast(LongType)
+          .as("pool_fp"),
+        floor((col("n") - 1) * log(css / col("n") / (col("n") - 1))
+          * lit(1000000) + lit(0.5)).cast(LongType).as("lns_fp"),
+        floor(lit(1.0e12) / (col("n") - 1) + lit(0.5)).cast(LongType)
+          .as("inv_fp"))
+      val a = t.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("pool_fp")).as("pool"), sum(col("lns_fp")).as("lns"),
+        sum(col("inv_fp")).as("inv"))
+      val chiFp = floor(
+        ((col("nn") - col("k"))
+          * log(col("pool").cast(DoubleType) / lit(1.0e6) / (col("nn") - col("k")))
+          - col("lns").cast(DoubleType) / lit(1.0e6))
+        / (lit(1) + (col("inv").cast(DoubleType) / lit(1.0e12)
+          - lit(1.0) / (col("nn") - col("k"))) / (lit(3) * (col("k") - 1)))
+        * lit(1.0e6) + lit(0.5))
+      a.select(col("k").cast(IntegerType).as("k_groups"), col("nn").as("n"),
+        (chiFp / lit(1.0e6)).as("chi2"),
+        (chiFp > lit(5991465.0)).as("reject_equal_var"))
+    },
+
+    // ------------------------------------------------------------------
     // Herfindahl-Hirschman concentration index of customer spend within
     // each nation — the standard market-concentration screen a
     // statistical agency runs before publishing dominance-sensitive

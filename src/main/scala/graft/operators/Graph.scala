@@ -298,6 +298,79 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // Rich-club coefficient φ(k) over the verified near-dup graph —
+    // do high-degree nodes (template families, boilerplate hubs)
+    // preferentially link to EACH OTHER? φ(k) = 2·E_k/(N_k(N_k−1))
+    // over the subgraph of nodes with deg > k, swept at k ∈ {1,2,4}.
+    // In a dedup graph a rising φ(k) means the hubs form one mutually-
+    // near-dup core (one template family) rather than k independent
+    // stars — which changes the cut strategy (drop the family, not
+    // per-pair). Work: the shared verified-pair build + one degree
+    // agg; the k sweep expands the ≤|pairs| edge relation against a
+    // 3-row literal — counts are exact, φ snaps ×10⁹.
+    "graph_rich_club" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |deg AS (
+         |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS src FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs) GROUP BY src),
+         |ks AS (SELECT unnest([1, 2, 4]) AS k),
+         |nk AS (
+         |  SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k),
+         |ek AS (
+         |  SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM ks JOIN pairs p ON TRUE
+         |  JOIN deg a ON a.doc_id = p.doc_a AND a.deg > ks.k
+         |  JOIN deg b ON b.doc_id = p.doc_b AND b.deg > ks.k
+         |  GROUP BY ks.k)
+         |SELECT CAST(nk.k AS INT) AS k, nk.n_nodes,
+         |  coalesce(ek.n_edges, 0) AS n_edges,
+         |  CASE WHEN nk.n_nodes >= 2 THEN
+         |    floor(2.0 * coalesce(ek.n_edges, 0)
+         |      / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1))
+         |      * 1e9 + 0.5) / 1.0e9
+         |  END AS phi
+         |FROM nk LEFT JOIN ek USING (k)""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .persist() // degree build + both endpoint-filter joins
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        .persist() // 3 k-arms read it
+      // k sweep by row-local explode (3 literals) — no join needed
+      val kArr = array(lit(1), lit(2), lit(4))
+      val nk = deg.select(col("deg"), explode(kArr).as("k"))
+        .filter(col("deg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+      val ek = pairs
+        .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("dega")),
+          "doc_a")
+        .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("degb")),
+          "doc_b")
+        .select(least(col("dega"), col("degb")).as("dmin"),
+          explode(kArr).as("k"))
+        .filter(col("dmin") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+      nk.join(ek, Seq("k"), "left")
+        .select(col("k").cast("int").as("k"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          when(col("n_nodes") >= 2,
+            floor(lit(2.0) * coalesce(col("n_edges"), lit(0L))
+              / (col("n_nodes").cast(DoubleType) * (col("n_nodes") - 1))
+              * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("phi"))
+    },
+
+    // ------------------------------------------------------------------
     // Triangle count via degree orientation — the standard bound that
     // makes triangle counting feasible on power-law graphs: direct each
     // undirected edge from its lower-(deg, id) endpoint to the higher,

@@ -4575,6 +4575,49 @@ object Temporal {
           (floor(b.cast(DoubleType) / a * lit(1.0e9) + 0.5) / lit(1.0e9)).as("rho"),
           (floor(tRaw * lit(1.0e6) + 0.5) / lit(1.0e6)).as("t_stat"),
           (floor(tRaw * lit(1.0e6) + 0.5) < lit(-2860000.0)).as("stationary"))
+    },
+
+    // ------------------------------------------------------------------
+    // Active-day streaks per user (gaps-and-islands): the engagement
+    // primitive behind "7-day streak" product mechanics and habit
+    // cohorting — consecutive-calendar-day runs of activity, collapsed
+    // per user to streak count / longest streak / current-tail length.
+    // The classic day − row_number() island key groups consecutive
+    // days into one constant; both the ranking window and the island
+    // collapse partition BY USER — bounded by one user's active days
+    // (≤ calendar span), never corpus-wide, and the user-keyed shuffle
+    // is the only corpus-scale exchange after the (user, day) distinct.
+    "ev_streaks" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day ASC)
+        |      AS grp
+        |  FROM d),
+        |st AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(max(day) AS BIGINT) AS end_day
+        |  FROM i GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(max_by(len, end_day) AS BIGINT) AS last_streak
+        |FROM st GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      val st = d
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("day")).as("end_day"))
+      st.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"),
+          max_by(col("len"), col("end_day")).as("last_streak"))
     }
   )
 

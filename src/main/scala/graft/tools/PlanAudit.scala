@@ -208,7 +208,10 @@ object PlanAudit {
       "embedding_cluster_eval",
       // 1-row broadcast: the train-side vocab anchor (the
       // text_bigram_lm argument, train/held-out split variant)
-      "text_perplexity")
+      "text_perplexity",
+      // 1-row broadcast: the (n, nr, nc) contingency-total anchor
+      // (the etl_chisq_independence argument)
+      "etl_g_test")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell
@@ -440,7 +443,12 @@ object PlanAudit {
       // the d2/wc/bt/m2/si/dbt chain — every exchange after the two
       // corpus-scale moves (the point-snap join and the per-point d2
       // agg) carries k×d = 1024 or k² = 256 bookkeeping rows
-      "embedding_cluster_eval" -> 30)
+      "embedding_cluster_eval" -> 30,
+      // the graph_degree_stats budget (LSH candidate stage, all
+      // bucket-capped) + the degree agg, two endpoint-degree joins and
+      // the two 3-literal k-arm aggs — everything after the shared
+      // pair build moves node/edge-keyed bookkeeping rows
+      "graph_rich_club" -> 10)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -548,7 +556,12 @@ object PlanAudit {
       // captured subtree from the cache. Neither operator requests a
       // corpus broadcast — their own broadcasts are the
       // aggregate-bounded centroid/anchor relations.
-      "dedup_semdedup", "embedding_cluster_eval")
+      "dedup_semdedup", "embedding_cluster_eval",
+      // the graph_degree_stats/graph_triangles argument: the only
+      // broadcast is the >1024-member hot-bucket relation from
+      // Dedup.capBuckets, printing opaquely behind the shared bands
+      // cache
+      "graph_rich_club")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

