@@ -1244,6 +1244,151 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // Sampled-Brandes betweenness centrality from 8 seeds over the
+    // verified near-dup graph — WHICH documents sit on the shortest
+    // paths between template families (the cut vertices whose removal
+    // disconnects dup clusters; closeness says "central", betweenness
+    // says "bridge"). Exact Brandes is O(V·E) — dead at corpus scale —
+    // so this is the standard k-source estimator (k the accuracy knob,
+    // Eppstein-Wang / Riondato-Kornaropoulos shape) truncated at 4
+    // hops. Forward: 4 synchronous BFS rounds in the graph_closeness
+    // Pregel layout carrying the path COUNT σ (exact BIGINT — new
+    // frontier nodes sum their predecessors' σ through one keyed agg
+    // per round). Backward: Brandes' dependency δ(u) = Σ_pred
+    // σ(u)/σ(v)·(1+δ(v)) unrolls depth 4→1 as three pred-edge joins;
+    // each per-edge term snaps ×10⁹ BEFORE its per-node sum so δ
+    // accumulates as exact longs (cross-engine and partition-order
+    // invariant). Depth-4 nodes' δ = 0 — the documented truncation.
+    // Top-20 bridge nodes via TakeOrdered.
+    "graph_betweenness" -> QueryDef.withOracle {
+      def fwdSql(i: Int): String =
+        s"""m${i + 1} AS MATERIALIZED (
+           |  SELECT d.seed, e.dst AS doc_id, CAST(sum(d.sigma) AS BIGINT) AS sig
+           |  FROM edges e JOIN v$i d ON d.doc_id = e.src AND d.dist = $i
+           |  GROUP BY d.seed, e.dst),
+           |v${i + 1} AS MATERIALIZED (
+           |  SELECT * FROM v$i
+           |  UNION ALL
+           |  SELECT m.seed, m.doc_id, ${i + 1} AS dist, m.sig AS sigma
+           |  FROM m${i + 1} m
+           |  ANTI JOIN v$i ON v$i.seed = m.seed AND v$i.doc_id = m.doc_id)"""
+          .stripMargin
+      def bwdSql(d: Int): String = {
+        val dv = if (d == 3) "0" else s"coalesce(c${d + 1}.dfp, 0)"
+        val dj = if (d == 3) ""
+          else s"\n  LEFT JOIN c${d + 1} ON c${d + 1}.seed = a.seed AND c${d + 1}.doc_id = b.doc_id"
+        s"""c$d AS MATERIALIZED (
+           |  SELECT a.seed, a.doc_id,
+           |    CAST(sum(CAST(floor(CAST(a.sigma AS DOUBLE)
+           |      * (1.0 + $dv / 1e9) / b.sigma * 1e9 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS dfp
+           |  FROM edges e
+           |  JOIN v4 a ON a.doc_id = e.src AND a.dist = $d
+           |  JOIN v4 b ON b.seed = a.seed AND b.doc_id = e.dst
+           |    AND b.dist = ${d + 1}$dj
+           |  GROUP BY a.seed, a.doc_id)""".stripMargin
+      }
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(
+         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+         |dg AS (SELECT src AS seed, CAST(count(*) AS BIGINT) AS deg
+         |       FROM edges GROUP BY src),
+         |seeds AS (
+         |  SELECT seed FROM dg ORDER BY deg DESC, seed ASC LIMIT 8),
+         |v0 AS MATERIALIZED (
+         |  SELECT seed, seed AS doc_id, CAST(0 AS BIGINT) AS dist,
+         |    CAST(1 AS BIGINT) AS sigma
+         |  FROM seeds),
+         |${(0 until 4).map(fwdSql).mkString(",\n")},
+         |${Seq(3, 2, 1).map(bwdSql).mkString(",\n")}
+         |SELECT doc_id AS node_id, CAST(sum(dfp) AS BIGINT) AS bc_fp,
+         |  CAST(sum(dfp) AS BIGINT) / 1.0e9 AS betweenness
+         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+         |      UNION ALL SELECT * FROM c3)
+         |GROUP BY doc_id
+         |ORDER BY bc_fp DESC, node_id ASC LIMIT 20""".stripMargin
+    } { (s, dir) =>
+      val p = Dedup.defs.toMap.apply("dedup_embedding").fn(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")).persist()
+      // hub seeding: the 8 highest-degree nodes (deterministic
+      // (deg DESC, id ASC) — hubs anchor the dense neighborhoods where
+      // multi-hop shortest paths actually exist; id-ordered seeds land
+      // in pair-components and measure nothing)
+      val seeds = edges.groupBy(col("src").as("seed"))
+        .agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("seed").asc).limit(8)
+        .select(col("seed"))
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+      }
+      def cut(df: DataFrame) =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      // forward: visited (seed, doc_id, dist, sigma), one frontier
+      // join + one (seed, dst) keyed σ-sum + one anti-join per round
+      var vis = cut(seeds.select(col("seed"), col("seed").as("doc_id"),
+        lit(0L).as("dist"), lit(1L).as("sigma")))
+      for (i <- 0 until 4) {
+        val msgs = edges
+          .join(vis.filter(col("dist") === i)
+            .select(col("seed"), col("doc_id").as("src"), col("sigma")),
+            Seq("src"))
+          .groupBy(col("seed"), col("dst").as("doc_id"))
+          .agg(sum(col("sigma")).as("sig"))
+        val fresh = msgs.join(vis.select(col("seed"), col("doc_id")),
+            Seq("seed", "doc_id"), "left_anti")
+          .select(col("seed"), col("doc_id"), lit(i + 1L).as("dist"),
+            col("sig").as("sigma"))
+        vis = cut(vis.unionByName(fresh))
+      }
+      // backward: δ-contributions per depth, deepest first; each term
+      // snaps ×10⁹ before the per-(seed, node) sum
+      def backStep(d: Int, deeper: Option[DataFrame]): DataFrame = {
+        val a = vis.filter(col("dist") === d)
+          .select(col("seed"), col("doc_id").as("src"),
+            col("sigma").as("sig_u"))
+        val b = vis.filter(col("dist") === d + 1)
+          .select(col("seed"), col("doc_id").as("dst"),
+            col("sigma").as("sig_v"))
+        val joined = edges.join(a, Seq("src")).join(b, Seq("seed", "dst"))
+        val withD = deeper match {
+          case Some(c) => joined.join(
+            c.select(col("seed"), col("doc_id").as("dst"),
+              col("dfp").as("dv")), Seq("seed", "dst"), "left")
+          case None => joined.withColumn("dv", lit(0L))
+        }
+        withD
+          .select(col("seed"), col("src").as("doc_id"),
+            floor(col("sig_u").cast(DoubleType)
+              * (lit(1.0) + coalesce(col("dv"), lit(0L)) / lit(1.0e9))
+              / col("sig_v") * lit(1.0e9) + 0.5).cast(LongType).as("t"))
+          .groupBy(col("seed"), col("doc_id"))
+          .agg(sum(col("t")).as("dfp"))
+      }
+      val c3 = cut(backStep(3, None))
+      val c2 = cut(backStep(2, Some(c3)))
+      val c1 = backStep(1, Some(c2))
+      c1.unionByName(c2).unionByName(c3)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dfp")).as("bc_fp"))
+        .orderBy(col("bc_fp").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id").as("node_id"), col("bc_fp"),
+          (col("bc_fp") / lit(1.0e9)).as("betweenness"))
+    },
+
+    // ------------------------------------------------------------------
     // Harmonic closeness centrality from 8 sampled sources over the
     // verified near-dup graph — the Eppstein-Wang estimator shape:
     // exact all-pairs closeness is O(V·E) and dead at corpus scale, so

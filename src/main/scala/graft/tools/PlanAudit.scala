@@ -448,7 +448,13 @@ object PlanAudit {
       // bucket-capped) + the degree agg, two endpoint-degree joins and
       // the two 3-literal k-arm aggs — everything after the shared
       // pair build moves node/edge-keyed bookkeeping rows
-      "graph_rich_club" -> 10)
+      "graph_rich_club" -> 10,
+      // the graph_closeness layout (embedding pair build + per-round
+      // frontier join/σ-agg behind localCheckpoint cuts, printing
+      // opaquely) + the hub-seed top-8 agg and the three backward
+      // pred-edge join/δ-agg rounds — per-round moves are frontier- or
+      // pred-edge-bounded, the mirrored edges shuffle once
+      "graph_betweenness" -> 12)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
@@ -561,7 +567,12 @@ object PlanAudit {
       // broadcast is the >1024-member hot-bucket relation from
       // Dedup.capBuckets, printing opaquely behind the shared bands
       // cache
-      "graph_rich_club")
+      "graph_rich_club",
+      // the graph_common_neighbors argument: its persisted embedding
+      // near-dup edge relation registers under pass-1 stats (which
+      // broadcast the sf-sized embeddings side of the label
+      // equi-join); the operator itself requests no corpus broadcast
+      "graph_betweenness")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange

@@ -3947,6 +3947,45 @@ class Round9InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_betweenness matches a plain-Scala truncated-Brandes replay") {
+    val rows = SparkEntry.queries("graph_betweenness")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("bc_fp")).toMap
+    // replay: same embedding near-dup edges, same hub seeds, same
+    // 4-hop truncation — unsnapped rational δ, compared at 1e-6
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(8).map(_._1)
+    val bc = collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s0 <- seeds) {
+      val dist = collection.mutable.Map(s0 -> 0)
+      val sigma = collection.mutable.Map(s0 -> 1L)
+      var frontier = Set(s0)
+      for (d <- 0 until 4) {
+        val msgs = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (u <- frontier; v <- adj.getOrElse(u, Set.empty)
+             if !dist.contains(v) || dist(v) == d + 1)
+          msgs(v) += sigma(u)
+        frontier = msgs.keySet.filterNot(dist.contains).toSet
+        for (v <- frontier) { dist(v) = d + 1; sigma(v) = msgs(v) }
+      }
+      val delta = collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (d <- 3 to 1 by -1; u <- dist.keys if dist(u) == d;
+           v <- adj.getOrElse(u, Set.empty) if dist.get(v).contains(d + 1))
+        delta(u) += sigma(u).toDouble / sigma(v) * (1.0 + delta(v))
+      for ((n, dl) <- delta if dl > 0) bc(n) += dl
+    }
+    val expect = bc.filter(_._2 > 0)
+    assert(rows.keySet.subsetOf(expect.keySet))
+    if (expect.size <= 20) assert(rows.keySet == expect.keySet)
+    for ((n, fp) <- rows)
+      assert(math.abs(fp / 1e9 - expect(n)) < 1e-5,
+        s"node $n: spark ${fp / 1e9} vs replay ${expect(n)}")
+  }
+
   test("embedding_cluster_eval: one row, positive scatter terms, sane k") {
     val rows = SparkEntry.queries("embedding_cluster_eval")(spark, sf).collect()
     assert(rows.length == 1)
