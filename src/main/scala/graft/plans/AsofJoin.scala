@@ -40,6 +40,27 @@ case class AsofJoinPlan(
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression,
     toleranceSec: Option[Long]) extends BinaryNode {
+  // The merge pass reads time/tie values as Long (epoch seconds /
+  // integral tie-breaker). Fail at ANALYSIS time with an actionable
+  // message rather than letting execution die in an opaque
+  // ClassCastException on e.g. a TimestampType column: `resolved`
+  // gates on the type contract, so checkAnalysis reports this plan as
+  // unresolved (with the message below logged via require) instead of
+  // planning it.
+  override lazy val resolved: Boolean = {
+    val base = childrenResolved && expressions.forall(_.resolved)
+    if (base) {
+      def check(name: String, e: Expression): Unit = require(
+        e.dataType == org.apache.spark.sql.types.LongType,
+        s"asof_join: $name must be LongType (epoch seconds); got " +
+          s"${e.dataType.simpleString} — cast first (e.g. " +
+          "unix_timestamp(col) or col.cast(\"long\"))")
+      check("leftTime", leftTime)
+      check("rightTime", rightTime)
+      check("rightTie", rightTie)
+    }
+    base
+  }
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

@@ -183,8 +183,18 @@ object EventStreams {
       committed.map(v => s.read.parquet(s"$targetDir/v=$v"))
     val merged = latestOf(cur.fold(latestOf(batch))(latestOf(batch).unionByName(_)))
     merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
-    java.nio.file.Files.write(pointer.toPath,
-      batchId.toString.getBytes) // commit point: readers flip here
+    // Commit point: readers flip here. The pointer swap must be atomic
+    // — a plain truncate-then-write lets a concurrent reader observe an
+    // empty/partial pointer mid-write — so write a temp file in the
+    // same directory and ATOMIC_MOVE it onto _latest (same-filesystem
+    // rename; readers see either the old or the new version, never a
+    // torn one).
+    val tmp = java.nio.file.Files.createTempFile(
+      pointer.toPath.getParent, "_latest_", ".tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes)
+    java.nio.file.Files.move(tmp, pointer.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 

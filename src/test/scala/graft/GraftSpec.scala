@@ -504,7 +504,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_rolling_regression", "event_type") -> "type×day calendar-bounded daily counts (trailing 14-day RANGE frames)",
       ("etl_cusum_chart", "f") -> "flag×month calendar-bounded mean relation (exact-integer prefix-sum/min walk)",
       ("ev_ar2_forecast", "event_type") -> "type×day calendar-bounded daily counts (lag-1/lag-2 deviation windows)",
-      ("etl_benjamini_hochberg", "") -> "m-row test battery (one row per series; the BH rank/step-up windows)")
+      ("etl_benjamini_hochberg", "") -> "m-row test battery (one row per series; the BH rank/step-up windows)",
+      ("ev_dickey_fuller", "event_type") -> "type×day calendar-bounded daily counts (lag-1/Δ regression windows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()

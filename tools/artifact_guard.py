@@ -34,13 +34,35 @@ def latest(pattern):
     return best, best_n
 
 
+def registry_size(root):
+    """Count registered queries straight from the Scala sources: every
+    registry entry constructs its QueryDef through exactly one
+    `QueryDef.withOracle` / `QueryDef.rowsOnly` factory call in an
+    operator module (Registry.scala holds only the definitions). This
+    is the close-freshness reference: a committed mirror or bench
+    artifact with fewer entries than the source registry means the
+    close ran BEFORE the registry froze (the round-9 failure: 9
+    operators landed after the close sweep and shipped unverified)."""
+    pat = re.compile(r'QueryDef\.(withOracle|rowsOnly)')
+    n = 0
+    for path in glob.glob(os.path.join(root, "src/main/scala/**/*.scala"),
+                          recursive=True):
+        if os.path.basename(path) == "Registry.scala":
+            continue
+        n += len(pat.findall(open(path, encoding="utf-8").read()))
+    return n
+
+
 def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expect = None
     for a in sys.argv[1:]:
         if a.startswith("--expect="):
             expect = int(a.split("=", 1)[1])
+    n_registry = registry_size(root)
+    print(f"source registry: {n_registry} queries")
 
+    stale = []
     mirror_path, mirror_n = latest(os.path.join(root, "CORRECTNESS_local_r*.json"))
     if mirror_path:
         mirror = json.load(open(mirror_path))
@@ -50,8 +72,31 @@ def main():
               f"({n_mirror} entries, {n_mfail} fail)")
         if expect is None:
             expect = n_mirror
+        if n_registry and n_mirror < n_registry:
+            stale.append(f"mirror {os.path.basename(mirror_path)} has "
+                         f"{n_mirror} entries < registry {n_registry}")
     else:
         print("local mirror  : none committed yet")
+
+    bench_path, _ = latest(os.path.join(root, "docs", "bench_r*_full.json"))
+    if bench_path:
+        try:
+            n_bench = len(json.load(open(bench_path)).get("queries", {}))
+            print(f"bench snapshot : {os.path.basename(bench_path)} "
+                  f"({n_bench} queries)")
+            if n_registry and n_bench < n_registry:
+                stale.append(f"bench {os.path.basename(bench_path)} has "
+                             f"{n_bench} queries < registry {n_registry}")
+        except Exception as e:
+            stale.append(f"bench {os.path.basename(bench_path)} unparseable: {e}")
+
+    if stale:
+        print("\n*** GUARD FAIL (close-freshness): the registry grew after "
+              "the round-close sweep — re-run tools/round_close.sh as the "
+              "LAST act of the round. ***")
+        for s in stale:
+            print(f"  - {s}")
+        return 1
 
     graded_path, graded_n = latest(os.path.join(root, "CORRECTNESS_r*.json"))
     if not graded_path:

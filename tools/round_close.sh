@@ -36,6 +36,14 @@ print(f"   {len(q)} queries, total {d['value']:.1f}s, "
 EOF
 
 echo "== 4/4 graded-artifact guard"
-python3 tools/artifact_guard.py || true
+# The guard's exit code IS the round-close verdict: an empty/undersized
+# graded artifact must fail this script (the round-8/9 silent-empty
+# failure). GUARD_WARN_ONLY=1 keeps the old soft behavior for mid-round
+# dry runs.
+if [[ "${GUARD_WARN_ONLY:-0}" == "1" ]]; then
+  python3 tools/artifact_guard.py || echo "WARN: artifact guard failed (GUARD_WARN_ONLY=1)"
+else
+  python3 tools/artifact_guard.py
+fi
 
 echo "round-close artifacts ready: CORRECTNESS_local_r${N}.json docs/bench_r${N}_full.json"

@@ -9,7 +9,7 @@ For each query: run the oracle SQL in DuckDB with views over the same
 parquet tables, load both results, sort columns by name, sort rows,
 normalize values, and compare cell-by-cell.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 import numpy as np
@@ -52,11 +52,15 @@ def normalize(df):
     return list(df.columns), rows
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, only=None):
     results = {}
+    durations = {}
 
-    def record(name, status, msg):
+    def record(name, status, msg, secs=None):
         results[name] = {"status": status, "detail": msg}
+        if secs is not None:
+            results[name]["oracle_sec"] = round(secs, 3)
+            durations[name] = secs
 
     con = duckdb.connect()
     for t in TABLES:
@@ -93,19 +97,22 @@ def main(sf_dir, out_dir, json_out=None):
             record(d, "pass", "rows-only, schema scan")
             n_pass += 1
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         sql = oracle[name]
+        t_start = time.monotonic()
         pq_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(pq_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output at {pq_dir}")
-            record(name, "fail", "no spark output")
+            record(name, "fail", "no spark output", secs=time.monotonic() - t_start)
             n_fail += 1
             continue
         try:
             got = pd.read_parquet(pq_dir)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
-            record(name, "fail", f"cannot read spark output: {e}")
+            record(name, "fail", f"cannot read spark output: {e}", secs=time.monotonic() - t_start)
             n_fail += 1
             continue
         # Driver-gate guard: DECIMAL / nested output columns fail the
@@ -117,7 +124,7 @@ def main(sf_dir, out_dir, json_out=None):
         if bad_cols:
             print(f"FAIL {name}: driver-hostile output columns {bad_cols} "
                   f"(decimal/nested) — cast to DOUBLE / scalars")
-            record(name, "fail", f"driver-hostile columns {bad_cols}")
+            record(name, "fail", f"driver-hostile columns {bad_cols}", secs=time.monotonic() - t_start)
             n_fail += 1
             continue
         try:
@@ -135,25 +142,27 @@ def main(sf_dir, out_dir, json_out=None):
                       f"HUGEINT-class types — CAST them to BIGINT in the "
                       f"oracle SQL (driver hash mismatch)")
                 record(name, "fail",
-                       f"oracle columns {bad_oracle} HUGEINT-class")
+                       f"oracle columns {bad_oracle} HUGEINT-class",
+                       secs=time.monotonic() - t_start)
                 n_fail += 1
                 continue
             want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
-            record(name, "fail", f"oracle SQL error: {e}")
+            record(name, "fail", f"oracle SQL error: {e}", secs=time.monotonic() - t_start)
             n_fail += 1
             continue
         gc, gr = normalize(got)
         wc, wr = normalize(want)
         if gc != wc:
             print(f"FAIL {name}: columns differ spark={gc} duckdb={wc}")
-            record(name, "fail", f"columns differ spark={gc} duckdb={wc}")
+            record(name, "fail", f"columns differ spark={gc} duckdb={wc}", secs=time.monotonic() - t_start)
             n_fail += 1
             continue
         if len(gr) != len(wr):
             print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(wr)}")
-            record(name, "fail", f"rowcount spark={len(gr)} duckdb={len(wr)}")
+            record(name, "fail", f"rowcount spark={len(gr)} duckdb={len(wr)}",
+                   secs=time.monotonic() - t_start)
             n_fail += 1
             continue
         bad = [(a, b) for a, b in zip(gr, wr) if a != b]
@@ -161,13 +170,21 @@ def main(sf_dir, out_dir, json_out=None):
             print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first:")
             print("  spark :", bad[0][0][:300].replace("\x1f", " | "))
             print("  duckdb:", bad[0][1][:300].replace("\x1f", " | "))
-            record(name, "fail", f"{len(bad)}/{len(gr)} rows differ")
+            record(name, "fail", f"{len(bad)}/{len(gr)} rows differ",
+                   secs=time.monotonic() - t_start)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(gr)} rows)")
-            record(name, "pass", f"{len(gr)} rows hash-equivalent")
+            dt = time.monotonic() - t_start
+            print(f"PASS {name} ({len(gr)} rows, {dt:.1f}s)")
+            record(name, "pass", f"{len(gr)} rows hash-equivalent", secs=dt)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if durations:
+        worst = sorted(durations.items(), key=lambda kv: -kv[1])[:15]
+        total = sum(durations.values())
+        print(f"oracle sweep total {total:.0f}s; slowest:")
+        for n, s in worst:
+            print(f"  {s:7.1f}s  {n}")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
@@ -177,5 +194,7 @@ def main(sf_dir, out_dir, json_out=None):
 
 
 if __name__ == "__main__":
+    # optional 4th arg: comma-separated query names to profile a subset
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+                  sys.argv[3] if len(sys.argv) > 3 else None, only))
