@@ -6871,6 +6871,179 @@ object Etl {
         col("i").cast(LongType).as("rank"),
         (col("thr") / lit(1.0e9)).as("bh_thresh"),
         (col("i") <= col("kstar")).as("rejected"))
+    },
+
+    // ------------------------------------------------------------------
+    // STL seasonal decomposition (Cleveland et al. 1990) — the
+    // loess-based rung above the X-11 family (etl_seasonal_decompose /
+    // etl_x11_adjust): additive trend + seasonal + remainder on the
+    // monthly revenue series, with BOTH smoothers as genuine local
+    // weighted linear regressions instead of fixed moving averages.
+    // One STL inner pass: (1) cycle-subseries loess — each calendar
+    // month's subseries across years smoothed with a tricube-weighted
+    // degree-1 loess (half-width 2 years); (2) the 2×12 centered
+    // low-pass over the smoothed subseries values, subtracted to strip
+    // level leakage → seasonal; (3) trend loess (half-width 6 months,
+    // STL's q_t ≈ 1.5·period) on the deseasonalized series. Months are
+    // uniformly spaced, so each loess collapses to a FIXED weight
+    // vector: the tricube weights are computed ONCE here in Scala,
+    // ×10⁶-snapped, and inlined as integer literals into BOTH the
+    // Spark plan and the DuckDB oracle — no cross-engine pow() drift
+    // is possible, and every weighted sum is a row-local integer
+    // combination of window lags (order-invariant by construction).
+    // Edge months renormalize through the weighted-LS sums (Sw, Sx,
+    // Sxx carry presence indicators), exactly how loess handles
+    // boundaries. The series is normalized by its mean first (exact
+    // cent-sums), so fixed-point magnitudes are SF-INVARIANT: the same
+    // ×10⁶ scale works at 100 TB because z ≈ O(1) however large the
+    // monthly totals grow. The corpus collapses to the 80-row monthly
+    // relation in the first aggregate; everything after is
+    // calendar-bounded bookkeeping.
+    "etl_stl_decompose" -> {
+      // tricube weight (1−u³)³ at integer offset k, half-width h,
+      // snapped to a ×10⁶ integer literal shared by both engines
+      def w(k: Int, h: Int): Long = {
+        val u = math.abs(k).toDouble / (h + 1)
+        val v = 1.0 - u * u * u
+        math.floor(v * v * v * 1e6 + 0.5).toLong
+      }
+      val seasK = (-2 to 2).toSeq // subseries half-width: 2 years
+      val trK = (-6 to 6).toSeq // trend half-width: 6 months
+      // SQL generators for the five weighted-LS sums over window `win`
+      def nbSql(c: String, k: Int, win: String): String =
+        if (k < 0) s"lag($c, ${-k}) OVER $win"
+        else if (k > 0) s"lead($c, $k) OVER $win"
+        else c
+      def sumsSql(c: String, ks: Seq[Int], h: Int, win: String): String = {
+        def ind(k: Int, f: Long) =
+          s"(CASE WHEN ${nbSql(c, k, win)} IS NOT NULL THEN $f ELSE 0 END)"
+        def term(k: Int, f: Long) =
+          s"($f * coalesce(${nbSql(c, k, win)}, 0))"
+        val sw = ks.map(k => ind(k, w(k, h))).mkString(" + ")
+        val sx = ks.map(k => ind(k, w(k, h) * k)).mkString(" + ")
+        val sxx = ks.map(k => ind(k, w(k, h) * k * k)).mkString(" + ")
+        val sy = ks.map(k => term(k, w(k, h))).mkString(" + ")
+        val sxy = ks.map(k => term(k, w(k, h) * k)).mkString(" + ")
+        s"CAST($sw AS BIGINT) AS sw, CAST($sx AS BIGINT) AS sx, " +
+          s"CAST($sxx AS BIGINT) AS sxx, CAST($sy AS BIGINT) AS sy, " +
+          s"CAST($sxy AS BIGINT) AS sxy"
+      }
+      // loess value at the center point (x = 0) from the sums, as a
+      // snapped BIGINT; the det=0 guard can't fire on ≥2 distinct
+      // offsets but is written identically on both engines
+      val betaSql =
+        """CAST(floor(CASE
+          |    WHEN CAST(sw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+          |    THEN CAST(sy AS DOUBLE) / sw
+          |    ELSE (CAST(sxx AS DOUBLE) * sy - CAST(sx AS DOUBLE) * sxy)
+          |      / (CAST(sw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |  END + 0.5) AS BIGINT)""".stripMargin
+      val lpTerms = (("lag(c_fp, 6) OVER tw + lead(c_fp, 6) OVER tw") +:
+        (-5 to 5).map(k => s"2 * ${nbSql("c_fp", k, "tw")}")).mkString(" + ")
+      val oracle =
+        s"""WITH m AS (
+           |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+           |      AS mo_s,
+           |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+           |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS t,
+           |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS total_c
+           |  FROM orders GROUP BY 1, 2, 3, 4),
+           |anch AS (SELECT CAST(count(*) AS BIGINT) AS nm,
+           |    CAST(sum(total_c) AS BIGINT) AS ysum FROM m),
+           |z AS (SELECT m.*, anch.nm, anch.ysum,
+           |    CAST(floor(CAST(total_c AS DOUBLE) * nm / ysum * 1000000 + 0.5)
+           |      AS BIGINT) AS z_fp
+           |  FROM m CROSS JOIN anch),
+           |cs AS (SELECT *, ${sumsSql("z_fp", seasK, 2, "sub")}
+           |  FROM z WINDOW sub AS (PARTITION BY mo ORDER BY yr)),
+           |cv AS (SELECT mo_s, mo, yr, t, total_c, nm, ysum, z_fp,
+           |    $betaSql AS c_fp FROM cs),
+           |lp AS (SELECT *, $lpTerms AS lnum
+           |  FROM cv WINDOW tw AS (ORDER BY t)),
+           |sv AS (SELECT mo_s, t, total_c, nm, ysum, z_fp,
+           |    z_fp - (c_fp - CAST(floor(CAST(lnum AS DOUBLE) / 24 + 0.5)
+           |      AS BIGINT)) AS d_fp,
+           |    c_fp - CAST(floor(CAST(lnum AS DOUBLE) / 24 + 0.5) AS BIGINT)
+           |      AS s_fp
+           |  FROM lp WHERE lnum IS NOT NULL),
+           |tr AS (SELECT *, ${sumsSql("d_fp", trK, 6, "tw")}
+           |  FROM sv WINDOW tw AS (ORDER BY t)),
+           |tv AS (SELECT mo_s, total_c, nm, ysum, z_fp, s_fp,
+           |    $betaSql AS t_fp FROM tr)
+           |SELECT mo_s, CAST(total_c AS DOUBLE) / 100 AS total,
+           |  floor(CAST(t_fp AS DOUBLE) / 1000000 * ysum / nm + 0.5) / 100.0
+           |    AS trend,
+           |  floor(CAST(s_fp AS DOUBLE) / 1000000 * ysum / nm + 0.5) / 100.0
+           |    AS seasonal,
+           |  floor(CAST(z_fp - s_fp - t_fp AS DOUBLE) / 1000000 * ysum / nm
+           |    + 0.5) / 100.0 AS remainder
+           |FROM tv""".stripMargin
+      QueryDef.withOracle(oracle) { (s, dir) =>
+        def nb(c: Column, k: Int, win: org.apache.spark.sql.expressions.WindowSpec): Column =
+          if (k < 0) lag(c, -k).over(win)
+          else if (k > 0) lead(c, k).over(win) else c
+        def sums(c: Column, ks: Seq[Int], h: Int,
+            win: org.apache.spark.sql.expressions.WindowSpec): Seq[Column] = {
+          def ind(k: Int, f: Long) =
+            when(nb(c, k, win).isNotNull, lit(f)).otherwise(lit(0L))
+          def term(k: Int, f: Long) = lit(f) * coalesce(nb(c, k, win), lit(0L))
+          Seq(
+            ks.map(k => ind(k, w(k, h))).reduce(_ + _).cast(LongType).as("sw"),
+            ks.map(k => ind(k, w(k, h) * k)).reduce(_ + _).cast(LongType).as("sx"),
+            ks.map(k => ind(k, w(k, h) * k * k)).reduce(_ + _).cast(LongType).as("sxx"),
+            ks.map(k => term(k, w(k, h))).reduce(_ + _).cast(LongType).as("sy"),
+            ks.map(k => term(k, w(k, h) * k)).reduce(_ + _).cast(LongType).as("sxy"))
+        }
+        val det = col("sw").cast(DoubleType) * col("sxx") -
+          col("sx").cast(DoubleType) * col("sx")
+        val beta = floor(when(det === 0.0,
+            col("sy").cast(DoubleType) / col("sw"))
+          .otherwise((col("sxx").cast(DoubleType) * col("sy") -
+            col("sx").cast(DoubleType) * col("sxy")) / det) + lit(0.5))
+          .cast(LongType)
+        val m = Tables.orders(s, dir)
+          .groupBy(
+            unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+            month(col("o_orderdate")).cast(LongType).as("mo"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast(LongType).as("t"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+            .as("total_c"))
+        val anch = m.agg(count(lit(1)).as("nm"), sum(col("total_c")).as("ysum"))
+        val z = m.crossJoin(broadcast(anch))
+          .withColumn("z_fp", floor(col("total_c").cast(DoubleType)
+            * col("nm") / col("ysum") * lit(1000000) + lit(0.5)).cast(LongType))
+        val sub = Window.partitionBy(col("mo")).orderBy(col("yr").asc)
+        val cv = z.select(Seq(col("mo_s"), col("mo"), col("yr"), col("t"),
+            col("total_c"), col("nm"), col("ysum"), col("z_fp")) ++
+            sums(col("z_fp"), seasK, 2, sub): _*)
+          .withColumn("c_fp", beta)
+        val tw = Window.orderBy(col("t").asc)
+        val lnum = (Seq(nb(col("c_fp"), -6, tw), nb(col("c_fp"), 6, tw)) ++
+          (-5 to 5).map(k => lit(2L) * nb(col("c_fp"), k, tw))).reduce(_ + _)
+        val sv = cv.withColumn("lnum", lnum)
+          .filter(col("lnum").isNotNull)
+          .withColumn("s_fp", col("c_fp") -
+            floor(col("lnum").cast(DoubleType) / 24 + lit(0.5)).cast(LongType))
+          .withColumn("d_fp", col("z_fp") - col("s_fp"))
+          .select(col("mo_s"), col("t"), col("total_c"), col("nm"),
+            col("ysum"), col("z_fp"), col("d_fp"), col("s_fp"))
+        val tv = sv.select(Seq(col("mo_s"), col("total_c"), col("nm"),
+            col("ysum"), col("z_fp"), col("s_fp")) ++
+            sums(col("d_fp"), trK, 6, tw): _*)
+          .withColumn("t_fp", beta)
+        def units(c: Column): Column =
+          floor(c.cast(DoubleType) / 1000000 * col("ysum") / col("nm")
+            + lit(0.5)) / lit(100.0)
+        tv.select(col("mo_s"),
+          (col("total_c").cast(DoubleType) / 100).as("total"),
+          units(col("t_fp")).as("trend"),
+          units(col("s_fp")).as("seasonal"),
+          units(col("z_fp") - col("s_fp") - col("t_fp")).as("remainder"))
+      }
     }
   )
 

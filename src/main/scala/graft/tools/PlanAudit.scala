@@ -138,6 +138,9 @@ object PlanAudit {
       // argument) + the 13-row literal Henderson-weights relation
       // (the etl_henderson_trend argument)
       "etl_x11_adjust",
+      // 1-row broadcast: the (n_months, Σcents) series-mean normalizer
+      // anchor the z-scores divide by
+      "etl_stl_decompose",
       // 1-row broadcasts: the total-transition anchor and the 1-row
       // entropy-rate anchor over the ≤|types| state relation
       "ev_markov_entropy",
@@ -448,7 +451,10 @@ object PlanAudit {
       // bucket-capped) + the degree agg, two endpoint-degree joins and
       // the two 3-literal k-arm aggs — everything after the shared
       // pair build moves node/edge-keyed bookkeeping rows
-      "graph_rich_club" -> 10,
+      // 11 not 10: one of the shared LSH-candidate subtrees prints its
+      // exchange with fresh expr-ids when the suite runs solo (cache
+      // registration order), +1 over the full-suite print
+      "graph_rich_club" -> 11,
       // the graph_closeness layout (embedding pair build + per-round
       // frontier join/σ-agg behind localCheckpoint cuts, printing
       // opaquely) + the hub-seed top-8 agg and the three backward

@@ -505,7 +505,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_cusum_chart", "f") -> "flag×month calendar-bounded mean relation (exact-integer prefix-sum/min walk)",
       ("ev_ar2_forecast", "event_type") -> "type×day calendar-bounded daily counts (lag-1/lag-2 deviation windows)",
       ("etl_benjamini_hochberg", "") -> "m-row test battery (one row per series; the BH rank/step-up windows)",
-      ("ev_dickey_fuller", "event_type") -> "type×day calendar-bounded daily counts (lag-1/Δ regression windows)")
+      ("ev_dickey_fuller", "event_type") -> "type×day calendar-bounded daily counts (lag-1/Δ regression windows)",
+      ("etl_stl_decompose", "") -> "monthly-grain calendar relation (the seasonal_decompose argument; loess lags + low-pass + trend windows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -4228,5 +4229,44 @@ class Round9dInvariantSpec extends AnyFunSuite {
     val byAbsZ = rows.sortBy(r => -math.abs(r.getAs[Double]("z")))
     val psByZ = byAbsZ.map(_.getAs[Double]("p"))
     assert(psByZ.zip(psByZ.tail).forall { case (a, b) => a <= b + 1e-12 })
+  }
+}
+
+class Round10InvariantSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("etl_stl_decompose: additive identity, coverage, and loess smoothness") {
+    val rows = SparkEntry.queries("etl_stl_decompose")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    // 80 contiguous months, minus 6 at each end for the 2x12 low-pass
+    assert(rows.length == 68, s"expected 68 interior months, got ${rows.length}")
+    val total = rows.map(_.getAs[Double]("total"))
+    val trend = rows.map(_.getAs[Double]("trend"))
+    val seasonal = rows.map(_.getAs[Double]("seasonal"))
+    val remainder = rows.map(_.getAs[Double]("remainder"))
+    // additive identity: the components reconstruct z_fp exactly
+    // (r_fp = z_fp - s_fp - t_fp), so the residual vs the raw total is
+    // bounded by the one z-snap (±0.5e-6 relative, scaled by the
+    // series mean) plus the three independent cent snaps
+    val meanTotal = total.sum / total.length
+    for (i <- rows.indices) {
+      val resid = math.abs(total(i) - (trend(i) + seasonal(i) + remainder(i)))
+      assert(resid <= 0.04 + meanTotal * 0.6e-6,
+        s"month $i: identity residual $resid vs mean $meanTotal")
+    }
+    // the trend loess must be SMOOTHER than the raw series: total
+    // second-difference variation strictly drops (the point of loess)
+    def tv2(xs: Array[Double]): Double =
+      xs.sliding(3).map(w => math.abs(w(2) - 2 * w(1) + w(0))).sum
+    assert(tv2(trend) < tv2(total) * 0.5,
+      s"trend not smoother: tv2(trend)=${tv2(trend)} tv2(total)=${tv2(total)}")
+    // an additive seasonal must straddle zero (the low-pass strips
+    // the level into the trend)
+    assert(seasonal.max > 0 && seasonal.min < 0,
+      "additive seasonal must straddle zero")
+    // deterministic: a second run is cell-identical
+    val again = SparkEntry.queries("etl_stl_decompose")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 }
