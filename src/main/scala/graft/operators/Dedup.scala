@@ -264,7 +264,7 @@ object Dedup {
        |hotb AS (SELECT band, bv FROM bands
        |         GROUP BY band, bv HAVING count(*) > $MaxBandBucket),
        |bands2 AS (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, bv)),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS sim_a, y.simhash AS sim_b
        |  FROM bands2 x JOIN bands2 y
@@ -281,15 +281,15 @@ object Dedup {
     val bands = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS sig FROM mh")
       .mkString("\n  UNION ALL ")
-    s"""sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    s"""sh2 AS MATERIALIZED (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
-       |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-       |bands AS (
+       |mh AS MATERIALIZED (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |  $bands),
        |hotb AS (SELECT band, sig FROM bands
        |         GROUP BY band, sig HAVING count(*) > $MaxBandBucket),
-       |bands2 AS (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, sig)),
-       |cand AS (
+       |bands2 AS MATERIALIZED (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, sig)),
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands2 a JOIN bands2 b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
@@ -307,19 +307,19 @@ object Dedup {
         " AS sig FROM mh")
       .mkString("\n  UNION ALL ")
     s"""WITH s AS ($shingleSql),
-       |sh2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |sh2 AS MATERIALIZED (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh2),
-       |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-       |bands AS (
+       |mh AS MATERIALIZED (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |  $bandExprs),
        |hotb AS (SELECT band, sig FROM bands
        |         GROUP BY band, sig HAVING count(*) > $MaxBandBucket),
-       |bands2 AS (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, sig)),
-       |cand AS (
+       |bands2 AS MATERIALIZED (SELECT b.* FROM bands b ANTI JOIN hotb h USING (band, sig)),
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands2 a JOIN bands2 b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_intersect(x.sh, y.sh)) * 1.0
        |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
@@ -355,7 +355,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> QueryDef.withOracle(
       s"""WITH s AS ($shingleSql),
          |$candSql,
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b,
          |    len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
@@ -435,7 +435,7 @@ object Dedup {
     "dedup_containment" -> QueryDef.withOracle(
       s"""WITH s AS ($shingleSql),
          |$candSql,
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b,
          |    len(list_intersect(x.sh, y.sh)) * 1.0
          |      / least(len(x.sh), len(y.sh)) AS cont,
@@ -475,13 +475,13 @@ object Dedup {
     "dedup_cluster_assign" -> QueryDef.withOracle(
       s"""WITH s AS ($shingleSql),
          |$candSql,
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          |cc AS (
@@ -699,7 +699,7 @@ object Dedup {
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM cells a JOIN cells b
          |    ON a.c_label = b.c_label AND a.vec_id < b.vec_id),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.vec_a, c.vec_b, x.label AS label_a, y.label AS label_b,
          |    round(list_cosine_similarity(
          |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
@@ -916,7 +916,7 @@ object Dedup {
     "dedup_threshold_sweep" -> QueryDef.withOracle(
       s"""WITH s AS ($shingleSql),
          |$candSql,
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b,
          |    len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jac

@@ -53,7 +53,7 @@ object Graph {
   /** One unrolled oracle peel: survivors of round i+1 = nodes of round
     * i whose degree WITHIN round i's subgraph is still ≥ k. */
   private def peelSql(i: Int, k: Int): String =
-    s"""p${i + 1} AS (
+    s"""p${i + 1} AS MATERIALIZED (
        |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
        |  FROM edges e JOIN p$i a ON a.id = e.src JOIN p$i b ON b.id = e.dst
        |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
@@ -90,7 +90,7 @@ object Graph {
 
   /** One unrolled oracle iteration: r_{i+1} = (15·FP + 85·Σ_in r_i/deg) div 100. */
   private def stepSql(i: Int): String =
-    s"""r${i + 1} AS (
+    s"""r${i + 1} AS MATERIALIZED (
        |  SELECT n.doc_id, (15 * 1048576 + 85 * coalesce(c.contrib_sum, 0)) // 100 AS r
        |  FROM nodes n LEFT JOIN (
        |    SELECT e.dst AS doc_id, CAST(sum(p.r // d.deg) AS BIGINT) AS contrib_sum
@@ -180,13 +180,13 @@ object Graph {
   private def lpaCtesSql: String =
     s"""WITH s AS (${Dedup.shingleSql}),
        |${Dedup.candSql},
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
        |  JOIN sh2 y ON y.doc_id = c.doc_b
        |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
        |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
        |enodes AS (SELECT DISTINCT dst AS doc_id FROM edges),
@@ -241,16 +241,16 @@ object Graph {
     "graph_pagerank" -> QueryDef.withOracle(
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
          |  FROM edges GROUP BY src),
          |nodes AS (SELECT doc_id FROM documents),
@@ -274,16 +274,16 @@ object Graph {
     "graph_degree_stats" -> QueryDef.withOracle(
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
          |  FROM edges GROUP BY src)
          |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
@@ -311,13 +311,13 @@ object Graph {
     "graph_rich_club" -> QueryDef.withOracle(
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
          |    SELECT doc_a AS src FROM pairs
          |    UNION ALL SELECT doc_b FROM pairs) GROUP BY src),
@@ -383,13 +383,13 @@ object Graph {
     "graph_triangles" -> QueryDef.withOracle(
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
          |    SELECT doc_a AS n FROM pairs
          |    UNION ALL SELECT doc_b AS n FROM pairs) GROUP BY n),
@@ -452,13 +452,13 @@ object Graph {
     "graph_clustering_coeff" -> QueryDef.withOracle(
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
          |    SELECT doc_a AS n FROM pairs
          |    UNION ALL SELECT doc_b AS n FROM pairs) GROUP BY n),
@@ -551,10 +551,10 @@ object Graph {
         |  WHERE list_cosine_similarity(
         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT vec_a AS src, vec_b AS dst FROM p
         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
         |  FROM edges GROUP BY src),
         |wedge AS (
@@ -607,10 +607,10 @@ object Graph {
         |  WHERE list_cosine_similarity(
         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT vec_a AS src, vec_b AS dst FROM p
         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
         |  FROM edges GROUP BY src),
         |wedge AS (
@@ -697,7 +697,7 @@ object Graph {
            |  FROM m$i m CROSS JOIN t$i t CROSS JOIN nn)""".stripMargin
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
@@ -768,7 +768,7 @@ object Graph {
     // min-propagation CTEs.
     "graph_contamination_bfs" -> QueryDef.withOracle {
       def stepSql(i: Int): String =
-        s"""d${i + 1} AS (
+        s"""d${i + 1} AS MATERIALIZED (
            |  SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
            |    SELECT doc_id, dist FROM d$i
            |    UNION ALL
@@ -777,13 +777,13 @@ object Graph {
            |  GROUP BY doc_id)""".stripMargin
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh2 WHERE doc_id < 20),
@@ -873,7 +873,7 @@ object Graph {
       s"""$lpaCtesSql,
          |lab AS (SELECT doc_id, label FROM l$LpaRounds),
          |ed AS (SELECT CAST(count(*) AS BIGINT) AS edir FROM edges),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
          |  FROM edges GROUP BY src),
          |intra AS (
@@ -938,10 +938,10 @@ object Graph {
         |  WHERE list_cosine_similarity(
         |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT vec_a AS src, vec_b AS dst FROM p
         |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
         |  FROM edges GROUP BY src),
         |dd AS (
@@ -1000,13 +1000,13 @@ object Graph {
     "graph_kcore" -> QueryDef.withOracle(
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          |p0 AS (SELECT DISTINCT src AS id FROM edges),
@@ -1032,7 +1032,7 @@ object Graph {
     // the harmonic sum never touches a float.
     "graph_harmonic" -> QueryDef.withOracle {
       def stepSql(i: Int): String =
-        s"""d${i + 1} AS (
+        s"""d${i + 1} AS MATERIALIZED (
            |  SELECT seed, doc_id, CAST(min(dist) AS BIGINT) AS dist FROM (
            |    SELECT seed, doc_id, dist FROM d$i
            |    UNION ALL
@@ -1041,13 +1041,13 @@ object Graph {
            |  GROUP BY 1, 2)""".stripMargin
       s"""WITH s AS (${Dedup.shingleSql}),
          |${Dedup.candSql},
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
          |  JOIN sh2 y ON y.doc_id = c.doc_b
          |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
          |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -1213,7 +1213,7 @@ object Graph {
         |    SELECT c, p, row_number() OVER (PARTITION BY c
         |      ORDER BY p ASC) AS rn FROM edges)
         |  WHERE rn <= 1024),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT a.p AS part_a, b.p AS part_b,
         |    CAST(count(*) AS BIGINT) AS weight
         |  FROM capped a JOIN capped b ON b.c = a.c AND b.p > a.p

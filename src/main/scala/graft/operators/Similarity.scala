@@ -1355,7 +1355,7 @@ object Similarity {
     "embedding_pca_project" -> QueryDef.withOracle {
       def step(k: Int): String = {
         val prev = if (k == 1) "v0" else s"v${k - 1}"
-        s"""w$k AS (
+        s"""w$k AS MATERIALIZED (
            |  SELECT g.i, CAST(sum(g.g * v.v) AS BIGINT) AS w
            |  FROM g2 g JOIN $prev v ON v.j = g.j GROUP BY 1),
            |n$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm
@@ -1366,7 +1366,7 @@ object Similarity {
            |  FROM w$k CROSS JOIN n$k)""".stripMargin
       }
       s"""WITH x AS (SELECT vec_id, embedding FROM embeddings),
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM x),
          |pr AS (
          |  SELECT a.i AS i1, b.i AS j1,
@@ -1376,7 +1376,7 @@ object Similarity {
          |gr AS (SELECT i1, j1, CAST(sum(p) AS BIGINT) AS gfp,
          |         CAST(count(*) AS BIGINT) AS nv
          |       FROM pr GROUP BY 1, 2),
-         |g2 AS (SELECT i1 - 1 AS i, j1 - 1 AS j,
+         |g2 AS MATERIALIZED (SELECT i1 - 1 AS i, j1 - 1 AS j,
          |         CAST(floor(gfp / (nv * 1000.0)) AS BIGINT) AS g FROM gr),
          |v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM g2),
          |${(1 to 8).map(step).mkString(",\n")},
