@@ -21,20 +21,45 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // operators persist() shared intermediates (IVF builds, simhash
-      // tables, …) and return lazy plans, so they cannot unpersist
-      // themselves; release everything between queries so 160+ queries
-      // in one session don't accumulate cached partitions
-      spark.catalog.clearCache()
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+    // Per-query wall-clock is dominated by fixed scheduling/plan cost
+    // at the graded SF, so the dump runs WORKERS queries concurrently
+    // (Spark's scheduler interleaves the jobs; every operator is
+    // deterministic, so concurrent builds of a shared persisted
+    // relation at worst double-compute — results are unaffected).
+    // Cached relations are released every CLEAR_EVERY completions
+    // instead of per-query: clearCache during a concurrent query only
+    // costs a recompute, but doing it 350+ times serializes the run.
+    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    val clearEvery = 32
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    selected.foreach(queue.add)
+    val threads = (0 until math.max(1, workers)).map { _ =>
+      new Thread(() => {
+        var next = queue.poll()
+        while (next != null) {
+          val (name, fn) = next
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          // operators persist() shared intermediates (IVF builds,
+          // simhash tables, …) and return lazy plans, so they cannot
+          // unpersist themselves; periodic release keeps 350+ queries
+          // in one session from accumulating cached partitions
+          if (done.incrementAndGet() % clearEvery == 0)
+            spark.catalog.clearCache()
+          next = queue.poll()
+        }
+      })
     }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    spark.catalog.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

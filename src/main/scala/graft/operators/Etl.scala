@@ -6900,44 +6900,9 @@ object Etl {
     // relation in the first aggregate; everything after is
     // calendar-bounded bookkeeping.
     "etl_stl_decompose" -> {
-      // tricube weight (1−u³)³ at integer offset k, half-width h,
-      // snapped to a ×10⁶ integer literal shared by both engines
-      def w(k: Int, h: Int): Long = {
-        val u = math.abs(k).toDouble / (h + 1)
-        val v = 1.0 - u * u * u
-        math.floor(v * v * v * 1e6 + 0.5).toLong
-      }
+      import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years
       val trK = (-6 to 6).toSeq // trend half-width: 6 months
-      // SQL generators for the five weighted-LS sums over window `win`
-      def nbSql(c: String, k: Int, win: String): String =
-        if (k < 0) s"lag($c, ${-k}) OVER $win"
-        else if (k > 0) s"lead($c, $k) OVER $win"
-        else c
-      def sumsSql(c: String, ks: Seq[Int], h: Int, win: String): String = {
-        def ind(k: Int, f: Long) =
-          s"(CASE WHEN ${nbSql(c, k, win)} IS NOT NULL THEN $f ELSE 0 END)"
-        def term(k: Int, f: Long) =
-          s"($f * coalesce(${nbSql(c, k, win)}, 0))"
-        val sw = ks.map(k => ind(k, w(k, h))).mkString(" + ")
-        val sx = ks.map(k => ind(k, w(k, h) * k)).mkString(" + ")
-        val sxx = ks.map(k => ind(k, w(k, h) * k * k)).mkString(" + ")
-        val sy = ks.map(k => term(k, w(k, h))).mkString(" + ")
-        val sxy = ks.map(k => term(k, w(k, h) * k)).mkString(" + ")
-        s"CAST($sw AS BIGINT) AS sw, CAST($sx AS BIGINT) AS sx, " +
-          s"CAST($sxx AS BIGINT) AS sxx, CAST($sy AS BIGINT) AS sy, " +
-          s"CAST($sxy AS BIGINT) AS sxy"
-      }
-      // loess value at the center point (x = 0) from the sums, as a
-      // snapped BIGINT; the det=0 guard can't fire on ≥2 distinct
-      // offsets but is written identically on both engines
-      val betaSql =
-        """CAST(floor(CASE
-          |    WHEN CAST(sw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
-          |    THEN CAST(sy AS DOUBLE) / sw
-          |    ELSE (CAST(sxx AS DOUBLE) * sy - CAST(sx AS DOUBLE) * sxy)
-          |      / (CAST(sw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-          |  END + 0.5) AS BIGINT)""".stripMargin
       val lpTerms = (("lag(c_fp, 6) OVER tw + lead(c_fp, 6) OVER tw") +:
         (-5 to 5).map(k => s"2 * ${nbSql("c_fp", k, "tw")}")).mkString(" + ")
       val oracle =
@@ -6981,28 +6946,7 @@ object Etl {
            |    + 0.5) / 100.0 AS remainder
            |FROM tv""".stripMargin
       QueryDef.withOracle(oracle) { (s, dir) =>
-        def nb(c: Column, k: Int, win: org.apache.spark.sql.expressions.WindowSpec): Column =
-          if (k < 0) lag(c, -k).over(win)
-          else if (k > 0) lead(c, k).over(win) else c
-        def sums(c: Column, ks: Seq[Int], h: Int,
-            win: org.apache.spark.sql.expressions.WindowSpec): Seq[Column] = {
-          def ind(k: Int, f: Long) =
-            when(nb(c, k, win).isNotNull, lit(f)).otherwise(lit(0L))
-          def term(k: Int, f: Long) = lit(f) * coalesce(nb(c, k, win), lit(0L))
-          Seq(
-            ks.map(k => ind(k, w(k, h))).reduce(_ + _).cast(LongType).as("sw"),
-            ks.map(k => ind(k, w(k, h) * k)).reduce(_ + _).cast(LongType).as("sx"),
-            ks.map(k => ind(k, w(k, h) * k * k)).reduce(_ + _).cast(LongType).as("sxx"),
-            ks.map(k => term(k, w(k, h))).reduce(_ + _).cast(LongType).as("sy"),
-            ks.map(k => term(k, w(k, h) * k)).reduce(_ + _).cast(LongType).as("sxy"))
-        }
-        val det = col("sw").cast(DoubleType) * col("sxx") -
-          col("sx").cast(DoubleType) * col("sx")
-        val beta = floor(when(det === 0.0,
-            col("sy").cast(DoubleType) / col("sw"))
-          .otherwise((col("sxx").cast(DoubleType) * col("sy") -
-            col("sx").cast(DoubleType) * col("sxy")) / det) + lit(0.5))
-          .cast(LongType)
+        import Loess.{beta, nb, sums}
         val m = Tables.orders(s, dir)
           .groupBy(
             unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
@@ -7192,5 +7136,89 @@ object Etl {
         floor((col("rev_c").cast(DoubleType)
           - (col("slope") * col("mi") + col("intercept"))) * 100 + 0.5)
           .cast(LongType).as("e_fp"))
+  }
+}
+
+/** Shared fixed-weight loess machinery for the STL-family operators
+  * (etl_stl_decompose, ev_stl_anomaly). On a uniformly spaced series a
+  * tricube degree-1 loess collapses to a fixed weight vector, so the
+  * weights are computed ONCE here, ×10⁶-snapped, and inlined as
+  * integer literals into BOTH the Spark plan and the DuckDB oracle —
+  * no cross-engine pow() drift is possible. Each smoothed value is
+  * then a row-local weighted least squares over window lags: the five
+  * sums (Sw, Sx, Sxx, Sy, Sxy, with presence indicators carrying
+  * loess's boundary renormalization) are exact-integer combinations,
+  * and only the final β₀ evaluation touches doubles (identical
+  * operand order on both engines). */
+private[operators] object Loess {
+  /** tricube weight (1−u³)³ at integer offset k, half-width h,
+    * snapped to a ×10⁶ integer literal shared by both engines */
+  def w(k: Int, h: Int): Long = {
+    val u = math.abs(k).toDouble / (h + 1)
+    val v = 1.0 - u * u * u
+    math.floor(v * v * v * 1e6 + 0.5).toLong
+  }
+
+  // ---- oracle-side (SQL text) generators --------------------------
+  def nbSql(c: String, k: Int, win: String): String =
+    if (k < 0) s"lag($c, ${-k}) OVER $win"
+    else if (k > 0) s"lead($c, $k) OVER $win"
+    else c
+
+  /** The five weighted-LS sums over window `win` as SQL select items. */
+  def sumsSql(c: String, ks: Seq[Int], h: Int, win: String): String = {
+    def ind(k: Int, f: Long) =
+      s"(CASE WHEN ${nbSql(c, k, win)} IS NOT NULL THEN $f ELSE 0 END)"
+    def term(k: Int, f: Long) =
+      s"($f * coalesce(${nbSql(c, k, win)}, 0))"
+    val sw = ks.map(k => ind(k, w(k, h))).mkString(" + ")
+    val sx = ks.map(k => ind(k, w(k, h) * k)).mkString(" + ")
+    val sxx = ks.map(k => ind(k, w(k, h) * k * k)).mkString(" + ")
+    val sy = ks.map(k => term(k, w(k, h))).mkString(" + ")
+    val sxy = ks.map(k => term(k, w(k, h) * k)).mkString(" + ")
+    s"CAST($sw AS BIGINT) AS sw, CAST($sx AS BIGINT) AS sx, " +
+      s"CAST($sxx AS BIGINT) AS sxx, CAST($sy AS BIGINT) AS sy, " +
+      s"CAST($sxy AS BIGINT) AS sxy"
+  }
+
+  /** Loess value at the center point (x = 0) from the sums, as a
+    * snapped BIGINT; the det=0 guard can't fire on ≥2 distinct
+    * offsets but is written identically on both engines. */
+  val betaSql: String =
+    """CAST(floor(CASE
+      |    WHEN CAST(sw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+      |    THEN CAST(sy AS DOUBLE) / sw
+      |    ELSE (CAST(sxx AS DOUBLE) * sy - CAST(sx AS DOUBLE) * sxy)
+      |      / (CAST(sw AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |  END + 0.5) AS BIGINT)""".stripMargin
+
+  // ---- Spark-side (Column) builders -------------------------------
+  def nb(c: Column, k: Int,
+      win: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (k < 0) lag(c, -k).over(win)
+    else if (k > 0) lead(c, k).over(win) else c
+
+  /** The five weighted-LS sums as aliased Columns (sw/sx/sxx/sy/sxy). */
+  def sums(c: Column, ks: Seq[Int], h: Int,
+      win: org.apache.spark.sql.expressions.WindowSpec): Seq[Column] = {
+    def ind(k: Int, f: Long) =
+      when(nb(c, k, win).isNotNull, lit(f)).otherwise(lit(0L))
+    def term(k: Int, f: Long) = lit(f) * coalesce(nb(c, k, win), lit(0L))
+    Seq(
+      ks.map(k => ind(k, w(k, h))).reduce(_ + _).cast(LongType).as("sw"),
+      ks.map(k => ind(k, w(k, h) * k)).reduce(_ + _).cast(LongType).as("sx"),
+      ks.map(k => ind(k, w(k, h) * k * k)).reduce(_ + _).cast(LongType).as("sxx"),
+      ks.map(k => term(k, w(k, h))).reduce(_ + _).cast(LongType).as("sy"),
+      ks.map(k => term(k, w(k, h) * k)).reduce(_ + _).cast(LongType).as("sxy"))
+  }
+
+  /** Mirror of [[betaSql]] over the aliased sum columns. */
+  def beta: Column = {
+    val det = col("sw").cast(DoubleType) * col("sxx") -
+      col("sx").cast(DoubleType) * col("sx")
+    floor(when(det === 0.0, col("sy").cast(DoubleType) / col("sw"))
+      .otherwise((col("sxx").cast(DoubleType) * col("sy") -
+        col("sx").cast(DoubleType) * col("sxy")) / det) + lit(0.5))
+      .cast(LongType)
   }
 }

@@ -4618,6 +4618,149 @@ object Temporal {
         .agg(sum(col("len")).as("n_active_days"),
           count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"),
           max_by(col("len"), col("end_day")).as("last_streak"))
+    },
+
+    // ------------------------------------------------------------------
+    // STL anomaly screen on daily event counts — the operational use
+    // of the STL discipline (etl_stl_decompose / Loess): per event
+    // type, decompose the daily-count series with weekly seasonality
+    // (cycle-subseries tricube loess over day-of-week across weeks,
+    // half-width 2 weeks; a centered 7-term low-pass to strip level
+    // leakage; trend loess half-width 4 days on the deseasonalized
+    // series) and flag days where the remainder departs by more than
+    // 3·1.4826·MAD from its per-type median — the standard robust
+    // residual rule (1.4826 makes MAD a σ estimate under normality).
+    // The entire decision is EXACT integers: counts are normalized per
+    // type by exact totals to an SF-invariant ×10⁶ fixed point, both
+    // medians come from the two-rank sum (2·median stays a long), and
+    // the flag compares 4·10⁴·dev2 > 44478·mad4 (= |r−med| >
+    // 4.4478·MAD scaled through) — no float ever decides a boolean.
+    // The corpus collapses to the type×day calendar-bounded daily
+    // relation in the first aggregate; every window after rides it.
+    "ev_stl_anomaly" -> {
+      import graft.operators.Loess.{betaSql, sumsSql}
+      val seasK = (-2 to 2).toSeq // subseries half-width: 2 weeks
+      val trK = (-4 to 4).toSeq // trend half-width: 4 days
+      val lpTerms = (-3 to 3).map(k =>
+        Loess.nbSql("c_fp", k, "tw")).mkString(" + ")
+      val oracle =
+        s"""WITH d AS (
+           |  SELECT event_type,
+           |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           |             CAST(sum(n) AS BIGINT) AS total FROM d GROUP BY 1),
+           |z AS (SELECT d.event_type, d.day, d.day // 7 AS week,
+           |    d.day % 7 AS dow, d.n, t.n_days, t.total,
+           |    CAST(floor(CAST(d.n AS DOUBLE) * n_days / total * 1000000
+           |      + 0.5) AS BIGINT) AS z_fp
+           |  FROM d JOIN t USING (event_type)),
+           |cs AS (SELECT *, ${sumsSql("z_fp", seasK, 2, "sub")}
+           |  FROM z WINDOW sub AS (PARTITION BY event_type, dow ORDER BY week)),
+           |cv AS (SELECT event_type, day, n, n_days, total, z_fp,
+           |    $betaSql AS c_fp FROM cs),
+           |lp AS (SELECT *, $lpTerms AS lnum
+           |  FROM cv WINDOW tw AS (PARTITION BY event_type ORDER BY day)),
+           |sv AS (SELECT event_type, day, n, n_days, total, z_fp,
+           |    c_fp - CAST(floor(CAST(lnum AS DOUBLE) / 7 + 0.5) AS BIGINT)
+           |      AS s_fp,
+           |    z_fp - (c_fp - CAST(floor(CAST(lnum AS DOUBLE) / 7 + 0.5)
+           |      AS BIGINT)) AS d_fp
+           |  FROM lp WHERE lnum IS NOT NULL),
+           |tr AS (SELECT *, ${sumsSql("d_fp", trK, 4, "tw")}
+           |  FROM sv WINDOW tw AS (PARTITION BY event_type ORDER BY day)),
+           |tv AS (SELECT event_type, day, n, n_days, total, z_fp, s_fp,
+           |    $betaSql AS t_fp FROM tr),
+           |rv AS (SELECT *, z_fp - s_fp - t_fp AS r_fp FROM tv),
+           |rk AS (SELECT *,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY r_fp ASC, day ASC) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS nn FROM rv),
+           |md AS (SELECT event_type,
+           |    CAST(max(CASE WHEN rn = (nn + 1) // 2 THEN r_fp END)
+           |      + max(CASE WHEN rn = (nn + 2) // 2 THEN r_fp END) AS BIGINT)
+           |      AS med2
+           |  FROM rk GROUP BY 1),
+           |dv AS (SELECT rk.*, abs(2 * rk.r_fp - md.med2) AS dev2
+           |  FROM rk JOIN md USING (event_type)),
+           |dk AS (SELECT *,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY dev2 ASC, day ASC) AS dn FROM dv),
+           |mad AS (SELECT event_type,
+           |    CAST(max(CASE WHEN dn = (nn + 1) // 2 THEN dev2 END)
+           |      + max(CASE WHEN dn = (nn + 2) // 2 THEN dev2 END) AS BIGINT)
+           |      AS mad4
+           |  FROM dk GROUP BY 1)
+           |SELECT d.event_type, d.day, d.n,
+           |  floor(CAST(d.s_fp AS DOUBLE) / 1000000 * d.total / d.n_days
+           |    * 10000 + 0.5) / 10000.0 AS seasonal,
+           |  floor(CAST(d.z_fp - d.s_fp - d.r_fp AS DOUBLE) / 1000000
+           |    * d.total / d.n_days * 10000 + 0.5) / 10000.0 AS trend,
+           |  floor(CAST(d.r_fp AS DOUBLE) / 1000000 * d.total / d.n_days
+           |    * 10000 + 0.5) / 10000.0 AS remainder,
+           |  40000 * d.dev2 > 44478 * m.mad4 AS is_anomaly
+           |FROM dv d JOIN mad m USING (event_type)""".stripMargin
+      QueryDef.withOracle(oracle) { (s, dir) =>
+        import graft.operators.Loess.{beta, nb, sums}
+        val d = Tables.eventsTimed(s, dir)
+          .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .persist() // type×day bookkeeping; feeds anchors + windows
+        val t = d.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total"))
+        val z = d.join(broadcast(t), "event_type")
+          .withColumn("week", expr("day div 7"))
+          .withColumn("dow", col("day") % 7)
+          .withColumn("z_fp", floor(col("n").cast(DoubleType) * col("n_days")
+            / col("total") * lit(1000000) + lit(0.5)).cast(LongType))
+        val sub = Window.partitionBy(col("event_type"), col("dow"))
+          .orderBy(col("week").asc)
+        val cv = z.select(Seq(col("event_type"), col("day"), col("n"),
+            col("n_days"), col("total"), col("z_fp")) ++
+            sums(col("z_fp"), seasK, 2, sub): _*)
+          .withColumn("c_fp", beta)
+        val tw = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+        val lnum = (-3 to 3).map(k => nb(col("c_fp"), k, tw)).reduce(_ + _)
+        val sv = cv.withColumn("lnum", lnum)
+          .filter(col("lnum").isNotNull)
+          .withColumn("s_fp", col("c_fp") -
+            floor(col("lnum").cast(DoubleType) / 7 + lit(0.5)).cast(LongType))
+          .withColumn("d_fp", col("z_fp") - col("s_fp"))
+        val tv = sv.select(Seq(col("event_type"), col("day"), col("n"),
+            col("n_days"), col("total"), col("z_fp"), col("s_fp")) ++
+            sums(col("d_fp"), trK, 4, tw): _*)
+          .withColumn("t_fp", beta)
+          .withColumn("r_fp", col("z_fp") - col("s_fp") - col("t_fp"))
+        val rk = tv
+          .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("r_fp").asc, col("day").asc)))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("event_type"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        val md = rk.groupBy(col("event_type"))
+          .agg((max(when(col("rn") === floor((col("nn") + 1) / 2), col("r_fp")))
+            + max(when(col("rn") === floor((col("nn") + 2) / 2), col("r_fp"))))
+            .cast(LongType).as("med2"))
+        val dv = rk.join(broadcast(md), "event_type")
+          .withColumn("dev2", abs(lit(2) * col("r_fp") - col("med2")))
+        val dk = dv.withColumn("dn",
+          row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("dev2").asc, col("day").asc)))
+        val mad = dk.groupBy(col("event_type"))
+          .agg((max(when(col("dn") === floor((col("nn") + 1) / 2), col("dev2")))
+            + max(when(col("dn") === floor((col("nn") + 2) / 2), col("dev2"))))
+            .cast(LongType).as("mad4"))
+        def units(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(c.cast(DoubleType) / 1000000 * col("total") / col("n_days")
+            * lit(10000) + lit(0.5)) / lit(10000.0)
+        dv.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("day"), col("n"),
+            units(col("s_fp")).as("seasonal"),
+            units(col("z_fp") - col("s_fp") - col("r_fp")).as("trend"),
+            units(col("r_fp")).as("remainder"),
+            (lit(40000L) * col("dev2") > lit(44478L) * col("mad4"))
+              .as("is_anomaly"))
+      }
     }
   )
 

@@ -506,7 +506,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_ar2_forecast", "event_type") -> "type×day calendar-bounded daily counts (lag-1/lag-2 deviation windows)",
       ("etl_benjamini_hochberg", "") -> "m-row test battery (one row per series; the BH rank/step-up windows)",
       ("ev_dickey_fuller", "event_type") -> "type×day calendar-bounded daily counts (lag-1/Δ regression windows)",
-      ("etl_stl_decompose", "") -> "monthly-grain calendar relation (the seasonal_decompose argument; loess lags + low-pass + trend windows)")
+      ("etl_stl_decompose", "") -> "monthly-grain calendar relation (the seasonal_decompose argument; loess lags + low-pass + trend windows)",
+      ("ev_stl_anomaly", "event_type") -> "type×day calendar-bounded daily counts (loess lags, low-pass, median/MAD rank windows)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -4268,5 +4269,28 @@ class Round10InvariantSpec extends AnyFunSuite {
     val again = SparkEntry.queries("etl_stl_decompose")(spark, sf)
       .collect().sortBy(_.getLong(0))
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ev_stl_anomaly: coverage, and the MAD flag is a monotone threshold on |r - med|") {
+    val rows = SparkEntry.queries("ev_stl_anomaly")(spark, sf).collect()
+    // 30 days per type minus 3 at each end for the 7-term low-pass
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.size == 5 && byType.values.forall(_.length == 24),
+      s"expected 5 types x 24 interior days, got ${byType.view.mapValues(_.length).toMap}")
+    for ((t, rs) <- byType) {
+      val rem = rs.map(_.getAs[Double]("remainder")).sorted
+      val med = (rem(11) + rem(12)) / 2 // 24 rows -> mean of ranks 12,13
+      val dev = rs.map(r => (math.abs(r.getAs[Double]("remainder") - med),
+        r.getAs[Boolean]("is_anomaly")))
+      val flagged = dev.filter(_._2).map(_._1)
+      val clear = dev.filterNot(_._2).map(_._1)
+      // threshold rule: every flagged deviation exceeds every unflagged
+      // one (4dp snaps can tie at the boundary, hence the epsilon)
+      if (flagged.nonEmpty && clear.nonEmpty)
+        assert(flagged.min >= clear.max - 1e-6,
+          s"$t: non-monotone flag: flagged min ${flagged.min} < clear max ${clear.max}")
+      // a >3sigma-equivalent robust rule must not flag most days
+      assert(flagged.length <= rs.length / 2, s"$t: ${flagged.length}/24 flagged")
+    }
   }
 }
