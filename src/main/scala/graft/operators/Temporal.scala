@@ -4761,6 +4761,135 @@ object Temporal {
             (lit(40000L) * col("dev2") > lit(44478L) * col("mad4"))
               .as("is_anomaly"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Seasonal ARIMA "airline model" (0,1,1)(0,1,1)₇ on daily event
+    // counts — the ARIMA-class rung of the forecasting family (Holt /
+    // Holt-Winters / theta / snaive / Croston): the doubly-differenced
+    // series w_t = z_t − z_{t−1} − z_{t−7} + z_{t−8} follows an
+    // MA(1)×SMA(1), fit by CONDITIONAL sum of squares (e_{≤0} = 0, the
+    // textbook CSS recursion e_t = w_t + θe_{t−1} + Θe_{t−7} −
+    // θΘe_{t−8}) over a 5×5 (θ, Θ) grid — grid CSS is how agencies
+    // seed X-13ARIMA model selection, and it keeps the whole fit a
+    // deterministic fold instead of a nonlinear optimizer. Grid values
+    // are INTEGER decigrades (1..9 step 2) divided by 10 identically
+    // on both engines, every error chain is one sequential IEEE fold
+    // per (type, arm) — the ev_holtwinters discipline — and the oracle
+    // replays all 125 (type × arm) chains via one recursive CTE
+    // carrying the 8-lag error window as columns. ONE corpus-scale
+    // agg builds the per-type daily arrays; the fold is 125-row
+    // bookkeeping. Output: per type the CSS-best arm + its 1-step
+    // forecast ẑ = z_nd + z_{nd−6} − z_{nd−7} − θe₁ − Θe₇ + θΘe₈.
+    "ev_airline_sarima" -> QueryDef.withOracle {
+      val shift = (1 to 7).map(k => s"h.e$k").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |a AS (
+         |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+         |    CAST(count(*) AS BIGINT) AS nd
+         |  FROM e GROUP BY event_type),
+         |g AS (
+         |  SELECT gi, gj, gi / 10.0 AS th, gj / 10.0 AS tth
+         |  FROM (SELECT unnest([1, 3, 5, 7, 9]) AS gi)
+         |  CROSS JOIN (SELECT unnest([1, 3, 5, 7, 9]) AS gj)),
+         |rec AS (
+         |  WITH RECURSIVE h(event_type, gi, gj, i,
+         |      e1, e2, e3, e4, e5, e6, e7, e8, css) AS (
+         |    SELECT a.event_type, g.gi, g.gj, CAST(8 AS BIGINT),
+         |      CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |      CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         |      CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+         |    FROM a CROSS JOIN g WHERE a.nd >= 16
+         |    UNION ALL
+         |    SELECT h.event_type, h.gi, h.gj, h.i + 1,
+         |      (a.v[CAST(h.i + 1 AS INT)] - a.v[CAST(h.i AS INT)]
+         |        - a.v[CAST(h.i - 6 AS INT)] + a.v[CAST(h.i - 7 AS INT)])
+         |        + (h.gi / 10.0) * h.e1 + (h.gj / 10.0) * h.e7
+         |        - (h.gi / 10.0) * (h.gj / 10.0) * h.e8,
+         |      $shift,
+         |      h.css + ((a.v[CAST(h.i + 1 AS INT)] - a.v[CAST(h.i AS INT)]
+         |        - a.v[CAST(h.i - 6 AS INT)] + a.v[CAST(h.i - 7 AS INT)])
+         |        + (h.gi / 10.0) * h.e1 + (h.gj / 10.0) * h.e7
+         |        - (h.gi / 10.0) * (h.gj / 10.0) * h.e8)
+         |        * ((a.v[CAST(h.i + 1 AS INT)] - a.v[CAST(h.i AS INT)]
+         |        - a.v[CAST(h.i - 6 AS INT)] + a.v[CAST(h.i - 7 AS INT)])
+         |        + (h.gi / 10.0) * h.e1 + (h.gj / 10.0) * h.e7
+         |        - (h.gi / 10.0) * (h.gj / 10.0) * h.e8)
+         |    FROM h JOIN a ON a.event_type = h.event_type
+         |    WHERE h.i < a.nd)
+         |  SELECT * FROM h),
+         |fin AS (
+         |  SELECT r.event_type, r.gi, r.gj, r.css, a.nd,
+         |    a.v[CAST(a.nd AS INT)] + a.v[CAST(a.nd - 6 AS INT)]
+         |      - a.v[CAST(a.nd - 7 AS INT)]
+         |      - (r.gi / 10.0) * r.e1 - (r.gj / 10.0) * r.e7
+         |      + (r.gi / 10.0) * (r.gj / 10.0) * r.e8 AS fc1
+         |  FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.nd),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY css ASC, gi ASC, gj ASC) AS rn FROM fin)
+         |SELECT event_type, nd AS n_days,
+         |  gi / 10.0 AS theta, gj / 10.0 AS theta_seasonal,
+         |  round(css, 9) AS css, round(fc1, 9) AS fc_1
+         |FROM best WHERE rn = 1""".stripMargin
+    } { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"),
+          col("n").cast(DoubleType).as("n")))).as("arr"),
+          count(lit(1)).as("nd"))
+        .filter(col("nd") >= 16)
+        .withColumn("v", transform(col("arr"), e => e("n")))
+      val g = Seq(1, 3, 5, 7, 9)
+      val grid = g.flatMap(gi => g.map(gj => (gi, gj)))
+      import s.implicits._
+      val gdf = grid.toDF("gi", "gj")
+      // the CSS fold: carried state (e1..e8, css); identical operand
+      // order to the oracle recursion so every double matches bit-wise
+      def wAt(i: org.apache.spark.sql.Column) =
+        element_at(col("v"), (i + 1).cast(IntegerType)) -
+          element_at(col("v"), i.cast(IntegerType)) -
+          element_at(col("v"), (i - 6).cast(IntegerType)) +
+          element_at(col("v"), (i - 7).cast(IntegerType))
+      val th = col("gi").cast(DoubleType) / 10.0
+      val tth = col("gj").cast(DoubleType) / 10.0
+      val zero = lit(0.0)
+      val init = struct(
+        zero.as("e1"), zero.as("e2"), zero.as("e3"), zero.as("e4"),
+        zero.as("e5"), zero.as("e6"), zero.as("e7"), zero.as("e8"),
+        zero.as("css"))
+      val folded = aggregate(
+        sequence(lit(8L), col("nd") - 1), init,
+        (acc, i) => {
+          val eNew = wAt(i) + th * acc("e1") + tth * acc("e7") -
+            th * tth * acc("e8")
+          struct(eNew.as("e1"), acc("e1").as("e2"), acc("e2").as("e3"),
+            acc("e3").as("e4"), acc("e4").as("e5"), acc("e5").as("e6"),
+            acc("e6").as("e7"), acc("e7").as("e8"),
+            (acc("css") + eNew * eNew).as("css"))
+        })
+      val fin = a.crossJoin(broadcast(gdf))
+        .withColumn("h", folded)
+        .withColumn("css", col("h.css"))
+        .withColumn("fc1",
+          element_at(col("v"), col("nd").cast(IntegerType)) +
+            element_at(col("v"), (col("nd") - 6).cast(IntegerType)) -
+            element_at(col("v"), (col("nd") - 7).cast(IntegerType)) -
+            th * col("h.e1") - tth * col("h.e7") + th * tth * col("h.e8"))
+      val wB = Window.partitionBy(col("event_type"))
+        .orderBy(col("css").asc, col("gi").asc, col("gj").asc)
+      fin.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("nd").as("n_days"),
+          (col("gi") / 10.0).as("theta"),
+          (col("gj") / 10.0).as("theta_seasonal"),
+          round(col("css"), 9).as("css"), round(col("fc1"), 9).as("fc_1"))
     }
   )
 

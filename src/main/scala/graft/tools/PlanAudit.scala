@@ -141,6 +141,9 @@ object PlanAudit {
       // 1-row broadcast: the (n_months, Σcents) series-mean normalizer
       // anchor the z-scores divide by
       "etl_stl_decompose",
+      // 25-row literal (θ, Θ) grid × the 5-row per-type daily-count
+      // array relation — a constant, never corpus
+      "ev_airline_sarima",
       // 1-row broadcasts: the total-transition anchor and the 1-row
       // entropy-rate anchor over the ≤|types| state relation
       "ev_markov_entropy",

@@ -507,7 +507,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_benjamini_hochberg", "") -> "m-row test battery (one row per series; the BH rank/step-up windows)",
       ("ev_dickey_fuller", "event_type") -> "type×day calendar-bounded daily counts (lag-1/Δ regression windows)",
       ("etl_stl_decompose", "") -> "monthly-grain calendar relation (the seasonal_decompose argument; loess lags + low-pass + trend windows)",
-      ("ev_stl_anomaly", "event_type") -> "type×day calendar-bounded daily counts (loess lags, low-pass, median/MAD rank windows)")
+      ("ev_stl_anomaly", "event_type") -> "type×day calendar-bounded daily counts (loess lags, low-pass, median/MAD rank windows)",
+      ("ev_airline_sarima", "event_type") -> "125-row (type × 25-arm CSS grid) bookkeeping relation (the best-arm rank window)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -4291,6 +4292,44 @@ class Round10InvariantSpec extends AnyFunSuite {
           s"$t: non-monotone flag: flagged min ${flagged.min} < clear max ${clear.max}")
       // a >3sigma-equivalent robust rule must not flag most days
       assert(flagged.length <= rs.length / 2, s"$t: ${flagged.length}/24 flagged")
+    }
+  }
+
+  test("ev_airline_sarima matches a plain-Scala CSS grid replay") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val daily = graft.sources.Tables.eventsTimed(spark, sf)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = SparkEntry.queries("ev_airline_sarima")(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val t = r.getString(0)
+      val v = daily.filter(_._1 == t).sortBy(_._2).map(_._3.toDouble)
+      val nd = v.length
+      assert(r.getLong(1) == nd)
+      // replay every arm with the exact fold order (1-based v index)
+      val arms = for (gi <- Seq(1, 3, 5, 7, 9); gj <- Seq(1, 3, 5, 7, 9)) yield {
+        val th = gi / 10.0; val tth = gj / 10.0
+        val e = Array.fill(9)(0.0) // e(1)..e(8) carried, e(0) scratch
+        var css = 0.0
+        for (i <- 8 until nd) { // i is the 1-based "previous" index
+          val w = v(i) - v(i - 1) - v(i - 7) + v(i - 8)
+          val eNew = w + th * e(1) + tth * e(7) - th * tth * e(8)
+          for (k <- 8 to 2 by -1) e(k) = e(k - 1)
+          e(1) = eNew
+          css += eNew * eNew
+        }
+        val fc = v(nd - 1) + v(nd - 7) - v(nd - 8) -
+          th * e(1) - tth * e(7) + th * tth * e(8)
+        (gi, gj, css, fc)
+      }
+      val best = arms.minBy { case (gi, gj, css, _) => (css, gi, gj) }
+      assert(r.getAs[Double]("theta") == best._1 / 10.0 &&
+        r.getAs[Double]("theta_seasonal") == best._2 / 10.0,
+        s"$t: arm mismatch ${r.getAs[Double]("theta")},${r.getAs[Double]("theta_seasonal")} vs ${best._1 / 10.0},${best._2 / 10.0}")
+      assert(math.abs(r.getAs[Double]("css") - best._3) < 1e-6, s"$t css")
+      assert(math.abs(r.getAs[Double]("fc_1") - best._4) < 1e-6, s"$t fc")
     }
   }
 }
