@@ -1470,6 +1470,120 @@ object Graph {
         .agg((count(lit(1)) - 1).as("n_reached"), hc12.as("hc12"))
         .select(col("seed"), col("n_reached"), col("hc12"),
           (col("hc12") / lit(12.0)).as("harmonic"))
+    },
+
+    // ------------------------------------------------------------------
+    // Personalized PageRank from the 8 hub seeds (graph_closeness's
+    // deterministic seed rule) — "related documents" by random walk
+    // with restart, THE graph-side recommender primitive (global
+    // pagerank says important-overall; PPR says important-TO-THIS-DOC,
+    // which is what near-dup exploration and retrieval expansion
+    // actually use). Same integer fixed point as graph_pagerank with
+    // the restart mass landing ONLY on the walk's own seed:
+    // r'(v) = ([v=seed]·15·FP + 85·Σ_in r(u) div deg(u)) div 100,
+    // 4 synchronous rounds keyed (seed, node) so all 8 walks share
+    // each round's single edge join (the graph_closeness layout). The
+    // per-seed score support is the 4-hop neighborhood — frontier-
+    // bounded, never corpus-scale, which also bounds the final
+    // per-seed top-5 ranking window by construction. Oracle replays
+    // all rounds via MATERIALIZED CTEs with identical integer ops.
+    "graph_ppr" -> QueryDef.withOracle {
+      def stepSql(i: Int): String =
+        s"""r${i + 1} AS MATERIALIZED (
+           |  SELECT seed, doc_id,
+           |    CAST((CASE WHEN doc_id = seed THEN 15 * 1048576 ELSE 0 END
+           |      + 85 * CAST(sum(csum) AS BIGINT)) // 100 AS BIGINT) AS r
+           |  FROM (
+           |    SELECT p.seed, e.dst AS doc_id, p.r // d.deg AS csum
+           |    FROM edges e JOIN r$i p ON p.doc_id = e.src
+           |    JOIN deg d ON d.doc_id = e.src
+           |    UNION ALL
+           |    SELECT seed, seed AS doc_id, CAST(0 AS BIGINT) AS csum
+           |    FROM seeds)
+           |  GROUP BY seed, doc_id)""".stripMargin
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |seeds AS (
+         |  SELECT DISTINCT src AS seed FROM edges ORDER BY seed ASC LIMIT 8),
+         |r0 AS MATERIALIZED (
+         |  SELECT seed, seed AS doc_id, CAST(1048576 AS BIGINT) AS r
+         |  FROM seeds),
+         |${(0 until 4).map(stepSql).mkString(",\n")},
+         |rk AS (
+         |  SELECT seed, doc_id, r,
+         |    row_number() OVER (PARTITION BY seed
+         |      ORDER BY r DESC, doc_id ASC) AS rank
+         |  FROM r4)
+         |SELECT seed, doc_id, CAST(rank AS BIGINT) AS rank, r AS ppr_fp,
+         |  round(r / 1048576.0, 9) AS ppr
+         |FROM rk WHERE rank <= 5""".stripMargin
+    } { (s, dir) =>
+      val p = Dedup.verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // Pregel layout: edge relation partitioned by src ONCE; every
+      // round shuffles only the (seed, node) score vector
+      val edgesD = edges.join(deg, Seq("src"))
+        .repartition(col("src")).persist()
+      val seeds = edgesD.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed").asc).limit(8)
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+      }
+      def cut(df: DataFrame) =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      val seedRows = seeds.select(col("seed"), col("seed").as("doc_id"))
+      // AQE off inside the loop only (the pageRanks rationale: bounded
+      // per-round messages, re-planning 4 rounds is pure overhead)
+      val smallSubgraph = edgesD.count() < 50000000L
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
+      val r4 =
+        try {
+          var r = cut(seedRows.select(col("seed"), col("doc_id"),
+            lit(FP).as("r")))
+          for (_ <- 0 until 4) {
+            val msgs = edgesD
+              .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+              .select(col("seed"), col("dst").as("doc_id"),
+                expr("r div deg").as("csum"))
+            val next = msgs
+              .unionByName(seedRows.withColumn("csum", lit(0L)))
+              .groupBy(col("seed"), col("doc_id"))
+              .agg(sum(col("csum")).as("cs"))
+              .select(col("seed"), col("doc_id"),
+                expr("(CASE WHEN doc_id = seed THEN 15 * 1048576L " +
+                  "ELSE 0L END + 85 * cs) div 100").as("r"))
+            r = cut(next)
+          }
+          r
+        } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      // per-seed support = the seed's 4-hop neighborhood (frontier-
+      // bounded by construction), so this single-key window never
+      // sorts a corpus-scale group
+      val wS = Window.partitionBy(col("seed"))
+        .orderBy(col("r").desc, col("doc_id").asc)
+      r4.withColumn("rank", row_number().over(wS))
+        .filter(col("rank") <= 5)
+        .select(col("seed"), col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("r").as("ppr_fp"), round(col("r") / lit(1048576.0), 9).as("ppr"))
     }
   )
 }

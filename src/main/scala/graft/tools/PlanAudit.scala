@@ -463,7 +463,13 @@ object PlanAudit {
       // opaquely) + the hub-seed top-8 agg and the three backward
       // pred-edge join/δ-agg rounds — per-round moves are frontier- or
       // pred-edge-bounded, the mirrored edges shuffle once
-      "graph_betweenness" -> 12)
+      "graph_betweenness" -> 12,
+      // ONE corpus-scale agg (events → type×day, ≤150 rows at any SF);
+      // every exchange after it moves that calendar-bounded relation
+      // through the loess windows ((type, dow) and (type) partitions
+      // can't share a partitioning), the two median rank windows and
+      // the anchor/median/MAD aggregate-join pairs
+      "ev_stl_anomaly" -> 13)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.

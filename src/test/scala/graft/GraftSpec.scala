@@ -4332,4 +4332,25 @@ class Round10InvariantSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("fc_1") - best._4) < 1e-6, s"$t fc")
     }
   }
+
+  test("graph_ppr: restart dominance, bounded mass, descending ranks") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySeed = rows.groupBy(_._1)
+    assert(bySeed.size == 8, s"expected 8 seeds, got ${bySeed.size}")
+    val FP = 1048576L
+    for ((seed, rs) <- bySeed) {
+      val sorted = rs.sortBy(_._3)
+      // the walk's own seed holds rank 1: it is the only node that
+      // receives the 15% restart mass every round
+      assert(sorted.head._2 == seed && sorted.head._3 == 1L,
+        s"seed $seed: rank-1 is ${sorted.head._2}")
+      // integer floor-division only LOSES mass: per-seed total <= FP
+      assert(rs.map(_._4).sum <= FP, s"seed $seed: mass ${rs.map(_._4).sum}")
+      // scores weakly decrease with rank
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"seed $seed: non-monotone scores")
+    }
+  }
 }
