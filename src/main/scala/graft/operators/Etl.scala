@@ -6874,6 +6874,93 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // X-11 D8 stable-seasonality F-test — the diagnostic an agency
+    // runs BEFORE publishing a seasonally adjusted series (X-13ARIMA's
+    // D8/M7 gate): a one-way ANOVA of the SI ratios (the
+    // etl_seasonal_decompose chain) across calendar months. A large F
+    // says the month-to-month SI differences are systematic (stable
+    // seasonality exists); the X-11 rule-of-thumb F > 7 is the
+    // "identifiable seasonality" decision. SI ratios are the ×10⁹
+    // exact longs of the decompose chain; per-month sums stay exact
+    // BIGINTs, squared sums accumulate in DECIMAL(38)/HUGEINT (a
+    // single si² term is ~4·10¹⁸ — a raw long sum would saturate),
+    // and the F assembly is a 1-row divide with the ×10⁹ snap. The
+    // decision boolean compares the SNAPPED F, so both engines decide
+    // from the identical number. Corpus → monthly relation in one
+    // agg; everything after is months-bounded bookkeeping.
+    "etl_x11_ftest" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT mo_s, mo, total,
+        |    (0.5 * lag(total, 6) OVER o + lag(total, 5) OVER o + lag(total, 4) OVER o
+        |      + lag(total, 3) OVER o + lag(total, 2) OVER o + lag(total, 1) OVER o
+        |      + total + lead(total, 1) OVER o + lead(total, 2) OVER o
+        |      + lead(total, 3) OVER o + lead(total, 4) OVER o + lead(total, 5) OVER o
+        |      + 0.5 * lead(total, 6) OVER o) / 12 AS ma
+        |  FROM m WINDOW o AS (ORDER BY mo_s)),
+        |si AS (
+        |  SELECT mo, CAST(floor(total / ma * 1000000000 + 0.5) AS BIGINT) AS si_fp
+        |  FROM w WHERE ma IS NOT NULL),
+        |g AS (
+        |  SELECT mo, CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(si_fp) AS BIGINT) AS s_j,
+        |    CAST(sum(CAST(si_fp AS HUGEINT) * si_fp) AS DOUBLE) AS ss_j
+        |  FROM si GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(CAST(sum(s_j) AS HUGEINT) AS DOUBLE) AS s, sum(ss_j) AS ss,
+        |    sum(CAST(s_j AS DOUBLE) * s_j / n_j) AS sgm
+        |  FROM g)
+        |SELECT n, k, k - 1 AS df_between, n - k AS df_within,
+        |  floor((sgm - s * s / n) / (k - 1)
+        |      / ((ss - sgm) / (n - k)) * 1000000000 + 0.5) / 1.0e9 AS f_stable,
+        |  floor((sgm - s * s / n) / (k - 1)
+        |      / ((ss - sgm) / (n - k)) * 1000000000 + 0.5) / 1.0e9 > 7.0
+        |    AS seasonality_identifiable
+        |FROM t""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      val o = Window.orderBy(col("mo_s").asc)
+      val terms = lit(0.5) * lag(col("total"), 6).over(o) +
+        lag(col("total"), 5).over(o) + lag(col("total"), 4).over(o) +
+        lag(col("total"), 3).over(o) + lag(col("total"), 2).over(o) +
+        lag(col("total"), 1).over(o) + col("total") +
+        lead(col("total"), 1).over(o) + lead(col("total"), 2).over(o) +
+        lead(col("total"), 3).over(o) + lead(col("total"), 4).over(o) +
+        lead(col("total"), 5).over(o) + lit(0.5) * lead(col("total"), 6).over(o)
+      val si = m.withColumn("ma", terms / 12)
+        .filter(col("ma").isNotNull)
+        .select(col("mo"),
+          floor(col("total") / col("ma") * lit(1.0e9) + lit(0.5))
+            .cast(LongType).as("si_fp"))
+      val dec38 = DecimalType(38, 0)
+      val g = si.groupBy(col("mo"))
+        .agg(count(lit(1)).as("n_j"), sum(col("si_fp")).as("s_j"),
+          sum((col("si_fp") * col("si_fp")).cast(dec38))
+            .cast(DoubleType).as("ss_j"))
+      val fExpr = floor((col("sgm") - col("s") * col("s") / col("n"))
+        / (col("k") - 1) / ((col("ss") - col("sgm")) / (col("n") - col("k")))
+        * lit(1.0e9) + lit(0.5)) / lit(1.0e9)
+      g.agg(sum(col("n_j")).as("n"), count(lit(1)).as("k"),
+          sum(col("s_j")).cast(dec38).cast(DoubleType).as("s"),
+          sum(col("ss_j")).as("ss"),
+          sum(col("s_j").cast(DoubleType) * col("s_j") / col("n_j")).as("sgm"))
+        .select(col("n"), col("k"), (col("k") - 1).as("df_between"),
+          (col("n") - col("k")).as("df_within"),
+          fExpr.as("f_stable"),
+          (fExpr > 7.0).as("seasonality_identifiable"))
+    },
+
+    // ------------------------------------------------------------------
     // STL seasonal decomposition (Cleveland et al. 1990) — the
     // loess-based rung above the X-11 family (etl_seasonal_decompose /
     // etl_x11_adjust): additive trend + seasonal + remainder on the

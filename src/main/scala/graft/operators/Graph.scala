@@ -1017,6 +1017,66 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // Core-number decomposition — each node's coreness (the largest k
+    // whose k-core still contains it), the graph summarization behind
+    // "how deep is this template family nested" (core 2 = any shared
+    // pair structure, rising coreness = mutually-near-dup cliques that
+    // should be cut as a family, the graph_rich_club conclusion made
+    // per-node). Exact core numbers need a sequential peel (Batagelj-
+    // Zaversnik is inherently serial); the distributed form runs the
+    // SYNCHRONOUS peel at k = 2, 3, 4 independently — each is the
+    // proven graph_kcore loop — and takes coreness = max surviving k,
+    // capped at 4 (the KcoreRounds truncation, documented; deeper
+    // cores need more peels, not a different shape). All three peels
+    // share one cached edge relation; the combine is two left
+    // semijoin-shaped joins on the 2-core survivor set. Oracle replays
+    // the three MATERIALIZED peel chains and the same CASE combine.
+    "graph_core_number" -> QueryDef.withOracle {
+      def peel(pfx: String, i: Int, k: Int): String =
+        s"""$pfx${i + 1} AS MATERIALIZED (
+           |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
+           |  FROM edges e JOIN $pfx$i a ON a.id = e.src
+           |  JOIN $pfx$i b ON b.id = e.dst
+           |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+      def chain(pfx: String, k: Int): String =
+        s"""${pfx}0 AS (SELECT DISTINCT src AS id FROM edges),
+           |${(0 until KcoreRounds).map(peel(pfx, _, k)).mkString(",\n")}"""
+          .stripMargin
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |${chain("q", 2)},
+         |${chain("r", 3)},
+         |${chain("t", 4)}
+         |SELECT q.id AS doc_id,
+         |  CAST(2 + CASE WHEN r.id IS NULL THEN 0 ELSE 1 END
+         |         + CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS core_number
+         |FROM q$KcoreRounds q
+         |LEFT JOIN r$KcoreRounds r ON r.id = q.id
+         |LEFT JOIN t$KcoreRounds t ON t.id = q.id""".stripMargin
+    } { (s, dir) =>
+      val k2 = kcoreSurvivors(s, dir, 2, KcoreRounds).select(col("id"))
+      val k3 = kcoreSurvivors(s, dir, 3, KcoreRounds)
+        .select(col("id"), lit(1L).as("in3"))
+      val k4 = kcoreSurvivors(s, dir, 4, KcoreRounds)
+        .select(col("id"), lit(1L).as("in4"))
+      k2.join(k3, Seq("id"), "left_outer")
+        .join(k4, Seq("id"), "left_outer")
+        .select(col("id").as("doc_id"),
+          (lit(2L) + coalesce(col("in3"), lit(0L))
+            + coalesce(col("in4"), lit(0L))).as("core_number"))
+    },
+
+    // ------------------------------------------------------------------
     // Harmonic centrality from 8 deterministically-sampled sources —
     // the distance-based centrality family (closeness proper is
     // undefined on disconnected graphs; the harmonic form Σ 1/d

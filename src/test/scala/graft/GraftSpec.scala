@@ -508,7 +508,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_dickey_fuller", "event_type") -> "type×day calendar-bounded daily counts (lag-1/Δ regression windows)",
       ("etl_stl_decompose", "") -> "monthly-grain calendar relation (the seasonal_decompose argument; loess lags + low-pass + trend windows)",
       ("ev_stl_anomaly", "event_type") -> "type×day calendar-bounded daily counts (loess lags, low-pass, median/MAD rank windows)",
-      ("ev_airline_sarima", "event_type") -> "125-row (type × 25-arm CSS grid) bookkeeping relation (the best-arm rank window)")
+      ("ev_airline_sarima", "event_type") -> "125-row (type × 25-arm CSS grid) bookkeeping relation (the best-arm rank window)",
+      ("etl_x11_ftest", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
