@@ -6961,6 +6961,127 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // X-11 M7 combined seasonality test — the published decision rule
+    // behind "is this series seasonal enough to adjust" (X-13ARIMA's
+    // D8B table + M7 quality statistic): on the COMPLETE calendar
+    // years of the SI panel (partial boundary years drop — the MA
+    // trim makes them partial; both engines apply the same HAVING
+    // count = 12 rule), a balanced two-way ANOVA without replication
+    // gives F_stable (between months — the D8 numerator on the same
+    // panel) and F_moving (between years — moving seasonality), and
+    // M7 = √((7/F_s + 3·F_m/F_s)/2): identifiable seasonality iff
+    // M7 < 1. Row/column/total sums of the ×10⁹ SI longs stay exact
+    // (DECIMAL(38)/HUGEINT for the squared accumulations); the three
+    // SS terms assemble in doubles with identical operand order and
+    // every published number (F_s, F_m, M7) snaps ×10⁶ BEFORE the
+    // boolean, so both engines decide from the identical value.
+    "etl_x11_m7" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+        |      AS mo_s,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT mo_s, mo, yr, total,
+        |    (0.5 * lag(total, 6) OVER o + lag(total, 5) OVER o + lag(total, 4) OVER o
+        |      + lag(total, 3) OVER o + lag(total, 2) OVER o + lag(total, 1) OVER o
+        |      + total + lead(total, 1) OVER o + lead(total, 2) OVER o
+        |      + lead(total, 3) OVER o + lead(total, 4) OVER o + lead(total, 5) OVER o
+        |      + 0.5 * lead(total, 6) OVER o) / 12 AS ma
+        |  FROM m WINDOW o AS (ORDER BY mo_s)),
+        |si AS (
+        |  SELECT mo, yr,
+        |    CAST(floor(total / ma * 1000000000 + 0.5) AS BIGINT) AS si_fp
+        |  FROM w WHERE ma IS NOT NULL),
+        |cy AS (SELECT yr FROM si GROUP BY yr HAVING count(*) = 12),
+        |p AS (SELECT si.* FROM si JOIN cy USING (yr)),
+        |ry AS (SELECT yr, CAST(sum(si_fp) AS BIGINT) AS r_y FROM p GROUP BY 1),
+        |cm AS (SELECT mo, CAST(sum(si_fp) AS BIGINT) AS c_m FROM p GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(si_fp) AS HUGEINT) AS DOUBLE) AS t,
+        |    CAST(sum(CAST(si_fp AS HUGEINT) * si_fp) AS DOUBLE) AS sq,
+        |    CAST((SELECT count(*) FROM cy) AS BIGINT) AS ny
+        |  FROM p),
+        |ss AS (
+        |  SELECT tt.n, tt.ny, CAST(tt.n // 12 AS BIGINT) AS nyv,
+        |    tt.sq - tt.t * tt.t / tt.n AS sst,
+        |    (SELECT sum(CAST(r_y AS DOUBLE) * r_y / 12) FROM ry)
+        |      - tt.t * tt.t / tt.n AS ssy,
+        |    (SELECT sum(CAST(c_m AS DOUBLE) * c_m / tt.ny) FROM cm)
+        |      - tt.t * tt.t / tt.n AS ssm
+        |  FROM tt),
+        |f AS (
+        |  SELECT n, ny,
+        |    floor(ssm / 11 / ((sst - ssm - ssy) / (11 * (ny - 1)))
+        |      * 1000000 + 0.5) / 1.0e6 AS f_stable,
+        |    floor(ssy / (ny - 1) / ((sst - ssm - ssy) / (11 * (ny - 1)))
+        |      * 1000000 + 0.5) / 1.0e6 AS f_moving
+        |  FROM ss)
+        |SELECT n, ny AS n_years, f_stable, f_moving,
+        |  floor(sqrt((7.0 / f_stable + 3.0 * f_moving / f_stable) / 2)
+        |    * 1000000 + 0.5) / 1.0e6 AS m7,
+        |  floor(sqrt((7.0 / f_stable + 3.0 * f_moving / f_stable) / 2)
+        |    * 1000000 + 0.5) / 1.0e6 < 1.0 AS seasonality_identifiable
+        |FROM f""".stripMargin) { (s, dir) =>
+      val m = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total"))
+      val o = Window.orderBy(col("mo_s").asc)
+      val terms = lit(0.5) * lag(col("total"), 6).over(o) +
+        lag(col("total"), 5).over(o) + lag(col("total"), 4).over(o) +
+        lag(col("total"), 3).over(o) + lag(col("total"), 2).over(o) +
+        lag(col("total"), 1).over(o) + col("total") +
+        lead(col("total"), 1).over(o) + lead(col("total"), 2).over(o) +
+        lead(col("total"), 3).over(o) + lead(col("total"), 4).over(o) +
+        lead(col("total"), 5).over(o) + lit(0.5) * lead(col("total"), 6).over(o)
+      val si = m.withColumn("ma", terms / 12)
+        .filter(col("ma").isNotNull)
+        .select(col("mo"), col("yr"),
+          floor(col("total") / col("ma") * lit(1.0e9) + lit(0.5))
+            .cast(LongType).as("si_fp"))
+        .persist() // months-bounded panel; feeds 4 bookkeeping aggs
+      val cy = si.groupBy(col("yr")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 12).select(col("yr"))
+      val p = si.join(broadcast(cy), Seq("yr"))
+      val dec38 = DecimalType(38, 0)
+      val ry = p.groupBy(col("yr")).agg(sum(col("si_fp")).as("r_y"))
+        .agg(sum(col("r_y").cast(DoubleType) * col("r_y") / 12).as("sry"))
+      val cm = p.groupBy(col("mo")).agg(sum(col("si_fp")).as("c_m"))
+      val ttBase = p.agg(count(lit(1)).as("n"),
+        sum(col("si_fp")).cast(dec38).cast(DoubleType).as("t"),
+        sum((col("si_fp") * col("si_fp")).cast(dec38))
+          .cast(DoubleType).as("sq"))
+      val nyDf = cy.agg(count(lit(1)).as("ny"))
+      val cmAgg = cm.crossJoin(broadcast(nyDf))
+        .agg(sum(col("c_m").cast(DoubleType) * col("c_m") / col("ny")).as("scm"),
+          max(col("ny")).as("ny"))
+      val ss = ttBase.crossJoin(broadcast(ry)).crossJoin(broadcast(cmAgg))
+        .select(col("n"), col("ny"),
+          (col("sq") - col("t") * col("t") / col("n")).as("sst"),
+          (col("sry") - col("t") * col("t") / col("n")).as("ssy"),
+          (col("scm") - col("t") * col("t") / col("n")).as("ssm"))
+      val fs = floor(col("ssm") / 11 / ((col("sst") - col("ssm") - col("ssy"))
+        / (lit(11) * (col("ny") - 1))) * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+      val fm = floor(col("ssy") / (col("ny") - 1)
+        / ((col("sst") - col("ssm") - col("ssy"))
+          / (lit(11) * (col("ny") - 1))) * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+      val f = ss.select(col("n"), col("ny").as("n_years"),
+        fs.as("f_stable"), fm.as("f_moving"))
+      val m7 = floor(sqrt((lit(7.0) / col("f_stable")
+        + lit(3.0) * col("f_moving") / col("f_stable")) / 2)
+        * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+      f.select(col("n"), col("n_years"), col("f_stable"), col("f_moving"),
+        m7.as("m7"), (m7 < 1.0).as("seasonality_identifiable"))
+    },
+
+    // ------------------------------------------------------------------
     // STL seasonal decomposition (Cleveland et al. 1990) — the
     // loess-based rung above the X-11 family (etl_seasonal_decompose /
     // etl_x11_adjust): additive trend + seasonal + remainder on the

@@ -4764,6 +4764,91 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Kalman filter, local-level model — the state-space rung of the
+    // trend family (agencies publish trend estimates from exactly this
+    // model class; it is also the optimal online mean-tracker the EWMA
+    // approximates): z_t = μ_t + ε (obs var h), μ_t = μ_{t−1} + η
+    // (level var q), filtered per event type over the daily-count
+    // series NORMALIZED by its exact per-type mean (z ≈ O(1), so the
+    // fixed nominal variances h = 1, q = 0.1 are SF-invariant — the
+    // etl_stl_decompose normalization discipline). One sequential IEEE
+    // fold per type carrying (a, P, Σv²/F): predict P+q, gain
+    // K = (P+q)/(P+q+h), update a += K·v, P = (P+q)(1−K), with the
+    // diffuse start a₁ = z₁, P₁ = 10⁷ (the first post-init innovation
+    // is standardized by the diffuse F ≈ 10⁷ and so contributes ≈ 0 —
+    // the practical diffuse rule). The published fit statistic is Σv²/F
+    // (standardized innovation sum) — deliberately NOT the Gaussian
+    // log-likelihood, whose ln() is implementation-defined and would
+    // break cross-engine equality; Σv²/F is the same ranking statistic
+    // under fixed (h, q). Oracle replays the identical chain via a
+    // recursive CTE. ONE corpus agg; the fold is 5-row bookkeeping.
+    "ev_kalman_level" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(n) AS BIGINT) AS total FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT e.event_type, t.nd, t.total,
+        |    list(CAST(e.n AS DOUBLE) * t.nd / t.total ORDER BY e.day) AS v
+        |  FROM e JOIN t USING (event_type) GROUP BY 1, 2, 3),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, a, p, ssq, k) AS (
+        |    SELECT event_type, CAST(1 AS BIGINT), v[1],
+        |      CAST(10000000.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)
+        |    FROM a WHERE nd >= 2
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      h.a + ((h.p + 0.1) / (h.p + 0.1 + 1.0))
+        |        * (a.v[CAST(h.i + 1 AS INT)] - h.a),
+        |      (h.p + 0.1) * (1.0 - (h.p + 0.1) / (h.p + 0.1 + 1.0)),
+        |      h.ssq + (a.v[CAST(h.i + 1 AS INT)] - h.a)
+        |        * (a.v[CAST(h.i + 1 AS INT)] - h.a) / (h.p + 0.1 + 1.0),
+        |      (h.p + 0.1) / (h.p + 0.1 + 1.0)
+        |    FROM h JOIN a ON a.event_type = h.event_type
+        |    WHERE h.i < a.nd)
+        |  SELECT * FROM h)
+        |SELECT r.event_type, a.nd AS n_days,
+        |  round(r.a * a.total / a.nd, 9) AS level,
+        |  round(r.p, 9) AS p_var, round(r.k, 9) AS gain,
+        |  round(r.ssq, 9) AS ssq_std_innov
+        |FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.nd"""
+        .stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val t = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("total"))
+      val a = e.join(broadcast(t), "event_type")
+        .withColumn("z", col("n").cast(DoubleType) * col("nd") / col("total"))
+        .groupBy(col("event_type"), col("nd"), col("total"))
+        .agg(sort_array(collect_list(struct(col("day"), col("z")))).as("arr"))
+        .filter(col("nd") >= 2)
+        .withColumn("v", transform(col("arr"), x => x("z")))
+      val init = struct(
+        element_at(col("v"), 1).as("a"), lit(10000000.0).as("p"),
+        lit(0.0).as("ssq"), lit(0.0).as("k"))
+      val folded = aggregate(
+        sequence(lit(1L), col("nd") - 1), init,
+        (acc, i) => {
+          val z = element_at(col("v"), (i + 1).cast(IntegerType))
+          val pp = acc("p") + 0.1
+          val k = pp / (pp + 1.0)
+          val v = z - acc("a")
+          struct((acc("a") + k * v).as("a"), (pp * (lit(1.0) - k)).as("p"),
+            (acc("ssq") + v * v / (pp + 1.0)).as("ssq"), k.as("k"))
+        })
+      a.withColumn("h", folded)
+        .select(col("event_type"), col("nd").as("n_days"),
+          round(col("h.a") * col("total") / col("nd"), 9).as("level"),
+          round(col("h.p"), 9).as("p_var"), round(col("h.k"), 9).as("gain"),
+          round(col("h.ssq"), 9).as("ssq_std_innov"))
+    },
+
+    // ------------------------------------------------------------------
     // Seasonal ARIMA "airline model" (0,1,1)(0,1,1)₇ on daily event
     // counts — the ARIMA-class rung of the forecasting family (Holt /
     // Holt-Winters / theta / snaive / Croston): the doubly-differenced

@@ -144,6 +144,9 @@ object PlanAudit {
       // 25-row literal (θ, Θ) grid × the 5-row per-type daily-count
       // array relation — a constant, never corpus
       "ev_airline_sarima",
+      // 1-row broadcasts: the row-sum, column-sum and grand-moment
+      // anchors of the balanced two-way SI panel ANOVA
+      "etl_x11_m7",
       // 1-row broadcasts: the total-transition anchor and the 1-row
       // entropy-rate anchor over the ≤|types| state relation
       "ev_markov_entropy",
@@ -464,6 +467,11 @@ object PlanAudit {
       // pred-edge join/δ-agg rounds — per-round moves are frontier- or
       // pred-edge-bounded, the mirrored edges shuffle once
       "graph_betweenness" -> 12,
+      // ONE corpus-scale agg (orders → monthly, ≤|months| rows); the
+      // 7 exchanges after it move the SI panel through the MA window,
+      // the complete-year filter join, and the four bookkeeping
+      // row/column/moment aggregates
+      "etl_x11_m7" -> 7,
       // ONE corpus-scale agg (events → type×day, ≤150 rows at any SF);
       // every exchange after it moves that calendar-bounded relation
       // through the loess windows ((type, dow) and (type) partitions

@@ -509,7 +509,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_stl_decompose", "") -> "monthly-grain calendar relation (the seasonal_decompose argument; loess lags + low-pass + trend windows)",
       ("ev_stl_anomaly", "event_type") -> "type×day calendar-bounded daily counts (loess lags, low-pass, median/MAD rank windows)",
       ("ev_airline_sarima", "event_type") -> "125-row (type × 25-arm CSS grid) bookkeeping relation (the best-arm rank window)",
-      ("etl_x11_ftest", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)")
+      ("etl_x11_ftest", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)",
+      ("etl_x11_m7", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
@@ -4352,6 +4353,21 @@ class Round10InvariantSpec extends AnyFunSuite {
       val scores = sorted.map(_._4)
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
         s"seed $seed: non-monotone scores")
+    }
+  }
+
+  test("ev_kalman_level: P converges to the Riccati fixed point; gain = P under h=1") {
+    val rows = SparkEntry.queries("ev_kalman_level")(spark, sf).collect()
+    assert(rows.length == 5)
+    // steady state of P = (P+q)(1-(P+q)/(P+q+h)) at q=0.1, h=1:
+    // P* = (-q + sqrt(q^2 + 4qh)) / 2 = 0.2701562...
+    val pStar = (-0.1 + math.sqrt(0.01 + 0.4)) / 2
+    for (r <- rows) {
+      val p = r.getAs[Double]("p_var"); val k = r.getAs[Double]("gain")
+      assert(math.abs(p - pStar) < 1e-4, s"${r.getString(0)}: P=$p vs $pStar")
+      // with h = 1, steady-state P' = h*K = K
+      assert(math.abs(p - k) < 1e-6, s"${r.getString(0)}: P=$p K=$k")
+      assert(r.getAs[Double]("ssq_std_innov") >= 0)
     }
   }
 }
