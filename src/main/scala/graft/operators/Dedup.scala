@@ -492,87 +492,7 @@ object Dedup {
          |  SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
          |SELECT node AS doc_id, cluster_id,
          |  cluster_id = node AS is_canonical
-         |FROM cc""".stripMargin) { (s, dir) =>
-      val pairs = verifiedCandidates(s, dir)
-        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      // Propagate ONLY over docs that touch an edge: singletons can
-      // never change label, so they stay out of the loop entirely (at
-      // 100 TB the edge subgraph is a tiny fraction of the corpus —
-      // iterating all docs per round would be the real scale bug) and
-      // rejoin via a left join at the end.
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label")).persist()
-      // Lineage cut per round: localCheckpoint by default (fast, but
-      // its blocks die with their executor — acceptable in local mode /
-      // short jobs); setting spark.graft.checkpoint.dir switches to a
-      // RELIABLE checkpoint on the shared filesystem, which a
-      // 1000-executor job needs so one lost executor doesn't force a
-      // full restart of the iteration.
-      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
-      ckptDir.foreach { d =>
-        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
-      }
-      def cutLineage(df: DataFrame): DataFrame =
-        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
-      // As in Graph.pageRanks: per-round shuffles carry only (doc_id,
-      // label) pairs over the edge subgraph, degree is bucket-capped
-      // upstream, so when the measured subgraph is small, per-stage AQE
-      // re-planning across ~20 rounds is pure overhead — disable it for
-      // the loop only (rounds materialize eagerly, restore in finally).
-      val smallSubgraph = edges.count() < 50000000L
-      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-      // Pointer jumping halves remaining depth per round → 20 rounds
-      // cover component diameters up to ~2^20; non-convergence past the
-      // cap fails LOUDLY below instead of emitting wrong cluster ids.
-      val maxIters = 20
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIters) {
-        val propagated = labels.join(edges, col("doc_id") === col("src"))
-          .select(col("dst").as("doc_id"), col("label"),
-            lit(Long.MaxValue).as("old_label"))
-        // pointer jumping: label(u) ← label(label(u)). A label always
-        // names a doc in the same component, so shortcutting is safe
-        // and halves the remaining propagation depth — O(log diameter)
-        // rounds instead of O(diameter) on the chain-heavy clusters a
-        // templated corpus produces.
-        val shortcut = labels.as("a")
-          .join(labels.as("b"), col("a.label") === col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"),
-            lit(Long.MaxValue).as("old_label"))
-        val own = labels.select(col("doc_id"), col("label"),
-          col("label").as("old_label"))
-        // min(old_label) recovers the doc's previous label (the only
-        // non-MaxValue contribution), so the delta test needs no second
-        // join; localCheckpoint caches AND cuts lineage at this round.
-        val next = cutLineage(own.unionByName(propagated).unionByName(shortcut)
-          .groupBy(col("doc_id"))
-          .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label")))
-        val changed = next.filter(col("label") < col("old_label")).count()
-        labels.unpersist()
-        labels = next.select(col("doc_id"), col("label"))
-        converged = changed == 0
-        iter += 1
-      }
-      require(converged,
-        s"dedup_cluster_assign: label propagation did not converge in $maxIters rounds")
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      }
-      // edges stays cached: repeated calls (warmup → timed bench, or a
-      // pipeline invoking the operator twice) reuse it via Spark's
-      // canonical-plan cache, like every other persisted relation here.
-      Tables.documents(s, dir).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"),
-          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+         |FROM cc""".stripMargin) { (s, dir) => clusterAssign(s, dir)
     },
 
     // ------------------------------------------------------------------
@@ -1007,4 +927,94 @@ object Dedup {
             expr("sz * (sz - 1) div 2")).otherwise(0L)).as("dropped_pairs"))
     }
   )
+  /** Connected-component cluster labels over the verified near-dup
+    * graph (min-label propagation with pointer jumping, edge-subgraph
+    * only, per-round lineage cuts) — the shared core of
+    * dedup_cluster_assign and pipe_canonical_select. Returns one row
+    * per document: (doc_id, cluster_id, is_canonical) with singletons
+    * labeling themselves. */
+  private[operators] def clusterAssign(
+      s: SparkSession, dir: String): DataFrame = {
+      val pairs = verifiedCandidates(s, dir)
+        .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      // Propagate ONLY over docs that touch an edge: singletons can
+      // never change label, so they stay out of the loop entirely (at
+      // 100 TB the edge subgraph is a tiny fraction of the corpus —
+      // iterating all docs per round would be the real scale bug) and
+      // rejoin via a left join at the end.
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label")).persist()
+      // Lineage cut per round: localCheckpoint by default (fast, but
+      // its blocks die with their executor — acceptable in local mode /
+      // short jobs); setting spark.graft.checkpoint.dir switches to a
+      // RELIABLE checkpoint on the shared filesystem, which a
+      // 1000-executor job needs so one lost executor doesn't force a
+      // full restart of the iteration.
+      val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+      ckptDir.foreach { d =>
+        if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+      }
+      def cutLineage(df: DataFrame): DataFrame =
+        if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
+      // As in Graph.pageRanks: per-round shuffles carry only (doc_id,
+      // label) pairs over the edge subgraph, degree is bucket-capped
+      // upstream, so when the measured subgraph is small, per-stage AQE
+      // re-planning across ~20 rounds is pure overhead — disable it for
+      // the loop only (rounds materialize eagerly, restore in finally).
+      val smallSubgraph = edges.count() < 50000000L
+      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+      // Pointer jumping halves remaining depth per round → 20 rounds
+      // cover component diameters up to ~2^20; non-convergence past the
+      // cap fails LOUDLY below instead of emitting wrong cluster ids.
+      val maxIters = 20
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val propagated = labels.join(edges, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("label"),
+            lit(Long.MaxValue).as("old_label"))
+        // pointer jumping: label(u) ← label(label(u)). A label always
+        // names a doc in the same component, so shortcutting is safe
+        // and halves the remaining propagation depth — O(log diameter)
+        // rounds instead of O(diameter) on the chain-heavy clusters a
+        // templated corpus produces.
+        val shortcut = labels.as("a")
+          .join(labels.as("b"), col("a.label") === col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"),
+            lit(Long.MaxValue).as("old_label"))
+        val own = labels.select(col("doc_id"), col("label"),
+          col("label").as("old_label"))
+        // min(old_label) recovers the doc's previous label (the only
+        // non-MaxValue contribution), so the delta test needs no second
+        // join; localCheckpoint caches AND cuts lineage at this round.
+        val next = cutLineage(own.unionByName(propagated).unionByName(shortcut)
+          .groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label")))
+        val changed = next.filter(col("label") < col("old_label")).count()
+        labels.unpersist()
+        labels = next.select(col("doc_id"), col("label"))
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"dedup_cluster_assign: label propagation did not converge in $maxIters rounds")
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      }
+      // edges stays cached: repeated calls (warmup → timed bench, or a
+      // pipeline invoking the operator twice) reuse it via Spark's
+      // canonical-plan cache, like every other persisted relation here.
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
 }

@@ -289,6 +289,76 @@ object Pipeline {
       b.agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${ths.size}, $stackArgs) as (threshold, " +
           "docs_kept, docs_frac, tokens_kept, tokens_frac)"))
+    },
+
+    // ------------------------------------------------------------------
+    // Canonical selection by QUALITY — the production form of "which
+    // copy do we keep": dedup_cluster_assign keeps min doc_id (a
+    // deterministic but arbitrary survivor); a training pipeline keeps
+    // the BEST copy of each near-dup family (the highest-quality
+    // member keeps formatting/completeness the shingle match ignores).
+    // Clusters come from the shared connected-component labeler
+    // (Dedup.clusterAssign); quality is the text_quality composite
+    // snapped to a ×10⁹ integer so the per-cluster argmax ranks on
+    // identical exact values cross-engine (docs failing text_quality's
+    // domain filter — empty / no alnum — get quality −1 and never win
+    // unless alone). The rank window partitions by cluster_id
+    // (high-cardinality by construction: clusters ≈ documents), so no
+    // single task ever sorts more than one template family.
+    "pipe_canonical_select" -> QueryDef.withOracle(
+      s"""WITH s AS (${Dedup.shingleSql}),
+         |${Dedup.candSql},
+         |pairs AS MATERIALIZED (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh2 x ON x.doc_id = c.doc_a
+         |  JOIN sh2 y ON y.doc_id = c.doc_b
+         |  WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+         |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |cc AS (
+         |  WITH RECURSIVE walk(node, label) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT e.dst, walk.label FROM walk JOIN edges e ON walk.node = e.src)
+         |  SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+         |q AS (
+         |  SELECT doc_id, CAST(floor((0.4 * round(length(regexp_replace(text,
+         |        '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 9)
+         |      + 0.4 * (1 - round(len(list_filter(${TextOps.toksSql("text")},
+         |        x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0
+         |          / len(${TextOps.toksSql("text")}), 9))
+         |      + 0.2 * least(CAST(len(${TextOps.toksSql("text")}) AS INT)
+         |          / 20.0, 1.0)) * 1000000000 + 0.5) AS BIGINT) AS q_fp
+         |  FROM documents
+         |  WHERE length(text) > 0 AND regexp_matches(text, '[a-zA-Z0-9]'))
+         |SELECT cc.node AS doc_id, cc.cluster_id,
+         |  coalesce(q.q_fp, -1) AS quality_fp,
+         |  row_number() OVER (PARTITION BY cc.cluster_id
+         |    ORDER BY coalesce(q.q_fp, -1) DESC, cc.node ASC) = 1 AS keep
+         |FROM cc LEFT JOIN q ON q.doc_id = cc.node""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val labels = Dedup.clusterAssign(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val toks = TextOps.tokens(col("text"))
+      val nWords = size(toks)
+      val stops = Seq("the", "a", "and", "of", "to")
+      val q = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0 && col("text").rlike("[a-zA-Z0-9]"))
+        .select(col("doc_id"),
+          floor((lit(0.4) * round(length(regexp_replace(col("text"),
+              "[^A-Za-z]", "")) * lit(1.0) / length(col("text")), 9)
+            + lit(0.4) * (lit(1) - round(size(filter(toks,
+                x => x.isin(stops: _*))) * lit(1.0) / nWords, 9))
+            + lit(0.2) * least(nWords / lit(20.0), lit(1.0)))
+            * lit(1000000000L) + lit(0.5)).cast(LongType).as("q_fp"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_fp").desc, col("doc_id").asc)
+      labels.join(q, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("q_fp"), lit(-1L)).as("quality_fp"))
+        .withColumn("keep", row_number().over(w) === 1)
     }
   )
 }
