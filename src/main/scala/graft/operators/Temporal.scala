@@ -4764,6 +4764,109 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Haar wavelet energy decomposition — which TIMESCALE carries a
+    // series' variance (day-to-day jitter vs weekly vs fortnightly
+    // structure), the multiresolution companion to ev_dft_spectrum's
+    // single-resolution periodogram. Haar is the one wavelet whose
+    // transform is pure integer adds/subtracts, so the whole pyramid
+    // stays EXACT: the last 16 days per type (dyadic length, both
+    // engines apply the same rank rule), counts normalized by the
+    // window total to ×10⁶ SF-invariant longs, then 4 levels of
+    // pairwise (sum, difference) — level k's detail energy Σd² is an
+    // exact BIGINT (coefficients ≤ 16·10⁶ → squares ≤ 2.6·10¹⁴, no
+    // overflow at any SF because the input is normalized). Output:
+    // per (type, level) the exact energy and its ×10⁹-snapped share
+    // of total detail energy. ONE corpus agg; the pyramid is ≤16-row
+    // bookkeeping per type.
+    "ev_haar_energy" -> QueryDef.withOracle {
+      def lvl(i: Int): String = {
+        val src = if (i == 1) "z" else s"l${i - 1}"
+        val v = if (i == 1) "v" else "s"
+        s"""l$i AS (
+           |  SELECT event_type, idx // 2 AS idx,
+           |    CAST(sum(CASE WHEN idx % 2 = 0 THEN $v ELSE 0 END)
+           |       + sum(CASE WHEN idx % 2 = 1 THEN $v ELSE 0 END) AS BIGINT) AS s,
+           |    CAST(sum(CASE WHEN idx % 2 = 0 THEN $v ELSE 0 END)
+           |       - sum(CASE WHEN idx % 2 = 1 THEN $v ELSE 0 END) AS BIGINT) AS d
+           |  FROM $src GROUP BY 1, 2),
+           |e$i AS (
+           |  SELECT event_type, $i AS level, CAST(sum(d * d) AS BIGINT) AS energy
+           |  FROM l$i GROUP BY 1)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY day DESC) AS rd
+         |  FROM d),
+         |w16 AS (SELECT event_type, day, n FROM t WHERE rd <= 16),
+         |a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+         |      FROM w16 GROUP BY 1),
+         |z AS (
+         |  SELECT w.event_type,
+         |    CAST(row_number() OVER (PARTITION BY w.event_type
+         |      ORDER BY w.day ASC) - 1 AS BIGINT) AS idx,
+         |    CAST(floor(CAST(w.n AS DOUBLE) * 16 / a.tot * 1000000 + 0.5)
+         |      AS BIGINT) AS v
+         |  FROM w16 w JOIN a USING (event_type)),
+         |${(1 to 4).map(lvl).mkString(",\n")},
+         |es AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+         |       UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4),
+         |te AS (SELECT event_type, CAST(sum(energy) AS BIGINT) AS tot_e
+         |       FROM es GROUP BY 1)
+         |SELECT es.event_type, CAST(es.level AS BIGINT) AS level, es.energy,
+         |  CASE WHEN te.tot_e = 0 THEN 0.0
+         |    ELSE floor(CAST(es.energy AS DOUBLE) / te.tot_e * 1000000000
+         |      + 0.5) / 1.0e9 END AS energy_frac
+         |FROM es JOIN te USING (event_type)""".stripMargin
+    } { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("day").desc)
+      val w16 = d.withColumn("rd", row_number().over(wD))
+        .filter(col("rd") <= 16).drop("rd")
+      val a = w16.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      val wA = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val z = w16.join(broadcast(a), "event_type")
+        .select(col("event_type"),
+          (row_number().over(wA) - 1).cast(LongType).as("idx"),
+          floor(col("n").cast(DoubleType) * 16 / col("tot") * lit(1000000)
+            + lit(0.5)).cast(LongType).as("v"))
+      // The whole 4-level pyramid is ROW-LOCAL over the gathered
+      // 16-value array — one type-keyed gather, zero further shuffles
+      // (the first cut as 4 level-keyed groupBys measured 17 exchanges
+      // of ≤16-row bookkeeping; this is the shape that scales).
+      val zArr = z.groupBy(col("event_type"))
+        .agg(transform(sort_array(collect_list(struct(col("idx"), col("v")))),
+          x => x("v")).as("v0"))
+      var vc: org.apache.spark.sql.Column = col("v0")
+      val eCols = (1 to 4).map { i =>
+        val n = 16 >> i
+        def at(j: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+          element_at(vc, (j * 2 + off).cast(IntegerType))
+        val eI = aggregate(
+          transform(sequence(lit(0), lit(n - 1)), j => {
+            val d = at(j, 1) - at(j, 2); d * d
+          }), lit(0L), (acc, x) => acc + x)
+        vc = transform(sequence(lit(0), lit(n - 1)), j => at(j, 1) + at(j, 2))
+        eI.as(s"e$i")
+      }
+      val withE = zArr.select(Seq(col("event_type")) ++ eCols: _*)
+        .withColumn("tot_e", col("e1") + col("e2") + col("e3") + col("e4"))
+      withE.select(col("event_type"),
+          expr("stack(4, 1L, e1, 2L, e2, 3L, e3, 4L, e4) as (level, energy)"),
+          col("tot_e"))
+        .select(col("event_type"), col("level"), col("energy"),
+          when(col("tot_e") === 0, lit(0.0))
+            .otherwise(floor(col("energy").cast(DoubleType) / col("tot_e")
+              * lit(1000000000) + lit(0.5)) / lit(1.0e9)).as("energy_frac"))
+    },
+
+    // ------------------------------------------------------------------
     // Kalman filter, local-level model — the state-space rung of the
     // trend family (agencies publish trend estimates from exactly this
     // model class; it is also the optimal online mean-tracker the EWMA
