@@ -87,3 +87,82 @@ object DriftMonitor {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming Kalman level monitor — ev_kalman_level's deployment
+  * shape, sharing DriftMonitor's split: a batch job freezes each
+  * type's ×10⁶ mean daily rate; the stream folds per-type daily
+  * counts through the local-level Kalman recursion as days close and
+  * emits one row per CLOSED day carrying the filtered level (in
+  * mean-relative units) and the running standardized-innovation sum.
+  * State is O(|types|): (open day, open count, a, P, Σv²/F) per type.
+  *
+  * Determinism contract: days close in order (gap days at n = 0, late
+  * rows fold into the open day — the DriftMonitor contract), so the
+  * double-precision recursion replays identically across restarts and
+  * equals the batch prefix fold over the same closed days (spec-
+  * asserted across a 3-micro-batch replay). Normalization uses the
+  * FROZEN reference rate, not the live series mean — the same
+  * frozen-statistics split as the CUSUM monitor; the batch operator
+  * (whose mean is the full series') remains the corrective backfill.
+  */
+object LevelMonitor {
+
+  import DriftMonitor.TypedEvent
+
+  case class LevelRow(event_type: String, day: Long, n: Long,
+      level: Double, ssq: Double)
+
+  /** State: (open day, open-day count, a, P, Σv²/F); P < 0 marks
+    * "no day closed yet" (the diffuse init happens at first close). */
+  private type St = (Long, Long, Double, Double, Double)
+
+  class KalmanProcessor(refFp: Map[String, Long])
+      extends StatefulProcessor[String, TypedEvent, LevelRow] {
+    @transient private var st: ValueState[St] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[St]("st",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[LevelRow] = {
+      var (openDay, cnt, a, p, ssq) =
+        if (st.exists()) st.get() else (-1L, 0L, 0.0, -1.0, 0.0)
+      val ref = refFp.getOrElse(key, 1L).toDouble
+      val out = Seq.newBuilder[LevelRow]
+      rows.toSeq.sortBy(r => (r.day, r.ts_s, r.event_id)).foreach { r =>
+        if (openDay == -1L) openDay = r.day
+        while (r.day > openDay) { // close the open day + any gap days
+          val z = cnt * 1000000.0 / ref
+          if (p < 0) { a = z; p = 10000000.0; ssq = 0.0 }
+          else {
+            val pp = p + 0.1
+            val k = pp / (pp + 1.0)
+            val v = z - a
+            a = a + k * v
+            p = pp * (1.0 - k)
+            ssq = ssq + v * v / (pp + 1.0)
+          }
+          out += LevelRow(key, openDay, cnt, a, ssq)
+          openDay += 1; cnt = 0L
+        }
+        cnt += 1
+      }
+      st.update((openDay, cnt, a, p, ssq))
+      out.result().iterator
+    }
+  }
+
+  def levelStream(spark: SparkSession, srcDir: String,
+      refFp: Map[String, Long],
+      maxFilesPerTrigger: Int = 0): Dataset[LevelRow] = {
+    import spark.implicits._
+    EventStreams.eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .select(col("event_type"), expr("ts_s div 86400").as("day"),
+        col("ts_s"), col("event_id"))
+      .as[TypedEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new KalmanProcessor(refFp),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -1699,6 +1699,61 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming Kalman level monitor equals the batch prefix fold across 3 micro-batches") {
+    val dir = stageTerciles()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val refFp = graft.streaming.DriftMonitor.referenceRates(spark, sf)
+      val q = graft.streaming.LevelMonitor
+        .levelStream(spark, dir, refFp, maxFilesPerTrigger = 1)
+        .toDF().writeStream.format("memory").queryName("kalman_level")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.sql("SELECT event_type, day, n, level, ssq FROM kalman_level")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      // batch reference: the identical recursion replayed in plain
+      // Scala over closed days (first..last-1, gaps at n = 0)
+      val counts = graft.sources.Tables.eventsTimed(spark, sf)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = counts.keys.groupBy(_._1).flatMap { case (tpe, ks) =>
+        val days = ks.map(_._2)
+        val ref = refFp(tpe).toDouble
+        var a = 0.0; var p = -1.0; var ssq = 0.0
+        (days.min until days.max).map { d =>
+          val cnt = counts.getOrElse((tpe, d), 0L)
+          val z = cnt * 1000000.0 / ref
+          if (p < 0) { a = z; p = 10000000.0; ssq = 0.0 }
+          else {
+            val pp = p + 0.1
+            val k = pp / (pp + 1.0)
+            val v = z - a
+            a = a + k * v
+            p = pp * (1.0 - k)
+            ssq = ssq + v * v / (pp + 1.0)
+          }
+          (tpe, d, cnt, a, ssq)
+        }
+      }.toSet
+      assert(got.nonEmpty, "the stream must close at least one day")
+      // doubles folded in the identical order -> bit-equal, so set
+      // equality is exact
+      assert(got == want,
+        s"stream rows (${got.size}) differ from the batch fold (${want.size})")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 class PageRankConvergenceSpec extends AnyFunSuite {
