@@ -4764,6 +4764,103 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Event-study (dynamic DiD) — ev_diff_in_diff's single post-pre
+    // contrast unrolled into PER-RELATIVE-WEEK coefficients, the plot
+    // every applied-econometrics launch review is built on: δ_k =
+    // (treat_k − ctrl_k) − (treat_base − ctrl_base) with base = the
+    // week before treatment (δ₋₁ ≡ 0 — the standard normalization;
+    // pre-period δ's far from 0 indict the parallel-trends claim
+    // BEFORE anyone reads the post effects). Same conventions as
+    // ev_diff_in_diff: treated = even user_id, treatment time = the
+    // calendar midpoint, metric = purchase value. Relative weeks are
+    // computed as NONNEGATIVE floor-divisions first, subtracted after
+    // — Spark's `div` truncates toward zero while DuckDB's `//`
+    // floors, so a direct signed division would disagree at k < 0.
+    // Cell moments are exact DECIMAL sums; se_k pools the four cell
+    // variances (treat/ctrl × k/base). One corpus agg; the contrast
+    // assembly is a ≤|weeks|×2-cell bookkeeping relation.
+    "ev_event_study" -> QueryDef.withOracle(
+      """WITH b AS (
+        |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS mn,
+        |    (min(CAST(floor(epoch(ts)) AS BIGINT))
+        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        |  FROM events WHERE event_type = 'purchase'),
+        |cells AS (
+        |  SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) - b.mn) // 604800
+        |      - (b.mid - b.mn) // 604800 AS rk,
+        |    (user_id % 2 = 0) AS treated,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events CROSS JOIN b
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT rk, treated, n, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) / n AS var_mean
+        |  FROM cells),
+        |base AS (
+        |  SELECT
+        |    max(CASE WHEN treated THEN mean END) AS mt_b,
+        |    max(CASE WHEN NOT treated THEN mean END) AS mc_b,
+        |    max(CASE WHEN treated THEN var_mean END) AS vt_b,
+        |    max(CASE WHEN NOT treated THEN var_mean END) AS vc_b
+        |  FROM m WHERE rk = -1),
+        |wk AS (
+        |  SELECT rk,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    max(CASE WHEN treated THEN mean END) AS mt,
+        |    max(CASE WHEN NOT treated THEN mean END) AS mc,
+        |    max(CASE WHEN treated THEN var_mean END) AS vt,
+        |    max(CASE WHEN NOT treated THEN var_mean END) AS vc
+        |  FROM m GROUP BY rk)
+        |SELECT wk.rk AS rel_week, wk.n,
+        |  round((wk.mt - wk.mc) - (base.mt_b - base.mc_b), 9) AS coef,
+        |  round(sqrt(wk.vt + wk.vc + base.vt_b + base.vc_b), 9) AS se,
+        |  round(((wk.mt - wk.mc) - (base.mt_b - base.mc_b))
+        |    / sqrt(wk.vt + wk.vc + base.vt_b + base.vc_b), 9) AS t_stat
+        |FROM wk CROSS JOIN base
+        |WHERE wk.rk <> -1""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTimed(s, dir)
+        .filter(col("event_type") === "purchase")
+      val b = ev.agg(min(col("ts_s")).as("mn"),
+        expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(b))
+        .groupBy(
+          (expr("(ts_s - mn) div 604800") - expr("(mid - mn) div 604800"))
+            .as("rk"),
+          (pmod(col("user_id"), lit(2L)) === 0).as("treated"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(DoubleType).as("s1"),
+          sum(col("value").cast(dec2) * col("value").cast(dec2))
+            .cast(DoubleType).as("s2"))
+      val m = cells.select(col("rk"), col("treated"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+          / col("n")).as("var_mean"))
+        .persist() // ≤|weeks|×2 bookkeeping; feeds base + the contrast
+      val base = m.filter(col("rk") === -1).agg(
+        max(when(col("treated"), col("mean"))).as("mt_b"),
+        max(when(!col("treated"), col("mean"))).as("mc_b"),
+        max(when(col("treated"), col("var_mean"))).as("vt_b"),
+        max(when(!col("treated"), col("var_mean"))).as("vc_b"))
+      val wk = m.groupBy(col("rk")).agg(sum(col("n")).as("n"),
+        max(when(col("treated"), col("mean"))).as("mt"),
+        max(when(!col("treated"), col("mean"))).as("mc"),
+        max(when(col("treated"), col("var_mean"))).as("vt"),
+        max(when(!col("treated"), col("var_mean"))).as("vc"))
+      val coef = (col("mt") - col("mc")) - (col("mt_b") - col("mc_b"))
+      val se = sqrt(col("vt") + col("vc") + col("vt_b") + col("vc_b"))
+      wk.crossJoin(broadcast(base))
+        .filter(col("rk") =!= -1)
+        .select(col("rk").as("rel_week"), col("n"),
+          round(coef, 9).as("coef"), round(se, 9).as("se"),
+          round(coef / se, 9).as("t_stat"))
+    },
+
+    // ------------------------------------------------------------------
     // Haar wavelet energy decomposition — which TIMESCALE carries a
     // series' variance (day-to-day jitter vs weekly vs fortnightly
     // structure), the multiresolution companion to ev_dft_spectrum's

@@ -147,6 +147,9 @@ object PlanAudit {
       // 1-row broadcasts: the row-sum, column-sum and grand-moment
       // anchors of the balanced two-way SI panel ANOVA
       "etl_x11_m7",
+      // 1-row broadcasts: the (mn, mid) calendar anchor (the
+      // ev_diff_in_diff argument) and the 1-row base-week contrast
+      "ev_event_study",
       // 1-row broadcasts: the total-transition anchor and the 1-row
       // entropy-rate anchor over the ≤|types| state relation
       "ev_markov_entropy",
