@@ -4764,6 +4764,137 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Engle-Granger two-step cointegration — do the click and view
+    // daily series share a common stochastic trend (so their SPREAD is
+    // the mean-reverting thing to monitor), the question correlation
+    // (etl_correlation) and per-series stationarity (ev_dickey_fuller)
+    // each answer wrongly on trending data. Step 1: OLS view ~ click
+    // on per-day counts normalized to ×10³ SF-invariant longs, all
+    // moments exact BIGINTs; the residual is kept in COMMON-
+    // DENOMINATOR integer form r_t = v·den − βnum·c − αnum (den =
+    // n·Σc² − (Σc)², exact — no float residual ever materializes, and
+    // the den scaling cancels in every step-2 output because ρ and t
+    // are scale-invariant). Step 2: the ev_dickey_fuller ADF regression
+    // on r with Δr ~ r_{t−1}, moments accumulated in DECIMAL(38)/
+    // HUGEINT (r² ≈ 10²⁸), the t assembled in doubles with identical
+    // operand order and ×10⁶-snapped BEFORE the decision against the
+    // Engle-Granger 5% critical value −3.37 (2 variables, n ≈ 30).
+    // One corpus agg; everything after rides the ≤|days| relation.
+    "ev_engle_granger" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |an AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(v) AS BIGINT) AS tv
+        |  FROM d),
+        |z AS (
+        |  SELECT day,
+        |    CAST(floor(CAST(c AS DOUBLE) * nd / tc * 1000 + 0.5) AS BIGINT)
+        |      AS cf,
+        |    CAST(floor(CAST(v AS DOUBLE) * nd / tv * 1000 + 0.5) AS BIGINT)
+        |      AS vf
+        |  FROM d CROSS JOIN an),
+        |m1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cf) AS BIGINT) AS sc,
+        |    CAST(sum(vf) AS BIGINT) AS sv, CAST(sum(cf * cf) AS BIGINT) AS scc,
+        |    CAST(sum(cf * vf) AS BIGINT) AS scv
+        |  FROM z),
+        |co AS (
+        |  SELECT n, n * scc - sc * sc AS den, n * scv - sc * sv AS bnum,
+        |    sv * scc - sc * scv AS anum
+        |  FROM m1),
+        |r AS (
+        |  SELECT z.day,
+        |    CAST(z.vf * co.den - co.bnum * z.cf - co.anum AS BIGINT) AS r
+        |  FROM z CROSS JOIN co),
+        |l AS (SELECT r, lag(r) OVER (ORDER BY day ASC) AS x FROM r),
+        |m2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(x) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(r - x) AS HUGEINT) AS sz,
+        |    CAST(sum(CAST(r - x AS HUGEINT) * (r - x)) AS HUGEINT) AS szz,
+        |    CAST(sum(CAST(x AS HUGEINT) * (r - x)) AS HUGEINT) AS sxz
+        |  FROM l WHERE x IS NOT NULL),
+        |t2 AS (
+        |  SELECT n2,
+        |    CAST(n2 * sxx - sx * sx AS DOUBLE) AS a,
+        |    CAST(n2 * sxz - sx * sz AS DOUBLE) AS b,
+        |    CAST(n2 * szz - sz * sz AS DOUBLE) AS c
+        |  FROM m2)
+        |SELECT co.n AS n_days,
+        |  floor(CAST(co.bnum AS DOUBLE) / co.den * 1e9 + 0.5) / 1.0e9 AS beta,
+        |  floor(CAST(t2.b AS DOUBLE) / t2.a * 1e9 + 0.5) / 1.0e9 AS adf_rho,
+        |  floor(t2.b * sqrt((t2.n2 - 2) / (t2.c * t2.a - t2.b * t2.b))
+        |    * 1e6 + 0.5) / 1.0e6 AS eg_t_stat,
+        |  floor(t2.b * sqrt((t2.n2 - 2) / (t2.c * t2.a - t2.b * t2.b))
+        |    * 1e6 + 0.5) < -3370000 AS cointegrated
+        |FROM co CROSS JOIN t2
+        |WHERE co.den > 0 AND t2.a > 0 AND t2.n2 > 2""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+      val an = d.agg(count(lit(1)).as("nd"), sum(col("c")).as("tc"),
+        sum(col("v")).as("tv"))
+      val z = d.crossJoin(broadcast(an))
+        .select(col("day"),
+          floor(col("c").cast(DoubleType) * col("nd") / col("tc") * lit(1000)
+            + lit(0.5)).cast(LongType).as("cf"),
+          floor(col("v").cast(DoubleType) * col("nd") / col("tv") * lit(1000)
+            + lit(0.5)).cast(LongType).as("vf"))
+        .persist() // ≤|days| bookkeeping; feeds the moments + residuals
+      val m1 = z.agg(count(lit(1)).as("n"), sum(col("cf")).as("sc"),
+        sum(col("vf")).as("sv"), sum(col("cf") * col("cf")).as("scc"),
+        sum(col("cf") * col("vf")).as("scv"))
+      val co = m1.select(col("n"),
+        (col("n") * col("scc") - col("sc") * col("sc")).as("den"),
+        (col("n") * col("scv") - col("sc") * col("sv")).as("bnum"),
+        (col("sv") * col("scc") - col("sc") * col("scv")).as("anum"))
+      val r = z.crossJoin(broadcast(co))
+        .select(col("day"), col("n"), col("den"), col("bnum"),
+          (col("vf") * col("den") - col("bnum") * col("cf") - col("anum"))
+            .as("r"))
+      val lw = Window.orderBy(col("day").asc)
+      val l = r.withColumn("x", lag(col("r"), 1).over(lw))
+        .filter(col("x").isNotNull)
+        .withColumn("dz", col("r") - col("x"))
+      val m2 = l.groupBy(col("n"), col("den"), col("bnum"))
+        .agg(count(lit(1)).as("n2"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("x").cast(dec38) * col("x").cast(dec38)).as("sxx"),
+          sum(col("dz").cast(dec38)).as("sz"),
+          sum(col("dz").cast(dec38) * col("dz").cast(dec38)).as("szz"),
+          sum(col("x").cast(dec38) * col("dz").cast(dec38)).as("sxz"))
+      val aE = (col("n2").cast(dec38) * col("sxx") - col("sx") * col("sx"))
+        .cast(DoubleType)
+      val bE = (col("n2").cast(dec38) * col("sxz") - col("sx") * col("sz"))
+        .cast(DoubleType)
+      val cE = (col("n2").cast(dec38) * col("szz") - col("sz") * col("sz"))
+        .cast(DoubleType)
+      val t2 = m2.select(col("n"), col("den"), col("bnum"), col("n2"),
+        aE.as("a"), bE.as("b"), cE.as("c"))
+      val tRaw = col("b") * sqrt((col("n2") - 2).cast(DoubleType)
+        / (col("c") * col("a") - col("b") * col("b")))
+      t2.filter(col("den") > 0 && col("a") > 0 && col("n2") > 2)
+        .select(col("n").as("n_days"),
+          (floor(col("bnum").cast(DoubleType) / col("den") * lit(1.0e9)
+            + lit(0.5)) / lit(1.0e9)).as("beta"),
+          (floor(col("b") / col("a") * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
+            .as("adf_rho"),
+          (floor(tRaw * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("eg_t_stat"),
+          (floor(tRaw * lit(1.0e6) + lit(0.5)) < lit(-3370000.0))
+            .as("cointegrated"))
+    },
+
+    // ------------------------------------------------------------------
     // Event-study (dynamic DiD) — ev_diff_in_diff's single post-pre
     // contrast unrolled into PER-RELATIVE-WEEK coefficients, the plot
     // every applied-econometrics launch review is built on: δ_k =

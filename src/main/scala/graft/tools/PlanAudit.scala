@@ -150,6 +150,9 @@ object PlanAudit {
       // 1-row broadcasts: the (mn, mid) calendar anchor (the
       // ev_diff_in_diff argument) and the 1-row base-week contrast
       "ev_event_study",
+      // 1-row broadcasts: the (nd, Σc, Σv) normalizer anchor and the
+      // 1-row OLS (den, βnum, αnum) coefficient anchor
+      "ev_engle_granger",
       // 1-row broadcasts: the total-transition anchor and the 1-row
       // entropy-rate anchor over the ≤|types| state relation
       "ev_markov_entropy",

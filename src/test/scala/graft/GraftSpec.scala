@@ -511,7 +511,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_airline_sarima", "event_type") -> "125-row (type × 25-arm CSS grid) bookkeeping relation (the best-arm rank window)",
       ("etl_x11_ftest", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)",
       ("etl_x11_m7", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)",
-      ("ev_haar_energy", "event_type") -> "type×day calendar-bounded daily counts (last-16-day rank + dyadic index windows)")
+      ("ev_haar_energy", "event_type") -> "type×day calendar-bounded daily counts (last-16-day rank + dyadic index windows)",
+      ("ev_engle_granger", "") -> "daily-grain calendar relation (the residual lag window)")
 
     def boundedByStructure(p: SparkPlan): Boolean = p.collectFirst {
       case _: GlobalLimitExec => ()
