@@ -4764,6 +4764,96 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Peaks-over-threshold GPD tail fit — the extreme-value companion
+    // to ev_hill_tail (Hill assumes a pure power law; the generalized
+    // Pareto fits ANY tail shape above a high threshold, which is how
+    // reinsurers and capacity planners actually model exceedances).
+    // Per type: threshold u = the exact 90th percentile over the
+    // bounded 2-dp value domain (the etl_winsorize cum-count rule),
+    // exceedances y = value − u in EXACT cents, GPD fit by method of
+    // moments — m²/v = 1−2ξ gives ξ = (1 − m²/v)/2, σ = m(1 + m²/v)/2
+    // — closed form, no optimizer, no pow(): moments are exact
+    // BIGINT/DECIMAL(38) sums (y² sums reach 10²⁰ at corpus scale) and
+    // the two published parameters snap ×10⁶ from doubles with
+    // identical operand order. ξ < 0 ⇒ finite tail endpoint, ξ ≈ 0 ⇒
+    // exponential tail — the capacity-planning read-off.
+    "ev_pot_tail" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, value),
+        |c AS (
+        |  SELECT event_type, value, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM g),
+        |lim AS (
+        |  SELECT event_type, max(n) AS n,
+        |    min(CASE WHEN cum >= ceil(0.90 * n) THEN value END) AS u
+        |  FROM c GROUP BY event_type),
+        |x AS (
+        |  SELECT e.event_type, l.n, l.u,
+        |    CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+        |      - CAST(floor(l.u * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events e JOIN lim l ON l.event_type = e.event_type
+        |  WHERE e.value > l.u),
+        |m AS (
+        |  SELECT event_type, max(n) AS n, max(u) AS u,
+        |    CAST(count(*) AS BIGINT) AS nx,
+        |    CAST(sum(y) AS BIGINT) AS s1,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS s2
+        |  FROM x GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n, u, nx,
+        |    CAST(s1 AS DOUBLE) / nx AS mm,
+        |    (s2 - CAST(s1 AS DOUBLE) * s1 / nx) / (nx - 1) AS vv
+        |  FROM m WHERE nx > 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, u, nx AS n_exceed,
+        |  floor(mm / 100 * 1e6 + 0.5) / 1.0e6 AS mean_excess,
+        |  floor((1 - mm * mm / vv) / 2 * 1e6 + 0.5) / 1.0e6 AS xi,
+        |  floor(mm * (1 + mm * mm / vv) / 2 / 100 * 1e6 + 0.5) / 1.0e6
+        |    AS sigma
+        |FROM f""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      // both windows ride the bounded (type × 2-dp-value) relation
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val lim = g
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(
+          wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= ceil(lit(0.90) * col("n")), col("value")))
+            .as("u"))
+      val y = floor(col("value") * 100 + lit(0.5)).cast(LongType) -
+        floor(col("u") * 100 + lit(0.5)).cast(LongType)
+      val x = Tables.events(s, dir)
+        .join(broadcast(lim), "event_type")
+        .filter(col("value") > col("u"))
+        .select(col("event_type"), col("n"), col("u"), y.as("y"))
+      val m = x.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("u")).as("u"),
+          count(lit(1)).as("nx"), sum(col("y")).as("s1"),
+          sum(col("y").cast(dec38) * col("y").cast(dec38))
+            .cast(DoubleType).as("s2"))
+      val f = m.filter(col("nx") > 1)
+        .select(col("event_type"), col("n"), col("u"), col("nx"),
+          (col("s1").cast(DoubleType) / col("nx")).as("mm"),
+          ((col("s2") - col("s1").cast(DoubleType) * col("s1") / col("nx"))
+            / (col("nx") - 1)).as("vv"))
+      f.select(col("event_type"), col("n"), col("u"), col("nx").as("n_exceed"),
+        (floor(col("mm") / 100 * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+          .as("mean_excess"),
+        (floor((lit(1) - col("mm") * col("mm") / col("vv")) / 2 * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6)).as("xi"),
+        (floor(col("mm") * (lit(1) + col("mm") * col("mm") / col("vv")) / 2
+          / 100 * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("sigma"))
+    },
+
+    // ------------------------------------------------------------------
     // Engle-Granger two-step cointegration — do the click and view
     // daily series share a common stochastic trend (so their SPREAD is
     // the mean-reverting thing to monitor), the question correlation
