@@ -6961,6 +6961,87 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Empirical-Bayes beta-binomial shrinkage — the small-area
+    // estimator for PROPORTIONS (etl_fay_herriot is its Gaussian
+    // sibling for means): per-nation high-balance rates k/n shrink
+    // toward the cross-nation prior, with small nations shrinking
+    // hardest — exactly how an agency publishes per-domain rates
+    // without letting a 12-customer cell swing to 0% or 100%. The
+    // Beta(α, β) prior fits by method of moments on the ×10⁹-snapped
+    // raw rates (snapped FIRST so the cross-nation mean/variance are
+    // exact integer sums — rate² sums reach 10²⁰, DECIMAL(38)/
+    // HUGEINT): α+β = m(1−m)/v − 1, α = m(α+β); the published
+    // shrunken rate (k+α)/(n+α+β) then snaps ×10⁹. One corpus agg to
+    // the ≤|nations| cell relation; the prior is a 1-row anchor.
+    "etl_eb_shrinkage" -> QueryDef.withOracle(
+      """WITH cell AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM customer GROUP BY 1),
+        |p AS (
+        |  SELECT nation, n, k,
+        |    CAST(floor(CAST(k AS DOUBLE) * 1000000000 / n + 0.5) AS BIGINT)
+        |      AS p_fp
+        |  FROM cell),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(p_fp) AS BIGINT) AS s1,
+        |    CAST(CAST(sum(CAST(p_fp AS HUGEINT) * p_fp) AS HUGEINT)
+        |      AS DOUBLE) AS s2
+        |  FROM p),
+        |pr AS (
+        |  SELECT ng,
+        |    CAST(s1 AS DOUBLE) / ng / 1e9 AS m,
+        |    (s2 - CAST(s1 AS DOUBLE) * s1 / ng) / (ng - 1) / 1e18 AS v
+        |  FROM mo WHERE ng > 1),
+        |ab AS (
+        |  SELECT m, v, m * (1 - m) / v - 1 AS ab_sum,
+        |    m * (m * (1 - m) / v - 1) AS alpha
+        |  FROM pr WHERE v > 0)
+        |SELECT p.nation, p.n, p.k,
+        |  floor(CAST(p.p_fp AS DOUBLE) / 1e9 * 1e9 + 0.5) / 1.0e9 AS raw_rate,
+        |  floor(ab.alpha * 1e6 + 0.5) / 1.0e6 AS alpha,
+        |  floor((ab.ab_sum - ab.alpha) * 1e6 + 0.5) / 1.0e6 AS beta,
+        |  floor((p.k + ab.alpha) / (p.n + ab.ab_sum) * 1e9 + 0.5) / 1.0e9
+        |    AS shrunk_rate
+        |FROM p CROSS JOIN ab""".stripMargin) { (s, dir) =>
+      val cell = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") > 5000, 1L).otherwise(0L)).as("k"))
+      val p = cell.withColumn("p_fp",
+        floor(col("k").cast(DoubleType) * lit(1000000000L) / col("n")
+          + lit(0.5)).cast(LongType))
+        .persist() // ≤|nations| cells; feeds the prior + the output
+      val dec38 = DecimalType(38, 0)
+      val mo = p.agg(count(lit(1)).as("ng"), sum(col("p_fp")).as("s1"),
+        sum(col("p_fp").cast(dec38) * col("p_fp").cast(dec38))
+          .cast(DoubleType).as("s2"))
+      val pr = mo.filter(col("ng") > 1)
+        .select(col("ng"),
+          (col("s1").cast(DoubleType) / col("ng") / lit(1.0e9)).as("m"),
+          ((col("s2") - col("s1").cast(DoubleType) * col("s1") / col("ng"))
+            / (col("ng") - 1) / lit(1.0e18)).as("v"))
+      val ab = pr.filter(col("v") > 0)
+        .select(col("m"), col("v"),
+          (col("m") * (lit(1) - col("m")) / col("v") - 1).as("ab_sum"),
+          (col("m") * (col("m") * (lit(1) - col("m")) / col("v") - 1))
+            .as("alpha"))
+      p.crossJoin(broadcast(ab))
+        .select(col("nation"), col("n"), col("k"),
+          (floor(col("p_fp").cast(DoubleType) / lit(1.0e9) * lit(1.0e9)
+            + lit(0.5)) / lit(1.0e9)).as("raw_rate"),
+          (floor(col("alpha") * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("alpha"),
+          (floor((col("ab_sum") - col("alpha")) * lit(1.0e6) + lit(0.5))
+            / lit(1.0e6)).as("beta"),
+          (floor((col("k") + col("alpha")) / (col("n") + col("ab_sum"))
+            * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("shrunk_rate"))
+    },
+
+    // ------------------------------------------------------------------
     // X-11 M7 combined seasonality test — the published decision rule
     // behind "is this series seasonal enough to adjust" (X-13ARIMA's
     // D8B table + M7 quality statistic): on the COMPLETE calendar

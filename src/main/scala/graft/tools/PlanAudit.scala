@@ -153,6 +153,9 @@ object PlanAudit {
       // 1-row broadcasts: the (nd, Σc, Σv) normalizer anchor and the
       // 1-row OLS (den, βnum, αnum) coefficient anchor
       "ev_engle_granger",
+      // 1-row broadcast: the (α, β) beta-binomial prior anchor over
+      // the ≤|nations| cell relation
+      "etl_eb_shrinkage",
       // 1-row broadcasts: the total-transition anchor and the 1-row
       // entropy-rate anchor over the ≤|types| state relation
       "ev_markov_entropy",
