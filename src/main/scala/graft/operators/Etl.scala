@@ -6961,6 +6961,113 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Cochrane-Orcutt AR(1)-corrected trend regression — what to do
+    // AFTER etl_durbin_watson says the monthly OLS residuals are
+    // autocorrelated (OLS slopes stay unbiased but their SEs lie; the
+    // quasi-differenced GLS fixes the inference): ρ̂ = Σe_t·e_{t−1}/Σe²
+    // from the shared monthlyOls residual relation, ×10⁹-SNAPPED so
+    // both engines transform with the IDENTICAL value, then OLS on the
+    // quasi-differences y*_t = y_t·10⁹ − ρ_fp·y_{t−1}, x*_t = mi·10⁹ −
+    // ρ_fp·(mi−1) with the first month dropped (Cochrane-Orcutt, not
+    // Prais-Winsten — the √(1−ρ²) first-obs scaling would put ONE
+    // float row in otherwise exact-integer moments). Every moment is
+    // an exact DECIMAL(38)/HUGEINT sum (x*y* terms reach 10³²); β and
+    // the back-transformed intercept α = α*/(10⁹ − ρ_fp) assemble in
+    // doubles with identical operand order and snap for output.
+    "etl_cochrane_orcutt" -> QueryDef.withOracle(
+      s"""WITH $monthlyOlsSql,
+        |le AS (
+        |  SELECT f, e_fp,
+        |    lag(e_fp) OVER (PARTITION BY f ORDER BY mi ASC) AS pe
+        |  FROM r),
+        |rho AS (
+        |  SELECT f,
+        |    CAST(floor(
+        |      CAST(CAST(sum(CASE WHEN pe IS NOT NULL
+        |        THEN CAST(e_fp AS HUGEINT) * pe END) AS HUGEINT) AS DOUBLE)
+        |      / CAST(CAST(sum(CASE WHEN pe IS NOT NULL
+        |        THEN CAST(pe AS HUGEINT) * pe END) AS HUGEINT) AS DOUBLE)
+        |      * 1000000000 + 0.5) AS BIGINT) AS rho_fp
+        |  FROM le GROUP BY f),
+        |q AS (
+        |  SELECT mo.f, mo.mi, rho.rho_fp, mo.rev_c,
+        |    lag(mo.rev_c) OVER (PARTITION BY mo.f ORDER BY mo.mi ASC) AS py,
+        |    lag(mo.mi) OVER (PARTITION BY mo.f ORDER BY mo.mi ASC) AS px
+        |  FROM mo JOIN rho ON rho.f = mo.f),
+        |tq AS (
+        |  SELECT f, rho_fp,
+        |    CAST(rev_c AS HUGEINT) * 1000000000 - CAST(rho_fp AS HUGEINT) * py
+        |      AS ys,
+        |    CAST(mi AS HUGEINT) * 1000000000 - CAST(rho_fp AS HUGEINT) * px
+        |      AS xs
+        |  FROM q WHERE py IS NOT NULL),
+        |mm AS (
+        |  SELECT f, max(rho_fp) AS rho_fp, CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(CAST(sum(xs) AS HUGEINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(ys) AS HUGEINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(xs * ys) AS HUGEINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(xs * xs) AS HUGEINT) AS DOUBLE) AS sxx
+        |  FROM tq GROUP BY f),
+        |cfit AS (
+        |  SELECT f, rho_fp, n2,
+        |    (n2 * sxy - sx * sy) / (n2 * sxx - sx * sx) AS beta,
+        |    (sy - (n2 * sxy - sx * sy) / (n2 * sxx - sx * sx) * sx) / n2
+        |      AS astar
+        |  FROM mm)
+        |SELECT f AS l_returnflag, n2 AS n_quasi_months,
+        |  rho_fp / 1.0e9 AS rho,
+        |  floor(beta / 100 * 1e6 + 0.5) / 1.0e6 AS beta_dollars_per_month,
+        |  floor(astar / (1000000000 - rho_fp) / 100 * 1e2 + 0.5) / 1.0e2
+        |    AS intercept_dollars
+        |FROM cfit""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val wF = Window.partitionBy(col("f")).orderBy(col("mi").asc)
+      val le = monthlyOlsResiduals(s, dir)
+        .select(col("f"), col("e_fp"), lag(col("e_fp"), 1).over(wF).as("pe"))
+      val rho = le.groupBy(col("f"))
+        .agg(floor(
+          sum(when(col("pe").isNotNull,
+            col("e_fp").cast(dec38) * col("pe").cast(dec38)))
+            .cast(DoubleType)
+          / sum(when(col("pe").isNotNull,
+            col("pe").cast(dec38) * col("pe").cast(dec38)))
+            .cast(DoubleType)
+          * lit(1000000000L) + lit(0.5)).cast(LongType).as("rho_fp"))
+      val mo = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("f"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast(LongType).as("mi"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast(LongType))
+          .as("rev_c"))
+      val q = mo.join(broadcast(rho), Seq("f"))
+        .withColumn("py", lag(col("rev_c"), 1).over(wF))
+        .withColumn("px", lag(col("mi"), 1).over(wF))
+        .filter(col("py").isNotNull)
+      val tq = q.select(col("f"), col("rho_fp"),
+        (col("rev_c").cast(dec38) * lit(1000000000L)
+          - col("rho_fp").cast(dec38) * col("py").cast(dec38)).as("ys"),
+        (col("mi").cast(dec38) * lit(1000000000L)
+          - col("rho_fp").cast(dec38) * col("px").cast(dec38)).as("xs"))
+      val mm = tq.groupBy(col("f"))
+        .agg(max(col("rho_fp")).as("rho_fp"), count(lit(1)).as("n2"),
+          sum(col("xs")).cast(DoubleType).as("sx"),
+          sum(col("ys")).cast(DoubleType).as("sy"),
+          sum(col("xs") * col("ys")).cast(DoubleType).as("sxy"),
+          sum(col("xs") * col("xs")).cast(DoubleType).as("sxx"))
+      val bNum = col("n2") * col("sxy") - col("sx") * col("sy")
+      val bDen = col("n2") * col("sxx") - col("sx") * col("sx")
+      val fit = mm.select(col("f"), col("rho_fp"), col("n2"),
+        (bNum / bDen).as("beta"),
+        ((col("sy") - bNum / bDen * col("sx")) / col("n2")).as("astar"))
+      fit.select(col("f").as("l_returnflag"), col("n2").as("n_quasi_months"),
+        (col("rho_fp") / lit(1.0e9)).as("rho"),
+        (floor(col("beta") / 100 * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+          .as("beta_dollars_per_month"),
+        (floor(col("astar") / (lit(1000000000L) - col("rho_fp")) / 100
+          * lit(1.0e2) + lit(0.5)) / lit(1.0e2)).as("intercept_dollars"))
+    },
+
+    // ------------------------------------------------------------------
     // Empirical-Bayes beta-binomial shrinkage — the small-area
     // estimator for PROPORTIONS (etl_fay_herriot is its Gaussian
     // sibling for means): per-nation high-balance rates k/n shrink
