@@ -485,8 +485,11 @@ object PlanAudit {
       // every exchange after it moves that calendar-bounded relation
       // through the loess windows ((type, dow) and (type) partitions
       // can't share a partitioning), the two median rank windows and
-      // the anchor/median/MAD aggregate-join pairs
-      "ev_stl_anomaly" -> 13)
+      // the anchor/median/MAD aggregate-join pairs. 14 not 13: the
+      // persisted daily relation prints one exchange with fresh
+      // expr-ids when another suite's cache registered it first (the
+      // graph_rich_club print-variance class)
+      "ev_stl_anomaly" -> 14)
       .withDefaultValue(6)
 
   /** Count distinct hash exchanges in an executed-plan string.
