@@ -37,22 +37,43 @@ object Verify {
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     selected.foreach(queue.add)
+    // clearCache() from one worker while another worker's query is
+    // mid-flight unpersists that query's shared intermediates under it
+    // — observed once (r10 close) as a 0-row dump from a query that is
+    // deterministic and passes solo. Queries hold the read lock;
+    // clearCache takes the write lock, so the release only ever happens
+    // at a quiescent point.
+    val cacheLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+    val suspect = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    def dump(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
     val threads = (0 until math.max(1, workers)).map { _ =>
       new Thread(() => {
         var next = queue.poll()
         while (next != null) {
           val (name, fn) = next
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          cacheLock.readLock().lock()
+          try {
+            dump(name, fn)
+            // no registered query legitimately returns 0 rows; an
+            // empty dump marks a flake to re-run serially at the end
+            if (spark.read.parquet(s"$outDir/$name").isEmpty) suspect.add(next)
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+            suspect.add(next)
+          } finally cacheLock.readLock().unlock()
           // operators persist() shared intermediates (IVF builds,
           // simhash tables, …) and return lazy plans, so they cannot
           // unpersist themselves; periodic release keeps 350+ queries
           // in one session from accumulating cached partitions
-          if (done.incrementAndGet() % clearEvery == 0)
-            spark.catalog.clearCache()
+          if (done.incrementAndGet() % clearEvery == 0) {
+            cacheLock.writeLock().lock()
+            try spark.catalog.clearCache()
+            finally cacheLock.writeLock().unlock()
+          }
           next = queue.poll()
         }
       })
@@ -60,6 +81,19 @@ object Verify {
     threads.foreach(_.start())
     threads.foreach(_.join())
     spark.catalog.clearCache()
+    // serial second chance: by now every worker is done, so a retry
+    // runs with the session to itself
+    suspect.forEach { case (name, fn) =>
+      System.err.println(s"[verify] retrying $name serially (empty/failed dump)")
+      try {
+        dump(name, fn)
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        System.err.println(s"[verify] retry of $name wrote $n rows")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] retry of $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
