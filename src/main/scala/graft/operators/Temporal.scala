@@ -4985,6 +4985,276 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Engle's ARCH LM test per event type — does the VOLATILITY of the
+    // daily series cluster (big shocks follow big shocks), the property
+    // every interval forecast in the ev_* family silently assumes away
+    // (homoskedastic residuals)? The LM form regresses today's squared
+    // deviation on yesterday's: LM = n·R² ~ χ²(1) under no-ARCH. Daily
+    // counts normalize to ×10³ SF-invariant longs (the ev_engle_granger
+    // convention, so every bound below is data-volume-independent);
+    // deviations e = yf − (Σyf // nd) use the positive floor-divide
+    // mean (Spark `div` and DuckDB `//` agree on nonnegative operands),
+    // keeping u = e² ≤ ~10⁸ and every raw moment an exact integer; the
+    // centered moments assemble in DECIMAL(38) (n·Σu² ≈ 10²¹) and R²
+    // only then moves to doubles with identical operand order, snapped
+    // ×10⁶ BEFORE the χ²(1) 5% decision at 3.841459. One corpus agg;
+    // the lag window rides the calendar-bounded type×day relation.
+    "ev_arch_test" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(y) AS BIGINT) AS ty
+        |  FROM d GROUP BY 1),
+        |z AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(floor(CAST(d.y AS DOUBLE) * tt.nd / tt.ty * 1000 + 0.5)
+        |      AS BIGINT) AS yf
+        |  FROM d JOIN tt ON tt.event_type = d.event_type),
+        |mu AS (
+        |  SELECT event_type, CAST(sum(yf) AS BIGINT) // count(*) AS m
+        |  FROM z GROUP BY 1),
+        |u AS (
+        |  SELECT z.event_type, z.day,
+        |    (z.yf - mu.m) * (z.yf - mu.m) AS u
+        |  FROM z JOIN mu ON mu.event_type = z.event_type),
+        |l AS (
+        |  SELECT event_type, u AS uy,
+        |    lag(u) OVER (PARTITION BY event_type ORDER BY day ASC) AS ux
+        |  FROM u),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ux) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(ux AS HUGEINT) * ux) AS HUGEINT) AS sxx,
+        |    CAST(sum(uy) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(uy AS HUGEINT) * uy) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(ux AS HUGEINT) * uy) AS HUGEINT) AS sxy
+        |  FROM l WHERE ux IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS b,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS c
+        |  FROM m)
+        |SELECT event_type, n AS n_obs,
+        |  floor(b * b / (a * c) * 1e9 + 0.5) / 1.0e9 AS r2,
+        |  floor(n * (b * b / (a * c)) * 1e6 + 0.5) / 1.0e6 AS lm_stat,
+        |  floor(n * (b * b / (a * c)) * 1e6 + 0.5) > 3841459 AS arch_present
+        |FROM t WHERE a > 0 AND c > 0 AND n > 2""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val tt = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("y")).as("ty"))
+      val z = d.join(broadcast(tt), "event_type")
+        .select(col("event_type"), col("day"),
+          floor(col("y").cast(DoubleType) * col("nd") / col("ty") * lit(1000)
+            + lit(0.5)).cast(LongType).as("yf"))
+        .persist() // calendar-bounded type×day bookkeeping
+      val mu = z.groupBy(col("event_type"))
+        .agg(expr("sum(yf) div count(*)").as("m"))
+      val u = z.join(broadcast(mu), "event_type")
+        .select(col("event_type"), col("day"),
+          ((col("yf") - col("m")) * (col("yf") - col("m"))).as("u"))
+      val lagW = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val l = u.withColumn("ux", lag(col("u"), 1).over(lagW))
+        .filter(col("ux").isNotNull)
+      val m = l.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ux").cast(dec38)).as("sx"),
+          sum(col("ux").cast(dec38) * col("ux").cast(dec38)).as("sxx"),
+          sum(col("u").cast(dec38)).as("sy"),
+          sum(col("u").cast(dec38) * col("u").cast(dec38)).as("syy"),
+          sum(col("ux").cast(dec38) * col("u").cast(dec38)).as("sxy"))
+      val aE = (col("n").cast(dec38) * col("sxx") - col("sx") * col("sx"))
+        .cast(DoubleType)
+      val bE = (col("n").cast(dec38) * col("sxy") - col("sx") * col("sy"))
+        .cast(DoubleType)
+      val cE = (col("n").cast(dec38) * col("syy") - col("sy") * col("sy"))
+        .cast(DoubleType)
+      val t = m.select(col("event_type"), col("n"),
+        aE.as("a"), bE.as("b"), cE.as("c"))
+      val r2 = col("b") * col("b") / (col("a") * col("c"))
+      t.filter(col("a") > 0 && col("c") > 0 && col("n") > 2)
+        .select(col("event_type"), col("n").as("n_obs"),
+          (floor(r2 * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("r2"),
+          (floor(col("n") * r2 * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("lm_stat"),
+          (floor(col("n") * r2 * lit(1.0e6) + lit(0.5)) > lit(3841459.0))
+            .as("arch_present"))
+    },
+
+    // ------------------------------------------------------------------
+    // Bivariate VAR(1) fit + stability — the click/view system's joint
+    // dynamics (each day's pair regressed on BOTH lags), answering what
+    // ev_granger_causality's F-test and ev_engle_granger's spread test
+    // can't: is the coupled system itself stable (spectral radius of
+    // the coefficient matrix < 1), i.e. do shocks die out? Series
+    // normalize to ×10³ SF-invariant longs (ev_engle_granger's z); all
+    // raw and centered regression moments are exact integers; the 2×2
+    // normal-equation solve (Cramer on centered moments, products in
+    // DECIMAL(38) — D ≈ 10²⁸) lands in doubles only at the divisions,
+    // each coefficient ×10⁹-snapped. The eigenvalue step then uses the
+    // SNAPPED coefficients: tr/det/disc in doubles with identical
+    // operand order, radius = (|tr|+√disc)/2 for real roots, √det for
+    // the complex pair, ×10⁶-snapped before the |λ|<1 verdict. One
+    // corpus agg; lags ride the ≤|days| calendar relation.
+    "ev_var1_stability" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |an AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(v) AS BIGINT) AS tv
+        |  FROM d),
+        |z AS (
+        |  SELECT day,
+        |    CAST(floor(CAST(c AS DOUBLE) * nd / tc * 1000 + 0.5) AS BIGINT)
+        |      AS cf,
+        |    CAST(floor(CAST(v AS DOUBLE) * nd / tv * 1000 + 0.5) AS BIGINT)
+        |      AS vf
+        |  FROM d CROSS JOIN an),
+        |l AS (
+        |  SELECT cf, vf,
+        |    lag(cf) OVER (ORDER BY day ASC) AS cl,
+        |    lag(vf) OVER (ORDER BY day ASC) AS vl
+        |  FROM z),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cl) AS BIGINT) AS s1, CAST(sum(vl) AS BIGINT) AS s2,
+        |    CAST(sum(cl * cl) AS BIGINT) AS s11,
+        |    CAST(sum(vl * vl) AS BIGINT) AS s22,
+        |    CAST(sum(cl * vl) AS BIGINT) AS s12,
+        |    CAST(sum(cf) AS BIGINT) AS syc, CAST(sum(vf) AS BIGINT) AS syv,
+        |    CAST(sum(cl * cf) AS BIGINT) AS s1yc,
+        |    CAST(sum(vl * cf) AS BIGINT) AS s2yc,
+        |    CAST(sum(cl * vf) AS BIGINT) AS s1yv,
+        |    CAST(sum(vl * vf) AS BIGINT) AS s2yv
+        |  FROM l WHERE cl IS NOT NULL),
+        |cm AS (
+        |  SELECT n,
+        |    CAST(n * s11 - s1 * s1 AS HUGEINT) AS c11,
+        |    CAST(n * s22 - s2 * s2 AS HUGEINT) AS c22,
+        |    CAST(n * s12 - s1 * s2 AS HUGEINT) AS c12,
+        |    CAST(n * s1yc - s1 * syc AS HUGEINT) AS c1yc,
+        |    CAST(n * s2yc - s2 * syc AS HUGEINT) AS c2yc,
+        |    CAST(n * s1yv - s1 * syv AS HUGEINT) AS c1yv,
+        |    CAST(n * s2yv - s2 * syv AS HUGEINT) AS c2yv
+        |  FROM m),
+        |bb AS (
+        |  SELECT n, CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS dd,
+        |    CAST(c1yc * c22 - c2yc * c12 AS DOUBLE) AS n11,
+        |    CAST(c2yc * c11 - c1yc * c12 AS DOUBLE) AS n12,
+        |    CAST(c1yv * c22 - c2yv * c12 AS DOUBLE) AS n21,
+        |    CAST(c2yv * c11 - c1yv * c12 AS DOUBLE) AS n22
+        |  FROM cm WHERE c11 * c22 - c12 * c12 > 0),
+        |bs AS (
+        |  SELECT n,
+        |    CAST(floor(n11 / dd * 1e9 + 0.5) AS BIGINT) AS b11s,
+        |    CAST(floor(n12 / dd * 1e9 + 0.5) AS BIGINT) AS b12s,
+        |    CAST(floor(n21 / dd * 1e9 + 0.5) AS BIGINT) AS b21s,
+        |    CAST(floor(n22 / dd * 1e9 + 0.5) AS BIGINT) AS b22s
+        |  FROM bb),
+        |ei AS (
+        |  SELECT n, b11s, b12s, b21s, b22s,
+        |    CAST(b11s + b22s AS DOUBLE) / 1e9 AS tr,
+        |    CAST(b11s * b22s - b12s * b21s AS DOUBLE) / 1e18 AS det
+        |  FROM bs),
+        |rr AS (
+        |  SELECT n, b11s, b12s, b21s, b22s,
+        |    CASE WHEN tr * tr - 4 * det >= 0
+        |      THEN (abs(tr) + sqrt(tr * tr - 4 * det)) / 2
+        |      ELSE sqrt(det) END AS radius
+        |  FROM ei)
+        |SELECT n AS n_obs,
+        |  b11s / 1.0e9 AS b11, b12s / 1.0e9 AS b12,
+        |  b21s / 1.0e9 AS b21, b22s / 1.0e9 AS b22,
+        |  floor(radius * 1e6 + 0.5) / 1.0e6 AS spectral_radius,
+        |  floor(radius * 1e6 + 0.5) < 1000000 AS stable
+        |FROM rr WHERE n > 3""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+      val an = d.agg(count(lit(1)).as("nd"), sum(col("c")).as("tc"),
+        sum(col("v")).as("tv"))
+      val z = d.crossJoin(broadcast(an))
+        .select(col("day"),
+          floor(col("c").cast(DoubleType) * col("nd") / col("tc") * lit(1000)
+            + lit(0.5)).cast(LongType).as("cf"),
+          floor(col("v").cast(DoubleType) * col("nd") / col("tv") * lit(1000)
+            + lit(0.5)).cast(LongType).as("vf"))
+      val lw = Window.orderBy(col("day").asc)
+      val l = z.withColumn("cl", lag(col("cf"), 1).over(lw))
+        .withColumn("vl", lag(col("vf"), 1).over(lw))
+        .filter(col("cl").isNotNull)
+      val m = l.agg(count(lit(1)).as("n"),
+        sum(col("cl")).as("s1"), sum(col("vl")).as("s2"),
+        sum(col("cl") * col("cl")).as("s11"),
+        sum(col("vl") * col("vl")).as("s22"),
+        sum(col("cl") * col("vl")).as("s12"),
+        sum(col("cf")).as("syc"), sum(col("vf")).as("syv"),
+        sum(col("cl") * col("cf")).as("s1yc"),
+        sum(col("vl") * col("cf")).as("s2yc"),
+        sum(col("cl") * col("vf")).as("s1yv"),
+        sum(col("vl") * col("vf")).as("s2yv"))
+      val cm = m.select(col("n"),
+        (col("n") * col("s11") - col("s1") * col("s1")).cast(dec38).as("c11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).cast(dec38).as("c22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).cast(dec38).as("c12"),
+        (col("n") * col("s1yc") - col("s1") * col("syc")).cast(dec38).as("c1yc"),
+        (col("n") * col("s2yc") - col("s2") * col("syc")).cast(dec38).as("c2yc"),
+        (col("n") * col("s1yv") - col("s1") * col("syv")).cast(dec38).as("c1yv"),
+        (col("n") * col("s2yv") - col("s2") * col("syv")).cast(dec38).as("c2yv"))
+      val bb = cm
+        .filter(col("c11") * col("c22") - col("c12") * col("c12") > 0)
+        .select(col("n"),
+          (col("c11") * col("c22") - col("c12") * col("c12"))
+            .cast(DoubleType).as("dd"),
+          (col("c1yc") * col("c22") - col("c2yc") * col("c12"))
+            .cast(DoubleType).as("n11"),
+          (col("c2yc") * col("c11") - col("c1yc") * col("c12"))
+            .cast(DoubleType).as("n12"),
+          (col("c1yv") * col("c22") - col("c2yv") * col("c12"))
+            .cast(DoubleType).as("n21"),
+          (col("c2yv") * col("c11") - col("c1yv") * col("c12"))
+            .cast(DoubleType).as("n22"))
+      def snap9(c: org.apache.spark.sql.Column) =
+        floor(c / col("dd") * lit(1.0e9) + lit(0.5)).cast(LongType)
+      val bs = bb.select(col("n"), snap9(col("n11")).as("b11s"),
+        snap9(col("n12")).as("b12s"), snap9(col("n21")).as("b21s"),
+        snap9(col("n22")).as("b22s"))
+      val ei = bs.select(col("n"), col("b11s"), col("b12s"), col("b21s"),
+        col("b22s"),
+        ((col("b11s") + col("b22s")).cast(DoubleType) / lit(1.0e9)).as("tr"),
+        ((col("b11s") * col("b22s") - col("b12s") * col("b21s"))
+          .cast(DoubleType) / lit(1.0e18)).as("det"))
+      val disc = col("tr") * col("tr") - lit(4) * col("det")
+      val radius = when(disc >= 0,
+        (abs(col("tr")) + sqrt(disc)) / lit(2)).otherwise(sqrt(col("det")))
+      ei.filter(col("n") > 3)
+        .select(col("n").as("n_obs"),
+          (col("b11s") / lit(1.0e9)).as("b11"),
+          (col("b12s") / lit(1.0e9)).as("b12"),
+          (col("b21s") / lit(1.0e9)).as("b21"),
+          (col("b22s") / lit(1.0e9)).as("b22"),
+          (floor(radius * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("spectral_radius"),
+          (floor(radius * lit(1.0e6) + lit(0.5)) < lit(1000000.0))
+            .as("stable"))
+    },
+
+    // ------------------------------------------------------------------
     // Event-study (dynamic DiD) — ev_diff_in_diff's single post-pre
     // contrast unrolled into PER-RELATIVE-WEEK coefficients, the plot
     // every applied-econometrics launch review is built on: δ_k =

@@ -513,6 +513,8 @@ class PlanQualitySpec extends AnyFunSuite {
       ("etl_x11_m7", "") -> "monthly-grain calendar relation (the seasonal_decompose 2×12-MA window)",
       ("ev_haar_energy", "event_type") -> "type×day calendar-bounded daily counts (last-16-day rank + dyadic index windows)",
       ("ev_engle_granger", "") -> "daily-grain calendar relation (the residual lag window)",
+      ("ev_arch_test", "event_type") -> "type×day calendar-bounded daily counts (squared-deviation lag window)",
+      ("ev_var1_stability", "") -> "daily-grain calendar relation (the two VAR lag windows)",
       ("ev_pot_tail", "event_type") -> "type × 2-dp-value bounded domain (the etl_winsorize argument)",
       ("etl_cochrane_orcutt", "f") -> "calendar-bounded monthly relation (residual + quasi-difference lag windows, the durbin_watson argument)")
 
