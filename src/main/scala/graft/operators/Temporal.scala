@@ -5255,6 +5255,94 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Wald's SPRT — the sequential A/B monitor: walk the cumulative
+    // log-likelihood ratio of daily purchase-vs-view conversion under
+    // H1: p=0.52 against H0: p=0.48 and stop at the FIRST boundary
+    // crossing (α = β = 0.05 ⇒ ±ln 19), the always-valid alternative
+    // to ev_ab_ttest's fixed-horizon test (which is invalid if you
+    // peek daily). Only TWO transcendental evaluations exist — the
+    // per-success and per-failure log ratios — each ×10⁹-snapped to a
+    // constant, so every day's LLR increment s·L1 + (n−s)·L0 and the
+    // running sum are exact integers (DECIMAL(38) — day terms reach
+    // 10¹⁷ at corpus rates); first crossings on each side resolve the
+    // decision and its day. One corpus agg; the cumulative walk rides
+    // the ≤|days| calendar relation.
+    "ev_sprt" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1),
+        |k AS (
+        |  SELECT CAST(floor(ln(0.52 / 0.48) * 1e9 + 0.5) AS BIGINT) AS l1,
+        |    CAST(floor(ln(0.48 / 0.52) * 1e9 + 0.5) AS BIGINT) AS l0,
+        |    CAST(floor(ln(19.0) * 1e9 + 0.5) AS BIGINT) AS aa),
+        |c AS (
+        |  SELECT d.day,
+        |    sum(CAST(d.s * k.l1 + d.f * k.l0 AS HUGEINT))
+        |      OVER (ORDER BY d.day ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    k.aa AS aa
+        |  FROM d CROSS JOIN k),
+        |x AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(max_by(cum, day) AS HUGEINT) AS fin,
+        |    min(CASE WHEN cum >= aa THEN day END) AS up_day,
+        |    min(CASE WHEN cum <= -aa THEN day END) AS dn_day
+        |  FROM c)
+        |SELECT n_days,
+        |  floor(CAST(fin AS DOUBLE) / 1e3 + 0.5) / 1.0e6 AS final_llr,
+        |  CAST(CASE
+        |    WHEN up_day IS NOT NULL AND (dn_day IS NULL OR up_day <= dn_day)
+        |      THEN up_day
+        |    WHEN dn_day IS NOT NULL THEN dn_day ELSE -1 END AS BIGINT)
+        |    AS decision_day,
+        |  CASE
+        |    WHEN up_day IS NOT NULL AND (dn_day IS NULL OR up_day <= dn_day)
+        |      THEN 'accept_h1'
+        |    WHEN dn_day IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM x""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("s"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("f"))
+      val l1 = floor(log(lit(0.52) / lit(0.48)) * lit(1.0e9) + lit(0.5))
+        .cast(LongType)
+      val l0 = floor(log(lit(0.48) / lit(0.52)) * lit(1.0e9) + lit(0.5))
+        .cast(LongType)
+      val aa = floor(log(lit(19.0)) * lit(1.0e9) + lit(0.5)).cast(LongType)
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.select(col("day"),
+          (col("s") * l1 + col("f") * l0).cast(dec38).as("term"),
+          aa.as("aa"))
+        .withColumn("cum", sum(col("term")).over(w))
+      val x = c.agg(count(lit(1)).as("n_days"),
+        max_by(col("cum"), col("day")).as("fin"),
+        min(when(col("cum") >= col("aa").cast(dec38), col("day"))).as("up_day"),
+        min(when(col("cum") <= -col("aa").cast(dec38), col("day"))).as("dn_day"))
+      val h1First = col("up_day").isNotNull &&
+        (col("dn_day").isNull || col("up_day") <= col("dn_day"))
+      x.select(col("n_days"),
+        (floor(col("fin").cast(DoubleType) / lit(1.0e3) + lit(0.5))
+          / lit(1.0e6)).as("final_llr"),
+        when(h1First, col("up_day"))
+          .when(col("dn_day").isNotNull, col("dn_day"))
+          .otherwise(lit(-1L)).cast(LongType).as("decision_day"),
+        when(h1First, "accept_h1")
+          .when(col("dn_day").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"))
+    },
+
+    // ------------------------------------------------------------------
     // Event-study (dynamic DiD) — ev_diff_in_diff's single post-pre
     // contrast unrolled into PER-RELATIVE-WEEK coefficients, the plot
     // every applied-econometrics launch review is built on: δ_k =
