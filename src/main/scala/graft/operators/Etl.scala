@@ -7295,6 +7295,150 @@ object Etl {
     // monthly totals grow. The corpus collapses to the 80-row monthly
     // relation in the first aggregate; everything after is
     // calendar-bounded bookkeeping.
+    // ------------------------------------------------------------------
+    // Dalenius-Hodges cum-√f stratification — the survey-design rung
+    // below etl_stratified_alloc: that operator allocates a sample
+    // GIVEN strata; this one CONSTRUCTS them. Order totals bin into 30
+    // equal-width cells over the exact cent range (integer width
+    // (mx−mn)//30+1, so the max lands in cell 29); each cell's √f
+    // snaps ×10⁶ to a long, the classic rule then cuts the cumulative
+    // √f at quarters of its total, stratum = ceil(4·cum/T) clamped to
+    // 4 — every step after the one corpus agg is exact integer
+    // arithmetic on the ≤30-row cell relation. Published per stratum:
+    // exact cent bounds, unit count, cell count, and the ×10⁶-snapped
+    // √f share the cut rule consumed.
+    "etl_dalenius_hodges" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM orders),
+        |r AS (
+        |  SELECT CAST(min(pc) AS BIGINT) AS mn,
+        |    (CAST(max(pc) AS BIGINT) - CAST(min(pc) AS BIGINT)) // 30 + 1
+        |      AS wd
+        |  FROM p),
+        |f AS (
+        |  SELECT (p.pc - r.mn) // r.wd AS bin, r.mn AS mn, r.wd AS wd,
+        |    CAST(count(*) AS BIGINT) AS fj
+        |  FROM p CROSS JOIN r GROUP BY 1, 2, 3),
+        |q AS (
+        |  SELECT bin, mn, wd, fj,
+        |    CAST(floor(sqrt(CAST(fj AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |      AS sqf
+        |  FROM f),
+        |c AS (
+        |  SELECT bin, mn, wd, fj, sqf,
+        |    sum(sqf) OVER (ORDER BY bin ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(sqf) OVER () AS tot
+        |  FROM q),
+        |h AS (
+        |  SELECT CASE WHEN (cum * 4 + tot - 1) // tot > 4 THEN 4
+        |    ELSE (cum * 4 + tot - 1) // tot END AS stratum,
+        |    bin, mn, wd, fj, sqf, tot
+        |  FROM c)
+        |SELECT CAST(stratum AS BIGINT) AS stratum,
+        |  CAST(min(mn + bin * wd) AS BIGINT) AS lo_cents,
+        |  CAST(max(mn + (bin + 1) * wd) AS BIGINT) AS hi_cents,
+        |  CAST(sum(fj) AS BIGINT) AS n_units,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  floor(CAST(sum(sqf) AS DOUBLE) / max(tot) * 1e6 + 0.5) / 1.0e6
+        |    AS sqf_share
+        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
+          .as("pc"))
+      val r = p.agg(min(col("pc")).as("mn"),
+        (expr("(max(pc) - min(pc)) div 30") + lit(1)).as("wd"))
+      val f = p.crossJoin(broadcast(r))
+        .groupBy(expr("(pc - mn) div wd").as("bin"), col("mn"), col("wd"))
+        .agg(count(lit(1)).as("fj"))
+      val q = f.withColumn("sqf",
+        floor(sqrt(col("fj").cast(DoubleType)) * lit(1.0e6) + lit(0.5))
+          .cast(LongType))
+      val wCum = Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("bin").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = q.withColumn("cum", sum(col("sqf")).over(wCum))
+        .withColumn("tot", sum(col("sqf")).over(wAll))
+      val h = c.withColumn("stratum",
+        when(expr("(cum * 4 + tot - 1) div tot") > 4, lit(4L))
+          .otherwise(expr("(cum * 4 + tot - 1) div tot")))
+      h.groupBy(col("stratum"))
+        .agg(min(col("mn") + col("bin") * col("wd")).as("lo_cents"),
+          max(col("mn") + (col("bin") + 1) * col("wd")).as("hi_cents"),
+          sum(col("fj")).as("n_units"), count(lit(1)).as("n_cells"),
+          (floor(sum(col("sqf")).cast(DoubleType) / max(col("tot"))
+            * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("sqf_share"))
+    },
+
+    // ------------------------------------------------------------------
+    // Carli + Dutot elementary price indices — the two pre-Jevons
+    // formulas still quoted in every CPI manual (Carli, the arithmetic
+    // mean of relatives, is upward-biased and famously non-reversible;
+    // Dutot, the ratio of average prices, is what most price panels
+    // compute first), completing the elementary-aggregate family next
+    // to etl_jevons_index's geometric mean on the SAME matched-part
+    // 1995/1996 unit-value relation. Dutot is exact (×10⁶ micro-unit
+    // long sums, one division); each Carli relative snaps ×10⁹ to a
+    // long before the order-invariant integer sum.
+    "etl_carli_dutot" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |t AS (
+        |  SELECT p.p_brand, pp.p0, pp.p1,
+        |    CAST(floor(CAST(pp.p1 AS DOUBLE) / pp.p0 * 1e9 + 0.5) AS BIGINT)
+        |      AS rel_fp
+        |  FROM pp JOIN part p ON p.p_partkey = pp.l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(100 * CAST(sum(rel_fp) AS BIGINT) / 1.0e9 / count(*), 6)
+        |    AS carli,
+        |  round(100 * CAST(sum(p1) AS DOUBLE) / CAST(sum(p0) AS BIGINT), 6)
+        |    AS dutot
+        |FROM t GROUP BY p_brand""".stripMargin) { (s, dir) =>
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      pp.join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"), col("p0"), col("p1"),
+          floor(col("p1").cast(DoubleType) / col("p0") * lit(1.0e9)
+            + lit(0.5)).cast(LongType).as("rel_fp"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rel_fp")).as("sr"),
+          sum(col("p1")).as("s1"), sum(col("p0")).as("s0"))
+        .select(col("p_brand"), col("n_parts"),
+          round(lit(100) * col("sr").cast(DoubleType) / lit(1.0e9)
+            / col("n_parts"), 6).as("carli"),
+          round(lit(100) * col("s1").cast(DoubleType) / col("s0"), 6)
+            .as("dutot"))
+    },
+
     "etl_stl_decompose" -> {
       import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years
