@@ -7439,6 +7439,118 @@ object Etl {
             .as("dutot"))
     },
 
+    // ------------------------------------------------------------------
+    // Fleiss' kappa — multi-rater agreement, the generalization
+    // etl_cohens_kappa (2 raters) can't provide when three or more
+    // annotation pipelines label the same corpus. Raters here are
+    // three deterministic doc-quality heuristics, each bucketing into
+    // {low, mid, high} with INTEGER cross-multiplied thresholds (e.g.
+    // 100·alpha_chars vs 70·len — no float ratio ever compared):
+    // length, alphabetic share, digit share. Per doc the category
+    // counts n_ij give Σn_ij²; kappa closes over the corpus totals as
+    //   κ = (3N(S2−3N) − 2Σc_j²) / (2(9N²−Σc_j²))
+    // — exact DECIMAL(38) integers until the single final division
+    // (N ≈ 10¹² makes 3N·S2 ≈ 10²⁵). One corpus agg, no windows, one
+    // output row with the Landis-Koch read-off on the snapped κ.
+    "etl_fleiss_kappa" -> QueryDef.withOracle(
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS lc,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS ac,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS dc
+        |  FROM documents WHERE length(text) > 0),
+        |rt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lc < 200 THEN 0 WHEN lc < 500 THEN 1 ELSE 2 END AS r1,
+        |    CASE WHEN 100 * ac < 70 * lc THEN 0
+        |         WHEN 100 * ac < 85 * lc THEN 1 ELSE 2 END AS r2,
+        |    CASE WHEN 100 * dc >= 5 * lc THEN 0
+        |         WHEN 100 * dc >= 1 * lc THEN 1 ELSE 2 END AS r3
+        |  FROM f),
+        |nc AS (
+        |  SELECT doc_id,
+        |    CAST((r1 = 0) AS BIGINT) + CAST((r2 = 0) AS BIGINT)
+        |      + CAST((r3 = 0) AS BIGINT) AS n0,
+        |    CAST((r1 = 1) AS BIGINT) + CAST((r2 = 1) AS BIGINT)
+        |      + CAST((r3 = 1) AS BIGINT) AS n1,
+        |    CAST((r1 = 2) AS BIGINT) + CAST((r2 = 2) AS BIGINT)
+        |      + CAST((r3 = 2) AS BIGINT) AS n2
+        |  FROM rt),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS HUGEINT) AS s2,
+        |    CAST(sum(n0) AS HUGEINT) AS c0, CAST(sum(n1) AS HUGEINT) AS c1,
+        |    CAST(sum(n2) AS HUGEINT) AS c2
+        |  FROM nc),
+        |k AS (
+        |  SELECT n, s2, c0, c1, c2,
+        |    CAST(3 * n * (s2 - 3 * n) - 2 * (c0*c0 + c1*c1 + c2*c2)
+        |      AS DOUBLE)
+        |      / CAST(2 * (9 * n * n - (c0*c0 + c1*c1 + c2*c2)) AS DOUBLE)
+        |      AS kap
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  floor(CAST(s2 - 3 * n AS DOUBLE) / (6 * CAST(n AS DOUBLE)) * 1e9
+        |    + 0.5) / 1.0e9 AS p_bar,
+        |  floor(CAST(c0*c0 + c1*c1 + c2*c2 AS DOUBLE)
+        |    / (9 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e9 + 0.5)
+        |    / 1.0e9 AS p_e,
+        |  floor(kap * 1e9 + 0.5) / 1.0e9 AS kappa,
+        |  CASE WHEN floor(kap * 1e9 + 0.5) >= 800000000 THEN 'almost_perfect'
+        |       WHEN floor(kap * 1e9 + 0.5) >= 600000000 THEN 'substantial'
+        |       WHEN floor(kap * 1e9 + 0.5) >= 400000000 THEN 'moderate'
+        |       WHEN floor(kap * 1e9 + 0.5) >= 200000000 THEN 'fair'
+        |       ELSE 'slight_or_poor' END AS agreement
+        |FROM k""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val f = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("lc"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+            .cast(LongType).as("ac"),
+          length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast(LongType).as("dc"))
+      val rt = f.select(col("doc_id"),
+        when(col("lc") < 200, 0L).when(col("lc") < 500, 1L).otherwise(2L)
+          .as("r1"),
+        when(lit(100) * col("ac") < lit(70) * col("lc"), 0L)
+          .when(lit(100) * col("ac") < lit(85) * col("lc"), 1L).otherwise(2L)
+          .as("r2"),
+        when(lit(100) * col("dc") >= lit(5) * col("lc"), 0L)
+          .when(lit(100) * col("dc") >= lit(1) * col("lc"), 1L).otherwise(2L)
+          .as("r3"))
+      def cnt(cat: Long) =
+        (col("r1") === cat).cast(LongType) + (col("r2") === cat).cast(LongType) +
+          (col("r3") === cat).cast(LongType)
+      val nc = rt.select(col("doc_id"), cnt(0).as("n0"), cnt(1).as("n1"),
+        cnt(2).as("n2"))
+      val m = nc.agg(count(lit(1)).cast(dec38).as("n"),
+        sum(col("n0") * col("n0") + col("n1") * col("n1")
+          + col("n2") * col("n2")).cast(dec38).as("s2"),
+        sum(col("n0")).cast(dec38).as("c0"),
+        sum(col("n1")).cast(dec38).as("c1"),
+        sum(col("n2")).cast(dec38).as("c2"))
+      val csq = col("c0") * col("c0") + col("c1") * col("c1") +
+        col("c2") * col("c2")
+      val kap = (lit(3).cast(dec38) * col("n") * (col("s2") - lit(3) * col("n"))
+          - lit(2) * csq).cast(DoubleType) /
+        (lit(2).cast(dec38) * (lit(9).cast(dec38) * col("n") * col("n") - csq))
+          .cast(DoubleType)
+      val kapFp = floor(kap * lit(1.0e9) + lit(0.5))
+      m.select(col("n").cast(LongType).as("n_docs"),
+        (floor((col("s2") - lit(3) * col("n")).cast(DoubleType)
+          / (lit(6) * col("n").cast(DoubleType)) * lit(1.0e9) + lit(0.5))
+          / lit(1.0e9)).as("p_bar"),
+        (floor(csq.cast(DoubleType)
+          / (lit(9) * col("n").cast(DoubleType) * col("n").cast(DoubleType))
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("p_e"),
+        (kapFp / lit(1.0e9)).as("kappa"),
+        when(kapFp >= 8.0e8, "almost_perfect")
+          .when(kapFp >= 6.0e8, "substantial")
+          .when(kapFp >= 4.0e8, "moderate")
+          .when(kapFp >= 2.0e8, "fair")
+          .otherwise("slight_or_poor").as("agreement"))
+    },
+
     "etl_stl_decompose" -> {
       import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years
