@@ -668,6 +668,65 @@ object Graph {
     },
 
     // ------------------------------------------------------------------
+    // 4-cycle (square) census — the motif one step past
+    // graph_triangles: squares are the signature of BIPARTITE-like
+    // near-dup structure (two templates sharing two fillers each),
+    // which triangle counts are blind to (bipartite graphs have
+    // none). Exact identity: every square has exactly two diagonals,
+    // so squares = Σ_{u<v} C(codeg(u,v), 2) // 2 over ALL endpoint
+    // pairs — computed from the same capped wedge enumeration as
+    // graph_common_neighbors (center deg ≤ 64, the hub-quadratic
+    // guard; the cap is part of the operator's contract and the
+    // oracle replays it). One graph-level row, all exact integers; the
+    // wedge join shuffles node ids only.
+    "graph_square_count" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3),
+        |edges AS MATERIALIZED (
+        |  SELECT vec_a AS src, vec_b AS dst FROM p
+        |  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM p),
+        |deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM edges GROUP BY src),
+        |wedge AS (
+        |  SELECT e1.dst AS vec_a, e2.dst AS vec_b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+        |  JOIN deg d ON d.id = e1.src
+        |  WHERE d.deg <= 64
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_wedge_pairs,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_diag_pairs,
+        |  CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS diag_square_sum,
+        |  CAST(sum(cnt * (cnt - 1) // 2) // 2 AS BIGINT) AS squares
+        |FROM wedge""".stripMargin) { (s, dir) =>
+      val p = Dedup.defs.toMap.apply("dedup_embedding").fn(s, dir)
+        .select(col("vec_a"), col("vec_b"))
+      val edges = p.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(p.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .persist() // degree build + both wedge sides
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val centered = edges.join(deg, Seq("src")).filter(col("deg") <= 64)
+      val e1 = centered.select(col("src"), col("dst").as("vec_a"))
+      val e2 = centered.select(col("src"), col("dst").as("vec_b"))
+      val wedge = e1.join(e2, Seq("src"))
+        .filter(col("vec_a") < col("vec_b"))
+        .groupBy(col("vec_a"), col("vec_b"))
+        .agg(count(lit(1)).as("cnt"))
+      wedge.agg(count(lit(1)).as("n_wedge_pairs"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_diag_pairs"),
+          sum(expr("cnt * (cnt - 1) div 2")).as("diag_square_sum"),
+          expr("sum(cnt * (cnt - 1) div 2) div 2").as("squares"))
+    },
+
+    // ------------------------------------------------------------------
     // Eigenvector centrality — power iteration over the mirrored
     // near-dup graph (on an undirected graph HITS hubs = authorities =
     // this), the "which doc sits deepest inside the densest duplicate

@@ -5343,6 +5343,156 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Bass diffusion fit — the product-adoption curve (innovation
+    // coefficient p, imitation coefficient q, market size m) behind
+    // every new-product forecast, fit by the discrete Bass OLS
+    // n_t = a + b·N_{t−1} + c·N²_{t−1} (a = pm, b = q−p, c = −q/m).
+    // Adopters are FIRST-PURCHASE days per user (first-ever-event is
+    // degenerate here — every user appears within days); daily
+    // adopters and
+    // the exclusive cumulative both normalize to ×10³ per-mille-of-
+    // total units, so every regression moment is an exact integer with
+    // SF-invariant bounds (x² ≤ 10⁶ ⇒ centered products ≈ 10³⁴ in
+    // DECIMAL(38)); the 2-regressor Cramer solve lands in doubles only
+    // at the divisions, b/c snap ×10⁹ and the intercept ×10⁶ BEFORE
+    // the quadratic-root recovery m = (−b−√(b²−4ac))/(2c), p = a/m,
+    // q = −c·m (per-mille saturation units; m̂ ≈ 1000 means the
+    // observed window reaches the fitted ceiling). One corpus agg for
+    // first-days; everything after rides the ≤|days| calendar grid.
+    "ev_bass_diffusion" -> QueryDef.withOracle(
+      """WITH fd AS (
+        |  SELECT user_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n
+        |  FROM fd GROUP BY 1),
+        |u AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS nd FROM d),
+        |c AS (
+        |  SELECT d.day, d.n, u.tot, u.nd,
+        |    sum(d.n) OVER (ORDER BY d.day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cprev
+        |  FROM d CROSS JOIN u),
+        |z AS (
+        |  SELECT day,
+        |    CAST(floor(CAST(n AS DOUBLE) * nd / tot * 1000 + 0.5) AS BIGINT)
+        |      AS yf,
+        |    CAST(floor(CAST(coalesce(cprev, 0) AS DOUBLE) / tot * 1000 + 0.5)
+        |      AS BIGINT) AS xf
+        |  FROM c),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xf) AS BIGINT) AS s1,
+        |    CAST(sum(xf * xf) AS BIGINT) AS s2,
+        |    CAST(sum(xf * xf * xf) AS HUGEINT) AS s12,
+        |    CAST(sum(CAST(xf AS HUGEINT) * xf * xf * xf) AS HUGEINT) AS s22,
+        |    CAST(sum(yf) AS BIGINT) AS sy,
+        |    CAST(sum(xf * yf) AS BIGINT) AS s1y,
+        |    CAST(sum(CAST(xf AS HUGEINT) * xf * yf) AS HUGEINT) AS s2y
+        |  FROM z),
+        |cm AS (
+        |  SELECT n, s1, s2, sy,
+        |    CAST(n * s2 - s1 * s1 AS HUGEINT) AS c11,
+        |    CAST(n * s22 - CAST(s2 AS HUGEINT) * s2 AS HUGEINT) AS c22,
+        |    CAST(n * s12 - CAST(s1 AS HUGEINT) * s2 AS HUGEINT) AS c12,
+        |    CAST(n * s1y - CAST(s1 AS HUGEINT) * sy AS HUGEINT) AS c1y,
+        |    CAST(n * s2y - CAST(s2 AS HUGEINT) * sy AS HUGEINT) AS c2y
+        |  FROM m),
+        |bs AS (
+        |  SELECT n, s1, s2, sy,
+        |    CAST(floor(CAST(c1y * c22 - c2y * c12 AS DOUBLE)
+        |      / CAST(c11 * c22 - c12 * c12 AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |      AS b1s,
+        |    CAST(floor(CAST(c2y * c11 - c1y * c12 AS DOUBLE)
+        |      / CAST(c11 * c22 - c12 * c12 AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |      AS b2s
+        |  FROM cm WHERE c11 * c22 - c12 * c12 > 0),
+        |ab AS (
+        |  SELECT n, b1s, b2s,
+        |    floor((CAST(sy AS DOUBLE) - b1s / 1e9 * s1 - b2s / 1e9 * s2) / n
+        |      * 1e6 + 0.5) / 1.0e6 AS a
+        |  FROM bs),
+        |r AS (
+        |  SELECT n, a, b1s / 1.0e9 AS b, b2s / 1.0e9 AS c,
+        |    b1s / 1e9 * (b1s / 1e9) - 4 * a * (b2s / 1e9) AS disc
+        |  FROM ab)
+        |SELECT n AS n_days, a AS b0, b AS b1, c AS b2,
+        |  CASE WHEN disc >= 0 AND c < 0
+        |    THEN floor((-b - sqrt(disc)) / (2 * c) * 1e6 + 0.5) / 1.0e6
+        |    END AS m_hat,
+        |  CASE WHEN disc >= 0 AND c < 0
+        |    THEN floor(a / ((-b - sqrt(disc)) / (2 * c)) * 1e6 + 0.5) / 1.0e6
+        |    END AS p_hat,
+        |  CASE WHEN disc >= 0 AND c < 0
+        |    THEN floor(-c * ((-b - sqrt(disc)) / (2 * c)) * 1e6 + 0.5) / 1.0e6
+        |    END AS q_hat
+        |FROM r""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val fd = Tables.eventsTimed(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_s div 86400")).as("day"))
+      val d = fd.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val u = d.agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+      val wPrev = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = d.crossJoin(broadcast(u))
+        .withColumn("cprev", sum(col("n")).over(wPrev))
+      val z = c.select(col("day"),
+        floor(col("n").cast(DoubleType) * col("nd") / col("tot") * lit(1000)
+          + lit(0.5)).cast(LongType).as("yf"),
+        floor(coalesce(col("cprev"), lit(0L)).cast(DoubleType) / col("tot")
+          * lit(1000) + lit(0.5)).cast(LongType).as("xf"))
+      val m = z.agg(count(lit(1)).as("n"),
+        sum(col("xf")).as("s1"),
+        sum(col("xf") * col("xf")).as("s2"),
+        sum(col("xf") * col("xf") * col("xf")).cast(dec38).as("s12"),
+        sum(col("xf").cast(dec38) * col("xf") * col("xf") * col("xf"))
+          .as("s22"),
+        sum(col("yf")).as("sy"),
+        sum(col("xf") * col("yf")).as("s1y"),
+        sum(col("xf").cast(dec38) * col("xf") * col("yf")).as("s2y"))
+      val cm = m.select(col("n"), col("s1"), col("s2"), col("sy"),
+        (col("n") * col("s2") - col("s1") * col("s1")).cast(dec38).as("c11"),
+        (col("n").cast(dec38) * col("s22")
+          - col("s2").cast(dec38) * col("s2")).as("c22"),
+        (col("n").cast(dec38) * col("s12")
+          - col("s1").cast(dec38) * col("s2")).as("c12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).cast(dec38).as("c1y"),
+        (col("n").cast(dec38) * col("s2y")
+          - col("s2").cast(dec38) * col("sy")).as("c2y"))
+      val dd = (col("c11") * col("c22") - col("c12") * col("c12"))
+      val bs = cm.filter(dd > 0)
+        .select(col("n"), col("s1"), col("s2"), col("sy"),
+          floor((col("c1y") * col("c22") - col("c2y") * col("c12"))
+            .cast(DoubleType) / dd.cast(DoubleType) * lit(1.0e9) + lit(0.5))
+            .cast(LongType).as("b1s"),
+          floor((col("c2y") * col("c11") - col("c1y") * col("c12"))
+            .cast(DoubleType) / dd.cast(DoubleType) * lit(1.0e9) + lit(0.5))
+            .cast(LongType).as("b2s"))
+      val ab = bs.select(col("n"), col("b1s"), col("b2s"),
+        (floor((col("sy").cast(DoubleType)
+          - col("b1s") / lit(1.0e9) * col("s1")
+          - col("b2s") / lit(1.0e9) * col("s2")) / col("n")
+          * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("a"))
+      val r = ab.select(col("n"), col("a"),
+        (col("b1s") / lit(1.0e9)).as("b"),
+        (col("b2s") / lit(1.0e9)).as("c"),
+        (col("b1s") / lit(1.0e9) * (col("b1s") / lit(1.0e9))
+          - lit(4) * col("a") * (col("b2s") / lit(1.0e9))).as("disc"))
+      val mHat = (-col("b") - sqrt(col("disc"))) / (lit(2) * col("c"))
+      val ok = col("disc") >= 0 && col("c") < 0
+      r.select(col("n").as("n_days"), col("a").as("b0"),
+        col("b").as("b1"), col("c").as("b2"),
+        when(ok, floor(mHat * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("m_hat"),
+        when(ok, floor(col("a") / mHat * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+          .as("p_hat"),
+        when(ok, floor(-col("c") * mHat * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+          .as("q_hat"))
+    },
+
+    // ------------------------------------------------------------------
     // Event-study (dynamic DiD) — ev_diff_in_diff's single post-pre
     // contrast unrolled into PER-RELATIVE-WEEK coefficients, the plot
     // every applied-econometrics launch review is built on: δ_k =
