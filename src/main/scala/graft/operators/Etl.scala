@@ -470,6 +470,38 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // binaryFile ingest — Spark's whole-file binary source, the front
+    // door every image/audio/raw-corpus pipeline walks through before
+    // any decode (mm_* operate on binary COLUMNS; this is how those
+    // columns get ingested from a directory of files in the first
+    // place). A bounded fixture (≤300 files, doc_id < 300 at every SF)
+    // is written driver-side — the fixture build is test scaffolding,
+    // not the measured operator; at scale the directory already
+    // exists — then read back via format("binaryFile"): doc id parsed
+    // from the path, exact byte length from the source's metadata
+    // column, md5 over the raw content. Oracle hashes the same UTF-8
+    // bytes from the documents table.
+    "src_binaryfile_ingest" -> QueryDef.withOracle(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 300""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_binf")
+      Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          Files.write(tmp.resolve(s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").load(tmp.toString)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+    },
+
+    // ------------------------------------------------------------------
     "src_csv_roundtrip" -> QueryDef.withOracle(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_csv").toString
