@@ -166,3 +166,87 @@ object LevelMonitor {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming SPRT monitor — ev_sprt's deployment shape, sharing
+  * DriftMonitor's frozen-statistics split: the two ×10⁹-snapped log
+  * ratios and the ±ln 19 boundary are frozen constants; the stream
+  * folds daily purchase/view counts into the cumulative exact-integer
+  * LLR as days close and emits one row per CLOSED day carrying the
+  * walk and the STICKY decision (a crossed SPRT boundary is a stop —
+  * later days keep reporting the frozen verdict, they cannot undo
+  * it). The test is global by definition (one hypothesis), so state is
+  * O(1): (open day, s, f, cum, decision) under a single key. At scale
+  * the per-day (s, f) reduction belongs upstream of this fold — the
+  * monitor's own work per day is two multiplies — and the batch
+  * operator remains the corrective backfill (DriftMonitor's late-row
+  * contract: stragglers behind the open day fold into it).
+  *
+  * Determinism contract: all state is exact longs (the batch op's
+  * ×10⁹ discipline), so the walk is replay-deterministic and equal to
+  * the batch prefix fold over the same closed days (spec-asserted
+  * across a 3-micro-batch replay).
+  */
+object SprtMonitor {
+
+  import DriftMonitor.TypedEvent
+
+  case class SprtRow(day: Long, s: Long, f: Long, llr_fp: Long,
+      decision: String)
+
+  /** Frozen constants (l1, l0, a): per-success and per-failure
+    * ×10⁹-snapped log ratios and the ln 19 boundary — identical to
+    * the batch operator's. */
+  def constants(p1: Double, p0: Double): (Long, Long, Long) = (
+    math.floor(math.log(p1 / p0) * 1e9 + 0.5).toLong,
+    math.floor(math.log((1 - p1) / (1 - p0)) * 1e9 + 0.5).toLong,
+    math.floor(math.log(19.0) * 1e9 + 0.5).toLong)
+
+  /** State: (open day, open s, open f, cum LLR ×10⁹, decision:
+    * 0 = continue, 1 = accept_h1, -1 = accept_h0). */
+  private type St = (Long, Long, Long, Long, Long)
+
+  class SprtProcessor(l1: Long, l0: Long, aa: Long)
+      extends StatefulProcessor[String, TypedEvent, SprtRow] {
+    @transient private var st: ValueState[St] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[St]("st",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[SprtRow] = {
+      var (openDay, s, f, cum, dec) =
+        if (st.exists()) st.get() else (-1L, 0L, 0L, 0L, 0L)
+      val out = Seq.newBuilder[SprtRow]
+      def verdict: String =
+        if (dec > 0) "accept_h1" else if (dec < 0) "accept_h0" else "continue"
+      rows.toSeq.sortBy(r => (r.day, r.ts_s, r.event_id)).foreach { r =>
+        if (openDay == -1L) openDay = r.day
+        while (r.day > openDay) { // close the open day + any gap days
+          cum += s * l1 + f * l0
+          if (dec == 0L && cum >= aa) dec = 1L
+          else if (dec == 0L && cum <= -aa) dec = -1L
+          out += SprtRow(openDay, s, f, cum, verdict)
+          openDay += 1; s = 0L; f = 0L
+        }
+        if (r.event_type == "purchase") s += 1 else f += 1
+      }
+      st.update((openDay, s, f, cum, dec))
+      out.result().iterator
+    }
+  }
+
+  def sprtStream(spark: SparkSession, srcDir: String,
+      l1: Long, l0: Long, aa: Long,
+      maxFilesPerTrigger: Int = 0): Dataset[SprtRow] = {
+    import spark.implicits._
+    EventStreams.eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), expr("ts_s div 86400").as("day"),
+        col("ts_s"), col("event_id"))
+      .as[TypedEvent]
+      .groupByKey(_ => "conv")
+      .transformWithState(new SprtProcessor(l1, l0, aa),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

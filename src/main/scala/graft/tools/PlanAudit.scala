@@ -153,6 +153,13 @@ object PlanAudit {
       // 1-row broadcasts: the (nd, Σc, Σv) normalizer anchor and the
       // 1-row OLS (den, βnum, αnum) coefficient anchor
       "ev_engle_granger",
+      // 1-row broadcast: the (nd, Σc, Σv) normalizer anchor (the
+      // ev_engle_granger argument; the lags/moments need no join)
+      "ev_var1_stability",
+      // 1-row broadcast: the (Σn, nd) adopter-total normalizer anchor
+      "ev_bass_diffusion",
+      // 1-row broadcast: the (min, width) cent-range binning anchor
+      "etl_dalenius_hodges",
       // 1-row broadcast: the (α, β) beta-binomial prior anchor over
       // the ≤|nations| cell relation
       "etl_eb_shrinkage",

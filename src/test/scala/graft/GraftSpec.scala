@@ -1708,6 +1708,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SPRT monitor equals the batch prefix fold across 3 micro-batches") {
+    val dir = stageTerciles()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (l1, l0, aa) = graft.streaming.SprtMonitor.constants(0.52, 0.48)
+      val q = graft.streaming.SprtMonitor
+        .sprtStream(spark, dir, l1, l0, aa, maxFilesPerTrigger = 1)
+        .toDF().writeStream.format("memory").queryName("sprt_mon")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.sql("SELECT day, s, f, llr_fp, decision FROM sprt_mon")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      // batch reference: the identical exact-integer fold in plain
+      // Scala over closed days (first..last-1, gaps at s = f = 0),
+      // with the sticky first-crossing decision
+      val counts = graft.sources.Tables.eventsTimed(spark, sf)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("s"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("f"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val days = counts.keySet
+      var cum = 0L; var dec = 0L
+      val want = (days.min until days.max).map { d =>
+        val (s, f) = counts.getOrElse(d, (0L, 0L))
+        cum += s * l1 + f * l0
+        if (dec == 0L && cum >= aa) dec = 1L
+        else if (dec == 0L && cum <= -aa) dec = -1L
+        val v = if (dec > 0) "accept_h1" else if (dec < 0) "accept_h0"
+          else "continue"
+        (d, s, f, cum, v)
+      }.toSet
+      assert(got.nonEmpty, "the stream must close at least one day")
+      assert(got == want,
+        s"stream rows (${got.size}) differ from the batch fold (${want.size})")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming Kalman level monitor equals the batch prefix fold across 3 micro-batches") {
     val dir = stageTerciles()
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
