@@ -5314,6 +5314,37 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Hodrick-Prescott filter — THE macro trend/cycle decomposition
+    // (every output-gap and business-cycle chart starts here): trend =
+    // argmin Σ(y−x)² + λΣ(Δ²x)², λ = 129600 (the Ravn-Uhlig monthly
+    // convention). The corpus collapses to the monthly mean-normalized
+    // series in one keyed agg (the etl_stl_decompose normalization, so
+    // magnitudes are SF-invariant); the (I + λD'D) pentadiagonal solve
+    // runs driver-side on the CALENDAR-BOUNDED ≤|months| relation —
+    // the etl_denton_pfd KKT pattern. (rows) — the linear solve is not
+    // SQL-expressible; HpFilterSpec pins the gradient condition
+    // (‖(I+λD'D)x̂ − y‖∞ ≈ 0), objective optimality under
+    // perturbation, and trend+cycle ≡ series.
+    "etl_hp_filter" -> QueryDef.rowsOnly { (s, dir) =>
+      val mo = Tables.orders(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"))
+        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+          .cast(LongType)).as("mfp"))
+      // calendar-bounded bookkeeping collect: ≤|months| rows
+      val book = mo.collect().sortBy(_.getLong(0))
+      val n = book.length
+      val tot = book.map(_.getLong(1)).sum
+      // mean-normalized z (≈1000 units, SF-invariant magnitudes)
+      val z = book.map(r => r.getLong(1).toDouble * n / tot * 1000.0)
+      val x = hpFilter(z, 129600.0)
+      import s.implicits._
+      book.indices.map { k =>
+        (book(k).getLong(0), z(k), x(k), z(k) - x(k))
+      }.toDF("mo_s", "series", "trend", "cycle")
+    },
+
+    // ------------------------------------------------------------------
     // Wilcoxon signed-rank test — the PAIRED nonparametric companion to
     // etl_mann_whitney: did part prices move between 1995 and 1996,
     // judged on the signed ranks of the per-part changes (robust to
@@ -7692,6 +7723,42 @@ object Etl {
     * Gaussian elimination with partial pivoting — n is a month count,
     * so this is driver-side bookkeeping arithmetic, never distributed
     * work. Exposed for DentonSpec's property checks. */
+  /** Hodrick-Prescott trend: solves (I + λD'D)x = y where D is the
+    * second-difference operator, by dense Gaussian elimination with
+    * partial pivoting (n = months, calendar-bounded — the dentonPfd
+    * solve discipline). D'D is assembled from its definition
+    * Σ_j d_j d_jᵀ with d_j = e_j − 2e_{j+1} + e_{j+2}, so the banded
+    * coefficients are correct by construction at the boundaries. */
+  private[graft] def hpFilter(y: Array[Double], lam: Double): Array[Double] = {
+    val n = y.length
+    require(n >= 1)
+    if (n <= 2) return y.clone() // D has no rows: trend = series
+    val m = Array.ofDim[Double](n, n + 1) // augmented [A | y]
+    for (t <- 0 until n) { m(t)(t) = 1.0; m(t)(n) = y(t) }
+    for (j <- 0 until n - 2) {
+      val idx = Array(j, j + 1, j + 2)
+      val cf = Array(1.0, -2.0, 1.0)
+      for (a <- 0 until 3; b <- 0 until 3)
+        m(idx(a))(idx(b)) += lam * cf(a) * cf(b)
+    }
+    for (cIdx <- 0 until n) { // forward elimination, partial pivot
+      val piv = (cIdx until n).maxBy(r => math.abs(m(r)(cIdx)))
+      val tmp = m(cIdx); m(cIdx) = m(piv); m(piv) = tmp
+      require(math.abs(m(cIdx)(cIdx)) > 1e-12, "singular HP system")
+      for (r <- cIdx + 1 until n) {
+        val f = m(r)(cIdx) / m(cIdx)(cIdx)
+        for (c2 <- cIdx to n) m(r)(c2) -= f * m(cIdx)(c2)
+      }
+    }
+    val sol = new Array[Double](n) // back substitution
+    for (r <- n - 1 to 0 by -1) {
+      var acc = m(r)(n)
+      for (c2 <- r + 1 until n) acc -= m(r)(c2) * sol(c2)
+      sol(r) = acc / m(r)(r)
+    }
+    sol
+  }
+
   private[graft] def dentonPfd(i: Array[Double], a: Double): Array[Double] = {
     val n = i.length
     require(n >= 1)

@@ -2727,6 +2727,56 @@ class Round8InvariantSpec extends AnyFunSuite {
   }
 }
 
+class HpFilterSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("hp filter: gradient zero, perturbation-optimal, trend+cycle = series") {
+    val rows = SparkEntry.queries("etl_hp_filter")(spark, sf)
+      .orderBy("mo_s").collect()
+    assert(rows.length > 12, s"only ${rows.length} months")
+    val y = rows.map(_.getAs[Double]("series"))
+    val x = rows.map(_.getAs[Double]("trend"))
+    val c = rows.map(_.getAs[Double]("cycle"))
+    val n = y.length
+    val lam = 129600.0
+    // (3) decomposition identity is exact by construction
+    rows.indices.foreach(i => assert(y(i) - x(i) == c(i)))
+    // (1) first-order condition of the quadratic objective:
+    // (I + λD'D)x̂ = y, i.e. x̂ − y + λ·D'(D x̂) = 0 componentwise —
+    // checked against an INDEPENDENT assembly of D'D(x)
+    val dtd = new Array[Double](n)
+    for (j <- 0 until n - 2) {
+      val d2 = x(j) - 2 * x(j + 1) + x(j + 2)
+      dtd(j) += d2; dtd(j + 1) -= 2 * d2; dtd(j + 2) += d2
+    }
+    val gradInf = (0 until n).map(i => math.abs(x(i) - y(i) + lam * dtd(i))).max
+    val scale = y.map(math.abs).max
+    assert(gradInf < 1e-6 * scale * lam / 1000,
+      s"gradient L-inf $gradInf not ~0 (scale $scale)")
+    // (2) objective optimality under perturbation: J(x̂) ≤ J(x̂ + εv)
+    // for spike, step and slope directions
+    def obj(v: Array[Double]): Double = {
+      var s1 = 0.0
+      for (i <- 0 until n) { val d = y(i) - v(i); s1 += d * d }
+      var s2 = 0.0
+      for (j <- 0 until n - 2) {
+        val d2 = v(j) - 2 * v(j + 1) + v(j + 2); s2 += d2 * d2
+      }
+      s1 + lam * s2
+    }
+    val j0 = obj(x)
+    val dirs = Seq(
+      Array.tabulate(n)(i => if (i == n / 2) 1.0 else 0.0), // spike
+      Array.tabulate(n)(i => if (i < n / 2) 1.0 else -1.0), // step
+      Array.tabulate(n)(i => i.toDouble / n)) // slope
+    for (v <- dirs; eps <- Seq(0.01, -0.01)) {
+      val xp = Array.tabulate(n)(i => x(i) + eps * v(i))
+      assert(j0 <= obj(xp) + 1e-9 * j0,
+        s"objective decreased under perturbation eps=$eps")
+    }
+  }
+}
+
 class DentonSpec extends AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._
