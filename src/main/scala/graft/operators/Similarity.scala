@@ -1477,6 +1477,110 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // Local Outlier Factor — the DENSITY-based outlier detector
+    // embedding_outlier_score's centroid screen can't replace (a
+    // vector can sit near its cell centroid yet in a locally sparse
+    // pocket, and a dense far-from-centroid cluster is NOT outlying):
+    // LOF(p) = mean over p's neighbors o of lrd(o)/lrd(p), with
+    // lrd = 1/mean reachability distance and reach(p,o) =
+    // max(kdist(o), d(p,o)). Rides ann_knn_graph's k=3 cosine kNN
+    // (IVF-cell candidates, salted ranking, ×10⁶-snapped cosines), so
+    // every distance is an EXACT ×10⁶ integer: kdist/reach stay
+    // integers, lrd snaps once to a ×10⁹ long (k·10¹⁵/Σreach, dup
+    // guard at Σ=0), and LOF divides the two snapped integer sums once
+    // at output. Verdict LOF > 1.5. All joins are id-keyed; singleton
+    // IVF cells drop out of the kNN base identically on both engines.
+    "embedding_lof" -> QueryDef.withOracle(
+      s"""WITH $ivfAssignSql,
+         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         |cand AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+         |  FROM home a JOIN home b
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id),
+         |pair_scored AS (
+         |  SELECT c.src_id, c.dst_id,
+         |    round(list_cosine_similarity(
+         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.src_id
+         |  JOIN embeddings y ON y.vec_id = c.dst_id),
+         |knn AS MATERIALIZED (
+         |  SELECT src_id, dst_id,
+         |    CAST(1000000 - floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS d_fp
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cos_sim DESC, dst_id ASC) AS rn FROM pair_scored)
+         |  WHERE rn <= 3),
+         |kd AS MATERIALIZED (
+         |  SELECT src_id AS id, CAST(max(d_fp) AS BIGINT) AS kdist,
+         |    CAST(count(*) AS BIGINT) AS nk
+         |  FROM knn GROUP BY 1),
+         |rc AS (
+         |  SELECT k.src_id, k.dst_id,
+         |    CASE WHEN o.kdist > k.d_fp THEN o.kdist ELSE k.d_fp END AS reach
+         |  FROM knn k JOIN kd o ON o.id = k.dst_id),
+         |lr AS MATERIALIZED (
+         |  SELECT r.src_id AS id, p.nk, p.kdist,
+         |    CAST(floor(p.nk * 1e15
+         |      / greatest(CAST(sum(r.reach) AS BIGINT), 1) + 0.5) AS BIGINT)
+         |      AS lrd_fp
+         |  FROM rc r JOIN kd p ON p.id = r.src_id
+         |  GROUP BY r.src_id, p.nk, p.kdist),
+         |lf AS (
+         |  SELECT k.src_id, max(lp.nk) AS nk, max(lp.kdist) AS kdist,
+         |    max(lp.lrd_fp) AS lrd_fp,
+         |    CAST(sum(lo.lrd_fp) AS BIGINT) AS sl
+         |  FROM knn k
+         |  JOIN lr lo ON lo.id = k.dst_id
+         |  JOIN lr lp ON lp.id = k.src_id
+         |  GROUP BY k.src_id)
+         |SELECT src_id AS vec_id, nk AS n_neighbors,
+         |  kdist / 1.0e6 AS kdist,
+         |  lrd_fp / 1.0e9 AS lrd,
+         |  floor(CAST(sl AS DOUBLE) / (nk * lrd_fp) * 1e6 + 0.5) / 1.0e6
+         |    AS lof,
+         |  floor(CAST(sl AS DOUBLE) / (nk * lrd_fp) * 1e6 + 0.5) > 1500000
+         |    AS is_outlier
+         |FROM lf""".stripMargin) { (s, dir) =>
+      val knn = Similarity.defs.toMap.apply("ann_knn_graph").fn(s, dir)
+        .select(col("src_id"), col("dst_id"),
+          (lit(1000000L) - floor(col("cos_sim") * lit(1.0e6) + lit(0.5))
+            .cast(LongType)).as("d_fp"))
+        .persist() // read by kdist, reach, and the LOF assembly
+      val kd = knn.groupBy(col("src_id").as("id"))
+        .agg(max(col("d_fp")).as("kdist"), count(lit(1)).as("nk"))
+        .persist() // joined as o (reach) and p (lrd)
+      val rc = knn.join(kd.select(col("id").as("dst_id"),
+          col("kdist").as("okd")), "dst_id")
+        .select(col("src_id"),
+          when(col("okd") > col("d_fp"), col("okd")).otherwise(col("d_fp"))
+            .as("reach"))
+      val lr = rc.groupBy(col("src_id").as("id"))
+        .agg(sum(col("reach")).as("sreach"))
+        .join(kd, "id")
+        .select(col("id"), col("nk"), col("kdist"),
+          floor(col("nk") * lit(1.0e15)
+            / greatest(col("sreach"), lit(1L)).cast(DoubleType) + lit(0.5))
+            .cast(LongType).as("lrd_fp"))
+        .persist() // joined as lo (neighbor) and lp (self)
+      knn
+        .join(lr.select(col("id").as("dst_id"), col("lrd_fp").as("lo")),
+          "dst_id")
+        .join(lr.select(col("id").as("src_id"), col("nk"), col("kdist"),
+          col("lrd_fp").as("lp")), "src_id")
+        .groupBy(col("src_id"))
+        .agg(max(col("nk")).as("nk"), max(col("kdist")).as("kdist"),
+          max(col("lp")).as("lrd_fp"), sum(col("lo")).as("sl"))
+        .select(col("src_id").as("vec_id"), col("nk").as("n_neighbors"),
+          (col("kdist") / lit(1.0e6)).as("kdist"),
+          (col("lrd_fp") / lit(1.0e9)).as("lrd"),
+          (floor(col("sl").cast(DoubleType) / (col("nk") * col("lrd_fp"))
+            * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("lof"),
+          (floor(col("sl").cast(DoubleType) / (col("nk") * col("lrd_fp"))
+            * lit(1.0e6) + lit(0.5)) > lit(1500000.0)).as("is_outlier"))
+    },
+
+    // ------------------------------------------------------------------
     // kNN label-vote classification eval — the standard embedding-
     // quality probe ("do nearest neighbors share labels?") that gates
     // an embedding model before it drives dedup or retrieval: each
