@@ -3075,6 +3075,84 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Damped-trend Holt (Gardner-McKenzie, φ = 0.9) — the exponential-
+    // smoothing family's missing rung between ev_holt_forecast's
+    // linear trend (which extrapolates a straight line forever — the
+    // documented failure mode of long-horizon Holt) and the flat SES:
+    // the trend decays geometrically, so the h-step forecast
+    // approaches a finite asymptote l + φ/(1−φ)·b. Same fold
+    // discipline as ev_holt_forecast (α = 0.3, β = 0.1): a left fold
+    // over the per-type sorted daily array in Spark, replayed
+    // bit-for-bit by the oracle's recursive CTE with identical operand
+    // order; the 7-step damping sum Σφ^i is an unrolled Horner chain
+    // written with the SAME literal arithmetic on both engines (no
+    // pow() — cross-libm pow is not trusted at the last ulp).
+    "ev_holt_damped" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM e GROUP BY event_type),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, l, b) AS (
+        |    SELECT event_type, CAST(2 AS BIGINT), v[2],
+        |      v[2] - v[1]
+        |    FROM a WHERE nd >= 2
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |        + 0.7 * (h.l + 0.9 * h.b),
+        |      0.1 * ((0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |          + 0.7 * (h.l + 0.9 * h.b)) - h.l)
+        |        + 0.9 * (0.9 * h.b)
+        |    FROM h JOIN a ON a.event_type = h.event_type
+        |    WHERE h.i < a.nd)
+        |  SELECT * FROM h)
+        |SELECT r.event_type, a.nd AS n_days,
+        |  round(r.l, 9) AS level, round(r.b, 9) AS trend,
+        |  round(r.l + 0.9 * r.b, 9) AS fc_1,
+        |  round(r.l + 0.9 * (1 + 0.9 * (1 + 0.9 * (1 + 0.9 * (1 + 0.9
+        |    * (1 + 0.9 * (1 + 0.9)))))) * r.b, 9) AS fc_7,
+        |  round(r.l + 0.9 / 0.1 * r.b, 9) AS fc_inf
+        |FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.nd"""
+        .stripMargin) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("arr"), count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      val v = transform(col("arr"), e => e("n").cast(DoubleType))
+      val init = struct(element_at(v, 2).as("l"),
+        (element_at(v, 2) - element_at(v, 1)).as("b"))
+      val folded = aggregate(
+        slice(v, lit(3), greatest(size(v) - 2, lit(0))), init,
+        (acc, x) => {
+          val lNew = lit(0.3) * x + lit(0.7) * (acc("l") + lit(0.9) * acc("b"))
+          struct(lNew.as("l"),
+            (lit(0.1) * (lNew - acc("l")) + lit(0.9) * (lit(0.9) * acc("b")))
+              .as("b"))
+        })
+      val s7 = lit(0.9) * (lit(1) + lit(0.9) * (lit(1) + lit(0.9) * (lit(1)
+        + lit(0.9) * (lit(1) + lit(0.9) * (lit(1) + lit(0.9)
+        * (lit(1) + lit(0.9)))))))
+      a.select(col("event_type"), col("nd").as("n_days"),
+          folded.as("h"))
+        .select(col("event_type"), col("n_days"),
+          round(col("h.l"), 9).as("level"), round(col("h.b"), 9).as("trend"),
+          round(col("h.l") + lit(0.9) * col("h.b"), 9).as("fc_1"),
+          round(col("h.l") + s7 * col("h.b"), 9).as("fc_7"),
+          round(col("h.l") + lit(0.9) / lit(0.1) * col("h.b"), 9)
+            .as("fc_inf"))
+    },
+
+    // ------------------------------------------------------------------
     // Theta-method forecast (θ=2, the M3-competition winner): per event
     // type, decompose the daily-count series into the OLS trend line
     // (theta-0) and the double-curvature theta-2 line 2y_t − (a+b·t),
