@@ -7614,6 +7614,110 @@ object Etl {
           .otherwise("slight_or_poor").as("agreement"))
     },
 
+    // ------------------------------------------------------------------
+    // Deming regression — errors-in-BOTH-variables line fit (λ = 1),
+    // the method-comparison regression measurement agencies use where
+    // OLS is biased by construction (OLS assumes x is error-free;
+    // regressing 1996 unit values on 1995 unit values, both are noisy
+    // measurements of the same part's price level, and the OLS slope
+    // attenuates toward 0). Same matched-part ×10⁶ unit-value relation
+    // as etl_price_index; per brand the centered moments Sxx, Syy, Sxy
+    // are exact DECIMAL(38) integers (n·Σx² − (Σx)² ≈ 10²² at these
+    // magnitudes), the closed-form slope
+    //   β = (Syy − Sxx + √((Syy−Sxx)² + 4Sxy²)) / (2Sxy)
+    // assembles in doubles with identical operand order and snaps
+    // ×10⁹; the intercept uses the SNAPPED slope. Pearson r published
+    // alongside (the attenuation diagnostic).
+    "etl_deming_regression" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |m AS (
+        |  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pp.p0) AS BIGINT) AS sx,
+        |    CAST(sum(pp.p1) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(pp.p0 AS HUGEINT) * pp.p0) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(pp.p1 AS HUGEINT) * pp.p1) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(pp.p0 AS HUGEINT) * pp.p1) AS HUGEINT) AS sxy
+        |  FROM pp JOIN part p ON p.p_partkey = pp.l_partkey
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT p_brand, n, sx, sy,
+        |    CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS cxx,
+        |    CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS cyy,
+        |    CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cxy
+        |  FROM m WHERE n > 2),
+        |b AS (
+        |  SELECT p_brand, n, sx, sy, cxx, cyy, cxy,
+        |    CAST(floor((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+        |      + 4 * cxy * cxy)) / (2 * cxy) * 1e9 + 0.5) AS BIGINT) AS bs
+        |  FROM c WHERE cxy <> 0 AND cxx > 0 AND cyy > 0)
+        |SELECT p_brand, n AS n_parts,
+        |  bs / 1.0e9 AS slope,
+        |  floor((CAST(sy AS DOUBLE) - bs / 1e9 * sx) / n / 1e6 * 1e6 + 0.5)
+        |    / 1.0e6 AS intercept,
+        |  floor(cxy / sqrt(cxx * cyy) * 1e9 + 0.5) / 1.0e9 AS pearson_r
+        |FROM b""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      val m = pp
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p0")).as("sx"), sum(col("p1")).as("sy"),
+          sum(col("p0").cast(dec38) * col("p0")).as("sxx"),
+          sum(col("p1").cast(dec38) * col("p1")).as("syy"),
+          sum(col("p0").cast(dec38) * col("p1")).as("sxy"))
+      val c = m.filter(col("n") > 2)
+        .select(col("p_brand"), col("n"), col("sx"), col("sy"),
+          (col("n").cast(dec38) * col("sxx")
+            - col("sx").cast(dec38) * col("sx")).cast(DoubleType).as("cxx"),
+          (col("n").cast(dec38) * col("syy")
+            - col("sy").cast(dec38) * col("sy")).cast(DoubleType).as("cyy"),
+          (col("n").cast(dec38) * col("sxy")
+            - col("sx").cast(dec38) * col("sy")).cast(DoubleType).as("cxy"))
+      val bsRaw = (col("cyy") - col("cxx")
+        + sqrt((col("cyy") - col("cxx")) * (col("cyy") - col("cxx"))
+          + lit(4) * col("cxy") * col("cxy"))) / (lit(2) * col("cxy"))
+      val b = c.filter(col("cxy") =!= 0 && col("cxx") > 0 && col("cyy") > 0)
+        .withColumn("bs",
+          floor(bsRaw * lit(1.0e9) + lit(0.5)).cast(LongType))
+      b.select(col("p_brand"), col("n").as("n_parts"),
+        (col("bs") / lit(1.0e9)).as("slope"),
+        (floor((col("sy").cast(DoubleType) - col("bs") / lit(1.0e9)
+          * col("sx")) / col("n") / lit(1.0e6) * lit(1.0e6) + lit(0.5))
+          / lit(1.0e6)).as("intercept"),
+        (floor(col("cxy") / sqrt(col("cxx") * col("cyy")) * lit(1.0e9)
+          + lit(0.5)) / lit(1.0e9)).as("pearson_r"))
+    },
+
     "etl_stl_decompose" -> {
       import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years

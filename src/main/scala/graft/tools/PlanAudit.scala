@@ -44,6 +44,9 @@ object PlanAudit {
       // the shared IVF build's 1-row collapsed-centroid broadcasts
       // (same subtree as ann_ivf_assign)
       "ann_knn_graph",
+      // rides ann_knn_graph's subtree (the same IVF collapsed-centroid
+      // broadcasts); LOF's own joins are all id-keyed equi
+      "embedding_lof",
       // vocab × broadcast-vocab distance table (64 distinct names):
       // the distinct-name levenshtein collapse — never corpus-scale
       "etl_record_linkage",
@@ -331,6 +334,11 @@ object PlanAudit {
       // joins and the salted two-phase ranking — same budget class as
       // ann_ivf_topk
       "ann_knn_graph" -> 13,
+      // LOF stacks the full knn_graph pipeline (13) + the kdist agg,
+      // reach/lrd joins and the final assembly — every added exchange
+      // moves the 3-per-src kNN relation or the per-node kd/lrd rows,
+      // never the corpus (15 measured in the full-suite sweep)
+      "embedding_lof" -> 16,
       // recall eval stacks the full ann_ivf_topk pipeline (13) on the
       // exact ranking (2) plus the K×NPROBES-row compare joins — every
       // added exchange rides the two top-K outputs, never the corpus
@@ -614,7 +622,12 @@ object PlanAudit {
       // near-dup edge relation registers under pass-1 stats (which
       // broadcast the sf-sized embeddings side of the label
       // equi-join); the operator itself requests no corpus broadcast
-      "graph_betweenness")
+      "graph_betweenness",
+      // the same argument for the other two consumers of persisted
+      // embedding-derived relations: square_count's edge persist and
+      // LOF's knn persist register under pass-1 stats; neither
+      // operator requests a corpus broadcast of its own
+      "graph_square_count", "embedding_lof")
 
   /** True when a BroadcastExchange subtree in `plan` scans one of the
     * corpus-scale tables with NO aggregate/limit between the exchange
