@@ -2042,7 +2042,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // The same sweep `runMain graft.tools.PlanAudit` does, but in CI:
     // a plan regression (lost broadcast hint, new cartesian, an
     // operator growing extra shuffles) fails the build instead of
-    // waiting for a manual audit run.
+    // waiting for a manual audit run. The shared CI session has run
+    // 200+ tests by now; their persisted relations substitute
+    // InMemoryRelations whose CAPTURED physical plans print historical
+    // stats broadcasts the operators never requested (the
+    // graph_bipartite_projection argument) — clear the cache first so
+    // the audit measures what the operators request, which is its
+    // stated contract.
+    spark.catalog.clearCache()
     val flagged = PlanAudit.auditAll(spark, sf)
     assert(flagged.isEmpty, flagged.map { case (n, f) =>
       s"$n: ${f.mkString(", ")}" }.mkString("; "))
