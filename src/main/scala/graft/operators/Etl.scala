@@ -7718,6 +7718,67 @@ object Etl {
           + lit(0.5)) / lit(1.0e9)).as("pearson_r"))
     },
 
+    // ------------------------------------------------------------------
+    // Process capability indices Cp / Cpk — the verdict layer on top
+    // of the etl_control_chart family: the chart asks "is the process
+    // stable", capability asks "does the stable process FIT the spec"
+    // (Cp = spec width / 6σ ignores centering; Cpk = the worse
+    // one-sided margin / 3σ is what the customer experiences; the
+    // classic acceptance bar is Cpk ≥ 1.33). Process variable =
+    // lineitem quantity per return flag against fixed specs
+    // LSL = 5, USL = 45; μ and σ close over exact integer moments
+    // (population σ via (nΣq² − (Σq)²)/n² in pinned operand order),
+    // every index ×10⁶-snapped before the verdict. One map-side-
+    // combined corpus agg; nothing after it is row-scaled.
+    "etl_cpk" -> QueryDef.withOracle(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS HUGEINT) AS sqq
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(sq AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(n * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE)) / n
+        |      AS sigma
+        |  FROM m WHERE n > 1)
+        |SELECT l_returnflag, n,
+        |  floor(mu * 1e6 + 0.5) / 1.0e6 AS mu,
+        |  floor(sigma * 1e6 + 0.5) / 1.0e6 AS sigma,
+        |  floor(40 / (6 * sigma) * 1e6 + 0.5) / 1.0e6 AS cp,
+        |  floor(least((45 - mu) / (3 * sigma), (mu - 5) / (3 * sigma))
+        |    * 1e6 + 0.5) / 1.0e6 AS cpk,
+        |  floor(least((45 - mu) / (3 * sigma), (mu - 5) / (3 * sigma))
+        |    * 1e6 + 0.5) >= 1333333 AS capable
+        |FROM c WHERE sigma > 0""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val q = col("l_quantity").cast(LongType)
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(q).as("sq"),
+          sum(q.cast(dec38) * q).as("sqq"))
+      val c = m.filter(col("n") > 1)
+        .select(col("l_returnflag"), col("n"),
+          (col("sq").cast(DoubleType) / col("n")).as("mu"),
+          (sqrt((col("n").cast(dec38) * col("sqq")
+            - col("sq").cast(dec38) * col("sq")).cast(DoubleType))
+            / col("n")).as("sigma"))
+      val cpk = least((lit(45) - col("mu")) / (lit(3) * col("sigma")),
+        (col("mu") - lit(5)) / (lit(3) * col("sigma")))
+      c.filter(col("sigma") > 0)
+        .select(col("l_returnflag"), col("n"),
+          (floor(col("mu") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("mu"),
+          (floor(col("sigma") * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("sigma"),
+          (floor(lit(40) / (lit(6) * col("sigma")) * lit(1.0e6) + lit(0.5))
+            / lit(1.0e6)).as("cp"),
+          (floor(cpk * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("cpk"),
+          (floor(cpk * lit(1.0e6) + lit(0.5)) >= lit(1333333.0))
+            .as("capable"))
+    },
+
     "etl_stl_decompose" -> {
       import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years

@@ -325,6 +325,86 @@ object Multimodal {
         .agg(count(lit(1)).as("n_copies"),
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_copies") >= 2)
+    },
+
+    // ------------------------------------------------------------------
+    // Content-defined chunking — the rolling-hash boundary rule that
+    // slots into mm_chunk_dedup's documented CDC seam: fixed-stride
+    // chunking loses every duplicate after a one-byte insertion
+    // (boundaries shift), CDC resynchronizes because boundaries depend
+    // on CONTENT. The boundary predicate is a Gear-style 4-byte
+    // weighted window (8c₋₃ + 4c₋₂ + 2c₋₁ + c) ≡ 0 mod 32 (expected
+    // chunk ≈ 32 bytes on ASCII text), evaluated entirely row-locally
+    // with array higher-order functions — byte codes, boundary
+    // positions, and the cut list are per-doc arrays, so the exchange
+    // carries (chunk_md5, len, doc) triples only, never payloads (the
+    // mm_chunk_dedup scale contract). ASCII docs ⇒ char positions =
+    // byte offsets, and both engines evaluate the identical integer
+    // predicate — fully oracled.
+    "mm_cdc_chunks" -> QueryDef.withOracle(
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    length(text) AS l,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, CAST(i AS INT), 1))) AS cd
+        |  FROM documents WHERE length(text) >= 8),
+        |b AS (
+        |  SELECT doc_id, text, l,
+        |    list_filter(range(4, l + 1),
+        |      i -> (8 * cd[CAST(i AS INT) - 3] + 4 * cd[CAST(i AS INT) - 2]
+        |        + 2 * cd[CAST(i AS INT) - 1] + cd[CAST(i AS INT)]) % 32 = 0)
+        |      AS bnd
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    list_sort(list_distinct(
+        |      list_concat(list_concat([CAST(0 AS BIGINT)],
+        |        list_transform(bnd, x -> CAST(x AS BIGINT))),
+        |        [CAST(l AS BIGINT)]))) AS cuts
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(2, len(cuts) + 1),
+        |      j -> substring(text, CAST(cuts[CAST(j AS INT) - 1] + 1 AS INT),
+        |        CAST(cuts[CAST(j AS INT)] - cuts[CAST(j AS INT) - 1] AS INT))))
+        |      AS chunk
+        |  FROM k)
+        |SELECT md5(chunk) AS chunk_md5,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM ch GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(LongType).as("l"))
+        .withColumn("cd", transform(sequence(lit(1L), col("l")),
+          i => ascii(col("text").substr(i.cast(IntegerType), lit(1)))
+            .cast(LongType)))
+      val bnd = filter(sequence(lit(4L), col("l")), i =>
+        (lit(8) * element_at(col("cd"), (i - 3).cast(IntegerType))
+          + lit(4) * element_at(col("cd"), (i - 2).cast(IntegerType))
+          + lit(2) * element_at(col("cd"), (i - 1).cast(IntegerType))
+          + element_at(col("cd"), i.cast(IntegerType))) % 32 === 0)
+      val k = d.select(col("doc_id"), col("text"),
+        sort_array(array_distinct(concat(array(lit(0L)), bnd,
+          array(col("l"))))).as("cuts"))
+      val ch = k.select(col("doc_id"),
+        explode(transform(sequence(lit(2), size(col("cuts"))), j =>
+          col("text").substr(
+            (element_at(col("cuts"), (j - 1).cast(IntegerType)) + 1)
+              .cast(IntegerType),
+            (element_at(col("cuts"), j.cast(IntegerType))
+              - element_at(col("cuts"), (j - 1).cast(IntegerType)))
+              .cast(IntegerType)))).as("chunk"))
+      ch.select(col("doc_id"),
+          md5(col("chunk").cast(BinaryType)).as("chunk_md5"),
+          length(col("chunk")).cast(LongType).as("chunk_len"))
+        .groupBy(col("chunk_md5"), col("chunk_len"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_copies") >= 2)
     }
   )
 }

@@ -3153,6 +3153,116 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Exponential-smoothing model selection — the step agencies run
+    // BEFORE publishing any smoothed series: race SES (α=0.3), Holt
+    // (α=0.3, β=0.1) and damped Holt (φ=0.9) on in-sample one-step-
+    // ahead squared error and pick the winner (the poor man's ETS/AIC;
+    // with equal parameter counts ± 1, SSE ordering is the AIC
+    // ordering for these three). ALL THREE folds ride in ONE
+    // left-fold state struct (l₁,s₁ | l₂,b₂,s₂ | l₃,b₃,s₃) over the
+    // per-type sorted daily array — one corpus agg, one pass — and the
+    // oracle's single recursive CTE carries the identical 8 fields, so
+    // every error term is bit-equal. Verdicts compare the ×10⁶-SNAPPED
+    // SSEs (engine-stable ties broken ses → holt → damped).
+    "ev_ets_select" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type,
+        |    list(CAST(n AS DOUBLE) ORDER BY day) AS v,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM e GROUP BY event_type),
+        |rec AS (
+        |  WITH RECURSIVE h(event_type, i, l1, s1, l2, b2, s2, l3, b3, s3) AS (
+        |    SELECT event_type, CAST(2 AS BIGINT),
+        |      v[2], CAST(0 AS DOUBLE),
+        |      v[2], v[2] - v[1], CAST(0 AS DOUBLE),
+        |      v[2], v[2] - v[1], CAST(0 AS DOUBLE)
+        |    FROM a WHERE nd >= 3
+        |    UNION ALL
+        |    SELECT h.event_type, h.i + 1,
+        |      0.3 * a.v[CAST(h.i + 1 AS INT)] + 0.7 * h.l1,
+        |      h.s1 + (a.v[CAST(h.i + 1 AS INT)] - h.l1)
+        |        * (a.v[CAST(h.i + 1 AS INT)] - h.l1),
+        |      0.3 * a.v[CAST(h.i + 1 AS INT)] + 0.7 * (h.l2 + h.b2),
+        |      0.1 * ((0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |          + 0.7 * (h.l2 + h.b2)) - h.l2) + 0.9 * h.b2,
+        |      h.s2 + (a.v[CAST(h.i + 1 AS INT)] - (h.l2 + h.b2))
+        |        * (a.v[CAST(h.i + 1 AS INT)] - (h.l2 + h.b2)),
+        |      0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |        + 0.7 * (h.l3 + 0.9 * h.b3),
+        |      0.1 * ((0.3 * a.v[CAST(h.i + 1 AS INT)]
+        |          + 0.7 * (h.l3 + 0.9 * h.b3)) - h.l3)
+        |        + 0.9 * (0.9 * h.b3),
+        |      h.s3 + (a.v[CAST(h.i + 1 AS INT)] - (h.l3 + 0.9 * h.b3))
+        |        * (a.v[CAST(h.i + 1 AS INT)] - (h.l3 + 0.9 * h.b3))
+        |    FROM h JOIN a ON a.event_type = h.event_type
+        |    WHERE h.i < a.nd)
+        |  SELECT * FROM h),
+        |f AS (
+        |  SELECT r.event_type, a.nd AS n_days,
+        |    CAST(floor(r.s1 * 1e6 + 0.5) AS BIGINT) AS f1,
+        |    CAST(floor(r.s2 * 1e6 + 0.5) AS BIGINT) AS f2,
+        |    CAST(floor(r.s3 * 1e6 + 0.5) AS BIGINT) AS f3
+        |  FROM rec r JOIN a ON a.event_type = r.event_type AND r.i = a.nd)
+        |SELECT event_type, n_days,
+        |  f1 / 1.0e6 AS sse_ses, f2 / 1.0e6 AS sse_holt,
+        |  f3 / 1.0e6 AS sse_damped,
+        |  CASE WHEN f1 <= f2 AND f1 <= f3 THEN 'ses'
+        |       WHEN f2 <= f3 THEN 'holt' ELSE 'damped' END AS best_model
+        |FROM f""".stripMargin) { (s, dir) =>
+      val daily = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("arr"), count(lit(1)).as("nd"))
+        .filter(col("nd") >= 3)
+      val v = transform(col("arr"), e => e("n").cast(DoubleType))
+      val init = struct(
+        element_at(v, 2).as("l1"), lit(0.0).as("s1"),
+        element_at(v, 2).as("l2"),
+        (element_at(v, 2) - element_at(v, 1)).as("b2"), lit(0.0).as("s2"),
+        element_at(v, 2).as("l3"),
+        (element_at(v, 2) - element_at(v, 1)).as("b3"), lit(0.0).as("s3"))
+      val folded = aggregate(
+        slice(v, lit(3), greatest(size(v) - 2, lit(0))), init,
+        (acc, x) => {
+          val e1 = x - acc("l1")
+          val l2n = lit(0.3) * x + lit(0.7) * (acc("l2") + acc("b2"))
+          val e2 = x - (acc("l2") + acc("b2"))
+          val l3n = lit(0.3) * x + lit(0.7) * (acc("l3") + lit(0.9) * acc("b3"))
+          val e3 = x - (acc("l3") + lit(0.9) * acc("b3"))
+          struct(
+            (lit(0.3) * x + lit(0.7) * acc("l1")).as("l1"),
+            (acc("s1") + e1 * e1).as("s1"),
+            l2n.as("l2"),
+            (lit(0.1) * (l2n - acc("l2")) + lit(0.9) * acc("b2")).as("b2"),
+            (acc("s2") + e2 * e2).as("s2"),
+            l3n.as("l3"),
+            (lit(0.1) * (l3n - acc("l3")) + lit(0.9) * (lit(0.9) * acc("b3")))
+              .as("b3"),
+            (acc("s3") + e3 * e3).as("s3"))
+        })
+      val f = a.select(col("event_type"), col("nd").as("n_days"),
+          folded.as("h"))
+        .select(col("event_type"), col("n_days"),
+          floor(col("h.s1") * lit(1.0e6) + lit(0.5)).cast(LongType).as("f1"),
+          floor(col("h.s2") * lit(1.0e6) + lit(0.5)).cast(LongType).as("f2"),
+          floor(col("h.s3") * lit(1.0e6) + lit(0.5)).cast(LongType).as("f3"))
+      f.select(col("event_type"), col("n_days"),
+        (col("f1") / lit(1.0e6)).as("sse_ses"),
+        (col("f2") / lit(1.0e6)).as("sse_holt"),
+        (col("f3") / lit(1.0e6)).as("sse_damped"),
+        when(col("f1") <= col("f2") && col("f1") <= col("f3"), "ses")
+          .when(col("f2") <= col("f3"), "holt")
+          .otherwise("damped").as("best_model"))
+    },
+
+    // ------------------------------------------------------------------
     // Theta-method forecast (θ=2, the M3-competition winner): per event
     // type, decompose the daily-count series into the OLS trend line
     // (theta-0) and the double-curvature theta-2 line 2y_t − (a+b·t),
