@@ -4766,6 +4766,103 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // KPSS level-stationarity test — ev_dickey_fuller's mirror image
+    // (DF's null is a unit root, KPSS's null is stationarity; agencies
+    // run BOTH because each test alone can't distinguish "no evidence
+    // against" from "evidence for"). η = ΣS_t² / (n·lrv) on the
+    // common-denominator deviations e_t = n·y_t − Σy (exact longs, the
+    // ev_arch_test demeaning without the float mean), partial sums and
+    // all five autocovariance moments (γ₀..γ₄) exact DECIMAL(38)
+    // integers (S_t² ≈ 10²⁸ at corpus rates); the Bartlett long-run
+    // variance (weights 1 − j/5) and the final ratio assemble in
+    // pinned-order doubles, ×10⁶-snapped before the 5% critical-value
+    // 0.463 verdict. The n-scaling of e cancels between numerator and
+    // denominator, so the statistic is invariant to the exactness
+    // trick. One corpus agg; all windows ride type×day.
+    "ev_kpss" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM d GROUP BY 1),
+        |e AS (
+        |  SELECT d.event_type, d.day, t.n, d.y * t.n - t.sy AS e
+        |  FROM d JOIN t ON t.event_type = d.event_type),
+        |s AS (
+        |  SELECT event_type, n, e,
+        |    CAST(sum(e) OVER (PARTITION BY event_type ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |      AS st,
+        |    lag(e, 1) OVER (PARTITION BY event_type ORDER BY day ASC) AS e1,
+        |    lag(e, 2) OVER (PARTITION BY event_type ORDER BY day ASC) AS e2,
+        |    lag(e, 3) OVER (PARTITION BY event_type ORDER BY day ASC) AS e3,
+        |    lag(e, 4) OVER (PARTITION BY event_type ORDER BY day ASC) AS e4
+        |  FROM e),
+        |m AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(st * st) AS HUGEINT) AS ss2,
+        |    CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS g0,
+        |    CAST(sum(CAST(e AS HUGEINT) * e1) AS HUGEINT) AS g1,
+        |    CAST(sum(CAST(e AS HUGEINT) * e2) AS HUGEINT) AS g2,
+        |    CAST(sum(CAST(e AS HUGEINT) * e3) AS HUGEINT) AS g3,
+        |    CAST(sum(CAST(e AS HUGEINT) * e4) AS HUGEINT) AS g4
+        |  FROM s GROUP BY 1),
+        |k AS (
+        |  SELECT event_type, n,
+        |    CAST(g0 AS DOUBLE) + 2 * (0.8 * CAST(g1 AS DOUBLE)
+        |      + 0.6 * CAST(g2 AS DOUBLE) + 0.4 * CAST(g3 AS DOUBLE)
+        |      + 0.2 * CAST(g4 AS DOUBLE)) AS lrv,
+        |    CAST(ss2 AS DOUBLE) AS ss2
+        |  FROM m)
+        |SELECT event_type, n AS n_days,
+        |  floor(ss2 / (n * lrv) * 1e6 + 0.5) / 1.0e6 AS kpss_stat,
+        |  floor(ss2 / (n * lrv) * 1e6 + 0.5) > 463000 AS nonstationary
+        |FROM k WHERE lrv > 0 AND n > 5""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val t = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val e = d.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          (col("y") * col("n") - col("sy")).as("e"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val sRel = e
+        .withColumn("st", sum(col("e").cast(dec38))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("e1", lag(col("e"), 1).over(w))
+        .withColumn("e2", lag(col("e"), 2).over(w))
+        .withColumn("e3", lag(col("e"), 3).over(w))
+        .withColumn("e4", lag(col("e"), 4).over(w))
+      val m = sRel.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(col("st") * col("st")).as("ss2"),
+          sum(col("e").cast(dec38) * col("e")).as("g0"),
+          sum(col("e").cast(dec38) * col("e1")).as("g1"),
+          sum(col("e").cast(dec38) * col("e2")).as("g2"),
+          sum(col("e").cast(dec38) * col("e3")).as("g3"),
+          sum(col("e").cast(dec38) * col("e4")).as("g4"))
+      val lrv = col("g0").cast(DoubleType) + lit(2) *
+        (lit(0.8) * col("g1").cast(DoubleType)
+          + lit(0.6) * col("g2").cast(DoubleType)
+          + lit(0.4) * col("g3").cast(DoubleType)
+          + lit(0.2) * col("g4").cast(DoubleType))
+      val k = m.select(col("event_type"), col("n"), lrv.as("lrv"),
+        col("ss2").cast(DoubleType).as("ss2"))
+      val stat = col("ss2") / (col("n") * col("lrv"))
+      k.filter(col("lrv") > 0 && col("n") > 5)
+        .select(col("event_type"), col("n").as("n_days"),
+          (floor(stat * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("kpss_stat"),
+          (floor(stat * lit(1.0e6) + lit(0.5)) > lit(463000.0))
+            .as("nonstationary"))
+    },
+
+    // ------------------------------------------------------------------
     // Active-day streaks per user (gaps-and-islands): the engagement
     // primitive behind "7-day streak" product mechanics and habit
     // cohorting — consecutive-calendar-day runs of activity, collapsed

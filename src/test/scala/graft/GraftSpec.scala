@@ -514,6 +514,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_haar_energy", "event_type") -> "type×day calendar-bounded daily counts (last-16-day rank + dyadic index windows)",
       ("ev_engle_granger", "") -> "daily-grain calendar relation (the residual lag window)",
       ("ev_arch_test", "event_type") -> "type×day calendar-bounded daily counts (squared-deviation lag window)",
+      ("ev_kpss", "event_type") -> "type×day calendar-bounded daily counts (partial-sum + autocovariance lag windows)",
       ("ev_var1_stability", "") -> "daily-grain calendar relation (the two VAR lag windows)",
       ("ev_sprt", "") -> "daily-grain calendar relation (the cumulative LLR walk)",
       ("etl_dalenius_hodges", "") -> "30-cell price-bin relation (the cum-sqrt-f cut windows)",
