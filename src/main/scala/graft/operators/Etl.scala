@@ -7779,6 +7779,127 @@ object Etl {
             .as("capable"))
     },
 
+    // ------------------------------------------------------------------
+    // Hotelling T² multivariate control chart — the 2-D upgrade of
+    // etl_control_chart that catches what two univariate charts CANNOT:
+    // a month whose quantity and price are each within their own 3σ
+    // bands but jointly off the correlation ellipse. Variables are
+    // subgroup (month) means of quantity and price (dollars); the
+    // pooled within-month covariance follows etl_control_chart's
+    // exact discipline — each month's (Σx)(Σy)/n cross term snaps to a
+    // BIGINT pre-sum (×10⁶ in quantity² units, ×10³ in $² and q·$
+    // units), so the across-month reductions are order-invariant
+    // integer sums — and T²_j = n_j·d'S⁻¹d uses the closed-form 2×2
+    // inverse in pinned doubles, ×10⁶-snapped before the χ²₂
+    // 3σ-equivalent 11.829 verdict. ONE corpus scan; everything after
+    // is the ≤|months| relation and a 1-row pooled anchor.
+    "etl_hotelling_t2" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sp,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS HUGEINT) AS spp,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sqp
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT mon, n_j, sq, sp,
+        |    sqq * 1000000
+        |      - CAST(floor(CAST(sq AS DOUBLE) * sq / n_j * 1e6 + 0.5)
+        |        AS BIGINT) AS vq_fp,
+        |    CAST(floor((CAST(spp AS DOUBLE)
+        |      - CAST(sp AS DOUBLE) * sp / n_j) / 1e4 * 1e3 + 0.5) AS BIGINT)
+        |      AS vp_fp,
+        |    CAST(floor((CAST(sqp AS DOUBLE)
+        |      - CAST(sq AS DOUBLE) * sp / n_j) / 1e2 * 1e3 + 0.5) AS BIGINT)
+        |      AS vqp_fp
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(sq) AS BIGINT) AS tq, CAST(sum(sp) AS BIGINT) AS tp,
+        |    CAST(sum(vq_fp) AS BIGINT) AS wq,
+        |    CAST(sum(vp_fp) AS BIGINT) AS wp,
+        |    CAST(sum(vqp_fp) AS BIGINT) AS wqp
+        |  FROM w),
+        |a AS (
+        |  SELECT nn, m,
+        |    CAST(tq AS DOUBLE) / nn AS mq,
+        |    CAST(tp AS DOUBLE) / 100 / nn AS mp,
+        |    CAST(wq AS DOUBLE) / 1e6 / (nn - m) AS sxx,
+        |    CAST(wp AS DOUBLE) / 1e3 / (nn - m) AS syy,
+        |    CAST(wqp AS DOUBLE) / 1e3 / (nn - m) AS sxy
+        |  FROM t),
+        |r AS (
+        |  SELECT w.mon, w.n_j,
+        |    CAST(w.sq AS DOUBLE) / w.n_j - a.mq AS dq,
+        |    CAST(w.sp AS DOUBLE) / 100 / w.n_j - a.mp AS dp,
+        |    a.sxx, a.syy, a.sxy,
+        |    a.sxx * a.syy - a.sxy * a.sxy AS det
+        |  FROM w CROSS JOIN a)
+        |SELECT mon, n_j AS n,
+        |  floor(n_j * (dq * dq * syy - 2 * dq * dp * sxy + dp * dp * sxx)
+        |    / det * 1e6 + 0.5) / 1.0e6 AS t2,
+        |  floor(n_j * (dq * dq * syy - 2 * dq * dp * sxy + dp * dp * sxx)
+        |    / det * 1e6 + 0.5) > 11829000 AS out_of_control
+        |FROM r WHERE det > 0""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val q = col("l_quantity").cast(LongType)
+      val pc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
+      val g = Tables.lineitem(s, dir)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("mon"),
+          q.as("q"), pc.as("p"))
+        .groupBy(col("mon"))
+        .agg(count(lit(1)).as("n_j"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p")).as("sp"),
+          sum(col("p").cast(dec38) * col("p")).as("spp"),
+          sum(col("q") * col("p")).as("sqp"))
+      val w = g.select(col("mon"), col("n_j"), col("sq"), col("sp"),
+        (col("sqq") * 1000000L
+          - floor(col("sq").cast(DoubleType) * col("sq") / col("n_j")
+            * lit(1.0e6) + lit(0.5)).cast(LongType)).as("vq_fp"),
+        floor((col("spp").cast(DoubleType)
+          - col("sp").cast(DoubleType) * col("sp") / col("n_j")) / lit(1.0e4)
+          * lit(1.0e3) + lit(0.5)).cast(LongType).as("vp_fp"),
+        floor((col("sqp").cast(DoubleType)
+          - col("sq").cast(DoubleType) * col("sp") / col("n_j")) / lit(1.0e2)
+          * lit(1.0e3) + lit(0.5)).cast(LongType).as("vqp_fp"))
+        .persist() // ≤|months| bookkeeping: pooled anchor + per-month T²
+      val t = w.agg(sum(col("n_j")).as("nn"), count(lit(1)).as("m"),
+        sum(col("sq")).as("tq"), sum(col("sp")).as("tp"),
+        sum(col("vq_fp")).as("wq"), sum(col("vp_fp")).as("wp"),
+        sum(col("vqp_fp")).as("wqp"))
+      val a = t.select(
+        (col("tq").cast(DoubleType) / col("nn")).as("mq"),
+        (col("tp").cast(DoubleType) / lit(100) / col("nn")).as("mp"),
+        (col("wq").cast(DoubleType) / lit(1.0e6) / (col("nn") - col("m")))
+          .as("sxx"),
+        (col("wp").cast(DoubleType) / lit(1.0e3) / (col("nn") - col("m")))
+          .as("syy"),
+        (col("wqp").cast(DoubleType) / lit(1.0e3) / (col("nn") - col("m")))
+          .as("sxy"))
+      val dq = col("sq").cast(DoubleType) / col("n_j") - col("mq")
+      val dp = col("sp").cast(DoubleType) / lit(100) / col("n_j") - col("mp")
+      val det = col("sxx") * col("syy") - col("sxy") * col("sxy")
+      val t2 = col("n_j") * (dq * dq * col("syy")
+        - lit(2) * dq * dp * col("sxy") + dp * dp * col("sxx")) / det
+      w.crossJoin(broadcast(a))
+        .withColumn("det", det)
+        .filter(col("det") > 0)
+        .select(col("mon"), col("n_j").as("n"),
+          (floor(t2 * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("t2"),
+          (floor(t2 * lit(1.0e6) + lit(0.5)) > lit(11829000.0))
+            .as("out_of_control"))
+    },
+
     "etl_stl_decompose" -> {
       import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years

@@ -216,6 +216,9 @@ object PlanAudit {
       // 1-row crossJoin: the (center, sig2) pooled-limit anchor the
       // ≤|months| subgroup relation expands against
       "etl_control_chart",
+      // 1-row crossJoin: the pooled (means, covariance) anchor (the
+      // etl_control_chart argument, 2-D)
+      "etl_hotelling_t2",
       // 1-row crossJoin: the pooled-p̄ anchor (the etl_control_chart
       // argument for the attribute chart)
       "etl_p_chart",
