@@ -1434,6 +1434,82 @@ object TextOps {
     // Consumes the text_langid OPERATOR (single scoring source); the
     // rollup is two keyed aggs on the |langs|²-bounded cell relation
     // with per-class totals broadcast back. Fractions ×10⁹-snapped.
+    // ------------------------------------------------------------------
+    // Dunning log-likelihood keyness — which tokens are OVER- or
+    // UNDER-represented in the English subcorpus vs the rest, the
+    // corpus-linguistics test behind every "distinctive vocabulary"
+    // table (χ² misbehaves at the low counts most tokens have; the G²
+    // likelihood ratio doesn't). G² = 2·Σ obs·ln(obs/exp) over the
+    // 2×2 (token × subcorpus) table, zero cells contributing zero;
+    // published rows are the keyness TABLE for tokens with support
+    // ≥ 50 (a support FILTER, not a top-k window — no corpus-wide
+    // sort anywhere), each carrying its G² and the χ²₁ 5%
+    // significance verdict at 3.841459 as a column (this synthetic
+    // corpus shares vocabulary across langs, so few rows are
+    // significant — that finding IS the output). Token counting is
+    // one explode + keyed agg (map-side combined); the two subcorpus
+    // totals broadcast as a 1-row anchor. ln only ever sees strictly
+    // positive ratios.
+    "text_keyness_loglr" -> QueryDef.withOracle(
+      s"""WITH tok AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+         |    unnest(${toksSql("text")}) AS token
+         |  FROM documents),
+         |c AS (
+         |  SELECT token,
+         |    CAST(sum(grp) AS BIGINT) AS a,
+         |    CAST(sum(1 - grp) AS BIGINT) AS b
+         |  FROM tok GROUP BY token),
+         |t AS (
+         |  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+         |  FROM c),
+         |g AS (
+         |  SELECT c.token, c.a, c.b, t.na, t.nb,
+         |    CAST(c.a + c.b AS DOUBLE) * t.na / (t.na + t.nb) AS ea,
+         |    CAST(c.a + c.b AS DOUBLE) * t.nb / (t.na + t.nb) AS eb
+         |  FROM c CROSS JOIN t),
+         |s AS (
+         |  SELECT token, a, b,
+         |    floor(2 * ((CASE WHEN a > 0 THEN a * ln(a / ea) ELSE 0 END)
+         |      + (CASE WHEN b > 0 THEN b * ln(b / eb) ELSE 0 END)) * 1e6
+         |      + 0.5) AS g2_fp,
+         |    CAST(a AS DOUBLE) * (na + nb) > CAST(a + b AS DOUBLE) * na
+         |      AS over_en
+         |  FROM g)
+         |SELECT token, a AS n_en, b AS n_other,
+         |  g2_fp / 1.0e6 AS g2,
+         |  g2_fp > 3841459 AS significant,
+         |  over_en AS overused_in_en
+         |FROM s WHERE a + b >= 50""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("grp"),
+          explode(tokens(col("text"))).as("token"))
+      val c = tok.groupBy(col("token"))
+        .agg(sum(col("grp")).as("a"), sum(lit(1L) - col("grp")).as("b"))
+        .persist() // vocab-keyed bookkeeping: totals anchor + the scores
+      val t = c.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val g = c.crossJoin(broadcast(t))
+        .select(col("token"), col("a"), col("b"), col("na"), col("nb"),
+          ((col("a") + col("b")).cast(DoubleType) * col("na")
+            / (col("na") + col("nb"))).as("ea"),
+          ((col("a") + col("b")).cast(DoubleType) * col("nb")
+            / (col("na") + col("nb"))).as("eb"))
+      val g2fp = floor(lit(2) * (
+        when(col("a") > 0, col("a") * log(col("a") / col("ea")))
+          .otherwise(lit(0.0))
+        + when(col("b") > 0, col("b") * log(col("b") / col("eb")))
+          .otherwise(lit(0.0))) * lit(1.0e6) + lit(0.5))
+      g.select(col("token"), col("a"), col("b"), g2fp.as("g2_fp"),
+          (col("a").cast(DoubleType) * (col("na") + col("nb"))
+            > (col("a") + col("b")).cast(DoubleType) * col("na"))
+            .as("over_en"))
+        .filter(col("a") + col("b") >= 50)
+        .select(col("token"), col("a").as("n_en"), col("b").as("n_other"),
+          (col("g2_fp") / lit(1.0e6)).as("g2"),
+          (col("g2_fp") > lit(3841459.0)).as("significant"),
+          col("over_en").as("overused_in_en"))
+    },
+
     "text_langid_eval" -> QueryDef.withOracle(
       s"""WITH p AS (
          |  $langidSql),

@@ -203,6 +203,9 @@ object PlanAudit {
       // 1-row broadcast: the corpus doc-count anchor the zero-
       // inclusive moments divide by
       "text_burstiness",
+      // 1-row broadcast: the (n_en, n_other) subcorpus-total anchor
+      // the vocab-keyed G² expectations divide by
+      "text_keyness_loglr",
       // 1-row crossJoins: the margin/correction/power-sum anchors the
       // fixed-point SS identities combine (all ≤6-cell-bounded)
       "etl_two_way_anova",
