@@ -5099,6 +5099,48 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Malformed-CSV handling — src_json_malformed's sibling for the
+    // OTHER interchange format ops teams actually receive: every 10th
+    // supplier row is written with a type-corrupt key field ("X123" in
+    // a BIGINT column — CSV's failure mode is a bad cell, not bad
+    // syntax), and the PERMISSIVE reader must route exactly those rows
+    // to the corrupt-record column while every clean row survives
+    // value-intact. Same shape as the json variant: survivors + a
+    // 1-row corrupt-count anchor.
+    "src_csv_malformed" -> QueryDef.withOracle(
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+        |   WHERE s_suppkey % 10 = 0) AS n_corrupt
+        |FROM supplier WHERE s_suppkey % 10 <> 0""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_badcsv").toString
+      val src = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      // names carry no commas/quotes in this schema, so hand-built
+      // lines are valid CSV; the corrupt variant poisons the BIGINT
+      // key cell with a leading letter
+      src.select(
+          concat(
+            when(pmod(col("s_suppkey"), lit(10L)) === 0,
+              concat(lit("X"), col("s_suppkey").cast(StringType)))
+              .otherwise(col("s_suppkey").cast(StringType)),
+            lit(","), col("s_name"), lit(","),
+            col("s_nationkey").cast(StringType)).as("value"))
+        .write.mode(SaveMode.Overwrite).text(tmp)
+      val schema = StructType(src.schema.fields :+
+        StructField("_bad", StringType))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(tmp)
+        .persist() // feeds the survivors and the corrupt count
+      val bad = parsed.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n_corrupt"))
+      parsed.filter(col("_bad").isNull)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .crossJoin(broadcast(bad))
+    },
+
+    // ------------------------------------------------------------------
     // Record-linkage accuracy eval — the "measure, don't guess" harness
     // for the linkage family (ann_recall_eval's sibling): link the part
     // register against a DETERMINISTICALLY perturbed copy of itself,

@@ -92,7 +92,7 @@ object PlanAudit {
       // 1-row broadcast: the stationary-mass normalizer anchor
       "ev_markov_steady_state",
       // 1-row broadcast: the corrupt-line count anchor
-      "src_json_malformed",
+      "src_json_malformed", "src_csv_malformed",
       // 1-row broadcast: the register-truth count anchor
       "etl_linkage_eval",
       // 1-row broadcast: the holdout-cut calendar anchor
