@@ -7942,6 +7942,104 @@ object Etl {
             .as("out_of_control"))
     },
 
+    // ------------------------------------------------------------------
+    // Western Electric run rules — the SIGNAL layer over
+    // etl_control_chart's limits: a point inside 3σ is not evidence of
+    // control (rule 1 alone misses slow drifts), so the classic zone
+    // rules fire on RUNS — 2-of-3 beyond 2σ same side, 4-of-5 beyond
+    // 1σ same side, 8 consecutive same side. Same pooled σ̂ build as
+    // the chart (each month's (Σq)²/n term snapped pre-sum); the
+    // standardized z = (x̄_j − x̿)/(σ̂/√n_j) snaps ×10⁶ to a long
+    // FIRST, every zone indicator is then an exact integer comparison
+    // and every rule a window COUNT of indicators over the ≤|months|
+    // calendar relation — no float ever crosses a window boundary.
+    "etl_we_rules" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_j,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_j,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss_j
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(s_j) AS BIGINT) AS ss,
+        |    CAST(sum(ss_j * 1000000 - CAST(floor(CAST(s_j AS DOUBLE) * s_j
+        |      / n_j * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS wfp
+        |  FROM g),
+        |z AS (
+        |  SELECT g.mon, g.n_j,
+        |    CAST(floor((CAST(g.s_j AS DOUBLE) / g.n_j
+        |        - CAST(t.ss AS DOUBLE) / t.nn)
+        |      / sqrt(CAST(t.wfp AS DOUBLE) / 1e6 / (t.nn - t.m)
+        |        / g.n_j) * 1e6 + 0.5) AS BIGINT) AS zfp
+        |  FROM g CROSS JOIN t),
+        |i AS (
+        |  SELECT mon, n_j, zfp,
+        |    CASE WHEN zfp > 2000000 THEN 1 ELSE 0 END AS hi2,
+        |    CASE WHEN zfp < -2000000 THEN 1 ELSE 0 END AS lo2,
+        |    CASE WHEN zfp > 1000000 THEN 1 ELSE 0 END AS hi1,
+        |    CASE WHEN zfp < -1000000 THEN 1 ELSE 0 END AS lo1,
+        |    CASE WHEN zfp > 0 THEN 1 ELSE 0 END AS hi0,
+        |    CASE WHEN zfp < 0 THEN 1 ELSE 0 END AS lo0
+        |  FROM z),
+        |w AS (
+        |  SELECT mon, n_j, zfp,
+        |    abs(zfp) > 3000000 AS rule1,
+        |    sum(hi2) OVER w3 >= 2 OR sum(lo2) OVER w3 >= 2 AS rule2,
+        |    sum(hi1) OVER w5 >= 4 OR sum(lo1) OVER w5 >= 4 AS rule3,
+        |    sum(hi0) OVER w8 = 8 OR sum(lo0) OVER w8 = 8 AS rule4
+        |  FROM i
+        |  WINDOW
+        |    w3 AS (ORDER BY mon ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |    w5 AS (ORDER BY mon ASC ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |    w8 AS (ORDER BY mon ASC ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT mon, n_j AS n, zfp / 1.0e6 AS z,
+        |  rule1, rule2, rule3, rule4,
+        |  rule1 OR rule2 OR rule3 OR rule4 AS any_signal
+        |FROM w""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity").cast(LongType)
+      val g = Tables.lineitem(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_j"), sum(q).as("s_j"),
+          sum(q * q).as("ss_j"))
+      val t = g.agg(sum(col("n_j")).as("nn"), count(lit(1)).as("m"),
+        sum(col("s_j")).as("ss"),
+        sum(col("ss_j") * 1000000L
+          - floor(col("s_j").cast(DoubleType) * col("s_j") / col("n_j")
+            * lit(1.0e6) + 0.5).cast(LongType)).as("wfp"))
+      val zfp = floor((col("s_j").cast(DoubleType) / col("n_j")
+          - col("ss").cast(DoubleType) / col("nn"))
+        / sqrt(col("wfp").cast(DoubleType) / lit(1.0e6)
+          / (col("nn") - col("m")) / col("n_j")) * lit(1.0e6) + lit(0.5))
+        .cast(LongType)
+      val z = g.crossJoin(broadcast(t))
+        .select(col("mon"), col("n_j"), zfp.as("zfp"))
+      def ind(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+      val i = z.select(col("mon"), col("n_j"), col("zfp"),
+        ind(col("zfp") > 2000000L).as("hi2"),
+        ind(col("zfp") < -2000000L).as("lo2"),
+        ind(col("zfp") > 1000000L).as("hi1"),
+        ind(col("zfp") < -1000000L).as("lo1"),
+        ind(col("zfp") > 0L).as("hi0"), ind(col("zfp") < 0L).as("lo0"))
+      def wN(n: Int) = Window.orderBy(col("mon").asc)
+        .rowsBetween(-(n - 1), Window.currentRow)
+      val w = i.select(col("mon"), col("n_j"), col("zfp"),
+        (abs(col("zfp")) > 3000000L).as("rule1"),
+        (sum(col("hi2")).over(wN(3)) >= 2 || sum(col("lo2")).over(wN(3)) >= 2)
+          .as("rule2"),
+        (sum(col("hi1")).over(wN(5)) >= 4 || sum(col("lo1")).over(wN(5)) >= 4)
+          .as("rule3"),
+        (sum(col("hi0")).over(wN(8)) === 8 || sum(col("lo0")).over(wN(8)) === 8)
+          .as("rule4"))
+      w.select(col("mon"), col("n_j").as("n"),
+        (col("zfp") / lit(1.0e6)).as("z"),
+        col("rule1"), col("rule2"), col("rule3"), col("rule4"),
+        (col("rule1") || col("rule2") || col("rule3") || col("rule4"))
+          .as("any_signal"))
+    },
+
     "etl_stl_decompose" -> {
       import Loess.{betaSql, nbSql, sumsSql}
       val seasK = (-2 to 2).toSeq // subseries half-width: 2 years

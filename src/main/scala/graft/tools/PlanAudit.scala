@@ -222,6 +222,10 @@ object PlanAudit {
       // 1-row crossJoin: the pooled (means, covariance) anchor (the
       // etl_control_chart argument, 2-D)
       "etl_hotelling_t2",
+      // 1-row crossJoin: the pooled (x-bar-bar, sigma-hat) anchor the
+      // zone z-scores standardize against (the etl_control_chart
+      // argument)
+      "etl_we_rules",
       // 1-row crossJoin: the pooled-p̄ anchor (the etl_control_chart
       // argument for the attribute chart)
       "etl_p_chart",

@@ -518,6 +518,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_var1_stability", "") -> "daily-grain calendar relation (the two VAR lag windows)",
       ("ev_sprt", "") -> "daily-grain calendar relation (the cumulative LLR walk)",
       ("etl_dalenius_hodges", "") -> "30-cell price-bin relation (the cum-sqrt-f cut windows)",
+      ("etl_we_rules", "") -> "monthly-grain calendar relation (the zone-rule run-count windows)",
       ("ev_bass_diffusion", "") -> "daily-grain calendar relation (the exclusive cumulative-adopter window)",
       ("ev_pot_tail", "event_type") -> "type × 2-dp-value bounded domain (the etl_winsorize argument)",
       ("etl_cochrane_orcutt", "f") -> "calendar-bounded monthly relation (residual + quasi-difference lag windows, the durbin_watson argument)")
