@@ -52,6 +52,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver keeps only a truncated log TAIL (~2000 chars), so the
+    // ~12 KB full line above never parses in BENCH_rN.json (r9 and r10
+    // both show parsed: null). The LAST stdout line is therefore a
+    // compact summary that always survives the tail capture; the full
+    // per-query map lives in bench_out.json / docs/bench_full_latest
+    // .json below.
+    val slowest = if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+    val spq = if (results.nonEmpty) total / results.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""s_per_query":${math.round(spq * 10000) / 10000.0},""" +
+      s""""slowest":"${slowest._1}","slowest_s":${math.round(slowest._2 * 1000) / 1000.0},""" +
+      s""""sf":"$sfDir","full":"bench_out.json"}""")
     // The driver captures a truncated log tail (~2000 chars — only a
     // quarter of the per-query map survives in BENCH_rN.json); persist
     // the full artifact so every query is visible to round-over-round

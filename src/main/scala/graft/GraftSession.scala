@@ -33,6 +33,35 @@ object GraftSession {
     spark
   }
 
+  // Guards the AQE toggle below: session conf is process-shared mutable
+  // state, and the previous per-caller save/restore raced under
+  // Verify's concurrent dump (B snapshots A's "false", A restores
+  // "true", B restores "false" — AQE stuck off for the rest of the
+  // run). A depth counter restores the tuned invariant (AQE on)
+  // exactly once, at quiescence.
+  private val aqeGate = new Object
+  private var aqeOffDepth = 0
+
+  /** Runs `body` with AQE disabled when `disable` is set; the LAST
+    * concurrent disabler restores the tuned invariant (AQE on).
+    * Concurrent queries may transiently plan without AQE, which is
+    * semantics-preserving — only the sticky-off interleaving is
+    * eliminated. */
+  def withAqeOff[T](s: SparkSession, disable: Boolean)(body: => T): T = {
+    if (!disable) body
+    else {
+      aqeGate.synchronized {
+        aqeOffDepth += 1
+        if (aqeOffDepth == 1) s.conf.set("spark.sql.adaptive.enabled", "false")
+      }
+      try body
+      finally aqeGate.synchronized {
+        aqeOffDepth -= 1
+        if (aqeOffDepth == 0) s.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+  }
+
   /** Recommended configs for a real cluster run, sized from the
     * topology. shuffle.partitions targets 2–3 waves of tasks per
     * shuffle; maxPartitionBytes keeps scan tasks ~256 MB so a 100 TB

@@ -964,11 +964,11 @@ object Dedup {
       // label) pairs over the edge subgraph, degree is bucket-capped
       // upstream, so when the measured subgraph is small, per-stage AQE
       // re-planning across ~20 rounds is pure overhead — disable it for
-      // the loop only (rounds materialize eagerly, restore in finally).
+      // the loop only (rounds materialize eagerly; GraftSession
+      // .withAqeOff restores the invariant race-free under Verify's
+      // concurrent dump).
       val smallSubgraph = edges.count() < 50000000L
-      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
+      graft.GraftSession.withAqeOff(s, smallSubgraph) {
       // Pointer jumping halves remaining depth per round → 20 rounds
       // cover component diameters up to ~2^20; non-convergence past the
       // cap fails LOUDLY below instead of emitting wrong cluster ids.
@@ -1004,8 +1004,6 @@ object Dedup {
       }
       require(converged,
         s"dedup_cluster_assign: label propagation did not converge in $maxIters rounds")
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       }
       // edges stays cached: repeated calls (warmup → timed bench, or a
       // pipeline invoking the operator twice) reuse it via Spark's

@@ -137,12 +137,11 @@ object Graph {
     // edge subgraph is small enough that static partitions can't spill
     // (50M edges ≈ 25 MB/partition at 32 partitions), per-stage AQE
     // re-planning is pure overhead across 6 rounds × ~4 stages —
-    // disable it for the loop only (restored in finally). The count
+    // disable it for the loop only (GraftSession.withAqeOff restores
+    // the tuned invariant race-free at quiescence). The count
     // also forces edgesD's cache before iteration starts.
     val smallSubgraph = edgesD.count() < 50000000L
-    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-    if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    graft.GraftSession.withAqeOff(s, smallSubgraph) {
       var r = nodesE.withColumn("r", lit(FP))
       for (_ <- 0 until iters) {
         val sums = edgesD
@@ -156,8 +155,6 @@ object Graph {
         r = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
       }
       r
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     }
   }
 
@@ -788,9 +785,7 @@ object Graph {
       // eager per-round cuts + AQE off for the loop: the pageRanks
       // measurement (lazy cascade superlinear in Catalyst/AQE cost)
       val smallSubgraph = edges.count() < 50000000L
-      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
+      graft.GraftSession.withAqeOff(s, smallSubgraph) {
         val nfp = nodesE.count() * FP
         var x = nodesE.withColumn("v", lit(FP))
         for (_ <- 0 until EigenIters) {
@@ -808,8 +803,6 @@ object Graph {
           .join(x, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), coalesce(col("v"), lit(0L)).as("score_fp"),
             round(coalesce(col("v"), lit(0L)) / lit(1048576.0), 9).as("score"))
-      } finally {
-        s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       }
     },
 
@@ -1672,10 +1665,8 @@ object Graph {
       // AQE off inside the loop only (the pageRanks rationale: bounded
       // per-round messages, re-planning 4 rounds is pure overhead)
       val smallSubgraph = edgesD.count() < 50000000L
-      val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
-      if (smallSubgraph) s.conf.set("spark.sql.adaptive.enabled", "false")
       val r4 =
-        try {
+        graft.GraftSession.withAqeOff(s, smallSubgraph) {
           var r = cut(seedRows.select(col("seed"), col("doc_id"),
             lit(FP).as("r")))
           for (_ <- 0 until 4) {
@@ -1693,7 +1684,7 @@ object Graph {
             r = cut(next)
           }
           r
-        } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        }
       // per-seed support = the seed's 4-hop neighborhood (frontier-
       // bounded by construction), so this single-key window never
       // sorts a corpus-scale group

@@ -4918,8 +4918,9 @@ object Temporal {
     // The entire decision is EXACT integers: counts are normalized per
     // type by exact totals to an SF-invariant ×10⁶ fixed point, both
     // medians come from the two-rank sum (2·median stays a long), and
-    // the flag compares 4·10⁴·dev2 > 44478·mad4 (= |r−med| >
-    // 4.4478·MAD scaled through) — no float ever decides a boolean.
+    // the flag compares 2·10⁴·dev2 > 44478·mad4 (dev2 = 2|r−med| and
+    // mad4 = 4·MAD, so dev2/2 > 4.4478·mad4/4 scales through to
+    // 20000·dev2 > 44478·mad4) — no float ever decides a boolean.
     // The corpus collapses to the type×day calendar-bounded daily
     // relation in the first aggregate; every window after rides it.
     "ev_stl_anomaly" -> {
@@ -4984,7 +4985,7 @@ object Temporal {
            |    * d.total / d.n_days * 10000 + 0.5) / 10000.0 AS trend,
            |  floor(CAST(d.r_fp AS DOUBLE) / 1000000 * d.total / d.n_days
            |    * 10000 + 0.5) / 10000.0 AS remainder,
-           |  40000 * d.dev2 > 44478 * m.mad4 AS is_anomaly
+           |  20000 * d.dev2 > 44478 * m.mad4 AS is_anomaly
            |FROM dv d JOIN mad m USING (event_type)""".stripMargin
       QueryDef.withOracle(oracle) { (s, dir) =>
         import graft.operators.Loess.{beta, nb, sums}
@@ -5043,7 +5044,7 @@ object Temporal {
             units(col("s_fp")).as("seasonal"),
             units(col("z_fp") - col("s_fp") - col("r_fp")).as("trend"),
             units(col("r_fp")).as("remainder"),
-            (lit(40000L) * col("dev2") > lit(44478L) * col("mad4"))
+            (lit(20000L) * col("dev2") > lit(44478L) * col("mad4"))
               .as("is_anomaly"))
       }
     },
@@ -5880,8 +5881,9 @@ object Temporal {
     // structure), the multiresolution companion to ev_dft_spectrum's
     // single-resolution periodogram. Haar is the one wavelet whose
     // transform is pure integer adds/subtracts, so the whole pyramid
-    // stays EXACT: the last 16 days per type (dyadic length, both
-    // engines apply the same rank rule), counts normalized by the
+    // stays EXACT: the last 16 days per type (dyadic length; types
+    // with fewer than 16 distinct days are excluded by BOTH engines —
+    // the pyramid's contract), counts normalized by the
     // window total to ×10⁶ SF-invariant longs, then 4 levels of
     // pairwise (sum, difference) — level k's detail energy Σd² is an
     // exact BIGINT (coefficients ≤ 16·10⁶ → squares ≤ 2.6·10¹⁴, no
@@ -5913,7 +5915,10 @@ object Temporal {
          |  SELECT *, row_number() OVER (PARTITION BY event_type
          |    ORDER BY day DESC) AS rd
          |  FROM d),
-         |w16 AS (SELECT event_type, day, n FROM t WHERE rd <= 16),
+         |full16 AS (SELECT event_type FROM d GROUP BY 1
+         |           HAVING count(*) >= 16),
+         |w16 AS (SELECT t.event_type, t.day, t.n FROM t
+         |        JOIN full16 USING (event_type) WHERE t.rd <= 16),
          |a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
          |      FROM w16 GROUP BY 1),
          |z AS (
@@ -5937,8 +5942,16 @@ object Temporal {
       val d = Tables.eventsTimed(s, dir)
         .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
         .agg(count(lit(1)).as("n"))
+      // Dyadic-length contract, explicit and symmetric with the oracle:
+      // a type with < 16 distinct days is excluded (the Spark pyramid
+      // hardcodes n = 16 >> level; element_at past the array end would
+      // silently NULL its energies while the oracle's idx//2 grouping
+      // degrades differently — the ev_airline_sarima nd-filter pattern).
+      val full16 = d.groupBy(col("event_type")).agg(count(lit(1)).as("ndd"))
+        .filter(col("ndd") >= 16).select(col("event_type"))
       val wD = Window.partitionBy(col("event_type")).orderBy(col("day").desc)
-      val w16 = d.withColumn("rd", row_number().over(wD))
+      val w16 = d.join(broadcast(full16), "event_type")
+        .withColumn("rd", row_number().over(wD))
         .filter(col("rd") <= 16).drop("rd")
       val a = w16.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
       val wA = Window.partitionBy(col("event_type")).orderBy(col("day").asc)

@@ -34,22 +34,67 @@ def latest(pattern):
     return best, best_n
 
 
+def strip_scala_noise(src):
+    """Remove comments and string literals from Scala source so the
+    registry count below only ever sees CODE. A comment or log string
+    mentioning the factory name must not inflate the count, and a
+    commented-out registration must not keep counting (both would
+    silently skew the close-freshness reference)."""
+    out = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if c == "/" and nxt == "/":               # line comment
+            j = src.find("\n", i)
+            i = n if j < 0 else j
+        elif c == "/" and nxt == "*":             # block comment (nested)
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if src.startswith("/*", i):
+                    depth, i = depth + 1, i + 2
+                elif src.startswith("*/", i):
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+        elif src.startswith('"""', i):            # triple-quoted string
+            j = src.find('"""', i + 3)
+            i = n if j < 0 else j + 3
+            out.append('""')
+        elif c == '"':                            # plain string
+            i += 1
+            while i < n and src[i] != '"':
+                i += 2 if src[i] == "\\" else 1
+            i += 1
+            out.append('""')
+        elif c == "'" and i + 2 < n and src[i + 1] == "\\":  # char escape
+            j = src.find("'", i + 1)
+            i = i + 3 if j < 0 else j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def registry_size(root):
     """Count registered queries straight from the Scala sources: every
     registry entry constructs its QueryDef through exactly one
     `QueryDef.withOracle` / `QueryDef.rowsOnly` factory call in an
-    operator module (Registry.scala holds only the definitions). This
-    is the close-freshness reference: a committed mirror or bench
-    artifact with fewer entries than the source registry means the
-    close ran BEFORE the registry froze (the round-9 failure: 9
-    operators landed after the close sweep and shipped unverified)."""
-    pat = re.compile(r'QueryDef\.(withOracle|rowsOnly)')
+    operator module (Registry.scala holds only the definitions). The
+    pattern is anchored to CALL SITES (factory name followed by its
+    argument list) over comment/string-stripped source. This is the
+    close-freshness reference: a committed mirror or bench artifact
+    with fewer entries than the source registry means the close ran
+    BEFORE the registry froze (the round-9 failure: 9 operators landed
+    after the close sweep and shipped unverified)."""
+    pat = re.compile(r'QueryDef\.(withOracle|rowsOnly)\s*[({]')
     n = 0
     for path in glob.glob(os.path.join(root, "src/main/scala/**/*.scala"),
                           recursive=True):
         if os.path.basename(path) == "Registry.scala":
             continue
-        n += len(pat.findall(open(path, encoding="utf-8").read()))
+        code = strip_scala_noise(open(path, encoding="utf-8").read())
+        n += len(pat.findall(code))
     return n
 
 
