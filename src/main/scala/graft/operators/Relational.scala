@@ -469,14 +469,26 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
-    // HLL sketch cardinality next to the exact answer. Sketch internals
-    // are engine-specific → rows-only check.
-    "q22_approx_distinct" -> QueryDef.rowsOnly { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+    // HLL sketch cardinality ATTESTED against the exact answer. The
+    // sketch's register layout is engine-specific, so the cross-engine
+    // contract is the estimate's error bound, not its value: Spark
+    // computes both the sketch and the exact distinct count and
+    // publishes the exact anchor plus the bound verdict; DuckDB
+    // independently recomputes the anchor and asserts the verdict is
+    // uniformly TRUE. The boolean is deterministic — HLL++ merges
+    // registers by max, so the estimate is partitioning-invariant.
+    // Default rsd = 0.05; observed ≤ 2.7% across sf0.001–0.1 →
+    // attested at the 2σ bound (10%). Raw estimates: [[approxDistinctRaw]].
+    "q22_approx_distinct" -> QueryDef.withOracle(
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS approx_within_10pct
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      approxDistinctRaw(s, dir)
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts").cast(DoubleType) * lit(0.10))
+            .as("approx_within_10pct"))
     },
 
     // ------------------------------------------------------------------
@@ -597,16 +609,39 @@ object Relational {
     },
 
     // ------------------------------------------------------------------
-    // Sketch-based quantiles next to exact medians: approx_percentile's
-    // internals are engine-specific → rows-only; the spec asserts the
-    // sketch lands within its accuracy bound of the exact answer.
-    "q30_approx_percentile" -> QueryDef.rowsOnly { (s, dir) =>
+    // Sketch-based quantiles ATTESTED by their rank windows: the
+    // GK-summary merge is order-sensitive, so the cross-engine contract
+    // is the sketch's rank guarantee, not its value. Spark publishes
+    // the exact group size plus a rank-window verdict per estimate —
+    // the value's cumulative-rank window [frac(<v), frac(≤v)] must
+    // cover the target percentile to within ±0.005 (5× the sketch's
+    // 1/accuracy = 0.001 guarantee; ties in the discrete quantity
+    // domain widen the window, never the error). DuckDB independently
+    // recomputes the anchor and asserts both verdicts are uniformly
+    // TRUE. Raw estimates: [[approxPercentileRaw]].
+    "q30_approx_percentile" -> QueryDef.withOracle(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val approx = approxPercentileRaw(s, dir)
+        .select(col("l_returnflag"), col("p50_approx"), col("p95_price_approx"))
       Tables.lineitem(s, dir)
+        .join(broadcast(approx), "l_returnflag")
         .groupBy(col("l_returnflag"))
-        .agg(
-          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price_approx"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("p50_approx"), 1L).otherwise(0L))
+            .as("q_lt"),
+          sum(when(col("l_quantity") <= col("p50_approx"), 1L).otherwise(0L))
+            .as("q_le"),
+          sum(when(col("l_extendedprice") < col("p95_price_approx"), 1L)
+            .otherwise(0L)).as("p_lt"),
+          sum(when(col("l_extendedprice") <= col("p95_price_approx"), 1L)
+            .otherwise(0L)).as("p_le"))
+        .select(col("l_returnflag"), col("n"),
+          (col("q_lt") <= col("n") * lit(0.505) &&
+            col("q_le") >= col("n") * lit(0.495)).as("p50_rank_ok"),
+          (col("p_lt") <= col("n") * lit(0.955) &&
+            col("p_le") >= col("n") * lit(0.945)).as("p95_rank_ok"))
     },
 
     // ------------------------------------------------------------------
@@ -1152,6 +1187,26 @@ object Relational {
     * + bucket offset. Returns (key, n, pos, `v`-named value) — one row
     * per selected rank; callers pivot.
     */
+  /** Raw HLL-vs-exact distinct counts per returnflag — the estimate
+    * shape q22_approx_distinct attests (specs bound the raw error). */
+  private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Raw approx-percentile estimates per returnflag — the estimate
+    * shape q30_approx_percentile attests (specs bound the raw error). */
+  private[graft] def approxPercentileRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("p95_price_approx"),
+        count(lit(1)).as("n"))
+
   private[operators] def rankSelectByKey(df: DataFrame, key: String,
       v: String, ties: Seq[String], targets: Column => Column): DataFrame = {
     val mmx = df.agg(min(col(v)).cast(DoubleType),

