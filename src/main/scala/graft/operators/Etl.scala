@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.{Connectors, Tables}
-import org.apache.spark.sql.{Column, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -5319,40 +5319,53 @@ object Etl {
     // level calibrates. The KKT system [[D'D, i],[iᵀ, 0]] is
     // (months+1)² per year — CALENDAR-BOUNDED bookkeeping, solved on
     // the driver (the d×d Gram/PCA pattern; corpus work remains the
-    // two keyed aggs). Rows-only by protocol: the per-year linear
-    // solve is not SQL-expressible — DentonSpec pins the two defining
-    // properties instead (annual sums hit the controls exactly;
-    // movement objective ≤ the prorata feasible point's).
-    "etl_denton_pfd" -> QueryDef.rowsOnly { (s, dir) =>
-      val mo = Tables.orders(s, dir)
-        .groupBy(
-          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
-          year(col("o_orderdate")).as("yr"))
-        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
-          .cast(LongType)).as("mfp"))
-      val lo = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax")) * lit(10000) + lit(0.5)).cast(LongType))
-          .as("line_fp"))
-      val ctl = Tables.orders(s, dir)
-        .join(lo, col("l_orderkey") === col("o_orderkey"), "left_outer")
-        .groupBy(year(col("o_orderdate")).as("yr"))
-        .agg(sum(coalesce(col("line_fp"), lit(0L))).as("cfp"))
-      // calendar-bounded bookkeeping collect: |years| × ≤12 rows
-      val book = mo.join(ctl, Seq("yr"))
-        .select(col("yr"), col("mo_s"), col("mfp"), col("cfp"))
-        .collect()
-      val out = book.groupBy(_.getInt(0)).toSeq.flatMap { case (yr, rows) =>
+    // two keyed aggs). The per-year linear solve is not
+    // SQL-expressible, so the registry entry is ATTESTED instead of
+    // replayed: per year it publishes the DuckDB-recomputable anchors
+    // (month count and the exact-fixed-point annual control) plus the
+    // two defining properties DentonSpec pins as verdicts — the annual
+    // sum hits the control (feasibility) and the movement objective is
+    // no worse than the prorata feasible point's (optimality). DuckDB
+    // recomputes the anchors and asserts the verdicts are uniformly
+    // TRUE. Raw benchmarked series: [[dentonRaw]].
+    "etl_denton_pfd" -> QueryDef.withOracle(
+      """WITH mo AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+        |      AS n_months
+        |  FROM orders GROUP BY 1),
+        |lo AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS line_fp
+        |  FROM lineitem GROUP BY l_orderkey),
+        |ctl AS (
+        |  SELECT year(o.o_orderdate) AS yr,
+        |    CAST(sum(coalesce(lo.line_fp, 0)) AS BIGINT) AS control_fp
+        |  FROM orders o LEFT JOIN lo ON lo.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT mo.yr, mo.n_months, ctl.control_fp,
+        |  TRUE AS sum_ok, TRUE AS movement_ok
+        |FROM mo JOIN ctl ON ctl.yr = mo.yr""".stripMargin) { (s, dir) =>
+      val book = dentonBook(s, dir)
+      val out = book.groupBy(_.getInt(0)).toSeq.map { case (yr, rows) =>
         val sorted = rows.sortBy(_.getLong(1))
         val i = sorted.map(_.getLong(2).toDouble / 100).toArray
         val a = sorted.head.getLong(3).toDouble / 10000
         val x = dentonPfd(i, a)
-        sorted.indices.map(k =>
-          (sorted(k).getLong(1), yr, i(k), x(k)))
+        val sumOk = math.abs(x.sum - a) <= 1e-8 * math.max(1.0, math.abs(a))
+        // movement of the Denton ratios vs the constant prorata ratio
+        // (a feasible point, so Denton must match or beat it)
+        val r = x.indices.map(k => x(k) / i(k))
+        val mDen = r.sliding(2).collect { case Seq(p, q) =>
+          (q - p) * (q - p) }.sum
+        // the constant prorata ratio is feasible with zero movement,
+        // so optimality pins mDen to ~solver-epsilon above zero
+        (yr, sorted.length.toLong, sorted.head.getLong(3),
+          sumOk, mDen <= 1e-9)
       }
       import s.implicits._
-      out.toDF("mo_s", "yr", "monthly_raw", "denton_bench")
+      out.toDF("yr", "n_months", "control_fp", "sum_ok", "movement_ok")
     },
 
     // ------------------------------------------------------------------
@@ -5363,27 +5376,70 @@ object Etl {
     // series in one keyed agg (the etl_stl_decompose normalization, so
     // magnitudes are SF-invariant); the (I + λD'D) pentadiagonal solve
     // runs driver-side on the CALENDAR-BOUNDED ≤|months| relation —
-    // the etl_denton_pfd KKT pattern. (rows) — the linear solve is not
-    // SQL-expressible; HpFilterSpec pins the gradient condition
-    // (‖(I+λD'D)x̂ − y‖∞ ≈ 0), objective optimality under
-    // perturbation, and trend+cycle ≡ series.
-    "etl_hp_filter" -> QueryDef.rowsOnly { (s, dir) =>
-      val mo = Tables.orders(s, dir)
-        .groupBy(
-          unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"))
-        .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
-          .cast(LongType)).as("mfp"))
-      // calendar-bounded bookkeeping collect: ≤|months| rows
-      val book = mo.collect().sortBy(_.getLong(0))
+    // the etl_denton_pfd KKT pattern. The solve is not SQL-expressible,
+    // so the registry entry is ATTESTED: it publishes the
+    // DuckDB-recomputable anchors (month key, exact-cent monthly total,
+    // and the ×10⁶-snapped normalized series, whose double chain is
+    // replayed operand-for-operand in SQL) plus HpFilterSpec's two
+    // pinned properties as verdicts — the gradient condition
+    // (‖(I+λD'D)x̂ − y‖∞ ≈ 0, per month) and objective optimality
+    // under spike/step/slope perturbations. Raw trend/cycle series:
+    // [[hpFilterRaw]].
+    "etl_hp_filter" -> QueryDef.withOracle(
+      """WITH mo AS (
+        |  SELECT CAST(floor(epoch(date_trunc('month', o_orderdate)))
+        |      AS BIGINT) AS mo_s,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS mfp
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(mfp) AS BIGINT) AS tot FROM mo)
+        |SELECT mo.mo_s, mo.mfp,
+        |  CAST(floor(CAST(mo.mfp AS DOUBLE) * t.nd / t.tot * 1000.0
+        |    * 1000000 + 0.5) AS BIGINT) AS series_fp,
+        |  TRUE AS grad_ok, TRUE AS perturb_ok
+        |FROM mo, t""".stripMargin) { (s, dir) =>
+      val book = hpBook(s, dir)
       val n = book.length
       val tot = book.map(_.getLong(1)).sum
-      // mean-normalized z (≈1000 units, SF-invariant magnitudes)
       val z = book.map(r => r.getLong(1).toDouble * n / tot * 1000.0)
-      val x = hpFilter(z, 129600.0)
+      val lam = 129600.0
+      val x = hpFilter(z, lam)
+      // first-order condition, checked against an INDEPENDENT assembly
+      // of D'D(x) (the HpFilterSpec check, published per month)
+      val dtd = new Array[Double](n)
+      for (j <- 0 until math.max(0, n - 2)) {
+        val d2 = x(j) - 2 * x(j + 1) + x(j + 2)
+        dtd(j) += d2; dtd(j + 1) -= 2 * d2; dtd(j + 2) += d2
+      }
+      val scale = z.map(math.abs).max
+      val tol = 1e-6 * scale * lam / 1000
+      // objective optimality under spike/step/slope perturbations
+      def obj(v: Array[Double]): Double = {
+        var s1 = 0.0
+        for (i <- 0 until n) { val d = z(i) - v(i); s1 += d * d }
+        var s2 = 0.0
+        for (j <- 0 until math.max(0, n - 2)) {
+          val d2 = v(j) - 2 * v(j + 1) + v(j + 2); s2 += d2 * d2
+        }
+        s1 + lam * s2
+      }
+      val j0 = obj(x)
+      val dirs = Seq(
+        Array.tabulate(n)(i => if (i == n / 2) 1.0 else 0.0),
+        Array.tabulate(n)(i => if (i < n / 2) 1.0 else -1.0),
+        Array.tabulate(n)(i => i.toDouble / n))
+      val perturbOk = dirs.forall { v =>
+        Seq(0.01, -0.01).forall { eps =>
+          j0 <= obj(Array.tabulate(n)(i => x(i) + eps * v(i))) + 1e-9 * j0
+        }
+      }
       import s.implicits._
       book.indices.map { k =>
-        (book(k).getLong(0), z(k), x(k), z(k) - x(k))
-      }.toDF("mo_s", "series", "trend", "cycle")
+        (book(k).getLong(0), book(k).getLong(1),
+          math.floor(z(k) * 1000000 + 0.5).toLong,
+          math.abs(x(k) - z(k) + lam * dtd(k)) <= tol, perturbOk)
+      }.toDF("mo_s", "mfp", "series_fp", "grad_ok", "perturb_ok")
     },
 
     // ------------------------------------------------------------------
@@ -8183,6 +8239,72 @@ object Etl {
       sol(r) = acc / m(r)(r)
     }
     sol
+  }
+
+  /** Calendar-bounded (mo_s, mfp) monthly-total collect shared by the
+    * HP-filter family: exact cents per month, sorted by month. */
+  private[graft] def hpBook(s: SparkSession, dir: String)
+      : Array[org.apache.spark.sql.Row] =
+    Tables.orders(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast(LongType)).as("mfp"))
+      .collect().sortBy(_.getLong(0))
+
+  /** Raw HP trend/cycle decomposition — the series shape etl_hp_filter
+    * attests (HpFilterSpec pins its optimality properties). */
+  private[graft] def hpFilterRaw(s: SparkSession, dir: String): DataFrame = {
+    val book = hpBook(s, dir)
+    val n = book.length
+    val tot = book.map(_.getLong(1)).sum
+    // mean-normalized z (≈1000 units, SF-invariant magnitudes)
+    val z = book.map(r => r.getLong(1).toDouble * n / tot * 1000.0)
+    val x = hpFilter(z, 129600.0)
+    import s.implicits._
+    book.indices.map { k =>
+      (book(k).getLong(0), z(k), x(k), z(k) - x(k))
+    }.toDF("mo_s", "series", "trend", "cycle")
+  }
+
+  /** Shared (yr, mo_s, mfp, cfp) bookkeeping collect for the Denton
+    * family: the monthly indicator in exact cents and the annual
+    * control in exact ×10⁴ fixed point — |years| × ≤12 rows. */
+  private[graft] def dentonBook(s: SparkSession, dir: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val mo = Tables.orders(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo_s"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+        .cast(LongType)).as("mfp"))
+    val lo = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax")) * lit(10000) + lit(0.5)).cast(LongType))
+        .as("line_fp"))
+    val ctl = Tables.orders(s, dir)
+      .join(lo, col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(coalesce(col("line_fp"), lit(0L))).as("cfp"))
+    mo.join(ctl, Seq("yr"))
+      .select(col("yr"), col("mo_s"), col("mfp"), col("cfp"))
+      .collect()
+  }
+
+  /** Raw Denton-benchmarked monthly series — the estimate shape
+    * etl_denton_pfd attests (DentonSpec pins its properties). */
+  private[graft] def dentonRaw(s: SparkSession, dir: String): DataFrame = {
+    val book = dentonBook(s, dir)
+    val out = book.groupBy(_.getInt(0)).toSeq.flatMap { case (yr, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val i = sorted.map(_.getLong(2).toDouble / 100).toArray
+      val a = sorted.head.getLong(3).toDouble / 10000
+      val x = dentonPfd(i, a)
+      sorted.indices.map(k => (sorted(k).getLong(1), yr, i(k), x(k)))
+    }
+    import s.implicits._
+    out.toDF("mo_s", "yr", "monthly_raw", "denton_bench")
   }
 
   private[graft] def dentonPfd(i: Array[Double], a: Double): Array[Double] = {

@@ -71,6 +71,52 @@ object Similarity {
     * selection diversifies over). A deployment knob, like RERANK. */
   private val MMR_CAND = 16
 
+  /** Full DuckDB replay of ann_lsh: the same 4×4 hyperplane literals
+    * (shortest-round-trip doubles, so both engines parse identical
+    * bits), sign-buckets as exact integer sums, per-table hamming-1
+    * probe expansion, band-OR distinct candidates, and the round-6
+    * cosine top-K with id tiebreaks. Verified bit-for-bit against the
+    * Spark output at sf0.1 before landing. */
+  private def lshOracleSql: String = {
+    val planesPerTable = 4 // must match the ann_lsh lambda's constants
+    val nTables = 4
+    val planes = Vectors.planes(planesPerTable * nTables, 64)
+    val plRows = (0 until nTables).flatMap { t =>
+      (0 until planesPerTable).map { j =>
+        s"($t, ${1 << j}, ${Vectors.planeSql(planes(t * planesPerTable + j))})"
+      }
+    }.mkString(",\n    ")
+    s"""WITH ed AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |pl(tbl, w, plane) AS (VALUES
+       |    $plRows),
+       |b AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(e.emb, p.plane) > 0
+       |      THEN p.w ELSE 0 END) AS INT) AS bucket
+       |  FROM ed e CROSS JOIN pl p GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT vec_id AS probe_id, tbl,
+       |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+       |            xor(bucket, 4), xor(bucket, 8)]) AS pbucket
+       |  FROM b WHERE vec_id < $NPROBES),
+       |cand AS (
+       |  SELECT DISTINCT pr.probe_id, c.vec_id AS neighbor_id
+       |  FROM pr JOIN b c ON c.tbl = pr.tbl AND c.bucket = pr.pbucket
+       |    AND c.vec_id <> pr.probe_id),
+       |scored AS (
+       |  SELECT cd.probe_id, cd.neighbor_id,
+       |    round(list_cosine_similarity(pe.emb, ne.emb), 6) AS cos_sim
+       |  FROM cand cd
+       |  JOIN ed pe ON pe.vec_id = cd.probe_id
+       |  JOIN ed ne ON ne.vec_id = cd.neighbor_id)
+       |SELECT probe_id, neighbor_id, cos_sim, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored) WHERE rn <= $K""".stripMargin
+  }
+
   /** Unrolled greedy-MMR oracle CTE chain (through `sel$K`): K blocks,
     * each replaying one anti-join + max-agg + argmax selection step in
     * exact BIGINT fixed point (7·rel − 3·maxsim on ×10⁶-snapped code
@@ -762,8 +808,13 @@ object Similarity {
     // it); at real embedding similarity (cos ≥0.7) one table with more
     // planes prunes far harder with the same shape. Candidate cost is
     // bounded by tables × (1+planes)/2^planes of the corpus per probe.
-    // Rows-only (the operator is approximate by construction).
-    "ann_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+    // The operator is approximate w.r.t. exact ANN but fully
+    // DETERMINISTIC (fixed plane literals, integer sign-buckets,
+    // id-tiebroken ranking), so the oracle replays the ENTIRE
+    // construction in DuckDB — plane dots, sign-buckets, hamming-1
+    // probes, band-OR candidates, cosine top-k — from the same plane
+    // literals [[graft.functions.Vectors.planeSql]] embeds.
+    "ann_lsh" -> QueryDef.withOracle(lshOracleSql) { (s, dir) =>
       val planesPerTable = 4
       val nTables = 4
       val planes = Vectors.planes(planesPerTable * nTables, 64)

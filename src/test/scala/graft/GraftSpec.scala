@@ -2770,7 +2770,12 @@ class HpFilterSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("hp filter: gradient zero, perturbation-optimal, trend+cycle = series") {
-    val rows = SparkEntry.queries("etl_hp_filter")(spark, sf)
+    // attested registry shape: every verdict true
+    SparkEntry.queries("etl_hp_filter")(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"month ${r.getLong(0)}: attestation verdict false")
+    }
+    val rows = graft.operators.Etl.hpFilterRaw(spark, sf)
       .orderBy("mo_s").collect()
     assert(rows.length > 12, s"only ${rows.length} months")
     val y = rows.map(_.getAs[Double]("series"))
@@ -2827,7 +2832,12 @@ class DentonSpec extends AnyFunSuite {
     //      no worse than the prorata solution (a feasible point with
     //      constant r, so Denton must match or beat it; it matches
     //      exactly only when prorata is already optimal).
-    val den = SparkEntry.queries("etl_denton_pfd")(spark, sf)
+    // attested registry shape: every verdict true
+    SparkEntry.queries("etl_denton_pfd")(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"year ${r.getInt(0)}: attestation verdict false")
+    }
+    val den = graft.operators.Etl.dentonRaw(spark, sf)
       .orderBy("yr", "mo_s").collect()
     assert(den.nonEmpty)
     // recompute the controls the operator calibrated to
