@@ -128,6 +128,109 @@ object Multimodal {
   final case class MmDecoded(
       doc_id: Long, fmt: String, width: Int, height: Int, n_bytes: Int)
 
+  // ---- audio/animation codec seam (WAV/RIFF + GIF) -------------------
+
+  /** Deterministic audio/GIF parameters for doc `id` — the values
+    * payloads are BUILT with and the oracle recomputes. */
+  private def wavRate(id: Long): Int =
+    Array(8000, 16000, 22050, 44100)(((id % 8) / 2).toInt)
+  private def wavChannels(id: Long): Int = ((id % 4) / 2 + 1).toInt
+  private def wavDataBytes(id: Long): Int = ((id * 53) % 4000 + 1000).toInt
+  private def gifDims(id: Long): (Int, Int) =
+    (((id * 59) % 800 + 16).toInt, ((id * 67) % 600 + 16).toInt)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, (v >>> 24).toByte)
+
+  /** Format-valid audio/animation payload for doc `id`: even ids → WAV
+    * (RIFF/WAVE with a variable-length LIST chunk BEFORE `fmt ` — so a
+    * fixed-offset reader fails — then PCM `fmt `, then a `data` chunk
+    * whose declared size is the id-derived byte count; odd declared
+    * sizes exercise RIFF's word-alignment pad byte, which the walker
+    * must add and a naive size-only skip misses); odd ids → GIF89a
+    * header + logical screen descriptor with LE16 width/height +
+    * trailer. Data bytes are zeroed — header decode never reads them,
+    * and a petabyte-scale metadata scan wouldn't either. */
+  def buildAudioPayload(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id % 2 == 0) {
+      val k = (id % 5 + 4).toInt            // LIST payload: 4..8 bytes
+      val dBytes = wavDataBytes(id)
+      val rate = wavRate(id)
+      val ch = wavChannels(id)
+      val riffSize = 4 + (8 + k + k % 2) + 24 + (8 + dBytes + dBytes % 2)
+      out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+      out.write(le32(riffSize), 0, 4)
+      out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+      out.write("LIST".getBytes("US-ASCII"), 0, 4)  // variable pre-chunk
+      out.write(le32(k), 0, 4)
+      out.write(Array.fill(k + k % 2)(0.toByte), 0, k + k % 2)
+      out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+      out.write(le32(16), 0, 4)                     // PCM fmt block
+      out.write(le16(1), 0, 2)                      // audio format 1 = PCM
+      out.write(le16(ch), 0, 2)
+      out.write(le32(rate), 0, 4)
+      out.write(le32(rate * ch * 2), 0, 4)          // byte rate
+      out.write(le16(ch * 2), 0, 2)                 // block align
+      out.write(le16(16), 0, 2)                     // bits per sample
+      out.write("data".getBytes("US-ASCII"), 0, 4)
+      out.write(le32(dBytes), 0, 4)
+      out.write(Array.fill(dBytes + dBytes % 2)(0.toByte), 0,
+        dBytes + dBytes % 2)
+    } else {
+      val (w, h) = gifDims(id)
+      out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+      out.write(le16(w), 0, 2)
+      out.write(le16(h), 0, 2)
+      out.write(Array(0x00, 0x00, 0x00).map(_.toByte), 0, 3) // flags/bg/ratio
+      out.write(Array(0x3B).map(_.toByte), 0, 1)             // trailer
+    }
+    out.toByteArray
+  }
+
+  /** Decoded audio/animation header row (scalar columns). */
+  final case class MmAudio(
+      doc_id: Long, fmt: String, sample_rate: Int, channels: Int,
+      duration_ms: Long, width: Int, height: Int, n_bytes: Int)
+
+  /** REAL header decode over the public RIFF/WAVE and GIF layouts.
+    * WAV: verify "RIFF"+"WAVE", then WALK the chunk list — each chunk
+    * is 4-byte id + LE32 size + payload padded to word alignment —
+    * reading channels/rate/bits out of `fmt ` and the payload size out
+    * of `data`; duration = data_bytes·1000 / (rate·ch·bytes-per-sample)
+    * in integer ms. GIF: verify the 87a/89a signature; width/height
+    * are LE16 at offsets 6/8 of the logical screen descriptor.
+    * Unknown bytes → ("unknown", -1, …). */
+  def parseAudioMeta(p: Array[Byte]): (String, Int, Int, Long, Int, Int) = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def l16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def l32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    val sig6 = if (p.length >= 6) new String(p.slice(0, 6), "US-ASCII") else ""
+    if (p.length >= 13 && (sig6 == "GIF87a" || sig6 == "GIF89a"))
+      ("gif", -1, -1, -1L, l16(6), l16(8))
+    else if (p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var i = 12
+      var rate = -1; var ch = -1; var bits = 16; var dataBytes = -1L
+      while (i + 8 <= p.length) {
+        val id = tag(i); val sz = l32(i + 4)
+        if (id == "fmt " && sz >= 16) {
+          ch = l16(i + 10); rate = l32(i + 12).toInt; bits = l16(i + 22)
+        } else if (id == "data") dataBytes = sz
+        i += 8 + sz.toInt + (sz.toInt & 1)          // word alignment
+      }
+      val dur =
+        if (rate > 0 && ch > 0 && bits >= 8 && dataBytes >= 0)
+          dataBytes * 1000 / (rate.toLong * ch * (bits / 8))
+        else -1L
+      ("wav", rate, ch, dur, -1, -1)
+    } else ("unknown", -1, -1, -1L, -1, -1)
+  }
+
   /** The decode seam shared by mm_feature and mm_resize: construct the
     * payload, parse its header back — batched per partition in groups
     * of 64 (the codec-call batch shape), never row-at-a-time across a
@@ -253,6 +356,57 @@ object Multimodal {
          |  CAST($nBytesSql AS INT) AS n_bytes
          |FROM documents""".stripMargin) { (s, dir) =>
       decodedDims(s, dir)
+    },
+
+    // ------------------------------------------------------------------
+    // Partition-batched AUDIO/ANIMATION header decode — the WAV/RIFF +
+    // GIF sibling of mm_feature, closing the images-only gap in the
+    // codec seam: the parser WALKS the RIFF chunk list (a
+    // variable-length LIST chunk precedes `fmt `, and odd declared
+    // sizes force the word-alignment pad byte — fixed offsets and
+    // naive size-only skips both fail), reads PCM params out of
+    // `fmt `, the payload size out of `data`, and derives integer-ms
+    // duration; GIF width/height are LE16 words in the logical screen
+    // descriptor. The oracle recomputes every field from the id
+    // formulas the payloads were built with — one misread byte
+    // hash-fails. Same batched mapPartitions seam as mm_feature.
+    "mm_audio_meta" -> QueryDef.withOracle(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'gif' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE (doc_id % 8) // 2 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |           WHEN 2 THEN 22050 ELSE 44100 END
+        |    ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 4) // 2 + 1
+        |    ELSE -1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      ((doc_id * 53) % 4000 + 1000) * 1000
+        |        // ((CASE (doc_id % 8) // 2 WHEN 0 THEN 8000
+        |             WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |             ELSE 44100 END) * ((doc_id % 4) // 2 + 1) * 2)
+        |    ELSE -1 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 59) % 800 + 16
+        |    ELSE -1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 67) % 600 + 16
+        |    ELSE -1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |      52 + (doc_id % 5 + 4) + (doc_id % 5 + 4) % 2
+        |        + ((doc_id * 53) % 4000 + 1000)
+        |        + ((doc_id * 53) % 4000 + 1000) % 2
+        |    ELSE 14 END AS INT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            // codec batch call happens here, once per `batch`
+            batch.map { id =>
+              val payload = buildAudioPayload(id)
+              val (fmt, rate, ch, dur, w, h) = parseAudioMeta(payload)
+              MmAudio(id, fmt, rate, ch, dur, w, h, payload.length)
+            }
+          }
+        }.toDF()
     },
 
     // ------------------------------------------------------------------

@@ -309,6 +309,38 @@ class OperatorSmokeSpec extends AnyFunSuite {
     val cut = Multimodal.parseDims(jpg.take(24))
     assert(cut == (("jpeg", -1, -1)) || cut._1 == "unknown")
   }
+
+  test("audio/GIF header parser round-trips built payloads and rejects junk") {
+    // round trip at both parities (wav even / gif odd), crossing every
+    // sample-rate index, both channel counts and both pad parities
+    // (odd LIST/data sizes exercise RIFF word alignment)
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 11L, 12L, 999L, 1000L)) {
+      val p = Multimodal.buildAudioPayload(id)
+      val (fmt, rate, ch, dur, w, h) = Multimodal.parseAudioMeta(p)
+      if (id % 2 == 0) {
+        assert(fmt == "wav", s"id=$id")
+        val wantRate = Array(8000, 16000, 22050, 44100)(((id % 8) / 2).toInt)
+        val wantCh = ((id % 4) / 2 + 1).toInt
+        val d = ((id * 53) % 4000 + 1000)
+        assert(rate == wantRate && ch == wantCh, s"id=$id rate/ch")
+        assert(dur == d * 1000 / (wantRate.toLong * wantCh * 2), s"id=$id dur")
+        assert(w == -1 && h == -1)
+      } else {
+        assert(fmt == "gif", s"id=$id")
+        assert(w == ((id * 59) % 800 + 16).toInt, s"id=$id width")
+        assert(h == ((id * 67) % 600 + 16).toInt, s"id=$id height")
+        assert(rate == -1 && ch == -1 && dur == -1L)
+      }
+    }
+    // junk and truncation must degrade, never throw
+    assert(Multimodal.parseAudioMeta("not audio".getBytes)._1 == "unknown")
+    assert(Multimodal.parseAudioMeta(Array[Byte]())._1 == "unknown")
+    val wav = Multimodal.buildAudioPayload(2L)
+    // cut mid-chunk-walk: RIFF recognized, fields degrade to -1
+    val cut = Multimodal.parseAudioMeta(wav.take(16))
+    assert(cut._1 == "wav" && cut._2 == -1 && cut._4 == -1L)
+    assert(Multimodal.parseAudioMeta(wav.take(8))._1 == "unknown")
+  }
 }
 
 class PlanQualitySpec extends AnyFunSuite {
