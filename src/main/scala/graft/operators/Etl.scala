@@ -4930,6 +4930,147 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Superlative chained price indices — Fisher and Törnqvist, the
+    // rung above the chained Laspeyres (etl_chain_index) and the
+    // elementary Carli/Dutot/Jevons family: Laspeyres holds the base
+    // basket (overstates inflation), Paasche the current one
+    // (understates); Fisher = √(L·P) and the expenditure-share-
+    // weighted Törnqvist are the superlative formulas agencies
+    // actually target, chain-linked 1995→1998. All basket relations
+    // are EXACT: unit values snap to ×10⁶ BIGINTs, quantities to ×10²,
+    // expenditure cross-terms p·q accumulate in DECIMAL(38)/HUGEINT,
+    // so L and P are ratios of identical exact sums on both engines.
+    // Törnqvist follows the etl_jevons_index log discipline — ln price
+    // relatives snap to ×10⁶ integers, each part\'s share-weighted term
+    // snaps to an integer BEFORE the (order-invariant) sum — so no
+    // float reduction ever crosses the exchange; sqrt/exp run on
+    // bit-identical inputs and the published values are round(…,6)
+    // snapped. Per-link CTEs unroll like etl_chain_index; the corpus
+    // collapses to one part×year agg that feeds all three links.
+    "etl_chained_index" -> QueryDef.withOracle {
+      def linkSql(k: Int, y0: Int, y1: Int): String =
+        s"""pp$k AS (
+           |  SELECT l_partkey,
+           |    CAST(floor(max(CASE WHEN y = $y0 THEN ep END)
+           |      / max(CASE WHEN y = $y0 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+           |    CAST(floor(max(CASE WHEN y = $y1 THEN ep END)
+           |      / max(CASE WHEN y = $y1 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1,
+           |    CAST(floor(max(CASE WHEN y = $y0 THEN qty END) * 100 + 0.5) AS BIGINT) AS q0,
+           |    CAST(floor(max(CASE WHEN y = $y1 THEN qty END) * 100 + 0.5) AS BIGINT) AS q1
+           |  FROM py WHERE y IN ($y0, $y1) GROUP BY 1
+           |  HAVING count(*) = 2),
+           |j$k AS (
+           |  SELECT pp$k.*, p.p_brand FROM pp$k
+           |  JOIN part p ON p.p_partkey = pp$k.l_partkey),
+           |tot$k AS (
+           |  SELECT p_brand,
+           |    CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DOUBLE) AS e00,
+           |    CAST(sum(CAST(p1 AS HUGEINT) * q0) AS DOUBLE) AS e10,
+           |    CAST(sum(CAST(p0 AS HUGEINT) * q1) AS DOUBLE) AS e01,
+           |    CAST(sum(CAST(p1 AS HUGEINT) * q1) AS DOUBLE) AS e11
+           |  FROM j$k GROUP BY 1),
+           |tq$k AS (
+           |  SELECT j.p_brand,
+           |    CAST(sum(CAST(floor(
+           |      (CAST(CAST(j.p0 AS HUGEINT) * j.q0 AS DOUBLE) / t.e00
+           |        + CAST(CAST(j.p1 AS HUGEINT) * j.q1 AS DOUBLE) / t.e11) / 2
+           |      * floor(ln(CAST(j.p1 AS DOUBLE) / j.p0) * 1000000 + 0.5)
+           |      + 0.5) AS BIGINT)) AS BIGINT) AS tfp
+           |  FROM j$k j JOIN tot$k t USING (p_brand) GROUP BY 1),
+           |l$k AS (
+           |  SELECT t.p_brand, e10 / e00 AS lasp, e11 / e01 AS paas,
+           |    sqrt((e10 / e00) * (e11 / e01)) AS fish,
+           |    exp(tq$k.tfp / 1.0e6) AS torn
+           |  FROM tot$k t JOIN tq$k USING (p_brand))""".stripMargin
+      s"""WITH py AS (
+         |  SELECT l_partkey, year(l_shipdate) AS y,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1999-01-01'
+         |  GROUP BY 1, 2),
+         |${linkSql(1, 1995, 1996)},
+         |${linkSql(2, 1996, 1997)},
+         |${linkSql(3, 1997, 1998)}
+         |SELECT l1.p_brand,
+         |  round(100 * l1.lasp, 6) AS laspeyres_1996,
+         |  round(100 * l1.paas, 6) AS paasche_1996,
+         |  round(100 * l1.fish, 6) AS fisher_1996,
+         |  round(100 * l1.torn, 6) AS tornqvist_1996,
+         |  round(100 * l1.fish * l2.fish * l3.fish, 6) AS fisher_chained_1998,
+         |  round(100 * l1.torn * l2.torn * l3.torn, 6) AS tornqvist_chained_1998
+         |FROM l1 JOIN l2 ON l2.p_brand = l1.p_brand
+         |JOIN l3 ON l3.p_brand = l1.p_brand""".stripMargin
+    } { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1999-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+        .persist() // one corpus agg feeds all three links
+      val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      def link(y0: Int, y1: Int, suffix: String): DataFrame = {
+        def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+        val j = py.filter(col("y").isin(y0, y1))
+          .groupBy(col("l_partkey"))
+          .agg(
+            floor(yv(y0, "ep") / yv(y0, "qty") * 1000000 + 0.5)
+              .cast(LongType).as("p0"),
+            floor(yv(y1, "ep") / yv(y1, "qty") * 1000000 + 0.5)
+              .cast(LongType).as("p1"),
+            floor(yv(y0, "qty") * 100 + 0.5).cast(LongType).as("q0"),
+            floor(yv(y1, "qty") * 100 + 0.5).cast(LongType).as("q1"),
+            count(lit(1)).as("ny"))
+          .filter(col("ny") === 2)
+          .join(broadcast(brand), col("p_partkey") === col("l_partkey"))
+          .persist() // part-level basket feeds totals + the term pass
+        val tot = j.groupBy(col("p_brand")).agg(
+          sum((col("p0").cast(dec38) * col("q0")).cast(dec38))
+            .cast(DoubleType).as("e00"),
+          sum((col("p1").cast(dec38) * col("q0")).cast(dec38))
+            .cast(DoubleType).as("e10"),
+          sum((col("p0").cast(dec38) * col("q1")).cast(dec38))
+            .cast(DoubleType).as("e01"),
+          sum((col("p1").cast(dec38) * col("q1")).cast(dec38))
+            .cast(DoubleType).as("e11"))
+        val lrfp = floor(log(col("p1").cast(DoubleType) / col("p0"))
+          * lit(1000000) + lit(0.5)).cast(DoubleType)
+        val w = ((col("p0").cast(dec38) * col("q0")).cast(DoubleType)
+            / col("e00")
+          + (col("p1").cast(dec38) * col("q1")).cast(DoubleType)
+            / col("e11")) / lit(2)
+        val tq = j.join(broadcast(tot), Seq("p_brand"))
+          .select(col("p_brand"),
+            floor(w * lrfp + lit(0.5)).cast(LongType).as("term_fp"))
+          .groupBy(col("p_brand"))
+          .agg(sum(col("term_fp")).as("tfp"))
+        tot.join(tq, Seq("p_brand"))
+          .select(col("p_brand"),
+            (col("e10") / col("e00")).as(s"lasp$suffix"),
+            (col("e11") / col("e01")).as(s"paas$suffix"),
+            sqrt((col("e10") / col("e00")) * (col("e11") / col("e01")))
+              .as(s"fish$suffix"),
+            exp(col("tfp") / lit(1.0e6)).as(s"torn$suffix"))
+      }
+      link(1995, 1996, "1")
+        .join(link(1996, 1997, "2"), Seq("p_brand"))
+        .join(link(1997, 1998, "3"), Seq("p_brand"))
+        .select(col("p_brand"),
+          round(lit(100) * col("lasp1"), 6).as("laspeyres_1996"),
+          round(lit(100) * col("paas1"), 6).as("paasche_1996"),
+          round(lit(100) * col("fish1"), 6).as("fisher_1996"),
+          round(lit(100) * col("torn1"), 6).as("tornqvist_1996"),
+          round(lit(100) * col("fish1") * col("fish2") * col("fish3"), 6)
+            .as("fisher_chained_1998"),
+          round(lit(100) * col("torn1") * col("torn2") * col("torn3"), 6)
+            .as("tornqvist_chained_1998"))
+    },
+
+    // ------------------------------------------------------------------
     // Differentially-private cell counts — the modern SDC release
     // mechanism alongside the classical ones already here (cell
     // suppression, base-5 random rounding): each (nation × segment)

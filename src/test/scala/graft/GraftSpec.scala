@@ -2853,6 +2853,34 @@ class HpFilterSpec extends AnyFunSuite {
   }
 }
 
+class ChainedIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("chained superlative indices: Fisher brackets L/P, chains multiply") {
+    val rows = SparkEntry.queries("etl_chained_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, p) = (r.getAs[Double]("laspeyres_1996"),
+        r.getAs[Double]("paasche_1996"))
+      val f = r.getAs[Double]("fisher_1996")
+      val t = r.getAs[Double]("tornqvist_1996")
+      // Fisher is the geometric mean of L and P → strictly between them
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"${r.getString(0)}: F=$f outside [L=$l, P=$p]")
+      // Törnqvist is superlative too — same bracket on this corpus
+      // (loose slack: it is not a mathematical identity)
+      assert(t >= math.min(l, p) * 0.95 && t <= math.max(l, p) * 1.05,
+        s"${r.getString(0)}: T=$t far outside [L=$l, P=$p]")
+      // positive, finite index levels (the synthetic corpus re-mixes
+      // baskets hard year-over-year, so levels range widely — the
+      // bracketing above is the substantive check)
+      assert(f > 0 && f < 10000 &&
+        r.getAs[Double]("fisher_chained_1998") > 0 &&
+        r.getAs[Double]("fisher_chained_1998") < 10000)
+    }
+  }
+}
+
 class DentonSpec extends AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._
