@@ -1,0 +1,146 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Published scaling evidence for the blocked/capped families
+  * (docs/SCALING.md): runs each family at a series of SF dirs —
+  * including the DERIVED sf1 replica built by tools/make_sf1d.py — and
+  * reports, per (family, sf):
+  *
+  *   * wall seconds and rows out,
+  *   * shuffle bytes/records written (SparkListener task metrics, bus
+  *     drained before reading — the ScaleStress discipline),
+  *   * for the candidate-generating families: the CAPPED candidate
+  *     count the operator actually processes next to the UNCAPPED
+  *     count a blocking-only implementation would face (Σ s(s−1)/2
+  *     over blocking buckets), and how much the cap dropped.
+  *
+  * The claim under test: capped candidate growth stays near-linear in
+  * corpus size while uncapped growth goes quadratic on replicated/
+  * boilerplate clusters — the property that keeps these operators
+  * alive at 100 TB. One JSON line per measurement on stdout.
+  */
+object ScaleEvidence {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "target/sf1d")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.tune(spark)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def drainBus(): Unit = {
+      val bus = spark.sparkContext.getClass
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
+
+    def measure(sf: String, family: String,
+        extra: Map[String, Long] = Map.empty)(f: => Long): Unit = {
+      drainBus()
+      val b0 = shuffleBytes.get(); val r0 = shuffleRecords.get()
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      val extraJson = extra.map { case (k, v) => s""","$k":$v""" }.mkString
+      println(s"""{"family":"$family","sf":"$sf","sec":${math.round(sec * 1000) / 1000.0},""" +
+        s""""rows_out":$rows,"shuffle_mb":${math.round((shuffleBytes.get - b0) / 1e4) / 100.0},""" +
+        s""""shuffle_records":${shuffleRecords.get - r0}$extraJson}""")
+    }
+
+    for (dir <- dirs) {
+      val sf = dir.split('/').last
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      println(s"""{"family":"corpus","sf":"$sf","docs":$docs,"lineitem":$li}""")
+
+      // ---- minhash LSH bands: capped vs uncapped candidates ----------
+      val bk = graft.operators.Dedup.bandedSignatures(spark, dir)
+        .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("sz"))
+        .agg(
+          sum(expr("sz * (sz - 1) div 2")).as("uncapped"),
+          sum(when(col("sz") <= graft.operators.Dedup.MaxBandBucket,
+            expr("sz * (sz - 1) div 2")).otherwise(0L)).as("capped"),
+          max(col("sz")).as("max_bucket"))
+        .head()
+      measure(sf, "minhash_lsh_verified", Map(
+        "cand_uncapped" -> bk.getLong(0), "cand_capped" -> bk.getLong(1),
+        "max_bucket" -> bk.getLong(2))) {
+        graft.operators.Dedup.verifiedCandidates(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+
+      // ---- exact shared spans: hot-window cap ------------------------
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.operators.TextOps.tokens(col("text")).as("toks"))
+      val wstats = graft.operators.Dedup.spanWindows(toks, 6)
+        .groupBy(col("h")).agg(count(lit(1)).as("sz"))
+        .agg(
+          sum(expr("sz * (sz - 1) div 2")).as("uncapped"),
+          sum(when(col("sz") <= graft.operators.Dedup.MaxBandBucket,
+            expr("sz * (sz - 1) div 2")).otherwise(0L)).as("capped"),
+          max(col("sz")).as("max_bucket"))
+        .head()
+      measure(sf, "span_dedup_maximal_runs", Map(
+        "cand_uncapped" -> wstats.getLong(0), "cand_capped" -> wstats.getLong(1),
+        "max_bucket" -> wstats.getLong(2))) {
+        graft.operators.Dedup.sharedSpans(toks, 6).count()
+      }
+      spark.catalog.clearCache()
+
+      // ---- IVF build + cell-blocked kNN candidates --------------------
+      val assignQ = graft.SparkEntry.queries("ann_ivf_assign")
+      measure(sf, "ivf_build") { assignQ(spark, dir).count() }
+      val cells = assignQ(spark, dir).filter(col("rn") === 1)
+        .groupBy(col("c_label")).agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) div 2")).as("pairs"),
+          max(col("sz")).as("max_cell"), count(lit(1)).as("n_cells"))
+        .head()
+      measure(sf, "ivf_knn_graph", Map(
+        "cell_pairs" -> cells.getLong(0), "max_cell" -> cells.getLong(1),
+        "n_cells" -> cells.getLong(2))) {
+        graft.SparkEntry.queries("ann_knn_graph")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+
+      // ---- iterative graph over the verified near-dup edges ----------
+      measure(sf, "graph_pagerank_6rounds") {
+        graft.SparkEntry.queries("graph_pagerank")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+
+      // ---- relational anchors (linear-scaling reference) --------------
+      measure(sf, "q3_join_agg") {
+        graft.SparkEntry.queries("q3_join_agg")(spark, dir).count()
+      }
+      measure(sf, "q28_median_exact") {
+        graft.SparkEntry.queries("q28_median_exact")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
