@@ -3920,15 +3920,15 @@ object Etl {
         |  JOIN ry y ON y.f = l.l_returnflag AND y.w = l.l_extendedprice),
         |sums AS (
         |  SELECT f, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
-        |    CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
-        |    CAST(sum(r2y * r2y) AS BIGINT) AS syy,
-        |    CAST(sum(r2x * r2y) AS BIGINT) AS sxy
+        |    CAST(sum(r2x) AS DOUBLE) AS sx, CAST(sum(r2y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS DOUBLE) AS sxy
         |  FROM p GROUP BY f)
         |SELECT f AS l_returnflag, n,
-        |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-        |      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-        |             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |  floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |             * (CAST(n AS DOUBLE) * syy - sy * sy))
         |      * 1000000000 + 0.5) / 1.0e9 AS spearman_rho
         |FROM sums""".stripMargin) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -3940,19 +3940,28 @@ object Etl {
         .join(broadcast(rx), Seq("f", "v"))     // value-keyed broadcast
         .join(ry, Seq("f", "w"))                // (f, w)-keyed shuffle join
         .select(col("f"), col("r2x"), col("r2y"))
+      // rank sums-of-products overflow BIGINT once n·(2n)² passes 2⁶³
+      // (found by the derived-sf1 sweep at 6M rows): accumulate in
+      // DECIMAL(38)/HUGEINT — exact at any corpus size — and convert
+      // each exact sum to double ONCE, identically on both engines.
+      val specDec = DecimalType(38, 0)
       p.groupBy(col("f"))
         .agg(count(lit(1)).as("n"),
-          sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
-          sum(col("r2x") * col("r2x")).as("sxx"),
-          sum(col("r2y") * col("r2y")).as("syy"),
-          sum(col("r2x") * col("r2y")).as("sxy"))
+          sum(col("r2x").cast(specDec)).cast(DoubleType).as("sx"),
+          sum(col("r2y").cast(specDec)).cast(DoubleType).as("sy"),
+          sum(col("r2x").cast(specDec) * col("r2x").cast(specDec))
+            .cast(DoubleType).as("sxx"),
+          sum(col("r2y").cast(specDec) * col("r2y").cast(specDec))
+            .cast(DoubleType).as("syy"),
+          sum(col("r2x").cast(specDec) * col("r2y").cast(specDec))
+            .cast(DoubleType).as("sxy"))
         .select(col("f").as("l_returnflag"), col("n"),
           (floor((col("n").cast(DoubleType) * col("sxy")
-              - col("sx").cast(DoubleType) * col("sy"))
+              - col("sx") * col("sy"))
             / sqrt((col("n").cast(DoubleType) * col("sxx")
-                - col("sx").cast(DoubleType) * col("sx"))
+                - col("sx") * col("sx"))
               * (col("n").cast(DoubleType) * col("syy")
-                - col("sy").cast(DoubleType) * col("sy")))
+                - col("sy") * col("sy")))
             * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("spearman_rho"))
     },
 
