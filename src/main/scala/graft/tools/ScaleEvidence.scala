@@ -77,8 +77,22 @@ object ScaleEvidence {
       println(s"""{"family":"corpus","sf":"$sf","docs":$docs,"lineitem":$li}""")
 
       // ---- minhash LSH bands: capped vs uncapped candidates ----------
-      val bk = graft.operators.Dedup.bandedSignatures(spark, dir)
+      // Bucket-size histogram (multi-doc buckets): identical text
+      // replicates to identical signatures, so k× replication scales
+      // every bucket size by exactly k — the histogram lets SCALING.md
+      // project the cap's binding point at any replication factor, and
+      // the measured sf1d row validates the projection.
+      def hist(df: DataFrame, fam: String): Unit = {
+        val h = df.filter(col("sz") > 1)
+          .groupBy(col("sz")).agg(count(lit(1)).as("nb"))
+          .orderBy(col("sz")).collect()
+          .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString(",")
+        println(s"""{"family":"$fam","sf":"$sf","hist":{$h}}""")
+      }
+      val bkSizes = graft.operators.Dedup.bandedSignatures(spark, dir)
         .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("sz"))
+      hist(bkSizes, "minhash_bucket_hist")
+      val bk = bkSizes
         .agg(
           sum(expr("sz * (sz - 1) div 2")).as("uncapped"),
           sum(when(col("sz") <= graft.operators.Dedup.MaxBandBucket,
@@ -96,8 +110,10 @@ object ScaleEvidence {
       val toks = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           graft.operators.TextOps.tokens(col("text")).as("toks"))
-      val wstats = graft.operators.Dedup.spanWindows(toks, 6)
+      val wSizes = graft.operators.Dedup.spanWindows(toks, 6)
         .groupBy(col("h")).agg(count(lit(1)).as("sz"))
+      hist(wSizes, "span_window_hist")
+      val wstats = wSizes
         .agg(
           sum(expr("sz * (sz - 1) div 2")).as("uncapped"),
           sum(when(col("sz") <= graft.operators.Dedup.MaxBandBucket,
@@ -114,8 +130,8 @@ object ScaleEvidence {
       // ---- IVF build + cell-blocked kNN candidates --------------------
       val assignQ = graft.SparkEntry.queries("ann_ivf_assign")
       measure(sf, "ivf_build") { assignQ(spark, dir).count() }
-      val cells = assignQ(spark, dir).filter(col("rn") === 1)
-        .groupBy(col("c_label")).agg(count(lit(1)).as("sz"))
+      val cells = assignQ(spark, dir) // home-cell rows: (vec_id, label, cell, cos_c)
+        .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
         .agg(sum(expr("sz * (sz - 1) div 2")).as("pairs"),
           max(col("sz")).as("max_cell"), count(lit(1)).as("n_cells"))
         .head()
