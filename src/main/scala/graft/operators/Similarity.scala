@@ -287,8 +287,19 @@ object Similarity {
   /** Number of IVF cells — a free knob (k ∝ √N at scale), NOT the
     * label domain: label-derived cells grow linearly with the corpus,
     * so every downstream per-cell bound would too. 16 ≠ the 10 labels
-    * in the test corpus by design. */
+    * in the test corpus by design. The oracle replays this default; a
+    * cluster deployment overrides it per session via
+    * `spark.graft.ivf.cells` (cells ∝ √N keeps per-cell size — and so
+    * the kNN family's in-cell pair count — linear in corpus size; the
+    * derived-sf1 study in docs/SCALING.md measures the cost of leaving
+    * it pinned: in-cell pairs ×101 for vectors ×10). */
   private[operators] val KCELLS = 16
+
+  /** Session-resolved cell count: the SCALING.md knob. Registry/oracle
+    * paths never set the conf, so they always run the replayable
+    * default. */
+  private[operators] def kcellsOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivf.cells").map(_.toInt).getOrElse(KCELLS)
 
   /** Fixed Lloyd refinement rounds (centroid rebuilds). Deterministic
     * and small — the build is reproducible, not convergence-chased. */
@@ -375,9 +386,10 @@ object Similarity {
       .persist()
     // round-0 seed: the audited md5-uniform bucket (NOT random() — the
     // seeding must agree across engines, reruns and partitionings)
+    val kcells = kcellsOf(s)
     val seed = base.withColumn("cell",
       pmod(conv(substring(md5(col("vec_id").cast("string").cast(BinaryType)), 1, 15),
-        16, 10).cast(LongType), lit(KCELLS)).cast(IntegerType))
+        16, 10).cast(LongType), lit(kcells)).cast(IntegerType))
     // LLOYD-1 re-assignment rounds here; the final scoreCells performs
     // the LLOYD-th centroid build (from the last assignment) + top-2
     // scoring, mirroring the oracle's a0 → c1 → a1 → … → cLLOYD chain
@@ -1971,7 +1983,7 @@ object Similarity {
       val t = g.agg(sum(col("n_vecs")).as("n"))
       g.crossJoin(broadcast(t))
         .select(col("cell"), col("n_vecs"),
-          (floor(col("n_vecs").cast(DoubleType) * KCELLS / col("n")
+          (floor(col("n_vecs").cast(DoubleType) * kcellsOf(s) / col("n")
             * lit(1.0e6) + 0.5) / lit(1.0e6)).as("balance"),
           (floor(col("scos").cast(DoubleType) / col("n_vecs") + 0.5)
             / lit(1.0e6)).as("mean_cos"),

@@ -977,6 +977,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(quant.size == exact.size) // same k per probe
   }
 
+  test("spark.graft.ivf.cells scales the IVF cell count (the SCALING.md knob)") {
+    // default path: the oracle-replayed 16 cells
+    val defCells = SparkEntry.queries("ann_ivf_assign")(spark, sf)
+      .select("cell").distinct().count()
+    assert(defCells <= 16 && defCells >= 8, s"default cells $defCells")
+    spark.conf.set("spark.graft.ivf.cells", "32")
+    try {
+      spark.catalog.clearCache() // drop the default-cells cached build
+      val scaled = SparkEntry.queries("ann_ivf_assign")(spark, sf)
+        .select("cell").distinct().count()
+      assert(scaled > defCells && scaled <= 32,
+        s"scaled cells $scaled (default was $defCells)")
+    } finally {
+      spark.conf.unset("spark.graft.ivf.cells")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("Misra-Gries heavy hitters bound error and surface the exact top-5") {
     import org.apache.spark.sql.functions.{explode, expr, count => fcount}
     val toks = spark.read.parquet(s"$sf/documents.parquet")
