@@ -128,6 +128,11 @@ object ScaleEvidence {
       spark.catalog.clearCache()
 
       // ---- IVF build + cell-blocked kNN candidates --------------------
+      // SPARK_GRAFT_IVF_CELLS exercises the spark.graft.ivf.cells knob
+      // for the SCALING.md validation rows (cells ∝ corpus keeps cell
+      // size, and so the kNN family's in-cell pair count, linear).
+      sys.env.get("SPARK_GRAFT_IVF_CELLS")
+        .foreach(spark.conf.set("spark.graft.ivf.cells", _))
       val assignQ = graft.SparkEntry.queries("ann_ivf_assign")
       measure(sf, "ivf_build") { assignQ(spark, dir).count() }
       val cells = assignQ(spark, dir) // home-cell rows: (vec_id, label, cell, cos_c)
