@@ -5020,23 +5020,31 @@ object Etl {
             .cast(DoubleType).as("ep"),
           sum(col("l_quantity").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("qty"))
-        .persist() // one corpus agg feeds all three links
       val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      // ONE part-keyed pivot serves all three links (each link then
+      // filters the two years it needs — p_y is null exactly when the
+      // part missed year y, so the null check ≡ the oracle's
+      // HAVING count(*) = 2): 2 corpus-keyed exchanges total instead
+      // of 1 + one per link.
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          (1995 to 1998).flatMap(y => Seq(
+            floor(yv(y, "ep") / yv(y, "qty") * 1000000 + 0.5)
+              .cast(LongType).as(s"p$y"),
+            floor(yv(y, "qty") * 100 + 0.5).cast(LongType).as(s"q$y"))).head,
+          (1995 to 1998).flatMap(y => Seq(
+            floor(yv(y, "ep") / yv(y, "qty") * 1000000 + 0.5)
+              .cast(LongType).as(s"p$y"),
+            floor(yv(y, "qty") * 100 + 0.5).cast(LongType).as(s"q$y"))).tail: _*)
+        .join(broadcast(brand), col("p_partkey") === col("l_partkey"))
+        .persist() // part-level 4-year basket feeds all six brand aggs
       def link(y0: Int, y1: Int, suffix: String): DataFrame = {
-        def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
-        val j = py.filter(col("y").isin(y0, y1))
-          .groupBy(col("l_partkey"))
-          .agg(
-            floor(yv(y0, "ep") / yv(y0, "qty") * 1000000 + 0.5)
-              .cast(LongType).as("p0"),
-            floor(yv(y1, "ep") / yv(y1, "qty") * 1000000 + 0.5)
-              .cast(LongType).as("p1"),
-            floor(yv(y0, "qty") * 100 + 0.5).cast(LongType).as("q0"),
-            floor(yv(y1, "qty") * 100 + 0.5).cast(LongType).as("q1"),
-            count(lit(1)).as("ny"))
-          .filter(col("ny") === 2)
-          .join(broadcast(brand), col("p_partkey") === col("l_partkey"))
-          .persist() // part-level basket feeds totals + the term pass
+        val j = pp
+          .filter(col(s"p$y0").isNotNull && col(s"p$y1").isNotNull)
+          .select(col("p_brand"),
+            col(s"p$y0").as("p0"), col(s"p$y1").as("p1"),
+            col(s"q$y0").as("q0"), col(s"q$y1").as("q1"))
         val tot = j.groupBy(col("p_brand")).agg(
           sum((col("p0").cast(dec38) * col("q0")).cast(dec38))
             .cast(DoubleType).as("e00"),
@@ -5057,7 +5065,7 @@ object Etl {
             floor(w * lrfp + lit(0.5)).cast(LongType).as("term_fp"))
           .groupBy(col("p_brand"))
           .agg(sum(col("term_fp")).as("tfp"))
-        tot.join(tq, Seq("p_brand"))
+        tot.join(broadcast(tq), Seq("p_brand"))
           .select(col("p_brand"),
             (col("e10") / col("e00")).as(s"lasp$suffix"),
             (col("e11") / col("e01")).as(s"paas$suffix"),
@@ -5066,8 +5074,8 @@ object Etl {
             exp(col("tfp") / lit(1.0e6)).as(s"torn$suffix"))
       }
       link(1995, 1996, "1")
-        .join(link(1996, 1997, "2"), Seq("p_brand"))
-        .join(link(1997, 1998, "3"), Seq("p_brand"))
+        .join(broadcast(link(1996, 1997, "2")), Seq("p_brand"))
+        .join(broadcast(link(1997, 1998, "3")), Seq("p_brand"))
         .select(col("p_brand"),
           round(lit(100) * col("lasp1"), 6).as("laspeyres_1996"),
           round(lit(100) * col("paas1"), 6).as("paasche_1996"),

@@ -309,6 +309,13 @@ object PlanAudit {
       "pipe_clean_corpus" -> 8, "q28_median_exact" -> 8,
       "graph_pagerank" -> 26, "graph_triangles" -> 14,
       "ev_peak_concurrency" -> 12, "etl_chain_index" -> 9,
+      // chained Fisher/Törnqvist: 2 corpus-keyed exchanges (part×year
+      // agg + the shared 4-year part pivot), then per link a brand
+      // totals agg + a brand Törnqvist-term agg over the persisted
+      // part-level basket (≤|part| rows, map-side combined to ≤|brand|)
+      // — 3 links × 2 + the final brand-keyed assembly, all
+      // dimension-bounded bookkeeping moves
+      "etl_chained_index" -> 11,
       "ev_rfm" -> 18,
       // q38 is q28's selection plan with 3 target ranks instead of 2 —
       // same budget: one corpus-scale exchange (per-(flag, bucket)
