@@ -5088,6 +5088,205 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Lowe and Young indices — the formulas CPIs actually publish: a
+    // basket from an OLDER weight-reference period b (1995) priced at
+    // the price-reference period 0 (1996) and at current t (1997,
+    // 1998). Lowe_t = Σp_t·q_b / Σp_0·q_b is a ratio of exact HUGEINT
+    // cross-terms; Young_t = Σ w_b·(p_t/p_0) share-weights the price
+    // relatives by period-b expenditure — each part\'s weighted
+    // relative snaps to a ×10⁸ integer BEFORE the order-invariant sum
+    // (the etl_chained_index Törnqvist discipline). Per-t part sets
+    // require presence in b, 0 AND t (the pivot\'s null checks ≡ the
+    // production rule that a basket item must be priceable in every
+    // period it is used). One part×year corpus agg + one part pivot;
+    // everything after is brand-level bookkeeping.
+    "etl_lowe_young" -> QueryDef.withOracle {
+      def tBlock(t: Int): String =
+        s"""j$t AS (
+           |  SELECT p_brand, p1996, p$t, q1995, e95
+           |  FROM pp WHERE p1995 IS NOT NULL AND p1996 IS NOT NULL
+           |    AND p$t IS NOT NULL),
+           |w$t AS (
+           |  SELECT p_brand,
+           |    CAST(sum(e95) AS DOUBLE) AS te95,
+           |    CAST(sum(CAST(p$t AS HUGEINT) * q1995) AS DOUBLE) AS num,
+           |    CAST(sum(CAST(p1996 AS HUGEINT) * q1995) AS DOUBLE) AS den,
+           |    CAST(count(*) AS BIGINT) AS n_parts
+           |  FROM j$t GROUP BY 1),
+           |y$t AS (
+           |  SELECT j.p_brand,
+           |    CAST(sum(CAST(floor(CAST(j.e95 AS DOUBLE) / w.te95
+           |      * (CAST(j.p$t AS DOUBLE) / j.p1996) * 100000000 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS yfp
+           |  FROM j$t j JOIN w$t w USING (p_brand) GROUP BY 1),
+           |l$t AS (
+           |  SELECT w.p_brand, w.n_parts,
+           |    round(100 * w.num / w.den, 6) AS lowe_$t,
+           |    round(100 * (y.yfp / 1.0e8), 6) AS young_$t
+           |  FROM w$t w JOIN y$t y USING (p_brand))""".stripMargin
+      s"""WITH py AS (
+         |  SELECT l_partkey, year(l_shipdate) AS y,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1999-01-01'
+         |  GROUP BY 1, 2),
+         |pv AS (
+         |  SELECT l_partkey,
+         |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+         |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1995,
+         |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+         |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1996,
+         |    CAST(floor(max(CASE WHEN y = 1997 THEN ep END)
+         |      / max(CASE WHEN y = 1997 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1997,
+         |    CAST(floor(max(CASE WHEN y = 1998 THEN ep END)
+         |      / max(CASE WHEN y = 1998 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1998,
+         |    CAST(floor(max(CASE WHEN y = 1995 THEN qty END) * 100 + 0.5) AS BIGINT) AS q1995
+         |  FROM py GROUP BY 1),
+         |pp AS (
+         |  SELECT pv.*, p.p_brand,
+         |    CAST(CAST(pv.p1995 AS HUGEINT) * pv.q1995 AS HUGEINT) AS e95
+         |  FROM pv JOIN part p ON p.p_partkey = pv.l_partkey),
+         |${tBlock(1997)},
+         |${tBlock(1998)}
+         |SELECT a.p_brand,
+         |  a.n_parts AS n_parts_1997, a.lowe_1997, a.young_1997,
+         |  b.n_parts AS n_parts_1998, b.lowe_1998, b.young_1998
+         |FROM l1997 a JOIN l1998 b ON b.p_brand = a.p_brand""".stripMargin
+    } { (s, dir) =>
+      val hug = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1999-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val pp = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1995"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1996"),
+          floor(yv(1997, "ep") / yv(1997, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1997"),
+          floor(yv(1998, "ep") / yv(1998, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1998"),
+          floor(yv(1995, "qty") * 100 + 0.5).cast(LongType).as("q1995"))
+        .join(broadcast(brand), col("p_partkey") === col("l_partkey"))
+        .withColumn("e95", (col("p1995").cast(hug) * col("q1995")).cast(hug))
+        .persist() // one pivot feeds both current periods
+      def block(t: Int): DataFrame = {
+        val j = pp.filter(col("p1995").isNotNull && col("p1996").isNotNull &&
+            col(s"p$t").isNotNull)
+          .select(col("p_brand"), col("p1996"), col(s"p$t").as("pt"),
+            col("q1995"), col("e95"))
+        val w = j.groupBy(col("p_brand")).agg(
+          sum(col("e95")).cast(DoubleType).as("te95"),
+          sum((col("pt").cast(hug) * col("q1995")).cast(hug))
+            .cast(DoubleType).as("num"),
+          sum((col("p1996").cast(hug) * col("q1995")).cast(hug))
+            .cast(DoubleType).as("den"),
+          count(lit(1)).as("n_parts"))
+        val yfp = j.join(broadcast(w), Seq("p_brand"))
+          .select(col("p_brand"),
+            floor(col("e95").cast(DoubleType) / col("te95")
+              * (col("pt").cast(DoubleType) / col("p1996"))
+              * lit(100000000) + lit(0.5)).cast(LongType).as("term"))
+          .groupBy(col("p_brand")).agg(sum(col("term")).as("yfp"))
+        w.join(broadcast(yfp), Seq("p_brand"))
+          .select(col("p_brand"), col("n_parts").as(s"n_parts_$t"),
+            round(lit(100) * col("num") / col("den"), 6).as(s"lowe_$t"),
+            round(lit(100) * (col("yfp") / lit(1.0e8)), 6).as(s"young_$t"))
+      }
+      block(1997).join(broadcast(block(1998)), Seq("p_brand"))
+        .select(col("p_brand"),
+          col("n_parts_1997"), col("lowe_1997"), col("young_1997"),
+          col("n_parts_1998"), col("lowe_1998"), col("young_1998"))
+    },
+
+    // ------------------------------------------------------------------
+    // Walsh and Marshall-Edgeworth indices — the symmetric-basket
+    // crosses completing the bilateral family (Laspeyres/Paasche/
+    // Fisher/Törnqvist in etl_chained_index, Lowe/Young above):
+    // Marshall-Edgeworth prices the SUM basket q0+qt (pure HUGEINT —
+    // exact end to end); Walsh prices the geometric-mean basket
+    // √(q0·qt), snapped to a ×10² integer from the IEEE sqrt of an
+    // exact ≤2⁵³ integer product (correctly rounded, so bit-identical
+    // on any engine) before the exact cross-term sums. 1995→1996 over
+    // parts present in both years, per brand.
+    "etl_walsh_marshall" -> QueryDef.withOracle(
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate) AS y,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN ep END)
+        |      / max(CASE WHEN y = 1995 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN ep END)
+        |      / max(CASE WHEN y = 1996 THEN qty END) * 1000000 + 0.5) AS BIGINT) AS p1,
+        |    CAST(floor(max(CASE WHEN y = 1995 THEN qty END) * 100 + 0.5) AS BIGINT) AS q0,
+        |    CAST(floor(max(CASE WHEN y = 1996 THEN qty END) * 100 + 0.5) AS BIGINT) AS q1
+        |  FROM py GROUP BY 1 HAVING count(*) = 2),
+        |j AS (
+        |  SELECT p.p_brand, pv.p0, pv.p1, pv.q0, pv.q1,
+        |    CAST(floor(sqrt(CAST(CAST(pv.q0 AS HUGEINT) * pv.q1 AS DOUBLE))
+        |      * 100 + 0.5) AS BIGINT) AS wq
+        |  FROM pv JOIN part p ON p.p_partkey = pv.l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(100 * CAST(sum(CAST(p1 AS HUGEINT) * (q0 + q1)) AS DOUBLE)
+        |    / CAST(sum(CAST(p0 AS HUGEINT) * (q0 + q1)) AS DOUBLE), 6)
+        |    AS marshall_1996,
+        |  round(100 * CAST(sum(CAST(p1 AS HUGEINT) * wq) AS DOUBLE)
+        |    / CAST(sum(CAST(p0 AS HUGEINT) * wq) AS DOUBLE), 6)
+        |    AS walsh_1996
+        |FROM j GROUP BY 1""".stripMargin) { (s, dir) =>
+      val hug = DecimalType(38, 0)
+      val py = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("ep"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("qty"))
+      def yv(y: Int, c: String) = max(when(col("y") === y, col(c)))
+      val pv = py.groupBy(col("l_partkey"))
+        .agg(
+          floor(yv(1995, "ep") / yv(1995, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p0"),
+          floor(yv(1996, "ep") / yv(1996, "qty") * 1000000 + 0.5)
+            .cast(LongType).as("p1"),
+          floor(yv(1995, "qty") * 100 + 0.5).cast(LongType).as("q0"),
+          floor(yv(1996, "qty") * 100 + 0.5).cast(LongType).as("q1"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+      val brand = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      pv.join(broadcast(brand), col("p_partkey") === col("l_partkey"))
+        .withColumn("wq",
+          floor(sqrt((col("q0").cast(hug) * col("q1")).cast(hug)
+            .cast(DoubleType)) * lit(100) + lit(0.5)).cast(LongType))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          (round(lit(100)
+            * sum((col("p1").cast(hug) * (col("q0") + col("q1"))).cast(hug))
+              .cast(DoubleType)
+            / sum((col("p0").cast(hug) * (col("q0") + col("q1"))).cast(hug))
+              .cast(DoubleType), 6)).as("marshall_1996"),
+          (round(lit(100)
+            * sum((col("p1").cast(hug) * col("wq")).cast(hug))
+              .cast(DoubleType)
+            / sum((col("p0").cast(hug) * col("wq")).cast(hug))
+              .cast(DoubleType), 6)).as("walsh_1996"))
+    },
+
+    // ------------------------------------------------------------------
     // Differentially-private cell counts — the modern SDC release
     // mechanism alongside the classical ones already here (cell
     // suppression, base-5 random rounding): each (nation × segment)

@@ -316,6 +316,12 @@ object PlanAudit {
       // — 3 links × 2 + the final brand-keyed assembly, all
       // dimension-bounded bookkeeping moves
       "etl_chained_index" -> 11,
+      // Lowe/Young: 2 corpus-keyed exchanges (part×year agg + the
+      // 4-year part pivot), then per current period a brand
+      // Lowe-totals agg + a brand Young-term agg over the persisted
+      // part-level basket — 2 periods × 2 brand-bounded bookkeeping
+      // moves + the broadcast assemblies
+      "etl_lowe_young" -> 8,
       "ev_rfm" -> 18,
       // q38 is q28's selection plan with 3 target ranks instead of 2 —
       // same budget: one corpus-scale exchange (per-(flag, bucket)

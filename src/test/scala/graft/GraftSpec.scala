@@ -2897,6 +2897,39 @@ class ChainedIndexSpec extends AnyFunSuite {
         r.getAs[Double]("fisher_chained_1998") < 10000)
     }
   }
+
+  test("Walsh/Marshall-Edgeworth sit inside the Laspeyres/Paasche bracket") {
+    val lp = SparkEntry.queries("etl_chained_index")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("laspeyres_1996"), r.getAs[Double]("paasche_1996")))
+      .toMap
+    val wm = SparkEntry.queries("etl_walsh_marshall")(spark, sf).collect()
+    assert(wm.nonEmpty)
+    wm.foreach { r =>
+      val (l, p) = lp(r.getString(0))
+      val (lo, hi) = (math.min(l, p), math.max(l, p))
+      for (c <- Seq("marshall_1996", "walsh_1996")) {
+        val v = r.getAs[Double](c)
+        // symmetric-basket means of the same relatives: inside the
+        // L/P bracket up to basket-mix slack on this synthetic corpus
+        assert(v >= lo * 0.9 && v <= hi * 1.1,
+          s"${r.getString(0)} $c=$v outside [$lo, $hi]±10%")
+      }
+    }
+  }
+
+  test("Lowe/Young publish consistent positive index levels") {
+    val rows = SparkEntry.queries("etl_lowe_young")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("lowe_1997", "young_1997", "lowe_1998", "young_1998")) {
+        val v = r.getAs[Double](c)
+        assert(v > 0 && v < 10000, s"${r.getString(0)} $c=$v")
+      }
+      assert(r.getAs[Long]("n_parts_1997") > 0 &&
+        r.getAs[Long]("n_parts_1998") > 0)
+    }
+  }
 }
 
 class DentonSpec extends AnyFunSuite {
