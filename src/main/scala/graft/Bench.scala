@@ -60,10 +60,11 @@ object Bench {
     // .json below.
     val slowest = if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
     val spq = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-      s""""s_per_query":${math.round(spq * 10000) / 10000.0},""" +
-      s""""slowest":"${slowest._1}","slowest_s":${math.round(slowest._2 * 1000) / 1000.0},""" +
-      s""""sf":"$sfDir","full":"bench_out.json"}""")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""s_per_query":${math.round(spq * 10000) / 10000.0},""" +
+        s""""slowest":"${slowest._1}","slowest_s":${math.round(slowest._2 * 1000) / 1000.0},""" +
+        s""""sf":"$sfDir","full":"bench_out.json"}"""
     // The driver captures a truncated log tail (~2000 chars — only a
     // quarter of the per-query map survives in BENCH_rN.json); persist
     // the full artifact so every query is visible to round-over-round
@@ -80,5 +81,12 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     spark.stop()
+    // LAST line of the process, printed after spark.stop() so no Spark
+    // shutdown logging can trail it; paired with build.sbt's
+    // `run / outputStrategy := StdoutOutput` + `showSuccess := false`
+    // this reaches the driver's log tail undecorated (no `[info]`
+    // prefix, no `[success]` footer) and parses as bare JSON.
+    println(compact)
+    System.out.flush()
   }
 }

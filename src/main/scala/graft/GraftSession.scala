@@ -41,23 +41,36 @@ object GraftSession {
   // exactly once, at quiescence.
   private val aqeGate = new Object
   private var aqeOffDepth = 0
+  // Conf value observed when depth went 0→1, restored when depth
+  // returns to 0 — so a session deliberately running with AQE off
+  // (outside tune()) is not silently re-enabled at quiescence.
+  private var aqeSaved: Option[String] = None
 
   /** Runs `body` with AQE disabled when `disable` is set; the LAST
-    * concurrent disabler restores the tuned invariant (AQE on).
-    * Concurrent queries may transiently plan without AQE, which is
-    * semantics-preserving — only the sticky-off interleaving is
-    * eliminated. */
+    * concurrent disabler restores the pre-call conf value captured at
+    * depth 0→1. Concurrent queries may transiently plan without AQE,
+    * which is semantics-preserving — only the sticky-off interleaving
+    * is eliminated. */
   def withAqeOff[T](s: SparkSession, disable: Boolean)(body: => T): T = {
     if (!disable) body
     else {
       aqeGate.synchronized {
         aqeOffDepth += 1
-        if (aqeOffDepth == 1) s.conf.set("spark.sql.adaptive.enabled", "false")
+        if (aqeOffDepth == 1) {
+          aqeSaved = s.conf.getOption("spark.sql.adaptive.enabled")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+        }
       }
       try body
       finally aqeGate.synchronized {
         aqeOffDepth -= 1
-        if (aqeOffDepth == 0) s.conf.set("spark.sql.adaptive.enabled", "true")
+        if (aqeOffDepth == 0) {
+          aqeSaved match {
+            case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+            case None    => s.conf.unset("spark.sql.adaptive.enabled")
+          }
+          aqeSaved = None
+        }
       }
     }
   }

@@ -673,14 +673,16 @@ object Etl {
         .withColumn("n_ops", count(lit(1)).over(wAll))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("op"), col("value").as("payload"), col("n_ops"))
-      Tables.customer(s, dir)
-        .join(lastOp, col("c_custkey") === col("user_id"), "full_outer")
-        .filter(!(col("op") <=> lit("D")))
+      // The MERGE join + action labels come from the lakehouse seam's
+      // shared merge algebra (graft.sources.TableMerge) — the same plan
+      // ParquetVersionedTable.mergeByKey commits, surfaced here as the
+      // auditable action report.
+      graft.sources.TableMerge.outerMergeWithActions(
+          Tables.customer(s, dir), lastOp,
+          Seq(("c_custkey", "user_id")), Some("op"))
         .select(
           coalesce(col("c_custkey"), col("user_id")).as("cust_id"),
-          when(col("user_id").isNull, lit("kept"))
-            .when(col("c_custkey").isNull, lit("inserted"))
-            .otherwise(lit("updated")).as("merge_action"),
+          col("merge_action"),
           round(when(col("user_id").isNull, col("c_acctbal"))
             .otherwise(col("payload")), 9).as("balance"),
           coalesce(col("n_ops"), lit(0L)).as("n_ops"))

@@ -216,12 +216,21 @@ object Multimodal {
     else if (p.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
       var i = 12
       var rate = -1; var ch = -1; var bits = 16; var dataBytes = -1L
-      while (i + 8 <= p.length) {
+      var ok = true
+      while (ok && i + 8 <= p.length) {
         val id = tag(i); val sz = l32(i + 4)
-        if (id == "fmt " && sz >= 16) {
-          ch = l16(i + 10); rate = l32(i + 12).toInt; bits = l16(i + 22)
-        } else if (id == "data") dataBytes = sz
-        i += 8 + sz.toInt + (sz.toInt & 1)          // word alignment
+        // A hostile/corrupt LE32 size (>= 2^31, or larger than the
+        // remaining payload) would make the step negative or
+        // non-advancing — stop the walk and keep the -1 defaults,
+        // same degradation as the truncation path.
+        if (sz > (p.length - i - 8).toLong) ok = false
+        else {
+          if (id == "fmt " && sz >= 16) {
+            ch = l16(i + 10); rate = l32(i + 12).toInt; bits = l16(i + 22)
+          } else if (id == "data") dataBytes = sz
+          val step = 8L + sz + (sz & 1L)            // word alignment
+          if (step <= 0L) ok = false else i += step.toInt
+        }
       }
       val dur =
         if (rate > 0 && ch > 0 && bits >= 8 && dataBytes >= 0)

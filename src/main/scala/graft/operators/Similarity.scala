@@ -299,7 +299,15 @@ object Similarity {
     * paths never set the conf, so they always run the replayable
     * default. */
   private[operators] def kcellsOf(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ivf.cells").map(_.toInt).getOrElse(KCELLS)
+    s.conf.getOption("spark.graft.ivf.cells") match {
+      case None => KCELLS
+      case Some(v) =>
+        val k = v.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"spark.graft.ivf.cells must be a positive int, got '$v'"))
+        require(k > 0, s"spark.graft.ivf.cells must be positive, got $k")
+        k
+    }
 
   /** Fixed Lloyd refinement rounds (centroid rebuilds). Deterministic
     * and small — the build is reproducible, not convergence-chased. */

@@ -165,36 +165,21 @@ object EventStreams {
     * directory is rewritten, never appended). */
   private[graft] def upsertBatch(targetDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val s = batch.sparkSession
-    val pointer = new java.io.File(s"$targetDir/_latest")
-    val committed: Option[String] =
-      if (pointer.exists())
-        Some(new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim)
-      else None
-    if (committed.contains(batchId.toString)) {
-      // Post-commit retry: the pointer only flips AFTER the version
-      // write completed, so pointer == batchId means this batch is
-      // fully applied — skip. (Re-merging here would also read
-      // v=batchId while overwriting it, which Spark rejects; found by
-      // the retry-idempotence spec.)
-      return
-    }
-    val cur: Option[DataFrame] =
-      committed.map(v => s.read.parquet(s"$targetDir/v=$v"))
-    val merged = latestOf(cur.fold(latestOf(batch))(latestOf(batch).unionByName(_)))
-    merged.write.mode("overwrite").parquet(s"$targetDir/v=$batchId")
-    // Commit point: readers flip here. The pointer swap must be atomic
-    // — a plain truncate-then-write lets a concurrent reader observe an
-    // empty/partial pointer mid-write — so write a temp file in the
-    // same directory and ATOMIC_MOVE it onto _latest (same-filesystem
-    // rename; readers see either the old or the new version, never a
-    // torn one).
-    val tmp = java.nio.file.Files.createTempFile(
-      pointer.toPath.getParent, "_latest_", ".tmp")
-    java.nio.file.Files.write(tmp, batchId.toString.getBytes)
-    java.nio.file.Files.move(tmp, pointer.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Routed through the lakehouse seam: ParquetVersionedTable owns the
+    // version directories, the atomic pointer flip and the idempotent
+    // transaction check (txn = batchId — Delta's txnAppId/txnVersion
+    // contract). Post-commit retry: pointer == batchId means this batch
+    // is fully applied — the sink no-ops before building (re-merging
+    // would also read v=batchId while overwriting it, which Spark
+    // rejects; found by the retry-idempotence spec). Pre-flip retry:
+    // the sink re-merges from the previous version and rebuilds the
+    // identical snapshot.
+    val table = new graft.sources.ParquetVersionedTable(
+      batch.sparkSession, targetDir)
+    if (table.currentVersion.contains(batchId)) return
+    val merged =
+      latestOf(table.current.fold(latestOf(batch))(latestOf(batch).unionByName(_)))
+    table.overwrite(merged, txn = Some(batchId))
     ()
   }
 

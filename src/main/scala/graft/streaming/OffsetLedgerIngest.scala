@@ -39,6 +39,46 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * predicate prunes whole row groups via parquet min/max stats — a poll
   * near the head of a 100 TB topic reads only the tail row groups, not
   * the history.
+  *
+  * == Kafka mapping (the seam, behavior by behavior) ==
+  *
+  * Swapping the file-backed simulation for a real broker touches ONLY
+  * the transport; every consumer-contract behavior here is the direct
+  * analogue of a public Kafka API:
+  *
+  *  - '''topic layout''' — `(part, offset, key, value)` with dense
+  *    monotone per-partition offsets IS Kafka's log abstraction; the
+  *    `part = hash(key) % n` staging mirrors the producer
+  *    `DefaultPartitioner`. Spark side: `spark.readStream.format("kafka")
+  *    .option("subscribe", topic)` yields the same
+  *    `(partition, offset, key, value)` columns.
+  *  - '''committed-offset read''' (`readLedger`) — `Consumer.committed(
+  *    Set[TopicPartition])` / `AdminClient.listConsumerGroupOffsets`,
+  *    or Structured Streaming's checkpoint `offsets/` log (the
+  *    `startingOffsets` JSON has exactly the ledger's shape:
+  *    partition → next offset).
+  *  - '''bounded poll above committed''' (`poll`'s `offset > committed`
+  *    + `maxPerPartition` cap) — `Consumer.poll` after `seek(tp,
+  *    committed+1)`, capped by `max.poll.records`; in Structured
+  *    Streaming, `maxOffsetsPerTrigger`.
+  *  - '''epoch-keyed idempotent sink''' (`epoch=<ledger version>`
+  *    overwrite) — the sink-side half of exactly-once: same contract as
+  *    the file sink's `_spark_metadata` commit log or a
+  *    `foreachBatch(batchId)` upsert keyed on batch id.
+  *  - '''atomic commit AFTER the write''' (temp + ATOMIC_MOVE) —
+  *    `Consumer.commitSync` issued only after the sink flush, i.e.
+  *    disable `enable.auto.commit` and commit manually; Structured
+  *    Streaming does the same by writing `commits/<batch>` after
+  *    `offsets/<batch>`.
+  *  - '''epoch fencing on replay''' (re-running an old ledger version
+  *    rebuilds and overwrites the SAME epoch) — the transactional
+  *    producer's `epoch`/`producer.id` zombie fencing: a stale worker
+  *    cannot double-append, it can only re-emit a byte-identical epoch.
+  *
+  * Not simulated (broker-internal, invisible to the consumer contract):
+  * ISR replication, rebalance protocol, compaction. A production swap
+  * keeps `poll`/`commit` call sites and replaces the parquet scan with
+  * the kafka source — nothing downstream of the DataFrame changes.
   */
 object OffsetLedgerIngest {
 

@@ -4694,3 +4694,95 @@ class Round10InvariantSpec extends AnyFunSuite {
     }
   }
 }
+
+class TableSinkSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.sources.{ParquetVersionedTable, TableMerge}
+
+  private def freshTable(): ParquetVersionedTable =
+    new ParquetVersionedTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_tbl").toString)
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("TableSink append/overwrite commit versions; snapshot() time-travels") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(t.currentVersion.isEmpty && t.current.isEmpty && t.versions.isEmpty)
+    val v0 = t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "x"))
+    assert(v0 == 0L && t.currentVersion.contains(0L))
+    val v1 = t.append(Seq((3L, "c", 3.0)).toDF("k", "s", "x"))
+    assert(v1 == 1L && t.versions == Seq(0L, 1L))
+    // time travel: v0 pre-append, v1 post
+    assert(rowsOf(t.snapshot(0L)) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(rowsOf(t.current.get) ==
+      Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val v2 = t.overwrite(Seq((9L, "z", 9.0)).toDF("k", "s", "x"))
+    assert(v2 == 2L && rowsOf(t.current.get) == Set((9L, "z", 9.0)))
+    // earlier versions remain readable after overwrite (retention)
+    assert(rowsOf(t.snapshot(1L)).size == 3)
+  }
+
+  test("TableSink enforces the table schema on append (Delta/Iceberg contract)") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(Seq((1L, "a", 1.0)).toDF("k", "s", "x"))
+    val drifted = Seq((2L, "b", 5)).toDF("k", "s", "x") // x INT, table has DOUBLE
+    val e = intercept[IllegalArgumentException] { t.append(drifted) }
+    assert(e.getMessage.contains("schema drift"))
+    val renamed = Seq((2L, "b", 5.0)).toDF("k", "s", "y")
+    intercept[IllegalArgumentException] { t.append(renamed) }
+    assert(t.currentVersion.contains(0L), "failed write must not commit")
+  }
+
+  test("TableSink.mergeByKey applies last-op-per-key MERGE with deletes") {
+    import spark.implicits._
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "x"))
+    // changelog: k=1 updated twice (ord decides), k=2 deleted AFTER an
+    // update (last op wins), k=4 inserted, k=3 untouched
+    val changes = Seq(
+      (1L, "a1", 10.0, 1L, "U"), (1L, "a2", 20.0, 2L, "U"),
+      (2L, "b1", 99.0, 1L, "U"), (2L, "b1", 99.0, 2L, "D"),
+      (4L, "d", 4.0, 1L, "I"),
+    ).toDF("k", "s", "x", "ord", "op")
+    t.mergeByKey(changes, keyCols = Seq("k"), ordCols = Seq("ord"),
+      opCol = Some("op"))
+    val got = t.current.get.select("k", "s", "x").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a2", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)),
+      s"merge diverged: $got")
+    // changelog bookkeeping columns (op, ord) must not leak into the
+    // stored snapshot — the table keeps its own schema
+    assert(t.current.get.columns.toSet == Set("k", "s", "x"))
+  }
+
+  test("TableSink txn versions are idempotent (foreachBatch retry contract)") {
+    import spark.implicits._
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "x"), txn = Some(7L))
+    assert(t.currentVersion.contains(7L))
+    // post-commit retry of txn 7: no-op, snapshot unchanged
+    t.overwrite(Seq((2L, "b", 2.0)).toDF("k", "s", "x"), txn = Some(7L))
+    assert(rowsOf(t.current.get) == Set((1L, "a", 1.0)))
+    // a NEW txn commits normally
+    t.overwrite(Seq((2L, "b", 2.0)).toDF("k", "s", "x"), txn = Some(8L))
+    assert(t.currentVersion.contains(8L) &&
+      rowsOf(t.current.get) == Set((2L, "b", 2.0)))
+  }
+
+  test("TableMerge.outerMergeWithActions labels kept/inserted/updated like MERGE") {
+    import spark.implicits._
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("bk", "bx")
+    val changes = Seq((2L, 20.0, "U"), (3L, 0.0, "D"), (4L, 4.0, "I"))
+      .toDF("ck", "cx", "op")
+    val got = TableMerge.outerMergeWithActions(
+        base, changes, Seq(("bk", "ck")), Some("op"))
+      .select(coalesce(col("bk"), col("ck")).as("k"), col("merge_action"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "updated", 4L -> "inserted"),
+      s"actions diverged: $got")
+  }
+}

@@ -70,6 +70,8 @@ def strip_scala_noise(src):
         elif c == "'" and i + 2 < n and src[i + 1] == "\\":  # char escape
             j = src.find("'", i + 1)
             i = i + 3 if j < 0 else j + 1
+        elif c == "'" and i + 2 < n and src[i + 2] == "'":   # plain char, e.g. '"'
+            i += 3
         else:
             out.append(c)
             i += 1
