@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, QuantizedDot, SortedLongIntersectCount, TopKByKey, TopKByKeyStr}
+import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, QuantizedDot, SortedLongIntersectCount, TopCellsByCos, TopKByKey, TopKByKeyStr}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -63,6 +63,10 @@ object Vectors {
       exprs => TopKByKey(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_top_cells",
+      exprs => TopCellsByCos(exprs(0), exprs(1), exprs(2),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_topk_by_skey",
       exprs => TopKByKeyStr(exprs(0), exprs(1),
@@ -165,6 +169,18 @@ object Vectors {
   def topkByStrKey(spark: SparkSession, value: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_topk_by_skey", value, id, lit(k))
+  }
+
+  /** Top-`topN` IVF cells of an `array<float>` vector (precomputed
+    * squared norm `na`) against a broadcast centroid array of
+    * struct<cell, cvec, nb>, as array<struct<neg, cell>> sorted by
+    * (cos DESC, cell ASC) — the native replacement for the
+    * transform→sort_array→slice chain in the IVF build's scoring pass
+    * (bit-identical; see plans/IvfExpressions.scala). */
+  def topCells(spark: SparkSession, emb: Column, na: Column, cents: Column,
+      topN: Int): Column = {
+    register(spark)
+    call_function("graft_top_cells", emb, na, cents, lit(topN))
   }
 
   /** Bloom-membership predicate over a bigint key column; `bytes` is a

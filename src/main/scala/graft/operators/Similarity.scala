@@ -298,7 +298,7 @@ object Similarity {
   /** Session-resolved cell count: the SCALING.md knob. Registry/oracle
     * paths never set the conf, so they always run the replayable
     * default. */
-  private[operators] def kcellsOf(s: SparkSession): Int =
+  private[graft] def kcellsOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ivf.cells") match {
       case None => KCELLS
       case Some(v) =>
@@ -307,6 +307,28 @@ object Similarity {
             s"spark.graft.ivf.cells must be a positive int, got '$v'"))
         require(k > 0, s"spark.graft.ivf.cells must be positive, got $k")
         k
+    }
+
+  /** Session-resolved Lloyd TRAINING sample modulus (the SCALING.md §3
+    * sampled-centroid knob): when S > 1, the k-means training passes
+    * (seed assignment, refinement rounds, centroid aggregations) run
+    * over the deterministic 1/S hash-sample of the corpus, and only
+    * the final top-2 scoring — the broadcast assign pass the build
+    * already ends with — touches every vector. Training cost drops
+    * from O(N·cells·LLOYD) to O(N/S·cells·LLOYD) + one O(N·cells)
+    * assign; at 100 TB this is the standard IVF recipe (FAISS trains
+    * on ~256 vectors/cell, assigns the full corpus). Registry/oracle
+    * paths never set the conf, so the default (1 = train on
+    * everything) keeps the build bit-replayable by the DuckDB oracle. */
+  private[graft] def trainModOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ivf.train.mod") match {
+      case None => 1
+      case Some(v) =>
+        val m = v.trim.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"spark.graft.ivf.train.mod must be a positive int, got '$v'"))
+        require(m > 0, s"spark.graft.ivf.train.mod must be positive, got $m")
+        m
     }
 
   /** Fixed Lloyd refinement rounds (centroid rebuilds). Deterministic
@@ -347,14 +369,16 @@ object Similarity {
     // list_cosine_similarity on double lists; sort key = (-cos, cell)
     // ascending ≡ the oracle's (cos DESC, cell ASC) ranking, and
     // negating the ROUNDED double is exact, so cos is recovered as -neg.
-    def negCos(c: Column): Column = {
-      val cv = c.getField("cvec")
-      val dot = aggregate(zip_with(embD, cv, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      -round(dot / sqrt(col("na") * c.getField("nb")), 6)
-    }
-    val top = slice(sort_array(transform(col("cents"), c =>
-      struct(negCos(c).as("neg"), c.getField("cell").as("cell")))), 1, topN)
+    // The whole per-vector scoring — dot, cosine, Round(_, 6), the
+    // (neg, cell) ranking and the topN cut — is ONE native expression
+    // (plans/IvfExpressions.scala), bit-identical to the
+    // transform→sort_array→slice chain it replaces but a bounded-
+    // scratch primitive loop instead of a cells-long lambda-interpreter
+    // allocation + struct sort per row; at N·cells scale that chain WAS
+    // the build cost (sf1d/160 cells: ~10 µs → sub-µs per row·cell).
+    val spark = base.sparkSession
+    val top = graft.functions.Vectors.topCells(
+      spark, col("embedding"), col("na"), col("cents"), topN)
     base
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("embedding"), col("na"),
@@ -395,14 +419,26 @@ object Similarity {
     // round-0 seed: the audited md5-uniform bucket (NOT random() — the
     // seeding must agree across engines, reruns and partitionings)
     val kcells = kcellsOf(s)
-    val seed = base.withColumn("cell",
+    // Sampled-centroid training (knob path only; see trainModOf): the
+    // Lloyd chain reads `train`, the final assign reads `base`. The
+    // sample is a deterministic md5 bucket on a salted key ("trn:" +
+    // vec_id) so it is independent of the cell-seed hash; S = 1 keeps
+    // `train` the SAME plan object as `base`, preserving the
+    // oracle-replayed default and the canonical-plan cache.
+    val tmod = trainModOf(s)
+    val train =
+      if (tmod == 1) base
+      else base.filter(pmod(conv(substring(md5(
+        concat(lit("trn:"), col("vec_id").cast("string")).cast(BinaryType)),
+        1, 15), 16, 10).cast(LongType), lit(tmod)) === 0)
+    val seed = train.withColumn("cell",
       pmod(conv(substring(md5(col("vec_id").cast("string").cast(BinaryType)), 1, 15),
         16, 10).cast(LongType), lit(kcells)).cast(IntegerType))
     // LLOYD-1 re-assignment rounds here; the final scoreCells performs
     // the LLOYD-th centroid build (from the last assignment) + top-2
     // scoring, mirroring the oracle's a0 → c1 → a1 → … → cLLOYD chain
     val refined = (1 until LLOYD).foldLeft(seed: DataFrame) { (assigned, _) =>
-      scoreCells(base, centroidArr(assigned), 1)
+      scoreCells(train, centroidArr(assigned), 1)
         .select(col("vec_id"), col("label"), col("embedding"), col("na"),
           col("c_label").as("cell"))
     }

@@ -133,6 +133,11 @@ object ScaleEvidence {
       // size, and so the kNN family's in-cell pair count, linear).
       sys.env.get("SPARK_GRAFT_IVF_CELLS")
         .foreach(spark.conf.set("spark.graft.ivf.cells", _))
+      // SPARK_GRAFT_IVF_TRAIN_MOD exercises the sampled-centroid
+      // training knob (spark.graft.ivf.train.mod): Lloyd trains on the
+      // 1/S hash-sample, the final broadcast pass assigns everything.
+      sys.env.get("SPARK_GRAFT_IVF_TRAIN_MOD")
+        .foreach(spark.conf.set("spark.graft.ivf.train.mod", _))
       val assignQ = graft.SparkEntry.queries("ann_ivf_assign")
       measure(sf, "ivf_build") { assignQ(spark, dir).count() }
       val cells = assignQ(spark, dir) // home-cell rows: (vec_id, label, cell, cos_c)

@@ -4786,3 +4786,78 @@ class TableSinkSpec extends AnyFunSuite {
       s"actions diverged: $got")
   }
 }
+
+class IvfBuildSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("TopCellsByCos is bit-identical to the transform/sort_array/slice chain") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors + centroids, including ties
+    // (duplicate centroids force the (neg, cell) tiebreak)
+    val dim = 8
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 31 + i * 2654435761L) % 1000) / 500.0f) - 1.0f)
+    val rows = (1L to 50L).map(s => (s, vec(s)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("na", aggregate(transform(col("embedding"),
+        x => x.cast("double")), lit(0.0), (a, x) => a + x * x))
+    val cents = (0 until 6).map { c =>
+      val base = vec(100L + c / 2) // pairs of duplicate centroids → cosine ties
+      (c, base.map(_.toDouble))
+    }
+    val centDf = cents.toDF("cell", "cvec")
+      .withColumn("nb", aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+      .agg(collect_list(struct(col("cell"), col("cvec"), col("nb"))).as("cents"))
+    def negCosChain(c: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(transform(col("embedding"), x => x.cast("double")),
+        c.getField("cvec"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      -round(dot / sqrt(col("na") * c.getField("nb")), 6)
+    }
+    for (topN <- Seq(1, 2, 3)) {
+      val joined = df.crossJoin(broadcast(centDf))
+      val chain = joined.select(col("vec_id"),
+        slice(sort_array(transform(col("cents"), c =>
+          struct(negCosChain(c).as("neg"), c.getField("cell").as("cell")))),
+          1, topN).as("top"))
+      val native = joined.select(col("vec_id"),
+        graft.functions.Vectors.topCells(spark, col("embedding"), col("na"),
+          col("cents"), topN).as("top"))
+      val a = chain.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      val b = native.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      assert(a.keySet == b.keySet)
+      for (k <- a.keySet)
+        assert(a(k).toString == b(k).toString, s"topN=$topN vec $k: ${a(k)} vs ${b(k)}")
+    }
+  }
+
+  test("sampled-centroid training (ivf.train.mod) keeps a complete balanced assignment") {
+    val conf = spark.conf
+    try {
+      conf.set("spark.graft.ivf.cells", "8")
+      conf.set("spark.graft.ivf.train.mod", "4")
+      val out = SparkEntry.queries("ann_ivf_assign")(spark, sf).collect()
+      val n = graft.sources.Tables.embeddings(spark, sf).count()
+      assert(out.length == n, s"every vector must get a home cell: ${out.length} vs $n")
+      val cells = out.map(_.getAs[Int]("cell")).distinct
+      assert(cells.forall(c => c >= 0 && c < 8))
+      assert(cells.length > 1, "sampled training collapsed to a single cell")
+    } finally {
+      conf.unset("spark.graft.ivf.cells")
+      conf.unset("spark.graft.ivf.train.mod")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("ivf knob confs reject non-positive and non-numeric values") {
+    val conf = spark.conf
+    try {
+      for (bad <- Seq("0", "-3", "abc")) {
+        conf.set("spark.graft.ivf.train.mod", bad)
+        intercept[IllegalArgumentException] {
+          graft.operators.Similarity.trainModOf(spark)
+        }
+      }
+    } finally conf.unset("spark.graft.ivf.train.mod")
+  }
+}
