@@ -14,9 +14,9 @@ run / fork := true
 // Forked `run` output must reach stdout verbatim (no `[info]` logger
 // decoration) and without the `[success] Total time` footer, so the
 // driver can parse Bench's final compact JSON line as-is.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command loop, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -240,6 +240,143 @@ object Multimodal {
     } else ("unknown", -1, -1, -1L, -1, -1)
   }
 
+  // ---- video codec seam (MP4 / ISO-BMFF) -----------------------------
+
+  /** Deterministic video parameters for doc `id` — the values payloads
+    * are BUILT with and the oracle recomputes. */
+  private def mp4Timescale(id: Long): Int =
+    Array(600, 1000, 24000, 90000)(((id % 8) / 2).toInt)
+  private def mp4Duration(id: Long): Long = (id * 37) % 100000 + 1000
+  private def mp4Dims(id: Long): (Int, Int) =
+    (((id * 61) % 1280 + 16).toInt, ((id * 71) % 720 + 16).toInt)
+  private def mp4MdatBytes(id: Long): Int = ((id * 53) % 256 + 32).toInt
+
+  private def beL32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64(v: Long): Array[Byte] = beL32(v >>> 32) ++ beL32(v & 0xFFFFFFFFL)
+
+  /** Format-valid ISO-BMFF payload for doc `id`:
+    * `ftyp` (brand isom) · a variable-length `free` box BEFORE `moov`
+    * (fixed-offset readers fail) · `moov` [ `mvhd` — version 1 with
+    * 64-bit times when id % 3 = 0, else version 0 — carrying
+    * timescale/duration · `trak` [ `tkhd` v0 with 16.16 fixed-point
+    * width/height · `mdia` [ `mdhd` v0 ] ] ] · `mdat`, written with the
+    * size=1 + 64-bit largesize form when id is odd (the 32/64-bit box
+    * size fixture) and the plain 32-bit size otherwise. Media bytes are
+    * zeroed — header decode never reads them. */
+  def buildVideoPayload(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def box(tag: String, body: Array[Byte]): Array[Byte] =
+      beL32(8L + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    val ts = mp4Timescale(id); val dur = mp4Duration(id)
+    val (w, h) = mp4Dims(id); val d = mp4MdatBytes(id)
+    out.write(box("ftyp",
+      "isom".getBytes("US-ASCII") ++ beL32(0L) ++ "mp41".getBytes("US-ASCII")))
+    out.write(box("free", new Array[Byte]((id % 7 + 8).toInt)))
+    val mvhd =
+      if (id % 3 == 0) // version 1: 64-bit ctime/mtime/duration
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+          beL32(ts.toLong) ++ be64(dur) ++ beL32(0x00010000L) ++ be16(0x0100) ++
+          new Array[Byte](2 + 8) ++ mp4Matrix ++ new Array[Byte](24) ++ beL32(2L))
+      else
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ beL32(0L) ++ beL32(0L) ++
+          beL32(ts.toLong) ++ beL32(dur) ++ beL32(0x00010000L) ++ be16(0x0100) ++
+          new Array[Byte](2 + 8) ++ mp4Matrix ++ new Array[Byte](24) ++ beL32(2L))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ beL32(0L) ++ beL32(0L) ++
+      beL32(1L) ++ beL32(0L) ++ beL32(dur) ++ new Array[Byte](8) ++
+      be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ mp4Matrix ++
+      beL32(w.toLong << 16) ++ beL32(h.toLong << 16))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ beL32(0L) ++ beL32(0L) ++
+      beL32(ts.toLong) ++ beL32(dur) ++ be16(0x55C4) ++ be16(0))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ box("mdia", mdhd)))
+    out.write(moov)
+    if (id % 2 == 1) { // size = 1 → 64-bit largesize form
+      out.write(beL32(1L)); out.write("mdat".getBytes("US-ASCII"))
+      out.write(be64(16L + d)); out.write(new Array[Byte](d))
+    } else out.write(box("mdat", new Array[Byte](d)))
+    out.toByteArray
+  }
+  private val mp4Matrix: Array[Byte] = // identity 3×3, 16.16/2.30 fixed
+    beL32(0x00010000L) ++ beL32(0L) ++ beL32(0L) ++
+      beL32(0L) ++ beL32(0x00010000L) ++ beL32(0L) ++
+      beL32(0L) ++ beL32(0L) ++ beL32(0x40000000L)
+
+  /** Decoded video header row (scalar columns). */
+  final case class MmVideo(
+      doc_id: Long, fmt: String, timescale: Int, duration_ms: Long,
+      width: Int, height: Int, n_bytes: Int)
+
+  /** REAL ISO-BMFF box walk over the public MP4 layout: every box is a
+    * BE32 size + 4CC tag, where size = 1 switches to a BE64 largesize
+    * at offset 8 and size = 0 means to-end-of-file; `moov`/`trak`/
+    * `mdia` are walked as containers; `mvhd` carries timescale +
+    * duration at version-dependent offsets (v1 = 64-bit times), `tkhd`
+    * carries 16.16 fixed-point width/height. Same bounded-walk
+    * discipline as the RIFF walker: a declared size that is negative,
+    * non-advancing or larger than the remaining payload stops the walk
+    * with the -1 defaults. Returns (brand, timescale, duration_units,
+    * width, height); unknown bytes → ("unknown", -1, -1, -1, -1). */
+  def parseVideoMeta(p: Array[Byte]): (String, Int, Long, Int, Int) = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+      (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String = new String(p.slice(i + 4, i + 8), "US-ASCII")
+    var brand = "unknown"
+    var ts = -1; var dur = -1L; var w = -1; var h = -1
+    // walk boxes in [from, until); returns false on a malformed size
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz32 = u32(i); val t = tag(i)
+        val (body, end) =
+          if (sz32 == 1L) {
+            if (i + 16 > until) return false
+            val lsz = u64(i + 8)
+            if (lsz < 16L || lsz > (until - i).toLong) return false
+            (i + 16, i + lsz.toInt)
+          } else if (sz32 == 0L) (i + 8, until) // box extends to the end
+          else {
+            if (sz32 < 8L || sz32 > (until - i).toLong) return false
+            (i + 8, i + sz32.toInt)
+          }
+        f(t, body, end)
+        if (end <= i) return false // non-advancing
+        i = end
+      }
+      true
+    }
+    if (p.length < 16 || u32(0) < 16L || tag(0) != "ftyp")
+      return ("unknown", -1, -1L, -1, -1)
+    walk(0, p.length) { (t, body, end) =>
+      t match {
+        case "ftyp" => brand = new String(p.slice(body, body + 4), "US-ASCII")
+        case "moov" =>
+          walk(body, end) { (t2, b2, e2) =>
+            t2 match {
+              case "mvhd" =>
+                val v = u8(b2)
+                if (v == 1) { ts = u32(b2 + 20).toInt; dur = u64(b2 + 24) }
+                else { ts = u32(b2 + 12).toInt; dur = u32(b2 + 16) }
+              case "trak" =>
+                walk(b2, e2) { (t3, b3, _) =>
+                  if (t3 == "tkhd") {
+                    val v3 = u8(b3)
+                    val off = if (v3 == 1) b3 + 88 else b3 + 76
+                    w = u16(off); h = u16(off + 4) // integer part of 16.16
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    (brand, ts, dur, w, h)
+  }
+
   /** The decode seam shared by mm_feature and mm_resize: construct the
     * payload, parse its header back — batched per partition in groups
     * of 64 (the codec-call batch shape), never row-at-a-time across a
@@ -325,24 +462,40 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
-    // Frame sampling plan: a "video" payload's frame count is derived
-    // from its metadata; every k-th frame is selected so each doc
-    // explodes into a bounded set of (doc, frame, offset) work items —
+    // Frame sampling plan against REAL video metadata: the frame count
+    // comes from the MP4 header decode (mvhd duration/timescale through
+    // the same batched parseVideoMeta seam as mm_video_meta, at 24 fps),
+    // not from a byte-length proxy; every k-th frame is selected so
+    // each doc explodes into a bounded set of (doc, frame) work items —
     // the row shape a decode fleet consumes. Explode stays bounded
-    // (≤ 32 frames/doc) so a 100 TB corpus fans out linearly.
+    // (≤ 32 frames/doc) so a 100 TB corpus fans out linearly. The
+    // oracle replays the id formulas the payloads were built with, so a
+    // misdecoded duration hash-fails here too.
     "mm_frame_sample" -> QueryDef.withOracle(
       """WITH m AS (
         |  SELECT doc_id,
-        |    octet_length(encode(text)) % 961 + 1 AS n_frames
+        |    ((doc_id * 37) % 100000 + 1000) * 1000
+        |      // (CASE (doc_id % 8) // 2 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |          WHEN 2 THEN 24000 ELSE 90000 END) AS dur_ms
         |  FROM documents),
+        |f AS (SELECT doc_id, dur_ms * 24 // 1000 + 1 AS n_frames FROM m),
         |k AS (SELECT doc_id, n_frames,
-        |        CAST(ceil(n_frames / 32.0) AS BIGINT) AS stride FROM m)
+        |        CAST(ceil(n_frames / 32.0) AS BIGINT) AS stride FROM f)
         |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(unnest(range(0, n_frames, stride)) AS BIGINT) AS frame_idx
         |FROM k""".stripMargin) { (s, dir) =>
-      val byteLen = length(col("text").cast(BinaryType))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), (byteLen % 961 + 1).cast(LongType).as("n_frames"))
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            // codec batch call happens here, once per `batch`
+            batch.map { id =>
+              val (_, ts, dur, _, _) = parseVideoMeta(buildVideoPayload(id))
+              val durMs = if (ts > 0 && dur >= 0) dur * 1000L / ts else -1L
+              (id, durMs * 24L / 1000L + 1L)
+            }
+          }
+        }.toDF("doc_id", "n_frames")
         .withColumn("stride", ceil(col("n_frames") / 32.0).cast(LongType))
         .select(col("doc_id"), col("n_frames"),
           explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))).as("frame_idx"))
@@ -413,6 +566,46 @@ object Multimodal {
               val payload = buildAudioPayload(id)
               val (fmt, rate, ch, dur, w, h) = parseAudioMeta(payload)
               MmAudio(id, fmt, rate, ch, dur, w, h, payload.length)
+            }
+          }
+        }.toDF()
+    },
+
+    // ------------------------------------------------------------------
+    // Partition-batched VIDEO header decode — the MP4/ISO-BMFF sibling
+    // of mm_feature/mm_audio_meta, closing the video gap in the codec
+    // seam: the parser WALKS the box tree (a variable-length `free` box
+    // precedes `moov`, mvhd versions 0 AND 1 appear, and odd ids write
+    // `mdat` with the size=1 + 64-bit largesize form — fixed offsets,
+    // v0-only readers and 32-bit-only size logic all fail), reading
+    // timescale/duration out of `mvhd` and 16.16 fixed-point dims out
+    // of `tkhd`. The oracle recomputes every field from the id formulas
+    // the payloads were built with — one misread byte hash-fails.
+    "mm_video_meta" -> QueryDef.withOracle(
+      """SELECT doc_id,
+        |  'isom' AS fmt,
+        |  CAST(CASE (doc_id % 8) // 2 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |       WHEN 2 THEN 24000 ELSE 90000 END AS INT) AS timescale,
+        |  CAST(((doc_id * 37) % 100000 + 1000) * 1000
+        |    // (CASE (doc_id % 8) // 2 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |        WHEN 2 THEN 24000 ELSE 90000 END) AS BIGINT) AS duration_ms,
+        |  CAST((doc_id * 61) % 1280 + 16 AS INT) AS width,
+        |  CAST((doc_id * 71) % 720 + 16 AS INT) AS height,
+        |  CAST(292 + (doc_id % 7 + 8) + ((doc_id * 53) % 256 + 32)
+        |    + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END
+        |    + CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS INT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.grouped(64).flatMap { batch =>
+            // codec batch call happens here, once per `batch`
+            batch.map { id =>
+              val payload = buildVideoPayload(id)
+              val (fmt, ts, dur, w, h) = parseVideoMeta(payload)
+              val durMs =
+                if (ts > 0 && dur >= 0) dur * 1000L / ts else -1L
+              MmVideo(id, fmt, ts, durMs, w, h, payload.length)
             }
           }
         }.toDF()

@@ -4861,3 +4861,46 @@ class IvfBuildSpec extends AnyFunSuite {
     } finally conf.unset("spark.graft.ivf.train.mod")
   }
 }
+
+class Mp4WalkSpec extends AnyFunSuite {
+
+  test("MP4 box walk decodes v0/v1 mvhd and 32/64-bit mdat sizes") {
+    // id 6: even (32-bit mdat), id%3=0 (mvhd v1); id 7: odd (largesize
+    // mdat), v0; id 4: even, v0 — the three layout combinations
+    for (id <- Seq(4L, 6L, 7L)) {
+      val p = Multimodal.buildVideoPayload(id)
+      val (fmt, ts, dur, w, h) = Multimodal.parseVideoMeta(p)
+      assert(fmt == "isom", s"id $id: fmt $fmt")
+      assert(ts == Seq(600, 1000, 24000, 90000)(((id % 8) / 2).toInt), s"id $id: ts $ts")
+      assert(dur == (id * 37) % 100000 + 1000, s"id $id: dur $dur")
+      assert(w == ((id * 61) % 1280 + 16).toInt && h == ((id * 71) % 720 + 16).toInt,
+        s"id $id: ${w}x$h")
+    }
+  }
+
+  test("MP4 box walk degrades to -1 defaults on hostile/truncated bytes") {
+    val good = Multimodal.buildVideoPayload(12L)
+    // truncation mid-moov
+    val truncated = good.take(60)
+    assert(Multimodal.parseVideoMeta(truncated)._1 == "isom") // brand read, rest -1
+    assert(Multimodal.parseVideoMeta(truncated)._2 == -1)
+    // hostile: top-level box size 0x80000000 (negative as int32)
+    val hostile = good.clone()
+    hostile(20) = 0x80.toByte; hostile(21) = 0; hostile(22) = 0; hostile(23) = 0
+    val r = Multimodal.parseVideoMeta(hostile)
+    assert(r._2 == -1 && r._4 == -1, s"hostile size must stop the walk: $r")
+    // not a media file at all
+    assert(Multimodal.parseVideoMeta("hello world".getBytes)._1 == "unknown")
+    assert(Multimodal.parseVideoMeta(Array.empty[Byte])._1 == "unknown")
+  }
+
+  test("RIFF walk does not hang on a hostile chunk size") {
+    val good = Multimodal.buildAudioPayload(2L) // WAV
+    val hostile = good.clone()
+    // declare the first chunk's size as 0xFFFFFFFF (sz.toInt = -1)
+    hostile(16) = 0xFF.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0xFF.toByte
+    val (fmt, rate, ch, dur, _, _) = Multimodal.parseAudioMeta(hostile)
+    assert(fmt == "wav" && rate == -1 && ch == -1 && dur == -1L)
+  }
+}
