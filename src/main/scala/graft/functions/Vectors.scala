@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BloomMightContain, BottomKSample, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, QuantizedDot, SortedLongIntersectCount, TopCellsByCos, TopKByKey, TopKByKeyStr}
+import graft.plans.{AdcDistance, BloomMightContain, BottomKSample, CdcChunks, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, NearestPqCode, QuantizedDot, SortedLongIntersectCount, TopCellsByCos, TopKByKey, TopKByKeyStr}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -63,6 +63,16 @@ object Vectors {
       exprs => TopKByKey(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cdc_chunks", exprs => CdcChunks(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nearest_pq_code",
+      exprs => NearestPqCode(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_adc_distance",
+      exprs => AdcDistance(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_top_cells",
       exprs => TopCellsByCos(exprs(0), exprs(1), exprs(2),
@@ -169,6 +179,37 @@ object Vectors {
   def topkByStrKey(spark: SparkSession, value: Column, id: Column, k: Int): Column = {
     register(spark)
     call_function("graft_topk_by_skey", value, id, lit(k))
+  }
+
+  /** Nearest product-quantization code of one (vector, subspace) row
+    * against the broadcast codebook — struct<dist, cell>, minimum by
+    * (exact long L2 ASC, cell ASC); the native replacement for the
+    * filter→transform→array_min chain (bit-identical; see
+    * plans/IvfExpressions.scala). */
+  def nearestPqCode(spark: SparkSession, xfp: Column, sub: Column,
+      cb: Column): Column = {
+    register(spark)
+    call_function("graft_nearest_pq_code", xfp, sub, cb)
+  }
+
+  /** ADC distance of a corpus vector's code array against a probe's
+    * (sub*codesPerSub + cell)-keyed distance-table map — the native
+    * replacement for the per-subspace aggregate + map element_at chain
+    * (bit-identical, null on missing key; see
+    * plans/IvfExpressions.scala). */
+  def adcDistance(spark: SparkSession, codes: Column, dtab: Column,
+      codesPerSub: Int, m: Int): Column = {
+    register(spark)
+    call_function("graft_adc_distance", codes, dtab, lit(codesPerSub), lit(m))
+  }
+
+  /** Content-defined (Gear-style, mod-32) chunks of a string column as
+    * array<string> — the one-pass native replacement for the
+    * codepoint-array + boundary-filter + re-substring chain
+    * (bit-identical; see plans/CdcExpressions.scala). */
+  def cdcChunks(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_cdc_chunks", text)
   }
 
   /** Top-`topN` IVF cells of an `array<float>` vector (precomputed

@@ -731,29 +731,16 @@ object Multimodal {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM ch GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
-      val d = Tables.documents(s, dir)
+      // The whole cut-list computation — codepoint decode, Gear
+      // predicate, chunk slicing — is ONE O(L) native expression
+      // (plans/CdcExpressions.scala), bit-identical to the declarative
+      // chain it replaces (which materialized a length-L codepoint
+      // array via ascii(substr(i, 1)) — O(L) per position, O(L²) per
+      // doc — then filtered positions and re-substringed every chunk).
+      val ch = Tables.documents(s, dir)
         .filter(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          length(col("text")).cast(LongType).as("l"))
-        .withColumn("cd", transform(sequence(lit(1L), col("l")),
-          i => ascii(col("text").substr(i.cast(IntegerType), lit(1)))
-            .cast(LongType)))
-      val bnd = filter(sequence(lit(4L), col("l")), i =>
-        (lit(8) * element_at(col("cd"), (i - 3).cast(IntegerType))
-          + lit(4) * element_at(col("cd"), (i - 2).cast(IntegerType))
-          + lit(2) * element_at(col("cd"), (i - 1).cast(IntegerType))
-          + element_at(col("cd"), i.cast(IntegerType))) % 32 === 0)
-      val k = d.select(col("doc_id"), col("text"),
-        sort_array(array_distinct(concat(array(lit(0L)), bnd,
-          array(col("l"))))).as("cuts"))
-      val ch = k.select(col("doc_id"),
-        explode(transform(sequence(lit(2), size(col("cuts"))), j =>
-          col("text").substr(
-            (element_at(col("cuts"), (j - 1).cast(IntegerType)) + 1)
-              .cast(IntegerType),
-            (element_at(col("cuts"), j.cast(IntegerType))
-              - element_at(col("cuts"), (j - 1).cast(IntegerType)))
-              .cast(IntegerType)))).as("chunk"))
+        .select(col("doc_id"),
+          explode(graft.functions.Vectors.cdcChunks(s, col("text"))).as("chunk"))
       ch.select(col("doc_id"),
           md5(col("chunk").cast(BinaryType)).as("chunk_md5"),
           length(col("chunk")).cast(LongType).as("chunk_len"))

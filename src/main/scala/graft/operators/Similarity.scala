@@ -553,14 +553,16 @@ object Similarity {
     * argmin via array_min on (dist, cell) structs — no shuffle, no
     * window. */
   private def pqAssign(xsub: DataFrame, cbArr: DataFrame): DataFrame =
+    // The filter→transform→array_min chain over all m×codes codebook
+    // structs per (vector, subspace) row is ONE native expression
+    // (plans/IvfExpressions.scala NearestPqCode), bit-identical (exact
+    // long L2, (dist ASC, cell ASC) minimum) but a tight loop instead
+    // of the per-entry lambda interpreter — this runs 3× per PQ build
+    // (seed round + Lloyd round + final encode).
     xsub.crossJoin(broadcast(cbArr))
       .select(col("vec_id"), col("sub"), col("xfp"),
-        array_min(transform(
-          filter(col("cb"), c => c.getField("sub") === col("sub")),
-          c => struct(
-            aggregate(zip_with(col("xfp"), c.getField("cfp"),
-              (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("dist"),
-            c.getField("cell").as("cell")))).as("best"))
+        graft.functions.Vectors.nearestPqCode(
+          xsub.sparkSession, col("xfp"), col("sub"), col("cb")).as("best"))
       .select(col("vec_id"), col("sub"), col("xfp"),
         col("best.cell").as("cell"), col("best.dist").as("dist"))
 
@@ -1238,14 +1240,16 @@ object Similarity {
           struct((col("sub") * PQ_CODES + col("cell")).as("k"), col("d")))).as("dtab"))
         .agg(collect_list(struct(col("probe_id"), col("dtab"))).as("ps"))
       // ADC scan: corpus rows read ONLY their code arrays; per probe the
-      // distance is m broadcast-table lookups summed row-locally
+      // distance is m broadcast-table lookups summed row-locally — one
+      // native expression (plans/IvfExpressions.scala AdcDistance,
+      // bit-identical to the per-subspace aggregate + map element_at
+      // chain incl. null-on-missing-key) since the m·codes-entry map
+      // scans per (probe, vector) pair ARE the ADC pass's cost.
       val adc = codesArr.crossJoin(broadcast(dtabs))
         .select(col("vec_id"), col("codes"), posexplode(col("ps")).as(Seq("pidx", "p")))
         .filter(col("p.probe_id") =!= col("vec_id"))
         .select(col("p.probe_id").as("probe_id"), col("vec_id").as("neighbor_id"),
-          aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0L), (acc, sN) =>
-            acc + element_at(col("p.dtab"),
-              sN * PQ_CODES + element_at(col("codes"), sN + 1).cast(IntegerType)))
+          Vectors.adcDistance(s, col("codes"), col("p.dtab"), PQ_CODES, PQ_M)
             .as("adist"))
       // salted two-phase top-RERANK (candidates per probe are corpus-sized)
       val wLocal = Window.partitionBy(col("probe_id"), col("salt"))

@@ -2984,29 +2984,40 @@ object Temporal {
     } { (s, dir) =>
       val wSeq = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_s"), col("event_id"))
-      val c = Tables.eventsTimed(s, dir)
+      // ONE corpus aggregation builds the transition counts; the
+      // 12-round power iteration then runs on the driver over the
+      // |types|² ≤ 25-row matrix (bounded by the event-type DOMAIN,
+      // not the corpus — the same bounded-bookkeeping argument as the
+      // HP/Denton solves). Exact integer arithmetic identical to the
+      // oracle's unrolled CTEs: (pi·n) div n_i floor-divided per edge,
+      // summed per target (integer addition is order-free). This
+      // replaces 12 eagerly-checkpointed micro-jobs (pure scheduling
+      // latency at any corpus size) with zero extra cluster work.
+      val cRows = Tables.eventsTimed(s, dir)
         .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("from_type"),
           col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-        .persist() // |types|² bookkeeping, reused by all 12 iterations
-      val tot = c.groupBy(col("from_type")).agg(sum(col("n")).as("n_i"))
-      val cd = c.join(tot, Seq("from_type")) // (from, to, n, n_i)
-      var p = c.select(col("from_type").as("t")).distinct()
-        .withColumn("pi", lit(1048576L))
+        .collect() // bounded: |event-type domain|² rows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nI = cRows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+      var pi: Map[String, Long] =
+        cRows.map(_._1).distinct.map(_ -> 1048576L).toMap
       for (_ <- 0 until 12) {
-        val next = cd
-          .join(p.withColumnRenamed("t", "from_type"), Seq("from_type"))
-          .select(col("to_type").as("t"), expr("(pi * n) div n_i").as("m"))
-          .groupBy(col("t")).agg(sum(col("m")).as("pi"))
-        p = next.localCheckpoint(true)
+        pi = cRows.toSeq
+          .flatMap { case (f, t, n) =>
+            pi.get(f).map(p0 => t -> Math.floorDiv(p0 * n, nI(f)))
+          }
+          .groupBy(_._1).map { case (t, ms) => t -> ms.map(_._2).sum }
       }
-      val z = p.agg(sum(col("pi")).as("zz"))
-      p.crossJoin(broadcast(z))
-        .select(col("t").as("event_type"), col("pi").as("pi_fp"),
-          (floor(col("pi").cast(DoubleType) / col("zz") * lit(1.0e9)
-            + lit(0.5)) / lit(1.0e9)).as("pi"))
+      val zz = pi.values.sum
+      import s.implicits._
+      pi.toSeq.sortBy(_._1)
+        .map { case (t, p0) =>
+          (t, p0, math.floor(p0.toDouble / zz * 1.0e9 + 0.5) / 1.0e9)
+        }
+        .toDF("event_type", "pi_fp", "pi")
     },
 
     // ------------------------------------------------------------------

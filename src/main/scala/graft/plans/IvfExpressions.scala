@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -135,4 +135,160 @@ case class TopCellsByCos(emb: Expression, na: Expression, cents: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): Expression =
     copy(emb = newFirst, na = newSecond, cents = newThird)
+}
+
+/** Nearest PQ code for one (vector, subspace) row against the
+  * broadcast codebook, as `struct<dist: bigint, cell: int>`.
+  *
+  * Semantics are EXACTLY the declarative chain it replaces in
+  * `Similarity.pqAssign`:
+  * {{{
+  *   array_min(transform(filter(cb, c => c.sub === sub),
+  *     c => struct(sum((xfp-cfp)²).as("dist"), c.cell.as("cell"))))
+  * }}}
+  * — exact long L2 over the zip (shorter-array length bounds the sum,
+  * like zip_with), minimum by (dist ASC, cell ASC), null when the
+  * subspace has no codebook entry (array_min of an empty array).
+  *
+  * Why native: the chain runs an interpreted filter over all m×codes
+  * codebook structs per (vector, subspace) row plus a lambda L2 per
+  * surviving code; this is one tight loop, no per-row allocation
+  * beyond the 2-field result.
+  */
+case class NearestPqCode(xfp: Expression, sub: Expression, cb: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = xfp
+  override def second: Expression = sub
+  override def third: Expression = cb
+  override def prettyName: String = "graft_nearest_pq_code"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val xfpOk = xfp.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    }
+    val cbOk = cb.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(0).dataType == IntegerType && fs(1).dataType == IntegerType &&
+          (fs(2).dataType match {
+            case ArrayType(LongType, _) => true; case _ => false
+          })
+      case _ => false
+    }
+    if (xfpOk && sub.dataType == IntegerType && cbOk)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_pq_code expects (array<bigint>, int, " +
+        s"array<struct<sub int, cell int, cfp array<bigint>>>), got " +
+        s"(${xfp.dataType}, ${sub.dataType}, ${cb.dataType})")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType), StructField("cell", IntegerType)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(xAny: Any, subAny: Any, cbAny: Any): Any = {
+    val x = xAny.asInstanceOf[ArrayData]
+    val mySub = subAny.asInstanceOf[Int]
+    val codes = cbAny.asInstanceOf[ArrayData]
+    var bestDist = Long.MaxValue; var bestCell = Int.MaxValue
+    var found = false
+    var j = 0
+    val nCodes = codes.numElements()
+    while (j < nCodes) {
+      val st = codes.getStruct(j, 3)
+      if (st.getInt(0) == mySub) {
+        val cfp = st.getArray(2)
+        val cell = st.getInt(1)
+        val n = math.min(x.numElements(), cfp.numElements())
+        var d = 0L
+        var i = 0
+        while (i < n) {
+          val t = x.getLong(i) - cfp.getLong(i)
+          d += t * t
+          i += 1
+        }
+        if (!found || d < bestDist || (d == bestDist && cell < bestCell)) {
+          bestDist = d; bestCell = cell; found = true
+        }
+      }
+      j += 1
+    }
+    if (!found) null else InternalRow(bestDist, bestCell)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(xfp = newFirst, sub = newSecond, cb = newThird)
+}
+
+/** ADC (asymmetric distance computation) sum for one corpus vector
+  * against one probe's distance table: `Σ_{s=0..m-1}
+  * dtab[s·codes_per_sub + codes[s+1]]`, as BIGINT.
+  *
+  * Semantics are EXACTLY the declarative chain it replaces in the
+  * `ann_pq_topk` ADC scan:
+  * {{{
+  *   aggregate(sequence(0, m-1), 0L, (acc, sN) =>
+  *     acc + element_at(dtab, sN·codes + element_at(codes, sN+1)))
+  * }}}
+  * including null propagation: a missing map key makes element_at
+  * null and the whole running sum null — this loop returns null on the
+  * first missing key (once null, + keeps it null regardless of later
+  * terms). Map lookup replicates ArrayBasedMapData's element_at: a
+  * linear scan taking the FIRST matching key.
+  *
+  * Why native: the chain costs an interpreted lambda step plus an
+  * O(|dtab|) linear map scan per subspace per (probe, corpus-vector)
+  * pair — m·m·codes map-entry comparisons per scanned pair; this loop
+  * is the same scans without the lambda interpreter between them.
+  */
+case class AdcDistance(codes: Expression, dtab: Expression, codesPerSub: Int,
+    m: Int) extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = codes
+  override def right: Expression = dtab
+  override def prettyName: String = "graft_adc_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, dtab.dataType) match {
+      case (ArrayType(IntegerType, _), MapType(IntegerType, LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc_distance expects (array<int>, map<int, bigint>), got $l / $r")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codesAny: Any, dtabAny: Any): Any = {
+    val cs = codesAny.asInstanceOf[ArrayData]
+    val m = dtabAny.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    val keys = m.keyArray(); val vals = m.valueArray()
+    val nKeys = m.numElements()
+    // the chain iterates sequence(0, m-1) regardless of the array's
+    // length; an out-of-range element_at(codes, s+1) is null there
+    if (cs.numElements() < this.m) return null
+    var acc = 0L
+    var s = 0
+    while (s < this.m) {
+      val k = s * codesPerSub + cs.getInt(s)
+      var j = 0
+      var found = false
+      while (j < nKeys && !found) {
+        if (keys.getInt(j) == k) {
+          acc += vals.getLong(j); found = true
+        }
+        j += 1
+      }
+      if (!found) return null // element_at null → the whole sum is null
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, dtab = newRight)
 }

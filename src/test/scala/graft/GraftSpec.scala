@@ -4904,3 +4904,93 @@ class Mp4WalkSpec extends AnyFunSuite {
     assert(fmt == "wav" && rate == -1 && ch == -1 && dur == -1L)
   }
 }
+
+class NativeExprEquivalenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("CdcChunks matches the declarative codepoint/boundary/substr chain") {
+    import spark.implicits._
+    // deterministic texts incl. boundary-at-end, no-boundary, repeats
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "abcdefgh" * 7, "payload 0123456789 payload 0123456789",
+      "x" * 8, "mixed CASE and 12345 numbers  spaced")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").filter(length(col("text")) >= 8)
+    val l = length(col("text")).cast("long")
+    val cd = transform(sequence(lit(1L), l),
+      i => ascii(col("text").substr(i.cast("int"), lit(1))).cast("long"))
+    val dfc = df.withColumn("l", l).withColumn("cd", cd)
+    val bnd = filter(sequence(lit(4L), col("l")), i =>
+      (lit(8) * element_at(col("cd"), (i - 3).cast("int"))
+        + lit(4) * element_at(col("cd"), (i - 2).cast("int"))
+        + lit(2) * element_at(col("cd"), (i - 1).cast("int"))
+        + element_at(col("cd"), i.cast("int"))) % 32 === 0)
+    val cuts = sort_array(array_distinct(concat(array(lit(0L)), bnd,
+      array(col("l")))))
+    val chain = dfc.withColumn("cuts", cuts)
+      .select(col("doc_id"), transform(sequence(lit(2), size(col("cuts"))), j =>
+        col("text").substr(
+          (element_at(col("cuts"), (j - 1).cast("int")) + 1).cast("int"),
+          (element_at(col("cuts"), j.cast("int"))
+            - element_at(col("cuts"), (j - 1).cast("int"))).cast("int")))
+        .as("chunks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = df.select(col("doc_id"),
+      graft.functions.Vectors.cdcChunks(spark, col("text")).as("chunks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chain == native, s"diverged: ${chain.keySet.find(k => chain(k) != native(k))}")
+    // chunks reassemble the document exactly
+    for ((i, t) <- texts.zipWithIndex.map(_.swap))
+      if (t.length >= 8) assert(native(i.toLong).mkString == t)
+  }
+
+  test("NearestPqCode matches filter/transform/array_min; AdcDistance matches the lookup fold") {
+    import spark.implicits._
+    val xs = (0L until 40L).map { v =>
+      (v, (0 until 4).map(i => ((v * 31 + i * 7) % 17 - 8)), (v % 16).toInt)
+    }.toDF("vec_id", "xfp", "sub")
+      .select(col("vec_id"), col("xfp").cast("array<long>").as("xfp"), col("sub"))
+    val cb = (0 until 16).flatMap(sN => (0 until 4).map(c =>
+      (sN, c, (0 until 4).map(i => ((sN * 13 + c * 5 + i) % 11 - 5).toLong))))
+      .toDF("sub", "cell", "cfp")
+      .agg(collect_list(struct(col("sub"), col("cell"), col("cfp"))).as("cb"))
+    val j = xs.crossJoin(broadcast(cb))
+    val chain = j.select(col("vec_id"),
+      array_min(transform(
+        filter(col("cb"), c => c.getField("sub") === col("sub")),
+        c => struct(
+          aggregate(zip_with(col("xfp"), c.getField("cfp"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, t) => a + t).as("dist"),
+          c.getField("cell").as("cell")))).as("best"))
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val native = j.select(col("vec_id"),
+      graft.functions.Vectors.nearestPqCode(spark, col("xfp"), col("sub"),
+        col("cb")).as("best"))
+      .collect().map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(chain == native)
+
+    // AdcDistance vs the aggregate+element_at fold, incl. missing key
+    val codes = Seq((1L, (0 until 16).map(s => (s * 3) % 4)),
+      (2L, (0 until 16).map(_ => 0))).toDF("vec_id", "codes")
+      .select(col("vec_id"), col("codes").cast("array<int>").as("codes"))
+    val full = map_from_entries(transform(sequence(lit(0), lit(16 * 4 - 1)),
+      k => struct(k.as("k"), (k * 7L % 100).cast("long").as("d"))))
+    val partial = map_from_entries(transform(sequence(lit(0), lit(16 * 4 - 5)),
+      k => struct(k.as("k"), (k * 7L % 100).cast("long").as("d"))))
+    for (dtab <- Seq(full, partial)) {
+      val withTab = codes.withColumn("dtab", dtab)
+      val chainA = withTab.select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, sN) =>
+          acc + element_at(col("dtab"),
+            sN * 4 + element_at(col("codes"), sN + 1))).as("adist"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      val nativeA = withTab.select(col("vec_id"),
+        graft.functions.Vectors.adcDistance(spark, col("codes"), col("dtab"),
+          4, 16).as("adist"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(chainA == nativeA, s"ADC diverged: $chainA vs $nativeA")
+    }
+  }
+}
