@@ -119,6 +119,48 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming MERGE-with-deletes (Debezium-apply) sink: each
+    * micro-batch of the event changelog is applied to the lakehouse
+    * table through `TableSink.mergeByKey` — signup=INSERT,
+    * error=DELETE, everything else=UPDATE(value), the same op
+    * derivation as the batch `etl_merge_cdc` operator, so batch and
+    * streaming share ONE merge algebra (graft.sources.TableMerge).
+    * Exactly-once via the sink's idempotent txn = batchId (Delta's
+    * txnAppId/txnVersion contract); the last op per key within a batch
+    * wins by (ts_s, event_id). This is the missing link between the
+    * two seams: OffsetLedgerIngest's consumer contract upstream,
+    * TableSink's table-format contract downstream. */
+  def cdcMergeSink(spark: SparkSession, srcDir: String, targetDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    eventStreamFromDir(spark, srcDir, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_s"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcMergeBatch(targetDir)(batch, batchId)
+      }
+      .start()
+
+  /** The foreachBatch body of [[cdcMergeSink]], package-visible for
+    * direct retry-contract testing (same discipline as
+    * [[upsertBatch]]). */
+  private[graft] def cdcMergeBatch(targetDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val table = new graft.sources.ParquetVersionedTable(
+      batch.sparkSession, targetDir)
+    val changes = batch.select(
+      col("user_id"), col("value"), col("ts_s"), col("event_id"),
+      when(col("event_type") === "signup", lit("I"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U")).as("op"))
+    table.mergeByKey(changes, keyCols = Seq("user_id"),
+      ordCols = Seq("ts_s", "event_id"), opCol = Some("op"),
+      txn = Some(batchId))
+    ()
+  }
+
   /** CDC-style streaming upsert via foreachBatch: maintain a
     * latest-event-per-user table under `targetDir` as the stream
     * arrives. Each micro-batch is reduced to its per-key latest row

@@ -4994,3 +4994,78 @@ class NativeExprEquivalenceSpec extends AnyFunSuite {
     }
   }
 }
+
+class CdcMergeSinkSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def stage(): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_cdcm").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+    val ts = ev.selectExpr("percentile_approx(ts, array(0.33, 0.66))").head()
+      .getSeq[Any](0).map(_.toString.toLong)
+    val (t1, t2) = (ts(0), ts(1))
+    val t0 = System.currentTimeMillis()
+    Seq(col("ts") <= t1, col("ts") > t1 && col("ts") <= t2, col("ts") > t2)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val tmp = Files.createTempDirectory(s"graft_cdcm$i")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = Files.copy(part, Paths.get(dir, f"batch_$i%02d.parquet"))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+      }
+    dir
+  }
+
+  test("streaming CDC merge sink applies insert/update/delete like the batch merge") {
+    val dir = stage()
+    val target = java.nio.file.Files.createTempDirectory("graft_cdcm_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcm_ck").toString
+    val q = EventStreams.cdcMergeSink(spark, dir, target, ckpt, maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2, s"only ${q.lastProgress.batchId + 1} batches ran")
+    } finally q.stop()
+    val table = new graft.sources.ParquetVersionedTable(spark, target)
+    val got = table.current.get
+      .select("user_id", "value", "ts_s", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    // batch expectation: last op per user over ALL events; keys whose
+    // last op is DELETE (event_type = error) are absent; batches are
+    // time-ordered so sequential per-batch MERGE == one global merge
+    import org.apache.spark.sql.functions.{max_by, struct}
+    val want = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("value"), col("ts_s"), col("event_id"), col("event_type")),
+        struct(col("ts_s"), col("event_id"))).as("r"))
+      .filter(col("r.event_type") =!= "error")
+      .select(col("user_id"), col("r.value"), col("r.ts_s"), col("r.event_id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == want.size, s"table has ${got.size} keys, expected ${want.size}")
+    assert(got == want, s"diverged sample: ${(got.toSet -- want.toSet).take(3)}")
+    // versions accumulated (one per batch) and remain time-travelable
+    assert(table.versions.size >= 3, s"expected >=3 versions, got ${table.versions}")
+  }
+
+  test("cdcMergeBatch is idempotent under the same-batchId retry") {
+    val target = java.nio.file.Files.createTempDirectory("graft_cdcm_r").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .select("user_id", "event_id", "event_type", "value", "ts_s")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    def snap(): Seq[String] = {
+      val t = new graft.sources.ParquetVersionedTable(spark, target)
+      t.current.get.collect().map(_.toString).sorted.toSeq
+    }
+    EventStreams.cdcMergeBatch(target)(b0, 0L)
+    EventStreams.cdcMergeBatch(target)(b1, 1L)
+    val want = snap()
+    EventStreams.cdcMergeBatch(target)(b1, 1L) // post-commit retry: no-op
+    assert(snap() == want, "post-commit retry changed the snapshot")
+  }
+}
