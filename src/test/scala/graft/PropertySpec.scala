@@ -122,3 +122,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+class CdcChunksPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Reference implementation straight from the spec: codepoint values
+    * (what ascii()/ord return), a boundary after position i >= 4 when
+    * (8c[i-3]+4c[i-2]+2c[i-1]+c[i]) % 32 == 0, chunks between cuts. */
+  private def refChunks(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    val bnd = (4 to cps.length).filter { i =>
+      (8L * cps(i - 4) + 4L * cps(i - 3) + 2L * cps(i - 2) + cps(i - 1)) % 32 == 0
+    }
+    val cuts = (Seq(0) ++ bnd ++ Seq(cps.length)).distinct.sorted
+    cuts.sliding(2).map { case Seq(a, b) =>
+      new String(cps, a, b - a)
+    }.toSeq.filter(_.nonEmpty)
+  }
+
+  test("CdcChunks == reference over randomized ASCII and multi-byte text") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val asciiG = Gen.listOf(Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString)
+    val multiG = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(32, 126).map(_.toChar.toString),
+      Gen.oneOf("é", "ß", "日", "本", "語", "€", "𝕏", "—"))).map(_.mkString)
+    val texts = (Gen.listOfN(40, asciiG).sample.get ++
+      Gen.listOfN(40, multiG).sample.get).filter(_.nonEmpty)
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.Vectors.cdcChunks(spark, col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refChunks(t).toList, s"text=${t.take(40)}…")
+      assert(got(i.toLong).mkString == t, "chunks must reassemble the text")
+    }
+  }
+}
