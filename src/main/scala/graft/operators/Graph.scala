@@ -1277,20 +1277,27 @@ object Graph {
         .withColumn("v", lit(FP)))
       var an: DataFrame = null
       for (_ <- 0 until HitsRounds) {
+        // each half-step's join+agg is read TWICE (the 1-row total's
+        // broadcast job, then the checkpoint materialization); persist
+        // the node-sized aggregate so the edge join runs once per
+        // half-step — evaluation strategy only, results identical.
+        // The eager cut() makes the unpersist safe immediately after.
         val ar = edges.join(h, Seq("c"))
-          .groupBy(col("p")).agg(sum(col("v")).as("av"))
+          .groupBy(col("p")).agg(sum(col("v")).as("av")).persist()
         val ta = ar.agg(sum(col("av")).as("tot"))
         an = cut(ar.crossJoin(broadcast(ta))
           .select(col("p"),
             floor(col("av").cast(DoubleType) / col("tot") * lit(pfp))
               .cast(LongType).as("v")))
+        ar.unpersist()
         val hr = edges.join(an, Seq("p"))
-          .groupBy(col("c")).agg(sum(col("v")).as("hv"))
+          .groupBy(col("c")).agg(sum(col("v")).as("hv")).persist()
         val th = hr.agg(sum(col("hv")).as("tot"))
         h = cut(hr.crossJoin(broadcast(th))
           .select(col("c"),
             floor(col("hv").cast(DoubleType) / col("tot") * lit(cfp))
               .cast(LongType).as("v")))
+        hr.unpersist()
       }
       val auth = an.orderBy(col("v").desc, col("p").asc).limit(10)
         .select(lit("authority").as("kind"), col("p").as("node_id"),
