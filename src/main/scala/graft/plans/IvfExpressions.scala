@@ -23,7 +23,11 @@ import org.apache.spark.sql.types._
   * right from 0.0 (= zip_with+aggregate = HyperplaneDot); rounding is
   * Spark `Round(_, 6)`'s own double path (NaN/Inf pass through, else
   * `BigDecimal.valueOf(x).setScale(6, HALF_UP)`); the double ordering
-  * is Spark's nan-safe array-sort ordering (NaN largest, -0.0 == 0.0).
+  * is Spark's nan-safe array-sort ordering (NaN largest, -0.0 == 0.0);
+  * a centroid whose `cvec` length differs from the vector's yields a
+  * NULL `neg` that sorts FIRST among the cells (zip_with pads the
+  * shorter array with nulls → null dot → null neg, and sort_array's
+  * struct ordering puts the null field smallest ascending).
   *
   * Why native: the lambda-interpreter chain allocates and re-sorts a
   * cells-long struct array per row, which at N·cells scale IS the IVF
@@ -83,41 +87,58 @@ case class TopCellsByCos(emb: Expression, na: Expression, cents: Expression,
     val cs = centsAny.asInstanceOf[ArrayData]
     val nCells = cs.numElements()
     val k = math.min(topN, nCells)
-    // bounded scratch, kept sorted ascending by (neg, cell)
+    // bounded scratch, kept sorted ascending by (neg, cell); a null neg
+    // (length-mismatched centroid — zip_with pads with nulls, so the
+    // chain's dot and hence neg is null) sorts FIRST, exactly like
+    // sort_array's struct ordering (null field smallest ascending)
     val negs = new Array[Double](k)
+    val negNull = new Array[Boolean](k)
     val cells = new Array[Int](k)
     var filled = 0
+    // (nullX, x) < (nullY, y) under Spark's struct ordering
+    def lt(xNull: Boolean, x: Double, cx: Int,
+        yNull: Boolean, y: Double, cy: Int): Boolean =
+      if (xNull && yNull) cx < cy
+      else if (xNull) true
+      else if (yNull) false
+      else nanSafeLt(x, y) || (nanSafeEq(x, y) && cx < cy)
     var j = 0
     while (j < nCells) {
       val st = cs.getStruct(j, 3)
       val cell = st.getInt(0)
       val cvec = st.getArray(1)
       val nb = st.getDouble(2)
-      val n = math.min(a.numElements(), cvec.numElements())
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        dot += a.getFloat(i).toDouble * cvec.getDouble(i)
-        i += 1
+      val mismatch = a.numElements() != cvec.numElements()
+      var neg = 0.0
+      if (!mismatch) {
+        var dot = 0.0
+        var i = 0
+        val n = a.numElements()
+        while (i < n) {
+          dot += a.getFloat(i).toDouble * cvec.getDouble(i)
+          i += 1
+        }
+        val cos = dot / math.sqrt(naV * nb)
+        // Spark Round(double, 6): NaN/Inf unchanged, else HALF_UP via the
+        // decimal string representation (BigDecimal.valueOf)
+        val rounded =
+          if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+          else java.math.BigDecimal.valueOf(cos)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        neg = -rounded
       }
-      val cos = dot / math.sqrt(naV * nb)
-      // Spark Round(double, 6): NaN/Inf unchanged, else HALF_UP via the
-      // decimal string representation (BigDecimal.valueOf)
-      val rounded =
-        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
-        else java.math.BigDecimal.valueOf(cos)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      val neg = -rounded
       // insert into the sorted scratch if it beats the current worst
-      val beats = filled < k || nanSafeLt(neg, negs(filled - 1)) ||
-        (nanSafeEq(neg, negs(filled - 1)) && cell < cells(filled - 1))
+      val beats = filled < k ||
+        lt(mismatch, neg, cell, negNull(filled - 1), negs(filled - 1),
+          cells(filled - 1))
       if (beats) {
         var p = math.min(filled, k - 1) // insertion slot (worst drops off)
-        while (p > 0 && (nanSafeLt(neg, negs(p - 1)) ||
-            (nanSafeEq(neg, negs(p - 1)) && cell < cells(p - 1)))) {
-          negs(p) = negs(p - 1); cells(p) = cells(p - 1); p -= 1
+        while (p > 0 && lt(mismatch, neg, cell, negNull(p - 1), negs(p - 1),
+            cells(p - 1))) {
+          negs(p) = negs(p - 1); negNull(p) = negNull(p - 1)
+          cells(p) = cells(p - 1); p -= 1
         }
-        negs(p) = neg; cells(p) = cell
+        negs(p) = neg; negNull(p) = mismatch; cells(p) = cell
         if (filled < k) filled += 1
       }
       j += 1
@@ -125,7 +146,7 @@ case class TopCellsByCos(emb: Expression, na: Expression, cents: Expression,
     val out = new Array[Any](filled)
     var r = 0
     while (r < filled) {
-      out(r) = InternalRow(negs(r), cells(r))
+      out(r) = InternalRow(if (negNull(r)) null else negs(r), cells(r))
       r += 1
     }
     new GenericArrayData(out)
@@ -146,9 +167,14 @@ case class TopCellsByCos(emb: Expression, na: Expression, cents: Expression,
   *   array_min(transform(filter(cb, c => c.sub === sub),
   *     c => struct(sum((xfp-cfp)²).as("dist"), c.cell.as("cell"))))
   * }}}
-  * — exact long L2 over the zip (shorter-array length bounds the sum,
-  * like zip_with), minimum by (dist ASC, cell ASC), null when the
-  * subspace has no codebook entry (array_min of an empty array).
+  * — exact long L2 over the zip, minimum by (dist ASC, cell ASC), null
+  * when the subspace has no codebook entry (array_min of an empty
+  * array). A code whose `cfp` length differs from the vector's yields a
+  * NULL dist (zip_with pads the shorter array with nulls → null sum)
+  * which the struct ordering treats as SMALLEST — exactly what
+  * array_min over the chain produces — so a mismatched-dim codebook
+  * surfaces as `struct(null, min mismatched cell)`, never a silently
+  * truncated distance.
   *
   * Why native: the chain runs an interpreted filter over all m×codes
   * codebook structs per (vector, subspace) row plus a lambda L2 per
@@ -193,6 +219,7 @@ case class NearestPqCode(xfp: Expression, sub: Expression, cb: Expression)
     val mySub = subAny.asInstanceOf[Int]
     val codes = cbAny.asInstanceOf[ArrayData]
     var bestDist = Long.MaxValue; var bestCell = Int.MaxValue
+    var bestIsNull = false // null dist sorts SMALLEST (struct ordering)
     var found = false
     var j = 0
     val nCodes = codes.numElements()
@@ -201,21 +228,30 @@ case class NearestPqCode(xfp: Expression, sub: Expression, cb: Expression)
       if (st.getInt(0) == mySub) {
         val cfp = st.getArray(2)
         val cell = st.getInt(1)
-        val n = math.min(x.numElements(), cfp.numElements())
+        val mismatch = x.numElements() != cfp.numElements()
         var d = 0L
-        var i = 0
-        while (i < n) {
-          val t = x.getLong(i) - cfp.getLong(i)
-          d += t * t
-          i += 1
+        if (!mismatch) {
+          var i = 0
+          val n = x.numElements()
+          while (i < n) {
+            val t = x.getLong(i) - cfp.getLong(i)
+            d += t * t
+            i += 1
+          }
         }
-        if (!found || d < bestDist || (d == bestDist && cell < bestCell)) {
-          bestDist = d; bestCell = cell; found = true
+        val beats =
+          if (mismatch && bestIsNull) cell < bestCell
+          else if (mismatch) true
+          else if (bestIsNull) false
+          else d < bestDist || (d == bestDist && cell < bestCell)
+        if (!found || beats) {
+          bestDist = d; bestCell = cell; bestIsNull = mismatch; found = true
         }
       }
       j += 1
     }
-    if (!found) null else InternalRow(bestDist, bestCell)
+    if (!found) null
+    else InternalRow(if (bestIsNull) null else bestDist, bestCell)
   }
 
   override protected def withNewChildrenInternal(

@@ -3,7 +3,10 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
 
 /** The lakehouse table-format seam: every mutation graft performs on a
   * managed table goes through this four-method contract, so swapping
@@ -34,10 +37,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    `IllegalArgumentException` on drift.
   *  - '''idempotent transactions''' — the optional `txn` version is
   *    Delta's `txnAppId`/`txnVersion` pair (and Structured Streaming's
-  *    `foreachBatch` batchId): committing the version already recorded
-  *    in the table pointer is a no-op, which is what makes the
-  *    streaming upsert sink exactly-once under Spark's same-batchId
-  *    retry.
+  *    `foreachBatch` batchId): committing any version AT OR BELOW the
+  *    one already recorded in the table pointer is a no-op (Delta's
+  *    `txnVersion <= last recorded ⇒ replay, skip` contract), which is
+  *    what makes the streaming upsert sink exactly-once under Spark's
+  *    same-batchId retry — and keeps a STALE retry (txn v arriving
+  *    after v+1 committed) from rolling the pointer backwards.
   *
   * Every method that mutates returns the committed version number.
   */
@@ -121,12 +126,30 @@ object TableMerge {
 final class ParquetVersionedTable(spark: SparkSession, dir: String)
     extends TableSink {
 
-  private val pointerPath = Paths.get(dir, "_latest")
+  // All pointer/catalog IO rides the Hadoop FileSystem API (the
+  // AvroConnector discipline): temp-file + same-directory rename works
+  // identically on posix, HDFS and rename-capable object stores, so
+  // the parquet implementation is object-store-honest, not
+  // java.io-local. rename() onto an existing path is not atomic-replace
+  // everywhere, so the flip deletes the old pointer first — a reader
+  // racing the flip re-reads the versions catalog (see currentVersion).
+  private def fs: FileSystem =
+    FileSystem.get(URI.create(dir), spark.sparkContext.hadoopConfiguration)
 
-  def currentVersion: Option[Long] =
-    if (Files.exists(pointerPath))
-      Some(new String(Files.readAllBytes(pointerPath)).trim.toLong)
-    else None
+  private val pointerPath = new Path(dir, "_latest")
+
+  def currentVersion: Option[Long] = {
+    val f = fs
+    if (f.exists(pointerPath)) {
+      val in = f.open(pointerPath)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8)
+          .trim.toLong)
+      } finally in.close()
+    } else None
+  }
 
   def current: Option[DataFrame] = currentVersion.map(snapshot)
 
@@ -134,10 +157,11 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
     spark.read.parquet(s"$dir/v=$version")
 
   def versions: Seq[Long] = {
-    val d = new java.io.File(dir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().iterator
-      .map(_.getName).filter(_.startsWith("v="))
+    val f = fs
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).iterator
+      .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong).toSeq.sorted
   }
 
@@ -151,21 +175,36 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
   }
 
   /** Commit protocol shared by all mutations: idempotent-retry check on
-    * the transaction version, version-directory write, atomic pointer
-    * flip. A retry that lost the flip rebuilds the same version
-    * deterministically and overwrites it; a post-flip retry no-ops. */
+    * the transaction version, version-directory write, pointer flip.
+    * Delta's `txnAppId`/`txnVersion` contract: ANY `txn` at or below the
+    * recorded version is a replay and no-ops (returns `txn` untouched) —
+    * a stale retry of version v arriving after v+1 committed must never
+    * rebuild v and flip the pointer backwards, discarding v+1. Only a
+    * txn STRICTLY ABOVE the current version (or an unversioned commit)
+    * builds and flips. A pre-flip retry rebuilds the same version
+    * deterministically and overwrites it before flipping. */
   private def commit(txn: Option[Long])(build: Long => DataFrame): Long = {
     val cv = currentVersion
-    txn.filter(cv.contains) match {
-      case Some(v) => v // post-commit retry of this exact transaction
+    txn.filter(t => cv.exists(t <= _)) match {
+      case Some(v) => v // replay of an already-committed transaction
       case None =>
         val v = txn.getOrElse(cv.fold(0L)(_ + 1L))
         build(v).write.mode("overwrite").parquet(s"$dir/v=$v")
-        Files.createDirectories(pointerPath.getParent)
-        val tmp = Files.createTempFile(pointerPath.getParent, "_latest_", ".tmp")
-        Files.write(tmp, v.toString.getBytes)
-        Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        val f = fs
+        f.mkdirs(pointerPath.getParent)
+        val tmp = new Path(pointerPath.getParent,
+          s"_latest_$v.tmp")
+        val out = f.create(tmp, true)
+        try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // FileContext.rename(OVERWRITE) is Hadoop's atomic-replace
+        // contract (HDFS-atomic; posix rename underneath locally) —
+        // readers see the old or the new pointer, never a torn one
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(URI.create(dir),
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, pointerPath,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         v
     }
   }
@@ -182,6 +221,17 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
   def mergeByKey(changes: DataFrame, keyCols: Seq[String],
       ordCols: Seq[String], opCol: Option[String] = None,
       txn: Option[Long] = None): Long = {
+    // Null merge keys are rejected up front: a null key never joins
+    // (=== is null-rejecting, like MERGE's ON), so such a row would be
+    // mislabeled 'kept' and surface as an all-null snapshot row. Delta
+    // MERGE would INSERT it as an unmatched source row — an unkeyed
+    // record in a keyed table, which later merges can never address —
+    // so fail fast instead, the same posture as schema drift.
+    val nullKeyed = changes.filter(
+      keyCols.map(col(_).isNull).reduce(_ || _))
+    require(nullKeyed.isEmpty,
+      s"mergeByKey rejects change rows with null merge keys " +
+        s"(${keyCols.mkString(",")}); filter them upstream")
     val last = TableMerge.lastChangePerKey(changes, keyCols, ordCols)
     // The stored payload is the TABLE's column set — changelog-only
     // bookkeeping columns (op codes, sequence numbers absent from the

@@ -4773,6 +4773,44 @@ class TableSinkSpec extends AnyFunSuite {
       rowsOf(t.current.get) == Set((2L, "b", 2.0)))
   }
 
+  test("TableSink stale txn retry after a later commit never rolls the pointer back") {
+    import spark.implicits._
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "x"), txn = Some(7L))
+    t.overwrite(Seq((2L, "b", 2.0)).toDF("k", "s", "x"), txn = Some(8L))
+    assert(t.currentVersion.contains(8L))
+    // the two-writer hazard: a LATE retry of txn 7 arrives after txn 8
+    // committed — Delta's txnVersion contract says replay ⇒ no-op; the
+    // pointer must stay at 8 and v=8's snapshot must stay intact
+    val got = t.overwrite(Seq((9L, "stale", 9.0)).toDF("k", "s", "x"),
+      txn = Some(7L))
+    assert(got == 7L, "replayed txn reports its own version")
+    assert(t.currentVersion.contains(8L),
+      "stale retry must not flip the pointer backwards")
+    assert(rowsOf(t.current.get) == Set((2L, "b", 2.0)),
+      "later version's data must survive the stale retry")
+    // same contract on mergeByKey (the streaming CDC sink path)
+    t.mergeByKey(Seq((1L, "x", 0.0, 1L)).toDF("k", "s", "x", "ord"),
+      keyCols = Seq("k"), ordCols = Seq("ord"), txn = Some(3L))
+    assert(t.currentVersion.contains(8L) &&
+      rowsOf(t.current.get) == Set((2L, "b", 2.0)))
+  }
+
+  test("TableSink.mergeByKey rejects change rows with null merge keys") {
+    import spark.implicits._
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("k", "s", "x"))
+    val changes = Seq(
+      (Some(2L), "b", 2.0, 1L), (Option.empty[Long], "n", 0.0, 2L),
+    ).toDF("k", "s", "x", "ord")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeByKey(changes, keyCols = Seq("k"), ordCols = Seq("ord"))
+    }
+    assert(e.getMessage.contains("null merge keys"))
+    assert(t.currentVersion.contains(0L), "rejected merge must not commit")
+    assert(rowsOf(t.current.get) == Set((1L, "a", 1.0)))
+  }
+
   test("TableMerge.outerMergeWithActions labels kept/inserted/updated like MERGE") {
     import spark.implicits._
     val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("bk", "bx")
@@ -4805,7 +4843,8 @@ class IvfBuildSpec extends AnyFunSuite {
     val cents = (0 until 6).map { c =>
       val base = vec(100L + c / 2) // pairs of duplicate centroids → cosine ties
       (c, base.map(_.toDouble))
-    }
+    } :+ (6, vec(200L).take(dim - 2).map(_.toDouble)) // length-mismatched
+    // centroid: zip_with pads → null neg, which must sort FIRST
     val centDf = cents.toDF("cell", "cvec")
       .withColumn("nb", aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
       .agg(collect_list(struct(col("cell"), col("cvec"), col("nb"))).as("cents"))
@@ -4952,8 +4991,11 @@ class NativeExprEquivalenceSpec extends AnyFunSuite {
       (v, (0 until 4).map(i => ((v * 31 + i * 7) % 17 - 8)), (v % 16).toInt)
     }.toDF("vec_id", "xfp", "sub")
       .select(col("vec_id"), col("xfp").cast("array<long>").as("xfp"), col("sub"))
-    val cb = (0 until 16).flatMap(sN => (0 until 4).map(c =>
+    val cb = ((0 until 16).flatMap(sN => (0 until 4).map(c =>
       (sN, c, (0 until 4).map(i => ((sN * 13 + c * 5 + i) % 11 - 5).toLong))))
+      // sub 3 also carries two length-mismatched codes (dims 3 and 5):
+      // zip_with pads → null dist, array_min prefers it, cell ASC breaks
+      :+ (3, 9, Seq(1L, 2L, 3L)) :+ (3, 7, Seq(1L, 2L, 3L, 4L, 5L)))
       .toDF("sub", "cell", "cfp")
       .agg(collect_list(struct(col("sub"), col("cell"), col("cfp"))).as("cb"))
     val j = xs.crossJoin(broadcast(cb))

@@ -171,11 +171,28 @@ def main():
         def round_of(p):
             m = re.search(r"_r(\d+)", os.path.basename(p) if p else "")
             return int(m.group(1)) if m else -1
-        if mirror_path and round_of(graded_path) < round_of(mirror_path):
+        # The bypass must not also forgive a TRUNCATED earlier-round
+        # gate run: the earlier artifact still has to be complete FOR
+        # ITS OWN ROUND, i.e. match that round's committed local mirror
+        # (each round's close commits CORRECTNESS_local_r{N}.json).
+        def earlier_round_complete(gp, gn):
+            rn = round_of(gp)
+            for pat in (f"CORRECTNESS_local_r{rn:02d}.json",
+                        f"CORRECTNESS_local_r{rn}.json"):
+                mp = os.path.join(root, pat)
+                if os.path.exists(mp):
+                    try:
+                        return gn == len(json.load(open(mp)))
+                    except Exception:
+                        return False
+            return False  # no same-round mirror to attest completeness
+        if (mirror_path and round_of(graded_path) < round_of(mirror_path)
+                and earlier_round_complete(graded_path, n_graded)):
             print(f"\nguard note: graded artifact is round "
-                  f"{round_of(graded_path)} ({n_graded} entries); registry "
-                  f"grew to {expect} this round — driver re-grades at round "
-                  f"end (expected mid-round state)")
+                  f"{round_of(graded_path)} ({n_graded} entries, complete "
+                  f"for its own round); registry grew to {expect} this "
+                  f"round — driver re-grades at round end (expected "
+                  f"mid-round state)")
         else:
             print(f"\n*** GUARD FAIL: graded artifact has {n_graded} entries "
                   f"but the registry has {expect} queries — "
