@@ -606,6 +606,44 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Avro LOGICAL-type roundtrip — decimal (bytes + schema scale),
+    // date (int epoch days), timestamp-micros — the first three types
+    // any warehouse Avro feed carries. The decimals are CONSTRUCTED
+    // exactly (fixed-point long → exact decimal division, no
+    // double→decimal rounding ties), written through the connector's
+    // bytes+logicalType mapping, read back as DECIMAL(12,2)/(18,4),
+    // and the oracle recomputes the same values from the ORIGINAL
+    // parquet — an unscaled-byte corruption, a scale shift, a lost
+    // day or a truncated microsecond all hash-fail.
+    "src_avro_logical" -> QueryDef.withOracle(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) / 100.0 AS qty_dbl,
+        |  CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) / 10000.0 AS price_dbl,
+        |  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT)
+        |    AS ship_epoch_day,
+        |  CAST(epoch_us(l_shipdate) AS BIGINT) AS ship_us
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val tmp = Files.createTempDirectory("graft_avro_log").toString
+      val src = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (floor(col("l_quantity") * 100 + 0.5).cast(LongType)
+          .cast(DecimalType(14, 0)) / 100).cast(DecimalType(12, 2)).as("qty_dec"),
+        (floor(col("l_extendedprice") * 10000 + 0.5).cast(LongType)
+          .cast(DecimalType(24, 0)) / 10000).cast(DecimalType(18, 4)).as("price_dec"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        col("l_shipdate").as("ship_ts"))
+      Connectors.writeAvro(src, tmp)
+      Connectors.readAvro(s, tmp, src.schema)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("qty_dec").cast(DoubleType).as("qty_dbl"),
+          col("price_dec").cast(DoubleType).as("price_dbl"),
+          date_format(col("ship_date"), "yyyy-MM-dd").as("ship_day"),
+          datediff(col("ship_date"), lit("1970-01-01")).as("ship_epoch_day"),
+          unix_micros(col("ship_ts")).as("ship_us"))
+    },
+
+    // ------------------------------------------------------------------
     // JDBC roundtrip through a REAL DriverManager path: the supplier
     // table is written to an embedded Apache Derby database (on the
     // Spark classpath — the same engine Spark's own metastore embeds)

@@ -1383,52 +1383,62 @@ object Similarity {
             / (col("n") * lit(1024.0) * col("n") * lit(1024.0)) + 0.5)
             .cast(LongType).as("d2fp"))
       val wc = d2.groupBy(col("cell")).agg(sum(col("d2fp")).as("wfp"))
-      val wt = wc.agg(sum(col("wfp")).as("wfp_all"), count(lit(1)).as("k"))
-      val nv = pts.agg(count(lit(1)).as("nn"))
-      val g = sc.groupBy(col("pos")).agg(sum(col("sv")).as("gv"))
-      val bt = sc.join(g, "pos").join(nc, "cell").crossJoin(broadcast(nv))
-        .select(col("cell"),
-          floor(pow(col("sv").cast(DoubleType) * col("nn")
-              - col("gv").cast(DoubleType) * col("n"), 2)
-            / (col("n").cast(DoubleType) * col("nn") * col("nn")
-              * lit(1024) * lit(1024))
-            * lit(1.0e9) + 0.5).cast(LongType).as("bc"))
-        .groupBy(col("cell")).agg(sum(col("bc")).as("bfp"))
-      val btot = bt.agg(sum(col("bfp")).as("bfp_all"))
-      val m2 = sc.as("a")
-        .join(sc.as("b"),
-          col("b.pos") === col("a.pos") && col("b.cell") =!= col("a.cell"))
-        .join(nc.select(col("cell").as("ca"), col("n").as("na")),
-          col("a.cell") === col("ca"))
-        .join(nc.select(col("cell").as("cb"), col("n").as("nb")),
-          col("b.cell") === col("cb"))
-        .select(col("a.cell").as("ci"), col("b.cell").as("cj"),
-          floor(pow(col("a.sv").cast(DoubleType) * col("nb")
-              - col("b.sv").cast(DoubleType) * col("na"), 2)
-            / pow(col("na").cast(DoubleType) * col("nb") * lit(1024), 2)
-            * lit(1.0e9) + 0.5).cast(LongType).as("mc"))
-        .groupBy(col("ci"), col("cj")).agg(sum(col("mc")).as("m2fp"))
-      val si = wc.join(nc, "cell")
-        .select(col("cell"),
-          sqrt(col("wfp").cast(DoubleType) / lit(1.0e6) / col("n")).as("s"))
-      val dbt = m2
-        .join(si.select(col("cell").as("ci"), col("s").as("sa")), "ci")
-        .join(si.select(col("cell").as("cj"), col("s").as("sb")), "cj")
-        .groupBy(col("ci"))
-        .agg(floor(max((col("sa") + col("sb"))
-          / sqrt(col("m2fp").cast(DoubleType) / lit(1.0e9)))
-          * lit(1.0e9) + 0.5).cast(LongType).as("dbfp"))
-      val dbs = dbt.agg(sum(col("dbfp")).as("sdb"))
-      broadcast(nv).crossJoin(broadcast(wt)).crossJoin(broadcast(btot))
-        .crossJoin(broadcast(dbs))
-        .select(col("nn").as("n_vectors"), col("k").cast(IntegerType).as("k_cells"),
-          (col("wfp_all").cast(DoubleType) / lit(1.0e6)).as("wss"),
-          (col("bfp_all").cast(DoubleType) / lit(1.0e9)).as("bss"),
-          (floor((col("bfp_all").cast(DoubleType) / lit(1.0e9) / (col("k") - 1))
-            / (col("wfp_all").cast(DoubleType) / lit(1.0e6) / (col("nn") - col("k")))
-            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("ch_index"),
-          (floor(col("sdb").cast(DoubleType) / (col("k") * lit(1000.0)) + 0.5)
-            / lit(1.0e6)).as("db_index"))
+      // Everything past wc is ≤k (nc, wc) or ≤k×d (sc) bookkeeping —
+      // at the cells ∝ √corpus knob rule that is k²·d driver flops
+      // (k=16 default: ~16k; k=2000: 2.6e8, still sub-second), never
+      // corpus-scale — so the between-scatter / centroid-pair / DB-max
+      // fold runs DRIVER-SIDE from three BOUNDED collects (k, k, k×d
+      // rows) instead of ~25 tiny exchanges: the distributed form's
+      // warm cost was pure stage-scheduling latency (measured 40
+      // stages/257 tasks ≈ 2.1 s at sf0.1 with IDENTICAL counts solo
+      // and in-suite — the r12 "creep" was this noise floor, not cache
+      // interaction; SuiteCreepProbe has the instrumentation). Every
+      // double/floor/pow op below mirrors the previous distributed
+      // expressions 1:1, so the DuckDB oracle is bit-unchanged.
+      val scRows = sc.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val ncM = nc.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val wcRows = wc.collect().map(r => (r.getInt(0), r.getLong(1)))
+      val nn = ncM.values.sum
+      val k = wcRows.length.toLong // wt.k = count(*) FROM wc
+      val wfpAll = wcRows.map(_._2).sum
+      // g: per-pos global sums (exact longs, order-free)
+      val g = scRows.groupBy(_._2).map { case (p, rs) => p -> rs.map(_._3).sum }
+      // bt/btot: between-cell scatter, per-(cell,pos) floor, exact sums
+      val btot = scRows.map { case (cell, pos, sv) =>
+        val n = ncM(cell)
+        math.floor(math.pow(sv.toDouble * nn - g(pos).toDouble * n, 2)
+          / (n.toDouble * nn * nn * 1024 * 1024) * 1.0e9 + 0.5).toLong
+      }.sum
+      // m2: centroid pair distances (k² ordered pairs × d positions)
+      val scByCell = scRows.groupBy(_._1)
+        .map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
+      val cells = scByCell.keys.toSeq.sorted
+      val m2 = (for { ci <- cells; cj <- cells if ci != cj } yield {
+        val na = ncM(ci); val nb = ncM(cj)
+        val a = scByCell(ci); val b = scByCell(cj)
+        (ci, cj) -> a.keysIterator.map { pos =>
+          math.floor(math.pow(a(pos).toDouble * nb - b(pos).toDouble * na, 2)
+            / math.pow(na.toDouble * nb * 1024, 2) * 1.0e9 + 0.5).toLong
+        }.sum
+      }).toMap
+      val si = wcRows.map { case (c, wfp) =>
+        c -> math.sqrt(wfp.toDouble / 1.0e6 / ncM(c))
+      }.toMap
+      // dbt/dbs: Davies-Bouldin worst-pair per cell, floored ×1e9
+      val dbs = cells.map { ci =>
+        val worst = cells.iterator.filter(_ != ci).map { cj =>
+          (si(ci) + si(cj)) / math.sqrt(m2((ci, cj)).toDouble / 1.0e9)
+        }.max
+        math.floor(worst * 1.0e9 + 0.5).toLong
+      }.sum
+      val wss = wfpAll.toDouble / 1.0e6
+      val bss = btot.toDouble / 1.0e9
+      val chIndex = math.floor((btot.toDouble / 1.0e9 / (k - 1))
+        / (wfpAll.toDouble / 1.0e6 / (nn - k)) * 1.0e6 + 0.5) / 1.0e6
+      val dbIndex = math.floor(dbs.toDouble / (k * 1000.0) + 0.5) / 1.0e6
+      import s.implicits._
+      Seq((nn, k.toInt, wss, bss, chIndex, dbIndex))
+        .toDF("n_vectors", "k_cells", "wss", "bss", "ch_index", "db_index")
     },
 
     // ------------------------------------------------------------------

@@ -36,9 +36,15 @@ import scala.jdk.CollectionConverters._
   * executors cannot occur.
   *
   * Schema mapping covers the flat lake types (long/int/double/float/
-  * boolean/string/binary/timestamp-micros) plus ARRAYS of them
-  * (`array<float>` embeddings roundtrip — see src_avro_embeddings),
-  * nullable via the standard `["null", T]` union.
+  * boolean/string/binary) plus ARRAYS of them (`array<float>`
+  * embeddings roundtrip — see src_avro_embeddings), nullable via the
+  * standard `["null", T]` union, and the three LOGICAL types every
+  * warehouse Avro feed carries (see src_avro_logical):
+  *  - decimal(p, s) → `bytes` + `decimal` logical type: the unscaled
+  *    two's-complement big-endian integer, scale carried by the
+  *    schema (the Avro spec's decimal encoding);
+  *  - date → `int` + `date` logical type (days since epoch);
+  *  - timestamp → `long` + `timestamp-micros` logical type.
   */
 object AvroConnector {
 
@@ -53,6 +59,12 @@ object AvroConnector {
     case TimestampType =>
       val s = Schema.create(Schema.Type.LONG)
       org.apache.avro.LogicalTypes.timestampMicros().addToSchema(s)
+    case DateType =>
+      val s = Schema.create(Schema.Type.INT)
+      org.apache.avro.LogicalTypes.date().addToSchema(s)
+    case dt: DecimalType =>
+      val s = Schema.create(Schema.Type.BYTES)
+      org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale).addToSchema(s)
     case ArrayType(elem, containsNull) =>
       val e = avroBase(elem)
       Schema.createArray(
@@ -76,25 +88,42 @@ object AvroConnector {
     }.endRecord()
   }
 
-  /** Spark value → Avro datum (recursive for arrays). */
-  private def toAvro(v: Any): AnyRef = v match {
-    case null => null
-    case ts: java.sql.Timestamp =>
+  /** Spark value → Avro datum for the declared Catalyst type
+    * (recursive for arrays). */
+  private def toAvro(v: Any, dt: DataType): AnyRef = (v, dt) match {
+    case (null, _) => null
+    case (ts: java.sql.Timestamp, _) =>
       java.lang.Long.valueOf(ts.getTime * 1000 + (ts.getNanos / 1000) % 1000)
-    case b: Array[Byte] => ByteBuffer.wrap(b)
-    case xs: scala.collection.Seq[_] => xs.map(toAvro).asJava
-    case x => x.asInstanceOf[AnyRef]
+    case (d: java.sql.Date, DateType) => // Avro date = days since epoch
+      java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+    case (bd: java.math.BigDecimal, t: DecimalType) =>
+      // Avro decimal: unscaled two's-complement big-endian bytes at the
+      // SCHEMA's scale (rescale defensively — Spark rows normally carry
+      // the column scale already, and setScale at the same scale is a
+      // no-op; a genuine mismatch must not silently shift the point)
+      ByteBuffer.wrap(
+        bd.setScale(t.scale, java.math.RoundingMode.UNNECESSARY)
+          .unscaledValue().toByteArray)
+    case (b: Array[Byte], _) => ByteBuffer.wrap(b)
+    case (xs: scala.collection.Seq[_], ArrayType(elem, _)) =>
+      xs.map(toAvro(_, elem)).asJava
+    case (x, _) => x.asInstanceOf[AnyRef]
   }
 
   /** Avro datum → Spark value for the declared Catalyst type. */
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (v, StringType) => v.toString
+    case (v: ByteBuffer, t: DecimalType) =>
+      val b = new Array[Byte](v.remaining()); v.get(b)
+      new java.math.BigDecimal(new java.math.BigInteger(b), t.scale)
     case (v: ByteBuffer, BinaryType) =>
       val b = new Array[Byte](v.remaining()); v.get(b); b
     case (v: java.lang.Long, TimestampType) =>
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         v / 1000000L, (v % 1000000L) * 1000))
+    case (v: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.longValue()))
     case (v: java.util.Collection[_], ArrayType(elem, _)) =>
       v.asScala.map(fromAvro(_, elem)).toSeq
     case (v, _) => v
@@ -132,7 +161,7 @@ object AvroConnector {
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < sparkSchema.length) {
-            rec.put(i, toAvro(row.get(i)))
+            rec.put(i, toAvro(row.get(i), sparkSchema(i).dataType))
             i += 1
           }
           writer.append(rec)
