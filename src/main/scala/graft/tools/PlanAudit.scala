@@ -360,8 +360,14 @@ object PlanAudit {
       // LOF stacks the full knn_graph pipeline (13) + the kdist agg,
       // reach/lrd joins and the final assembly — every added exchange
       // moves the 3-per-src kNN relation or the per-node kd/lrd rows,
-      // never the corpus (15 measured in the full-suite sweep)
-      "embedding_lof" -> 16,
+      // never the corpus. The COUNT is audit-order-sensitive: when the
+      // shared IVF-build/knn persists are already materialized by an
+      // earlier-audited consumer, InMemoryRelation collapses their
+      // subtrees (15 measured then); audited first — registry growth
+      // reshuffles the HashMap order — the build's own k×d bookkeeping
+      // aggregation exchanges stay visible (19 measured in the r13
+      // sweep). Allow the cold shape; both are corpus-safe.
+      "embedding_lof" -> 19,
       // recall eval stacks the full ann_ivf_topk pipeline (13) on the
       // exact ranking (2) plus the K×NPROBES-row compare joins — every
       // added exchange rides the two top-K outputs, never the corpus

@@ -70,6 +70,15 @@ object ScaleEvidence {
         s""""shuffle_records":${shuffleRecords.get - r0}$extraJson}""")
     }
 
+    // SPARK_GRAFT_FAMILIES restricts the sweep (comma set of: minhash,
+    // spans, ivf, linkage, pagerank, relational) — the second-decade
+    // sf10d runs only the three CAPPED candidate generators.
+    val fams: String => Boolean =
+      sys.env.get("SPARK_GRAFT_FAMILIES").map(_.split(",").toSet) match {
+        case Some(set) => set.contains
+        case None => _ => true
+      }
+
     for (dir <- dirs) {
       val sf = dir.split('/').last
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -89,6 +98,7 @@ object ScaleEvidence {
           .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString(",")
         println(s"""{"family":"$fam","sf":"$sf","hist":{$h}}""")
       }
+      if (fams("minhash")) {
       val bkSizes = graft.operators.Dedup.bandedSignatures(spark, dir)
         .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("sz"))
       hist(bkSizes, "minhash_bucket_hist")
@@ -105,8 +115,10 @@ object ScaleEvidence {
         graft.operators.Dedup.verifiedCandidates(spark, dir).count()
       }
       spark.catalog.clearCache()
+      }
 
       // ---- exact shared spans: hot-window cap ------------------------
+      if (fams("spans")) {
       val toks = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           graft.operators.TextOps.tokens(col("text")).as("toks"))
@@ -126,11 +138,13 @@ object ScaleEvidence {
         graft.operators.Dedup.sharedSpans(toks, 6).count()
       }
       spark.catalog.clearCache()
+      }
 
       // ---- IVF build + cell-blocked kNN candidates --------------------
       // SPARK_GRAFT_IVF_CELLS exercises the spark.graft.ivf.cells knob
       // for the SCALING.md validation rows (cells ∝ corpus keeps cell
       // size, and so the kNN family's in-cell pair count, linear).
+      if (fams("ivf")) {
       sys.env.get("SPARK_GRAFT_IVF_CELLS")
         .foreach(spark.conf.set("spark.graft.ivf.cells", _))
       // SPARK_GRAFT_IVF_TRAIN_MOD exercises the sampled-centroid
@@ -151,14 +165,46 @@ object ScaleEvidence {
         graft.SparkEntry.queries("ann_knn_graph")(spark, dir).count()
       }
       spark.catalog.clearCache()
+      }
+
+      // ---- linkage blocks: fixed-domain blocking key, hot-block cap ---
+      // The blocking key's domain (~200 brand x product-noun values) is
+      // FIXED, so block sizes grow linearly with the register and the
+      // uncapped pair count quadratically; the 1024-member cap bounds
+      // work at |blocks| * cap^2 / 2 and an over-cap block is a FAILED
+      // blocking key (dropped whole, re-blocked finer in production).
+      if (fams("linkage")) {
+      val pBlk = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"),
+          concat(col("p_brand"), lit(":"),
+            regexp_extract(col("p_name"), "([a-z0-9]+)$", 1)).as("blk"))
+      val blkSizes = pBlk.groupBy(col("blk")).agg(count(lit(1)).as("sz"))
+      hist(blkSizes.select(col("sz")), "linkage_block_hist")
+      val lb = blkSizes
+        .agg(
+          sum(expr("sz * (sz - 1) div 2")).as("uncapped"),
+          sum(when(col("sz") <= 1024, expr("sz * (sz - 1) div 2"))
+            .otherwise(0L)).as("capped"),
+          max(col("sz")).as("max_block"), count(lit(1)).as("n_blocks"))
+        .head()
+      measure(sf, "linkage_scored_pairs", Map(
+        "cand_uncapped" -> lb.getLong(0), "cand_capped" -> lb.getLong(1),
+        "max_block" -> lb.getLong(2), "n_blocks" -> lb.getLong(3))) {
+        graft.SparkEntry.queries("etl_record_linkage")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+      }
 
       // ---- iterative graph over the verified near-dup edges ----------
+      if (fams("pagerank")) {
       measure(sf, "graph_pagerank_6rounds") {
         graft.SparkEntry.queries("graph_pagerank")(spark, dir).count()
       }
       spark.catalog.clearCache()
+      }
 
       // ---- relational anchors (linear-scaling reference) --------------
+      if (fams("relational")) {
       measure(sf, "q3_join_agg") {
         graft.SparkEntry.queries("q3_join_agg")(spark, dir).count()
       }
@@ -166,6 +212,7 @@ object ScaleEvidence {
         graft.SparkEntry.queries("q28_median_exact")(spark, dir).count()
       }
       spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -1325,9 +1325,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot(1L) == want,
       "post-commit retry changed the committed snapshot")
     // retry BEFORE the flip: rewind the pointer to 0 (v=1 written, flip
-    // lost) — the retry re-merges from v=0 and must rebuild v=1 exactly
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$target/_latest"),
-      "0".getBytes)
+    // lost) — the retry re-merges from v=0 and must rebuild v=1 exactly.
+    // Rewind through the Hadoop FS (the pointer's own API): a raw
+    // java.nio write would leave the checksummed LocalFileSystem's
+    // .crc sidecar stale and poison the next pointer read.
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(target), spark.sparkContext.hadoopConfiguration)
+    val rewound = hfs.create(
+      new org.apache.hadoop.fs.Path(target, "_latest"), true)
+    rewound.write("0".getBytes); rewound.close()
     EventStreams.upsertBatch(target)(batch1, 1L)
     assert(pointer() == "1")
     assert(snapshot(1L) == want,
@@ -1357,6 +1363,23 @@ class StreamingSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4))).toSet
       assert(got == want,
         s"streaming/batch session mismatch: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+      // State-size evidence: the sessionizer keeps ONE SessState row per
+      // user (the live-session frontier), so state must stay bounded by
+      // the user domain in EVERY micro-batch while the cumulative event
+      // stream grows far past it — state ∝ live sessions, not stream
+      // length (the 100 TB contract for keyed streaming state).
+      val users = graft.sources.Tables.events(spark, sf)
+        .select("user_id").distinct().count()
+      val progs = q.recentProgress.toSeq
+        .filter(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+      assert(progs.length >= 3, s"need >=3 stateful micro-batches, got ${progs.length}")
+      progs.foreach { p =>
+        val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows <= users,
+          s"batch ${p.batchId}: $stateRows state rows > $users live users")
+      }
+      assert(progs.map(_.numInputRows).sum > users,
+        "stream must outgrow the key domain for the bound to be evidence")
     } finally q.stop()
   }
 
@@ -1664,8 +1687,9 @@ class StreamingSpec extends AnyFunSuite {
     // two files → two micro-batches under maxFilesPerTrigger=1; counts
     // are additive so batch order doesn't matter
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
-    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(dir)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(dir)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
@@ -1695,6 +1719,21 @@ class StreamingSpec extends AnyFunSuite {
         // batch-2 snapshot proves cross-batch accumulation: some token's
         // final count must exceed its batch-1-only count
         assert(snaps.map(_._1).distinct.length <= 4, "shard bound violated")
+        // State-size evidence: the processor keeps ONE ValueState row
+        // per shard (a capacity-bounded Misra-Gries buffer inside it),
+        // so the store must hold ≤ nShards rows in EVERY micro-batch
+        // while the token stream is unbounded — state ∝ sketch
+        // capacity × shards, never stream length.
+        val progs = q.recentProgress.toSeq
+          .filter(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+        assert(progs.length >= 3, s"need >=3 stateful micro-batches, got ${progs.length}")
+        progs.foreach { p =>
+          val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+          assert(stateRows <= 4,
+            s"batch ${p.batchId}: $stateRows state rows > 4 shards")
+        }
+        assert(progs.map(_.numInputRows).sum > 4 * 64,
+          "stream must outgrow shards × capacity for the bound to be evidence")
       } finally q.stop()
     } finally {
       prev match {
