@@ -4134,11 +4134,16 @@ object Etl {
     // value distribution shifted?). Same scale argument: average
     // tie-ranks in exact ×2 integers from the bounded 2-dp
     // value-grouped relation (one map-side-combined count + a
-    // value-domain bookkeeping window); per-group rank sums stay exact
-    // BIGINTs; Σ R²/n terms snap ×10³ fixed point before the k-row sum
-    // so the 5-term double addition is order-invariant; tie-corrected
-    // H assembles from exact components with the double chain mirrored
-    // verbatim.
+    // value-domain bookkeeping window). All rank accumulations ride
+    // DECIMAL(38)/HUGEINT (the etl_spearman_corr discipline): the old
+    // ×10³-snapped Σ(R²/n) longs grow as N³/k and crossed 2⁶³ between
+    // sf0.1 and sf1d — a REAL scale bug the round-13 derived-sf1 sweep
+    // caught. Σ 4·R_j²/n_j is now an EXACT integer (decimal floor
+    // division a − a mod b over b ≡ DuckDB's `//`), summed exactly and
+    // converted to double ONCE (both engines correctly round the same
+    // exact integer); the tie term Σ(tot³−tot) gets the same exact
+    // treatment. Tie-corrected H then assembles from exact components
+    // with the double chain mirrored verbatim.
     "etl_kruskal_wallis" -> QueryDef.withOracle(
       """WITH c AS (
         |  SELECT value, event_type, CAST(count(*) AS BIGINT) AS cnt
@@ -4152,27 +4157,28 @@ object Etl {
         |  FROM t),
         |sgrp AS (
         |  SELECT c.event_type, CAST(sum(c.cnt) AS BIGINT) AS n_j,
-        |    CAST(sum(c.cnt * r.rank2) AS BIGINT) AS r2_j
+        |    CAST(sum(CAST(c.cnt AS HUGEINT) * r.rank2) AS HUGEINT) AS r2_j
         |  FROM c JOIN r ON r.value = c.value
         |  GROUP BY c.event_type),
-        |ties AS (SELECT CAST(sum(tot * tot * tot - tot) AS BIGINT) AS tie
+        |ties AS (SELECT CAST(sum(CAST(tot AS HUGEINT) * tot * tot - tot)
+        |           AS HUGEINT) AS tie
         |         FROM t),
         |agg AS (
         |  SELECT CAST(sum(n_j) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
-        |    CAST(sum(CAST(floor((CAST(r2_j AS DOUBLE) / 2)
-        |      * (CAST(r2_j AS DOUBLE) / 2) / n_j * 1000 + 0.5) AS BIGINT))
-        |      AS BIGINT) AS srn_fp
+        |    CAST(sum(r2_j * r2_j // n_j) AS HUGEINT) AS srn4
         |  FROM sgrp)
         |SELECT n, k, CAST(k - 1 AS BIGINT) AS dof,
         |  floor((12.0 / (CAST(n AS DOUBLE) * (n + 1.0))
-        |      * (srn_fp / 1.0e3) - 3.0 * (n + 1.0)) * 1000000000 + 0.5)
+        |      * (CAST(srn4 AS DOUBLE) / 4.0) - 3.0 * (n + 1.0)) * 1000000000 + 0.5)
         |    / 1.0e9 AS h,
-        |  floor((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * (srn_fp / 1.0e3)
+        |  floor((12.0 / (CAST(n AS DOUBLE) * (n + 1.0))
+        |      * (CAST(srn4 AS DOUBLE) / 4.0)
         |      - 3.0 * (n + 1.0))
         |    / (1.0 - CAST(tie AS DOUBLE)
         |       / (CAST(n AS DOUBLE) * n * n - n))
         |    * 1000000000 + 0.5) / 1.0e9 AS h_corrected
         |FROM agg CROSS JOIN ties""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
       val c = Tables.events(s, dir)
         .groupBy(col("value"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
@@ -4187,17 +4193,22 @@ object Etl {
       val sgrp = c.join(r, Seq("value"))
         .groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("n_j"),
-          sum(col("cnt") * col("rank2")).as("r2_j"))
+          sum(col("cnt").cast(dec38) * col("rank2")).as("r2_j"))
       val ties = t.agg(
-        sum(col("tot") * col("tot") * col("tot") - col("tot")).as("tie"))
-      val srnFp = floor((col("r2_j").cast(DoubleType) / 2)
-        * (col("r2_j").cast(DoubleType) / 2) / col("n_j") * 1000 + lit(0.5))
-        .cast(LongType)
+        sum(col("tot").cast(dec38) * col("tot") * col("tot") - col("tot"))
+          .as("tie"))
+      // exact floor division (a − a mod b) / b ≡ the oracle's HUGEINT
+      // `//`: the square (≤4·(2N·N)² digits) and the quotient both fit
+      // DECIMAL(38) to corpus sizes far past any tested SF
+      val sq = (col("r2_j") * col("r2_j")).cast(dec38)
+      val bD = col("n_j").cast(dec38)
+      val srn4j = ((sq - pmod(sq, bD)) / bD).cast(dec38)
       val nD = col("n").cast(DoubleType)
-      val hExpr = lit(12.0) / (nD * (col("n") + lit(1.0)))
-        .cast(DoubleType) * (col("srn_fp") / lit(1.0e3)) - lit(3.0) * (col("n") + lit(1.0))
+      val hExpr = (lit(12.0) / (nD * (col("n") + lit(1.0)))) *
+        (col("srn4").cast(DoubleType) / lit(4.0)) -
+        lit(3.0) * (col("n") + lit(1.0))
       sgrp.agg(sum(col("n_j")).as("n"), count(lit(1)).as("k"),
-          sum(srnFp).as("srn_fp"))
+          sum(srn4j).as("srn4"))
         .crossJoin(broadcast(ties))
         .select(col("n"), col("k"), (col("k") - 1).as("dof"),
           (floor(hExpr * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("h"),
