@@ -140,6 +140,106 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Gopher-style HARD quality rules — the pass/fail filter battery
+    // every LLM data pipeline runs ahead of training (word-count
+    // bounds, mean-word-length band, alphabetic-word fraction,
+    // stop-word presence, and the two repetition screens: top-word and
+    // top-bigram mass), distinct from text_quality's continuous score.
+    // Every rule is an EXACT-INTEGER comparison (alpha_cnt·10 ≥ 9·n,
+    // topw·5 ≤ n, …) so no float rounding can flip a verdict on either
+    // engine; the one diagnostic ratio (mean word length) ships as the
+    // protocol's ×10⁹ fixed point. Scale shape: two doc-keyed
+    // aggregations (word counts, bigram counts — map-side combined,
+    // bounded by doc length) + one row-local pass; nothing crosses
+    // documents.
+    "text_gopher_rules" -> QueryDef.withOracle(
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks,
+         |    CAST(len(${toksSql("text")}) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE len(${toksSql("text")}) >= 1),
+         |base AS (
+         |  SELECT doc_id, n,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sumlen,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_cnt,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS BIGINT) AS stop_hits
+         |  FROM t),
+         |wcnt AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+         |wtop AS (SELECT doc_id, max(c) AS topw FROM wcnt GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, CAST(n - 1 AS INT)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |  FROM t WHERE n >= 2),
+         |bcnt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |         FROM bg GROUP BY 1, 2),
+         |btop AS (SELECT doc_id, max(c) AS topb FROM bcnt GROUP BY 1)
+         |SELECT b.doc_id, b.n AS n_words,
+         |  CAST(floor(b.sumlen * 1000000000.0 / b.n + 0.5) AS BIGINT) AS mwl_fp,
+         |  b.alpha_cnt, b.stop_hits,
+         |  w.topw AS top_word_cnt, coalesce(bt.topb, 0) AS top_bigram_cnt,
+         |  b.n BETWEEN 10 AND 10000 AS r_wordcount,
+         |  (b.sumlen >= 3 * b.n AND b.sumlen <= 10 * b.n) AS r_mean_word_len,
+         |  b.alpha_cnt * 10 >= 9 * b.n AS r_alpha_words,
+         |  b.stop_hits >= 2 AS r_stopwords,
+         |  w.topw * 5 <= b.n AS r_word_repetition,
+         |  (b.n < 2 OR coalesce(bt.topb, 0) * 50 <= 9 * (b.n - 1)) AS r_bigram_repetition,
+         |  (b.n BETWEEN 10 AND 10000
+         |    AND b.sumlen >= 3 * b.n AND b.sumlen <= 10 * b.n
+         |    AND b.alpha_cnt * 10 >= 9 * b.n
+         |    AND b.stop_hits >= 2
+         |    AND w.topw * 5 <= b.n
+         |    AND (b.n < 2 OR coalesce(bt.topb, 0) * 50 <= 9 * (b.n - 1))) AS passes
+         |FROM base b JOIN wtop w USING (doc_id)
+         |LEFT JOIN btop bt USING (doc_id)""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast(LongType).as("n"))
+        .persist() // tokenized corpus: feeds the row-local pass + both
+      // doc-keyed repetition aggregations (released by the harness)
+      val base = t.select(col("doc_id"), col("n"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sumlen"),
+        size(filter(col("toks"), x => x.rlike("[a-z]")))
+          .cast(LongType).as("alpha_cnt"),
+        size(filter(col("toks"), x => x.isin("the", "a", "and", "of", "to")))
+          .cast(LongType).as("stop_hits"))
+      val wtop = t.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
+      val btop = t.filter(col("n") >= 2)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), (col("n") - 1).cast(IntegerType)),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("topb"))
+      val topb0 = coalesce(col("topb"), lit(0L))
+      val rWc = col("n").between(10L, 10000L)
+      val rMwl = col("sumlen") >= lit(3L) * col("n") &&
+        col("sumlen") <= lit(10L) * col("n")
+      val rAlpha = col("alpha_cnt") * 10 >= lit(9L) * col("n")
+      val rStop = col("stop_hits") >= 2
+      val rWrep = col("topw") * 5 <= col("n")
+      val rBrep = col("n") < 2 || topb0 * 50 <= lit(9L) * (col("n") - 1)
+      base.join(wtop, Seq("doc_id"))
+        .join(btop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_words"),
+          floor(col("sumlen") * lit(1.0e9) / col("n") + 0.5)
+            .cast(LongType).as("mwl_fp"),
+          col("alpha_cnt"), col("stop_hits"),
+          col("topw").as("top_word_cnt"), topb0.as("top_bigram_cnt"),
+          rWc.as("r_wordcount"), rMwl.as("r_mean_word_len"),
+          rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
+          rWrep.as("r_word_repetition"), rBrep.as("r_bigram_repetition"),
+          (rWc && rMwl && rAlpha && rStop && rWrep && rBrep).as("passes"))
+    },
+
+    // ------------------------------------------------------------------
     // Marker-token language scoring: deterministic n-gram-style heuristic
     // with a fixed priority order (en > de > es > fr > zh) on ties.
     "text_langid" -> QueryDef.withOracle(langidSql) { (s, dir) =>
