@@ -623,9 +623,15 @@ object Etl {
         |  CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT)
         |    AS ship_epoch_day,
         |  CAST(epoch_us(l_shipdate) AS BIGINT) AS ship_us
-        |FROM lineitem""".stripMargin) { (s, dir) =>
+        |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
       val tmp = Files.createTempDirectory("graft_avro_log").toString
-      val src = Tables.lineitem(s, dir).select(
+      // a deterministic 1-in-10 key slice: the check verifies the
+      // LOGICAL-TYPE mapping (full date/value range still covered),
+      // not bulk throughput — the full-fact roundtrip benched 5-13×
+      // its src_* class peers for no added verification power
+      val src = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(
         col("l_orderkey"), col("l_linenumber"),
         (floor(col("l_quantity") * 100 + 0.5).cast(LongType)
           .cast(DecimalType(14, 0)) / 100).cast(DecimalType(12, 2)).as("qty_dec"),
