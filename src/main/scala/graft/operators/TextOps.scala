@@ -148,10 +148,15 @@ object TextOps {
     // Every rule is an EXACT-INTEGER comparison (alpha_cnt·10 ≥ 9·n,
     // topw·5 ≤ n, …) so no float rounding can flip a verdict on either
     // engine; the one diagnostic ratio (mean word length) ships as the
-    // protocol's ×10⁹ fixed point. Scale shape: two doc-keyed
-    // aggregations (word counts, bigram counts — map-side combined,
-    // bounded by doc length) + one row-local pass; nothing crosses
-    // documents.
+    // protocol's ×10⁹ fixed point. Scale shape: the repetition maxima
+    // are computed ROW-LOCALLY (max run length over the sorted
+    // token/bigram array — identical to the oracle's explode→count→max
+    // by definition of multiplicity), so the whole operator is ONE
+    // narrow projection: no shuffle, no join, per-doc cost bounded by
+    // doc length. The explode+group formulation would put two
+    // |docs|-cardinality aggregates on the build side of a stats-chosen
+    // broadcast — the q16 stats-flip hazard (§6) — for work the row
+    // already contains.
     "text_gopher_rules" -> QueryDef.withOracle(
       s"""WITH t AS (
          |  SELECT doc_id, ${toksSql("text")} AS toks,
@@ -194,45 +199,52 @@ object TextOps {
          |    AND (b.n < 2 OR coalesce(bt.topb, 0) * 50 <= 9 * (b.n - 1))) AS passes
          |FROM base b JOIN wtop w USING (doc_id)
          |LEFT JOIN btop bt USING (doc_id)""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 1)
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast(LongType).as("n"))
-        .persist() // tokenized corpus: feeds the row-local pass + both
-      // doc-keyed repetition aggregations (released by the harness)
-      val base = t.select(col("doc_id"), col("n"),
-        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sumlen"),
-        size(filter(col("toks"), x => x.rlike("[a-z]")))
-          .cast(LongType).as("alpha_cnt"),
-        size(filter(col("toks"), x => x.isin("the", "a", "and", "of", "to")))
-          .cast(LongType).as("stop_hits"))
-      val wtop = t.select(col("doc_id"), explode(col("toks")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("topw"))
-      val btop = t.filter(col("n") >= 2)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), (col("n") - 1).cast(IntegerType)),
-            i => concat(element_at(col("toks"), i), lit(" "),
-              element_at(col("toks"), i + 1)))).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("topb"))
-      val topb0 = coalesce(col("topb"), lit(0L))
+      // max multiplicity of any element ≡ max run length in the sorted
+      // array (what the oracle's explode→count→max computes), folded
+      // row-locally with a (prev, run, best) state
+      def maxMult(arr: Column): Column = {
+        def nextRun(acc: Column, x: Column): Column =
+          when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+        aggregate(
+          array_sort(arr),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => struct(
+            x.as("prev"), nextRun(acc, x).as("run"),
+            greatest(acc.getField("best"), nextRun(acc, x)).as("best")),
+          acc => acc.getField("best"))
+      }
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard n ≥ 2
+      val bigrams = when(col("n") >= 2,
+        transform(sequence(lit(1), (col("n") - 1).cast(IntegerType)),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
       val rWc = col("n").between(10L, 10000L)
       val rMwl = col("sumlen") >= lit(3L) * col("n") &&
         col("sumlen") <= lit(10L) * col("n")
       val rAlpha = col("alpha_cnt") * 10 >= lit(9L) * col("n")
       val rStop = col("stop_hits") >= 2
       val rWrep = col("topw") * 5 <= col("n")
-      val rBrep = col("n") < 2 || topb0 * 50 <= lit(9L) * (col("n") - 1)
-      base.join(wtop, Seq("doc_id"))
-        .join(btop, Seq("doc_id"), "left")
+      val rBrep = col("n") < 2 || col("topb") * 50 <= lit(9L) * (col("n") - 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast(LongType).as("n"))
+        .select(col("doc_id"), col("n"),
+          aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("sumlen"),
+          size(filter(col("toks"), x => x.rlike("[a-z]")))
+            .cast(LongType).as("alpha_cnt"),
+          size(filter(col("toks"), x => x.isin("the", "a", "and", "of", "to")))
+            .cast(LongType).as("stop_hits"),
+          maxMult(col("toks")).as("topw"),
+          maxMult(bigrams).as("topb"))
         .select(col("doc_id"), col("n").as("n_words"),
           floor(col("sumlen") * lit(1.0e9) / col("n") + 0.5)
             .cast(LongType).as("mwl_fp"),
           col("alpha_cnt"), col("stop_hits"),
-          col("topw").as("top_word_cnt"), topb0.as("top_bigram_cnt"),
+          col("topw").as("top_word_cnt"), col("topb").as("top_bigram_cnt"),
           rWc.as("r_wordcount"), rMwl.as("r_mean_word_len"),
           rAlpha.as("r_alpha_words"), rStop.as("r_stopwords"),
           rWrep.as("r_word_repetition"), rBrep.as("r_bigram_repetition"),
