@@ -524,6 +524,73 @@ object Training {
     },
 
     // ------------------------------------------------------------------
+    // DSIR-style importance weights — Data Selection via Importance
+    // Resampling, the standard recipe for steering a raw corpus toward
+    // a target distribution: score every document by the hashed-n-gram
+    // log-likelihood ratio ln p_target(d)/ln p_source(d) under add-1
+    // smoothed unigram models over a 4096-bucket hashed vocabulary
+    // (target = the 'en' slice, source = the whole corpus). Cross-
+    // engine determinism: per-BUCKET log-ratios are snapped ×10⁶ to
+    // BIGINT once (ln on identical doubles both engines — the tfidf
+    // discipline), and each document's score is then an EXACT integer
+    // sum of snapped bucket values — order-invariant under any
+    // partitioning. Scale shape: one corpus token pass feeding three
+    // map-side-combined aggregations whose outputs are ≤V=4096-row
+    // (bucket counts) or 1-row (totals) bookkeeping; the per-doc score
+    // join broadcasts the 4096-row LLR table back onto the token
+    // stream — nothing corpus-scale ever shuffles except the final
+    // doc-keyed sum.
+    "pipe_dsir_weights" -> QueryDef.withOracle(
+      s"""WITH tb AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest(${TextOps.toksSql("text")}) AS tok
+         |        FROM documents)),
+         |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY b),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb
+         |       WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+         |  FROM tb),
+         |llr AS (
+         |  SELECT cs.b,
+         |    CAST(floor((ln((coalesce(ct.c, 0) + 1.0) / (tot.nt + 4096.0))
+         |      - ln((cs.c + 1.0) / (tot.ns + 4096.0))) * 1000000 + 0.5)
+         |      AS BIGINT) AS llr_fp
+         |  FROM cs LEFT JOIN ct ON ct.b = cs.b CROSS JOIN tot)
+         |SELECT tb.doc_id, tb.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(llr.llr_fp) AS BIGINT) AS dsir_fp,
+         |  CAST(sum(llr.llr_fp) AS BIGINT) > 0 AS target_like
+         |FROM tb JOIN llr ON llr.b = tb.b
+         |GROUP BY tb.doc_id, tb.lang""".stripMargin) { (s, dir) =>
+      val bucket = (t: Column) =>
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast(LongType), lit(4096L))
+      val tb = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"), bucket(col("tok")).as("b"))
+        .persist() // (doc_id, lang, bucket) token stream — ids + a small
+      // int per token, read by the three count aggs and the score join
+      val cs = tb.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      val ct = tb.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val tot = tb.agg(count(lit(1)).as("ns"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val llr = cs.join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          floor((log((coalesce(col("tc"), lit(0L)) + lit(1.0))
+              / (col("nt") + lit(4096.0)))
+            - log((col("c") + lit(1.0)) / (col("ns") + lit(4096.0))))
+            * lit(1.0e6) + lit(0.5)).cast(LongType).as("llr_fp"))
+      tb.join(broadcast(llr), Seq("b")) // ≤4096-row LLR table
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("llr_fp")).as("dsir_fp"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_fp"),
+          (col("dsir_fp") > 0).as("target_like"))
+    },
+
+    // ------------------------------------------------------------------
     // Epoch plan — pipe_sample_weights turned into the numbers a data
     // loader actually consumes: per source, the token allocation out of
     // a fixed training budget (√p temperature weights), the implied

@@ -41,6 +41,9 @@ object PlanAudit {
       // and the reference (vmin, vmax) range; dau_stickiness's
       // (d0, d1) calendar bounds (×2 — one per rolling horizon)
       "etl_ks_test", "etl_psi", "ev_dau_stickiness",
+      // 1-row broadcast: dsir's (ns, nt) corpus/target token totals
+      // crossed onto the 4096-row bucket-LLR table
+      "pipe_dsir_weights",
       // the shared IVF build's 1-row collapsed-centroid broadcasts
       // (same subtree as ann_ivf_assign)
       "ann_knn_graph",
