@@ -1310,6 +1310,97 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // CUPED variance reduction — the standard pre-experiment covariate
+    // adjustment every experimentation platform applies before the
+    // t-test (Deng et al.): per-user pre-period spend X (first half of
+    // the observation window) predicts post-period spend Y; the
+    // adjusted metric Y − θ(X − X̄) with θ = cov(X,Y)/var(X) keeps the
+    // same mean but sheds corr(X,Y)² of the variance. Determinism: the
+    // window midpoint is exact integer arithmetic on ts; per-event
+    // values snap ×100 to exact longs; per-user (x, y) are exact long
+    // sums; the five pooled moments accumulate in DECIMAL(38)/HUGEINT
+    // (the spearman discipline — x²-sums outgrow BIGINT with the
+    // corpus) and convert to double ONCE; θ/variances then assemble in
+    // mirrored double chains. Scale shape: one corpus scan → one
+    // user-keyed agg (map-side combined) → a 1-row moment relation;
+    // nothing user-scale moves after the first agg.
+    "ev_cuped" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS tsn,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vfp
+        |  FROM events),
+        |b AS (SELECT min(tsn) + (max(tsn) - min(tsn)) // 2 AS mid FROM e),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN e.tsn <= b.mid THEN vfp ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN e.tsn > b.mid THEN vfp ELSE 0 END) AS BIGINT) AS y
+        |  FROM e CROSS JOIN b GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS syy
+        |  FROM u)
+        |SELECT n AS n_users,
+        |  floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000000 + 0.5)
+        |    / 1.0e9 AS theta,
+        |  floor((CAST(n AS DOUBLE) * syy - sy * sy)
+        |      / (CAST(n AS DOUBLE) * n) / 10000.0 * 1000000 + 0.5)
+        |    / 1.0e6 AS var_y,
+        |  floor(((CAST(n AS DOUBLE) * syy - sy * sy)
+        |        / (CAST(n AS DOUBLE) * n) / 10000.0
+        |      - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          / (CAST(n AS DOUBLE) * n) / 10000.0)
+        |        * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          / (CAST(n AS DOUBLE) * n) / 10000.0)
+        |        / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |          / (CAST(n AS DOUBLE) * n) / 10000.0)) * 1000000 + 0.5)
+        |    / 1.0e6 AS var_adj,
+        |  floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |         * (CAST(n AS DOUBLE) * syy - sy * sy))
+        |      * 1000000000 + 0.5) / 1.0e9 AS var_reduction
+        |FROM m""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast(LongType).as("vfp"))
+      val b = e.agg(expr("min(ts) + (max(ts) - min(ts)) div 2").as("mid"))
+      val u = e.crossJoin(broadcast(b)) // 1-row window-midpoint anchor
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") <= col("mid"), col("vfp")).otherwise(0L)).as("x"),
+          sum(when(col("ts") > col("mid"), col("vfp")).otherwise(0L)).as("y"))
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(dec38)).cast(DoubleType).as("sy"),
+        sum(col("x").cast(dec38) * col("x").cast(dec38))
+          .cast(DoubleType).as("sxx"),
+        sum(col("x").cast(dec38) * col("y").cast(dec38))
+          .cast(DoubleType).as("sxy"),
+        sum(col("y").cast(dec38) * col("y").cast(dec38))
+          .cast(DoubleType).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      val covFp2 = (nD * col("sxy") - col("sx") * col("sy")) / (nD * col("n")) / lit(10000.0)
+      val vxFp2 = (nD * col("sxx") - col("sx") * col("sx")) / (nD * col("n")) / lit(10000.0)
+      val vyFp2 = (nD * col("syy") - col("sy") * col("sy")) / (nD * col("n")) / lit(10000.0)
+      m.select(col("n").as("n_users"),
+        (floor((nD * col("sxy") - col("sx") * col("sy"))
+          / (nD * col("sxx") - col("sx") * col("sx"))
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("theta"),
+        (floor(vyFp2 * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("var_y"),
+        (floor((vyFp2 - covFp2 * covFp2 / vxFp2) * lit(1.0e6) + lit(0.5))
+          / lit(1.0e6)).as("var_adj"),
+        (floor((nD * col("sxy") - col("sx") * col("sy"))
+            * (nD * col("sxy") - col("sx") * col("sy"))
+          / ((nD * col("sxx") - col("sx") * col("sx"))
+            * (nD * col("syy") - col("sy") * col("sy")))
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("var_reduction"))
+    },
+
+    // ------------------------------------------------------------------
     // RFM (recency / frequency / monetary) quintile segmentation — the
     // standard behavioral-cohort cut. Each quintile is a GLOBAL
     // ntile(5) over the user population, which is corpus-scale, so a

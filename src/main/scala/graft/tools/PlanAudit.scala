@@ -44,6 +44,8 @@ object PlanAudit {
       // 1-row broadcast: dsir's (ns, nt) corpus/target token totals
       // crossed onto the 4096-row bucket-LLR table
       "pipe_dsir_weights",
+      // 1-row broadcast: cuped's window-midpoint anchor
+      "ev_cuped",
       // the shared IVF build's 1-row collapsed-centroid broadcasts
       // (same subtree as ann_ivf_assign)
       "ann_knn_graph",
