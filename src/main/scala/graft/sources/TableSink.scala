@@ -55,8 +55,18 @@ trait TableSink {
   def snapshot(version: Long): DataFrame
   /** All committed versions, ascending (time-travel catalog). */
   def versions: Seq[Long]
-  /** Append rows (schema-enforced). */
-  def append(df: DataFrame, txn: Option[Long] = None): Long
+  /** Append rows (schema-enforced). With `evolve` — Delta's
+    * `mergeSchema` / Iceberg's union-by-name schema evolution — the
+    * write may ADD new columns: the table schema becomes the union by
+    * name, existing rows read back null for the added columns, and
+    * shared columns must still match (name, dataType) exactly.
+    * Evolution is a metadata-level operation in the real formats
+    * (no data rewritten — what makes column adds free at 100 TB);
+    * here each version is a full snapshot, so the union materializes,
+    * but the CONTRACT (explicit opt-in, type-checked, null-backfill)
+    * is the one production code compiles against. */
+  def append(df: DataFrame, txn: Option[Long] = None,
+      evolve: Boolean = false): Long
   /** Replace the table contents. */
   def overwrite(df: DataFrame, txn: Option[Long] = None): Long
   /** MERGE: collapse `changes` to its last row per key by `ordCols`,
@@ -166,13 +176,31 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
   }
 
   /** Delta/Iceberg reject writes whose schema drifts from the table's
-    * unless evolution is explicitly requested; enforce the same. */
-  private def enforceSchema(df: DataFrame): Unit = current.foreach { cur =>
-    val have = cur.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    require(have == got,
-      s"schema drift rejected (enable evolution explicitly): table=$have write=$got")
-  }
+    * unless evolution is explicitly requested; enforce the same. With
+    * `evolve`, NEW columns are admitted (union-by-name evolution) but
+    * shared columns must still match (name, dataType) — evolution
+    * never silently retypes or drops an existing column. */
+  private def enforceSchema(df: DataFrame, evolve: Boolean = false): Unit =
+    current.foreach { cur =>
+      val have = cur.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (!evolve)
+        require(have == got,
+          s"schema drift rejected (enable evolution explicitly): " +
+            s"table=$have write=$got")
+      else {
+        val haveM = have.toMap
+        val mismatched = got.filter { case (n, t) =>
+          haveM.get(n).exists(_ != t)
+        }
+        require(mismatched.isEmpty,
+          s"schema evolution cannot retype existing columns: $mismatched " +
+            s"vs table=$have")
+        require(have.map(_._1).forall(got.map(_._1).contains),
+          s"schema evolution cannot drop existing columns: " +
+            s"table=${have.map(_._1)} write=${got.map(_._1)}")
+      }
+    }
 
   /** Commit protocol shared by all mutations: idempotent-retry check on
     * the transaction version, version-directory write, pointer flip.
@@ -209,10 +237,15 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
     }
   }
 
-  def append(df: DataFrame, txn: Option[Long] = None): Long = {
-    enforceSchema(df)
+  def append(df: DataFrame, txn: Option[Long] = None,
+      evolve: Boolean = false): Long = {
+    enforceSchema(df, evolve)
     val base = current
-    commit(txn)(_ => base.fold(df)(df.unionByName(_)))
+    // evolution: union by name with null backfill on BOTH sides (the
+    // old snapshot lacks added columns; a non-evolving append matches
+    // exactly, where allowMissingColumns is a no-op)
+    commit(txn)(_ =>
+      base.fold(df)(df.unionByName(_, allowMissingColumns = evolve)))
   }
 
   def overwrite(df: DataFrame, txn: Option[Long] = None): Long =

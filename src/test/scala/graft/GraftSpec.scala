@@ -4835,6 +4835,35 @@ class TableSinkSpec extends AnyFunSuite {
       rowsOf(t.current.get) == Set((2L, "b", 2.0)))
   }
 
+  test("TableSink append(evolve) adds columns with null backfill; rejects retype/drop") {
+    import spark.implicits._
+    val t = freshTable()
+    t.append(Seq((1L, "a", 1.0)).toDF("k", "s", "x"))
+    val wider = Seq((2L, "b", 2.0, 5L)).toDF("k", "s", "x", "extra")
+    // without the explicit opt-in, a wider schema is still drift
+    intercept[IllegalArgumentException] { t.append(wider) }
+    // explicit evolution admits the new column; the pre-evolution row
+    // reads back null for it (Delta mergeSchema semantics)
+    t.append(wider, evolve = true)
+    assert(t.current.get.columns.toSet == Set("k", "s", "x", "extra"))
+    val rows = t.current.get.orderBy("k").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra")),
+      "pre-evolution row must backfill null")
+    assert(rows(1).getAs[Long]("extra") == 5L)
+    // evolution never retypes or drops an existing column
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3L, "c", 9)).toDF("k", "s", "x"), evolve = true)
+    }
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3L, "c")).toDF("k", "s"), evolve = true)
+    }
+    // non-evolving appends now enforce the EVOLVED schema
+    t.append(Seq((4L, "d", 4.0, 6L)).toDF("k", "s", "x", "extra"))
+    assert(t.current.get.count() == 3)
+    // earlier versions still time-travel with their own schema
+    assert(t.snapshot(0L).columns.toSet == Set("k", "s", "x"))
+  }
+
   test("TableSink.mergeByKey rejects change rows with null merge keys") {
     import spark.implicits._
     val t = freshTable()

@@ -182,7 +182,10 @@ def main():
                 mp = os.path.join(root, pat)
                 if os.path.exists(mp):
                     try:
-                        return gn == len(json.load(open(mp)))
+                        m = json.load(open(mp))
+                        # local mirrors nest entries under "queries";
+                        # graded artifacts are flat query dicts
+                        return gn == len(m.get("queries", m))
                     except Exception:
                         return False
             return False  # no same-round mirror to attest completeness
