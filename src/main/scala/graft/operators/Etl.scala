@@ -2324,6 +2324,63 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // 2×2 odds ratio / relative risk with the Wald log-interval — the
+    // epidemiology/case-control readout (and the effect-size companion
+    // to etl_chisq_independence's screen): exposure = high-value order
+    // (fixed literal threshold), outcome = fulfilled status. The four
+    // cells are exact longs from ONE map-side-combined scan; OR, RR
+    // and exp(ln OR ± 1.96·SE) assemble in mirrored double chains from
+    // those exact counts (ln/exp on identical doubles — the tfidf
+    // discipline), snapped ×10⁹. 1-row bookkeeping after the scan.
+    "etl_odds_ratio" -> QueryDef.withOracle(
+      """WITH t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_totalprice >= 150000 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN o_totalprice >= 150000 AND o_orderstatus <> 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN o_totalprice < 150000 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN o_totalprice < 150000 AND o_orderstatus <> 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM orders)
+        |SELECT a, b, c, d,
+        |  floor(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+        |    * 1000000000 + 0.5) / 1.0e9 AS odds_ratio,
+        |  floor((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+        |    * 1000000000 + 0.5) / 1.0e9 AS rel_risk,
+        |  floor(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        |      - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+        |    * 1000000000 + 0.5) / 1.0e9 AS or_ci_lo,
+        |  floor(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+        |      + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))
+        |    * 1000000000 + 0.5) / 1.0e9 AS or_ci_hi
+        |FROM t""".stripMargin) { (s, dir) =>
+      val exposed = col("o_totalprice") >= 150000
+      val outcome = col("o_orderstatus") === "F"
+      val t = Tables.orders(s, dir).agg(
+        sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+        sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+        sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+        sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+      val lnOr = log(col("a").cast(DoubleType) * col("d")
+        / (col("b").cast(DoubleType) * col("c")))
+      val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+        + lit(1.0) / col("c") + lit(1.0) / col("d"))
+      t.select(col("a"), col("b"), col("c"), col("d"),
+        (floor(col("a").cast(DoubleType) * col("d")
+          / (col("b").cast(DoubleType) * col("c"))
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("odds_ratio"),
+        (floor((col("a").cast(DoubleType) / (col("a") + col("b")))
+          / (col("c").cast(DoubleType) / (col("c") + col("d")))
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("rel_risk"),
+        (floor(exp(lnOr - lit(1.96) * se) * lit(1.0e9) + lit(0.5))
+          / lit(1.0e9)).as("or_ci_lo"),
+        (floor(exp(lnOr + lit(1.96) * se) * lit(1.0e9) + lit(0.5))
+          / lit(1.0e9)).as("or_ci_hi"))
+    },
+
+    // ------------------------------------------------------------------
     // G-test (log-likelihood-ratio independence) over the same
     // status × priority contingency table as etl_chisq_independence —
     // the additive counterpart agencies prefer when cells get small or
