@@ -907,6 +907,46 @@ class ConnectorSpec extends AnyFunSuite {
     assert(key(back) == key(e))
   }
 
+  test("avro logical types roundtrip the hostile corners: negative decimals, pre-epoch dates, nulls") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_avro_logic").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dec", DecimalType(18, 4), nullable = true),
+      StructField("day", DateType, nullable = true),
+      StructField("at", TimestampType, nullable = true)))
+    def bd(s: String) = new java.math.BigDecimal(s).setScale(4)
+    val rows = Seq(
+      // negative decimal: the unscaled two's-complement byte encoding
+      // must round-trip the sign (a naive unsigned read flips it)
+      org.apache.spark.sql.Row(1L, bd("-12345.6789"),
+        java.sql.Date.valueOf("1969-07-20"), // pre-epoch: negative days
+        java.sql.Timestamp.valueOf("1969-07-20 20:17:40.123456")),
+      org.apache.spark.sql.Row(2L, bd("0.0001"),
+        java.sql.Date.valueOf("2262-04-11"), // far future
+        java.sql.Timestamp.valueOf("2262-04-11 23:47:16.854775")),
+      // nulls in every logical column (the ["null", T] union arm)
+      org.apache.spark.sql.Row(3L, null, null, null),
+      // zero and a value needing the full declared scale
+      org.apache.spark.sql.Row(4L, bd("0.0000"),
+        java.sql.Date.valueOf("1970-01-01"),
+        java.sql.Timestamp.valueOf("1970-01-01 00:00:00.000001")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    graft.sources.Connectors.writeAvro(df, tmp)
+    val back = graft.sources.Connectors.readAvro(spark, tmp, schema)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[java.math.BigDecimal]("dec")).map(_.toPlainString),
+        Option(r.getAs[java.sql.Date]("day")).map(_.toString),
+        Option(r.getAs[java.sql.Timestamp]("at")).map(_.getTime * 1000 +
+          (r.getAs[java.sql.Timestamp]("at").getNanos / 1000) % 1000)))
+      .toSet
+    assert(key(back) == key(df),
+      s"logical-type roundtrip diverged: ${key(back)} vs ${key(df)}")
+  }
+
   test("avro roundtrip preserves all columns including timestamps") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_avro_spec").toString
