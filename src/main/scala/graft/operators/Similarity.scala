@@ -1403,33 +1403,47 @@ object Similarity {
       val wfpAll = wcRows.map(_._2).sum
       // g: per-pos global sums (exact longs, order-free)
       val g = scRows.groupBy(_._2).map { case (p, rs) => p -> rs.map(_._3).sum }
-      // bt/btot: between-cell scatter, per-(cell,pos) floor, exact sums
-      val btot = scRows.map { case (cell, pos, sv) =>
-        val n = ncM(cell)
-        math.floor(math.pow(sv.toDouble * nn - g(pos).toDouble * n, 2)
-          / (n.toDouble * nn * nn * 1024 * 1024) * 1.0e9 + 0.5).toLong
+      // bt/btot: between-cell scatter, per-(cell,pos) floor, exact sums.
+      // The folds below MIRROR the inner joins they replaced: a row
+      // whose cell/pos has no partner is SKIPPED (flatMap over .get),
+      // never a driver-side NoSuchElementException — ragged or
+      // mismatched-dim embeddings degrade exactly like the oracle's
+      // join semantics instead of crashing the query.
+      val btot = scRows.iterator.flatMap { case (cell, pos, sv) =>
+        ncM.get(cell).map { n =>
+          math.floor(math.pow(sv.toDouble * nn - g(pos).toDouble * n, 2)
+            / (n.toDouble * nn * nn * 1024 * 1024) * 1.0e9 + 0.5).toLong
+        }
       }.sum
       // m2: centroid pair distances (k² ordered pairs × d positions)
       val scByCell = scRows.groupBy(_._1)
         .map { case (c, rs) => c -> rs.map(r => r._2 -> r._3).toMap }
       val cells = scByCell.keys.toSeq.sorted
-      val m2 = (for { ci <- cells; cj <- cells if ci != cj } yield {
-        val na = ncM(ci); val nb = ncM(cj)
+      val m2 = (for {
+        ci <- cells; cj <- cells if ci != cj
+        na <- ncM.get(ci); nb <- ncM.get(cj)
+      } yield {
         val a = scByCell(ci); val b = scByCell(cj)
-        (ci, cj) -> a.keysIterator.map { pos =>
-          math.floor(math.pow(a(pos).toDouble * nb - b(pos).toDouble * na, 2)
-            / math.pow(na.toDouble * nb * 1024, 2) * 1.0e9 + 0.5).toLong
+        // inner-join mirror: positions present in only one cell's
+        // vector are skipped, like the distributed join this replaced
+        (ci, cj) -> a.keysIterator.flatMap { pos =>
+          b.get(pos).map { bv =>
+            math.floor(math.pow(a(pos).toDouble * nb - bv.toDouble * na, 2)
+              / math.pow(na.toDouble * nb * 1024, 2) * 1.0e9 + 0.5).toLong
+          }
         }.sum
       }).toMap
-      val si = wcRows.map { case (c, wfp) =>
-        c -> math.sqrt(wfp.toDouble / 1.0e6 / ncM(c))
+      val si = wcRows.iterator.flatMap { case (c, wfp) =>
+        ncM.get(c).map(n => c -> math.sqrt(wfp.toDouble / 1.0e6 / n))
       }.toMap
       // dbt/dbs: Davies-Bouldin worst-pair per cell, floored ×1e9
-      val dbs = cells.map { ci =>
-        val worst = cells.iterator.filter(_ != ci).map { cj =>
-          (si(ci) + si(cj)) / math.sqrt(m2((ci, cj)).toDouble / 1.0e9)
-        }.max
-        math.floor(worst * 1.0e9 + 0.5).toLong
+      // (join-mirror: pairs missing from si/m2 are skipped, not thrown)
+      val dbs = cells.iterator.flatMap { ci =>
+        val worst = cells.iterator.filter(_ != ci).flatMap { cj =>
+          for { a <- si.get(ci); b <- si.get(cj); mm <- m2.get((ci, cj)) }
+            yield (a + b) / math.sqrt(mm.toDouble / 1.0e9)
+        }.maxOption
+        worst.map(w => math.floor(w * 1.0e9 + 0.5).toLong)
       }.sum
       val wss = wfpAll.toDouble / 1.0e6
       val bss = btot.toDouble / 1.0e9

@@ -1,12 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
 
 import java.net.URI
 import java.nio.charset.StandardCharsets
+import java.util.EnumSet
 
 /** The lakehouse table-format seam: every mutation graft performs on a
   * managed table goes through this four-method contract, so swapping
@@ -60,11 +62,10 @@ trait TableSink {
     * write may ADD new columns: the table schema becomes the union by
     * name, existing rows read back null for the added columns, and
     * shared columns must still match (name, dataType) exactly.
-    * Evolution is a metadata-level operation in the real formats
-    * (no data rewritten — what makes column adds free at 100 TB);
-    * here each version is a full snapshot, so the union materializes,
-    * but the CONTRACT (explicit opt-in, type-checked, null-backfill)
-    * is the one production code compiles against. */
+    * Evolution is a METADATA-level operation (no data rewritten — what
+    * makes column adds free at 100 TB): only the manifest's schema
+    * widens; pre-evolution data files are re-referenced untouched and
+    * read back null for the added columns through the manifest schema. */
   def append(df: DataFrame, txn: Option[Long] = None,
       evolve: Boolean = false): Long
   /** Replace the table contents. */
@@ -116,63 +117,203 @@ object TableMerge {
   }
 }
 
-/** Parquet implementation of [[TableSink]]: each commit writes a fresh
-  * `v=<version>` directory, then atomically flips the `_latest`
-  * pointer file (temp file + same-directory ATOMIC_MOVE) — readers see
-  * either the old or the new complete version, never a torn one, and
-  * no version is ever rewritten in place except by an idempotent retry
-  * of its own transaction. This is the read-version / write-version /
-  * flip-pointer protocol every lakehouse table format implements; the
-  * pointer file plays the Delta `_delta_log` tail / Iceberg metadata
-  * pointer role at the fidelity a filesystem sandbox allows.
+/** Parquet implementation of [[TableSink]] with FILE-GRANULARITY
+  * copy-on-write — the physical layout the real formats use, not a
+  * full-snapshot-per-version one:
   *
-  * Scale shape: the pointer is one file; versions are immutable parquet
-  * directories so concurrent snapshot reads never block a writer;
-  * `mergeByKey` costs |table| + |changes| per commit (one collapse agg
-  * + one full-outer join, both shuffling on the key — co-located if
-  * the table is bucketed by it). Old versions are retained for time
-  * travel; production would vacuum by retention policy.
+  *  - '''immutable data files''' live under `data/v=<writer-version>/`;
+  *    a file is written exactly once by the commit that creates it and
+  *    never rewritten (except by an idempotent pre-flip retry of that
+  *    same commit, which deterministically rebuilds its own dir).
+  *  - '''a manifest per version''' (`manifest/v=<N>`) lists the data
+  *    files that make up that snapshot (Delta's checkpointed add-file
+  *    set / Iceberg's manifest list), plus the snapshot schema and the
+  *    key-hash bucketing spec. Snapshot reads resolve the manifest and
+  *    scan exactly its files with the manifest schema.
+  *  - '''append''' writes ONLY the new rows' files and re-references
+  *    every existing file: commit cost ∝ |appended rows|, not |table|.
+  *  - '''mergeByKey''' hash-buckets the table on the merge key
+  *    (`spark.graft.tablesink.buckets`, default 16). A bucket's files
+  *    contain only keys hashing to that bucket, so a merge reads and
+  *    rewrites ONLY the buckets the change keys hash into and
+  *    re-references the rest byte-identical: commit cost
+  *    ∝ |touched buckets| + |changes|, not |table| — Delta's
+  *    rewrite-only-touched-data-files copy-on-write. The first merge
+  *    on an unbucketed table (or with a different key) pays one full
+  *    bucketizing rewrite, then stays incremental.
+  *  - '''schema evolution''' is metadata-only: the manifest schema
+  *    widens, old files are re-referenced and read null for added
+  *    columns (Delta `mergeSchema` at zero data cost).
+  *
+  * Commit protocol: write data files → write manifest → atomically
+  * flip the `_latest` pointer (temp file + same-directory
+  * `FileContext.rename(OVERWRITE)`, Hadoop's atomic-replace contract) —
+  * readers see either the old or the new complete version, never a
+  * torn one. ALL pointer/manifest IO rides ONE Hadoop API —
+  * FileContext — end to end (create, open, rename): mixing the
+  * checksummed FileSystem API's create/open with FileContext renames
+  * leaves `.crc` sidecars behind that a later rename doesn't update,
+  * poisoning every subsequent checksummed read (ChecksumException on a
+  * healthy pointer). The pointer file plays the Delta `_delta_log`
+  * tail / Iceberg metadata pointer role at the fidelity a filesystem
+  * sandbox allows.
+  *
+  * Scale shape: the pointer is one file; data files and manifests are
+  * immutable, so concurrent snapshot reads never block a writer. Old
+  * versions are retained for time travel; production would vacuum
+  * unreferenced files by retention policy.
   */
 final class ParquetVersionedTable(spark: SparkSession, dir: String)
     extends TableSink {
 
-  // All pointer/catalog IO rides the Hadoop FileSystem API (the
-  // AvroConnector discipline): temp-file + same-directory rename works
-  // identically on posix, HDFS and rename-capable object stores, so
-  // the parquet implementation is object-store-honest, not
-  // java.io-local. rename() onto an existing path is not atomic-replace
-  // everywhere, so the flip deletes the old pointer first — a reader
-  // racing the flip re-reads the versions catalog (see currentVersion).
-  private def fs: FileSystem =
-    FileSystem.get(URI.create(dir), spark.sparkContext.hadoopConfiguration)
+  import ParquetVersionedTable.{BucketCol, Manifest, UnbucketedId}
+
+  // ONE Hadoop API for all pointer/manifest operations (see class doc).
+  // FileContext's local implementation is the checksummed LocalFs, so
+  // create/open/rename keep the .crc sidecar consistent end to end —
+  // temp-file + same-directory rename(OVERWRITE) works identically on
+  // posix, HDFS and rename-capable object stores.
+  private def fc: FileContext =
+    FileContext.getFileContext(URI.create(dir),
+      spark.sparkContext.hadoopConfiguration)
 
   private val pointerPath = new Path(dir, "_latest")
+  private def manifestPath(v: Long) = new Path(s"$dir/manifest", s"v=$v")
+
+  /** Read a small metadata file fully. The InputStream contract allows
+    * short reads, so a single read() could return a truncated prefix
+    * ('1' of '12') and silently parse a WRONG version — loop to EOF. */
+  private def readFully(p: Path): String = {
+    val in = fc.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(256)
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Atomic small-file write: temp file + same-directory
+    * rename(OVERWRITE) — readers see the old or new content, never a
+    * torn one. Used for both the pointer and manifests. */
+  private def atomicWrite(p: Path, content: String): Unit = {
+    val f = fc
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    f.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
 
   def currentVersion: Option[Long] = {
-    val f = fs
-    if (f.exists(pointerPath)) {
-      val in = f.open(pointerPath)
-      try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), StandardCharsets.UTF_8)
-          .trim.toLong)
-      } finally in.close()
-    } else None
+    val f = fc
+    if (f.util.exists(pointerPath)) Some(readFully(pointerPath).trim.toLong)
+    else None
   }
 
   def current: Option[DataFrame] = currentVersion.map(snapshot)
 
-  def snapshot(version: Long): DataFrame =
-    spark.read.parquet(s"$dir/v=$version")
+  def snapshot(version: Long): DataFrame = {
+    val m = readManifest(version)
+    if (m.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      // explicit manifest schema: old files read null for columns added
+      // by later evolution; no mergeSchema footer sweep at read time
+      spark.read.schema(m.schema)
+        .parquet(m.files.map(f => s"$dir/${f._2}"): _*)
+  }
 
   def versions: Seq[Long] = {
-    val f = fs
-    val d = new Path(dir)
-    if (!f.exists(d)) Seq.empty
-    else f.listStatus(d).iterator
+    val f = fc
+    val d = new Path(dir, "manifest")
+    if (!f.util.exists(d)) Seq.empty
+    else f.util.listStatus(d).iterator
       .map(_.getPath.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong).toSeq.sorted
+  }
+
+  private def currentManifest: Option[Manifest] =
+    currentVersion.map(readManifest)
+
+  private def readManifest(v: Long): Manifest = {
+    val lines = readFully(manifestPath(v)).split('\n').iterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    var schema: StructType = null
+    var bucketing: Option[(Seq[String], Int)] = None
+    val files = Seq.newBuilder[(Int, String)]
+    lines.foreach { line =>
+      val sp = line.indexOf(' ')
+      val (tag, rest) =
+        if (sp < 0) (line, "") else (line.take(sp), line.drop(sp + 1))
+      tag match {
+        case "schema" =>
+          schema = DataType.fromJson(rest).asInstanceOf[StructType]
+        case "bucketing" =>
+          val Array(b, cols) = rest.split(' ')
+          bucketing = Some((cols.split(',').toSeq, b.toInt))
+        case "file" =>
+          val fsp = rest.indexOf(' ')
+          files += ((rest.take(fsp).toInt, rest.drop(fsp + 1)))
+        case _ => () // header / version line
+      }
+    }
+    require(schema != null, s"manifest v=$v missing schema line")
+    Manifest(v, schema, bucketing, files.result())
+  }
+
+  private def writeManifest(m: Manifest): Unit = {
+    val sb = new StringBuilder
+    sb ++= "graft-table-manifest v1\n"
+    sb ++= s"version ${m.version}\n"
+    sb ++= s"schema ${m.schema.json}\n"
+    m.bucketing.foreach { case (cols, b) =>
+      sb ++= s"bucketing $b ${cols.mkString(",")}\n"
+    }
+    m.files.foreach { case (bkt, path) => sb ++= s"file $bkt $path\n" }
+    atomicWrite(manifestPath(m.version), sb.result())
+  }
+
+  /** Write `df`'s rows as NEW immutable data files for version `v`
+    * (bucketized by key hash when a spec is given) and return their
+    * (bucket, dir-relative path) entries. mode=overwrite keeps a
+    * pre-flip retry deterministic: the retry rebuilds its OWN version
+    * dir wholesale; committed versions' files are never touched. */
+  private def writeData(df: DataFrame, v: Long,
+      spec: Option[(Seq[String], Int)]): Seq[(Int, String)] = {
+    val dataDir = s"$dir/data/v=$v"
+    spec match {
+      case Some((cols, b)) =>
+        require(!df.columns.contains(BucketCol),
+          s"column name $BucketCol is reserved by the table layout")
+        df.withColumn(BucketCol, pmod(hash(cols.map(col): _*), lit(b)))
+          .write.mode("overwrite").partitionBy(BucketCol).parquet(dataDir)
+      case None =>
+        df.write.mode("overwrite").parquet(dataDir)
+    }
+    val f = fc
+    val it = f.util.listFiles(new Path(dataDir), true)
+    val out = Seq.newBuilder[(Int, String)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith(".")) {
+        val parent = st.getPath.getParent.getName
+        val bkt =
+          if (parent.startsWith(s"$BucketCol="))
+            parent.stripPrefix(s"$BucketCol=").toInt
+          else UnbucketedId
+        // dir-relative path, so the table directory is relocatable
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(new Path(dir).toUri.getPath).stripPrefix("/")
+        out += ((bkt, rel))
+      }
+    }
+    out.result()
   }
 
   /** Delta/Iceberg reject writes whose schema drifts from the table's
@@ -181,8 +322,8 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
     * shared columns must still match (name, dataType) — evolution
     * never silently retypes or drops an existing column. */
   private def enforceSchema(df: DataFrame, evolve: Boolean = false): Unit =
-    current.foreach { cur =>
-      val have = cur.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    currentManifest.foreach { m =>
+      val have = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       if (!evolve)
         require(have == got,
@@ -203,36 +344,23 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
     }
 
   /** Commit protocol shared by all mutations: idempotent-retry check on
-    * the transaction version, version-directory write, pointer flip.
+    * the transaction version, data-file + manifest write, pointer flip.
     * Delta's `txnAppId`/`txnVersion` contract: ANY `txn` at or below the
     * recorded version is a replay and no-ops (returns `txn` untouched) —
     * a stale retry of version v arriving after v+1 committed must never
     * rebuild v and flip the pointer backwards, discarding v+1. Only a
     * txn STRICTLY ABOVE the current version (or an unversioned commit)
-    * builds and flips. A pre-flip retry rebuilds the same version
-    * deterministically and overwrites it before flipping. */
-  private def commit(txn: Option[Long])(build: Long => DataFrame): Long = {
+    * builds and flips. A pre-flip retry rebuilds the same version's
+    * data dir + manifest deterministically and overwrites them before
+    * flipping; committed versions' files are immutable. */
+  private def commit(txn: Option[Long])(build: Long => Manifest): Long = {
     val cv = currentVersion
     txn.filter(t => cv.exists(t <= _)) match {
       case Some(v) => v // replay of an already-committed transaction
       case None =>
         val v = txn.getOrElse(cv.fold(0L)(_ + 1L))
-        build(v).write.mode("overwrite").parquet(s"$dir/v=$v")
-        val f = fs
-        f.mkdirs(pointerPath.getParent)
-        val tmp = new Path(pointerPath.getParent,
-          s"_latest_$v.tmp")
-        val out = f.create(tmp, true)
-        try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        // FileContext.rename(OVERWRITE) is Hadoop's atomic-replace
-        // contract (HDFS-atomic; posix rename underneath locally) —
-        // readers see the old or the new pointer, never a torn one
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(URI.create(dir),
-            spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, pointerPath,
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        writeManifest(build(v))
+        atomicWrite(pointerPath, v.toString)
         v
     }
   }
@@ -240,57 +368,128 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
   def append(df: DataFrame, txn: Option[Long] = None,
       evolve: Boolean = false): Long = {
     enforceSchema(df, evolve)
-    val base = current
-    // evolution: union by name with null backfill on BOTH sides (the
-    // old snapshot lacks added columns; a non-evolving append matches
-    // exactly, where allowMissingColumns is a no-op)
-    commit(txn)(_ =>
-      base.fold(df)(df.unionByName(_, allowMissingColumns = evolve)))
+    val cur = currentManifest
+    commit(txn) { v =>
+      // appended rows join the existing bucket layout so later merges
+      // stay bucket-incremental; existing files are RE-REFERENCED, not
+      // rewritten — append cost ∝ |df|, never |table|
+      val spec = cur.flatMap(_.bucketing)
+      val newFiles = writeData(df, v, spec)
+      val schema = cur match {
+        case None => df.schema
+        case Some(m) if !evolve => m.schema
+        case Some(m) => // metadata-only union-by-name evolution
+          StructType(m.schema.fields ++
+            df.schema.fields.filterNot(f => m.schema.fieldNames.contains(f.name)))
+      }
+      Manifest(v, schema, spec, cur.map(_.files).getOrElse(Nil) ++ newFiles)
+    }
   }
 
-  def overwrite(df: DataFrame, txn: Option[Long] = None): Long =
-    commit(txn)(_ => df)
+  def overwrite(df: DataFrame, txn: Option[Long] = None): Long = {
+    val cur = currentManifest
+    commit(txn) { v =>
+      // keep the bucket layout across an overwrite when the new data
+      // still carries the key columns (so later merges stay incremental)
+      val spec = cur.flatMap(_.bucketing)
+        .filter(_._1.forall(df.columns.contains))
+      Manifest(v, df.schema, spec, writeData(df, v, spec))
+    }
+  }
 
   def mergeByKey(changes: DataFrame, keyCols: Seq[String],
       ordCols: Seq[String], opCol: Option[String] = None,
       txn: Option[Long] = None): Long = {
-    // Null merge keys are rejected up front: a null key never joins
-    // (=== is null-rejecting, like MERGE's ON), so such a row would be
-    // mislabeled 'kept' and surface as an all-null snapshot row. Delta
-    // MERGE would INSERT it as an unmatched source row — an unkeyed
-    // record in a keyed table, which later merges can never address —
-    // so fail fast instead, the same posture as schema drift.
-    val nullKeyed = changes.filter(
-      keyCols.map(col(_).isNull).reduce(_ || _))
-    require(nullKeyed.isEmpty,
-      s"mergeByKey rejects change rows with null merge keys " +
-        s"(${keyCols.mkString(",")}); filter them upstream")
+    // ONE pass over the changes feeds guard + merge: the collapsed
+    // last-per-key relation is persisted, the null-key guard runs on it
+    // (a null-keyed change row survives the groupBy as a null-keyed
+    // group, so detection is equivalent), and the merge reuses the
+    // cached collapse — the streaming foreachBatch upsert path computes
+    // its per-micro-batch source once, not twice.
     val last = TableMerge.lastChangePerKey(changes, keyCols, ordCols)
-    // The stored payload is the TABLE's column set — changelog-only
-    // bookkeeping columns (op codes, sequence numbers absent from the
-    // table schema) never leak into the snapshot. A fresh table adopts
-    // every change column except the op code.
-    val payload: Seq[String] = current.map(_.columns.toSeq).getOrElse(
-      last.columns.filterNot(opCol.contains).toSeq)
-    require(payload.forall(last.columns.contains),
-      s"changes must carry every table column; missing: " +
-        payload.filterNot(last.columns.contains).mkString(","))
-    val upserts = opCol.fold(last)(op => last.filter(!(col(op) <=> lit("D"))))
-    enforceSchema(upserts.select(payload.map(col): _*))
-    commit(txn) { _ =>
-      current match {
-        case None => upserts.select(payload.map(col): _*)
-        case Some(base) =>
-          // UPDATE SET * / INSERT * / DELETE in one full-outer pass:
-          // change columns win for matched keys, base passes through
-          // unmatched, keys whose last op is 'D' drop entirely.
-          val merged = TableMerge.outerMergeWithActions(
-            base.select(payload.map(c => col(c).as(s"_b_$c")): _*),
-            last, keyCols.map(k => (s"_b_$k", k)), opCol)
-          merged.select(payload.map(c =>
-            when(col(keyCols.head).isNotNull, col(c))
-              .otherwise(col(s"_b_$c")).as(c)): _*)
+      .persist()
+    try {
+      // Null merge keys are rejected up front: a null key never joins
+      // (=== is null-rejecting, like MERGE's ON), so such a row would be
+      // mislabeled 'kept' and surface as an all-null snapshot row. Delta
+      // MERGE would INSERT it as an unmatched source row — an unkeyed
+      // record in a keyed table, which later merges can never address —
+      // so fail fast instead, the same posture as schema drift.
+      require(last.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty,
+        s"mergeByKey rejects change rows with null merge keys " +
+          s"(${keyCols.mkString(",")}); filter them upstream")
+      val curM = currentManifest
+      // The stored payload is the TABLE's column set — changelog-only
+      // bookkeeping columns (op codes, sequence numbers absent from the
+      // table schema) never leak into the snapshot. A fresh table adopts
+      // every change column except the op code.
+      val payload: Seq[String] =
+        curM.map(_.schema.fieldNames.toSeq).getOrElse(
+          last.columns.filterNot(opCol.contains).toSeq)
+      require(payload.forall(last.columns.contains),
+        s"changes must carry every table column; missing: " +
+          payload.filterNot(last.columns.contains).mkString(","))
+      val upserts = opCol.fold(last)(op => last.filter(!(col(op) <=> lit("D"))))
+      enforceSchema(upserts.select(payload.map(col): _*))
+      val numBuckets = spark.conf
+        .getOption("spark.graft.tablesink.buckets").map(_.toInt).getOrElse(16)
+      commit(txn) { v =>
+        curM match {
+          case None =>
+            val spec = Some((keyCols, numBuckets))
+            val out = upserts.select(payload.map(col): _*)
+            Manifest(v, out.schema, spec, writeData(out, v, spec))
+          case Some(m) =>
+            // COPY-ON-WRITE CORE: a bucket's files contain only keys
+            // hashing to it, so only buckets intersecting the change
+            // keys are read + rewritten; the rest are re-referenced
+            // byte-identical. Unbucketed files (-1: pre-merge appends)
+            // can hold any key and are always folded in. A bucketing
+            // keyed differently from this merge forces one full
+            // re-bucketing rewrite, after which merges are incremental.
+            val spec = m.bucketing.filter(_._1 == keyCols)
+              .orElse(Some((keyCols, numBuckets)))
+            val (touched, kept) =
+              if (!m.bucketing.exists(_._1 == keyCols)) (m.files, Nil)
+              else {
+                val b = spec.get._2
+                // ≤ numBuckets values — bounded collect by construction
+                val hit = last.select(
+                    pmod(hash(keyCols.map(col): _*), lit(b)).as("_b"))
+                  .distinct().collect().map(_.getInt(0)).toSet
+                m.files.partition { case (bkt, _) =>
+                  bkt == UnbucketedId || hit(bkt) }
+              }
+            val base =
+              if (touched.isEmpty)
+                spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+              else spark.read.schema(m.schema)
+                .parquet(touched.map(f => s"$dir/${f._2}"): _*)
+            // UPDATE SET * / INSERT * / DELETE in one full-outer pass:
+            // change columns win for matched keys, base passes through
+            // unmatched, keys whose last op is 'D' drop entirely.
+            val merged = TableMerge.outerMergeWithActions(
+              base.select(payload.map(c => col(c).as(s"_b_$c")): _*),
+              last, keyCols.map(k => (s"_b_$k", k)), opCol)
+            val out = merged.select(payload.map(c =>
+              when(col(keyCols.head).isNotNull, col(c))
+                .otherwise(col(s"_b_$c")).as(c)): _*)
+            Manifest(v, m.schema, spec, kept ++ writeData(out, v, spec))
+        }
       }
-    }
+    } finally last.unpersist()
   }
+}
+
+object ParquetVersionedTable {
+  /** Reserved partition-directory column carrying the key-hash bucket;
+    * stripped from file contents by partitionBy, recovered from the
+    * directory name at manifest-build time. */
+  private[sources] val BucketCol = "_gbkt"
+  /** Bucket id for files written without a bucketing spec (pre-merge
+    * appends/overwrites) — such files can hold any key, so every merge
+    * folds them in. */
+  private[sources] val UnbucketedId = -1
+  private[sources] case class Manifest(version: Long, schema: StructType,
+      bucketing: Option[(Seq[String], Int)], files: Seq[(Int, String)])
 }

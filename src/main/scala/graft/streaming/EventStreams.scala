@@ -165,10 +165,11 @@ object EventStreams {
     * latest-event-per-user table under `targetDir` as the stream
     * arrives. Each micro-batch is reduced to its per-key latest row
     * (one keyed agg, map-side combined), merged with the current table
-    * snapshot, and committed as a NEW versioned directory
-    * (`v=<batchId>`) before the `_latest` pointer file flips — the
-    * read-version/write-version/flip-pointer protocol every lakehouse
-    * table format implements. Retried batches are idempotent (spec:
+    * snapshot, and committed as a NEW version (immutable data files +
+    * a `manifest/v=<batchId>` file list) before the `_latest` pointer
+    * file flips — the read-version/write-version/flip-pointer protocol
+    * every lakehouse table format implements. Retried batches are
+    * idempotent (spec:
     * "upsert batch function is idempotent under Spark's same-batchId
     * retry"): a retry after the flip sees pointer == batchId and
     * no-ops; a retry that lost the flip re-merges from the previous

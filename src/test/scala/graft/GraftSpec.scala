@@ -1323,12 +1323,10 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(q.lastProgress.batchId >= 2, s"only ${q.lastProgress.batchId + 1} batches ran")
     } finally q.stop()
-    val versions = new java.io.File(target).listFiles()
-      .filter(_.getName.startsWith("v=")).map(_.getName).sorted
-    assert(versions.length >= 3, s"expected >=3 committed versions, got ${versions.toSeq}")
-    val v = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$target/_latest"))).trim
-    val got = spark.read.parquet(s"$target/v=$v")
+    val table = new graft.sources.ParquetVersionedTable(spark, target)
+    assert(table.versions.length >= 3,
+      s"expected >=3 committed versions, got ${table.versions}")
+    val got = table.current.get.select("user_id", "ts_s", "event_id")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val want = graft.sources.Tables.events(spark, sf)
       .withColumn("ts_s", expr("ts div 1000000000"))
@@ -1351,8 +1349,9 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "event_id", "event_type", "value", "ts_s")
     val batch0 = ev.filter(col("event_id") % 2 === 0)
     val batch1 = ev.filter(col("event_id") % 2 === 1)
+    def table() = new graft.sources.ParquetVersionedTable(spark, target)
     def snapshot(v: Long): Seq[String] =
-      spark.read.parquet(s"$target/v=$v").collect().map(_.toString).sorted.toSeq
+      table().snapshot(v).collect().map(_.toString).sorted.toSeq
     def pointer(): String = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$target/_latest"))).trim
     EventStreams.upsertBatch(target)(batch0, 0L)
@@ -1366,14 +1365,21 @@ class StreamingSpec extends AnyFunSuite {
       "post-commit retry changed the committed snapshot")
     // retry BEFORE the flip: rewind the pointer to 0 (v=1 written, flip
     // lost) — the retry re-merges from v=0 and must rebuild v=1 exactly.
-    // Rewind through the Hadoop FS (the pointer's own API): a raw
-    // java.nio write would leave the checksummed LocalFileSystem's
-    // .crc sidecar stale and poison the next pointer read.
-    val hfs = org.apache.hadoop.fs.FileSystem.get(
+    // Rewind through FileContext — the ONE API the sink itself uses for
+    // every pointer operation: a raw java.nio write (or a write through
+    // the separately-checksummed FileSystem API) can leave a stale .crc
+    // sidecar that poisons the next checksummed pointer read.
+    val hfc = org.apache.hadoop.fs.FileContext.getFileContext(
       java.net.URI.create(target), spark.sparkContext.hadoopConfiguration)
-    val rewound = hfs.create(
-      new org.apache.hadoop.fs.Path(target, "_latest"), true)
+    val rewound = hfc.create(
+      new org.apache.hadoop.fs.Path(target, "_latest"),
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     rewound.write("0".getBytes); rewound.close()
+    // the sink's own checksummed read path must accept the rewound
+    // pointer (a stale CRC sidecar would throw ChecksumException here)
+    assert(table().currentVersion.contains(0L),
+      "post-rewind pointer must read back through the sink's own API")
     EventStreams.upsertBatch(target)(batch1, 1L)
     assert(pointer() == "1")
     assert(snapshot(1L) == want,
@@ -4917,6 +4923,67 @@ class TableSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null merge keys"))
     assert(t.currentVersion.contains(0L), "rejected merge must not commit")
     assert(rowsOf(t.current.get) == Set((1L, "a", 1.0)))
+  }
+
+  test("TableSink copy-on-write: merge rewrites ONLY touched buckets, re-references the rest byte-identical; append never rewrites") {
+    import spark.implicits._
+    val dirT = java.nio.file.Files.createTempDirectory("graft_cow").toString
+    val t = new ParquetVersionedTable(spark, dirT)
+    spark.conf.set("spark.graft.tablesink.buckets", "8")
+    try {
+      // manifest = the committed add-file set; parse its plain-text
+      // `file <bucket> <path>` lines to observe the physical layout
+      def manifestFiles(v: Long): Set[(Int, String)] =
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dirT/manifest/v=$v"))).split('\n')
+          .filter(_.startsWith("file ")).map { l =>
+            val p = l.split(" ", 3); (p(1).toInt, p(2))
+          }.toSet
+      def md5(rel: String): String = {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dirT/$rel"))
+        java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }
+      val rows = (0L until 400L).map(k => (k, s"s$k", k.toDouble))
+      t.overwrite(rows.toDF("k", "s", "x")) // v0: unbucketed
+      // v1: first keyed merge pays the one-time bucketizing rewrite
+      t.mergeByKey(Seq((1000L, "new", 0.5, 1L)).toDF("k", "s", "x", "ord"),
+        keyCols = Seq("k"), ordCols = Seq("ord"))
+      val v1 = manifestFiles(1L)
+      assert(v1.map(_._1).forall(_ >= 0), "v1 must be fully bucketized")
+      assert(v1.map(_._1).size >= 4, s"401 keys should span buckets: $v1")
+      val sums1 = v1.map { case (b, p) => (b, p) -> md5(p) }.toMap
+      // v2: a SINGLE-key update must rewrite one bucket and re-reference
+      // every other bucket's file untouched
+      t.mergeByKey(Seq((7L, "upd", 9.9, 2L)).toDF("k", "s", "x", "ord"),
+        keyCols = Seq("k"), ordCols = Seq("ord"))
+      val v2 = manifestFiles(2L)
+      val reused = v2 intersect v1
+      val fresh = v2 -- v1
+      assert(fresh.map(_._1).size == 1,
+        s"one key hashes to one bucket; rewritten buckets: ${fresh.map(_._1)}")
+      assert(reused.nonEmpty && (v1 -- v2).map(_._1) == fresh.map(_._1),
+        "all untouched buckets must be re-referenced from v1")
+      reused.foreach { case (b, p) =>
+        assert(md5(p) == sums1((b, p)), s"re-referenced file $p mutated") }
+      // logical result is the full MERGE semantics regardless of layout
+      val got = t.current.get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got.size == 401 && got((7L, "upd", 9.9)) && got((1000L, "new", 0.5)))
+      assert(t.snapshot(1L).count() == 401 && t.snapshot(0L).count() == 400,
+        "time travel must survive the copy-on-write layout")
+      // v3: append re-references ALL existing files (cost ∝ appended rows)
+      t.append(Seq((2000L, "app", 1.0)).toDF("k", "s", "x"))
+      val v3 = manifestFiles(3L)
+      assert(v2.subsetOf(v3), "append must re-reference every v2 file")
+      assert((v3 -- v2).nonEmpty && t.current.get.count() == 402)
+      // deletes land only in their key's bucket
+      t.mergeByKey(Seq((7L, "x", 0.0, 3L, "D")).toDF("k", "s", "x", "ord", "op"),
+        keyCols = Seq("k"), ordCols = Seq("ord"), opCol = Some("op"))
+      assert(t.current.get.filter(col("k") === 7L).isEmpty)
+      assert(t.current.get.count() == 401)
+    } finally spark.conf.unset("spark.graft.tablesink.buckets")
   }
 
   test("TableMerge.outerMergeWithActions labels kept/inserted/updated like MERGE") {
