@@ -68,12 +68,53 @@ object Training {
        |  $ranks)""".stripMargin
   }
 
-  /** Run the [[BpeMerges]] training rounds on Spark: one corpus-scale
+  /** Run the [[BpeMerges]] training merges on Spark: one corpus-scale
     * word-frequency groupBy, then vocabulary-sized pair counts with a
-    * 1-row arg-max collect per round (the Lloyd driver-loop pattern).
-    * Returns the ranked merge list. */
+    * bounded arg-max collect per ROUND (the Lloyd driver-loop pattern),
+    * selecting up to `m` merges per round. Returns the ranked merge
+    * list — PROVABLY identical to the 1-merge-per-round sequence for
+    * any `m` (spec: BpeBatchEquivalenceSpec). */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
-      : Seq[(Int, String, String, String, Long)] = {
+      : Seq[(Int, String, String, String, Long)] =
+    bpeTrainBatched(s, dir,
+      s.conf.getOption("spark.graft.bpe.batch").map(_.toInt).getOrElse(4),
+      BpeMerges)._1
+
+  /** Batched BPE merge selection. The serial bound on BPE training is
+    * the ROUND count, not the per-round cost: one Spark job per merge
+    * means a production 30k-merge vocab is 30k sequential jobs. Each
+    * round here selects up to `m` merges from ONE pair-count job while
+    * reproducing the sequential semantics EXACTLY:
+    *
+    *  1. collect the top max(4m, m+1) pairs by (freq DESC, x, y);
+    *  2. take the maximal PREFIX that is pairwise symbol-disjoint,
+    *     capped at m — stop at the FIRST pair sharing a symbol with an
+    *     earlier selection (skip-and-continue would diverge: a skipped
+    *     conflicting pair can keep its frequency through the earlier
+    *     merges and out-rank a later disjoint pick);
+    *  3. keep only selections whose freq is STRICTLY above the first
+    *     unselected candidate's freq (the barrier). Merges never
+    *     increase an existing pair's count, and every pair a merge
+    *     CREATES, (x, ab), inherits freq ≤ its constituent pre-round
+    *     pair (x, a) — which shares a symbol with a selection and so
+    *     sorts at-or-below the barrier. Strict dominance therefore
+    *     guarantees no new or shrunken pair can overtake (or tie into,
+    *     via the lexicographic tie-break) any batched selection
+    *     mid-batch, which is exactly the sequential argmax invariant.
+    *     If strictness empties the batch, the round falls back to the
+    *     single global argmax (always sequential-correct).
+    *
+    * Disjoint selections' frequencies are invariant under each other's
+    * application, so the sequential argmax visits them in selection
+    * order — the batch replays merge-for-merge. With m=4 the 8-merge
+    * demo trains in 2-3 rounds; a 30k-merge vocab needs ~thousands of
+    * pair-count jobs fewer (measured in docs/SCALING.md). Returns
+    * (ranked merges, rounds executed). At production merge counts the
+    * growing replace-expression lineage over `cur` would be cut with a
+    * periodic localCheckpoint, exactly like the graph iterators. */
+  private[graft] def bpeTrainBatched(s: org.apache.spark.sql.SparkSession,
+      dir: String, m: Int, totalMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], Int) = {
     val wf = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -81,7 +122,10 @@ object Training {
       .persist() // vocab-sized; scanned once per merge round
     var cur: org.apache.spark.sql.DataFrame = wf
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to BpeMerges) {
+    var rank = 0
+    var rounds = 0
+    while (rank < totalMerges) {
+      val want = math.min(math.max(m, 1), totalMerges - rank)
       val top = cur
         .select(col("freq"),
           split(expr("substring(syms, 2, length(syms) - 2)"), "><").as("l"))
@@ -93,17 +137,40 @@ object Training {
         .select(col("freq"), col("b.x").as("x"), col("b.y").as("y"))
         .groupBy(col("x"), col("y")).agg(sum(col("freq")).as("freq"))
         .orderBy(col("freq").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
+        .limit(math.max(4 * want, want + 1)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       assert(top.nonEmpty,
-        s"BPE round $r: no pairs left — BpeMerges exceeds the corpus")
-      val x = top(0).getString(0)
-      val y = top(0).getString(1)
-      merges += ((r, x, y, x + y, top(0).getLong(2)))
-      // tokens are [a-z0-9]+ → x/y embed literally in the expression
-      cur = cur.withColumn("syms",
-        expr(s"replace(syms, '<$x><$y>', '<$x$y>')"))
+        s"BPE merge ${rank + 1}: no pairs left — BpeMerges exceeds the corpus")
+      // maximal disjoint prefix, capped at `want`
+      val sel = Seq.newBuilder[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var i = 0
+      var open = true
+      while (open && i < top.length && i < want) {
+        val (x, y, _) = top(i)
+        if (used.contains(x) || used.contains(y)) open = false
+        else { sel += top(i); used += x; used += y; i += 1 }
+      }
+      val prefix = sel.result()
+      // strict dominance over the first unselected candidate (if the
+      // collected list is exhausted with everything selected, no pair
+      // conflicts with a selection anywhere — a conflicting pair would
+      // appear in the full sorted pair list — so no barrier is needed)
+      val batch0 =
+        if (prefix.length < top.length)
+          prefix.takeWhile(_._3 > top(prefix.length)._3)
+        else prefix
+      val batch = if (batch0.isEmpty) prefix.take(1) else batch0
+      batch.foreach { case (x, y, f) =>
+        rank += 1
+        merges += ((rank, x, y, x + y, f))
+        // tokens are [a-z0-9]+ → x/y embed literally in the expression
+        cur = cur.withColumn("syms",
+          expr(s"replace(syms, '<$x><$y>', '<$x$y>')"))
+      }
+      rounds += 1
     }
-    merges.result()
+    (merges.result(), rounds)
   }
 
   /** Portable shard id: 60-bit md5 of the doc id string, mod nShards —

@@ -5212,6 +5212,30 @@ class NativeExprEquivalenceSpec extends AnyFunSuite {
   }
 }
 
+class BpeBatchEquivalenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("batched BPE merge selection reproduces the sequential m=1 sequence exactly") {
+    // the sequential reference: one argmax per round, 8 rounds
+    val (ref, refRounds) = graft.operators.Training
+      .bpeTrainBatched(spark, sf, m = 1, totalMerges = 8)
+    assert(ref.length == 8 && refRounds == 8)
+    assert(ref.map(_._1) == (1 to 8), "ranks must be the global sequence")
+    val roundCounts = Seq(2, 4, 8).map { m =>
+      val (got, rounds) = graft.operators.Training
+        .bpeTrainBatched(spark, sf, m = m, totalMerges = 8)
+      assert(got == ref,
+        s"m=$m diverged from the sequential merge sequence:\n$got\nvs\n$ref")
+      assert(rounds <= refRounds)
+      m -> rounds
+    }
+    // batching must actually help on this corpus (fewer pair-count jobs)
+    assert(roundCounts.exists(_._2 < refRounds),
+      s"no batch size reduced the round count: $roundCounts")
+    info(s"rounds per batch size (sequential=8): $roundCounts")
+  }
+}
+
 class CdcMergeSinkSpec extends AnyFunSuite {
   import SparkTestSession._
 
