@@ -75,10 +75,15 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *    producer's `epoch`/`producer.id` zombie fencing: a stale worker
   *    cannot double-append, it can only re-emit a byte-identical epoch.
   *
-  * Not simulated (broker-internal, invisible to the consumer contract):
-  * ISR replication, rebalance protocol, compaction. A production swap
-  * keeps `poll`/`commit` call sites and replaces the parquet scan with
-  * the kafka source — nothing downstream of the DataFrame changes.
+  * Consumer-visible failure modes ARE exercised (OffsetLedgerFaultSpec):
+  * duplicate delivery (both below and within the unconsumed range),
+  * out-of-order offsets within a partition (late files behind a gap),
+  * and a mid-stream rebalance (partition reassignment between two
+  * consumers sharing the group ledger). Not simulated (broker-internal,
+  * invisible to the consumer contract): ISR replication, the rebalance
+  * WIRE protocol itself, compaction. A production swap keeps
+  * `poll`/`commit` call sites and replaces the parquet scan with the
+  * kafka source — nothing downstream of the DataFrame changes.
   */
 object OffsetLedgerIngest {
 
@@ -141,21 +146,51 @@ object OffsetLedgerIngest {
     * partition above the committed offsets, land them under
     * `sinkDir/epoch=<version>`, then commit the advanced ledger.
     * Returns the number of rows ingested (0 = caught up; nothing is
-    * written and the ledger does not advance, so idle polls are free). */
+    * written and the ledger does not advance, so idle polls are free).
+    *
+    * `parts` is the consumer's PARTITION ASSIGNMENT (Kafka
+    * `Consumer.assign` / the group coordinator's post-rebalance
+    * assignment): the poll reads only those partitions, so a rebalance
+    * is a pure assignment change — the next assignee of a reassigned
+    * partition resumes from the shared ledger's committed offset, and
+    * exactly-once carries across the handoff (OffsetLedgerFaultSpec).
+    *
+    * Two at-least-once transport faults are absorbed INSIDE the poll:
+    *
+    *  - '''duplicate delivery''' — a record redelivered BELOW the
+    *    committed offset is excluded by the `offset > committed` seek;
+    *    one redelivered WITHIN the unconsumed range (same (part,
+    *    offset) twice in the scan) is collapsed by the (part, offset)
+    *    dedup, the consumer-side idempotence a real consumer gets from
+    *    the broker's one-record-per-offset invariant.
+    *  - '''out-of-order offsets within a partition''' — only the
+    *    CONTIGUOUS offset prefix above the committed offset is
+    *    ingested and committed (`offset == committed + row_number`):
+    *    rows past a gap stay in the topic until the late delivery
+    *    fills it, so a delayed file can never be skipped-forever by an
+    *    advancing ledger. Both guards run on the BOUNDED poll batch
+    *    (≤ maxPerPartition × |assignment| rows), never the topic. */
   def poll(spark: SparkSession, topicDir: String, sinkDir: String,
-      maxPerPartition: Long = Long.MaxValue): Long = {
+      maxPerPartition: Long = Long.MaxValue,
+      parts: Option[Set[Int]] = None): Long = {
     val ledger = readLedger(sinkDir)
     // tiny (n_partitions rows) — broadcast against the topic scan; the
     // per-partition offset bounds stay inside the scan's pushed filters
     import spark.implicits._
     val committed = ledger.offsets.toSeq.toDF("part", "committed")
-    val topic = spark.read.parquet(topicDir)
+    val topic0 = spark.read.parquet(topicDir)
+    val topic = parts.fold(topic0)(ps =>
+      topic0.filter(col("part").isin(ps.toSeq.sorted.map(Int.box): _*)))
+    val w = Window.partitionBy(col("part")).orderBy(col("offset"))
     val batch = topic
       .join(broadcast(committed), Seq("part"), "left_outer")
       .withColumn("committed", coalesce(col("committed"), lit(0L)))
       .filter(col("offset") > col("committed") &&
         col("offset") <= col("committed") + maxPerPartition)
-      .drop("committed")
+      .dropDuplicates("part", "offset") // duplicate-delivery guard
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .filter(col("offset") === col("committed") + col("_rn")) // gap guard
+      .drop("_rn", "committed")
       .persist() // read once for the count, once for the write
     val n = batch.count()
     if (n > 0) {

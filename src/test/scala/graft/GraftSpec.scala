@@ -2085,6 +2085,77 @@ class OffsetLedgerSpec extends AnyFunSuite {
   }
 }
 
+class OffsetLedgerFaultSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.OffsetLedgerIngest._
+
+  /** In-process queue simulation: each call is one transport delivery —
+    * new files appended to the topic dir. `copies > 1` injects
+    * duplicate delivery; calling with a later offset range before an
+    * earlier one injects out-of-order arrival behind a gap. */
+  private def deliver(topic: String, ps: Seq[Int], lo: Long, hi: Long,
+      copies: Int = 1): Unit = {
+    import spark.implicits._
+    val rows = for { p <- ps; _ <- 1 to copies; o <- lo to hi }
+      yield (p, o, p * 1000000L + o)
+    rows.toDF("part", "offset", "value").repartition(1)
+      .write.mode("append").partitionBy("part").parquet(topic)
+  }
+
+  test("exactly-once across duplicate delivery, out-of-order offsets and a mid-stream rebalance (6 micro-batches)") {
+    val topic = java.nio.file.Files.createTempDirectory("graft_faulttopic").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_faultsink").toString
+    // two consumers in one group share the ledger; turn-taking polls
+    // play the micro-batch cadence (assignment = Kafka Consumer.assign)
+    var assignA = Set(0, 1); var assignB = Set(2, 3)
+    def pollA() = poll(spark, topic, sink, maxPerPartition = 200, parts = Some(assignA))
+    def pollB() = poll(spark, topic, sink, maxPerPartition = 200, parts = Some(assignB))
+
+    // batch 1: tranche T0 (offsets 1..50) for every partition
+    deliver(topic, Seq(0, 1, 2, 3), 1, 50)
+    assert(pollA() == 100L && pollB() == 100L)
+
+    // batch 2 deliveries, all three faults at once:
+    //  * part 0: T2 (101..150) arrives BEFORE T1 — out-of-order, gap at 51
+    //  * part 1: T0 REdelivered below the committed offset, and T1
+    //    delivered TWICE (duplicate within the unconsumed range)
+    //  * parts 2,3: clean T1
+    deliver(topic, Seq(0), 101, 150)
+    deliver(topic, Seq(1), 1, 50) // stale redelivery
+    deliver(topic, Seq(1), 51, 100, copies = 2) // double delivery
+    deliver(topic, Seq(2, 3), 51, 100)
+    assert(pollA() == 50L,
+      "part 0 must ingest NOTHING past the gap; part 1's T1 exactly once")
+    assert(readLedger(sink).offsets(0) == 50L,
+      "the ledger must not advance part 0 over the missing tranche")
+    assert(readLedger(sink).offsets(1) == 100L)
+    assert(pollB() == 100L)
+
+    // REBALANCE: partition 2 moves from consumer B to consumer A; the
+    // new assignee resumes from the group ledger's committed offset
+    assignA = Set(0, 1, 2); assignB = Set(3)
+
+    // batch 3: the late T1 for part 0 fills the gap; T2 everywhere else
+    deliver(topic, Seq(0), 51, 100)
+    deliver(topic, Seq(1, 2, 3), 101, 150)
+    assert(pollA() == 200L, "gap filled: part 0 ingests 51..150 in one poll")
+    assert(pollB() == 50L)
+    assert(pollA() == 0L && pollB() == 0L, "drained")
+
+    // exactly-once: every (part, offset) in the sink exactly once
+    val got = sinkTable(spark, sink)
+    assert(got.count() == 600L)
+    assert(got.select("part", "offset").distinct().count() == 600L)
+    val maxDup = got.groupBy(col("part"), col("offset"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxDup == 1L, "a (part, offset) was ingested twice")
+    assert(readLedger(sink).offsets == Map(0 -> 150L, 1 -> 150L, 2 -> 150L, 3 -> 150L))
+    // payloads intact (not just counts): deterministic value function
+    val badVal = got.filter(col("value") =!= col("part") * 1000000L + col("offset")).count()
+    assert(badVal == 0L)
+  }
+}
+
 class SpanDedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
