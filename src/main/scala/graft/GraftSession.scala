@@ -24,6 +24,13 @@ object GraftSession {
     // 10 MB default is conservative; dims in a TPC-H-ratio schema are tiny
     // relative to facts — let Catalyst broadcast aggressively.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // WITH RECURSIVE's default per-recursion row cap (1M) is a local-dev
+    // guard, not a scale knob: q37's closure is |part| × log₄(keys) rows
+    // and crosses 1M between sf0.1 and sf1d (found by the full sf1d
+    // sweep, round 14). The LEVEL limit (100) stays as the runaway
+    // guard — depth is the thing that diverges on a bad anchor; row
+    // volume is just data size.
+    c.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
     // imperative counterpart of GraftExtensions' injectOptimizerRule,
     // for sessions the library doesn't own (idempotent)
     if (!spark.experimental.extraOptimizations.contains(
