@@ -1310,6 +1310,214 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Cochran–Mantel–Haenszel stratified 2×2×K test + Mantel-Haenszel
+    // common odds ratio — the standard confounder-adjusted complement
+    // to etl_odds_ratio (exposure = user parity, outcome = purchase,
+    // strata = day-of-week). Per-stratum cells are exact longs from ONE
+    // keyed agg; each stratum's E[a], Var[a], ad/n, bc/n are mirrored
+    // double chains snapped to fixed point BEFORE the cross-stratum
+    // sums (≤7 bookkeeping rows), so the statistic is
+    // addition-order-free on both engines. Scale: one map-side-combined
+    // scan agg; everything after is K-row bookkeeping.
+    "ev_cmh_test" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7) AS dow,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ex,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS suc
+        |  FROM events),
+        |t AS (
+        |  SELECT dow,
+        |    CAST(sum(ex * suc) AS BIGINT) AS a,
+        |    CAST(sum(ex * (1 - suc)) AS BIGINT) AS b,
+        |    CAST(sum((1 - ex) * suc) AS BIGINT) AS c,
+        |    CAST(sum((1 - ex) * (1 - suc)) AS BIGINT) AS d
+        |  FROM e GROUP BY dow),
+        |f AS (SELECT a, b, c, d, a + b + c + d AS n FROM t),
+        |s AS (
+        |  SELECT CAST(count(*) AS INT) AS k_strata,
+        |    CAST(sum(a) AS BIGINT) AS sum_a,
+        |    CAST(sum(CAST(floor((a - CAST(a + b AS DOUBLE) * (a + c) / n)
+        |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS numfp,
+        |    CAST(sum(CAST(floor(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+        |      / (CAST(n AS DOUBLE) * n * (n - 1)) * 1000000 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS varfp,
+        |    CAST(sum(CAST(floor(CAST(a AS DOUBLE) * d / n * 1000000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS rfp,
+        |    CAST(sum(CAST(floor(CAST(b AS DOUBLE) * c / n * 1000000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS sfp
+        |  FROM f)
+        |SELECT k_strata, sum_a,
+        |  round((numfp / 1.0e6) * (numfp / 1.0e6) / (varfp / 1.0e6), 6) AS chi2_cmh,
+        |  round(CAST(rfp AS DOUBLE) / sfp, 6) AS or_mh
+        |FROM s""".stripMargin) { (s, dir) =>
+      val e = Tables.eventsTimed(s, dir).select(
+        (expr("ts_s div 86400") % 7).as("dow"),
+        when(col("user_id") % 2 === 0, 1).otherwise(0).as("ex"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("suc"))
+      val t = e.groupBy(col("dow")).agg(
+        sum(col("ex") * col("suc")).as("a"),
+        sum(col("ex") * (lit(1) - col("suc"))).as("b"),
+        sum((lit(1) - col("ex")) * col("suc")).as("c"),
+        sum((lit(1) - col("ex")) * (lit(1) - col("suc"))).as("d"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      val abD = (col("a") + col("b")).cast(DoubleType)
+      val nD = col("n").cast(DoubleType)
+      val fp = t.agg(
+        count(lit(1)).cast(IntegerType).as("k_strata"),
+        sum(col("a")).as("sum_a"),
+        sum(floor((col("a") - abD * (col("a") + col("c")) / col("n"))
+          * 1000000 + 0.5).cast(LongType)).as("numfp"),
+        sum(floor(abD * (col("c") + col("d")) * (col("a") + col("c"))
+            * (col("b") + col("d")) / (nD * col("n") * (col("n") - 1))
+          * 1000000 + 0.5).cast(LongType)).as("varfp"),
+        sum(floor(col("a").cast(DoubleType) * col("d") / col("n")
+          * 1000000000L + 0.5).cast(LongType)).as("rfp"),
+        sum(floor(col("b").cast(DoubleType) * col("c") / col("n")
+          * 1000000000L + 0.5).cast(LongType)).as("sfp"))
+      fp.select(col("k_strata"), col("sum_a"),
+        round((col("numfp") / lit(1.0e6)) * (col("numfp") / lit(1.0e6))
+          / (col("varfp") / lit(1.0e6)), 6).as("chi2_cmh"),
+        round(col("rfp").cast(DoubleType) / col("sfp"), 6).as("or_mh"))
+    },
+
+    // ------------------------------------------------------------------
+    // Page–Hinkley drift detector over the daily mean-value series —
+    // the sequential change-of-mean monitor (the CUSUM family's
+    // running-mean variant every stream-quality stack ships). Daily
+    // means snap to exact micro-units (cents × 1e4 // count); the
+    // running mean, the PH cumulative deviation mₜ, its running
+    // minimum and the alarm margin are ALL exact integer window folds
+    // (cumsum + integer div + running min), so the trace is
+    // bit-deterministic on both engines with zero float accumulation.
+    // The single-partition windows ride the ≤|days| daily relation —
+    // bookkeeping-bounded, never corpus-bounded.
+    "ev_page_hinkley" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT day, (cents * 10000) // cnt AS xm FROM d),
+        |r AS (
+        |  SELECT day, xm,
+        |    xm - (sum(xm) OVER (ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          // (row_number() OVER (ORDER BY day))) AS term
+        |  FROM x),
+        |p AS (
+        |  SELECT day, xm, CAST(sum(term) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mt
+        |  FROM r),
+        |q AS (
+        |  SELECT day, xm, mt, min(mt) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+        |  FROM p)
+        |SELECT day, round(xm / 1.0e6, 6) AS day_mean,
+        |  CAST(mt - mmin AS BIGINT) AS ph_micro,
+        |  CAST(CASE WHEN mt - mmin > 50000 THEN 1 ELSE 0 END AS INT) AS alarm
+        |FROM q""".stripMargin) { (s, dir) =>
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("cents"),
+          count(lit(1)).as("cnt"))
+      // daily relation (≤ |days| rows): single-partition windows are
+      // bookkeeping-bounded here by construction
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOrd = Window.orderBy(col("day"))
+      d.select(col("day"), expr("(cents * 10000) div cnt").as("xm"))
+        .withColumn("cx", sum(col("xm")).over(wCum))
+        .withColumn("k", row_number().over(wOrd).cast(LongType))
+        .withColumn("term", col("xm") - expr("cx div k"))
+        .withColumn("mt", sum(col("term")).over(wCum))
+        .withColumn("mmin", min(col("mt")).over(wCum))
+        .select(col("day"), round(col("xm") / lit(1.0e6), 6).as("day_mean"),
+          (col("mt") - col("mmin")).cast(LongType).as("ph_micro"),
+          when(col("mt") - col("mmin") > 50000L, 1).otherwise(0)
+            .cast(IntegerType).as("alarm"))
+    },
+
+    // ------------------------------------------------------------------
+    // Welch's one-way ANOVA (unequal variances) across event types —
+    // the heteroscedastic complement to etl_anova_oneway (which assumes
+    // pooled variance): F* from variance-weighted group means with the
+    // Welch–Satterthwaite denominator df. Group moments are exact
+    // (cents → DECIMAL(38) sums, cast to double once); the K-group
+    // folds (weights, weighted means, the two correction sums) snap to
+    // fixed point before summation so the cross-group reductions are
+    // order-free. Scale: one keyed agg → K-row bookkeeping → 1 row.
+    "ev_welch_anova" -> QueryDef.withOracle(
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+        |           * CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, s1 / n / 100.0 AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) / 10000.0 AS var
+        |  FROM g WHERE n > 1),
+        |w AS (
+        |  SELECT n, mean,
+        |    CAST(floor(CAST(n AS DOUBLE) / var * 1000000 + 0.5) AS BIGINT) AS wfp,
+        |    CAST(floor(CAST(n AS DOUBLE) / var * mean * 1000000 + 0.5) AS BIGINT) AS wmfp
+        |  FROM m),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(wfp) AS BIGINT) AS wsum, CAST(sum(wmfp) AS BIGINT) AS wmsum
+        |  FROM w),
+        |t2 AS (
+        |  SELECT t.k, t.wsum,
+        |    CAST(sum(CAST(floor((wfp / 1.0e6)
+        |      * (mean - CAST(wmsum AS DOUBLE) / wsum)
+        |      * (mean - CAST(wmsum AS DOUBLE) / wsum) * 1000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS afp,
+        |    CAST(sum(CAST(floor((1 - (wfp / 1.0e6) / (wsum / 1.0e6))
+        |      * (1 - (wfp / 1.0e6) / (wsum / 1.0e6)) / (n - 1)
+        |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS bfp
+        |  FROM w CROSS JOIN tot t GROUP BY t.k, t.wsum)
+        |SELECT CAST(k AS INT) AS k_groups, CAST(k - 1 AS INT) AS df1,
+        |  round((afp / 1.0e6 / (k - 1))
+        |    / (1 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1) * (bfp / 1.0e9)), 6)
+        |    AS f_welch,
+        |  round((CAST(k AS DOUBLE) * k - 1) / (3.0 * (bfp / 1.0e9)), 6) AS df2_welch
+        |FROM t2""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val vfp = floor(col("value") * 100 + 0.5).cast(LongType)
+      val g = Tables.events(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(vfp.cast(dec38)).cast(DoubleType).as("s1"),
+        sum(vfp.cast(dec38) * vfp.cast(dec38)).cast(DoubleType).as("s2"))
+      val m = g.filter(col("n") > 1).select(col("n"),
+        (col("s1") / col("n") / lit(100.0)).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+          / lit(10000.0)).as("var"))
+      val w = m.select(col("n"), col("mean"),
+        floor(col("n").cast(DoubleType) / col("var") * 1000000 + 0.5)
+          .cast(LongType).as("wfp"),
+        floor(col("n").cast(DoubleType) / col("var") * col("mean")
+          * 1000000 + 0.5).cast(LongType).as("wmfp"))
+      val tot = w.agg(count(lit(1)).as("k"),
+        sum(col("wfp")).as("wsum"), sum(col("wmfp")).as("wmsum"))
+      val mbar = col("wmsum").cast(DoubleType) / col("wsum")
+      val t2 = w.crossJoin(broadcast(tot)) // K-row × 1-row bookkeeping
+        .groupBy(col("k"), col("wsum")).agg(
+          sum(floor((col("wfp") / lit(1.0e6)) * (col("mean") - mbar)
+            * (col("mean") - mbar) * 1000000 + 0.5).cast(LongType)).as("afp"),
+          sum(floor((lit(1) - (col("wfp") / lit(1.0e6)) / (col("wsum") / lit(1.0e6)))
+            * (lit(1) - (col("wfp") / lit(1.0e6)) / (col("wsum") / lit(1.0e6)))
+            / (col("n") - 1) * 1000000000L + 0.5).cast(LongType)).as("bfp"))
+      val kD = col("k").cast(DoubleType)
+      t2.select(col("k").cast(IntegerType).as("k_groups"),
+        (col("k") - 1).cast(IntegerType).as("df1"),
+        round((col("afp") / lit(1.0e6) / (col("k") - 1))
+          / (lit(1) + lit(2.0) * (col("k") - 2) / (kD * col("k") - 1)
+            * (col("bfp") / lit(1.0e9))), 6).as("f_welch"),
+        round((kD * col("k") - 1) / (lit(3.0) * (col("bfp") / lit(1.0e9))), 6)
+          .as("df2_welch"))
+    },
+
+    // ------------------------------------------------------------------
     // CUPED variance reduction — the standard pre-experiment covariate
     // adjustment every experimentation platform applies before the
     // t-test (Deng et al.): per-user pre-period spend X (first half of

@@ -203,6 +203,63 @@ object ScaleEvidence {
       spark.catalog.clearCache()
       }
 
+      // ---- the two priciest untouched graph plans (round-14 ask):
+      // wall + shuffle at sf0.1 vs sf1d characterizes the
+      // iteration-cost growth for the alternating HITS half-steps and
+      // the sampled-source Brandes betweenness ------------------------
+      if (fams("graphheavy")) {
+      measure(sf, "graph_hits_6rounds") {
+        graft.SparkEntry.queries("graph_hits")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+      measure(sf, "graph_betweenness") {
+        graft.SparkEntry.queries("graph_betweenness")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+      }
+
+      // ---- TableSink file-granularity copy-on-write (round-14):
+      // merge cost must track TOUCHED BUCKETS, not |table|. Stage the
+      // lineitem keys as a bucketed table (one full bucketizing merge),
+      // then apply a 100-key CDC batch and compare its wall/shuffle
+      // against the full rewrite — plus the manifest's rewritten-vs-
+      // re-referenced file split. --------------------------------------
+      if (fams("tablesink")) {
+      val tdir = java.nio.file.Files.createTempDirectory("graft_cow_ev").toString
+      val sink = new graft.sources.ParquetVersionedTable(spark, tdir)
+      val base = spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey")).agg(
+          sum(col("l_quantity")).cast("double").as("qty"),
+          count(lit(1)).cast("long").as("n"))
+        .withColumn("ord", lit(0L))
+      measure(sf, "tablesink_full_bucketize") {
+        sink.mergeByKey(base, Seq("l_orderkey"), Seq("ord"))
+        sink.current.get.count()
+      }
+      val changes = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey")).distinct().limit(100)
+        .withColumn("qty", lit(-1.0)).withColumn("n", lit(1L))
+        .withColumn("ord", lit(1L))
+      def manifestFiles(v: Long): Set[(Int, String)] =
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$tdir/manifest/v=$v")))
+          .split('\n').filter(_.startsWith("file "))
+          .map { l => val p = l.split(" ", 3); (p(1).toInt, p(2)) }.toSet
+      measure(sf, "tablesink_cow_merge_100keys") {
+        sink.mergeByKey(changes, Seq("l_orderkey"), Seq("ord"))
+        val v0f = manifestFiles(0L); val v1f = manifestFiles(1L)
+        val fresh = v1f -- v0f
+        println(s"""{"family":"tablesink_cow_manifest","sf":"$sf",""" +
+          s""""files_v0":${v0f.size},"files_v1":${v1f.size},""" +
+          s""""files_reused":${(v1f & v0f).size},""" +
+          s""""files_rewritten":${fresh.size},""" +
+          s""""buckets_rewritten":${fresh.map(_._1).size},""" +
+          s""""buckets_total":${v0f.map(_._1).size}}""")
+        sink.current.get.count()
+      }
+      spark.catalog.clearCache()
+      }
+
       // ---- relational anchors (linear-scaling reference) --------------
       if (fams("relational")) {
       measure(sf, "q3_join_agg") {
