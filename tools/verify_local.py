@@ -63,6 +63,12 @@ def main(sf_dir, out_dir, json_out=None, only=None):
             durations[name] = secs
 
     con = duckdb.connect()
+    # parallel sweep workers set this so 6 concurrent DuckDB processes
+    # don't each spawn nproc threads (6×32 threads on 32 cores thrashes:
+    # measured load-average 153 during the round-14 full sf1d sweep)
+    nthreads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if nthreads:
+        con.execute(f"SET threads TO {int(nthreads)}")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
