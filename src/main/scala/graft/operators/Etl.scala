@@ -4345,9 +4345,11 @@ object Etl {
         |fac AS (
         |  SELECT f.mo, f.m_fp * 12.0 / nrm.fsum AS seasonal
         |  FROM f CROSS JOIN nrm)
-        |SELECT si.mo_s, round(si.total, 6) AS total, round(si.ma, 6) AS trend,
+        |SELECT si.mo_s,
+        |  floor(si.total * 100 + 0.5) / 100.0 AS total,
+        |  floor(si.ma * 100 + 0.5) / 100.0 AS trend,
         |  floor(fac.seasonal * 1000000000 + 0.5) / 1.0e9 AS seasonal_factor,
-        |  floor(si.total / fac.seasonal * 1000000 + 0.5) / 1.0e6
+        |  floor(si.total / fac.seasonal * 100 + 0.5) / 100.0
         |    AS deseasonalized,
         |  floor(si.total / (si.ma * fac.seasonal) * 1000000000 + 0.5) / 1.0e9
         |    AS irregular
@@ -4378,13 +4380,21 @@ object Etl {
       val nrm = f.agg(sum(col("m_fp")).as("fsum"))
       val fac = f.crossJoin(broadcast(nrm))
         .select(col("mo"), (col("m_fp") * lit(12.0) / col("fsum")).as("seasonal"))
+      // money-magnitude columns snap at CENTS via the floor idiom, not
+      // round(x, 6): at sf1d the monthly total is ~4.3e9, and 1e9 + 6
+      // decimals = 16 significant digits — more than a double holds, so
+      // the two engines' round() algorithms legitimately disagree by
+      // one ulp (found by the round-14 full sf1d sweep). floor(x*100 +
+      // 0.5)/100.0 is pure IEEE ops, bit-identical on both engines, and
+      // exact until 2^53/100.
       si.join(broadcast(fac), Seq("mo"))
-        .select(col("mo_s"), round(col("total"), 6).as("total"),
-          round(col("ma"), 6).as("trend"),
+        .select(col("mo_s"),
+          (floor(col("total") * 100 + lit(0.5)) / lit(100.0)).as("total"),
+          (floor(col("ma") * 100 + lit(0.5)) / lit(100.0)).as("trend"),
           (floor(col("seasonal") * lit(1.0e9) + lit(0.5)) / lit(1.0e9))
             .as("seasonal_factor"),
-          (floor(col("total") / col("seasonal") * lit(1.0e6) + lit(0.5))
-            / lit(1.0e6)).as("deseasonalized"),
+          (floor(col("total") / col("seasonal") * 100 + lit(0.5))
+            / lit(100.0)).as("deseasonalized"),
           (floor(col("total") / (col("ma") * col("seasonal")) * lit(1.0e9)
             + lit(0.5)) / lit(1.0e9)).as("irregular"))
     },

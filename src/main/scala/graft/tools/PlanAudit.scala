@@ -254,7 +254,10 @@ object PlanAudit {
       "text_perplexity",
       // 1-row broadcast: the (n, nr, nc) contingency-total anchor
       // (the etl_chisq_independence argument)
-      "etl_g_test")
+      "etl_g_test",
+      // 1-row broadcast: the (k, W, weighted-mean) Welch anchor the
+      // ≤|types| group-moment relation expands against
+      "ev_welch_anova")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

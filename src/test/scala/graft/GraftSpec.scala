@@ -566,6 +566,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_kpss", "event_type") -> "type×day calendar-bounded daily counts (partial-sum + autocovariance lag windows)",
       ("ev_var1_stability", "") -> "daily-grain calendar relation (the two VAR lag windows)",
       ("ev_sprt", "") -> "daily-grain calendar relation (the cumulative LLR walk)",
+      ("ev_page_hinkley", "") -> "daily-grain calendar relation (the cumulative PH deviation / running-min walk)",
       ("etl_dalenius_hodges", "") -> "30-cell price-bin relation (the cum-sqrt-f cut windows)",
       ("etl_we_rules", "") -> "monthly-grain calendar relation (the zone-rule run-count windows)",
       ("ev_bass_diffusion", "") -> "daily-grain calendar relation (the exclusive cumulative-adopter window)",
