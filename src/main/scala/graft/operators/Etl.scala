@@ -1555,7 +1555,9 @@ object Etl {
         |      + lead(total, 3) OVER o + lead(total, 4) OVER o + lead(total, 5) OVER o
         |      + 0.5 * lead(total, 6) OVER o) / 12 AS ma
         |  FROM m WINDOW o AS (ORDER BY mo_s))
-        |SELECT mo_s, round(total, 6) AS total, round(ma, 6) AS trend_ma,
+        |SELECT mo_s,
+        |  floor(total * 100 + 0.5) / 100.0 AS total,
+        |  floor(ma * 100 + 0.5) / 100.0 AS trend_ma,
         |  round(total / ma, 9) AS si_ratio
         |FROM w WHERE ma IS NOT NULL""".stripMargin) { (s, dir) =>
       val m = Tables.orders(s, dir)
@@ -1572,10 +1574,15 @@ object Etl {
         lead(col("total"), 1).over(o) + lead(col("total"), 2).over(o) +
         lead(col("total"), 3).over(o) + lead(col("total"), 4).over(o) +
         lead(col("total"), 5).over(o) + lit(0.5) * lead(col("total"), 6).over(o)
+      // money-magnitude outputs snap at cents via the floor idiom, not
+      // round(x, 6): sf1d monthly totals (~4.3e9) + 6 decimals exceed a
+      // double's 16 significant digits, where the engines' round()
+      // algorithms pick different neighboring doubles (round-14 sweep)
       m.withColumn("ma", terms / 12)
         .filter(col("ma").isNotNull)
-        .select(col("mo_s"), round(col("total"), 6).as("total"),
-          round(col("ma"), 6).as("trend_ma"),
+        .select(col("mo_s"),
+          (floor(col("total") * 100 + lit(0.5)) / lit(100.0)).as("total"),
+          (floor(col("ma") * 100 + lit(0.5)) / lit(100.0)).as("trend_ma"),
           round(col("total") / col("ma"), 9).as("si_ratio"))
     },
 
