@@ -137,7 +137,7 @@ def main():
               f"across docs/CORRECTNESS_sf1d_*.json")
         survey_path = os.path.join(root, "SURVEY.md")
         if os.path.exists(survey_path):
-            claims = re.findall(r"(\d+)\s+distinct queries sf1d-verified",
+            claims = re.findall(r"(\d+)\s+distinct\s+queries\s+sf1d-verified",
                                 open(survey_path, encoding="utf-8").read())
             if claims and int(claims[0]) != len(union):
                 stale.append(f"SURVEY claims {claims[0]} distinct queries "
