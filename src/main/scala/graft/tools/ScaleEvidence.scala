@@ -225,6 +225,11 @@ object ScaleEvidence {
       // against the full rewrite — plus the manifest's rewritten-vs-
       // re-referenced file split. --------------------------------------
       if (fams("tablesink")) {
+      // production-shaped bucketing: a CDC batch touches ≪ B buckets
+      // only when B is sized like a real table's file count — with the
+      // 16-bucket default any ~100-key batch hits every bucket and COW
+      // degenerates to a full rewrite (measured before this knob)
+      spark.conf.set("spark.graft.tablesink.buckets", "512")
       val tdir = java.nio.file.Files.createTempDirectory("graft_cow_ev").toString
       val sink = new graft.sources.ParquetVersionedTable(spark, tdir)
       val base = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -236,8 +241,12 @@ object ScaleEvidence {
         sink.mergeByKey(base, Seq("l_orderkey"), Seq("ord"))
         sink.current.get.count()
       }
+      // a 40-key CDC batch via a PUSHED-DOWN key-range filter (a
+      // corpus-wide distinct here would dominate the merge's shuffle
+      // and hide the copy-on-write signal being measured)
       val changes = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey")).distinct().limit(100)
+        .select(col("l_orderkey")).filter(col("l_orderkey") <= 40)
+        .distinct()
         .withColumn("qty", lit(-1.0)).withColumn("n", lit(1L))
         .withColumn("ord", lit(1L))
       def manifestFiles(v: Long): Set[(Int, String)] =
@@ -245,7 +254,7 @@ object ScaleEvidence {
           java.nio.file.Paths.get(s"$tdir/manifest/v=$v")))
           .split('\n').filter(_.startsWith("file "))
           .map { l => val p = l.split(" ", 3); (p(1).toInt, p(2)) }.toSet
-      measure(sf, "tablesink_cow_merge_100keys") {
+      measure(sf, "tablesink_cow_merge_40keys") {
         sink.mergeByKey(changes, Seq("l_orderkey"), Seq("ord"))
         val v0f = manifestFiles(0L); val v1f = manifestFiles(1L)
         val fresh = v1f -- v0f
