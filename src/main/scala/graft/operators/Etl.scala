@@ -2614,6 +2614,57 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Grubbs' outlier test per nation — the classic single-outlier
+    // screen agencies run before publishing a cell: G = max|x − x̄|/s.
+    // The key identity: max|x − x̄| = max(max − x̄, x̄ − min), so the
+    // WHOLE test reduces to one map-side-combined agg per nation of
+    // five exact quantities (n, Σcents, Σcents², max, min — the
+    // DECIMAL(18) q21 protocol) with the G chain assembled in mirrored
+    // doubles and 1e9-snapped. No second pass, no window, no join
+    // beyond the broadcast nation dim.
+    "etl_grubbs_test" -> QueryDef.withOracle(
+      """WITH x AS (
+        |  SELECT n_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+        |g AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2,
+        |    CAST(max(v) AS BIGINT) AS vmax, CAST(min(v) AS BIGINT) AS vmin
+        |  FROM x GROUP BY 1)
+        |SELECT n_name, n,
+        |  CAST(floor(s1 / n + 0.5) AS BIGINT) AS mean_cents,
+        |  floor(CASE WHEN vmax - s1 / n >= s1 / n - vmin
+        |    THEN (vmax - s1 / n) ELSE (s1 / n - vmin) END
+        |    / sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1000000000 + 0.5) / 1.0e9
+        |    AS g_stat,
+        |  CAST(CASE WHEN vmax - s1 / n >= s1 / n - vmin THEN 1 ELSE 0 END
+        |    AS INT) AS upper_side
+        |FROM g WHERE n > 2""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val v = floor(col("c_acctbal") * 100 + 0.5).cast(LongType).as("v")
+      val x = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), v)
+      val g = x.groupBy(col("n_name")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(dec38)).cast(DoubleType).as("s1"),
+        sum(col("v").cast(dec38) * col("v").cast(dec38))
+          .cast(DoubleType).as("s2"),
+        max(col("v")).as("vmax"), min(col("v")).as("vmin"))
+      val mu = col("s1") / col("n")
+      val dev = when(col("vmax") - mu >= mu - col("vmin"),
+        col("vmax") - mu).otherwise(mu - col("vmin"))
+      g.filter(col("n") > 2).select(col("n_name"), col("n"),
+        floor(mu + lit(0.5)).cast(LongType).as("mean_cents"),
+        (floor(dev / sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1)) * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("g_stat"),
+        when(col("vmax") - mu >= mu - col("vmin"), 1).otherwise(0)
+          .cast(IntegerType).as("upper_side"))
+    },
+
+    // ------------------------------------------------------------------
     // Tukey-Kramer HSD post-hoc — WHICH priority groups differ, after
     // etl_anova_oneway's F says "some do" (publishing pairwise
     // differences without the studentized-range correction is the

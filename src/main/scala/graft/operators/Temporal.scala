@@ -1518,6 +1518,181 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Cochran's Q — the k-related-binary-treatments test (on a given
+    // active day, did the same subject click AND view AND purchase?):
+    // the binary repeated-measures complement to etl_friedman_test.
+    // Subjects are (user, day) cells — the granularity where the flags
+    // actually vary (every user in a long window eventually does
+    // everything, degenerating Q's denominator to 0). Per-subject 0/1
+    // flags from ONE keyed agg (max of conditionals, map-side
+    // combined); Q's numerator/denominator are EXACT integer folds
+    // (column sums, Σ row-sum², grand total), so the statistic is a
+    // single mirrored double chain over a 1-row relation — zero float
+    // accumulation.
+    "ev_cochran_q" -> QueryDef.withOracle(
+      """WITH f AS (
+        |  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+        |    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x3
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+        |    CAST(sum(x1) AS BIGINT) AS c1, CAST(sum(x2) AS BIGINT) AS c2,
+        |    CAST(sum(x3) AS BIGINT) AS c3,
+        |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2,
+        |    CAST(sum(x1 + x2 + x3) AS BIGINT) AS nn
+        |  FROM f)
+        |SELECT n_subjects, nn AS grand_total,
+        |  floor(2.0 * (3 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+        |      + CAST(c3 AS DOUBLE) * c3) - CAST(nn AS DOUBLE) * nn)
+        |    / (3.0 * nn - sr2) * 1000000 + 0.5) / 1.0e6 AS q_stat,
+        |  CAST(2 AS INT) AS df
+        |FROM t""".stripMargin) { (s, dir) =>
+      def flag(t: String) =
+        max(when(col("event_type") === t, 1).otherwise(0)).cast(LongType)
+      val f = Tables.eventsTimed(s, dir)
+        .groupBy(col("user_id"), expr("ts_s div 86400").as("day"))
+        .agg(flag("click").as("x1"), flag("view").as("x2"),
+          flag("purchase").as("x3"))
+      val r = col("x1") + col("x2") + col("x3")
+      val t = f.agg(count(lit(1)).as("n_subjects"),
+        sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+        sum(col("x3")).as("c3"),
+        sum(r * r).as("sr2"), sum(r).as("nn"))
+      t.select(col("n_subjects"), col("nn").as("grand_total"),
+        (floor(lit(2.0) * (lit(3) * (col("c1").cast(DoubleType) * col("c1")
+            + col("c2").cast(DoubleType) * col("c2")
+            + col("c3").cast(DoubleType) * col("c3"))
+            - col("nn").cast(DoubleType) * col("nn"))
+          / (lit(3.0) * col("nn") - col("sr2")) * lit(1000000) + lit(0.5))
+          / lit(1.0e6)).as("q_stat"),
+        lit(2).cast(IntegerType).as("df"))
+    },
+
+    // ------------------------------------------------------------------
+    // Brier score + reliability (calibration) curve — the probability-
+    // forecast quality readout next to etl_roc_curve's ranking quality.
+    // The forecast is a deterministic per-event pseudo-probability
+    // (event_id % 100 → pc/100) against the purchase outcome, so every
+    // per-bin quantity is EXACT integer arithmetic: the per-event Brier
+    // numerator (pc − 100y)² is an integer ≤ 1e4, bin sums are exact
+    // longs, and only the final per-bin divisions run in mirrored
+    // snapped doubles. One map-side-combined agg, 10 bookkeeping rows.
+    "ev_brier_calibration" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT CAST(event_id % 100 AS BIGINT) AS pc,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS BIGINT) AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT pc // 10 AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum((pc - 100 * y) * (pc - 100 * y)) AS BIGINT) AS sq
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, n,
+        |  floor(CAST(sp AS DOUBLE) / n / 100.0 * 1000000000 + 0.5) / 1.0e9
+        |    AS mean_p,
+        |  floor(CAST(sy AS DOUBLE) / n * 1000000000 + 0.5) / 1.0e9
+        |    AS frac_pos,
+        |  floor((CAST(sp AS DOUBLE) / n / 100.0 - CAST(sy AS DOUBLE) / n)
+        |    * 1000000000 + 0.5) / 1.0e9 AS calib_gap,
+        |  floor(CAST(sq AS DOUBLE) / n / 10000.0 * 1000000000 + 0.5) / 1.0e9
+        |    AS brier
+        |FROM b""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        (col("event_id") % 100).cast(LongType).as("pc"),
+        when(col("event_type") === "purchase", 1).otherwise(0)
+          .cast(LongType).as("y"))
+      val b = e.groupBy(expr("pc div 10").as("bin")).agg(
+        count(lit(1)).as("n"), sum(col("pc")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("pc") - lit(100) * col("y"))
+          * (col("pc") - lit(100) * col("y"))).as("sq"))
+      b.select(col("bin").cast(LongType).as("bin"), col("n"),
+        (floor(col("sp").cast(DoubleType) / col("n") / lit(100.0)
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("mean_p"),
+        (floor(col("sy").cast(DoubleType) / col("n") * lit(1.0e9)
+          + lit(0.5)) / lit(1.0e9)).as("frac_pos"),
+        (floor((col("sp").cast(DoubleType) / col("n") / lit(100.0)
+          - col("sy").cast(DoubleType) / col("n")) * lit(1.0e9)
+          + lit(0.5)) / lit(1.0e9)).as("calib_gap"),
+        (floor(col("sq").cast(DoubleType) / col("n") / lit(10000.0)
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("brier"))
+    },
+
+    // ------------------------------------------------------------------
+    // Newey-West HAC long-run variance of the daily mean-value series —
+    // the autocorrelation-robust standard error every macro time-series
+    // release quotes (Bartlett kernel, L = 3). Daily means in exact
+    // micro-units; the demeaning anchor is an exact integer floor-div
+    // of a 1-row (n, Σx) broadcast; the lag products accumulate in
+    // DECIMAL(38)/HUGEINT (micro² crosses 2⁶³ — the spearman
+    // discipline) and convert to double ONCE; γ₀/LRV/se assemble in a
+    // mirrored snapped chain. Windows ride the ≤|days| daily relation.
+    "ev_newey_west" -> QueryDef.withOracle(
+      """WITH d AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT day, (cents * 10000) // cnt AS xm FROM d),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |  CAST(sum(xm) AS BIGINT) AS sx FROM x),
+        |dv AS (SELECT x.day, x.xm - (a.sx // a.nd) AS dd, a.nd
+        |  FROM x CROSS JOIN a),
+        |l AS (
+        |  SELECT day, nd, dd,
+        |    lag(dd, 1) OVER (ORDER BY day) AS d1,
+        |    lag(dd, 2) OVER (ORDER BY day) AS d2,
+        |    lag(dd, 3) OVER (ORDER BY day) AS d3
+        |  FROM dv),
+        |g AS (
+        |  SELECT CAST(max(nd) AS BIGINT) AS nd,
+        |    CAST(sum(CAST(dd AS HUGEINT) * dd) AS DOUBLE) AS g0,
+        |    CAST(sum(CAST(dd AS HUGEINT) * d1) AS DOUBLE) AS g1,
+        |    CAST(sum(CAST(dd AS HUGEINT) * d2) AS DOUBLE) AS g2,
+        |    CAST(sum(CAST(dd AS HUGEINT) * d3) AS DOUBLE) AS g3
+        |  FROM l)
+        |SELECT nd AS n_days,
+        |  floor(g0 / nd / 1.0e12 * 1000000 + 0.5) / 1.0e6 AS gamma0,
+        |  floor((g0 + 2 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3)) / nd / 1.0e12
+        |    * 1000000 + 0.5) / 1.0e6 AS lrv,
+        |  floor(sqrt((g0 + 2 * (0.75 * g1 + 0.5 * g2 + 0.25 * g3))
+        |    / nd / 1.0e12 / nd) * 1000000000 + 0.5) / 1.0e9 AS se_nw
+        |FROM g""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val d = Tables.eventsTimed(s, dir)
+        .groupBy(expr("ts_s div 86400").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast(LongType)).as("cents"),
+          count(lit(1)).as("cnt"))
+      val x = d.select(col("day"), expr("(cents * 10000) div cnt").as("xm"))
+        .persist() // ≤|days| bookkeeping; feeds the anchor AND the lags
+      val a = x.agg(count(lit(1)).as("nd"), sum(col("xm")).as("sx"))
+      val dv = x.crossJoin(broadcast(a)) // 1-row (n, Σx) demeaning anchor
+        .select(col("day"), (col("xm") - expr("sx div nd")).as("dd"), col("nd"))
+      val w = Window.orderBy(col("day")) // ≤|days| daily relation
+      val l = dv
+        .withColumn("d1", lag(col("dd"), 1).over(w))
+        .withColumn("d2", lag(col("dd"), 2).over(w))
+        .withColumn("d3", lag(col("dd"), 3).over(w))
+      def gsum(c: String) =
+        sum(col("dd").cast(dec38) * col(c).cast(dec38)).cast(DoubleType)
+      val g = l.agg(max(col("nd")).as("nd"),
+        gsum("dd").as("g0"), gsum("d1").as("g1"),
+        gsum("d2").as("g2"), gsum("d3").as("g3"))
+      val lrv = col("g0") + lit(2) * (lit(0.75) * col("g1")
+        + lit(0.5) * col("g2") + lit(0.25) * col("g3"))
+      g.select(col("nd").as("n_days"),
+        (floor(col("g0") / col("nd") / lit(1.0e12) * lit(1000000)
+          + lit(0.5)) / lit(1.0e6)).as("gamma0"),
+        (floor(lrv / col("nd") / lit(1.0e12) * lit(1000000) + lit(0.5))
+          / lit(1.0e6)).as("lrv"),
+        (floor(sqrt(lrv / col("nd") / lit(1.0e12) / col("nd"))
+          * lit(1.0e9) + lit(0.5)) / lit(1.0e9)).as("se_nw"))
+    },
+
+    // ------------------------------------------------------------------
     // CUPED variance reduction — the standard pre-experiment covariate
     // adjustment every experimentation platform applies before the
     // t-test (Deng et al.): per-user pre-period spend X (first half of

@@ -257,7 +257,10 @@ object PlanAudit {
       "etl_g_test",
       // 1-row broadcast: the (k, W, weighted-mean) Welch anchor the
       // ≤|types| group-moment relation expands against
-      "ev_welch_anova")
+      "ev_welch_anova",
+      // 1-row broadcast: the (n, Σx) demeaning anchor the ≤|days|
+      // daily relation expands against
+      "ev_newey_west")
 
   // dedup_embedding_xcell / ann_ivf_topk legitimately stack the IVF
   // build (2 tiny keyed aggs + a per-vector window), the cell

@@ -567,6 +567,7 @@ class PlanQualitySpec extends AnyFunSuite {
       ("ev_var1_stability", "") -> "daily-grain calendar relation (the two VAR lag windows)",
       ("ev_sprt", "") -> "daily-grain calendar relation (the cumulative LLR walk)",
       ("ev_page_hinkley", "") -> "daily-grain calendar relation (the cumulative PH deviation / running-min walk)",
+      ("ev_newey_west", "") -> "daily-grain calendar relation (the three HAC lag windows)",
       ("etl_dalenius_hodges", "") -> "30-cell price-bin relation (the cum-sqrt-f cut windows)",
       ("etl_we_rules", "") -> "monthly-grain calendar relation (the zone-rule run-count windows)",
       ("ev_bass_diffusion", "") -> "daily-grain calendar relation (the exclusive cumulative-adopter window)",
