@@ -76,6 +76,14 @@ trait TableSink {
   def mergeByKey(changes: DataFrame, keyCols: Seq[String],
       ordCols: Seq[String], opCol: Option[String] = None,
       txn: Option[Long] = None): Long
+  /** Retention vacuum (Delta `VACUUM` / Iceberg `expire_snapshots`):
+    * drop all but the newest `retainVersions` versions and delete every
+    * data file no retained manifest references. Copy-on-write retains
+    * old files for time travel; without a vacuum a long-lived table
+    * accumulates every version's rewrites forever. Retained versions
+    * stay fully time-travelable (their files are never touched).
+    * Returns the number of data files deleted. */
+  def vacuum(retainVersions: Int = 2): Int
 }
 
 /** Shared MERGE planning used by BOTH the [[TableSink]] implementation
@@ -478,6 +486,29 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
         }
       }
     } finally last.unpersist()
+  }
+
+  def vacuum(retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val vs = versions
+    val keep = vs.takeRight(retainVersions)
+    val drop = vs.dropRight(retainVersions)
+    if (drop.isEmpty) return 0
+    // a file re-referenced by ANY retained manifest is live — COW means
+    // old versions' files routinely outlive their writer version
+    val live = keep.flatMap(v => readManifest(v).files.map(_._2)).toSet
+    val dead = drop.flatMap(v => readManifest(v).files.map(_._2))
+      .distinct.filterNot(live)
+    val f = fc
+    var n = 0
+    dead.foreach { rel =>
+      val p = new Path(s"$dir/$rel")
+      if (f.util.exists(p)) { f.delete(p, false); n += 1 }
+    }
+    drop.foreach { v =>
+      if (f.util.exists(manifestPath(v))) f.delete(manifestPath(v), false)
+    }
+    n
   }
 }
 

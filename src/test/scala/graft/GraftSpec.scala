@@ -5059,6 +5059,32 @@ class TableSinkSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.tablesink.buckets")
   }
 
+  test("TableSink vacuum deletes only files unreferenced by retained versions; retained time travel intact") {
+    import spark.implicits._
+    val dirT = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val t = new ParquetVersionedTable(spark, dirT)
+    spark.conf.set("spark.graft.tablesink.buckets", "8")
+    try {
+      t.overwrite((0L until 200L).map(k => (k, k.toDouble)).toDF("k", "x")) // v0
+      t.mergeByKey(Seq((500L, 0.5, 1L)).toDF("k", "x", "ord"),
+        Seq("k"), Seq("ord")) // v1: full bucketizing rewrite — v0 files die
+      t.mergeByKey(Seq((7L, 9.9, 2L)).toDF("k", "x", "ord"),
+        Seq("k"), Seq("ord")) // v2: one bucket rewritten, rest re-referenced
+      val v1Count = t.snapshot(1L).count()
+      val deleted = t.vacuum(retainVersions = 2)
+      assert(deleted > 0, "v0's superseded files must be vacuumed")
+      assert(t.versions == Seq(1L, 2L), "only retained versions remain")
+      // retained versions stay fully readable — including v1's files
+      // that v2 re-references (they must NOT be vacuumed)
+      assert(t.snapshot(1L).count() == v1Count)
+      assert(t.current.get.filter(col("k") === 7L).head().getDouble(1) == 9.9)
+      intercept[Exception] { t.snapshot(0L).count() } // expired version
+      // idempotent: nothing live is ever deleted on a second pass
+      assert(t.vacuum(retainVersions = 2) == 0)
+      assert(t.current.get.count() == 201)
+    } finally spark.conf.unset("spark.graft.tablesink.buckets")
+  }
+
   test("TableMerge.outerMergeWithActions labels kept/inserted/updated like MERGE") {
     import spark.implicits._
     val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("bk", "bx")
