@@ -2614,6 +2614,112 @@ object Etl {
     },
 
     // ------------------------------------------------------------------
+    // Atkinson inequality index (ε = 1) of customer spend per nation —
+    // the welfare-weighted complement to etl_gini / etl_theil_index:
+    // A = 1 − geomean/mean. The geometric mean rides the ×1e6-snapped
+    // ln protocol (ln evaluated on identical doubles both engines,
+    // floored to fixed point PER ROW, summed exactly — the bigram-LM
+    // discipline), the arithmetic mean on exact cent sums; the final
+    // exp/div chain is mirrored and 1e6-snapped. One keyed agg →
+    // |nations| bookkeeping rows.
+    "etl_atkinson_index" -> QueryDef.withOracle(
+      """WITH s AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(s.cents AS HUGEINT)) AS DOUBLE) AS sc,
+        |    CAST(sum(CAST(floor(ln(CAST(s.cents AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS slnfp
+        |  FROM s JOIN nation ON n_nationkey = c_nationkey
+        |  WHERE s.cents > 0 GROUP BY 1)
+        |SELECT n_name, n,
+        |  floor((1 - exp(CAST(slnfp AS DOUBLE) / n / 1000000.0)
+        |    / (sc / n)) * 1000000 + 0.5) / 1.0e6 AS atkinson_e1
+        |FROM g""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val spend = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+          .as("cents"))
+      val g = spend.filter(col("cents") > 0)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name")).agg(
+          count(lit(1)).as("n"),
+          sum(col("cents").cast(dec38)).cast(DoubleType).as("sc"),
+          sum(floor(log(col("cents").cast(DoubleType)) * 1000000 + 0.5)
+            .cast(LongType)).as("slnfp"))
+      g.select(col("n_name"), col("n"),
+        (floor((lit(1) - exp(col("slnfp").cast(DoubleType) / col("n")
+            / lit(1000000.0)) / (col("sc") / col("n")))
+          * lit(1000000) + lit(0.5)) / lit(1.0e6)).as("atkinson_e1"))
+    },
+
+    // ------------------------------------------------------------------
+    // Paired sign test on per-part mean price movement 1997 → 1998 —
+    // the distribution-free "did prices move up or down" screen next
+    // to the parametric index family. The up/down decision per part is
+    // an EXACT cross-multiplied rational comparison (s98·c97 vs
+    // s97·c98 on cent-sums and counts — zero floats anywhere in the
+    // classification), so the (pos, neg, tie) counts are engine-exact;
+    // the continuity-corrected χ² assembles from them in one mirrored
+    // snapped chain. One conditional corpus agg → |part| bookkeeping.
+    "etl_sign_test" -> QueryDef.withOracle(
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1997
+        |      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s97,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c97,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1998
+        |      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s98,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c98
+        |  FROM lineitem GROUP BY 1),
+        |q AS (SELECT * FROM p WHERE c97 > 0 AND c98 > 0),
+        |t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN s98 * c97 > s97 * c98 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN s98 * c97 < s97 * c98 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neg,
+        |    CAST(sum(CASE WHEN s98 * c97 = s97 * c98 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ties
+        |  FROM q)
+        |SELECT pos, neg, ties, pos + neg AS n_pairs,
+        |  floor((abs(CAST(pos AS DOUBLE) - neg) - 1)
+        |    * (abs(CAST(pos AS DOUBLE) - neg) - 1) / (pos + neg)
+        |    * 1000000 + 0.5) / 1.0e6 AS chi2_cc
+        |FROM t""".stripMargin) { (s, dir) =>
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType)
+      def yr(y: Int, v: org.apache.spark.sql.Column) =
+        sum(when(year(col("l_shipdate")) === y, v).otherwise(0L))
+      val p = Tables.lineitem(s, dir).groupBy(col("l_partkey")).agg(
+        yr(1997, cents).as("s97"), yr(1997, lit(1L)).as("c97"),
+        yr(1998, cents).as("s98"), yr(1998, lit(1L)).as("c98"))
+      val q = p.filter(col("c97") > 0 && col("c98") > 0)
+      val up = col("s98") * col("c97") > col("s97") * col("c98")
+      val dn = col("s98") * col("c97") < col("s97") * col("c98")
+      val t = q.agg(
+        sum(when(up, 1L).otherwise(0L)).as("pos"),
+        sum(when(dn, 1L).otherwise(0L)).as("neg"),
+        sum(when(!up && !dn, 1L).otherwise(0L)).as("ties"))
+      val dpn = abs(col("pos").cast(DoubleType) - col("neg")) - 1
+      t.select(col("pos"), col("neg"), col("ties"),
+        (col("pos") + col("neg")).as("n_pairs"),
+        (floor(dpn * dpn / (col("pos") + col("neg")) * lit(1000000)
+          + lit(0.5)) / lit(1.0e6)).as("chi2_cc"))
+    },
+
+    // ------------------------------------------------------------------
     // Grubbs' outlier test per nation — the classic single-outlier
     // screen agencies run before publishing a cell: G = max|x − x̄|/s.
     // The key identity: max|x − x̄| = max(max − x̄, x̄ − min), so the

@@ -1622,6 +1622,66 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // Matthews correlation + the full confusion readout for a
+    // deterministic threshold classifier (pseudo-score ≥ 0.5 predicts
+    // purchase — the decision-threshold view next to etl_roc_curve's
+    // ranking view and ev_brier_calibration's probability view). The
+    // four confusion cells are exact longs from ONE map-side-combined
+    // agg; MCC / accuracy / precision / recall / F1 assemble in
+    // mirrored snapped double chains over the 1-row cell relation.
+    "ev_mcc_confusion" -> QueryDef.withOracle(
+      """WITH e AS (
+        |  SELECT CAST(CASE WHEN event_id % 100 >= 50 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS p,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS BIGINT) AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT CAST(sum(p * y) AS BIGINT) AS tp,
+        |    CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+        |    CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+        |    CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+        |  FROM e)
+        |SELECT tp, fp, fn, tn,
+        |  floor((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+        |    / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+        |      * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn))
+        |    * 1000000000 + 0.5) / 1.0e9 AS mcc,
+        |  floor((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn)
+        |    * 1000000000 + 0.5) / 1.0e9 AS accuracy,
+        |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000000 + 0.5) / 1.0e9
+        |    AS precision_,
+        |  floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000000 + 0.5) / 1.0e9
+        |    AS recall_,
+        |  floor(2.0 * tp / (2.0 * tp + fp + fn) * 1000000000 + 0.5) / 1.0e9
+        |    AS f1
+        |FROM c""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        when(col("event_id") % 100 >= 50, 1).otherwise(0)
+          .cast(LongType).as("p"),
+        when(col("event_type") === "purchase", 1).otherwise(0)
+          .cast(LongType).as("y"))
+      val c = e.agg(
+        sum(col("p") * col("y")).as("tp"),
+        sum(col("p") * (lit(1) - col("y"))).as("fp"),
+        sum((lit(1) - col("p")) * col("y")).as("fn"),
+        sum((lit(1) - col("p")) * (lit(1) - col("y"))).as("tn"))
+      def d(c0: String) = col(c0).cast(DoubleType)
+      def snap9(x: org.apache.spark.sql.Column) =
+        floor(x * lit(1.0e9) + lit(0.5)) / lit(1.0e9)
+      c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        snap9((d("tp") * col("tn") - d("fp") * col("fn"))
+          / sqrt((d("tp") + col("fp")) * (d("tp") + col("fn"))
+            * (d("tn") + col("fp")) * (d("tn") + col("fn")))).as("mcc"),
+        snap9((d("tp") + col("tn"))
+          / (col("tp") + col("fp") + col("fn") + col("tn"))).as("accuracy"),
+        snap9(d("tp") / (col("tp") + col("fp"))).as("precision_"),
+        snap9(d("tp") / (col("tp") + col("fn"))).as("recall_"),
+        snap9(lit(2.0) * col("tp")
+          / (lit(2.0) * col("tp") + col("fp") + col("fn"))).as("f1"))
+    },
+
+    // ------------------------------------------------------------------
     // Newey-West HAC long-run variance of the daily mean-value series —
     // the autocorrelation-robust standard error every macro time-series
     // release quotes (Bartlett kernel, L = 3). Daily means in exact
