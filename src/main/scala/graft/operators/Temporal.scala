@@ -4305,12 +4305,12 @@ object Temporal {
         |st AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
         |    CAST(sum(rfp) AS BIGINT) AS s1,
-        |    CAST(sum(rfp * rfp) AS BIGINT) AS s2
+        |    CAST(sum(CAST(rfp AS HUGEINT) * rfp) AS DOUBLE) AS s2
         |  FROM r GROUP BY 1)
         |SELECT r.event_type, r.day, r.n,
         |  floor(r.exp_n * 1000000000 + 0.5) / 1.0e9 AS expected,
         |  CAST(r.rfp AS DOUBLE) / 1000000 AS residual,
-        |  abs(CAST(r.rfp AS DOUBLE)) > 2 * sqrt((CAST(st.s2 AS DOUBLE)
+        |  abs(CAST(r.rfp AS DOUBLE)) > 2 * sqrt((st.s2
         |    - CAST(st.s1 AS DOUBLE) * st.s1 / st.nd) / st.nd) AS is_anomaly
         |FROM r JOIN st ON st.event_type = r.event_type""".stripMargin
     ) { (s, dir) =>
@@ -4325,10 +4325,16 @@ object Temporal {
         .select(col("event_type"), col("day"), col("n"), expN.as("exp_n"),
           floor((col("n") - expN) * 1000000 + 0.5).cast(LongType).as("rfp"))
         .persist() // the σ agg re-reads the residual relation
+      // rfp² crosses 2⁶³ between sf1d and sf10d (daily counts ~67k/
+      // type ⇒ residuals ~1e10 micro ⇒ squares ~1e20 — the spearman/
+      // kruskal accumulation class, found by the round-14 sf10d ev_*
+      // battery): accumulate in DECIMAL(38)/HUGEINT, convert ONCE.
+      val dec38s = DecimalType(38, 0)
       val st = r.groupBy(col("event_type"))
         .agg(count(lit(1)).as("nd"), sum(col("rfp")).as("s1"),
-          sum(col("rfp") * col("rfp")).as("s2"))
-      val sd = sqrt((col("s2").cast(DoubleType)
+          sum(col("rfp").cast(dec38s) * col("rfp").cast(dec38s))
+            .cast(DoubleType).as("s2"))
+      val sd = sqrt((col("s2")
         - col("s1").cast(DoubleType) * col("s1") / col("nd")) / col("nd"))
       r.join(broadcast(st), Seq("event_type"))
         .select(col("event_type"), col("day"), col("n"),
