@@ -100,22 +100,6 @@ def registry_size(root):
     return n
 
 
-def sf1d_union(root):
-    """Distinct PASSING queries across every committed sf1d artifact —
-    the round-13 lesson: hand-arithmetic drifted (claimed 144, actual
-    union 143, one rotation re-included a query an earlier one already
-    covered). The union is computed, never added up by hand."""
-    qs = set()
-    for p in glob.glob(os.path.join(root, "docs", "CORRECTNESS_sf1d_*.json")):
-        try:
-            d = json.load(open(p))
-        except Exception:
-            continue
-        qs |= {k for k, v in d.get("queries", {}).items()
-               if isinstance(v, dict) and v.get("status") == "pass"}
-    return qs
-
-
 def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     expect = None
@@ -127,22 +111,37 @@ def main():
 
     stale = []
 
-    # sf1d-union drift check: SURVEY §7's FIRST (= current round's)
-    # "N distinct queries sf1d-verified" figure must equal the computed
-    # union of the committed sf1d artifacts; superseded round sections
-    # keep their historical numbers.
-    union = sf1d_union(root)
-    if union:
-        print(f"sf1d union     : {len(union)} distinct passing queries "
-              f"across docs/CORRECTNESS_sf1d_*.json")
-        survey_path = os.path.join(root, "SURVEY.md")
-        if os.path.exists(survey_path):
-            claims = re.findall(r"(\d+)\s+distinct\s+queries\s+sf1d-verified",
-                                open(survey_path, encoding="utf-8").read())
-            if claims and int(claims[0]) != len(union):
-                stale.append(f"SURVEY claims {claims[0]} distinct queries "
-                             f"sf1d-verified but the artifact union is "
-                             f"{len(union)} — recompute, don't hand-add")
+    # sf1d/sf10d union drift checks: SURVEY §7's FIRST (= current
+    # round's) "N distinct queries sf1d-verified" / "N distinct queries
+    # sf10d-run" figures must equal the computed unions of the committed
+    # artifacts; superseded round sections keep their historical
+    # numbers. (Both figures have drifted from hand-arithmetic once —
+    # r13 sf1d 144 vs 143, r14 sf10d 143 vs 136.)
+    survey_path = os.path.join(root, "SURVEY.md")
+    survey_txt = (open(survey_path, encoding="utf-8").read()
+                  if os.path.exists(survey_path) else "")
+    for decade, claim_pat in (
+            ("sf1d", r"(\d+)\s+distinct\s+queries\s+sf1d-verified"),
+            ("sf10d", r"(\d+)\s+distinct\s+queries\s+sf10d-run")):
+        qs = set()
+        for p in glob.glob(os.path.join(root, "docs",
+                                        f"CORRECTNESS_{decade}_*.json")):
+            try:
+                d = json.load(open(p))
+            except Exception:
+                continue
+            qs |= {k for k, v in d.get("queries", {}).items()
+                   if isinstance(v, dict) and v.get("status") == "pass"}
+        if not qs:
+            continue
+        print(f"{decade} union".ljust(15) +
+              f": {len(qs)} distinct passing queries across "
+              f"docs/CORRECTNESS_{decade}_*.json")
+        claims = re.findall(claim_pat, survey_txt)
+        if claims and int(claims[0]) != len(qs):
+            stale.append(f"SURVEY claims {claims[0]} distinct {decade} "
+                         f"queries but the artifact union is {len(qs)} — "
+                         f"recompute, don't hand-add")
     mirror_path, mirror_n = latest(os.path.join(root, "CORRECTNESS_local_r*.json"))
     if mirror_path:
         mirror = json.load(open(mirror_path))
