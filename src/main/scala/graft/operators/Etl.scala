@@ -2971,8 +2971,8 @@ object Etl {
         |    AS DOUBLE) AS ssr_12
         |  FROM g)
         |SELECT ssr.n,
-        |  floor(ssr.ssr_p / 10000 * 1e2 + 0.5) / 1.0e2 AS ssr_pooled,
-        |  floor(sg.ssr_12 / 10000 * 1e2 + 0.5) / 1.0e2 AS ssr_split,
+        |  ssr.ssr_p / 10000 AS ssr_pooled,
+        |  sg.ssr_12 / 10000 AS ssr_split,
         |  floor((ssr.ssr_p - sg.ssr_12) / 2 / (sg.ssr_12 / (ssr.n - 4))
         |    * 1e6 + 0.5) / 1.0e6 AS f_stat,
         |  floor((ssr.ssr_p - sg.ssr_12) / 2 / (sg.ssr_12 / (ssr.n - 4))
@@ -3010,12 +3010,16 @@ object Etl {
       val sg = g.agg(sum(ssrExpr).as("ssr_12"))
       val f = floor((col("ssr_p") - col("ssr_12")) / 2
         / (col("ssr_12") / (col("n") - 4)) * lit(1.0e6) + 0.5) / lit(1.0e6)
+      // NO fixed-point snap on the SSRs: at sf10d they reach ~3e17, so
+      // floor(x·100) overflows Spark's long-returning floor (which
+      // SATURATES to Long.MaxValue silently — found by the round-14
+      // sf10d etl battery) while 2 decimals of a 17-digit number are
+      // meaningless anyway; the SSR double chains are mirrored
+      // bit-identically, so the raw division is engine-exact
       ssrP.crossJoin(broadcast(sg))
         .select(col("n"),
-          (floor(col("ssr_p") / 10000 * lit(1.0e2) + 0.5) / lit(1.0e2))
-            .as("ssr_pooled"),
-          (floor(col("ssr_12") / 10000 * lit(1.0e2) + 0.5) / lit(1.0e2))
-            .as("ssr_split"),
+          (col("ssr_p") / 10000).as("ssr_pooled"),
+          (col("ssr_12") / 10000).as("ssr_split"),
           f.as("f_stat"), (f > 2.996).as("structural_break"))
     },
 
@@ -6450,12 +6454,12 @@ object Etl {
                .mkString(", ")}) t(o, wfp)),
         |h AS (
         |  SELECT m.ym, m.mo_s, m.fp,
-        |    CAST(sum(w.wfp * m2.fp) AS BIGINT) AS s,
+        |    CAST(sum(CAST(w.wfp AS HUGEINT) * m2.fp) AS DOUBLE) AS s,
         |    CAST(count(*) AS BIGINT) AS nterms
         |  FROM m JOIN w ON TRUE JOIN m m2 ON m2.ym = m.ym + w.off
         |  GROUP BY 1, 2, 3 HAVING count(*) = 13)
         |SELECT mo_s, CAST(fp AS DOUBLE) / 100 AS revenue,
-        |  CAST(s AS DOUBLE) / $HendersonDenom / 100 AS henderson_trend
+        |  s / $HendersonDenom / 100 AS henderson_trend
         |FROM h""".stripMargin) { (s, dir) =>
       import s.implicits._
       val w = HendersonW.toDF("off", "wfp")
@@ -6468,15 +6472,20 @@ object Etl {
           .as("fp"))
         .persist() // both sides of the 13-offset self-join
       val m2 = m.select(col("ym").as("ym2"), col("fp").as("fp2"))
+      // weight numerators (~4e6) × sf10d monthly cents (~4.3e11) put
+      // single terms near 2e18 and the 13-term dot past 2⁶³ — the
+      // spearman accumulation class (round-14 sf10d etl battery):
+      // DECIMAL(38)/HUGEINT products, converted to double ONCE
+      val dec38h = DecimalType(38, 0)
       m.crossJoin(broadcast(w)) // 13-row literal weights relation
         .join(m2, col("ym2") === col("ym") + col("off"))
         .groupBy(col("ym"), col("mo_s"), col("fp"))
-        .agg(sum(col("wfp") * col("fp2")).as("s"),
+        .agg(sum(col("wfp").cast(dec38h) * col("fp2").cast(dec38h))
+          .cast(DoubleType).as("s"),
           count(lit(1)).as("nterms"))
         .filter(col("nterms") === 13)
         .select(col("mo_s"), (col("fp").cast(DoubleType) / 100).as("revenue"),
-          (col("s").cast(DoubleType) / HendersonDenom / 100)
-            .as("henderson_trend"))
+          (col("s") / HendersonDenom / 100).as("henderson_trend"))
     },
 
     // ------------------------------------------------------------------
@@ -7288,14 +7297,13 @@ object Etl {
                .mkString(", ")}) t(o, wfp)),
         |h AS (
         |  SELECT a.ym, a.mo_s, a.fp, a.seasonal, a.sa_c,
-        |    CAST(sum(hw.wfp * b.sa_c) AS BIGINT) AS hdot
+        |    CAST(sum(CAST(hw.wfp AS HUGEINT) * b.sa_c) AS DOUBLE) AS hdot
         |  FROM sa a JOIN hw ON TRUE JOIN sa b ON b.ym = a.ym + hw.off
         |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) = 13)
         |SELECT mo_s, CAST(fp AS DOUBLE) / 100 AS revenue,
         |  floor(seasonal * 1000000000 + 0.5) / 1.0e9 AS seasonal_factor,
         |  CAST(sa_c AS DOUBLE) / 100 AS seasonally_adjusted,
-        |  floor(CAST(hdot AS DOUBLE) / $HendersonDenom / 100 * 1e6 + 0.5)
-        |    / 1.0e6 AS trend,
+        |  floor(hdot / $HendersonDenom + 0.5) / 100.0 AS trend,
         |  floor(CAST(sa_c AS DOUBLE) * $HendersonDenom / hdot * 1e9 + 0.5)
         |    / 1.0e9 AS irregular
         |FROM h""".stripMargin) { (s, dir) =>
@@ -7336,19 +7344,27 @@ object Etl {
         .persist() // both sides of the 13-offset Henderson self-join
       val hw = HendersonW.toDF("off", "wfp")
       val sb = sa.select(col("ym").as("ym2"), col("sa_c").as("sa2"))
+      // the Henderson dot overflows 2⁶³ at sf10d (see
+      // etl_henderson_trend): DECIMAL(38)/HUGEINT products, double once
+      val dec38x = DecimalType(38, 0)
       sa.crossJoin(broadcast(hw))
         .join(sb, col("ym2") === col("ym") + col("off"))
         .groupBy(col("ym"), col("mo_s"), col("fp"), col("seasonal"),
           col("sa_c"))
-        .agg(sum(col("wfp") * col("sa2")).as("hdot"),
+        .agg(sum(col("wfp").cast(dec38x) * col("sa2").cast(dec38x))
+          .cast(DoubleType).as("hdot"),
           count(lit(1)).as("nterms"))
         .filter(col("nterms") === 13)
         .select(col("mo_s"), (col("fp").cast(DoubleType) / 100).as("revenue"),
           (floor(col("seasonal") * lit(1.0e9) + 0.5) / lit(1.0e9))
             .as("seasonal_factor"),
           (col("sa_c").cast(DoubleType) / 100).as("seasonally_adjusted"),
-          (floor(col("hdot").cast(DoubleType) / HendersonDenom / 100
-            * lit(1.0e6) + 0.5) / lit(1.0e6)).as("trend"),
+          // cents snap, not ×1e6: the sf10d trend (~4.7e10) + 6
+          // decimals exceeds a double's 16 significant digits (the
+          // round()/seasonal class) — 2 decimals at this magnitude is
+          // exact until 2^53/100
+          (floor(col("hdot") / HendersonDenom + 0.5) / lit(100.0))
+            .as("trend"),
           (floor(col("sa_c").cast(DoubleType) * HendersonDenom / col("hdot")
             * lit(1.0e9) + 0.5) / lit(1.0e9)).as("irregular"))
     },
@@ -8568,17 +8584,17 @@ object Etl {
         |  SELECT CAST(sum(n_j) AS BIGINT) AS nn,
         |    CAST(count(*) AS BIGINT) AS m,
         |    CAST(sum(sq) AS BIGINT) AS tq, CAST(sum(sp) AS BIGINT) AS tp,
-        |    CAST(sum(vq_fp) AS BIGINT) AS wq,
-        |    CAST(sum(vp_fp) AS BIGINT) AS wp,
-        |    CAST(sum(vqp_fp) AS BIGINT) AS wqp
+        |    CAST(sum(CAST(vq_fp AS HUGEINT)) AS DOUBLE) AS wq,
+        |    CAST(sum(CAST(vp_fp AS HUGEINT)) AS DOUBLE) AS wp,
+        |    CAST(sum(CAST(vqp_fp AS HUGEINT)) AS DOUBLE) AS wqp
         |  FROM w),
         |a AS (
         |  SELECT nn, m,
         |    CAST(tq AS DOUBLE) / nn AS mq,
         |    CAST(tp AS DOUBLE) / 100 / nn AS mp,
-        |    CAST(wq AS DOUBLE) / 1e6 / (nn - m) AS sxx,
-        |    CAST(wp AS DOUBLE) / 1e3 / (nn - m) AS syy,
-        |    CAST(wqp AS DOUBLE) / 1e3 / (nn - m) AS sxy
+        |    wq / 1e6 / (nn - m) AS sxx,
+        |    wp / 1e3 / (nn - m) AS syy,
+        |    wqp / 1e3 / (nn - m) AS sxy
         |  FROM t),
         |r AS (
         |  SELECT w.mon, w.n_j,
@@ -8616,19 +8632,20 @@ object Etl {
           - col("sq").cast(DoubleType) * col("sp") / col("n_j")) / lit(1.0e2)
           * lit(1.0e3) + lit(0.5)).cast(LongType).as("vqp_fp"))
         .persist() // ≤|months| bookkeeping: pooled anchor + per-month T²
+      // the per-month snapped variance terms reach ~1e18 at sf10d, so
+      // their cross-month sums cross 2⁶³ (round-14 sf10d etl battery):
+      // DECIMAL(38)/HUGEINT accumulation, converted to double ONCE
       val t = w.agg(sum(col("n_j")).as("nn"), count(lit(1)).as("m"),
         sum(col("sq")).as("tq"), sum(col("sp")).as("tp"),
-        sum(col("vq_fp")).as("wq"), sum(col("vp_fp")).as("wp"),
-        sum(col("vqp_fp")).as("wqp"))
+        sum(col("vq_fp").cast(dec38)).cast(DoubleType).as("wq"),
+        sum(col("vp_fp").cast(dec38)).cast(DoubleType).as("wp"),
+        sum(col("vqp_fp").cast(dec38)).cast(DoubleType).as("wqp"))
       val a = t.select(
         (col("tq").cast(DoubleType) / col("nn")).as("mq"),
         (col("tp").cast(DoubleType) / lit(100) / col("nn")).as("mp"),
-        (col("wq").cast(DoubleType) / lit(1.0e6) / (col("nn") - col("m")))
-          .as("sxx"),
-        (col("wp").cast(DoubleType) / lit(1.0e3) / (col("nn") - col("m")))
-          .as("syy"),
-        (col("wqp").cast(DoubleType) / lit(1.0e3) / (col("nn") - col("m")))
-          .as("sxy"))
+        (col("wq") / lit(1.0e6) / (col("nn") - col("m"))).as("sxx"),
+        (col("wp") / lit(1.0e3) / (col("nn") - col("m"))).as("syy"),
+        (col("wqp") / lit(1.0e3) / (col("nn") - col("m"))).as("sxy"))
       val dq = col("sq").cast(DoubleType) / col("n_j") - col("mq")
       val dp = col("sp").cast(DoubleType) / lit(100) / col("n_j") - col("mp")
       val det = col("sxx") * col("syy") - col("sxy") * col("sxy")
