@@ -107,9 +107,30 @@ object Bench {
       spark.catalog.clearCache() // release persisted intermediates (see header)
       name -> (dt1, dt2)
     }
-    // listener events arrive asynchronously on the bus; give the tail
-    // of the last query's task-end events time to drain before reading
-    Thread.sleep(3000)
+    // listener events arrive asynchronously on the bus; drain before
+    // reading. A fixed sleep undercounts on a loaded machine (late
+    // task-end events still in flight silently shrink queries_task —
+    // the metric cross-round deltas are adjudicated on), so: first ask
+    // the bus itself via reflection (LiveListenerBus.waitUntilEmpty is
+    // private[spark]), then poll until the accumulated totals are
+    // stable across two consecutive 250 ms reads, 15 s ceiling.
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => () }
+    {
+      import scala.jdk.CollectionConverters._
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 15000) {
+        val cur = listener.groupTaskMs.values().asScala.map(_.sum()).sum
+        if (cur == prev) stable += 1 else stable = 0
+        prev = cur
+        Thread.sleep(250); waited += 250
+      }
+    }
     val taskMins = results.map { case (k, _) =>
       k -> math.min(listener.taskSec(s"$k#1"), listener.taskSec(s"$k#2"))
     }

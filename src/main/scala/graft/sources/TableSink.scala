@@ -76,6 +76,11 @@ trait TableSink {
   def mergeByKey(changes: DataFrame, keyCols: Seq[String],
       ordCols: Seq[String], opCol: Option[String] = None,
       txn: Option[Long] = None): Long
+  /** Small-file compaction (Delta `OPTIMIZE` / Iceberg
+    * `rewrite_data_files`): bin-pack the live file set toward
+    * `targetBytes` per file as a new commit that changes no data,
+    * preserving the bucket layout and time travel. */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Long
   /** Retention vacuum (Delta `VACUUM` / Iceberg `expire_snapshots`):
     * drop all but the newest `retainVersions` versions and delete every
     * data file no retained manifest references. Copy-on-write retains
@@ -303,6 +308,12 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
       case None =>
         df.write.mode("overwrite").parquet(dataDir)
     }
+    listDataFiles(dataDir)
+  }
+
+  /** Enumerate a version dir's committed parquet files as the
+    * (bucket, dir-relative path) manifest entries. */
+  private def listDataFiles(dataDir: String): Seq[(Int, String)] = {
     val f = fc
     val it = f.util.listFiles(new Path(dataDir), true)
     val out = Seq.newBuilder[(Int, String)]
@@ -488,15 +499,86 @@ final class ParquetVersionedTable(spark: SparkSession, dir: String)
     } finally last.unpersist()
   }
 
+  /** OPTIMIZE (Delta `OPTIMIZE` / Iceberg `rewrite_data_files`):
+    * bin-pack the current snapshot's file set toward `targetBytes` per
+    * file as a NEW commit that changes no data. Per bucket (unbucketed
+    * `-1` counts as a bucket), the bin-pack target is
+    * ceil(totalBytes / targetBytes) files — the same running-sum
+    * division as the `etl_compaction_plan` operator; a bucket already
+    * at or under its target is re-referenced byte-identical, so
+    * OPTIMIZE cost ∝ |fragmented buckets|, never |table|. On a
+    * bucketed table, unbucketed files selected for rewrite are FOLDED
+    * INTO the bucket layout (later merges then prune them). Old
+    * versions stay fully time-travelable until vacuum; an OPTIMIZE
+    * version's files are ordinary COW files, so vacuum retention
+    * applies unchanged. Returns the committed version (the current one,
+    * unchanged, when no bucket is fragmented). */
+  def optimize(targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val m = currentManifest.getOrElse(
+      throw new IllegalStateException("optimize on a table with no commits"))
+    if (m.files.isEmpty) return m.version
+    val f = fc
+    val sized = m.files.map { case (b, rel) =>
+      (b, rel, f.getFileStatus(new Path(s"$dir/$rel")).getLen) }
+    def ideal(fs: Seq[(Int, String, Long)]): Long =
+      math.max(1L, (fs.map(_._3).sum + targetBytes - 1) / targetBytes)
+    val byBucket = sized.groupBy(_._1)
+    val fragmented = byBucket.filter { case (_, fs) => fs.size > ideal(fs) }
+    if (fragmented.isEmpty) return m.version
+    val rewrite = fragmented.values.flatten.toSeq
+    val keep = m.files.filterNot { case (b, _) => fragmented.contains(b) }
+    val rows = spark.read.schema(m.schema)
+      .parquet(rewrite.map(x => s"$dir/${x._2}"): _*)
+    // bytes→rows conversion for maxRecordsPerFile: one count over the
+    // fragmented subset only (maintenance-time cost, not a table scan)
+    val nRows = rows.count()
+    val nBytes = rewrite.map(_._3).sum
+    val rowsPerFile =
+      if (nRows == 0L) 1L
+      else math.max(1L, targetBytes * nRows / math.max(1L, nBytes))
+    commit(None) { v =>
+      val dataDir = s"$dir/data/v=$v"
+      m.bucketing match {
+        case Some((cols, b)) =>
+          // repartition BY THE BUCKET COLUMN: every row of a bucket
+          // lands in one task, so each bucket dir gets exactly
+          // ceil(bucketRows / rowsPerFile) files — the bin-pack shape
+          rows.withColumn(BucketCol, pmod(hash(cols.map(col): _*), lit(b)))
+            .repartition(b, col(BucketCol))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rowsPerFile)
+            .partitionBy(BucketCol).parquet(dataDir)
+        case None =>
+          rows.repartition(ideal(rewrite).toInt)
+            .write.mode("overwrite").parquet(dataDir)
+      }
+      Manifest(v, m.schema, m.bucketing, keep ++ listDataFiles(dataDir))
+    }
+  }
+
   def vacuum(retainVersions: Int = 2): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
+    val cv = currentVersion.getOrElse(return 0)
     val vs = versions
-    val keep = vs.takeRight(retainVersions)
-    val drop = vs.dropRight(retainVersions)
+    // Retention is anchored on the COMMITTED POINTER, not the manifest
+    // listing: a crash inside the commit window (manifest v+1 written,
+    // pointer flip lost) leaves an orphan manifest that a listing-based
+    // newest-N would count as the newest version — vacuum(1) would then
+    // keep only the orphan and delete the pointed-to version's manifest
+    // and files, leaving currentVersion unreadable. Manifests above the
+    // pointer are uncommitted residue: they never count toward
+    // retention, are left on disk (an idempotent retry may complete
+    // them), and their file references are treated as live.
+    val committed = vs.filter(_ <= cv)
+    val orphans = vs.filter(_ > cv)
+    val keep = committed.takeRight(retainVersions)
+    val drop = committed.dropRight(retainVersions)
+    require(keep.contains(cv),
+      s"vacuum invariant violated: pointer v=$cv not in keep set $keep")
     if (drop.isEmpty) return 0
     // a file re-referenced by ANY retained manifest is live — COW means
     // old versions' files routinely outlive their writer version
-    val live = keep.flatMap(v => readManifest(v).files.map(_._2)).toSet
+    val live = (keep ++ orphans).flatMap(v => readManifest(v).files.map(_._2)).toSet
     val dead = drop.flatMap(v => readManifest(v).files.map(_._2))
       .distinct.filterNot(live)
     val f = fc

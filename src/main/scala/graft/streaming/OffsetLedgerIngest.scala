@@ -75,6 +75,20 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *    producer's `epoch`/`producer.id` zombie fencing: a stale worker
   *    cannot double-append, it can only re-emit a byte-identical epoch.
   *
+  * '''Dense-offset assumption (explicit transport contract).''' The
+  * gap guard keys contiguity on arithmetic density
+  * (`offset == committed + row_number`), which is valid HERE because
+  * this transport's producers emit dense offsets by construction
+  * (`stageTopic` assigns `row_number`). Real Kafka logs legitimately
+  * skip offsets — transaction control records and compacted topics
+  * leave holes — and against a real broker a density check would stall
+  * the partition forever on the first legitimate hole. A production
+  * swap must replace it with broker-advertised-watermark contiguity:
+  * ingest up to `endOffsets` (the high-watermark) and treat offsets
+  * missing below it as non-records, committing the high-watermark
+  * rather than a counted prefix. The seam is the two `_rn` lines in
+  * `poll`; everything else carries over unchanged.
+  *
   * Consumer-visible failure modes ARE exercised (OffsetLedgerFaultSpec):
   * duplicate delivery (both below and within the unconsumed range),
   * out-of-order offsets within a partition (late files behind a gap),
@@ -170,6 +184,18 @@ object OffsetLedgerIngest {
     *    fills it, so a delayed file can never be skipped-forever by an
     *    advancing ledger. Both guards run on the BOUNDED poll batch
     *    (≤ maxPerPartition × |assignment| rows), never the topic. */
+  /** Fault-injection seam for crash-recovery specs ONLY: when set,
+    * `poll` throws at the named point, leaving exactly the on-disk
+    * state a process death there would leave. Because poll reads ALL
+    * of its state from disk at entry (ledger + topic + epoch dirs;
+    * nothing consumer-side survives in memory between polls), an
+    * abandoned throw is observationally equivalent to `kill -9` for
+    * the recovery path. Valid points: `"sink-write"` (epoch dir
+    * written, ledger commit lost — the at-least-once window) and
+    * `"ledger-commit"` (ledger committed, consumer died before
+    * observing success). */
+  private[graft] var crashAfter: Option[String] = None
+
   def poll(spark: SparkSession, topicDir: String, sinkDir: String,
       maxPerPartition: Long = Long.MaxValue,
       parts: Option[Set[Int]] = None): Long = {
@@ -201,8 +227,14 @@ object OffsetLedgerIngest {
       batch.write.mode("overwrite")
         .parquet(s"$sinkDir/epoch=${ledger.version}")
       batch.unpersist()
+      if (crashAfter.contains("sink-write"))
+        throw new IllegalStateException(
+          "failpoint: died after sink write, before ledger commit")
       commitLedger(sinkDir,
         Ledger(ledger.version + 1, ledger.offsets ++ newOffsets))
+      if (crashAfter.contains("ledger-commit"))
+        throw new IllegalStateException(
+          "failpoint: died after ledger commit, before observing success")
     } else batch.unpersist()
     n
   }

@@ -2158,6 +2158,82 @@ class OffsetLedgerFaultSpec extends AnyFunSuite {
   }
 }
 
+class OffsetLedgerCrashSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.OffsetLedgerIngest
+  import graft.streaming.OffsetLedgerIngest._
+  import java.nio.file.{Files, Paths}
+
+  /** Consumer CRASH mid-batch + restart-from-ledger — the recovery path
+    * the exactly-once claim rests on. The failpoint throw is
+    * observationally equivalent to process death here because poll()
+    * reads ALL consumer state from disk at entry (ledger + topic +
+    * epoch dirs); "restart" = the next plain poll() call. Both crash
+    * points are driven, across ≥3 committed micro-batches. */
+  test("consumer crash mid-batch at both commit-window points; restart is exactly-once") {
+    val topic = Files.createTempDirectory("graft_crashtopic").toString
+    val sink = Files.createTempDirectory("graft_crashsink").toString
+    stageTopic(spark, sf, topic, nPartitions = 4)
+    val total = spark.read.parquet(topic).count()
+    val perPart = 120L
+
+    // micro-batch 1: clean
+    assert(poll(spark, topic, sink, perPart) > 0)
+    assert(readLedger(sink).version == 1L)
+
+    // micro-batch 2: CRASH POINT A — epoch dir written, ledger commit
+    // lost. On disk afterwards: epoch=1 exists, ledger still v1 — the
+    // at-least-once window.
+    val ledgerPreCrash = readLedger(sink)
+    OffsetLedgerIngest.crashAfter = Some("sink-write")
+    try intercept[IllegalStateException] { poll(spark, topic, sink, perPart) }
+    finally OffsetLedgerIngest.crashAfter = None
+    assert(readLedger(sink) == ledgerPreCrash,
+      "died before commit: ledger must be unchanged")
+    assert(Files.exists(Paths.get(sink, "epoch=1")),
+      "died after sink write: the torn epoch dir must exist")
+
+    // restart: re-reads ledger v1, REBUILDS epoch=1 deterministically,
+    // overwrites the torn dir, then commits — no duplicates
+    assert(poll(spark, topic, sink, perPart) > 0)
+    assert(readLedger(sink).version == 2L)
+    val afterRecovery = sinkTable(spark, sink)
+    assert(afterRecovery.count() ==
+      afterRecovery.select("part", "offset").distinct().count(),
+      "recovered epoch replay must not duplicate")
+
+    // micro-batch 3: CRASH POINT B — ledger committed, consumer died
+    // before observing success. On disk: ledger v3, epoch=2 complete.
+    OffsetLedgerIngest.crashAfter = Some("ledger-commit")
+    try intercept[IllegalStateException] { poll(spark, topic, sink, perPart) }
+    finally OffsetLedgerIngest.crashAfter = None
+    assert(readLedger(sink).version == 3L,
+      "died after commit: the commit must be durable")
+    assert(Files.exists(Paths.get(sink, "epoch=2")))
+
+    // restart: sees the committed ledger and CONTINUES — epoch 2 is
+    // never rebuilt, the next poll opens epoch 3
+    val ingestedPre = sinkTable(spark, sink).count()
+    poll(spark, topic, sink, perPart)
+    assert(readLedger(sink).version == 4L)
+    assert(!Files.exists(Paths.get(sink, "epoch=4")) ||
+      sinkTable(spark, sink).count() > ingestedPre)
+
+    // drain the rest and prove exactly-once END TO END across the two
+    // crash-recovery cycles: every topic row in the sink exactly once
+    drain(spark, topic, sink, perPart)
+    val got = sinkTable(spark, sink)
+    assert(got.count() == total, s"sink ${got.count()} != topic $total")
+    assert(got.select("part", "offset").distinct().count() == total)
+    assert(got.select("event_id").distinct().count() == total)
+    // ledger heads equal the true per-partition maxima
+    val heads = spark.read.parquet(topic).groupBy(col("part"))
+      .agg(max(col("offset")).as("hi")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(readLedger(sink).offsets == heads)
+  }
+}
+
 class SpanDedupSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -5083,6 +5159,85 @@ class TableSinkSpec extends AnyFunSuite {
       assert(t.vacuum(retainVersions = 2) == 0)
       assert(t.current.get.count() == 201)
     } finally spark.conf.unset("spark.graft.tablesink.buckets")
+  }
+
+  test("TableSink optimize bin-packs fragmented buckets, re-references compact ones, changes no data") {
+    import spark.implicits._
+    val dirT = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    val t = new ParquetVersionedTable(spark, dirT)
+    spark.conf.set("spark.graft.tablesink.buckets", "4")
+    try {
+      def manifestFiles(v: Long): Set[(Int, String)] =
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dirT/manifest/v=$v"))).split('\n')
+          .filter(_.startsWith("file ")).map { l =>
+            val p = l.split(" ", 3); (p(1).toInt, p(2))
+          }.toSet
+      t.overwrite((0L until 200L).map(k => (k, k.toDouble)).toDF("k", "x")) // v0
+      t.mergeByKey(Seq((500L, 0.5, 1L)).toDF("k", "x", "ord"),
+        Seq("k"), Seq("ord")) // v1: bucketized, 1 file per bucket
+      // fragment the layout: 6 tiny appends each add per-bucket files
+      (1L to 6L).foreach { i =>
+        t.append(Seq((1000L + i, i.toDouble)).toDF("k", "x"))
+      }
+      val preV = t.currentVersion.get
+      val preFiles = manifestFiles(preV)
+      val preRows = t.current.get.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(preFiles.size > 4, s"appends must fragment: ${preFiles.size}")
+      val fragmented = preFiles.groupBy(_._1).filter(_._2.size > 1).keySet
+      val compactAlready = preFiles.groupBy(_._1).filter(_._2.size == 1).keySet
+      val v = t.optimize(targetBytes = 1L << 30) // everything fits one file/bucket
+      assert(v == preV + 1, "optimize commits a new version")
+      val postFiles = manifestFiles(v)
+      // bin-pack target: exactly one file per non-empty bucket
+      assert(postFiles.groupBy(_._1).forall(_._2.size == 1),
+        s"bucket not packed to its target: $postFiles")
+      assert(postFiles.size < preFiles.size)
+      // compact buckets are re-referenced byte-identical, not rewritten
+      compactAlready.foreach { b =>
+        assert(preFiles.filter(_._1 == b) == postFiles.filter(_._1 == b),
+          s"already-compact bucket $b must be re-referenced") }
+      fragmented.foreach { b =>
+        assert((postFiles -- preFiles).exists(_._1 == b),
+          s"fragmented bucket $b must be rewritten") }
+      // OPTIMIZE changes no data; pre-optimize version still time-travels
+      val postRows = t.current.get.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(postRows == preRows, "optimize must not change table contents")
+      assert(t.snapshot(preV).count() == preRows.size)
+      // already-packed table: no new commit
+      assert(t.optimize(targetBytes = 1L << 30) == v)
+      // vacuum after optimize: old fragments die, current stays readable
+      assert(t.vacuum(retainVersions = 1) > 0)
+      assert(t.current.get.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet == preRows)
+    } finally spark.conf.unset("spark.graft.tablesink.buckets")
+  }
+
+  test("TableSink vacuum anchors retention on the committed pointer, not orphan manifests") {
+    import spark.implicits._
+    val dirT = java.nio.file.Files.createTempDirectory("graft_vorph").toString
+    val t = new ParquetVersionedTable(spark, dirT)
+    t.overwrite(Seq((1L, 1.0)).toDF("k", "x")) // v0
+    t.append(Seq((2L, 2.0)).toDF("k", "x")) // v1
+    assert(t.currentVersion.contains(1L))
+    // simulate a crash inside the commit window: manifest v=2 written,
+    // pointer flip lost — the classic orphan a listing-based newest-N
+    // retention would count as the newest version
+    val man = java.nio.file.Paths.get(s"$dirT/manifest")
+    java.nio.file.Files.copy(man.resolve("v=1"), man.resolve("v=2"))
+    assert(t.versions == Seq(0L, 1L, 2L) && t.currentVersion.contains(1L))
+    t.vacuum(retainVersions = 1)
+    // the POINTED-TO version must survive; only committed v0 is dropped
+    assert(t.currentVersion.contains(1L))
+    assert(t.current.get.count() == 2, "pointer version must stay readable")
+    assert(java.nio.file.Files.exists(man.resolve("v=1")),
+      "vacuum must never delete the committed pointer's manifest")
+    assert(java.nio.file.Files.exists(man.resolve("v=2")),
+      "uncommitted orphan is left for an idempotent retry to complete")
+    assert(!java.nio.file.Files.exists(man.resolve("v=0")),
+      "committed versions beyond retention are still vacuumed")
   }
 
   test("TableMerge.outerMergeWithActions labels kept/inserted/updated like MERGE") {

@@ -52,6 +52,68 @@ def normalize(df):
     return list(df.columns), rows
 
 
+STREAM_BYTES = int(os.environ.get("GRAFT_STREAM_BYTES", 200 * 1024 * 1024))
+
+
+def stream_compare(con, name, sql, pq_dir, files):
+    """Corpus-sized-output compare, entirely inside DuckDB's streaming
+    executor — no pandas materialization on either side (the r14 sf10d
+    etl battery had to EXCLUDE etl_outlier_clamp/etl_scd2/
+    etl_snapshot_diff because their ~60M-row outputs exceeded the
+    cell-by-cell mirror; this path removes that harness limit).
+
+    Both sides become DuckDB relations, every column is normalized by
+    the SAME SQL expression (so only side-vs-side consistency matters,
+    not agreement with the pandas normalizer), and each side is reduced
+    to an order-independent multiset digest: row count + two
+    independent sums of 64-bit row hashes (HUGEINT accumulation, exact
+    at any row count)."""
+    glob_sql = os.path.join(pq_dir, "*.parquet").replace("'", "''")
+    got_rel = f"read_parquet('{glob_sql}')"
+    want_rel = f"({sql})"
+
+    def cols_types(rel_sql):
+        rows = con.execute(f"DESCRIBE SELECT * FROM {rel_sql}").fetchall()
+        return [(r[0], str(r[1]).upper()) for r in rows]
+
+    got_ct, want_ct = cols_types(got_rel), cols_types(want_rel)
+    if sorted(c for c, _ in got_ct) != sorted(c for c, _ in want_ct):
+        return False, (f"columns differ spark={sorted(c for c, _ in got_ct)} "
+                       f"duckdb={sorted(c for c, _ in want_ct)}")
+    types = {}
+    for c, t in got_ct + want_ct:
+        # a column is float-normalized if EITHER side is floating —
+        # mirrors norm_cell treating 3.0 and 3 as the same cell
+        if t in ("DOUBLE", "FLOAT", "REAL") or types.get(c) == "f":
+            types[c] = "f"
+        else:
+            types.setdefault(c, "o")
+
+    def norm_expr(c, kind):
+        q = '"' + c.replace('"', '""') + '"'
+        if kind == "f":
+            d = f"CAST({q} AS DOUBLE)"
+            return (f"CASE WHEN {q} IS NULL OR isnan({d}) THEN 'NULL' "
+                    f"WHEN {d} = floor({d}) AND abs({d}) < 1e15 "
+                    f"THEN CAST(CAST({d} AS BIGINT) AS VARCHAR) "
+                    f"ELSE CAST(round({d}, 9) AS VARCHAR) END")
+        return f"COALESCE(CAST({q} AS VARCHAR), 'NULL')"
+
+    exprs = ", ".join(norm_expr(c, types[c]) for c in sorted(types))
+    digest = (f"SELECT count(*) AS n, "
+              f"COALESCE(sum(CAST(hash(r) AS HUGEINT)), 0) AS h1, "
+              f"COALESCE(sum(CAST(hash(r || '|2') AS HUGEINT)), 0) AS h2 "
+              f"FROM (SELECT concat_ws(chr(31), {exprs}) AS r FROM %s)")
+    got = con.execute(digest % got_rel).fetchone()
+    want = con.execute(digest % want_rel).fetchone()
+    if got[0] != want[0]:
+        return False, f"rowcount spark={got[0]} duckdb={want[0]}"
+    if got[1:] != want[1:]:
+        return False, (f"multiset digest differs over {got[0]} rows "
+                       f"(count equal — values diverge)")
+    return True, f"{got[0]} rows digest-equivalent (streamed)"
+
+
 def main(sf_dir, out_dir, json_out=None, only=None):
     results = {}
     durations = {}
@@ -132,6 +194,25 @@ def main(sf_dir, out_dir, json_out=None, only=None):
                   f"(decimal/nested) — cast to DOUBLE / scalars")
             record(name, "fail", f"driver-hostile columns {bad_cols}", secs=time.monotonic() - t_start)
             n_fail += 1
+            continue
+        # Corpus-sized outputs (full-table rewrites at 100×) stream the
+        # compare inside DuckDB instead of materializing pandas frames;
+        # the classic cell-by-cell path still runs at driver-gate scale,
+        # so the two modes cross-check each other at sf0.01.
+        if sum(os.path.getsize(x) for x in files) > STREAM_BYTES:
+            try:
+                ok, msg = stream_compare(con, name, sql, pq_dir, files)
+            except Exception as e:
+                ok, msg = False, f"stream compare error: {e}"
+            dt = time.monotonic() - t_start
+            if ok:
+                print(f"PASS {name} ({msg}, {dt:.1f}s)")
+                record(name, "pass", msg, secs=dt)
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: {msg}")
+                record(name, "fail", msg, secs=dt)
+                n_fail += 1
             continue
         try:
             rel = con.sql(sql)
