@@ -1720,12 +1720,26 @@ object Etl {
     // classify link / possible / non-link at ±2. Guard rails: an
     // agreeing row implies u > 0 and a disagreeing row implies u < 1,
     // so neither ln sees 0 on the branch that evaluates it.
+    //
+    // SCALE CAP (mirrored in the oracle, same discipline as
+    // etl_record_linkage and the LSH band buckets): blocks larger than
+    // 1024 members are EXCLUDED — pair growth within a block is
+    // quadratic, and a templated/replicated corpus merges same-keyed
+    // blocks across replicas (measured: sf0.1 max block 69 → sf10d max
+    // block 6,900 = 5.09e9 uncapped pairs, which the r15 sf10d battery
+    // caught as a non-terminating persist). An oversized block is also
+    // USELESS for linkage — Fellegi-Sunter practice refines the
+    // blocking key rather than scoring a degenerate block. The cap
+    // does not bind below ~15× the graded scale.
     "etl_linkage_weights" -> QueryDef.withOracle(
       """WITH p AS (
         |  SELECT p_partkey, p_brand, p_type, p_size,
         |    regexp_extract(p_name, '([a-z0-9]+)$', 1) AS noun,
         |    regexp_extract(p_name, '^([a-z0-9]+)', 1) AS adj
         |  FROM part),
+        |ok AS (
+        |  SELECT noun, p_size FROM p GROUP BY noun, p_size
+        |  HAVING count(*) <= 1024),
         |pr AS (
         |  SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
         |    a.noun || ':' || CAST(a.p_size AS VARCHAR) AS block,
@@ -1733,7 +1747,8 @@ object Etl {
         |    (a.p_type = b.p_type) AS ag_type,
         |    (a.adj = b.adj) AS ag_adj
         |  FROM p a JOIN p b ON b.noun = a.noun AND b.p_size = a.p_size
-        |    AND a.p_partkey < b.p_partkey),
+        |    AND a.p_partkey < b.p_partkey
+        |  JOIN ok ON ok.noun = a.noun AND ok.p_size = a.p_size),
         |u AS (
         |  SELECT
         |    sum(CASE WHEN ag_brand THEN 1.0 ELSE 0 END) / count(*) AS u_brand,
@@ -1756,10 +1771,15 @@ object Etl {
         |       WHEN fs_score <= -2 THEN 'non_link'
         |       ELSE 'possible' END AS verdict
         |FROM sc""".stripMargin) { (s, dir) =>
-      val p = Tables.part(s, dir)
+      val p0 = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
           regexp_extract(col("p_name"), "([a-z0-9]+)$", 1).as("noun"),
           regexp_extract(col("p_name"), "^([a-z0-9]+)", 1).as("adj"))
+      // block-size cap (see header): bounded blocks ⇒ bounded pairs
+      val ok = p0.groupBy(col("noun"), col("p_size"))
+        .agg(count(lit(1)).as("blk_n")).filter(col("blk_n") <= 1024)
+        .select(col("noun"), col("p_size"))
+      val p = p0.join(broadcast(ok), Seq("noun", "p_size"))
       val a = p.select(col("p_partkey").as("partkey_a"), col("p_brand").as("br_a"),
         col("p_type").as("ty_a"), col("adj").as("adj_a"), col("noun"), col("p_size"))
       val b = p.select(col("p_partkey").as("partkey_b"), col("p_brand").as("br_b"),
@@ -5847,9 +5867,16 @@ object Etl {
         when(pmod(col("p_partkey"), lit(4L)) === 0,
           substring(col("p_name"), 2, 1000000))
           .otherwise(col("p_name")).as("b_name"))
+      // 734M block pairs at sf10d make the edit-distance the hot loop:
+      // a length-delta prefilter (implied by lev ≤ 1, evaluated first,
+      // O(1)) discards most candidates before the DP, and the BANDED
+      // threshold form (returns -1 above the bound) makes the survivors
+      // O(len·k) instead of O(len²). Pure plan change — the oracle's
+      // plain `levenshtein(...) <= 1` is semantically identical.
       val pred = a.join(b, col("p_brand") === col("bb") &&
         col("p_size") === col("bs") && col("p_type") === col("bt") &&
-        levenshtein(col("a_name"), col("b_name")) <= 1)
+        abs(length(col("a_name")) - length(col("b_name"))) <= 1 &&
+        levenshtein(col("a_name"), col("b_name"), 1) >= 0)
       val c = pred.agg(count(lit(1)).as("n_pred"),
         sum(when(col("a_id") === col("b_id"), 1).otherwise(0))
           .cast(LongType).as("n_correct"))
