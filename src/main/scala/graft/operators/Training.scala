@@ -108,10 +108,17 @@ object Training {
     * application, so the sequential argmax visits them in selection
     * order — the batch replays merge-for-merge. With m=4 the 8-merge
     * demo trains in 2-3 rounds; a 30k-merge vocab needs ~thousands of
-    * pair-count jobs fewer (measured in docs/SCALING.md). Returns
-    * (ranked merges, rounds executed). At production merge counts the
-    * growing replace-expression lineage over `cur` would be cut with a
-    * periodic localCheckpoint, exactly like the graph iterators. */
+    * pair-count jobs fewer (measured in docs/SCALING.md, incl. the
+    * m ∈ {16,64,256} rounds-vs-m study via graft.tools.BpeScale —
+    * early rounds starve on symbol disjointness because a fresh
+    * alphabet admits at most |symbols|/2 disjoint picks, then the
+    * effective batch widens as merged symbols grow the alphabet).
+    * Returns (ranked merges, rounds executed). The replace-expression
+    * lineage over `cur` is CUT with a periodic localCheckpoint
+    * (vocab-bounded relation, exactly like the graph iterators) —
+    * without the cut, round r re-evaluates all r prior replaces and
+    * the Catalyst plan grows unboundedly, which is what used to bound
+    * training depth in practice. */
   private[graft] def bpeTrainBatched(s: org.apache.spark.sql.SparkSession,
       dir: String, m: Int, totalMerges: Int)
       : (Seq[(Int, String, String, String, Long)], Int) = {
@@ -124,6 +131,7 @@ object Training {
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
     var rounds = 0
+    var sinceCut = 0
     while (rank < totalMerges) {
       val want = math.min(math.max(m, 1), totalMerges - rank)
       val top = cur
@@ -167,6 +175,11 @@ object Training {
         // tokens are [a-z0-9]+ → x/y embed literally in the expression
         cur = cur.withColumn("syms",
           expr(s"replace(syms, '<$x><$y>', '<$x$y>')"))
+        sinceCut += 1
+      }
+      if (sinceCut >= 16) { // bound the replace chain (see header)
+        cur = cur.localCheckpoint(true)
+        sinceCut = 0
       }
       rounds += 1
     }

@@ -218,6 +218,21 @@ object ScaleEvidence {
       spark.catalog.clearCache()
       }
 
+      // ---- the two heaviest not-yet-measured iterative plans
+      // (round-15 ask): peeling k-core and connected-component label
+      // propagation both iterate over the edge relation — wall +
+      // shuffle at sf1d/sf10d characterizes their iteration growth ----
+      if (fams("graphheavy2")) {
+      measure(sf, "graph_core_number") {
+        graft.SparkEntry.queries("graph_core_number")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+      measure(sf, "dedup_cluster_assign") {
+        graft.SparkEntry.queries("dedup_cluster_assign")(spark, dir).count()
+      }
+      spark.catalog.clearCache()
+      }
+
       // ---- TableSink file-granularity copy-on-write (round-14):
       // merge cost must track TOUCHED BUCKETS, not |table|. Stage the
       // lineitem keys as a bucketed table (one full bucketizing merge),

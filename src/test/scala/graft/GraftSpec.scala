@@ -5488,6 +5488,21 @@ class BpeBatchEquivalenceSpec extends AnyFunSuite {
       s"no batch size reduced the round count: $roundCounts")
     info(s"rounds per batch size (sequential=8): $roundCounts")
   }
+
+  test("large-m batching stays sequential-equivalent on a production-shaped pair space") {
+    // the sf fixtures support only 8 merges; the large-m question needs
+    // thousands of distinct pairs — the deterministic synthetic corpus
+    // from the rounds-vs-m study (graft.tools.BpeScale / SCALING.md)
+    val dir = graft.tools.BpeScale.syntheticCorpus(spark, nWords = 400)
+    val (ref, refRounds) = graft.operators.Training
+      .bpeTrainBatched(spark, dir, m = 1, totalMerges = 48)
+    val (got, rounds) = graft.operators.Training
+      .bpeTrainBatched(spark, dir, m = 64, totalMerges = 48)
+    assert(got == ref, "m=64 diverged from the sequential merge sequence")
+    assert(rounds < refRounds,
+      s"m=64 must cut the round count: $rounds vs $refRounds")
+    info(s"m=64: $rounds rounds vs sequential $refRounds")
+  }
 }
 
 class CdcMergeSinkSpec extends AnyFunSuite {
