@@ -634,26 +634,32 @@ object Dedup {
       // cell only — a row-local rule (array_intersect of two 2-arrays)
       // that replaces the r7 plan's corpus-pair-scale distinct()
       // exchange (10.8 s at sf0.1, the suite's #2 cost) with a filter
+      // r15 scale rewrite (same class as ann_knn_graph, caught by the
+      // sf10d battery): the embedding payload now travels WITH the
+      // cell membership, so the cosine and the ≥0.3 filter evaluate
+      // INSIDE the per-cell join and only surviving near-dup pairs
+      // ever cross an exchange. The old plan materialized the raw
+      // in-cell pair-id stream and joined the embeddings back onto it
+      // by id — two pair-stream-sized shuffles that go ~TB at 100×.
       val cells = Similarity.ivfAssignments(s, dir)
         .filter(col("rn") <= 2)
         .groupBy(col("vec_id"))
         .agg(sort_array(collect_list(col("c_label"))).as("cells"))
-        .select(col("vec_id"), col("cells"), explode(col("cells")).as("cell"))
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+        .select(col("vec_id"), col("cells"), col("label"), col("embedding"),
+          explode(col("cells")).as("cell"))
         .persist() // both sides of the cell self-join share one build
-      val cand = cells.as("x").join(cells.as("y"),
+      val cos = round(
+        Vectors.cosine(s, col("x.embedding"), col("y.embedding")), 6)
+      cells.as("x").join(cells.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
         .filter(col("x.cell") ===
           array_min(array_intersect(col("x.cells"), col("y.cells"))))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      val e = Tables.embeddings(s, dir)
-      val cos = round(Vectors.cosine(s, col("emb_a"), col("emb_b")), 6)
-      cand
-        .join(e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
-          col("embedding").as("emb_a")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-          col("embedding").as("emb_b")), "vec_b")
-        .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
-          (col("label_a") =!= col("label_b")).as("cross_label"), cos.as("cos_sim"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          col("x.label").as("label_a"), col("y.label").as("label_b"),
+          (col("x.label") =!= col("y.label")).as("cross_label"),
+          cos.as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
     },
 

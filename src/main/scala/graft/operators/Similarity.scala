@@ -101,7 +101,7 @@ object Similarity {
        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
        |            xor(bucket, 4), xor(bucket, 8)]) AS pbucket
        |  FROM b WHERE vec_id < $NPROBES),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT pr.probe_id, c.vec_id AS neighbor_id
        |  FROM pr JOIN b c ON c.tbl = pr.tbl AND c.bucket = pr.pbucket
        |    AND c.vec_id <> pr.probe_id),
@@ -135,9 +135,9 @@ object Similarity {
        |        / sqrt(CAST(greatest(qq, 1) AS DOUBLE)), 6) DESC,
        |        neighbor_id ASC) AS rn
        |  FROM c),
-       |c16 AS (SELECT probe_id, neighbor_id, rel FROM cand
+       |c16 AS MATERIALIZED (SELECT probe_id, neighbor_id, rel FROM cand
        |        WHERE rn <= $MMR_CAND),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT x.probe_id, x.neighbor_id AS a, y.neighbor_id AS b,
        |    CAST(floor(round(CAST(CAST(list_dot_product(
        |        list_transform(na.qv, v -> CAST(v AS DOUBLE)),
@@ -149,11 +149,11 @@ object Similarity {
        |    AND y.neighbor_id <> x.neighbor_id
        |  JOIN n na ON na.vec_id = x.neighbor_id
        |  JOIN n nb ON nb.vec_id = y.neighbor_id),
-       |s1 AS (SELECT probe_id, 1 AS step, neighbor_id, rel,
+       |s1 AS MATERIALIZED (SELECT probe_id, 1 AS step, neighbor_id, rel,
        |         CAST(7 * rel AS BIGINT) AS mmr_fp FROM cand WHERE rn = 1),
-       |sel1 AS (SELECT probe_id, neighbor_id FROM s1)""".stripMargin
+       |sel1 AS MATERIALIZED (SELECT probe_id, neighbor_id FROM s1)""".stripMargin
     val steps = (2 to K).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT c.probe_id, c.neighbor_id, c.rel,
          |    CAST(max(p.sim) AS BIGINT) AS mp
          |  FROM c16 c
@@ -164,14 +164,14 @@ object Similarity {
          |    AND sb.neighbor_id = p.b
          |  WHERE sl.neighbor_id IS NULL
          |  GROUP BY 1, 2, 3),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          |  SELECT probe_id, $k AS step, neighbor_id, rel, mmr_fp FROM (
          |    SELECT probe_id, neighbor_id, rel,
          |      CAST(7 * rel - 3 * mp AS BIGINT) AS mmr_fp,
          |      row_number() OVER (PARTITION BY probe_id
          |        ORDER BY 7 * rel - 3 * mp DESC, neighbor_id ASC) AS rr
          |    FROM r$k) WHERE rr = 1),
-         |sel$k AS (SELECT probe_id, neighbor_id FROM sel${k - 1}
+         |sel$k AS MATERIALIZED (SELECT probe_id, neighbor_id FROM sel${k - 1}
          |  UNION ALL SELECT probe_id, neighbor_id FROM s$k)""".stripMargin
     }.mkString(",\n")
     head + ",\n" + steps
@@ -272,11 +272,11 @@ object Similarity {
        |    list_transform(e.embedding, x ->
        |      CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, qv,
        |    CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qn
        |  FROM q),
-       |c AS (
+       |c AS MATERIALIZED (
        |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
        |    CAST(list_dot_product(list_transform(p.qv, x -> CAST(x AS DOUBLE)),
        |                          list_transform(e.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS qdot,
@@ -1599,30 +1599,35 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY src_id
          |    ORDER BY cos_sim DESC, dst_id ASC) AS rn FROM pair_scored)
          |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      // SCALE SHAPE (r15 rewrite, caught by the sf10d battery): the
+      // old plan joined the 64-dim embeddings ONTO the in-cell pair
+      // stream (id-keyed joins + a salted window over |Σcell²| rows) —
+      // at sf10d that is 2.5e9 pair rows × two embedding payloads
+      // through THREE exchanges, a ~TB shuffle that filled the disk.
+      // Scale-correct shape: embeddings travel WITH the cell
+      // assignment (one corpus-sized exchange keyed by cell), the
+      // in-cell pair stream is born inside ONE per-cell join and
+      // collapses to ≤3 pairs per src in the SAME stage through
+      // TopKByKey's partial/final split — the pair stream itself never
+      // crosses an exchange, and there is no global window sort.
       val home = ivfAssignments(s, dir).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label"))
-      val cand = home.as("a").join(home.as("b"),
-          col("a.c_label") === col("b.c_label") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("dst_id"))
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val assigned = home.join(e, Seq("vec_id"))
+      val a = assigned.select(col("c_label"), col("vec_id").as("src_id"),
+        col("embedding").as("s_emb"))
+      val b = assigned.select(col("c_label"), col("vec_id").as("dst_id"),
+        col("embedding").as("d_emb"))
       val cos = round(Vectors.cosine(s, col("s_emb"), col("d_emb")), 6)
-      // a hot cell concentrates a vector's whole candidate list in one
-      // task under a plain src window — salt (the ann_topk_exact shape)
-      val wLocal = Window.partitionBy(col("src_id"), col("salt"))
-        .orderBy(col("cos_sim").desc, col("dst_id").asc)
-      val wFinal = Window.partitionBy(col("src_id"))
-        .orderBy(col("cos_sim").desc, col("dst_id").asc)
-      cand
-        .join(e.select(col("vec_id").as("src_id"), col("embedding").as("s_emb")), "src_id")
-        .join(e.select(col("vec_id").as("dst_id"), col("embedding").as("d_emb")), "dst_id")
-        .select(col("src_id"), col("dst_id"), cos.as("cos_sim"),
-          pmod(hash(col("dst_id")), lit(64)).as("salt"))
-        .withColumn("rn0", row_number().over(wLocal))
-        .filter(col("rn0") <= 3)
-        .withColumn("rn", row_number().over(wFinal))
-        .filter(col("rn") <= 3)
-        .select(col("src_id"), col("dst_id"), col("cos_sim"), col("rn"))
+      a.join(b, Seq("c_label"))
+        .filter(col("src_id") =!= col("dst_id"))
+        .select(col("src_id"), col("dst_id"), cos.as("cos_sim"))
+        .groupBy(col("src_id"))
+        .agg(graft.functions.Vectors.topkByKey(s,
+          col("cos_sim"), col("dst_id"), 3).as("tk"))
+        .select(col("src_id"), posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("src_id"), col("e.id").as("dst_id"),
+          col("e.value").as("cos_sim"), (col("i") + 1).cast("int").as("rn"))
     },
 
     // ------------------------------------------------------------------
