@@ -131,6 +131,17 @@ def main(sf_dir, out_dir, json_out=None, only=None):
     nthreads = os.environ.get("GRAFT_DUCKDB_THREADS")
     if nthreads:
         con.execute(f"SET threads TO {int(nthreads)}")
+    # corpus-scale oracles (100x sweeps) need out-of-core execution: an
+    # in-memory DuckDB has no temp_directory, so a big window/join
+    # materialization OOM-kills the worker SILENTLY (observed twice in
+    # the r15 sf10d ann sweep) instead of spilling
+    tmpdir = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
+    con.execute("SET max_temp_directory_size='50GB'")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
