@@ -613,20 +613,24 @@ object Dedup {
     // replicates the blocking exactly. Per-cell pair joins stay bounded
     // by (cell size × probe count)², never corpus².
     "dedup_embedding_xcell" -> QueryDef.withOracle(
+      // oracle mirrors the r15 scale shape: label + embedding ride the
+      // (materialized) cell-membership relation, cosine + the ≥0.3
+      // filter evaluate INSIDE the per-cell join, and the shared-cell
+      // DISTINCT dedups only the SURVIVORS — the old pair-id +
+      // payload-rejoin form OOM'd the 100x mirror
       s"""WITH $ivfSql,
-         |cells AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM cells a JOIN cells b
-         |    ON a.c_label = b.c_label AND a.vec_id < b.vec_id),
-         |pairs AS MATERIALIZED (
-         |  SELECT c.vec_a, c.vec_b, x.label AS label_a, y.label AS label_b,
+         |cells AS MATERIALIZED (
+         |  SELECT r.vec_id, r.c_label, e.label, e.embedding
+         |  FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rn <= 2),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.label AS label_a, b.label AS label_b,
          |    round(list_cosine_similarity(
-         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
-         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
-         |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_a
-         |  JOIN embeddings y ON y.vec_id = c.vec_b)
-         |SELECT vec_a, vec_b, label_a, label_b,
+         |      list_transform(a.embedding, v -> CAST(v AS DOUBLE)),
+         |      list_transform(b.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
+         |  FROM cells a JOIN cells b
+         |    ON a.c_label = b.c_label AND a.vec_id < b.vec_id)
+         |SELECT DISTINCT vec_a, vec_b, label_a, label_b,
          |  label_a <> label_b AS cross_label, cos_sim
          |FROM pairs WHERE cos_sim >= 0.3""".stripMargin) { (s, dir) =>
       // each side carries its full (≤2-entry) sorted probe list so a
@@ -645,8 +649,13 @@ object Dedup {
         .filter(col("rn") <= 2)
         .groupBy(col("vec_id"))
         .agg(sort_array(collect_list(col("c_label"))).as("cells"))
+        // merge hint: both sides are corpus-cardinality, so the payload
+        // join must SHUFFLE on vec_id at any scale — without the pin,
+        // small-SF stats broadcast the embeddings scan (the
+        // FACT_BROADCAST anti-pattern PlanAudit CI-locks)
         .join(Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .hint("merge"), "vec_id")
         .select(col("vec_id"), col("cells"), col("label"), col("embedding"),
           explode(col("cells")).as("cell"))
         .persist() // both sides of the cell self-join share one build

@@ -1582,23 +1582,63 @@ object Similarity {
     // candidate join carries (id, cell) pairs only; scoring joins
     // embeddings by id; ranking is the salted two-phase pattern.
     "ann_knn_graph" -> QueryDef.withOracle(
+      // oracle mirrors the r15 scale shape: the (pre-cast) embedding
+      // payload rides the materialized home relation and the cosine
+      // evaluates INSIDE the per-cell join. Top-3-per-src is THREE
+      // chained max() passes over a packed BIGINT key
+      // ((cos_fp + 2e6)·10^10 − dst_id: cos desc then dst asc, no
+      // ties possible) instead of a row_number window — at 100× the
+      // pair stream is 2.5e9 rows and a window over it spills >46 GB
+      // (OOM-killed the sf10d mirror), while a keyed max() streams in
+      // O(|src|) state; each pass re-streams the join (the decoded
+      // (cos, dst) come back EXACTLY: c/1e6 in double equals
+      // round(cos, 6) for every 6-decimal value).
       s"""WITH $ivfAssignSql,
-         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
-         |cand AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+         |home AS MATERIALIZED (
+         |  SELECT r.vec_id, r.c_label,
+         |    list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS emb_d
+         |  FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rn = 1),
+         |m1 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src_id,
+         |    max((CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id) AS k1
          |  FROM home a JOIN home b
-         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id),
-         |pair_scored AS (
-         |  SELECT c.src_id, c.dst_id,
-         |    round(list_cosine_similarity(
-         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
-         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
-         |  FROM cand c JOIN embeddings x ON x.vec_id = c.src_id
-         |  JOIN embeddings y ON y.vec_id = c.dst_id)
-         |SELECT src_id, dst_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY src_id
-         |    ORDER BY cos_sim DESC, dst_id ASC) AS rn FROM pair_scored)
-         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+         |  GROUP BY 1),
+         |m2 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src_id,
+         |    max((CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id) AS k2
+         |  FROM home a JOIN home b
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+         |  JOIN m1 ON m1.src_id = a.vec_id
+         |  WHERE (CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id < m1.k1
+         |  GROUP BY 1),
+         |m3 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src_id,
+         |    max((CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id) AS k3
+         |  FROM home a JOIN home b
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+         |  JOIN m2 ON m2.src_id = a.vec_id
+         |  WHERE (CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id < m2.k2
+         |  GROUP BY 1),
+         |u AS (
+         |  SELECT src_id, k1 AS k, 1 AS rn FROM m1
+         |  UNION ALL SELECT src_id, k2, 2 FROM m2
+         |  UNION ALL SELECT src_id, k3, 3 FROM m3),
+         |dec AS (
+         |  SELECT src_id, ((k - 1) // 10000000000) + 1 AS c, k, rn FROM u)
+         |SELECT src_id, c * 10000000000 - k AS dst_id,
+         |  CAST(c - 2000000 AS DOUBLE) / 1e6 AS cos_sim, rn
+         |FROM dec""".stripMargin) { (s, dir) =>
       // SCALE SHAPE (r15 rewrite, caught by the sf10d battery): the
       // old plan joined the 64-dim embeddings ONTO the in-cell pair
       // stream (id-keyed joins + a salted window over |Σcell²| rows) —
@@ -1613,7 +1653,9 @@ object Similarity {
       val home = ivfAssignments(s, dir).filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label"))
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val assigned = home.join(e, Seq("vec_id"))
+      // merge hint: corpus-cardinality both sides — shuffle on vec_id,
+      // never broadcast the embeddings scan (PlanAudit FACT_BROADCAST)
+      val assigned = home.join(e.hint("merge"), Seq("vec_id"))
       val a = assigned.select(col("c_label"), col("vec_id").as("src_id"),
         col("embedding").as("s_emb"))
       val b = assigned.select(col("c_label"), col("vec_id").as("dst_id"),
@@ -1645,26 +1687,57 @@ object Similarity {
     // at output. Verdict LOF > 1.5. All joins are id-keyed; singleton
     // IVF cells drop out of the kNN base identically on both engines.
     "embedding_lof" -> QueryDef.withOracle(
+      // top-3 kNN base via the same r15 three-pass packed-key max()
+      // chain as ann_knn_graph's oracle (the windowed pair stream
+      // spills >46 GB at 100×); d_fp decodes from the packed key as
+      // 1e6 − (c − 2e6), identical to 1e6 − floor(cos·1e6 + 0.5)
       s"""WITH $ivfAssignSql,
-         |home AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
-         |cand AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+         |home AS MATERIALIZED (
+         |  SELECT r.vec_id, r.c_label,
+         |    list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS emb_d
+         |  FROM ranked r JOIN embeddings e USING (vec_id) WHERE r.rn = 1),
+         |m1 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src_id,
+         |    max((CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id) AS k1
          |  FROM home a JOIN home b
-         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id),
-         |pair_scored AS (
-         |  SELECT c.src_id, c.dst_id,
-         |    round(list_cosine_similarity(
-         |      list_transform(x.embedding, v -> CAST(v AS DOUBLE)),
-         |      list_transform(y.embedding, v -> CAST(v AS DOUBLE))), 6) AS cos_sim
-         |  FROM cand c JOIN embeddings x ON x.vec_id = c.src_id
-         |  JOIN embeddings y ON y.vec_id = c.dst_id),
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+         |  GROUP BY 1),
+         |m2 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src_id,
+         |    max((CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id) AS k2
+         |  FROM home a JOIN home b
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+         |  JOIN m1 ON m1.src_id = a.vec_id
+         |  WHERE (CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id < m1.k1
+         |  GROUP BY 1),
+         |m3 AS MATERIALIZED (
+         |  SELECT a.vec_id AS src_id,
+         |    max((CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id) AS k3
+         |  FROM home a JOIN home b
+         |    ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+         |  JOIN m2 ON m2.src_id = a.vec_id
+         |  WHERE (CAST(floor(round(list_cosine_similarity(a.emb_d, b.emb_d),
+         |        6) * 1e6 + 0.5) AS BIGINT) + 2000000) * 10000000000
+         |      - b.vec_id < m2.k2
+         |  GROUP BY 1),
+         |ku AS (
+         |  SELECT src_id, k1 AS k FROM m1
+         |  UNION ALL SELECT src_id, k2 FROM m2
+         |  UNION ALL SELECT src_id, k3 FROM m3),
          |knn AS MATERIALIZED (
-         |  SELECT src_id, dst_id,
-         |    CAST(1000000 - floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS d_fp
-         |  FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY src_id
-         |      ORDER BY cos_sim DESC, dst_id ASC) AS rn FROM pair_scored)
-         |  WHERE rn <= 3),
+         |  SELECT src_id,
+         |    (((k - 1) // 10000000000) + 1) * 10000000000 - k AS dst_id,
+         |    CAST(1000000 - (((k - 1) // 10000000000) + 1 - 2000000)
+         |      AS BIGINT) AS d_fp
+         |  FROM ku),
          |kd AS MATERIALIZED (
          |  SELECT src_id AS id, CAST(max(d_fp) AS BIGINT) AS kdist,
          |    CAST(count(*) AS BIGINT) AS nk

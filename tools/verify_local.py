@@ -138,7 +138,8 @@ def main(sf_dir, out_dir, json_out=None, only=None):
     tmpdir = os.environ.get("GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
     os.makedirs(tmpdir, exist_ok=True)
     con.execute(f"SET temp_directory='{tmpdir}'")
-    con.execute("SET max_temp_directory_size='50GB'")
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("GRAFT_DUCKDB_TMPCAP", "50GB"))
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
