@@ -377,8 +377,17 @@ object PlanAudit {
       // subtrees (15 measured then); audited first — registry growth
       // reshuffles the HashMap order — the build's own k×d bookkeeping
       // aggregation exchanges stay visible (19 measured in the r13
-      // sweep). Allow the cold shape; both are corpus-safe.
-      "embedding_lof" -> 19,
+      // sweep). Re-derived r16 after the r15 ann_knn_graph rewrite
+      // (merge-hinted home⋈embeddings join + TopKByKey): the audit-
+      // order sweep now prints 24 distinct exchange LINES — the +5 are
+      // the rewrite's vec_id exchanges (both sides of the merge join)
+      // and the TopKByKey src_id agg, printed once per IMR-captured
+      // reference of the PERSISTED knn base (truly cold, fresh-session
+      // count: 20 — ExchangeProbe). All new exchanges ride (id, cell)
+      // or the 3-per-src kNN relation; the knn base executes ONCE per
+      // run (persisted at Similarity.scala's embedding_lof), so the
+      // string-count growth is print duplication, not recomputation.
+      "embedding_lof" -> 24,
       // recall eval stacks the full ann_ivf_topk pipeline (13) on the
       // exact ranking (2) plus the K×NPROBES-row compare joins — every
       // added exchange rides the two top-K outputs, never the corpus

@@ -162,6 +162,17 @@ def main():
                          f"queries but the artifact union is {len(qs)} — "
                          f"recompute, don't hand-add")
 
+    # Unsubstituted template placeholders (judge r15: the literal
+    # '__SF10D_UNION__' shipped in the committed §7 text because
+    # round_close's substitution never ran; the digit-requiring claim
+    # regex above then silently matched nothing and skipped the check).
+    # Any __UPPER_SNAKE__ token anywhere in SURVEY.md is a failed
+    # template substitution, full stop.
+    for m in re.finditer(r"__[A-Z][A-Z0-9_]*__", survey_txt):
+        stale.append(f"SURVEY.md contains unsubstituted template "
+                     f"placeholder '{m.group(0)}' — re-run the close "
+                     f"substitution")
+
     # §7 quoted-figure lock (judge r14: the prose said "405 pass" while
     # the committed artifact and the union both said 412): every
     # "docs/<artifact>.json — **N pass, M fail**" quote in the CURRENT

@@ -15,6 +15,17 @@ SFV="${2:-/root/testdata/sf0.01}"
 SFB="${3:-/root/testdata/sf0.1}"
 VOUT="/tmp/vout_r${N}"
 
+echo "== 0/4 sbt test must be green before closing (judge r15: the"
+echo "       final snapshot committed with a red suite)"
+if [[ "${SKIP_SBT_TEST:-0}" != "1" ]]; then
+  sbt -batch test >/tmp/round_close_sbt_test.log 2>&1 || {
+    echo "round_close: sbt test FAILED — refusing to close the round." >&2
+    grep -E "\*\*\* FAILED|Tests:" /tmp/round_close_sbt_test.log | tail -20 >&2
+    exit 1
+  }
+  grep -E "Tests:" /tmp/round_close_sbt_test.log | tail -2
+fi
+
 echo "== 1/4 Verify dump at ${SFV} -> ${VOUT}"
 rm -rf "${VOUT}"
 sbt -batch "runMain graft.Verify ${SFV} ${VOUT}" >/dev/null
