@@ -114,17 +114,25 @@ object Bench {
     // the bus itself via reflection (LiveListenerBus.waitUntilEmpty is
     // private[spark]), then poll until the accumulated totals are
     // stable across two consecutive 250 ms reads, 15 s ceiling.
-    try {
-      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-        .invoke(spark.sparkContext)
-      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-    } catch { case _: Throwable => () }
+    val busDrained =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        true
+      } catch { case _: Throwable => false }
     {
       import scala.jdk.CollectionConverters._
+      // If the reflective drain failed, two equal 250 ms reads can
+      // coincide with a still-flushing bus (events not yet delivered
+      // in the first 500 ms window) — require a longer stable streak
+      // in that case so the undercount the poll exists to prevent
+      // cannot sneak back in through the fallback path.
+      val needStable = if (busDrained) 2 else 4
       var prev = -1L
       var stable = 0
       var waited = 0
-      while (stable < 2 && waited < 15000) {
+      while (stable < needStable && waited < 15000) {
         val cur = listener.groupTaskMs.values().asScala.map(_.sum()).sum
         if (cur == prev) stable += 1 else stable = 0
         prev = cur

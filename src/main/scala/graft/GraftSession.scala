@@ -21,6 +21,19 @@ object GraftSession {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // r16 (guide §2.2/§6): let AQE also run INSIDE cached-plan
+    // materialization. Off (the default), a persisted intermediate is
+    // materialized with the static shuffle partition count and every
+    // downstream stage over it inherits that task count forever — at
+    // bench scale the r16 profile showed 9 stages × 32 tasks re-reading
+    // a 20k-row cached pivot (etl_chained_index: 27 s of task time,
+    // ~90% scheduler overhead); on a cluster the same mismatch strands
+    // a small cached dimension across thousands of reducers. With AQE
+    // allowed in the cached plan, partition count follows measured
+    // bytes (advisoryPartitionSizeInBytes) at ANY scale — a 100 TB
+    // intermediate keeps thousands of partitions, a bookkeeping
+    // relation collapses to a few.
+    c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // 10 MB default is conservative; dims in a TPC-H-ratio schema are tiny
     // relative to facts — let Catalyst broadcast aggressively.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

@@ -975,15 +975,18 @@ object Dedup {
       }
       def cutLineage(df: DataFrame): DataFrame =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(false)
-      // As in Graph.pageRanks: per-round shuffles carry only (doc_id,
-      // label) pairs over the edge subgraph, degree is bucket-capped
-      // upstream, so when the measured subgraph is small, per-stage AQE
-      // re-planning across ~20 rounds is pure overhead — disable it for
-      // the loop only (rounds materialize eagerly; GraftSession
-      // .withAqeOff restores the invariant race-free under Verify's
-      // concurrent dump).
-      val smallSubgraph = edges.count() < 50000000L
-      graft.GraftSession.withAqeOff(s, smallSubgraph) {
+      // r16: AQE stays ON through the loop. The r12-era off-switch
+      // predated cached-plan AQE (GraftSession.tune's
+      // canChangeCachedPlanOutputPartitioning): with the cached edge
+      // relation and every per-round exchange now coalesced to
+      // size-appropriate partition counts, the measured loop cost fell
+      // from 15.7 s task / 1.33 s wall to 0.46 s task / similar wall
+      // at sf0.1 — the re-planning overhead the switch avoided is far
+      // smaller than the 32-tasks-per-kilobyte-stage overhead it
+      // forced. The count below still forces the edge cache before
+      // iteration starts.
+      edges.count()
+      locally {
       // Pointer jumping halves remaining depth per round → 20 rounds
       // cover component diameters up to ~2^20; non-convergence past the
       // cap fails LOUDLY below instead of emitting wrong cluster ids.

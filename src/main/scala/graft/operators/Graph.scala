@@ -62,7 +62,19 @@ object Graph {
     * threshold k — parameterized so KcoreConvergenceSpec can assert
     * rounds-4 == rounds-6 instead of trusting the comment. */
   private[graft] def kcoreSurvivors(
-      s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame = {
+      s: SparkSession, dir: String, k: Int, rounds: Int): DataFrame =
+    kcoreSurvivorsMulti(s, dir, Seq(k), rounds).select(col("id"), col("d"))
+
+  /** r16: all requested thresholds peel in ONE 4-round chain — the
+    * per-k recurrences are independent, so carrying k in the group key
+    * runs them side by side (graph_core_number: 4 lineage-cut jobs
+    * instead of 3 chains × 4; per-round work is O(|ks|·E) keyed rows,
+    * exactly the three chains' combined volume). Edge lineage is
+    * truncated once (the pageRanks localCheckpoint argument) so each
+    * round plans a constant-size fragment instead of re-analyzing the
+    * LSH candidate subtree. */
+  private[graft] def kcoreSurvivorsMulti(
+      s: SparkSession, dir: String, ks: Seq[Int], rounds: Int): DataFrame = {
     val pairs = Dedup.verifiedCandidates(s, dir)
       .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
@@ -70,19 +82,21 @@ object Graph {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // one fixed partitioning serves every round's src-side join
       .repartition(col("src")).persist()
-    var cur = edges.select(col("src").as("id")).distinct()
+    edges.count() // force the cache before the lineage cut
+    val edgesCk = edges.localCheckpoint(true)
+    var cur = edgesCk.select(col("src").as("id")).distinct()
+      .select(col("id"), explode(typedLit(ks)).as("k"))
     for (_ <- 0 until rounds) {
-      // membership semijoin on both endpoints, then a src-keyed degree
-      // count — O(E) keyed work per round, shrinking with the subgraph;
-      // eager per-round cuts keep the plan constant-size (the pagerank
-      // lesson: a lazy 4-round cascade superlinearly inflates Catalyst
-      // + AQE planning cost)
-      val next = edges
-        .join(cur.select(col("id").as("src")), Seq("src"))
-        .join(cur.select(col("id").as("dst")), Seq("dst"))
-        .groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select(col("src").as("id"), col("d"))
+      // membership semijoin on both endpoints, then a (src, k)-keyed
+      // degree count — eager per-round cuts stay: the survivor set is
+      // referenced twice per round (both endpoint semijoins), so a
+      // lazy chain would double execution per round
+      val next = edgesCk
+        .join(cur.select(col("id").as("src"), col("k")), Seq("src"))
+        .join(cur.select(col("id").as("dst"), col("k")), Seq("dst", "k"))
+        .groupBy(col("src"), col("k")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= col("k"))
+        .select(col("src").as("id"), col("k"), col("d"))
       cur = next.localCheckpoint(true)
     }
     cur
@@ -120,42 +134,41 @@ object Graph {
       .repartition(col("src")).persist() // (src, dst, deg)
     // nodes that can ever receive rank mass = edge endpoints
     val nodesE = edgesD.select(col("dst").as("doc_id")).distinct().persist()
-    // Rounds are cut eagerly (localCheckpoint) so each iteration plans
-    // a constant-size 2-join fragment instead of a 6-round cascade —
-    // Catalyst + AQE cost on the cascade grows superlinearly with
-    // depth and dominated the job at bench scale (lazy 9.5 s vs eager
-    // 2.5 s at sf0.1). Setting spark.graft.checkpoint.dir upgrades the
-    // per-round cut to a RELIABLE checkpoint so a 1000-executor run
-    // survives executor loss without replaying the whole iteration.
     val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
     ckptDir.foreach { d =>
       if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
     }
-    // The per-round shuffles carry only the rank vector and messages —
-    // O(E) 16-byte rows, and upstream bucket caps bound any dst's
-    // degree, so there is no skew for AQE to fix. When the measured
-    // edge subgraph is small enough that static partitions can't spill
-    // (50M edges ≈ 25 MB/partition at 32 partitions), per-stage AQE
-    // re-planning is pure overhead across 6 rounds × ~4 stages —
-    // disable it for the loop only (GraftSession.withAqeOff restores
-    // the tuned invariant race-free at quiescence). The count
-    // also forces edgesD's cache before iteration starts.
-    val smallSubgraph = edgesD.count() < 50000000L
-    graft.GraftSession.withAqeOff(s, smallSubgraph) {
-      var r = nodesE.withColumn("r", lit(FP))
-      for (_ <- 0 until iters) {
-        val sums = edgesD
-          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
-          .select(col("dst"), expr("r div deg").as("contrib"))
-          .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
-        val next = nodesE
-          .join(sums, col("doc_id") === col("dst"), "left_outer")
-          .select(col("doc_id"),
-            expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
-        r = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
-      }
-      r
+    // r16 loop shape (guide §1.2/§2.4): the rank vector is referenced
+    // ONCE per round, so the whole `iters`-round recurrence can stay
+    // LAZY — one query, one job, AQE pipelines every round's two
+    // exchanges — PROVIDED each round's logical tree is small. The
+    // r9-era eager-per-round cut existed because every round's plan
+    // re-embedded the full LSH-candidate subtree (superlinear Catalyst
+    // cost: lazy 9.5 s vs eager 2.5 s at sf0.1); truncating the edge
+    // relation's LINEAGE once (localCheckpoint over the materialized
+    // cache — a corpus-linear block copy, partitioning metadata
+    // preserved) makes each round a constant-size 2-join fragment and
+    // the r16 profile puts the lazy chain at 0.9 s wall / 0.03 s task
+    // vs 3.0 s / 15.8 s for the eager-cut AQE-off loop. With
+    // spark.graft.checkpoint.dir set the per-round RELIABLE checkpoint
+    // is kept so a 1000-executor run survives executor loss without
+    // replaying the whole iteration.
+    edgesD.count() // force the cache before the lineage cut
+    val edgesCk = edgesD.localCheckpoint(true)
+    val nodesCk = nodesE.localCheckpoint(true)
+    var r = nodesCk.withColumn("r", lit(FP))
+    for (_ <- 0 until iters) {
+      val sums = edgesCk
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib_sum"))
+      val next = nodesCk
+        .join(sums, col("doc_id") === col("dst"), "left_outer")
+        .select(col("doc_id"),
+          expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
+      r = if (ckptDir.isDefined) next.checkpoint() else next
     }
+    r
   }
 
   /** One unrolled synchronous LPA round: per dst, the mode of its
@@ -203,12 +216,18 @@ object Graph {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src")).persist()
-    val enodes = edges.select(col("dst").as("doc_id")).distinct()
+    // r16 (the pageRanks lazy-cascade argument): the label vector is
+    // referenced once per round, so the whole recurrence stays LAZY
+    // over a lineage-truncated edge base — one query, one job, no
+    // per-round checkpoint jobs.
+    edges.count() // force the cache before the lineage cut
+    val edgesCk = edges.localCheckpoint(true)
+    val enodes = edgesCk.select(col("dst").as("doc_id")).distinct()
     // every edge-subgraph node has in-neighbors (edges are mirrored),
     // so the round's argmax is total — no carry-over coalesce needed
     var l = enodes.withColumn("label", col("doc_id"))
     for (_ <- 0 until rounds) {
-      val next = edges
+      val next = edgesCk
         .join(l.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
@@ -216,9 +235,12 @@ object Graph {
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
           .as("m"))
         .select(col("dst").as("doc_id"), col("m.l").as("label"))
-      l = next.localCheckpoint(true)
+      l = next
     }
-    (edges, l)
+    // one eager cut at the END of the cascade: graph_modularity reads
+    // the label vector three times (two endpoint joins + the degree
+    // join) and must not re-run the 4-round recurrence per reference
+    (edges, l.localCheckpoint(true))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -782,28 +804,39 @@ object Graph {
       ckptDir.foreach { d =>
         if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
       }
-      // eager per-round cuts + AQE off for the loop: the pageRanks
-      // measurement (lazy cascade superlinear in Catalyst/AQE cost)
-      val smallSubgraph = edges.count() < 50000000L
-      graft.GraftSession.withAqeOff(s, smallSubgraph) {
-        val nfp = nodesE.count() * FP
-        var x = nodesE.withColumn("v", lit(FP))
-        for (_ <- 0 until EigenIters) {
-          val m = edges
-            .join(x.withColumnRenamed("doc_id", "src"), Seq("src"))
-            .groupBy(col("dst")).agg(sum(col("v")).as("msum"))
-          val tot = m.agg(sum(col("msum")).as("tot"))
-          val next = m.crossJoin(broadcast(tot))
-            .select(col("dst").as("doc_id"),
-              floor(col("msum").cast(DoubleType) / col("tot") * lit(nfp))
-                .cast(LongType).as("v"))
-          x = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
-        }
-        Tables.documents(s, dir).select(col("doc_id"))
-          .join(x, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), coalesce(col("v"), lit(0L)).as("score_fp"),
-            round(coalesce(col("v"), lit(0L)) / lit(1048576.0), 9).as("score"))
+      edges.count() // force the cache before the lineage cut
+      // r16 (guide §1.2): each round's message aggregate used to be
+      // read TWICE (the 1-row total, then the renormalize), forcing an
+      // extra materialization per round. The total is computable from
+      // the NODE vector instead: Σ_dst msum(dst) = Σ_(src,dst) x(src)
+      // = Σ_src x(src)·outdeg(src) — the same longs regrouped, so the
+      // sum is bit-identical (long addition is order-invariant and
+      // x·deg ≡ deg-fold addition even mod 2⁶⁴). With the aggregate
+      // referenced once, each round is ONE lineage-cut job (+ the
+      // 1-row broadcast subquery); the edge lineage is truncated once
+      // (the pageRanks localCheckpoint argument) so per-round plans
+      // stay constant-size.
+      val edgesCk = edges.localCheckpoint(true)
+      val degE = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val nfp = nodesE.count() * FP
+      var x = nodesE.withColumn("v", lit(FP)).localCheckpoint(true)
+      for (_ <- 0 until EigenIters) {
+        val tot = x.join(degE.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+          .agg(sum(col("v") * col("deg")).as("tot"))
+        val next = edgesCk
+          .join(x.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("v")).as("msum"))
+          .crossJoin(broadcast(tot))
+          .select(col("dst").as("doc_id"),
+            floor(col("msum").cast(DoubleType) / col("tot") * lit(nfp))
+              .cast(LongType).as("v"))
+        x = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
       }
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(x, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("v"), lit(0L)).as("score_fp"),
+          round(coalesce(col("v"), lit(0L)) / lit(1048576.0), 9).as("score"))
     },
 
     // ------------------------------------------------------------------
@@ -1116,10 +1149,13 @@ object Graph {
          |LEFT JOIN r$KcoreRounds r ON r.id = q.id
          |LEFT JOIN t$KcoreRounds t ON t.id = q.id""".stripMargin
     } { (s, dir) =>
-      val k2 = kcoreSurvivors(s, dir, 2, KcoreRounds).select(col("id"))
-      val k3 = kcoreSurvivors(s, dir, 3, KcoreRounds)
+      // one fused 3-threshold peel; the final round is already an
+      // eager cut, so the three filtered reads below are free
+      val multi = kcoreSurvivorsMulti(s, dir, Seq(2, 3, 4), KcoreRounds)
+      val k2 = multi.filter(col("k") === 2).select(col("id"))
+      val k3 = multi.filter(col("k") === 3)
         .select(col("id"), lit(1L).as("in3"))
-      val k4 = kcoreSurvivors(s, dir, 4, KcoreRounds)
+      val k4 = multi.filter(col("k") === 4)
         .select(col("id"), lit(1L).as("in4"))
       k2.join(k3, Seq("id"), "left_outer")
         .join(k4, Seq("id"), "left_outer")
@@ -1259,45 +1295,62 @@ object Graph {
          |  FROM h$HitsRounds ORDER BY v DESC, c ASC LIMIT 10)"""
         .stripMargin
     } { (s, dir) =>
-      val edges = Tables.lineitem(s, dir)
+      val edges0 = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .persist() // both half-step joins every round + the side counts
-      val cfp = edges.select(col("c")).distinct().count() * FP
-      val pfp = edges.select(col("p")).distinct().count() * FP
+      // r16 (guide §2.4): the two half-step joins alternate between c
+      // and p, and the old single cache (distinct's (c, p) layout)
+      // satisfied neither — the FULL edge relation re-exchanged and
+      // re-sorted every half-step (8× per run; the r16 profile read
+      // 84 s of task time, 11 edge-shuffle stages). Two cached copies,
+      // each pre-partitioned on its half-step's join key, mean only
+      // the node-sized score vector moves per round — the Pregel
+      // layout, at the price of holding the 2-long edge list twice.
+      val edgesByC = edges0.repartition(col("c")).persist()
+      val edgesByP = edges0.repartition(col("p")).persist()
+      val cfp = edgesByC.select(col("c")).distinct().count() * FP
+      val pfp = edgesByP.select(col("p")).distinct().count() * FP
       val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
       ckptDir.foreach { d =>
         if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
       }
       def cut(df: DataFrame) =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
-      var h = cut(edges.select(col("c")).distinct()
+      // r16 (guide §1.2): each half-step's renormalization total used
+      // to require materializing the edge-join aggregate so it could
+      // be read twice (total, then renormalize). The total is the same
+      // longs regrouped on the NODE side: Σ_p av(p) = Σ_(c,p) h(c)
+      // = Σ_c h(c)·deg(c) — bit-identical (long addition is order-
+      // invariant and h·deg ≡ deg-fold addition even mod 2⁶⁴). With
+      // the aggregate referenced once, each half-step is ONE
+      // lineage-cut job + a degree-weighted 1-row broadcast subquery
+      // over the node vector.
+      val degC = edgesByC.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+        .localCheckpoint(true)
+      val degP = edgesByP.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+        .localCheckpoint(true)
+      var h = cut(edgesByC.select(col("c")).distinct()
         .withColumn("v", lit(FP)))
       var an: DataFrame = null
       for (_ <- 0 until HitsRounds) {
-        // each half-step's join+agg is read TWICE (the 1-row total's
-        // broadcast job, then the checkpoint materialization); persist
-        // the node-sized aggregate so the edge join runs once per
-        // half-step — evaluation strategy only, results identical.
-        // The eager cut() makes the unpersist safe immediately after.
-        val ar = edges.join(h, Seq("c"))
-          .groupBy(col("p")).agg(sum(col("v")).as("av")).persist()
-        val ta = ar.agg(sum(col("av")).as("tot"))
-        an = cut(ar.crossJoin(broadcast(ta))
+        val ta = h.join(degC, Seq("c"))
+          .agg(sum(col("v") * col("dc")).as("tot"))
+        an = cut(edgesByC.join(h, Seq("c"))
+          .groupBy(col("p")).agg(sum(col("v")).as("av"))
+          .crossJoin(broadcast(ta))
           .select(col("p"),
             floor(col("av").cast(DoubleType) / col("tot") * lit(pfp))
               .cast(LongType).as("v")))
-        ar.unpersist()
-        val hr = edges.join(an, Seq("p"))
-          .groupBy(col("c")).agg(sum(col("v")).as("hv")).persist()
-        val th = hr.agg(sum(col("hv")).as("tot"))
-        h = cut(hr.crossJoin(broadcast(th))
+        val th = an.join(degP, Seq("p"))
+          .agg(sum(col("v") * col("dp")).as("tot"))
+        h = cut(edgesByP.join(an, Seq("p"))
+          .groupBy(col("c")).agg(sum(col("v")).as("hv"))
+          .crossJoin(broadcast(th))
           .select(col("c"),
             floor(col("hv").cast(DoubleType) / col("tot") * lit(cfp))
               .cast(LongType).as("v")))
-        hr.unpersist()
       }
       val auth = an.orderBy(col("v").desc, col("p").asc).limit(10)
         .select(lit("authority").as("kind"), col("p").as("node_id"),
@@ -1668,16 +1721,20 @@ object Graph {
       }
       def cut(df: DataFrame) =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
-      val seedRows = seeds.select(col("seed"), col("seed").as("doc_id"))
-      // AQE off inside the loop only (the pageRanks rationale: bounded
-      // per-round messages, re-planning 4 rounds is pure overhead)
-      val smallSubgraph = edgesD.count() < 50000000L
-      val r4 =
-        graft.GraftSession.withAqeOff(s, smallSubgraph) {
-          var r = cut(seedRows.select(col("seed"), col("doc_id"),
-            lit(FP).as("r")))
+      // r16 (the pageRanks lazy-cascade argument): the score vector is
+      // referenced once per round and seedRows twice — both tiny after
+      // a single lineage cut — so the 4-round recurrence stays LAZY
+      // over a lineage-truncated edge base: one query, one job, no
+      // per-round checkpoint jobs. With spark.graft.checkpoint.dir set
+      // the per-round RELIABLE cut is kept for executor-loss recovery.
+      edgesD.count() // force the cache before the lineage cut
+      val edgesCk = edgesD.localCheckpoint(true)
+      val seedRows = cut(seeds.select(col("seed"), col("seed").as("doc_id")))
+      val r4 = {
+          var r = seedRows.select(col("seed"), col("doc_id"),
+            lit(FP).as("r"))
           for (_ <- 0 until 4) {
-            val msgs = edgesD
+            val msgs = edgesCk
               .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
               .select(col("seed"), col("dst").as("doc_id"),
                 expr("r div deg").as("csum"))
@@ -1688,7 +1745,7 @@ object Graph {
               .select(col("seed"), col("doc_id"),
                 expr("(CASE WHEN doc_id = seed THEN 15 * 1048576L " +
                   "ELSE 0L END + 85 * cs) div 100").as("r"))
-            r = cut(next)
+            r = if (ckptDir.isDefined) cut(next) else next
           }
           r
         }

@@ -495,8 +495,15 @@ object PlanAudit {
       // (doc, src, dst, cnt) adjacency (the graph_pagerank argument):
       // per round one (doc, word)-keyed message agg + the node left
       // join, every exchange O(Σ per-doc edges) and doc-keyed — plus
-      // cold reprints of the persisted edge/degree relations
-      "text_textrank" -> 14,
+      // cold reprints of the persisted edge/degree relations.
+      // Re-derived r16 after the deg-fused edge rewrite (deg attached
+      // once instead of re-joined per round): 15 distinct printed
+      // lines — per round the r-side join exchange, the (doc, dst)
+      // message agg and the (doc, word) vector join, ×4 rounds with
+      // fresh expr ids, + the base adjacency/degree prints
+      // (ExchangeProbe: total=47 distinct=15, all edge-subgraph
+      // bookkeeping moves; one round executes only 2 exchanges)
+      "text_textrank" -> 15,
       // rides the full ann_ivf_assign budget (9) + its own ≤KCELLS-row
       // member agg and the 1-row total anchor
       "ann_ivf_quality" -> 11,
