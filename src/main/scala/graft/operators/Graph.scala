@@ -239,8 +239,11 @@ object Graph {
     }
     // one eager cut at the END of the cascade: graph_modularity reads
     // the label vector three times (two endpoint joins + the degree
-    // join) and must not re-run the 4-round recurrence per reference
-    (edges, l.localCheckpoint(true))
+    // join) and must not re-run the 4-round recurrence per reference.
+    // Return the lineage-cut edge relation too — modularity references
+    // edges in three more joins and per-reference re-analysis of the
+    // LSH subtree was the measured driver cost.
+    (edgesCk, l.localCheckpoint(true))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -449,7 +452,13 @@ object Graph {
           when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
           when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
           when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-        .persist()
+        // r16: eager lineage cut, not just persist. The wedge closure
+        // references o THREE times and each reference re-embeds the
+        // whole LSH-candidate logical tree — Catalyst re-analysis of
+        // that combinatorial tree was the measured cost (1.5 s wall,
+        // 0.01 s task: pure driver time). The cut reads the warm
+        // caches once per pass and leaves downstream plans tiny.
+        .localCheckpoint(true)
       val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
       val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
       e1.join(e2, Seq("u"))
@@ -527,7 +536,11 @@ object Graph {
           when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
           when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
           when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-        .persist()
+        // r16: eager lineage cut (the graph_triangles argument) — the
+        // wedge closure and 3-way explode nest o and tri so the
+        // combinatorial re-analysis of the LSH subtree was ~2.7 s of
+        // pure driver time per pass (task 0.00 s)
+        .localCheckpoint(true)
       val e1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
       val e2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
       val tri = e1.join(e2, Seq("u"))
@@ -535,7 +548,7 @@ object Graph {
           (col("dx") === col("dy") && col("x") < col("y")))
         .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
         .select(col("u"), col("x"), col("y"))
-        .persist() // the 3-way node explode reads the closure join once
+        .localCheckpoint(true) // the 3-way node explode reads the closure once
       val tc = tri.select(col("u").as("nd"))
         .union(tri.select(col("x").as("nd")))
         .union(tri.select(col("y").as("nd")))
@@ -909,9 +922,15 @@ object Graph {
       }
       def cut(df: org.apache.spark.sql.DataFrame) =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      // r16: truncate the edge lineage once so each round's cut plans
+      // a constant-size fragment instead of re-analyzing the LSH
+      // candidate subtree (the pageRanks argument; driver analysis,
+      // not execution, was the measured per-round cost)
+      edges.count()
+      val edgesCk = edges.localCheckpoint(true)
       var dist = cut(seeds.select(col("doc_id"), lit(0L).as("dist")))
       for (_ <- 0 until 3) {
-        val nxt = edges
+        val nxt = edgesCk
           .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
           .select(col("dst").as("doc_id"), (col("dist") + 1).as("dist"))
         dist = cut(dist.unionByName(nxt)
@@ -1225,10 +1244,15 @@ object Graph {
       }
       def cut(df: DataFrame) =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      // r16: truncate the edge lineage once so each round's cut plans
+      // a constant-size fragment instead of re-analyzing the LSH
+      // candidate subtree (the pageRanks argument)
+      edges.count()
+      val edgesCk = edges.localCheckpoint(true)
       var dist = cut(seeds.select(col("id").as("seed"), col("id").as("doc_id"),
         lit(0L).as("dist")))
       for (_ <- 0 until 3) {
-        val nxt = edges
+        val nxt = edgesCk
           .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
           .select(col("seed"), col("dst").as("doc_id"),
             (col("dist") + 1).as("dist"))
@@ -1308,6 +1332,12 @@ object Graph {
       // each pre-partitioned on its half-step's join key, mean only
       // the node-sized score vector moves per round — the Pregel
       // layout, at the price of holding the 2-long edge list twice.
+      // edges0 itself stays persisted: graph_bipartite_projection and
+      // the clustering family build the plan-identical (c, p) distinct
+      // relation and reuse this cache (losing it cost bipartite ~2 s
+      // of recompute in the r16 batch-1 bench); the two key-partitioned
+      // copies below materialize FROM it
+      edges0.persist()
       val edgesByC = edges0.repartition(col("c")).persist()
       val edgesByP = edges0.repartition(col("p")).persist()
       val cfp = edgesByC.select(col("c")).distinct().count() * FP
@@ -1401,9 +1431,22 @@ object Graph {
       // per-customer window: bounded by that customer's part count,
       // and the cap bounds the pair expansion that follows
       val wC = Window.partitionBy(col("c")).orderBy(col("p").asc)
+      // r16 (guide §2.5): the self-join below costs Σ_c deg(c)² pair
+      // emissions — CPU-dense per input BYTE, so AQE's byte-based
+      // coalescing (which sized the stage at ~5 partitions for a 5 MB
+      // input at sf0.1, serializing ~20 s of pair CPU into 5 tasks)
+      // under-parallelizes it. Re-key the capped relation across 2×
+      // the session's parallelism explicitly (the clusterConf
+      // slots×2 wave convention — a deployment-derived count, not a
+      // local constant; explicit numPartitions also opts the exchange
+      // out of byte-based coalescing, and ≠ the static shuffle count
+      // so EnsureRequirements cannot elide it in favor of the
+      // window's coalescible exchange). The exchanged rows are the
+      // pair-thin (c, p) keys.
       val capped = edges.withColumn("rn", row_number().over(wC))
         .filter(col("rn") <= 1024)
         .select(col("c"), col("p"))
+        .repartition(2 * s.sparkContext.defaultParallelism, col("c"))
       val b = capped.select(col("c").as("c2"), col("p").as("pb"))
       val pairs = capped
         .join(b, col("c2") === col("c") && col("pb") > col("p"))
@@ -1507,12 +1550,17 @@ object Graph {
       }
       def cut(df: DataFrame) =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      // r16: truncate the edge lineage once so each round's cut plans
+      // a constant-size fragment instead of re-analyzing the embedding
+      // near-dup subtree (the pageRanks argument)
+      edges.count()
+      val edgesCk = edges.localCheckpoint(true)
       // forward: visited (seed, doc_id, dist, sigma), one frontier
       // join + one (seed, dst) keyed σ-sum + one anti-join per round
       var vis = cut(seeds.select(col("seed"), col("seed").as("doc_id"),
         lit(0L).as("dist"), lit(1L).as("sigma")))
       for (i <- 0 until 4) {
-        val msgs = edges
+        val msgs = edgesCk
           .join(vis.filter(col("dist") === i)
             .select(col("seed"), col("doc_id").as("src"), col("sigma")),
             Seq("src"))
@@ -1533,7 +1581,7 @@ object Graph {
         val b = vis.filter(col("dist") === d + 1)
           .select(col("seed"), col("doc_id").as("dst"),
             col("sigma").as("sig_v"))
-        val joined = edges.join(a, Seq("src")).join(b, Seq("seed", "dst"))
+        val joined = edgesCk.join(a, Seq("src")).join(b, Seq("seed", "dst"))
         val withD = deeper match {
           case Some(c) => joined.join(
             c.select(col("seed"), col("doc_id").as("dst"),
@@ -1624,10 +1672,15 @@ object Graph {
       }
       def cut(df: DataFrame) =
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+      // r16: truncate the edge lineage once so each round's cut plans
+      // a constant-size fragment instead of re-analyzing the LSH
+      // candidate subtree (the pageRanks argument)
+      edges.count()
+      val edgesCk = edges.localCheckpoint(true)
       var dist = cut(seeds.select(col("seed"), col("seed").as("doc_id"),
         lit(0L).as("dist")))
       for (_ <- 0 until 4) {
-        val nxt = edges
+        val nxt = edgesCk
           .join(dist.withColumnRenamed("doc_id", "src"), Seq("src"))
           .select(col("seed"), col("dst").as("doc_id"),
             (col("dist") + 1).as("dist"))
