@@ -658,6 +658,17 @@ object Dedup {
           .hint("merge"), "vec_id")
         .select(col("vec_id"), col("cells"), col("label"), col("embedding"),
           explode(col("cells")).as("cell"))
+        // r16 (guide §2.5): pin the cell-keyed layout across 2× session
+        // parallelism at the persist boundary. The per-cell pair join
+        // is CPU-dense per byte (64-dim cosines ∝ Σ cell²), and with
+        // byte-based coalescing the ~1 MB cached build collapsed to ONE
+        // partition — a 1-partition child satisfies the join's
+        // clustering trivially, so the whole pair scan ran serial
+        // (measured 0.7 s CPU in 1 task). The explicit deployment-
+        // derived count keeps the join exchange-free on both sides
+        // AND parallel; effective width is min(2×slots, live cells),
+        // and cells ∝ √N at scale so the cap never binds off-sandbox.
+        .repartition(2 * s.sparkContext.defaultParallelism, col("cell"))
         .persist() // both sides of the cell self-join share one build
       val cos = round(
         Vectors.cosine(s, col("x.embedding"), col("y.embedding")), 6)

@@ -45,9 +45,8 @@ object Profile {
     graft.GraftSession.tune(spark)
     // A/B measurement aid: semicolon-separated conf overrides applied
     // AFTER tune, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     val log = new StageLog
     spark.sparkContext.addSparkListener(log)
     for (name <- names) {
