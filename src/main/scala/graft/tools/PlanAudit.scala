@@ -334,6 +334,14 @@ object PlanAudit {
       // moves + the broadcast assemblies
       "etl_lowe_young" -> 8,
       "ev_rfm" -> 18,
+      // bipartite projection (r16): the distinct-edge agg + the
+      // per-customer cap window + the EXPLICIT 2×slots re-key of the
+      // capped relation (the pair self-join's Σdeg² CPU must not ride
+      // byte-coalesced partitions — see the operator comment) + the
+      // (part_a, part_b) count agg; self-join sides re-print with
+      // fresh expr ids (7 distinct lines measured, +1 cache-state
+      // headroom). Every exchange moves (c, p)/(p, p) key pairs.
+      "graph_bipartite_projection" -> 8,
       // q38 is q28's selection plan with 3 target ranks instead of 2 —
       // same budget: one corpus-scale exchange (per-(flag, bucket)
       // counts), the rest ≤5×200-row bookkeeping moves
