@@ -34,6 +34,20 @@ object GraftSession {
     // intermediate keeps thousands of partitions, a bookkeeping
     // relation collapses to a few.
     c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // r17 (guide §2.4): allow a join to run exchange-free when BOTH
+    // children are hash-partitioned on the same SUBSET of the join
+    // keys. The engine's iterative operators deliberately lay loop
+    // invariants out on a coarse key (textrank: doc_id; the per-doc
+    // graph is bounded by construction) so every round's join/agg is
+    // satisfied by one up-front exchange; with the default (true) the
+    // planner re-exchanges on the full key set per round anyway —
+    // measured on text_textrank: 2 executed O(E) exchanges per round
+    // that this flag turns into zero. The default exists to protect
+    // organically-subset-partitioned joins from low parallelism /
+    // skew; here every subset layout is constructed with an explicit
+    // deployment-derived partition count, and non-constructed joins
+    // get their partitioning from a fresh full-key exchange as before.
+    c.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     // 10 MB default is conservative; dims in a TPC-H-ratio schema are tiny
     // relative to facts — let Catalyst broadcast aggressively.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
@@ -92,6 +106,36 @@ object GraftSession {
           aqeSaved = None
         }
       }
+    }
+  }
+
+  /** Lineage cut that PRESERVES the child's physical layout (r17) and
+    * upgrades to a RELIABLE checkpoint when
+    * `spark.graft.checkpoint.dir` is set (the cluster-availability
+    * convention — localCheckpoint blocks die with their executor).
+    *
+    * Layout: under AQE, a checkpoint captures the plan's partitioning
+    * from an AdaptiveSparkPlanExec whose final plan is not resolved at
+    * capture time, so the resulting LogicalRDD reports
+    * UnknownPartitioning and EVERY downstream join/agg re-exchanges
+    * the cut relation — measured: the Pregel loops were re-shuffling
+    * their lineage-cut edge bases once per round even though the base
+    * was built hash-partitioned on the join key. Planning the cut
+    * with AQE off makes the captured partitioning concrete, so the
+    * loop's joins/aggs are satisfied exchange-free (with
+    * requireAllClusterKeysForCoPartition=false above for coarse-key
+    * layouts). Call it on a MATERIALIZED subtree (persist + count
+    * first, or a previous cut): then the cut plan is a pure cache/RDD
+    * scan and AQE-off costs nothing; a cut plan with its own fresh
+    * exchanges would run them at the static shuffle partition count. */
+  def cut(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+    ckptDir.foreach { d =>
+      if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
+    }
+    withAqeOff(s, disable = true) {
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
     }
   }
 

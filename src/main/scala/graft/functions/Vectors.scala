@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{AdcDistance, BloomMightContain, BottomKSample, CdcChunks, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, NearestPqCode, QuantizedDot, SortedLongIntersectCount, TopCellsByCos, TopKByKey, TopKByKeyStr}
+import graft.plans.{AdcDistance, BloomMightContain, BottomKSample, CdcChunks, CosineSimilarity, FloatDot, GramSketch, HeavyHittersSketch, HyperplaneDot, KllQuantileSketch, KmvDistinctSketch, L2Distance, NearestPqCode, QuantizedDot, SortedLongIntersectCount, TextRankTop3, TopCellsByCos, TopKByKey, TopKByKeyStr}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -65,6 +65,8 @@ object Vectors {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cdc_chunks", exprs => CdcChunks(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_textrank_top3", exprs => TextRankTop3(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nearest_pq_code",
       exprs => NearestPqCode(exprs(0), exprs(1), exprs(2)), "built-in")
@@ -210,6 +212,16 @@ object Vectors {
   def cdcChunks(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_cdc_chunks", text)
+  }
+
+  /** Per-document 4-round damped TextRank over a mirrored adjacency
+    * array, returning the top-3 words as array<struct<pos, word,
+    * rank_fp>> — the shuffle-once-compute-local replacement for the
+    * distributed 4-round recurrence (bit-identical; see
+    * plans/TextRankExpressions.scala). */
+  def textrankTop3(spark: SparkSession, edges: Column): Column = {
+    register(spark)
+    call_function("graft_textrank_top3", edges)
   }
 
   /** Top-`topN` IVF cells of an `array<float>` vector (precomputed

@@ -4355,10 +4355,23 @@ object Etl {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
+        .persist() // 5 scans across the two selection passes (anchor,
+                   // 2 bucket-count aggs, 2 hot-bucket ranks) — cache
+                   // the 4-column projection once
       val mids = (n: Column) =>
         array(floor((n + 1) / 2), floor((n + 2) / 2))
+      // r17 (guide §1.2): ONE min/max anchor job serves BOTH selection
+      // passes. Pass 1 buckets price on its exact bounds; pass 2's
+      // deviations |x − med_f| are covered by [0, max−min] for every
+      // flag (med_f lies in [min, max]), and rankSelectByKey's output
+      // is bucket-invariant, so the derived bounds change nothing but
+      // bucket balance — the second full-scan anchor job is gone.
+      val mmx = li.agg(min(col("l_extendedprice")).cast(DoubleType),
+        max(col("l_extendedprice")).cast(DoubleType)).head()
+      val (pLo, pHi) = (mmx.getDouble(0), mmx.getDouble(1))
       val sel1 = Relational.rankSelectByKey(li, "l_returnflag",
-        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), mids)
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), mids,
+        bounds = Some((pLo, pHi)))
       val med = sel1.groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n"),
           ((max(when(col("pos") === floor((col("n") + 1) / 2),
@@ -4370,7 +4383,8 @@ object Etl {
           abs(col("l_extendedprice") - col("median_price")).as("dev"),
           col("l_orderkey"), col("l_linenumber"))
       val sel2 = Relational.rankSelectByKey(dev, "l_returnflag", "dev",
-        Seq("l_orderkey", "l_linenumber"), mids)
+        Seq("l_orderkey", "l_linenumber"), mids,
+        bounds = Some((0.0, pHi - pLo)))
       val mad = sel2.groupBy(col("l_returnflag"))
         .agg(((max(when(col("pos") === floor((col("n") + 1) / 2), col("dev")))
           + max(when(col("pos") === floor((col("n") + 2) / 2), col("dev"))))

@@ -82,8 +82,9 @@ object Graph {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // one fixed partitioning serves every round's src-side join
       .repartition(col("src")).persist()
+    val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
     edges.count() // force the cache before the lineage cut
-    val edgesCk = edges.localCheckpoint(true)
+    val edgesCk = graft.GraftSession.cut(s, edges)
     var cur = edgesCk.select(col("src").as("id")).distinct()
       .select(col("id"), explode(typedLit(ks)).as("k"))
     for (_ <- 0 until rounds) {
@@ -97,7 +98,7 @@ object Graph {
         .groupBy(col("src"), col("k")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= col("k"))
         .select(col("src").as("id"), col("k"), col("d"))
-      cur = next.localCheckpoint(true)
+      cur = if (ckptDir.isDefined) next.checkpoint() else next.localCheckpoint(true)
     }
     cur
   }
@@ -116,7 +117,14 @@ object Graph {
   /** Edge-subgraph rank vector (doc_id, r) after `iters` synchronous
     * rounds — the iterative core of `graph_pagerank`, parameterized so
     * PageRankConvergenceSpec can pin the fixed-point claim (round 6 vs
-    * round 8 ranks) instead of trusting the Iters=6 comment. */
+    * round 8 ranks) instead of trusting the Iters=6 comment.
+    *
+    * SINGLE-REFERENCE CONTRACT (advisor r16): in the
+    * no-checkpoint-dir path the returned frame is an UNCUT lazy
+    * `iters`-round cascade — read it ONCE per call (graph_pagerank and
+    * the spec each do); a second reference re-executes every round.
+    * A caller needing multiple reads must cut the result itself
+    * (lpaArtifacts cuts at the end for exactly this reason). */
   private[graft] def pageRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val pairs = Dedup.verifiedCandidates(s, dir)
       .filter(col("ni") * lit(1.0) / (col("ntot") - col("ni")) >= 0.5)
@@ -154,8 +162,8 @@ object Graph {
     // is kept so a 1000-executor run survives executor loss without
     // replaying the whole iteration.
     edgesD.count() // force the cache before the lineage cut
-    val edgesCk = edgesD.localCheckpoint(true)
-    val nodesCk = nodesE.localCheckpoint(true)
+    val edgesCk = graft.GraftSession.cut(s, edgesD)
+    val nodesCk = graft.GraftSession.cut(s, nodesE)
     var r = nodesCk.withColumn("r", lit(FP))
     for (_ <- 0 until iters) {
       val sums = edgesCk
@@ -166,7 +174,7 @@ object Graph {
         .join(sums, col("doc_id") === col("dst"), "left_outer")
         .select(col("doc_id"),
           expr("(15 * 1048576L + 85 * coalesce(contrib_sum, 0L)) div 100").as("r"))
-      r = if (ckptDir.isDefined) next.checkpoint() else next
+      r = if (ckptDir.isDefined) graft.GraftSession.cut(s, next) else next
     }
     r
   }
@@ -221,7 +229,7 @@ object Graph {
     // over a lineage-truncated edge base — one query, one job, no
     // per-round checkpoint jobs.
     edges.count() // force the cache before the lineage cut
-    val edgesCk = edges.localCheckpoint(true)
+    val edgesCk = graft.GraftSession.cut(s, edges)
     val enodes = edgesCk.select(col("dst").as("doc_id")).distinct()
     // every edge-subgraph node has in-neighbors (edges are mirrored),
     // so the round's argmax is total — no carry-over coalesce needed
@@ -243,7 +251,7 @@ object Graph {
     // Return the lineage-cut edge relation too — modularity references
     // edges in three more joins and per-reference re-analysis of the
     // LSH subtree was the measured driver cost.
-    (edgesCk, l.localCheckpoint(true))
+    (edgesCk, graft.GraftSession.cut(s, l))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
@@ -829,11 +837,13 @@ object Graph {
       // 1-row broadcast subquery); the edge lineage is truncated once
       // (the pageRanks localCheckpoint argument) so per-round plans
       // stay constant-size.
-      val edgesCk = edges.localCheckpoint(true)
-      val degE = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+      val edgesCk = graft.GraftSession.cut(s, edges)
+      // degE derives from the CUT edge base: its layout is concrete, so
+      // the degree agg plans exchange-free inside the (AQE-off) cut
+      val degE = graft.GraftSession.cut(s,
+        edgesCk.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val nfp = nodesE.count() * FP
-      var x = nodesE.withColumn("v", lit(FP)).localCheckpoint(true)
+      var x = graft.GraftSession.cut(s, nodesE.withColumn("v", lit(FP)))
       for (_ <- 0 until EigenIters) {
         val tot = x.join(degE.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
           .agg(sum(col("v") * col("deg")).as("tot"))
@@ -920,14 +930,14 @@ object Graph {
       ckptDir.foreach { d =>
         if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
       }
-      def cut(df: org.apache.spark.sql.DataFrame) =
+      def cut(df: org.apache.spark.sql.DataFrame) = // per-round: AQE stays on
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
       // r16: truncate the edge lineage once so each round's cut plans
       // a constant-size fragment instead of re-analyzing the LSH
       // candidate subtree (the pageRanks argument; driver analysis,
       // not execution, was the measured per-round cost)
       edges.count()
-      val edgesCk = edges.localCheckpoint(true)
+      val edgesCk = graft.GraftSession.cut(s, edges)
       var dist = cut(seeds.select(col("doc_id"), lit(0L).as("dist")))
       for (_ <- 0 until 3) {
         val nxt = edgesCk
@@ -1242,13 +1252,13 @@ object Graph {
       ckptDir.foreach { d =>
         if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
       }
-      def cut(df: DataFrame) =
+      def cut(df: DataFrame) = // per-round: AQE stays on
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
       // r16: truncate the edge lineage once so each round's cut plans
       // a constant-size fragment instead of re-analyzing the LSH
       // candidate subtree (the pageRanks argument)
       edges.count()
-      val edgesCk = edges.localCheckpoint(true)
+      val edgesCk = graft.GraftSession.cut(s, edges)
       var dist = cut(seeds.select(col("id").as("seed"), col("id").as("doc_id"),
         lit(0L).as("dist")))
       for (_ <- 0 until 3) {
@@ -1346,7 +1356,7 @@ object Graph {
       ckptDir.foreach { d =>
         if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(d)
       }
-      def cut(df: DataFrame) =
+      def cut(df: DataFrame) = // per-round: AQE stays on
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
       // r16 (guide §1.2): each half-step's renormalization total used
       // to require materializing the edge-join aggregate so it could
@@ -1357,17 +1367,23 @@ object Graph {
       // the aggregate referenced once, each half-step is ONE
       // lineage-cut job + a degree-weighted 1-row broadcast subquery
       // over the node vector.
-      val degC = edgesByC.groupBy(col("c")).agg(count(lit(1)).as("dc"))
-        .localCheckpoint(true)
-      val degP = edgesByP.groupBy(col("p")).agg(count(lit(1)).as("dp"))
-        .localCheckpoint(true)
-      var h = cut(edgesByC.select(col("c")).distinct()
+      // cut the two key-partitioned edge copies so their layouts are
+      // CONCRETE to every half-step join (under cached-plan AQE an
+      // InMemoryTableScan's partitioning is unknown at planning time,
+      // so the half-steps were re-exchanging O(E) despite the copies)
+      val edgesByCCk = graft.GraftSession.cut(s, edgesByC)
+      val edgesByPCk = graft.GraftSession.cut(s, edgesByP)
+      val degC = graft.GraftSession.cut(s,
+        edgesByCCk.groupBy(col("c")).agg(count(lit(1)).as("dc")))
+      val degP = graft.GraftSession.cut(s,
+        edgesByPCk.groupBy(col("p")).agg(count(lit(1)).as("dp")))
+      var h = cut(edgesByCCk.select(col("c")).distinct()
         .withColumn("v", lit(FP)))
       var an: DataFrame = null
       for (_ <- 0 until HitsRounds) {
         val ta = h.join(degC, Seq("c"))
           .agg(sum(col("v") * col("dc")).as("tot"))
-        an = cut(edgesByC.join(h, Seq("c"))
+        an = cut(edgesByCCk.join(h, Seq("c"))
           .groupBy(col("p")).agg(sum(col("v")).as("av"))
           .crossJoin(broadcast(ta))
           .select(col("p"),
@@ -1375,7 +1391,7 @@ object Graph {
               .cast(LongType).as("v")))
         val th = an.join(degP, Seq("p"))
           .agg(sum(col("v") * col("dp")).as("tot"))
-        h = cut(edgesByP.join(an, Seq("p"))
+        h = cut(edgesByPCk.join(an, Seq("p"))
           .groupBy(col("c")).agg(sum(col("v")).as("hv"))
           .crossJoin(broadcast(th))
           .select(col("c"),
@@ -1548,13 +1564,13 @@ object Graph {
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(d)
       }
-      def cut(df: DataFrame) =
+      def cut(df: DataFrame) = // per-round: AQE stays on
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
       // r16: truncate the edge lineage once so each round's cut plans
       // a constant-size fragment instead of re-analyzing the embedding
       // near-dup subtree (the pageRanks argument)
       edges.count()
-      val edgesCk = edges.localCheckpoint(true)
+      val edgesCk = graft.GraftSession.cut(s, edges)
       // forward: visited (seed, doc_id, dist, sigma), one frontier
       // join + one (seed, dst) keyed σ-sum + one anti-join per round
       var vis = cut(seeds.select(col("seed"), col("seed").as("doc_id"),
@@ -1670,13 +1686,13 @@ object Graph {
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(d)
       }
-      def cut(df: DataFrame) =
+      def cut(df: DataFrame) = // per-round: AQE stays on
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
       // r16: truncate the edge lineage once so each round's cut plans
       // a constant-size fragment instead of re-analyzing the LSH
       // candidate subtree (the pageRanks argument)
       edges.count()
-      val edgesCk = edges.localCheckpoint(true)
+      val edgesCk = graft.GraftSession.cut(s, edges)
       var dist = cut(seeds.select(col("seed"), col("seed").as("doc_id"),
         lit(0L).as("dist")))
       for (_ <- 0 until 4) {
@@ -1772,7 +1788,7 @@ object Graph {
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(d)
       }
-      def cut(df: DataFrame) =
+      def cut(df: DataFrame) = // per-round: AQE stays on
         if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
       // r16 (the pageRanks lazy-cascade argument): the score vector is
       // referenced once per round and seedRows twice — both tiny after
@@ -1781,7 +1797,7 @@ object Graph {
       // per-round checkpoint jobs. With spark.graft.checkpoint.dir set
       // the per-round RELIABLE cut is kept for executor-loss recovery.
       edgesD.count() // force the cache before the lineage cut
-      val edgesCk = edgesD.localCheckpoint(true)
+      val edgesCk = graft.GraftSession.cut(s, edgesD)
       val seedRows = cut(seeds.select(col("seed"), col("seed").as("doc_id")))
       val r4 = {
           var r = seedRows.select(col("seed"), col("doc_id"),

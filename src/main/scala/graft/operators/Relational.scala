@@ -1216,11 +1216,23 @@ object Relational {
         count(lit(1)).as("n"))
 
   private[operators] def rankSelectByKey(df: DataFrame, key: String,
-      v: String, ties: Seq[String], targets: Column => Column): DataFrame = {
-    val mmx = df.agg(min(col(v)).cast(DoubleType),
-      max(col(v)).cast(DoubleType)).head()
+      v: String, ties: Seq[String], targets: Column => Column,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    // r17 (guide §1.2): the selection's OUTPUT is bucket-invariant —
+    // any monotone bucketing of `v` yields the same global ranks
+    // (equal values always share a bucket, rangeBucket clamps
+    // out-of-range monotonically, and global rank = local row_number +
+    // offset) — so a caller that can DERIVE covering bounds (e.g. the
+    // MAD deviation pass: dev ∈ [0, max−min] from the first pass's
+    // anchor) skips this pass's min/max anchor job and its full input
+    // scan entirely. Bounds only steer bucket BALANCE, never the result.
+    val (lo, hi) = bounds.getOrElse {
+      val mmx = df.agg(min(col(v)).cast(DoubleType),
+        max(col(v)).cast(DoubleType)).head()
+      (mmx.getDouble(0), mmx.getDouble(1))
+    }
     val withB = df.withColumn("bkt",
-      rangeBucket(col(v).cast(DoubleType), mmx.getDouble(0), mmx.getDouble(1), 200))
+      rangeBucket(col(v).cast(DoubleType), lo, hi, 200))
     val wOff = Window.partitionBy(col(key)).orderBy(col("bkt").asc)
     val offs = withB.groupBy(col(key), col("bkt"))
       .agg(count(lit(1)).as("cnt"))

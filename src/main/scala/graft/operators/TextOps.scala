@@ -1765,41 +1765,38 @@ object TextOps {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .filter(length(col("w1")) >= 3 && length(col("w2")) >= 3 &&
           col("w1") =!= col("w2"))
+      // r17 (guide §1.2/§8): shuffle ONCE, compute locally. Each
+      // per-doc word graph is bounded by that document's token count
+      // and the 4-round recurrence never couples documents, so the
+      // whole iteration runs inside one expression over the collected
+      // per-doc adjacency array (plans/TextRankExpressions.scala —
+      // bit-identical long arithmetic, order-invariant, so the
+      // collect_list order cannot change the result). Plan shape: one
+      // doc_id exchange + two doc-local aggs + the native loop —
+      // versus r16's ~2 executed exchanges per round (≈20 sequential
+      // AQE stage rounds of wall) or the co-partitioned SMJ cascade
+      // (zero exchanges but 4 unrolled join+agg plan levels whose
+      // per-task setup dominated task time at bench SF). Rank state
+      // never crosses the network — the 100 TB-correct shape.
       val e = bg.select(col("doc_id"), col("w1").as("src"), col("w2").as("dst"))
         .unionByName(bg.select(col("doc_id"), col("w2").as("src"),
           col("w1").as("dst")))
+        // AQE-sized doc_id exchange: the native loop costs ~O(1) per
+        // edge byte (NOT quadratic-per-byte like the bipartite pair
+        // join), so byte-based coalescing keeps CPU ∝ partition bytes
+        // at any scale; pinning 1-2×slots here was measured 4× worse
+        // task (per-task setup dominates a sub-second stage at bench SF)
+        .repartition(col("doc_id"))
         .groupBy(col("doc_id"), col("src"), col("dst"))
         .agg(count(lit(1)).as("cnt"))
-        // one fixed (doc, src) layout serves every round's rank join
-        .repartition(col("doc_id"), col("src")).persist()
-      val deg = e.groupBy(col("doc_id"), col("src")).agg(sum(col("cnt")).as("deg"))
-        .persist()
-      // r16 (guide §1.2/§3): deg is keyed identically to e, so attach
-      // it to the edge relation ONCE instead of re-joining it every
-      // round — one join per round instead of two, same per-edge
-      // cnt·(r div deg) terms. persist (not localCheckpoint) so the
-      // fused relation is shared across warmup/timed passes via the
-      // canonical-plan cache like every other loop invariant here.
-      val eD = e.join(deg, Seq("doc_id", "src")).persist()
-      val nCk = deg.select(col("doc_id"), col("src").as("word"), col("deg"))
-      var r = nCk.select(col("doc_id"), col("word"), lit(1048576L).as("r"))
-      for (_ <- 0 until 4) {
-        val contrib = eD
-          .join(r.withColumnRenamed("word", "src"),
-            Seq("doc_id", "src"))
-          .groupBy(col("doc_id"), col("dst").as("word"))
-          .agg(sum(col("cnt") * expr("r div deg")).as("s"))
-        r = nCk.select(col("doc_id"), col("word"))
-          .join(contrib, Seq("doc_id", "word"), "left_outer")
-          .select(col("doc_id"), col("word"),
-            expr("(15 * 1048576 + 85 * coalesce(s, 0)) div 100").as("r"))
-      }
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("r").desc, col("word").asc)
-      r.withColumn("pos", row_number().over(w))
-        .filter(col("pos") <= 3)
-        .select(col("doc_id"), col("pos").cast(IntegerType).as("pos"),
-          col("word"), col("r").as("rank_fp"))
+        .groupBy(col("doc_id")) // doc-local: no second exchange
+        .agg(collect_list(struct(col("src"), col("dst"), col("cnt")))
+          .as("adj"))
+      e.select(col("doc_id"),
+          explode(graft.functions.Vectors.textrankTop3(s, col("adj")))
+            .as("top"))
+        .select(col("doc_id"), col("top.pos").as("pos"),
+          col("top.word").as("word"), col("top.rank_fp").as("rank_fp"))
     }
   )
 }

@@ -264,16 +264,35 @@ def main():
         except Exception:
             cur_t, prev_t, cur_w, prev_w = {}, {}, {}, {}
         if cur_t and prev_t:
+            # r17 (advisor): the wall-AND-task rule is fail-open when a
+            # snapshot lacks the wall map — fail LOUDLY instead of
+            # silently printing zero regressions.
+            if not (cur_w and prev_w):
+                stale.append(
+                    f"task-time gate: 'queries' wall map missing from "
+                    f"{'current' if not cur_w else 'previous'} bench "
+                    f"snapshot — the wall-AND-task rule cannot evaluate; "
+                    f"regenerate the snapshot with a full bench run")
             regress = sorted(
                 (q, prev_t[q], cur_t[q]) for q in cur_t
                 if q in prev_t and prev_t[q] > 0.25
-                and cur_t[q] > 2.0 * prev_t[q]
-                and prev_w.get(q, 0) > 0
-                and cur_w.get(q, 0) > 1.5 * prev_w.get(q, float("inf")))
+                and (
+                    # combined rule: a real plan regression moves task
+                    # and same-run wall together
+                    (cur_t[q] > 2.0 * prev_t[q]
+                     and prev_w.get(q, 0) > 0
+                     and cur_w.get(q, 0) > 1.5 * prev_w.get(q, float("inf")))
+                    # r17 unconditional backstop (advisor): a >4x task
+                    # jump fails regardless of wall — extra CPU absorbed
+                    # by idle cores at bench SF is still a 4x cost at
+                    # scale. Calibration: across the three same-code r16
+                    # runs the worst same-code task swing on a >250 ms
+                    # query was 2.3x.
+                    or cur_t[q] > 4.0 * prev_t[q]))
             print(f"task-time gate : {os.path.basename(bench_path)} vs "
                   f"{os.path.basename(prev_bench[0])} — "
-                  f"{len(regress)} regressions (task>2x AND wall>1.5x, "
-                  f"prev task>250ms)")
+                  f"{len(regress)} regressions ((task>2x AND wall>1.5x) "
+                  f"OR task>4x, prev task>250ms)")
             if regress:
                 msg = "; ".join(f"{q} {a:.2f}s->{b:.2f}s"
                                 for q, a, b in regress[:8])
@@ -282,9 +301,37 @@ def main():
                 else:
                     stale.append(f"task-time regressions vs r{prev_bench[1]}: "
                                  f"{msg}")
+            # r17 family-sum gate (judge r16 #7): family task sums are
+            # far stabler than per-query numbers (law of large numbers
+            # over tenancy noise), so a >2x family-sum jump that the
+            # per-query AND-rule can't see (a reintroduced scheduling-
+            # overhead regression spread thinly) fails here. Family =
+            # prefix up to the first underscore-delimited token.
+            fams = {}
+            for q in cur_t:
+                if q in prev_t:
+                    f = q.split("_", 1)[0]
+                    a, b = fams.get(f, (0.0, 0.0))
+                    fams[f] = (a + prev_t[q], b + cur_t[q])
+            fam_regress = sorted(
+                (f, a, b) for f, (a, b) in fams.items()
+                if a > 1.0 and b > 2.0 * a)
+            print(f"family-sum gate: {len(fam_regress)} family task-sum "
+                  f"regressions (sum>2x, prev sum>1s) across "
+                  f"{len(fams)} families")
+            if fam_regress:
+                msg = "; ".join(f"{f} {a:.1f}s->{b:.1f}s"
+                                for f, a, b in fam_regress)
+                if os.environ.get("GUARD_TASK_WARN_ONLY") == "1":
+                    print(f"  WARN (GUARD_TASK_WARN_ONLY=1): {msg}")
+                else:
+                    stale.append(f"family task-sum regressions vs "
+                                 f"r{prev_bench[1]}: {msg}")
         else:
-            print("task-time gate : skipped (queries_task missing in one "
-                  "of the two snapshots)")
+            stale.append(
+                "task-time gate: 'queries_task' missing from one of the "
+                "two bench snapshots — the gate cannot evaluate; "
+                "regenerate with a full bench run")
 
     if stale:
         print("\n*** GUARD FAIL (close-freshness): the registry grew after "
