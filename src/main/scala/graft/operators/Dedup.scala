@@ -670,6 +670,11 @@ object Dedup {
         // and cells ∝ √N at scale so the cap never binds off-sandbox.
         .repartition(2 * s.sparkContext.defaultParallelism, col("cell"))
         .persist() // both sides of the cell self-join share one build
+      // r17 note: a GraftSession.cut here (pinning the cell layout so
+      // the self-join skips its two exchanges) was measured WORSE —
+      // the checkpoint row-copies the 64-float embedding payload
+      // (task 0.95→5.1 s), which dwarfs re-exchanging the ~1 MB build.
+      // The two cache-scan exchanges stay.
       val cos = round(
         Vectors.cosine(s, col("x.embedding"), col("y.embedding")), 6)
       cells.as("x").join(cells.as("y"),

@@ -4225,8 +4225,16 @@ object Etl {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("f"), col("l_quantity").as("v"),
           col("l_extendedprice").as("w"))
-      val rx = avgRank2(li, "v")   // ≤50-value domain: tiny relation
-      val ry = avgRank2(li, "w")   // corpus-scale distinct values
+        .persist() // 2 rank passes + the rank join re-scan one cache
+      // r17 (the etl_mad_robust fold): ONE anchor job computes both
+      // columns' bounds — was two full-scan min/max jobs, one per pass
+      val mmx = li.agg(
+        min(col("v")).cast(DoubleType), max(col("v")).cast(DoubleType),
+        min(col("w")).cast(DoubleType), max(col("w")).cast(DoubleType)).head()
+      val rx = avgRank2(li, "v",   // ≤50-value domain: tiny relation
+        Some((mmx.getDouble(0), mmx.getDouble(1))))
+      val ry = avgRank2(li, "w",   // corpus-scale distinct values
+        Some((mmx.getDouble(2), mmx.getDouble(3))))
       val p = li
         .join(broadcast(rx), Seq("f", "v"))     // value-keyed broadcast
         .join(ry, Seq("f", "w"))                // (f, w)-keyed shuffle join
@@ -9051,13 +9059,20 @@ object Etl {
     * Returns (f, v-named column, r2x/r2y) keyed by the value column for
     * the join back to rows. */
   private def avgRank2(df: org.apache.spark.sql.DataFrame,
-      vCol: String): org.apache.spark.sql.DataFrame = {
+      vCol: String,
+      bounds: Option[(Double, Double)] = None): org.apache.spark.sql.DataFrame = {
     val r2Name = if (vCol == "v") "r2x" else "r2y"
     val counts = df.groupBy(col("f"), col(vCol)).agg(count(lit(1)).as("cnt"))
-    val mmx = df.agg(min(col(vCol)).cast(DoubleType),
-      max(col(vCol)).cast(DoubleType)).head()
+    // r17: like rankSelectByKey, the ranks are BUCKET-INVARIANT (any
+    // monotone bucketing yields the same prefix counts), so a caller
+    // with precomputed bounds skips this pass's min/max anchor job
+    val (lo, hi) = bounds.getOrElse {
+      val mmx = df.agg(min(col(vCol)).cast(DoubleType),
+        max(col(vCol)).cast(DoubleType)).head()
+      (mmx.getDouble(0), mmx.getDouble(1))
+    }
     val withB = counts.withColumn("bkt", Relational.rangeBucket(
-      col(vCol).cast(DoubleType), mmx.getDouble(0), mmx.getDouble(1), 200))
+      col(vCol).cast(DoubleType), lo, hi, 200))
     val wOff = Window.partitionBy(col("f")).orderBy(col("bkt").asc)
     val offs = withB.groupBy(col("f"), col("bkt"))
       .agg(sum(col("cnt")).as("bcnt"))

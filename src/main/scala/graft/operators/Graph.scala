@@ -250,8 +250,13 @@ object Graph {
     // join) and must not re-run the 4-round recurrence per reference.
     // Return the lineage-cut edge relation too — modularity references
     // edges in three more joins and per-reference re-analysis of the
-    // LSH subtree was the measured driver cost.
-    (edgesCk, graft.GraftSession.cut(s, l))
+    // LSH subtree was the measured driver cost. This cut's plan IS the
+    // whole 4-round recurrence (fresh exchanges), so it stays on the
+    // AQE-ON path — routing it through GraftSession.cut ran every
+    // round's shuffle at the static partition count (measured: lpa
+    // task 0.17→13.9 s, modularity 0.24→19.9 s; reverted).
+    val ckptDir = s.conf.getOption("spark.graft.checkpoint.dir")
+    (edgesCk, if (ckptDir.isDefined) l.checkpoint() else l.localCheckpoint(true))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -55,6 +55,11 @@ object BpeScale {
     val totalMerges = if (args.length > 0) args(0).toInt else 512
     val ms = (if (args.length > 1) args(1) else "16,64,256")
       .split(",").map(_.trim.toInt).toSeq
+    val nWords = if (args.length > 2) args(2).toInt else 3000
+    // 4th arg: comma-separated delta modes to A/B (true/false); the
+    // r17 delta-maintenance study runs both and asserts equivalence
+    val deltas = (if (args.length > 3) args(3) else "true")
+      .split(",").map(_.trim.toBoolean).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,17 +67,20 @@ object BpeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = syntheticCorpus(spark)
+    val dir = syntheticCorpus(spark, nWords)
     var ref: Seq[(Int, String, String, String, Long)] = null
-    ms.foreach { m =>
+    for (m <- ms; d <- deltas) {
+      spark.conf.set("spark.graft.bpe.delta", d.toString)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val (merges, rounds) =
         graft.operators.Training.bpeTrainBatched(spark, dir, m, totalMerges)
       val dt = (System.nanoTime() - t0) / 1e9
       if (ref == null) ref = merges
       else assert(merges == ref,
-        s"m=$m diverged from m=${ms.head}'s merge sequence")
-      println(f"BPESCALE m=$m%-4d merges=$totalMerges rounds=$rounds%-5d " +
+        s"m=$m delta=$d diverged from the first run's merge sequence")
+      println(f"BPESCALE m=$m%-4d delta=$d%-5s nWords=$nWords " +
+        f"merges=$totalMerges rounds=$rounds%-5d " +
         f"effective_batch=${totalMerges.toDouble / rounds}%.2f wall=$dt%.1fs " +
         f"seq_equivalent=${ref == merges}")
     }

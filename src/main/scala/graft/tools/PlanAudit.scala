@@ -432,8 +432,14 @@ object PlanAudit {
       // rank + target joins), the second over a relation that embeds
       // the first's median join — the printed count is ~2× q28's plus
       // reprints of the persisted offs relation; corpus-scale moves
-      // are the two bucket-count aggs and the two hot-bucket ranks
-      "etl_mad_robust" -> 20,
+      // are the two bucket-count aggs and the two hot-bucket ranks.
+      // Re-derived r17 after the one-anchor fold PERSISTS the 4-column
+      // lineitem projection: the cached build's exchanges reprint per
+      // InMemoryRelation reference (5 references across the two
+      // passes), pushing the printed count 20→30 (ExchangeProbe:
+      // total=100 distinct=30, every line l_returnflag-keyed
+      // bookkeeping); the executed corpus-scale moves are unchanged
+      "etl_mad_robust" -> 30,
       // gap lag (user-keyed, 1 corpus move) + one rankSelectByKey pass
       // + the exact-mean agg; bookkeeping reprints inflate the rest
       "ev_interarrival_stats" -> 12,
@@ -499,19 +505,13 @@ object PlanAudit {
       // joins — the graph_pagerank lazily-unrolled-iteration argument:
       // every exchange after the first moves value-domain bookkeeping
       "etl_huber_mean" -> 14,
-      // four lazily-chained damped-rank rounds over the persisted
-      // (doc, src, dst, cnt) adjacency (the graph_pagerank argument):
-      // per round one (doc, word)-keyed message agg + the node left
-      // join, every exchange O(Σ per-doc edges) and doc-keyed — plus
-      // cold reprints of the persisted edge/degree relations.
-      // Re-derived r16 after the deg-fused edge rewrite (deg attached
-      // once instead of re-joined per round): 15 distinct printed
-      // lines — per round the r-side join exchange, the (doc, dst)
-      // message agg and the (doc, word) vector join, ×4 rounds with
-      // fresh expr ids, + the base adjacency/degree prints
-      // (ExchangeProbe: total=47 distinct=15, all edge-subgraph
-      // bookkeeping moves; one round executes only 2 exchanges)
-      "text_textrank" -> 15,
+      // Re-derived r17 after the native per-doc rewrite: the whole
+      // 4-round recurrence runs inside graft_textrank_top3 over the
+      // collected per-doc adjacency, so the plan is ONE doc_id-keyed
+      // exchange + two doc-local aggs + explode (ExchangeProbe:
+      // total=1 distinct=1). +2 headroom for cache-state reprint
+      // variants of the tokenized-docs persist.
+      "text_textrank" -> 3,
       // rides the full ann_ivf_assign budget (9) + its own ≤KCELLS-row
       // member agg and the 1-row total anchor
       "ann_ivf_quality" -> 11,

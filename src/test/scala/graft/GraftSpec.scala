@@ -5505,6 +5505,37 @@ class BpeBatchEquivalenceSpec extends AnyFunSuite {
   }
 }
 
+class BpeDeltaEquivalenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("delta-maintained pair counts replay the full-recompute merge sequence byte-for-byte") {
+    // r17 (judge #6): pc' = pc − pairs(affected_before) +
+    // pairs(affected_after) must reproduce the full recompute EXACTLY
+    // — same merges, same ranks, same frequencies — on both the sf
+    // fixture and the production-shaped synthetic corpus. (The delta
+    // path is default-OFF after measurement — see bpeTrainBatched —
+    // but its correctness stays pinned so the A/B stays meaningful.)
+    def both(dir: String, m: Int, merges: Int) = {
+      spark.conf.set("spark.graft.bpe.delta", "false")
+      val (full, fullRounds) =
+        graft.operators.Training.bpeTrainBatched(spark, dir, m, merges)
+      spark.catalog.clearCache()
+      spark.conf.set("spark.graft.bpe.delta", "true")
+      val (delta, deltaRounds) =
+        try graft.operators.Training.bpeTrainBatched(spark, dir, m, merges)
+        finally spark.conf.set("spark.graft.bpe.delta", "false")
+      assert(delta == full,
+        s"delta diverged from full recompute:\n$delta\nvs\n$full")
+      assert(deltaRounds == fullRounds)
+      (full, fullRounds)
+    }
+    both(sf, m = 4, merges = 8)
+    val dir = graft.tools.BpeScale.syntheticCorpus(spark, nWords = 400)
+    val (_, rounds) = both(dir, m = 16, merges = 48)
+    info(s"synthetic corpus: identical sequences over $rounds rounds")
+  }
+}
+
 class CdcMergeSinkSpec extends AnyFunSuite {
   import SparkTestSession._
 
